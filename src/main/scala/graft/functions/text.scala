@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expression library for the training-data-pipeline
+  * surface (language id, quality scoring, token counting, shingling,
+  * fingerprinting, MinHash/SimHash primitives).
+  *
+  * Design rule: every hash is md5 (identical hex output in Spark and
+  * DuckDB), every tokenizer is a plain regex — so each operator has an
+  * exact SQL oracle and behaves identically on any engine. All
+  * functions are `Column` compositions (codegen'd, no UDFs), so they
+  * distribute trivially: per-document work with no shuffle.
+  */
+object text {
+
+  /** Whitespace tokenizer (documents are single-space separated). */
+  def tokens(t: Column): Column = split(t, " ")
+
+  /** BPE-ish tokenizer: maximal alphanumeric runs. */
+  def wordTokens(t: Column): Column = regexp_extract_all(lower(t), lit("[a-z0-9]+"), lit(0))
+
+  /** Token count (whitespace). */
+  def nTokens(t: Column): Column = size(tokens(t)).cast("long")
+
+  /** Canonical normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics, collapse whitespace. */
+  def normalize(t: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Document fingerprint = md5 of normalized text (exact near-layout
+    * dedup key). */
+  def fingerprint(t: Column): Column = md5(normalize(t))
+
+  /** k-word shingles as an array of strings: shingle i joins tokens
+    * [i, i+k). */
+  def shingles(t: Column, k: Int = 3): Column = {
+    val toks = tokens(t)
+    // sequence(0, n-k) is empty-safe: when n < k, sequence(0, negative)
+    // would error, so guard with a when().
+    val n = size(toks)
+    when(n < k, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), n - lit(k)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + lit(o + 1))): _*)))
+  }
+
+  /** One MinHash signature component: `min(md5(seed || ':' || shingle))`
+    * over a document's shingle set. md5 output is uniformly distributed
+    * hex, so the min over salted hashes is a valid MinHash permutation.
+    * Returns an expression over an exploded `shingle` column — use under
+    * `groupBy(doc).agg(...)`. */
+  def minhashAgg(shingle: Column, seed: Int): Column =
+    min(md5(concat(lit(s"$seed:"), shingle)))
+
+  /** SimHash over 16 md5-hex-digit bits: for token t and bit b, the
+    * b-th hex digit's high bit votes +1/-1; document bit b is the sign
+    * of the vote sum. Use the per-token expressions under a groupBy:
+    * `simhashBitVote(tok, b)` then combine with [[simhashFromVotes]]. */
+  def simhashBitVote(token: Column, b: Int): Column = {
+    val hexDigit = substring(md5(token), b + 1, 1)
+    when(hexDigit.isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1)).otherwise(lit(-1))
+  }
+
+  /** Combine 16 per-bit vote sums into the simhash value. */
+  def simhashFromVotes(votes: Seq[Column]): Column =
+    votes.zipWithIndex.map { case (v, b) =>
+      when(v > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Hamming distance between two simhash longs (bit_count of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+
+  private val enStopwords = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+
+  /** Stopword ratio — quality / language-id signal. */
+  def stopwordRatio(t: Column): Column = {
+    val toks = tokens(t)
+    val hits = size(filter(toks, tk => tk.isin(enStopwords.map(lit): _*).cast("boolean")))
+    hits.cast("double") / size(toks).cast("double")
+  }
+
+  /** Mean token length (quality signal). */
+  def meanTokenLen(t: Column): Column =
+    length(regexp_replace(t, " ", "")).cast("double") / nTokens(t).cast("double")
+
+  /** Heuristic quality score in [0,1]: blend of length saturation,
+    * stopword presence and token-length sanity (the reference-free
+    * analog of a Gopher-style quality rule set). */
+  def qualityScore(t: Column): Column = {
+    val lenScore = least(length(t).cast("double") / lit(500.0), lit(1.0))
+    val swScore = least(stopwordRatio(t) * lit(5.0), lit(1.0))
+    val tlen = meanTokenLen(t)
+    val tlenScore = when(tlen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.0))
+    lenScore * lit(0.4) + swScore * lit(0.4) + tlenScore * lit(0.2)
+  }
+
+  /** N-gram-profile language id: score a text against per-language
+    * marker token sets; emit the argmax language. Deterministic,
+    * SQL-expressible (CASE over ratios). `profiles` maps lang ->
+    * marker tokens. */
+  def langId(t: Column, profiles: Seq[(String, Seq[String])], default: String = "unk"): Column = {
+    val toks = tokens(t)
+    val n = size(toks).cast("double")
+    val scores = profiles.map { case (lang, markers) =>
+      val hits = size(filter(toks, tk => tk.isin(markers.map(lit): _*).cast("boolean")))
+      (lang, hits.cast("double") / n)
+    }
+    // argmax with first-wins tie-break (stable, engine-agnostic)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit(default)) { case (acc, (lang, s)) =>
+      when(s === best && s > 0.0 && acc === default, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series sequence operators (SURVEY.md §2.2 P5, §2.5 W1-W6,
+  * §2.1 S4) — the reference's most load-bearing computation
+  * (weather4cast/datasets.py:15-47 gates everything else).
+  *
+  * Scale notes: every operator here is a single window pass partitioned
+  * by the series key (region/user). On a cluster that is one hash
+  * shuffle on the key and then purely local sorted scans — no
+  * self-joins, no N² blowup, skew bounded by the hottest single key.
+  */
+object Sequences {
+
+  /** P5/W1/W2: valid sequence starts. A bucket b is a valid start iff
+    * buckets b+1 .. b+(seqLen-1) all exist for the same key
+    * (datasets.py:39-47, on a fixed `interval` cadence). Implemented as
+    * one ordered window with `lead`: since buckets are distinct and
+    * sorted, bucket b+k exists for all k < L iff lead(b, L-1) == b+L-1.
+    */
+  def validStarts(buckets: DataFrame, key: String, bucket: String, seqLen: Int): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(bucket)
+    buckets
+      .select(col(key), col(bucket))
+      .distinct()
+      .withColumn("lead_b", lead(col(bucket), seqLen - 1).over(w))
+      .where(col("lead_b") === col(bucket) + lit(seqLen - 1))
+      .select(col(key), col(bucket))
+  }
+
+  /** W2: gap detection via lag — emit (key, gap_start, gap_end) for
+    * each adjacent pair further apart than `maxGapSeconds`. */
+  def gaps(events: DataFrame, key: String, ts: String, maxGapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts)
+    events
+      .select(col(key), col(ts))
+      .withColumn("prev_ts", lag(col(ts), 1).over(w))
+      .where(col("prev_ts").isNotNull &&
+        unix_timestamp(col(ts)) - unix_timestamp(col("prev_ts")) > maxGapSeconds)
+      .select(col(key), col("prev_ts").as("gap_start"), col(ts).as("gap_end"))
+  }
+
+  /** J2/W1: sequence assembly as an equi-join after explode — for each
+    * valid start bucket, gather the rows of buckets [b, b+seqLen).
+    * The explode(sequence) + equi-join form shuffles on (key, bucket)
+    * — broadcast-able when starts are small, sort-merge otherwise —
+    * instead of an O(N²) theta range join (datasets.py:320-337).
+    */
+  def assemble(starts: DataFrame, frames: DataFrame, key: String, bucket: String,
+               seqLen: Int): DataFrame = {
+    val exploded = starts
+      .select(col(key), col(bucket).as("t0"))
+      .withColumn("step", explode(sequence(lit(0L), lit(seqLen.toLong - 1))))
+      .withColumn(bucket, col("t0") + col("step"))
+    exploded.join(frames, Seq(key, bucket))
+  }
+
+  /** S4: priority dedup — the relational form of the reference's
+    * MSG4->MSG2 file fallback (datasets.py:86-89): keep, per key group,
+    * the single row with the best (lowest) priority, tie-broken
+    * deterministically. */
+  def priorityDedup(df: DataFrame, keys: Seq[String], priority: Column, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(priority.asc, tieBreak.asc)
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+}
