@@ -11,7 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // DuckDB yields NULL (not an error) on double div-by-zero etc.;
+      // pin the same semantics so oracle comparison is meaningful.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .config(graft.sources.Tables.conf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -78,7 +78,7 @@ object scalars {
 
   /** N9: `t + k * 15 minutes` (datasets.py:41-43, 323). */
   def plusSteps(ts: Column, k: Column, stepMinutes: Int = 15): Column =
-    timestampadd("MINUTE", k * lit(stepMinutes), ts)
+    timestamp_add("MINUTE", k * lit(stepMinutes), ts)
 
   /** N10: reference file-name construction (datasets.py:256-269):
     * `S_NWC_{PRODUCT}_MSG4_Europe-VISIR_{%Y%m%dT%H%M%SZ}.nc`

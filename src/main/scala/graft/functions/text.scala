@@ -30,8 +30,13 @@ object text {
     trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]", ""), " +", " "))
 
   /** Document fingerprint = md5 of normalized text (exact near-layout
-    * dedup key). */
-  def fingerprint(t: Column): Column = md5(normalize(t))
+    * dedup key). Non-Latin text whose normalized form is empty falls
+    * back to hashing the raw text — otherwise every CJK/Cyrillic doc
+    * would collapse onto the single key md5(""). */
+  def fingerprint(t: Column): Column = {
+    val norm = normalize(t)
+    when(length(norm) === 0, md5(t)).otherwise(md5(norm))
+  }
 
   /** k-word shingles as an array of strings: shingle i joins tokens
     * [i, i+k). */

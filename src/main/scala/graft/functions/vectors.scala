@@ -28,29 +28,48 @@ object vectors {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity `a.b / (|a| |b|)`. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity `a.b / (|a| |b|)`; NULL (not an ANSI error) when
+    * either vector has zero norm — e.g. an all-zero padded embedding. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
-  /** Random-hyperplane LSH bucket id over `nBits` pseudo-random
-    * hyperplanes. Hyperplane k's d-th component is ±1 derived from the
-    * first hex digit of `md5("k:d")` — deterministic, engine-agnostic,
-    * and reproducible in the SQL oracle. Bucket bit k = [v . h_k > 0].
+  /** Deterministic ±1 hyperplane components: hyperplane `k`'s `d`-th
+    * component is +1 when the first hex digit of `md5("k:d")` is in
+    * [0,8), else -1 — computed driver-side (java.security MD5 ==
+    * Spark/DuckDB md5), so the plane is a plain constant. */
+  def hyperplaneSigns(nBits: Int, dim: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nBits).map { k =>
+      (0 until dim).map { d =>
+        val hex = md.digest(s"$k:$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0) <= '7') 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id over `nBits` deterministic
+    * hyperplanes. Bucket bit k = [v . h_k > 0].
     *
     * At 100 TB this is the scale path for similarity search: buckets
     * partition the corpus so the pairwise-cosine join is confined to
     * same-bucket candidates instead of a full cross join.
+    *
+    * The planes are materialized as `array()` literals and each
+    * projection is ONE `aggregate(zip_with(...))` pass — constant
+    * expression size per bit regardless of `dim`, so whole-stage
+    * codegen survives real embedding widths (a per-component
+    * CASE/when expansion would blow Janino's method limit at
+    * dim >= 256 and fall back to interpreted execution).
     */
   def hyperplaneBucket(v: Column, nBits: Int, dim: Int): Column = {
+    val signs = hyperplaneSigns(nBits, dim)
     val bits = (0 until nBits).map { k =>
-      // h_k . v with signs from md5 — stays a static literal vector:
-      // the md5 calls are over literals, so Catalyst constant-folds them.
-      val terms = (0 until dim).map { d =>
-        val sign = when(
-          substring(md5(lit(s"$k:$d")), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
-          lit(1.0)).otherwise(lit(-1.0))
-        element_at(v, d + 1).cast("double") * sign
-      }
-      val proj = terms.reduce(_ + _)
+      val plane = array(signs(k).map(lit): _*)
+      val proj = aggregate(
+        zip_with(asDouble(v), plane, (x, h) => x * h),
+        lit(0.0),
+        (acc, x) => acc + x)
       when(proj > 0, lit(1L << k)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Sequences {
 
+  /** Convert an (irregular) timestamp column to a dense integer bucket
+    * id at `stepSeconds` cadence: `floor(epoch_seconds / step)`. The
+    * window operators below ([[validStarts]], [[assemble]]) do integer
+    * arithmetic on bucket ids; calling them on a raw TimestampType
+    * column would silently do second-granularity math. */
+  def tsBucket(ts: Column, stepSeconds: Long): Column =
+    floor(unix_timestamp(ts) / lit(stepSeconds)).cast("long")
+
   /** P5/W1/W2: valid sequence starts. A bucket b is a valid start iff
     * buckets b+1 .. b+(seqLen-1) all exist for the same key
     * (datasets.py:39-47, on a fixed `interval` cadence). Implemented as

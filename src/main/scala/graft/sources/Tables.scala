@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Test-table loader over the driver's parquet lake (TESTDATA.md).
+  *
+  * One wrinkle: `events.parquet` stores `ts` as parquet
+  * TIMESTAMP(NANOS), which Spark 4's vectorized reader rejects
+  * outright (PARQUET_TYPE_ILLEGAL). Sessions must set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[conf]]); the
+  * loader then converts the raw nano count to a proper TimestampType
+  * at microsecond precision — the same truncation DuckDB applies when
+  * it reads the file, so both engines see identical values.
+  */
+object Tables {
+
+  /** Session configs required to read the test lake. Apply to every
+    * SparkSession builder (Verify, Bench, tests). */
+  val conf: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // DuckDB yields NULL (not an ANSI error) on double div-by-zero;
+    // pin the same semantics so oracle comparison is meaningful.
+    "spark.sql.ansi.enabled" -> "false",
+    "spark.sql.session.timeZone" -> "UTC",
+  )
+
+  /** Read `<sfDir>/<name>.parquet`, normalizing any long-nanos `ts`
+    * column back to TimestampType. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
+      case None => df
+    }
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Manual end-to-end drive of the library surface over the real
+  * /root/testdata parquet — run with `sbt "Test/runMain graft.DriveCheck"`. */
+object DriveCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.sources.Tables.conf)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ev = sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    println("== N9 plusSteps on real events ==")
+    ev.select(col("ts"), functions.scalars.plusSteps(col("ts"), col("user_id").cast("int")).as("ts_plus")).show(3, false)
+    println("== fingerprint: CJK/Cyrillic must not collapse ==")
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "你好世界"), (3L, "мир труд"), (4L, "hello world")).toDF("id", "text")
+    docs.select(col("id"), functions.text.fingerprint(col("text")).as("fp")).show(false)
+    println("== cosine zero-norm guard + self-cosine on real embeddings ==")
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    emb.select(col("vec_id"),
+      functions.vectors.cosine(col("embedding"), array((0 until 64).map(_ => lit(0.0f)): _*)).as("cos_zero"),
+      functions.vectors.cosine(col("embedding"), col("embedding")).as("cos_self")).show(3)
+    println("== hyperplaneBucket dim=64 nBits=8 distribution ==")
+    emb.select(functions.vectors.hyperplaneBucket(col("embedding"), 8, 64).as("b"))
+      .groupBy("b").count().orderBy(desc("count")).show(5)
+    println("== tsBucket + validStarts on real events ==")
+    val b = ev.select(col("user_id"), ops.Sequences.tsBucket(col("ts"), 600L).as("bkt"))
+    ops.Sequences.validStarts(b, "user_id", "bkt", 3).orderBy("user_id", "bkt").show(5)
+    println("DRIVE OK")
+    spark.stop()
+  }
+}
