@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1-2.4, §2.8 relational core: scans, filters, set ops,
+  * joins, sorts/limits (S1/S4, P1/P2/P7, SO1-SO3, J1/J3/J4, O1/O2).
+  *
+  * Scale notes per query are inline; the broad rules: dimension tables
+  * (region 5 rows, nation 25) are broadcast so fact-side joins never
+  * shuffle the big table on a dim key; exact money arithmetic is done
+  * as BIGINT cents so partial-aggregation reassociation cannot change
+  * the answer; windows are partitioned by a key (never one global
+  * partition) except over already-limited tiny inputs.
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // S1: catalog scan -> distinct (key, hour) availability index
+    // (datasets.py:26-36). One shuffle on the (user, hour) hash.
+    Q("s1_catalog_scan",
+      (s, d) => T(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .distinct(),
+      Some("SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr FROM events")),
+
+    // S4: priority dedup — keep best-priority row per (user, hour),
+    // the relational MSG4->MSG2 fallback (datasets.py:86-89).
+    Q("s4_priority_dedup",
+      (s, d) => {
+        val pri = when(col("event_type") === "purchase", 0)
+          .when(col("event_type") === "signup", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "view", 3)
+          .otherwise(4)
+        graft.ops.Sequences.priorityDedup(
+          T(s, d, "events").withColumn("hr", date_trunc("hour", col("ts"))),
+          Seq("user_id", "hr"), pri, col("event_id"))
+          .select(col("user_id"), col("hr"), col("event_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, hr, event_id, event_type FROM (
+             |  SELECT user_id, date_trunc('hour', ts) AS hr, event_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+             |      ORDER BY CASE event_type WHEN 'purchase' THEN 0 WHEN 'signup' THEN 1
+             |        WHEN 'click' THEN 2 WHEN 'view' THEN 3 ELSE 4 END, event_id) AS rn
+             |  FROM events) WHERE rn = 1""".stripMargin)),
+
+    // P1: projection + filter — both push to the parquet scan
+    // (ReadSchema prunes to 3 columns, PushedFilters on l_shipdate).
+    Q("p1_projection",
+      (s, d) => T(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '2000-01-01'""".stripMargin)),
+
+    // P2: spatial box crop as a predicate on grid coords (datasets.py:102)
+    Q("p2_box_crop",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_orderkey") % 16).as("i"), (col("l_partkey") % 16).as("j"),
+          col("l_quantity"))
+        .where(col("i") >= 4 && col("i") < 12 && col("j") >= 4 && col("j") < 12),
+      Some("""SELECT * FROM (SELECT l_orderkey, l_linenumber, l_orderkey % 16 AS i,
+             |  l_partkey % 16 AS j, l_quantity FROM lineitem)
+             |WHERE i >= 4 AND i < 12 AND j >= 4 AND j < 12""".stripMargin)),
+
+    // P7: region-membership filter (main.py:48-52) — partition-prunable
+    Q("p7_region_filter",
+      (s, d) => T(s, d, "nation")
+        .join(broadcast(T(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name").isin("EUROPE", "ASIA"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name")),
+      Some("""SELECT n_nationkey, n_name, r_name FROM nation
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name IN ('EUROPE', 'ASIA')""".stripMargin)),
+
+    // SO1: distinct (datasets.py:31-36)
+    Q("so1_distinct",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // SO2: N-way intersection of key sets (datasets.py:229-240)
+    Q("so2_intersect",
+      (s, d) => T(s, d, "orders").select(col("o_custkey").as("custkey"))
+        .intersect(T(s, d, "customer").where(col("c_acctbal") > 1000.0)
+          .select(col("c_custkey").as("custkey"))),
+      Some("""SELECT o_custkey AS custkey FROM orders
+             |INTERSECT
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 1000e0""".stripMargin)),
+
+    // SO3: union / concatenation (datasets.py:110,162,447)
+    Q("so3_union",
+      (s, d) => T(s, d, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          lit("customer").as("src"))
+        .unionByName(T(s, d, "supplier")
+          .select(col("s_suppkey").as("key"), col("s_name").as("name"),
+            lit("supplier").as("src"))),
+      Some("""SELECT c_custkey AS key, c_name AS name, 'customer' AS src FROM customer
+             |UNION ALL
+             |SELECT s_suppkey, s_name, 'supplier' FROM supplier""".stripMargin)),
+
+    // J1: static-dim broadcast equi-join (datasets.py:151-162).
+    // region/nation broadcast: the customer side never shuffles.
+    Q("j1_broadcast_dim",
+      (s, d) => T(s, d, "customer")
+        .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          (sum(round(col("c_acctbal") * 100).cast("long")) / 100.0).as("sum_bal")),
+      Some("""SELECT r_name, count(*) AS n_cust,
+             |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0e0 AS sum_bal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name""".stripMargin)),
+
+    // J3: multi-table equi-join + agg (datasets.py:325-336 analog).
+    // Money summed as exact 1e-4-dollar BIGINTs: reassociation-proof.
+    Q("j3_equi_join_agg",
+      (s, d) => T(s, d, "lineitem")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long"))
+            / 10000.0).as("revenue")),
+      Some("""SELECT c_mktsegment, o_orderstatus, count(*) AS n_items,
+             |  CAST(sum(CAST(round(l_extendedprice * (1e0 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+             |    / 10000.0e0 AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment, o_orderstatus""".stripMargin)),
+
+    // J4: conditional dispatch — per-group flag joined back, CASE
+    // selects the "model" output (models.py:262-272)
+    Q("j4_conditional_dispatch",
+      (s, d) => {
+        val flags = T(s, d, "lineitem").groupBy(col("l_orderkey"))
+          .agg(bool_or(col("l_quantity") > 45.0).as("has_big"))
+        T(s, d, "orders")
+          .join(flags, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("has_big"),
+            when(col("has_big"), col("o_totalprice") * 1.1)
+              .otherwise(col("o_totalprice") * 0.9).as("dispatched"))
+      },
+      Some("""SELECT o_orderkey, has_big,
+             |  CASE WHEN has_big THEN o_totalprice * 1.1e0 ELSE o_totalprice * 0.9e0 END AS dispatched
+             |FROM orders
+             |JOIN (SELECT l_orderkey, bool_or(l_quantity > 45e0) AS has_big
+             |      FROM lineitem GROUP BY l_orderkey) ON o_orderkey = l_orderkey""".stripMargin)),
+
+    // O1: sort + top-k with rank. Spark plans TakeOrderedAndProject
+    // (no global sort of the full table); the rank window runs over
+    // the 100 surviving rows only.
+    Q("o1_sort_topk",
+      (s, d) => {
+        val top = T(s, d, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+        top.withColumn("rnk",
+          row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+          .select(col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+             |FROM (SELECT o_orderkey, o_totalprice FROM orders
+             |      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)""".stripMargin)),
+
+    // O2/W5: batch partitioning with tail-drop (datasets.py:248-249,
+    // 303-310): per-user deterministic order -> batches of 8, drop the
+    // trailing partial batch. Window is partitioned — scales per key.
+    Q("o2_batch_limit",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(md5(concat(lit("7:"), col("event_id").cast("string"))), col("event_id"))
+        T(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("batch", floor((col("rn") - 1) / 8).cast("long"))
+          .groupBy(col("user_id"), col("batch"))
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") === 8)
+      },
+      Some("""SELECT user_id, batch, count(*) AS n FROM (
+             |  SELECT user_id, CAST(floor((rn - 1) / 8) AS BIGINT) AS batch FROM (
+             |    SELECT user_id, row_number() OVER (PARTITION BY user_id
+             |      ORDER BY md5(concat('7:', CAST(event_id AS VARCHAR))), event_id) AS rn
+             |    FROM events))
+             |GROUP BY user_id, batch HAVING count(*) = 8""".stripMargin)),
+  )
+}
