@@ -15,7 +15,9 @@ object SparkEntry {
   /** All graded queries, grouped by SURVEY.md §2 area. */
   def allQueries: Seq[Q] =
     ScalarQueries.all ++
-      RelationalQueries.all
+      RelationalQueries.all ++
+      SequenceQueries.all ++
+      AggQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's single most load-bearing computation: valid

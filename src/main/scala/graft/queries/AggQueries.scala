@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{scalars, geometry}
+import graft.ops.Ensemble
+
+/** SURVEY.md §2.6 aggregation layer (A1-A8) + the full ensemble-fit
+  * path A3 -> A4 -> N7 (weather4cast/ensemble.py:18-57) — the
+  * reference's entire "training" deliverable.
+  *
+  * Determinism: every sum that a parallel engine may reassociate runs
+  * in exact integer space (cents / 2^20-quantized BIGINTs); the ridge
+  * algebra is then fixed-order double arithmetic on identical inputs,
+  * so Spark and DuckDB produce bit-identical weights.
+  */
+object AggQueries {
+
+  // pseudo-model predictions + target on lineitem, all in [0, ~1]
+  private def p1 = col("l_discount")
+  private def p2 = col("l_quantity") / lit(50.0)
+  private def yv = col("l_extendedprice") / lit(110000.0)
+
+  private val S = Ensemble.Scale.toDouble          // 2^20
+  private val S2 = S * S                           // 2^40
+
+  // quantized-BIGINT forms, Spark and SQL
+  private def q(c: org.apache.spark.sql.Column) = round(c * S).cast("long")
+  private def qSql(e: String) = s"CAST(round(($e) * $S) AS BIGINT)"
+
+  // shared SQL fragments for the ridge path (p=2: p1, p2 -> y)
+  private val ridgeSumsSql =
+    s"""SELECT count(*) AS n,
+       |  CAST(sum(${qSql("l_discount")} * ${qSql("l_discount")}) AS BIGINT) AS s11,
+       |  CAST(sum(${qSql("l_discount")} * ${qSql("l_quantity / 50e0")}) AS BIGINT) AS s12,
+       |  CAST(sum(${qSql("l_quantity / 50e0")} * ${qSql("l_quantity / 50e0")}) AS BIGINT) AS s22,
+       |  CAST(sum(${qSql("l_discount")} * ${qSql("l_extendedprice / 110000e0")}) AS BIGINT) AS sb1,
+       |  CAST(sum(${qSql("l_quantity / 50e0")} * ${qSql("l_extendedprice / 110000e0")}) AS BIGINT) AS sb2
+       |FROM lineitem""".stripMargin
+
+  /** Fixed-order ridge algebra over the exact sums; mirrored verbatim
+    * in [[ridgeSelectSpark]]. */
+  private val ridgeSelectSql =
+    s"""SELECT
+       |  (((sb1 / (n * $S2)) * ((s22 / (n * $S2)) + (0.1e0 * (((s11 / (n * $S2)) + (s22 / (n * $S2))) / 2e0)))
+       |    - ((sb2 / (n * $S2)) * (s12 / (n * $S2))))
+       |   / ((((s11 / (n * $S2)) + (0.1e0 * (((s11 / (n * $S2)) + (s22 / (n * $S2))) / 2e0)))
+       |       * ((s22 / (n * $S2)) + (0.1e0 * (((s11 / (n * $S2)) + (s22 / (n * $S2))) / 2e0))))
+       |      - ((s12 / (n * $S2)) * (s12 / (n * $S2))))) AS w1,
+       |  ((((s11 / (n * $S2)) + (0.1e0 * (((s11 / (n * $S2)) + (s22 / (n * $S2))) / 2e0))) * (sb2 / (n * $S2))
+       |    - ((s12 / (n * $S2)) * (sb1 / (n * $S2))))
+       |   / ((((s11 / (n * $S2)) + (0.1e0 * (((s11 / (n * $S2)) + (s22 / (n * $S2))) / 2e0)))
+       |       * ((s22 / (n * $S2)) + (0.1e0 * (((s11 / (n * $S2)) + (s22 / (n * $S2))) / 2e0))))
+       |      - ((s12 / (n * $S2)) * (s12 / (n * $S2))))) AS w2""".stripMargin
+
+  /** Spark twin of the ridge sums + algebra: one shuffle-free agg,
+    * then fixed-order column arithmetic. */
+  private def ridgeWeightsSpark(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val li = T(s, d, "lineitem")
+    val sums = li.agg(
+      count(lit(1)).as("n"),
+      sum(q(p1) * q(p1)).as("s11"),
+      sum(q(p1) * q(p2)).as("s12"),
+      sum(q(p2) * q(p2)).as("s22"),
+      sum(q(p1) * q(yv)).as("sb1"),
+      sum(q(p2) * q(yv)).as("sb2"))
+    val n2 = col("n") * lit(S2)
+    def g(c: String) = col(c) / n2
+    val lam = lit(0.1) * ((g("s11") + g("s22")) / lit(2.0))
+    val m11 = g("s11") + lam
+    val m22 = g("s22") + lam
+    val det = (m11 * m22) - (g("s12") * g("s12"))
+    sums.select(
+      (((g("sb1") * m22) - (g("sb2") * g("s12"))) / det).as("w1"),
+      (((m11 * g("sb2")) - (g("s12") * g("sb1"))) / det).as("w2"))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // A1: conditional mean imputation incl. the all-fill -> 0.0 branch
+    // (datasets.py:64-71). Window agg partitioned by the frame key.
+    Q("a1_cond_mean_impute",
+      (s, d) => {
+        val w = Window.partitionBy("l_orderkey")
+        val cnt = sum(when(col("l_discount") =!= 0.0, 1).otherwise(0)).over(w)
+        val sumc = sum(when(col("l_discount") =!= 0.0,
+          round(col("l_extendedprice") * 100).cast("long"))).over(w)
+        val mean = when(cnt > 0, sumc / (lit(100.0) * cnt))
+        T(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_discount") === 0.0, coalesce(mean, lit(0.0)))
+            .otherwise(col("l_extendedprice")).as("imputed"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_discount = 0e0 THEN coalesce(mean_v, 0e0) ELSE l_extendedprice END AS imputed
+             |FROM (
+             |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+             |    CASE WHEN cnt > 0 THEN CAST(sumc AS BIGINT) / (100.0e0 * cnt) END AS mean_v
+             |  FROM (
+             |    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+             |      sum(CASE WHEN l_discount <> 0e0 THEN 1 ELSE 0 END)
+             |        OVER (PARTITION BY l_orderkey) AS cnt,
+             |      sum(CASE WHEN l_discount <> 0e0 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+             |        OVER (PARTITION BY l_orderkey) AS sumc
+             |    FROM lineitem))""".stripMargin)),
+
+    // A2: global-max normalization (datasets.py:149) — one-pass agg
+    // broadcast back; max is exact so no quantization needed
+    Q("a2_global_max_norm",
+      (s, d) => {
+        val c = T(s, d, "customer")
+        val mx = c.agg(max(col("c_acctbal")).as("mx"))
+        c.crossJoin(broadcast(mx))
+          .select(col("c_custkey"), (col("c_acctbal") / col("mx")).as("norm_bal"))
+      },
+      Some("""SELECT c_custkey,
+             |  c_acctbal / (SELECT max(c_acctbal) FROM customer) AS norm_bal
+             |FROM customer""".stripMargin)),
+
+    // A3: incremental Gram matrix as one shuffle-free pass
+    // (ensemble.py:18-41); running-mean merge == partial aggregation
+    Q("a3_gram_matrix",
+      (s, d) => Ensemble.gramAgg(T(s, d, "lineitem"), Seq(p1, p2), yv),
+      Some(s"""SELECT n, s11 / (n * $S2) AS g_0_0, s12 / (n * $S2) AS g_0_1,
+              |  s22 / (n * $S2) AS g_1_1, sb1 / (n * $S2) AS b_0, sb2 / (n * $S2) AS b_1
+              |FROM ($ridgeSumsSql)""".stripMargin)),
+
+    // A4: closed-form ridge weights (ensemble.py:44-46), p=2 expressed
+    // fully in-plan so the oracle can reproduce the algebra
+    Q("a4_ridge_weights",
+      (s, d) => ridgeWeightsSpark(s, d),
+      Some(s"$ridgeSelectSql\nFROM ($ridgeSumsSql)")),
+
+    // A3+A4+N7: the whole ensemble-fit path — fit weights, broadcast
+    // them, blend per row (ensemble.py:81-101)
+    Q("ens_fit_blend",
+      (s, d) => {
+        val weights = ridgeWeightsSpark(s, d)
+        T(s, d, "lineitem").crossJoin(broadcast(weights))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            ((col("w1") * p1) + (col("w2") * p2)).as("blended"))
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              |  ((w1 * l_discount) + (w2 * (l_quantity / 50e0))) AS blended
+              |FROM lineitem CROSS JOIN ($ridgeSelectSql FROM ($ridgeSumsSql))""".stripMargin)),
+
+    // A5: streaming moments -> correlation (ensemble.py:103-123);
+    // exact integer moments, fixed-order double algebra
+    Q("a5_correlation",
+      (s, d) => {
+        val sums = T(s, d, "lineitem").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast("long")).as("sx"),
+          sum(round(col("l_extendedprice")).cast("long")).as("sy"),
+          sum(col("l_quantity").cast("long") * col("l_quantity").cast("long")).as("sxx"),
+          sum(round(col("l_extendedprice")).cast("long") * round(col("l_extendedprice")).cast("long")).as("syy"),
+          sum(col("l_quantity").cast("long") * round(col("l_extendedprice")).cast("long")).as("sxy"))
+        def m(c: String) = col(c).cast("double") / col("n")
+        val cov = m("sxy") - (m("sx") * m("sy"))
+        val vx = m("sxx") - (m("sx") * m("sx"))
+        val vy = m("syy") - (m("sy") * m("sy"))
+        sums.select((cov / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"))
+      },
+      Some("""SELECT
+             |  ((CAST(sxy AS DOUBLE) / n) - ((CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+             |  / (sqrt((CAST(sxx AS DOUBLE) / n) - ((CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)))
+             |     * sqrt((CAST(syy AS DOUBLE) / n) - ((CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))) AS corr_qty_price
+             |FROM (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             |    CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+             |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             |    CAST(sum(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+             |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+             |  FROM lineitem)""".stripMargin)),
+
+    // A6: loss/metric reductions — MSE, rounded-MSE, normlogit-MSE
+    // (models.py:282-309); diffs quantized to exact ints pre-sum
+    Q("a6_mse_family",
+      (s, d) => {
+        val pred = col("l_quantity") * lit(2200.0)
+        val truth = col("l_extendedprice")
+        val dd = round(pred - truth).cast("long")
+        val dr = (round(pred) - round(truth)).cast("long")
+        val dnl = round((round(scalars.normlogit(p1 + lit(0.01)), 6)
+          - round(scalars.normlogit(col("l_tax") + lit(0.01)), 6)) * 1000000).cast("long")
+        T(s, d, "lineitem").agg(
+          (sum(dd * dd) / count(lit(1)).cast("double")).as("mse"),
+          (sum(dr * dr) / count(lit(1)).cast("double")).as("rounded_mse"),
+          (sum(dnl * dnl) / (count(lit(1)).cast("double") * lit(1.0e12))).as("normlogit_mse"))
+      },
+      Some {
+        val lM = scalars.lM
+        def nl(x: String) =
+          s"round((ln(least(greatest($x, 3e-3), 0.997e0) / (1e0 - least(greatest($x, 3e-3), 0.997e0))) + $lM) / ${2.0 * lM}, 6)"
+        s"""SELECT
+           |  CAST(sum(dd * dd) AS BIGINT) / CAST(count(*) AS DOUBLE) AS mse,
+           |  CAST(sum(dr * dr) AS BIGINT) / CAST(count(*) AS DOUBLE) AS rounded_mse,
+           |  CAST(sum(dnl * dnl) AS BIGINT) / (CAST(count(*) AS DOUBLE) * 1e12) AS normlogit_mse
+           |FROM (
+           |  SELECT
+           |    CAST(round((l_quantity * 2200e0) - l_extendedprice) AS BIGINT) AS dd,
+           |    CAST(round(l_quantity * 2200e0) - round(l_extendedprice) AS BIGINT) AS dr,
+           |    CAST(round((${nl("l_discount + 0.01e0")} - ${nl("l_tax + 0.01e0")}) * 1000000) AS BIGINT) AS dnl
+           |  FROM lineitem)""".stripMargin
+      }),
+
+    // A7: any-over-sequence (models.py:268-270)
+    Q("a7_any_over_seq",
+      (s, d) => T(s, d, "events").groupBy(col("user_id")).agg(
+        bool_or(col("event_type") === "error").as("has_error"),
+        count(lit(1)).as("n_events")),
+      Some("""SELECT user_id, bool_or(event_type = 'error') AS has_error,
+             |  count(*) AS n_events
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // A8: s×s average pooling as a hash agg on computed block keys
+    // (blocks.py:44-46)
+    Q("a8_avg_pool",
+      (s, d) => T(s, d, "lineitem")
+        .select((col("l_orderkey") % 16).as("i"), (col("l_partkey") % 16).as("j"),
+          col("l_quantity"))
+        .groupBy(geometry.poolKey(col("i"), 4).as("pool_i"),
+          geometry.poolKey(col("j"), 4).as("pool_j"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("l_quantity").cast("long")) / count(lit(1)).cast("double")).as("avg_qty")),
+      Some("""SELECT CAST(floor(i / 4) AS BIGINT) AS pool_i, CAST(floor(j / 4) AS BIGINT) AS pool_j,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_qty
+             |FROM (SELECT l_orderkey % 16 AS i, l_partkey % 16 AS j, l_quantity FROM lineitem)
+             |GROUP BY 1, 2""".stripMargin)),
+  )
+}

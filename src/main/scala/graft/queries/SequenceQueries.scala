@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Sequences
+
+/** SURVEY.md §2.5 time-series / sequence operators (P5, W1-W6, J2) on
+  * the `events` stream table, bucketized to hourly cadence (events are
+  * irregular; Sequences operators work on dense integer buckets).
+  *
+  * Scale: every window is partitioned by `user_id` — one hash shuffle,
+  * then local sorted scans; the sequence-assembly join is an equi-join
+  * after `explode(sequence(...))`, never an O(N²) theta range join.
+  */
+object SequenceQueries {
+
+  private val Step = 3600L // hourly buckets
+  private val L = 3        // sequence length
+
+  /** Shared oracle CTEs: bucketized events + distinct buckets + valid
+    * starts (lead-based, mirroring Sequences.validStarts). */
+  private val bucketCte =
+    s"""WITH b AS (SELECT user_id, CAST(floor(epoch(ts) / $Step) AS BIGINT) AS bkt, value, event_id
+       |           FROM events),
+       |d AS (SELECT DISTINCT user_id, bkt FROM b),
+       |s AS (SELECT user_id, bkt FROM (
+       |        SELECT user_id, bkt, lead(bkt, ${L - 1}) OVER (PARTITION BY user_id ORDER BY bkt) AS l
+       |        FROM d)
+       |      WHERE l = bkt + ${L - 1})""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // P5/W1/W2: valid sequence starts (datasets.py:15-47) — THE
+    // load-bearing reference computation.
+    Q("p5_valid_starts",
+      (s, d) => {
+        val b = T(s, d, "events").select(col("user_id"),
+          Sequences.tsBucket(col("ts"), Step).as("bkt"))
+        Sequences.validStarts(b, "user_id", "bkt", L)
+      },
+      Some(s"$bucketCte\nSELECT user_id, bkt FROM s")),
+
+    // W2: gap detection via lag (datasets.py:39-45)
+    Q("w2_gap_detect",
+      (s, d) => Sequences.gaps(T(s, d, "events"), "user_id", "ts", 7200L),
+      Some("""SELECT user_id, prev_ts AS gap_start, ts AS gap_end FROM (
+             |  SELECT user_id, ts, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+             |  FROM events)
+             |WHERE prev_ts IS NOT NULL
+             |  AND CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 7200""".stripMargin)),
+
+    // J2/W1: sequence assembly — explode+equi-join, then per-sequence
+    // aggregate (datasets.py:320-337)
+    Q("j2_sequence_assemble",
+      (s, d) => {
+        val ev = T(s, d, "events").select(col("user_id"),
+          Sequences.tsBucket(col("ts"), Step).as("bkt"), col("value"))
+        val starts = Sequences.validStarts(ev.select(col("user_id"), col("bkt")), "user_id", "bkt", L)
+        Sequences.assemble(starts, ev, "user_id", "bkt", L)
+          .groupBy(col("user_id"), col("t0"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_val"))
+      },
+      Some(s"""$bucketCte
+              |SELECT b.user_id AS user_id, s.bkt AS t0, count(*) AS n_events,
+              |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0e0 AS sum_val
+              |FROM s JOIN b ON b.user_id = s.user_id AND b.bkt BETWEEN s.bkt AND s.bkt + ${L - 1}
+              |GROUP BY b.user_id, s.bkt""".stripMargin)),
+
+    // W3: last-frame selection (models.py:119,174,223)
+    Q("w3_last_event",
+      (s, d) => T(s, d, "events").groupBy(col("user_id")).agg(
+        max(col("ts")).as("last_ts"),
+        max_by(col("value"), col("ts")).as("last_value"),
+        max_by(col("event_id"), col("ts")).as("last_event")),
+      Some("""SELECT user_id, max(ts) AS last_ts, arg_max(value, ts) AS last_value,
+             |  arg_max(event_id, ts) AS last_event
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // W4: seeded deterministic shuffle order (datasets.py:251-254) —
+    // md5-derived so the oracle reproduces the permutation exactly
+    Q("w4_seeded_shuffle",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(md5(concat(lit("11:"), col("event_id").cast("string"))), col("event_id"))
+        T(s, d, "events").select(col("user_id"), col("event_id"),
+          row_number().over(w).as("shuffled_pos"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(row_number() OVER (PARTITION BY user_id
+             |    ORDER BY md5(concat('11:', CAST(event_id AS VARCHAR))), event_id) AS INT) AS shuffled_pos
+             |FROM events""".stripMargin)),
+
+    // W6: future-window offset — target window starts past_len steps
+    // after the predictor window (datasets.py:322-323)
+    Q("w6_future_offset",
+      (s, d) => {
+        val b = T(s, d, "events").select(col("user_id"),
+          Sequences.tsBucket(col("ts"), Step).as("bkt"))
+        Sequences.validStarts(b, "user_id", "bkt", L)
+          .select(col("user_id"),
+            timestamp_seconds(col("bkt") * Step).as("t0_ts"),
+            timestamp_seconds((col("bkt") + 1) * Step).as("target_ts"))
+      },
+      Some(s"""$bucketCte
+              |SELECT user_id, make_timestamp(bkt * $Step * 1000000) AS t0_ts,
+              |  make_timestamp((bkt + 1) * $Step * 1000000) AS target_ts
+              |FROM s""".stripMargin)),
+  )
+}

@@ -32,7 +32,10 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
-        df.withColumn("ts", timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
+        // integral `div`, NOT `/`: nano epochs (~1.7e18) exceed
+        // double's exact-integer range, so floor(ts / 1000.0) would be
+        // off by one microsecond on some rows
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
   }

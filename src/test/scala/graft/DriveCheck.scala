@@ -36,3 +36,24 @@ object DriveCheck {
     spark.stop()
   }
 }
+// (appended) cross-check of the general driver-side solver vs the
+// in-plan p=2 closed form — run via Test/runMain graft.SolveCheck
+object SolveCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config(sources.Tables.conf).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val li = sources.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val w = ops.Ensemble.fitWeights(li,
+      Seq(col("l_discount"), col("l_quantity") / lit(50.0)),
+      col("l_extendedprice") / lit(110000.0))
+    println(s"fitWeights: ${w.mkString(", ")}")
+    val w1 = ops.Ensemble.fitWeights(li,
+      Seq(col("l_discount"), col("l_quantity") / lit(50.0)),
+      col("l_extendedprice") / lit(110000.0), sumToOne = true)
+    println(s"fitWeights sum1: ${w1.mkString(", ")} (sum=${w1.sum})")
+    spark.stop()
+  }
+}
