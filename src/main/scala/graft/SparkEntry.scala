@@ -17,7 +17,10 @@ object SparkEntry {
     ScalarQueries.all ++
       RelationalQueries.all ++
       SequenceQueries.all ++
-      AggQueries.all
+      AggQueries.all ++
+      TextQueries.all ++
+      SimilarityQueries.all ++
+      MiscQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's single most load-bearing computation: valid

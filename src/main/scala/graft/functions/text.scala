@@ -59,12 +59,14 @@ object text {
   def minhashAgg(shingle: Column, seed: Int): Column =
     min(md5(concat(lit(s"$seed:"), shingle)))
 
-  /** SimHash over 16 md5-hex-digit bits: for token t and bit b, the
-    * b-th hex digit's high bit votes +1/-1; document bit b is the sign
-    * of the vote sum. Use the per-token expressions under a groupBy:
-    * `simhashBitVote(tok, b)` then combine with [[simhashFromVotes]]. */
-  def simhashBitVote(token: Column, b: Int): Column = {
-    val hexDigit = substring(md5(token), b + 1, 1)
+  /** SimHash over 16 md5-hex-digit bits: for a token's md5 hex and bit
+    * b, the b-th hex digit's high bit votes +1/-1; document bit b is
+    * the sign of the vote sum. Takes the PRE-COMPUTED md5 hex (compute
+    * it once per token; 16 votes then share it). Use under a groupBy:
+    * `simhashBitVote(md5(tok), b)` then combine with
+    * [[simhashFromVotes]]. */
+  def simhashBitVote(tokenMd5Hex: Column, b: Int): Column = {
+    val hexDigit = substring(tokenMd5Hex, b + 1, 1)
     when(hexDigit.isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1)).otherwise(lit(-1))
   }
 

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.text
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (hash groupBy), MinHash+LSH (shingle -> signature -> banded
+  * bucket join -> candidate pairs), SimHash (+ Hamming), and exact
+  * n-gram Jaccard over candidates.
+  *
+  * Scale design (the 100 TB path):
+  *  - signatures are per-document map work — array expressions, no
+  *    shuffle, no UDFs;
+  *  - candidate generation shuffles ONLY on band keys (each band a
+  *    hash-partitioned equi-join), never an all-pairs cross join;
+  *  - exact Jaccard runs only over the LSH-surviving pairs.
+  * Every hash is md5 so an external SQL engine reproduces the exact
+  * pipeline (no engine-private hash seeds).
+  */
+object Dedup {
+
+  /** Exact-duplicate groups by normalized-text fingerprint. */
+  def exactDupGroups(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    docs.groupBy(text.fingerprint(textCol).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(idCol).as("first_doc"))
+
+  /** MinHash signature: one column `m_<s>` per seed, each the min of
+    * md5-salted shingle hashes — a valid MinHash permutation because
+    * md5 output is uniform. Pure per-row array expressions. */
+  def minhashSignature(docs: DataFrame, textCol: Column, idCol: Column,
+                       shingleK: Int = 3, seeds: Int = 4): DataFrame = {
+    val sh = text.shingles(textCol, shingleK)
+    val sigCols = (0 until seeds).map { s =>
+      array_min(transform(sh, x => md5(concat(lit(s"$s:"), x)))).as(s"m_$s")
+    }
+    docs.select(idCol.as("doc_id") +: sigCols: _*)
+  }
+
+  /** LSH banding: `bands` band keys over the signature columns (rows
+    * per band = seeds/bands), each an md5 of the concatenated
+    * components. Null-signature docs (fewer tokens than the shingle
+    * width) are dropped — they cannot be banded. */
+  def lshBands(sig: DataFrame, seeds: Int, bands: Int): DataFrame = {
+    val rows = seeds / bands
+    val bandCols = (0 until bands).map { b =>
+      md5(concat((b * rows until (b + 1) * rows).map(i => col(s"m_$i")): _*)).as(s"band_$b")
+    }
+    sig.where(col("m_0").isNotNull)
+      .select(col("doc_id") +: (0 until seeds).map(i => col(s"m_$i")) ++: bandCols: _*)
+  }
+
+  /** Candidate pairs: per band, a self-equi-join on the band key
+    * (shuffle on the band hash — candidates only, never all pairs),
+    * unioned and de-duplicated. Adds the signature-agreement estimate
+    * `jaccard_est` = matching components / seeds. */
+  def lshCandidatePairs(banded: DataFrame, seeds: Int, bands: Int): DataFrame = {
+    val left = banded.select(
+      col("doc_id").as("doc_a") +:
+        (0 until seeds).map(i => col(s"m_$i").as(s"ma_$i")) ++:
+        (0 until bands).map(b => col(s"band_$b").as(s"ba_$b")): _*)
+    val right = banded.select(
+      col("doc_id").as("doc_b") +:
+        (0 until seeds).map(i => col(s"m_$i").as(s"mb_$i")) ++:
+        (0 until bands).map(b => col(s"band_$b").as(s"bb_$b")): _*)
+    val perBand = (0 until bands).map { b =>
+      left.join(right, col(s"ba_$b") === col(s"bb_$b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (0 until seeds).map(i =>
+            when(col(s"ma_$i") === col(s"mb_$i"), 1).otherwise(0)).reduce(_ + _)
+            .cast("double").as("n_match"))
+    }
+    perBand.reduce(_ unionByName _).distinct()
+      .select(col("doc_a"), col("doc_b"), (col("n_match") / seeds).as("jaccard_est"))
+  }
+
+  /** SimHash (nBits <= 16 via md5 hex digits): explode tokens, one
+    * shuffle on doc id, per-bit vote sums combined into the hash. */
+  def simhash(docs: DataFrame, textCol: Column, idCol: Column, nBits: Int = 16): DataFrame = {
+    val toks = docs.select(idCol.as("doc_id"), explode(text.tokens(textCol)).as("tok"))
+      .withColumn("hx", md5(col("tok")))
+    val votes = toks.groupBy(col("doc_id")).agg(
+      (0 until nBits).map(b => sum(text.simhashBitVote(col("hx"), b)).as(s"v_$b")).head,
+      (1 until nBits).map(b => sum(text.simhashBitVote(col("hx"), b)).as(s"v_$b")): _*)
+    votes.select(col("doc_id"),
+      text.simhashFromVotes((0 until nBits).map(b => col(s"v_$b"))).as("simhash"))
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs: distinct shingles
+    * joined per side — work proportional to candidates, not corpus². */
+  def jaccard(pairs: DataFrame, docs: DataFrame, textCol: Column, idCol: Column,
+              shingleK: Int = 3): DataFrame = {
+    val sh = docs.select(idCol.as("doc_id"),
+      explode(text.shingles(textCol, shingleK)).as("s")).distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs.select("doc_a", "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Fold
+import graft.streaming.Streaming
+
+/** Remaining SURVEY.md surface: X1 conv stencil, X2 GRU ordered fold,
+  * ST1/ST2 streaming-pattern batch twins, JSON extraction on
+  * `events.props`, and the multimodal metadata query whose values the
+  * typed mapPartitions decode stub must reproduce (asserted in tests).
+  */
+object MiscQueries {
+
+  /** Hex-digit value via ascii arithmetic — identical in both engines
+    * ('0'-'9' -> 48-57, 'a'-'f' -> 97-102). */
+  private def hexVal(c: org.apache.spark.sql.Column) =
+    ascii(c) - when(ascii(c) >= 97, 87).otherwise(48)
+  private def hexValSql(c: String) =
+    s"(ascii($c) - CASE WHEN ascii($c) >= 97 THEN 87 ELSE 48 END)"
+
+  /** Byte i (0-based) of an md5 hex string, as an int column. */
+  private def hexByte(hx: org.apache.spark.sql.Column, i: Int) =
+    hexVal(substring(hx, 2 * i + 1, 1)) * 16 + hexVal(substring(hx, 2 * i + 2, 1))
+  private def hexByteSql(hx: String, i: Int) =
+    s"(${hexValSql(s"substring($hx, ${2 * i + 1}, 1)")} * 16 + ${hexValSql(s"substring($hx, ${2 * i + 2}, 1)")})"
+
+  val all: Seq[Q] = Seq(
+
+    // X1: 3x3 mean conv stencil as offset-explode + re-aggregation
+    // (blocks.py:10-34); 'valid' padding = keep only count-9 cells
+    Q("x1_conv_stencil",
+      (s, d) => {
+        val g = T(s, d, "lineitem")
+          .select((col("l_orderkey") % 16).as("i"), (col("l_partkey") % 16).as("j"),
+            col("l_quantity"))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("l_quantity").cast("long")).as("v"))
+        import s.implicits._
+        val offs = (for { di <- -1 to 1; dj <- -1 to 1 } yield (di, dj)).toDF("di", "dj")
+        g.crossJoin(broadcast(offs))
+          .select((col("i") + col("di")).as("ci"), (col("j") + col("dj")).as("cj"), col("v"))
+          .groupBy(col("ci"), col("cj"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+          .where(col("n") === 9)
+          .select(col("ci"), col("cj"), (col("sv") / 9.0).as("conv"))
+      },
+      Some("""WITH g AS (SELECT l_orderkey % 16 AS i, l_partkey % 16 AS j,
+             |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+             |           FROM lineitem GROUP BY 1, 2)
+             |SELECT ci, cj, CAST(sv AS BIGINT) / 9.0e0 AS conv FROM (
+             |  SELECT g.i + d1.di AS ci, g.j + d2.dj AS cj, count(*) AS n, sum(v) AS sv
+             |  FROM g, (SELECT unnest([-1, 0, 1]) AS di) d1,
+             |       (SELECT unnest([-1, 0, 1]) AS dj) d2
+             |  GROUP BY 1, 2) WHERE n = 9""".stripMargin)),
+
+    // X2: GRU ordered fold via sort_array + aggregate() HOF
+    // (rnn.py:26-30); DuckDB twin folds the identical step with
+    // list_reduce over a 0.0-prepended ordered list
+    Q("x2_gru_fold",
+      (s, d) => Fold.foldAgg(T(s, d, "events"), "user_id", "ts", "event_id", "value")
+        .select(col("user_id"), round(col("h_final"), 5).as("h_final"), col("n_steps")),
+      Some {
+        val step = "(0.6e0 * h) + (0.4e0 * ((exp(2e0 * ((x / 100e0) + (0.5e0 * h))) - 1e0)" +
+          " / (exp(2e0 * ((x / 100e0) + (0.5e0 * h))) + 1e0)))"
+        s"""SELECT user_id,
+           |  round(list_reduce(list_prepend(0e0, list(value ORDER BY ts, event_id)),
+           |    (h, x) -> $step), 5) AS h_final,
+           |  count(*) AS n_steps
+           |FROM events GROUP BY user_id""".stripMargin
+      }),
+
+    // ST1 batch twin: incremental per-key stats (ensemble.py:26-41)
+    Q("st1_incremental_stats",
+      (s, d) => Streaming.incrementalStats(T(s, d, "events"), "user_id", "value"),
+      Some("""SELECT user_id, count(*) AS n,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0e0 AS sum_v,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |    / (100.0e0 * count(*)) AS mean_v
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // ST2 batch twin: sliding event-time window + completeness filter
+    // (datasets.py:15-47): 3h window, 1h slide, >= 5 events
+    Q("st2_sliding_complete",
+      (s, d) => Streaming.slidingComplete(T(s, d, "events"), "user_id", "ts",
+        "3 hours", "1 hour", 3L),
+      Some("""SELECT user_id, wstart, count(*) AS n FROM (
+             |  SELECT user_id, date_trunc('hour', ts) - o.o * INTERVAL 1 HOUR AS wstart
+             |  FROM events, (SELECT unnest([0, 1, 2]) AS o) o)
+             |GROUP BY user_id, wstart HAVING count(*) >= 3""".stripMargin)),
+
+    // JSON extraction on events.props
+    Q("j5_json_extract",
+      (s, d) => T(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events""".stripMargin)),
+
+    // multimodal metadata: the graded twin of Multimodal.decodeStub —
+    // width/height/channels/format derived from payload bytes
+    // (payload = unhex(md5(text)); bytes read via hex-digit ascii math)
+    Q("m_multimodal_meta",
+      (s, d) => {
+        val hx = md5(col("text"))
+        val checksum = (0 until 16).map(i => hexByte(hx, i)).reduce(_ + _)
+        T(s, d, "documents").select(col("doc_id"),
+          (hexByte(hx, 0) % 64 + 1).cast("int").as("width"),
+          (hexByte(hx, 1) % 64 + 1).cast("int").as("height"),
+          (hexByte(hx, 2) % 3 + 1).cast("int").as("channels"),
+          when(hexByte(hx, 3) % 2 === 0, "png").otherwise("jpeg").as("format"),
+          checksum.cast("long").as("checksum"))
+      },
+      Some {
+        val checksum = (0 until 16).map(i => hexByteSql("hx", i)).mkString("\n    + ")
+        s"""SELECT doc_id,
+           |  CAST(${hexByteSql("hx", 0)} % 64 + 1 AS INT) AS width,
+           |  CAST(${hexByteSql("hx", 1)} % 64 + 1 AS INT) AS height,
+           |  CAST(${hexByteSql("hx", 2)} % 3 + 1 AS INT) AS channels,
+           |  CASE WHEN ${hexByteSql("hx", 3)} % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           |  CAST($checksum AS BIGINT) AS checksum
+           |FROM (SELECT doc_id, md5(text) AS hx FROM documents)""".stripMargin
+      }),
+  )
+}

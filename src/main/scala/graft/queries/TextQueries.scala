@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.text
+import graft.ops.Dedup
+
+/** LLM-training-data text surface: exact dedup, token/quality stats,
+  * language id, MinHash signatures -> LSH banding -> candidate pairs,
+  * SimHash + Hamming, exact shingle Jaccard — on `documents`.
+  *
+  * Every hash is md5 and every tokenizer a plain split, so each
+  * pipeline stage has an exact DuckDB oracle. Scale shape: signature
+  * work is per-document (no shuffle); only band-key equi-joins
+  * shuffle, confining pair generation to same-bucket candidates.
+  */
+object TextQueries {
+
+  private val Seeds = 4
+  private val Bands = 4 // rows-per-band = 1: max recall variant
+
+  // ---- shared oracle SQL fragments ----
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** toks + 3-shingle list + minhash signature CTEs (mirrors
+    * text.shingles + Dedup.minhashSignature). */
+  private val sigCte = {
+    val mins = (0 until Seeds).map(s =>
+      s"list_min(list_transform(shl, s -> md5(concat('$s:', s)))) AS m_$s").mkString(",\n    ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN NULL
+       |         ELSE list_transform(range(0, len(tk) - 2),
+       |                i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])) END AS shl
+       |       FROM toks),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM sh),
+       |b AS (SELECT * FROM sig WHERE m_0 IS NOT NULL)""".stripMargin
+  }
+
+  /** Banded candidate pairs (b=4, r=1) with signature-agreement count. */
+  private val pairsSql = {
+    val nm = (0 until Seeds).map(i =>
+      s"(CASE WHEN a.m_$i = c.m_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val branches = (0 until Bands).map(bn =>
+      s"""SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, CAST($nm AS DOUBLE) AS n_match
+         |FROM b a JOIN b c ON md5(a.m_$bn) = md5(c.m_$bn) AND a.doc_id < c.doc_id""".stripMargin)
+    branches.mkString("\nUNION\n")
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // exact dedup groups by normalized fingerprint
+    Q("t_exact_dedup",
+      (s, d) => Dedup.exactDupGroups(T(s, d, "documents"), col("text"), col("doc_id")),
+      Some(s"""SELECT CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fingerprint,
+              |  count(*) AS n_docs, min(doc_id) AS first_doc
+              |FROM (SELECT doc_id, text, $normSql AS norm FROM documents)
+              |GROUP BY 1""".stripMargin)),
+
+    // token counting + quality signals (exact integer ratios)
+    Q("t_token_stats",
+      (s, d) => T(s, d, "documents").select(col("doc_id"),
+        text.nTokens(col("text")).as("n_tokens"),
+        text.meanTokenLen(col("text")).as("mean_tok_len"),
+        text.stopwordRatio(col("text")).as("stopword_ratio")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+             |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_tok_len,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |      x -> list_contains(['the','a','of','and','in','to','is','on','for','with'], x))) AS DOUBLE)
+             |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+             |FROM documents""".stripMargin)),
+
+    // blended quality score (Gopher-style heuristic)
+    Q("t_quality_score",
+      (s, d) => T(s, d, "documents").select(col("doc_id"),
+        text.qualityScore(col("text")).as("quality")),
+      Some("""SELECT doc_id,
+             |  ((least(CAST(length(text) AS DOUBLE) / 500e0, 1e0) * 0.4e0)
+             |   + (least((CAST(len(list_filter(string_split(text, ' '),
+             |        x -> list_contains(['the','a','of','and','in','to','is','on','for','with'], x))) AS DOUBLE)
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5e0, 1e0) * 0.4e0))
+             |  + ((CASE WHEN (CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+             |          / CAST(len(string_split(text, ' ')) AS DOUBLE)) >= 3e0
+             |        AND (CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+             |          / CAST(len(string_split(text, ' ')) AS DOUBLE)) <= 10e0
+             |      THEN 1e0 ELSE 0e0 END) * 0.2e0) AS quality
+             |FROM documents""".stripMargin)),
+
+    // n-gram-profile language id (argmax with first-wins tie-break)
+    Q("t_lang_id",
+      (s, d) => T(s, d, "documents").select(col("doc_id"), col("lang"),
+        text.langId(col("text"), Seq(
+          "en" -> Seq("the", "a", "of", "is"),
+          "de" -> Seq("der", "die", "und", "das"),
+          "es" -> Seq("el", "la", "de", "y"),
+          "fr" -> Seq("le", "les", "et", "est"))).as("pred_lang")),
+      Some {
+        def hits(markers: Seq[String]) =
+          s"CAST(len(list_filter(tk, x -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)"
+        val langs = Seq(
+          "en" -> Seq("the", "a", "of", "is"),
+          "de" -> Seq("der", "die", "und", "das"),
+          "es" -> Seq("el", "la", "de", "y"),
+          "fr" -> Seq("le", "les", "et", "est"))
+        val scores = langs.map { case (l, m) => l -> s"s_$l" }
+        val defs = langs.map { case (l, m) => s"${hits(m)} AS s_$l" }.mkString(",\n    ")
+        val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+        val cases = scores.map { case (l, sc) =>
+          s"WHEN $sc = best AND $sc > 0e0 THEN '$l'" }.mkString("\n    ")
+        s"""SELECT doc_id, lang,
+           |  CASE $cases ELSE 'unk' END AS pred_lang
+           |FROM (SELECT doc_id, lang, s_en, s_de, s_es, s_fr, $best AS best
+           |      FROM (SELECT doc_id, lang, $defs
+           |            FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)))""".stripMargin
+      }),
+
+    // MinHash signature: 4 md5-salted min-hash components per doc
+    Q("d_minhash_sig",
+      (s, d) => Dedup.minhashSignature(T(s, d, "documents"), col("text"), col("doc_id"),
+        shingleK = 3, seeds = Seeds),
+      Some(s"$sigCte\nSELECT doc_id, m_0, m_1, m_2, m_3 FROM sig")),
+
+    // LSH banded candidate pairs + signature-agreement estimate
+    Q("d_lsh_pairs",
+      (s, d) => {
+        val sig = Dedup.minhashSignature(T(s, d, "documents"), col("text"), col("doc_id"),
+          shingleK = 3, seeds = Seeds)
+        Dedup.lshCandidatePairs(Dedup.lshBands(sig, Seeds, Bands), Seeds, Bands)
+      },
+      Some(s"""$sigCte
+              |SELECT doc_a, doc_b, (n_match / 4) AS jaccard_est FROM (
+              |$pairsSql)""".stripMargin)),
+
+    // SimHash (16 bits from md5 hex digit votes)
+    Q("d_simhash",
+      (s, d) => Dedup.simhash(T(s, d, "documents"), col("text"), col("doc_id"), 16),
+      Some {
+        val votes = (0 until 16).map(b =>
+          s"sum(CASE WHEN substring(hx, ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_$b")
+          .mkString(",\n    ")
+        val combine = (0 until 16).map(b =>
+          s"(CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString("\n    + ")
+        s"""SELECT doc_id, CAST($combine AS BIGINT) AS simhash
+           |FROM (SELECT doc_id,
+           |    $votes
+           |  FROM (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS hx FROM documents)
+           |  GROUP BY doc_id)""".stripMargin
+      }),
+
+    // Hamming distance between adjacent-id docs' simhashes
+    Q("d_hamming_adjacent",
+      (s, d) => {
+        val sh = Dedup.simhash(T(s, d, "documents"), col("text"), col("doc_id"), 16)
+        val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+        a.join(b, col("doc_b") === col("doc_a") + 1)
+          .select(col("doc_a"), col("doc_b"),
+            text.hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      },
+      Some {
+        val votes = (0 until 16).map(b =>
+          s"sum(CASE WHEN substring(hx, ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_$b")
+          .mkString(",\n    ")
+        val combine = (0 until 16).map(b =>
+          s"(CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+        s"""WITH sh AS (
+           |  SELECT doc_id, CAST($combine AS BIGINT) AS simhash
+           |  FROM (SELECT doc_id,
+           |      $votes
+           |    FROM (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS hx FROM documents)
+           |    GROUP BY doc_id))
+           |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+           |FROM sh a JOIN sh c ON c.doc_id = a.doc_id + 1""".stripMargin
+      }),
+
+    // exact shingle-set Jaccard over the LSH candidates
+    Q("d_jaccard_pairs",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 3, Seeds)
+        val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, Seeds, Bands), Seeds, Bands)
+          .select("doc_a", "doc_b")
+        Dedup.jaccard(pairs, docs, col("text"), col("doc_id"), 3)
+          .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+      },
+      Some(s"""$sigCte,
+              |pairs AS (SELECT DISTINCT doc_a, doc_b FROM ($pairsSql)),
+              |shd AS (SELECT DISTINCT doc_id, unnest(shl) AS s FROM sh),
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+              |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+              |          FROM pairs p
+              |          JOIN shd x ON x.doc_id = p.doc_a
+              |          JOIN shd y ON y.doc_id = p.doc_b AND y.s = x.s
+              |          GROUP BY p.doc_a, p.doc_b)
+              |SELECT p.doc_a, p.doc_b, coalesce(i.n_inter, 0) AS n_inter,
+              |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |    / CAST(ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+              |FROM pairs p
+              |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+              |JOIN cnt ca ON ca.doc_id = p.doc_a
+              |JOIN cnt cb ON cb.doc_id = p.doc_b""".stripMargin)),
+  )
+}
