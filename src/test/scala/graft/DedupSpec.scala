@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+import graft.functions.text
+
+/** Dedup pipeline on planted fixtures: exact dups, near-dups (one
+  * word changed), and unrelated docs — the LSH path must surface the
+  * near-pair and not the unrelated pair. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again until dawn"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base),                                     // exact dup of 1
+    (3L, base.replace("lazy", "sleepy")),           // near-dup of 1
+    (4L, "completely different words about spark catalyst tungsten shuffles and joins"),
+    (5L, "你好世界 你好世界 你好世界")                  // non-latin: fingerprint must not collapse to md5("")
+  ).toDF("doc_id", "text")
+
+  test("exact dup groups: only the planted pair shares a fingerprint") {
+    val groups = Dedup.exactDupGroups(docs, $"text", $"doc_id")
+    val dupes = groups.where($"n_docs" > 1).collect()
+    assert(dupes.length == 1 && dupes(0).getAs[Long]("n_docs") == 2L)
+    // CJK doc fingerprint differs from empty-string hash
+    val fps = docs.select(text.fingerprint($"text").as("f")).collect().map(_.getString(0))
+    assert(fps.distinct.length == 4) // docs 1,2 shared; 3,4,5 distinct
+  }
+
+  test("minhash LSH surfaces exact and near dups, not unrelated pairs") {
+    val sig = Dedup.minhashSignature(docs, $"text", $"doc_id", shingleK = 3, seeds = 4)
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, 4, 4), 4, 4)
+    val ps = pairs.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(ps.contains((1L, 2L)), s"exact pair missing: $ps")
+    assert(ps.contains((1L, 3L)) || ps.contains((2L, 3L)), s"near pair missing: $ps")
+    assert(!ps.exists { case (a, b) => b == 4L || a == 4L }, s"unrelated doc paired: $ps")
+    // exact dup has full signature agreement
+    val est = pairs.where($"doc_a" === 1 && $"doc_b" === 2).collect()(0).getAs[Double]("jaccard_est")
+    assert(est == 1.0)
+  }
+
+  test("exact jaccard ranks near-dup high, identical pair at 1.0") {
+    val sig = Dedup.minhashSignature(docs, $"text", $"doc_id", 3, 4)
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, 4, 4), 4, 4).select("doc_a", "doc_b")
+    val j = Dedup.jaccard(pairs, docs, $"text", $"doc_id", 3)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Double]("jaccard"))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    j.get((1L, 3L)).foreach(v => assert(v > 0.5 && v < 1.0))
+  }
+
+  test("simhash: near-dups land within small hamming distance") {
+    val sh = Dedup.simhash(docs, $"text", $"doc_id", 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) == 0)          // identical docs, identical hash
+    assert(ham(sh(1L), sh(3L)) <= 6)          // one-word change stays close
+    assert(ham(sh(1L), sh(4L)) >= ham(sh(1L), sh(3L))) // unrelated at least as far
+  }
+
+  test("shingles: short docs yield empty shingle set, not an error") {
+    val s = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(size(text.shingles($"text", 3)).as("n")).collect()(0).getInt(0)
+    assert(s == 0)
+  }
+}

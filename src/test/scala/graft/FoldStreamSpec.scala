@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Fold
+import graft.streaming.Streaming
+
+/** X2 fold: the typed mapGroups form and the aggregate() HOF form must
+  * agree. ST1/ST2: the streaming execution of the same logical plan
+  * must reproduce the batch result (update/complete modes). */
+class FoldStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val events = sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+
+  test("GRU fold: typed mapGroups == aggregate() HOF, per key") {
+    val a = Fold.foldAgg(events, "user_id", "ts", "event_id", "value")
+      .select($"user_id", $"h_final".as("h_agg"))
+    val t = Fold.foldTyped(spark, events, "user_id", "ts", "event_id", "value")
+      .select($"user_id", $"h_final".as("h_typed"))
+    val joined = a.join(t, "user_id").collect()
+    assert(joined.length == 15)
+    joined.foreach { r =>
+      assert(math.abs(r.getAs[Double]("h_agg") - r.getAs[Double]("h_typed")) < 1e-12, r.toString)
+    }
+  }
+
+  test("fold is order-dependent (sanity: reversed order differs)") {
+    val fwd = Fold.foldAgg(events, "user_id", "ts", "event_id", "value")
+      .agg(sum(abs($"h_final"))).collect()(0).getDouble(0)
+    // fold over value DESC instead of time order
+    val rev = events.groupBy($"user_id").agg(
+      aggregate(reverse(transform(
+        sort_array(collect_list(struct($"ts", $"event_id", $"value".as("v")))),
+        x => x.getField("v"))), lit(0.0), Fold.stepCol).as("h_final"))
+      .agg(sum(abs($"h_final"))).collect()(0).getDouble(0)
+    assert(math.abs(fwd - rev) > 1e-9)
+  }
+
+  test("ST1: streaming update-mode incremental stats == batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val sdf = mem.toDF().toDF("user_id", "value")
+    val q = Streaming.incrementalStats(sdf, "user_id", "value")
+      .writeStream.format("memory").queryName("st1_out").outputMode("complete").start()
+    try {
+      mem.addData((1L, 1.5), (1L, 2.5), (2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 6.0), (2L, 0.5))
+      q.processAllAvailable()
+      val streamed = spark.table("st1_out")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      val batch = Streaming.incrementalStats(
+        Seq((1L, 1.5), (1L, 2.5), (2L, 10.0), (1L, 6.0), (2L, 0.5)).toDF("user_id", "value"),
+        "user_id", "value")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(streamed == batch)
+      assert(batch(1L) == ((3L, 10.0, 10.0 / 3 * 1.0)) || batch(1L)._2 == 10.0)
+    } finally q.stop()
+  }
+
+  test("ST2: streaming sliding window + completeness == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val sdf = mem.toDF().toDF("user_id", "ts")
+    val q = Streaming.slidingComplete(sdf.withWatermark("ts", "0 seconds"),
+        "user_id", "ts", "3 hours", "1 hour", 2L)
+      .writeStream.format("memory").queryName("st2_out").outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData((1L, t("2024-01-01 10:10:00")), (1L, t("2024-01-01 11:20:00")),
+        (2L, t("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("st2_out").orderBy("user_id", "wstart")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSeq
+      val batch = Streaming.slidingComplete(
+        Seq((1L, t("2024-01-01 10:10:00")), (1L, t("2024-01-01 11:20:00")),
+          (2L, t("2024-01-01 10:30:00"))).toDF("user_id", "ts"),
+        "user_id", "ts", "3 hours", "1 hour", 2L)
+        .orderBy("user_id", "wstart")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSeq
+      assert(streamed == batch)
+      // user 1's two events co-occur in windows starting 09:00, 10:00, 11:00
+      assert(batch.map(_._2).contains("2024-01-01 09:00:00.0"))
+      assert(!batch.exists(_._1 == 2L)) // user 2 never reaches completeness 2
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{scalars, geometry}
+
+/** Property tests the reference relies on implicitly:
+  * encode∘decode within quantization (datasets.py:387-394),
+  * normlogit∘inv = id (ensemble.py:60-78), rot90⁴ = flip² = id
+  * (datasets.py:289-297). Inputs are seeded-random batches evaluated
+  * THROUGH the engine (as columns), not a scala-side reimplementation.
+  */
+class ScalarsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def samples(n: Int, lo: Double, hi: Double): Seq[Double] =
+    Seq.fill(n)(lo + (hi - lo) * rnd.nextDouble())
+
+  private def evalOn(xs: Seq[Double])(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Seq[Double] =
+    xs.toDF("x").select(f(col("x")).as("y")).collect().map(_.getDouble(0)).toSeq
+
+  test("decode is exact inverse of encode up to quantization") {
+    val xs = samples(200, 0.0, 22000.0)
+    val rt = evalOn(xs)(x =>
+      scalars.minmaxDecode(scalars.minmaxEncode(scalars.minmaxDecode(x, 0, 22000), 0, 22000)
+        .cast("double"), 0, 22000) * 22000)
+    xs.zip(rt).foreach { case (x, y) => assert(math.abs(x - y) <= 0.5 + 1e-9, s"$x -> $y") }
+  }
+
+  test("invNormlogit . normlogit = id on the clipped domain") {
+    val xs = samples(200, 0.004, 0.996)
+    val rt = evalOn(xs)(x => scalars.invNormlogit(scalars.normlogit(x)))
+    xs.zip(rt).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9, s"$x -> $y") }
+  }
+
+  test("sigmoid is inverse of logit") {
+    val xs = samples(200, 0.01, 0.99)
+    val rt = evalOn(xs)(x => scalars.sigmoid(scalars.logit(x)))
+    xs.zip(rt).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12, s"$x -> $y") }
+  }
+
+  test("clip bounds and blend weights") {
+    val out = evalOn(Seq(-5.0, 0.5, 5.0))(x => scalars.clip(x, 0.0, 1.0))
+    assert(out == Seq(0.0, 0.5, 1.0))
+    val b = Seq((1.0, 2.0, 3.0)).toDF("a", "b", "c")
+      .select(scalars.blend(Seq((col("a"), 0.2), (col("b"), 0.3), (col("c"), 0.5))).as("y"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(b - (0.2 + 0.6 + 1.5)) < 1e-12)
+  }
+
+  test("rot90 applied 4 times is identity; flips are involutions") {
+    val n = 8
+    val grid = geometry.meshgrid(spark, n, n)
+    val four = (1 to 4).foldLeft(grid) { (df, _) =>
+      val (ri, rj) = geometry.rot90(col("i"), col("j"), n, 1)
+      df.select(ri.as("i"), rj.as("j"))
+    }
+    assert(four.except(grid).count() == 0 && grid.except(four).count() == 0)
+    val flip2 = grid.select(geometry.flipUd(geometry.flipUd(col("i"), n), n).as("i"), col("j"))
+    assert(flip2.except(grid).count() == 0)
+  }
+
+  test("reflectIndex maps the padded window reflectively into range") {
+    val m = spark.range(0, 20).toDF("o")
+      .select(col("o"), geometry.reflectIndex(col("o"), 16, 2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.values.forall(s => s >= 0 && s < 16))
+    assert(m(0L) == 2L && m(1L) == 1L && m(2L) == 0L && m(19L) == 13L)
+  }
+
+  test("fillToNull + clampMin semantics") {
+    val df = Seq(0.0, -3.0, 7.0).toDF("x")
+    val nulls = df.select(scalars.fillToNull(col("x"), lit(0.0)).as("y"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(nulls.toSeq == Seq(None, Some(-3.0), Some(7.0)))
+    val clamped = evalOn(Seq(-3.0, 7.0))(x => scalars.clampMin(x))
+    assert(clamped == Seq(0.0, 7.0))
+  }
+}
