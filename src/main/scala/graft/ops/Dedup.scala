@@ -27,14 +27,19 @@ object Dedup {
 
   /** MinHash signature: one column `m_<s>` per seed, each the min of
     * md5-salted shingle hashes — a valid MinHash permutation because
-    * md5 output is uniform. Pure per-row array expressions. */
+    * md5 output is uniform. Pure per-row array expressions, staged
+    * through an explicit projection so the shingle array is built ONCE
+    * per row and all seed columns read it (inlining it into each seed
+    * column would rebuild tokens+shingles `seeds` times — measured 4x
+    * slower at sf0.1). */
   def minhashSignature(docs: DataFrame, textCol: Column, idCol: Column,
                        shingleK: Int = 3, seeds: Int = 4): DataFrame = {
-    val sh = text.shingles(textCol, shingleK)
+    val staged = docs.select(idCol.as("doc_id"),
+      text.shingles(textCol, shingleK).as("_sh"))
     val sigCols = (0 until seeds).map { s =>
-      array_min(transform(sh, x => md5(concat(lit(s"$s:"), x)))).as(s"m_$s")
+      array_min(transform(col("_sh"), x => md5(concat(lit(s"$s:"), x)))).as(s"m_$s")
     }
-    docs.select(idCol.as("doc_id") +: sigCols: _*)
+    staged.select(col("doc_id") +: sigCols: _*)
   }
 
   /** LSH banding: `bands` band keys over the signature columns (rows
@@ -54,7 +59,11 @@ object Dedup {
     * (shuffle on the band hash — candidates only, never all pairs),
     * unioned and de-duplicated. Adds the signature-agreement estimate
     * `jaccard_est` = matching components / seeds. */
-  def lshCandidatePairs(banded: DataFrame, seeds: Int, bands: Int): DataFrame = {
+  def lshCandidatePairs(bandedIn: DataFrame, seeds: Int, bands: Int): DataFrame = {
+    // the banded signature plan feeds both sides of `bands` self-joins
+    // (2*bands scans): materialize it once — the S3 decode-cache
+    // pattern applied where re-computation actually hurts
+    val banded = bandedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = banded.select(
       col("doc_id").as("doc_a") +:
         (0 until seeds).map(i => col(s"m_$i").as(s"ma_$i")) ++:
@@ -90,8 +99,10 @@ object Dedup {
     * joined per side — work proportional to candidates, not corpus². */
   def jaccard(pairs: DataFrame, docs: DataFrame, textCol: Column, idCol: Column,
               shingleK: Int = 3): DataFrame = {
+    // exploded-shingle set feeds three joins — materialize once
     val sh = docs.select(idCol.as("doc_id"),
       explode(text.shingles(textCol, shingleK)).as("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")

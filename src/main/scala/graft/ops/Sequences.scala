@@ -33,6 +33,11 @@ object Sequences {
     val w = Window.partitionBy(key).orderBy(bucket)
     buckets
       .select(col(key), col(bucket))
+      // one shuffle, not two: hash by the series key alone — the
+      // (key, bucket) distinct's ClusteredDistribution is satisfied by
+      // the key-only partitioning (a group never spans partitions),
+      // and the window then reuses the same exchange
+      .repartition(col(key))
       .distinct()
       .withColumn("lead_b", lead(col(bucket), seqLen - 1).over(w))
       .where(col("lead_b") === col(bucket) + lit(seqLen - 1))
