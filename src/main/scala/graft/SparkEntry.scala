@@ -20,7 +20,8 @@ object SparkEntry {
       AggQueries.all ++
       TextQueries.all ++
       SimilarityQueries.all ++
-      MiscQueries.all
+      MiscQueries.all ++
+      WarpQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's single most load-bearing computation: valid
