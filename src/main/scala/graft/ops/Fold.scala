@@ -49,6 +49,27 @@ object Fold {
       count(lit(1)).as("n_steps"))
   }
 
+  /** Form 3 (streaming): incremental GRU state via
+    * `mapGroupsWithState` — each micro-batch folds its new events into
+    * the per-key hidden state, the streaming analog of form 1. Events
+    * must arrive in order per key within the stream (or be
+    * pre-sorted per batch, which this does). */
+  def foldStreaming(events: org.apache.spark.sql.Dataset[(Long, Long, Double)])
+  : org.apache.spark.sql.Dataset[(Long, Double, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Double, Long), (Long, Double, Long)](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val (h0, n0) = state.getOption.getOrElse((0.0, 0L))
+          val sorted = rows.toArray.sortBy(_._2)
+          val h = sorted.foldLeft(h0)((acc, r) => step(acc, r._3))
+          val n = n0 + sorted.length
+          state.update((h, n))
+          (key, h, n)
+      }
+  }
+
   /** Form 1: typed mapGroups fold (sort in memory per group). */
   def foldTyped(spark: SparkSession, events: DataFrame, key: String, ts: String,
                 ord2: String, v: String): DataFrame = {

@@ -81,18 +81,17 @@ object AggQueries {
     // (datasets.py:64-71). Window agg partitioned by the frame key.
     Q("a1_cond_mean_impute",
       (s, d) => {
-        // groupBy + join-back instead of a window over the frame key:
-        // identical values, no per-partition sort. The stats side is
-        // one row per frame (grows with data — NOT broadcastable by
-        // fiat); AQE broadcasts it at small scale and falls back to a
-        // shuffled join at cluster scale.
-        val li = T(s, d, "lineitem")
-        val stats = li.groupBy(col("l_orderkey")).agg(
-          sum(when(col("l_discount") =!= 0.0, 1).otherwise(0)).as("cnt"),
-          sum(when(col("l_discount") =!= 0.0,
-            round(col("l_extendedprice") * 100).cast("long"))).as("sumc"))
-        val mean = when(col("cnt") > 0, col("sumc") / (lit(100.0) * col("cnt")))
-        li.join(stats, "l_orderkey").select(
+        // window over the frame key, NOT groupBy+join-back: both were
+        // measured equal at sf0.1 (1.2-1.9s steady state), but the
+        // window scans the fact table ONCE (one key shuffle + sort)
+        // while the join form scans it twice — at cluster scale the
+        // scan dominates, so the single-pass plan wins.
+        val w = Window.partitionBy("l_orderkey")
+        val cnt = sum(when(col("l_discount") =!= 0.0, 1).otherwise(0)).over(w)
+        val sumc = sum(when(col("l_discount") =!= 0.0,
+          round(col("l_extendedprice") * 100).cast("long"))).over(w)
+        val mean = when(cnt > 0, sumc / (lit(100.0) * cnt))
+        T(s, d, "lineitem").select(
           col("l_orderkey"), col("l_linenumber"),
           when(col("l_discount") === 0.0, coalesce(mean, lit(0.0)))
             .otherwise(col("l_extendedprice")).as("imputed"))

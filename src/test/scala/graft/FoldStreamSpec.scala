@@ -39,6 +39,33 @@ class FoldStreamSpec extends AnyFunSuite {
     assert(math.abs(fwd - rev) > 1e-9)
   }
 
+  test("X2 streaming: mapGroupsWithState fold == batch fold across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)] // (key, seq, value)
+    val q = Fold.foldStreaming(mem.toDS())
+      .toDF("user_id", "h_final", "n_steps")
+      .writeStream.format("memory").queryName("x2_out").outputMode("update").start()
+    try {
+      mem.addData((1L, 1L, 50.0), (1L, 2L, 120.0), (2L, 1L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, 80.0), (2L, 2L, 200.0))
+      q.processAllAvailable()
+      // last update per key reflects the full fold
+      val streamed = spark.table("x2_out").groupBy($"user_id")
+        .agg(max(struct($"n_steps", $"h_final")).as("s"))
+        .select($"user_id", $"s.h_final", $"s.n_steps")
+        .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+      val expected = Map(
+        1L -> Seq(50.0, 120.0, 80.0), 2L -> Seq(10.0, 200.0)
+      ).map { case (k, vs) => k -> ((vs.foldLeft(0.0)(Fold.step), vs.length.toLong)) }
+      assert(streamed.keySet == expected.keySet)
+      expected.foreach { case (k, (h, n)) =>
+        assert(streamed(k)._2 == n)
+        assert(math.abs(streamed(k)._1 - h) < 1e-12, s"key $k")
+      }
+    } finally q.stop()
+  }
+
   test("ST1: streaming update-mode incremental stats == batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the physical plans that make these
+  * queries scale must not silently degrade. Each assertion names the
+  * property that matters at cluster scale. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.allQueries.find(_.name == name).get.fn(spark, d)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("p1: filter + projection push to the parquet scan") {
+    val p = finalPlan("p1_projection")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual"), p.take(800))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double"), "column pruning lost")
+  }
+
+  test("j1: dimension joins broadcast; only the groupBy shuffles") {
+    val p = finalPlan("j1_broadcast_dim")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, "dims must broadcast")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, "only the agg may shuffle")
+  }
+
+  test("o1: top-k plans TakeOrderedAndProject, never a global range sort") {
+    val p = finalPlan("o1_sort_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("rangepartitioning"), "global sort would not scale")
+  }
+
+  test("p5: valid-starts runs on a single key shuffle") {
+    val p = finalPlan("p5_valid_starts")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      "distinct + window must reuse one exchange:\n" + p.take(1200))
+  }
+
+  test("a3: gram matrix is one shuffle-free pass + single-row merge") {
+    val p = finalPlan("a3_gram_matrix")
+    assert("Exchange".r.findAllIn(p).length == 1, "partial+final agg only")
+  }
+
+  test("e_cosine_topk: query vector broadcast, no cross-join shuffle") {
+    val p = finalPlan("e_cosine_topk")
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("a1: imputation is one pass over the fact table") {
+    val p = finalPlan("a1_cond_mean_impute")
+    assert("FileScan".r.findAllIn(p).length == 1, "window form scans once")
+  }
+}
