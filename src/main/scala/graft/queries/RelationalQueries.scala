@@ -83,14 +83,19 @@ object RelationalQueries {
         .select(col("l_returnflag"), col("l_linestatus")).distinct(),
       Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
 
-    // SO2: N-way intersection of key sets (datasets.py:229-240)
+    // SO2: N-way intersection of key sets (datasets.py:229-240's
+    // set.intersection(*lists) — chained, here 3-way)
     Q("so2_intersect",
       (s, d) => T(s, d, "orders").select(col("o_custkey").as("custkey"))
         .intersect(T(s, d, "customer").where(col("c_acctbal") > 1000.0)
-          .select(col("c_custkey").as("custkey"))),
+          .select(col("c_custkey").as("custkey")))
+        .intersect(T(s, d, "orders").where(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey"))),
       Some("""SELECT o_custkey AS custkey FROM orders
              |INTERSECT
-             |SELECT c_custkey FROM customer WHERE c_acctbal > 1000e0""".stripMargin)),
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 1000e0
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
 
     // SO3: union / concatenation (datasets.py:110,162,447)
     Q("so3_union",

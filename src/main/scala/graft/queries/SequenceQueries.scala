@@ -67,6 +67,31 @@ object SequenceQueries {
               |FROM s JOIN b ON b.user_id = s.user_id AND b.bkt BETWEEN s.bkt AND s.bkt + ${L - 1}
               |GROUP BY b.user_id, s.bkt""".stripMargin)),
 
+    // W1 (collect form): the assembled sequence as an ordered vector —
+    // per valid start, the per-bucket event counts in time order,
+    // serialized to a string so the oracle compares exactly
+    // (datasets.py:303-347's batch tensor, one row per sample)
+    Q("w1_sequence_vector",
+      (s, d) => {
+        val ev = T(s, d, "events").select(col("user_id"),
+          Sequences.tsBucket(col("ts"), Step).as("bkt"))
+        val starts = Sequences.validStarts(ev, "user_id", "bkt", L)
+        val perBucket = Sequences.assemble(starts, ev, "user_id", "bkt", L)
+          .groupBy(col("user_id"), col("t0"), col("bkt"))
+          .agg(count(lit(1)).as("n"))
+        perBucket.groupBy(col("user_id"), col("t0"))
+          .agg(concat_ws(",",
+            transform(sort_array(collect_list(struct(col("bkt"), col("n")))),
+              x => x.getField("n").cast("string"))).as("seq_counts"))
+      },
+      Some(s"""$bucketCte,
+              |pb AS (SELECT b.user_id AS user_id, s.bkt AS t0, b.bkt AS bkt, count(*) AS n
+              |       FROM s JOIN b ON b.user_id = s.user_id AND b.bkt BETWEEN s.bkt AND s.bkt + ${L - 1}
+              |       GROUP BY 1, 2, 3)
+              |SELECT user_id, t0,
+              |  string_agg(CAST(n AS VARCHAR), ',' ORDER BY bkt) AS seq_counts
+              |FROM pb GROUP BY user_id, t0""".stripMargin)),
+
     // W3: last-frame selection (models.py:119,174,223)
     Q("w3_last_event",
       (s, d) => T(s, d, "events").groupBy(col("user_id")).agg(

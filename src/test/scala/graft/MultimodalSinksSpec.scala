@@ -47,5 +47,15 @@ class MultimodalSinksSpec extends AnyFunSuite {
     assert(joined.count() == 150)
     val maxErr = joined.agg(max(abs($"orig" - $"rt"))).collect()(0).getDouble(0)
     assert(maxErr <= 0.5 / 65535.0 + 1e-12, s"round-trip err $maxErr")
+
+    // the partition layout must actually prune: filtering on the
+    // partition column shows a PartitionFilter and reads one dir
+    val pruned = spark.read.parquet(dir).where($"c_mktsegment" === "BUILDING")
+    pruned.write.format("noop").mode("overwrite").save()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(c_mktsegment"), plan.take(600))
+    val nSeg = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .where($"c_mktsegment" === "BUILDING").count()
+    assert(pruned.count() == nSeg)
   }
 }
