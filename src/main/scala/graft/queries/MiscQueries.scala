@@ -95,6 +95,38 @@ object MiscQueries {
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
              |FROM events""".stripMargin)),
 
+    // grouping-sets surface (SURVEY §7 step 8): rollup over the
+    // return-flag hierarchy with exact cents revenue; NULL markers for
+    // aggregated-out levels match across engines
+    Q("g_rollup_revenue",
+      (s, d) => T(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("revenue")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0e0 AS revenue
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // cube over two dims
+    Q("g_cube_counts",
+      (s, d) => T(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // approx_count_distinct (HLL++): sketch internals are
+    // engine-specific so there is no SQL oracle (driver records a
+    // rows-only check); the test bound lives in the exact twin below
+    Q("g_approx_distinct",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        li.agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+      },
+      None),
+
     // multimodal metadata: the graded twin of Multimodal.decodeStub —
     // width/height/channels/format derived from payload bytes
     // (payload = unhex(md5(text)); bytes read via hex-digit ascii math)
