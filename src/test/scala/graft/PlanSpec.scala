@@ -53,4 +53,41 @@ class PlanSpec extends AnyFunSuite {
     val p = finalPlan("a1_cond_mean_impute")
     assert("FileScan".r.findAllIn(p).length == 1, "window form scans once")
   }
+
+  test("bucketed big-big join runs with zero shuffles (co-located)") {
+    // the 100 TB path for fact-fact joins: bucketBy the join key at
+    // write time; the join then needs no Exchange at read time
+    import org.apache.spark.sql.functions._
+    val li = sources.Tables.load(spark, d, "lineitem")
+    val ord = sources.Tables.load(spark, d, "orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    // a stale warehouse dir from a previous JVM survives the DROP
+    // (fresh in-memory catalog doesn't know the table)
+    for (t <- Seq("b_lineitem", "b_orders")) {
+      val f = new java.io.File(s"spark-warehouse/$t")
+      if (f.exists()) {
+        java.nio.file.Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders").hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+    joined.write.format("noop").mode("overwrite").save()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"))
+    // only the final groupBy may exchange; the join itself must not
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).toSeq
+    assert(exchanges.length == 1, s"join must use bucket co-location:\n${p.take(1500)}")
+    // sanity: same revenue as the unbucketed join
+    val expect = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+    assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      expect.collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+  }
 }
