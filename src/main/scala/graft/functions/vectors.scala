@@ -15,8 +15,18 @@ object vectors {
 
   private def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product `sum_i a_i * b_i`, left-to-right accumulation. */
+  /** Dot product `sum_i a_i * b_i`, left-to-right accumulation.
+    * Native codegen'd expression (graft.expressions.DotProduct,
+    * registered by GraftExtensions via Tables.conf); [[dotHof]] is the
+    * built-in-only equivalent. */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", asDouble(a), asDouble(b))
+
+  /** Composable-builtins form of [[dot]] — identical semantics
+    * (left-to-right fold, null on length mismatch or null element),
+    * but the HOF lambdas evaluate interpreted. Kept for sessions
+    * without GraftExtensions and as the test cross-check. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0),
@@ -66,10 +76,7 @@ object vectors {
     val signs = hyperplaneSigns(nBits, dim)
     val bits = (0 until nBits).map { k =>
       val plane = array(signs(k).map(lit): _*)
-      val proj = aggregate(
-        zip_with(asDouble(v), plane, (x, h) => x * h),
-        lit(0.0),
-        (acc, x) => acc + x)
+      val proj = dot(v, plane)
       when(proj > 0, lit(1L << k)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

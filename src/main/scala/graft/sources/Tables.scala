@@ -20,6 +20,8 @@ object Tables {
     * SparkSession builder (Verify, Bench, tests). */
   val conf: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // native engine expressions (graft_dot, ...) — see graft.expressions
+    "spark.sql.extensions" -> "graft.expressions.GraftExtensions",
     // DuckDB yields NULL (not an ANSI error) on double div-by-zero;
     // pin the same semantics so oracle comparison is meaningful.
     "spark.sql.ansi.enabled" -> "false",
