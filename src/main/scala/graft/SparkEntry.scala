@@ -24,15 +24,24 @@ object SparkEntry {
       WarpQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's single most load-bearing computation: valid
-    * sequence-start detection (weather4cast/datasets.py:15-47) over the
-    * events stream at hourly cadence. */
+    * The reference's §3.1 pipeline shape end-to-end: catalog scan ->
+    * valid sequence-start detection (weather4cast/datasets.py:15-47,
+    * the single most load-bearing computation) -> sequence assembly ->
+    * per-sample aggregate -> normalized/blended output. */
   def entry(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
-    val ev = sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
-    val buckets = ev.select(col("user_id"),
-      ops.Sequences.tsBucket(col("ts"), 3600L).as("bkt"))
-    ops.Sequences.validStarts(buckets, "user_id", "bkt", 3)
+    val d = "/root/testdata/sf0.001"
+    val ev = sources.Tables.load(spark, d, "events")
+      .select(col("user_id"), ops.Sequences.tsBucket(col("ts"), 3600L).as("bkt"),
+        col("value"))
+    val starts = ops.Sequences.validStarts(
+      ev.select(col("user_id"), col("bkt")), "user_id", "bkt", 3)
+    ops.Sequences.assemble(starts, ev, "user_id", "bkt", 3)
+      .groupBy(col("user_id"), col("t0"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_val"))
+      .select(col("user_id"), col("t0"), col("n_events"),
+        functions.scalars.sigmoid(col("sum_val") / lit(100.0)).as("activity_score"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
