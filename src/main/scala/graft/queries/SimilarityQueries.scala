@@ -31,7 +31,59 @@ object SimilarityQueries {
     s"CAST(${bits.mkString("\n    + ")} AS BIGINT)"
   }
 
+  /** Number of IVF cells (centroids = the embeddings of vec_ids
+    * 1..K — deterministic, training-free; a real deployment would
+    * k-means these but the pipeline shape is identical). */
+  private val IvfK = 8
+
   val all: Seq[Q] = Seq(
+
+    // IVF-style ANN: assign every vector to its nearest centroid cell
+    // (argmin L2, deterministic tie-break), search only the query
+    // vector's cell. The inverted-file structure at corpus scale: the
+    // centroid table broadcasts, assignment is per-row map work, and
+    // the search join touches 1/K of the data.
+    Q("e_ivf_ann",
+      (s, d) => {
+        val emb = T(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val cents = emb.where(col("vec_id").between(1, IvfK))
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        // d2 = |v|^2 - 2 v.c + |c|^2, rounded to absorb fold-order
+        // noise before it can flip an argmin
+        val d2 = round(
+          vectors.normSq(col("embedding")) - lit(2.0) * vectors.dot(col("embedding"), col("cv"))
+            + vectors.normSq(col("cv")), 6)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(d2.asc, col("cid").asc)
+        val assigned = emb.crossJoin(broadcast(cents))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+        val q = assigned.where(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("cid").as("qcid"))
+        assigned.join(broadcast(q), col("cid") === col("qcid"))
+          .where(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("cid"),
+            round(vectors.cosine(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some {
+        def dotS(a: String, b: String) =
+          s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           |c AS (SELECT vec_id AS cid, ve AS cv FROM e WHERE vec_id BETWEEN 1 AND $IvfK),
+           |a AS (SELECT vec_id, ve, cid FROM (
+           |    SELECT e.vec_id, e.ve, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(${dotS("e.ve", "e.ve")} - 2e0 * ${dotS("e.ve", "c.cv")}
+           |          + ${dotS("c.cv", "c.cv")}, 6) ASC, c.cid ASC) AS rn
+           |    FROM e, c) WHERE rn = 1),
+           |q AS (SELECT ve AS qv, cid AS qcid FROM a WHERE vec_id = 0)
+           |SELECT vec_id, cid, round(${cosSql("ve", "qv")}, 6) AS cos
+           |FROM a, q WHERE cid = qcid AND vec_id <> 0
+           |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+      }),
 
     // brute-force cosine top-k against the vec_id=0 query vector
     Q("e_cosine_topk",
