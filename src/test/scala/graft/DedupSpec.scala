@@ -60,6 +60,16 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(4L)) >= ham(sh(1L), sh(3L))) // unrelated at least as far
   }
 
+  test("banding r=2 (2 bands of 2 rows) still surfaces exact dups, stricter on near") {
+    val sig = Dedup.minhashSignature(docs, $"text", $"doc_id", 3, 4)
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, 4, 2), 4, 2)
+    val ps = pairs.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // identical docs agree on every component -> both 2-row bands match
+    assert(ps.contains((1L, 2L)), s"exact pair missing under r=2: $ps")
+    // unrelated docs never collide on two joint components
+    assert(!ps.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("shingles: short docs yield empty shingle set, not an error") {
     val s = Seq((9L, "one two")).toDF("doc_id", "text")
       .select(size(text.shingles($"text", 3)).as("n")).collect()(0).getInt(0)
