@@ -73,31 +73,38 @@ object Dedup {
       .select(col("doc_id") +: (0 until seeds).map(i => col(s"m_$i")) ++: bandCols: _*)
   }
 
-  /** Candidate pairs: per band, a self-equi-join on the band key
-    * (shuffle on the band hash — candidates only, never all pairs),
-    * unioned and de-duplicated. Adds the signature-agreement estimate
-    * `jaccard_est` = matching components / seeds. */
+  /** Candidate pairs: ONE self-equi-join on the composite
+    * (band index, band key) — the band index rides inside the join key,
+    * so all bands share a single shuffle instead of `bands` separate
+    * joins (the previous shape; same candidate set, 1/bands the
+    * stages and codegen). Never an all-pairs cross join. Adds the
+    * signature-agreement estimate `jaccard_est` = matching
+    * components / seeds. */
   def lshCandidatePairs(bandedIn: DataFrame, seeds: Int, bands: Int): DataFrame = {
-    // the banded signature plan feeds both sides of `bands` self-joins
-    // (2*bands scans): materialize it once — the S3 decode-cache
-    // pattern applied where re-computation actually hurts
-    val banded = bandedIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val left = banded.select(
-      col("doc_id").as("doc_a") +:
-        (0 until seeds).map(i => col(s"m_$i").as(s"ma_$i")) ++:
-        (0 until bands).map(b => col(s"band_$b").as(s"ba_$b")): _*)
-    val right = banded.select(
-      col("doc_id").as("doc_b") +:
-        (0 until seeds).map(i => col(s"m_$i").as(s"mb_$i")) ++:
-        (0 until bands).map(b => col(s"band_$b").as(s"bb_$b")): _*)
-    val perBand = (0 until bands).map { b =>
-      left.join(right, col(s"ba_$b") === col(s"bb_$b") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          (0 until seeds).map(i =>
-            when(col(s"ma_$i") === col(s"mb_$i"), 1).otherwise(0)).reduce(_ + _)
-            .cast("double").as("n_match"))
-    }
-    perBand.reduce(_ unionByName _).distinct()
+    val bandStructs = array((0 until bands).map(b =>
+      struct(lit(b).as("band_idx"), col(s"band_$b").as("band_key"))): _*)
+    // one row per (doc, band); feeds both sides of the self-join
+    // (2 scans) — materialize once: the S3 decode-cache pattern
+    // applied where re-computation actually hurts
+    val rows = bandedIn
+      .select(col("doc_id") +: (0 until seeds).map(i => col(s"m_$i")) :+
+        explode(bandStructs).as("bk"): _*)
+      .select(col("doc_id") +: (0 until seeds).map(i => col(s"m_$i")) :+
+        col("bk.band_idx").as("band_idx") :+ col("bk.band_key").as("band_key"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = rows.select(
+      col("band_idx") +: col("band_key") +: col("doc_id").as("doc_a") +:
+        (0 until seeds).map(i => col(s"m_$i").as(s"ma_$i")): _*)
+    val right = rows.select(
+      col("band_idx") +: col("band_key") +: col("doc_id").as("doc_b") +:
+        (0 until seeds).map(i => col(s"m_$i").as(s"mb_$i")): _*)
+    left.join(right, Seq("band_idx", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (0 until seeds).map(i =>
+          when(col(s"ma_$i") === col(s"mb_$i"), 1).otherwise(0)).reduce(_ + _)
+          .cast("double").as("n_match"))
+      .distinct()
       .select(col("doc_a"), col("doc_b"), (col("n_match") / seeds).as("jaccard_est"))
   }
 
