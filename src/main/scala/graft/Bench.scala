@@ -53,10 +53,28 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    // Full per-query detail (full precision) goes to a file; the ONE
+    // stdout JSON line must survive the driver's 2000-char output-tail
+    // capture, so its queries dict lists slowest-first and stops at a
+    // character budget ("queries_elided" counts the fast ones cut;
+    // bench_full.json always has all of them).
+    val fullQs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () }
+    val entries = results.sortBy(-_._2).map { case (k, v) => s"${q(k)}:${"%.3f".format(v)}" }
+    val budget = 1650 - errJson.length
+    val (kept, used) = entries.foldLeft((Vector.empty[String], 0)) {
+      case ((acc, len), e) =>
+        if (len + e.length + 1 <= budget) (acc :+ e, len + e.length + 1) else (acc, len)
+    }
+    val elided = entries.size - kept.size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_elided":$elided,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
