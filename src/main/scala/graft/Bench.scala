@@ -40,12 +40,17 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+        val dt = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           -1.0
         }
+        // queries may persist() reused subplans; drop them so caches
+        // never accumulate across the 70+ query run
+        spark.catalog.clearCache()
+        dt
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
@@ -53,7 +58,7 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+    val fullErrJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Full per-query detail (full precision) goes to a file; the ONE
     // stdout JSON line must survive the driver's 2000-char output-tail
@@ -62,19 +67,35 @@ object Bench {
     // bench_full.json always has all of them).
     val fullQs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":${errors.size},"errors":$fullErrJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()
-    } catch { case _: Throwable => () }
-    val entries = results.sortBy(-_._2).map { case (k, v) => s"${q(k)}:${"%.3f".format(v)}" }
+    } catch { case e: Throwable =>
+      // stderr doesn't pollute the stdout JSON contract
+      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    }
+    // errors share the stdout budget and are themselves capped (each
+    // entry is up to ~200 chars; 8+ failures would otherwise blow the
+    // tail capture exactly when the diagnostics matter most)
+    val errEntries = errors.toSeq.map { case (k, v) => s"${q(k)}:${q(v)}" }
+    val (errKept, _) = errEntries.foldLeft((Vector.empty[String], 0)) {
+      case ((acc, len), e) =>
+        if (len + e.length + 1 <= 600) (acc :+ e, len + e.length + 1) else (acc, len)
+    }
+    val errJson = errKept.mkString("{", ",", "}")
+    val errElided = errEntries.size - errKept.size
+    // explicit locale: the default-locale format would emit comma
+    // decimals (invalid JSON) under e.g. de_DE
+    val entries = results.sortBy(-_._2).map { case (k, v) =>
+      s"${q(k)}:${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}" }
     val budget = 1650 - errJson.length
     val (kept, used) = entries.foldLeft((Vector.empty[String], 0)) {
       case ((acc, len), e) =>
         if (len + e.length + 1 <= budget) (acc :+ e, len + e.length + 1) else (acc, len)
     }
     val elided = entries.size - kept.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_elided":$elided,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_elided":$elided,"failed":${errors.size},"errors":$errJson,"errors_elided":$errElided,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

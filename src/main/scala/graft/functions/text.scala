@@ -114,10 +114,14 @@ object text {
       val hits = size(filter(toks, tk => tk.isin(markers.map(lit): _*).cast("boolean")))
       (lang, hits.cast("double") / n)
     }
-    // argmax with first-wins tie-break (stable, engine-agnostic)
+    // argmax with first-wins tie-break (stable, engine-agnostic):
+    // a CASE chain in profile order — foldRight, NOT a foldLeft that
+    // re-compares the accumulator (which emits a trivially-true
+    // predicate on the first step and breaks if a profile is ever
+    // named like the default)
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(lit(default)) { case (acc, (lang, s)) =>
-      when(s === best && s > 0.0 && acc === default, lit(lang)).otherwise(acc)
+    scores.foldRight(lit(default)) { case ((lang, s), acc) =>
+      when(s === best && s > 0.0, lit(lang)).otherwise(acc)
     }
   }
 }

@@ -80,18 +80,32 @@ object Dedup {
     * stages and codegen). Never an all-pairs cross join. Adds the
     * signature-agreement estimate `jaccard_est` = matching
     * components / seeds. */
-  def lshCandidatePairs(bandedIn: DataFrame, seeds: Int, bands: Int): DataFrame = {
+  def lshCandidatePairs(bandedIn: DataFrame, seeds: Int, bands: Int,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     val bandStructs = array((0 until bands).map(b =>
       struct(lit(b).as("band_idx"), col(s"band_$b").as("band_key"))): _*)
     // one row per (doc, band); feeds both sides of the self-join
     // (2 scans) — materialize once: the S3 decode-cache pattern
     // applied where re-computation actually hurts
-    val rows = bandedIn
+    val exploded = bandedIn
       .select(col("doc_id") +: (0 until seeds).map(i => col(s"m_$i")) :+
         explode(bandStructs).as("bk"): _*)
       .select(col("doc_id") +: (0 until seeds).map(i => col(s"m_$i")) :+
         col("bk.band_idx").as("band_idx") :+ col("bk.band_key").as("band_key"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Skew guard for the 100 TB path: a duplicate-heavy corpus puts
+    // thousands of docs into one band bucket and the self-join goes
+    // quadratic on it. With `maxBucket` set, over-full buckets are
+    // DROPPED (their members are near-exact duplicates — run exact
+    // dedup first to collapse them; the cap is the backstop, not the
+    // dedup). One extra aggregate on the already-cached rows.
+    val rows = if (maxBucket == Int.MaxValue) exploded else {
+      val keep = exploded.groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("_bn"))
+        .where(col("_bn") <= maxBucket)
+        .select(col("band_idx"), col("band_key"))
+      exploded.join(keep, Seq("band_idx", "band_key"))
+    }
     val left = rows.select(
       col("band_idx") +: col("band_key") +: col("doc_id").as("doc_a") +:
         (0 until seeds).map(i => col(s"m_$i").as(s"ma_$i")): _*)
@@ -122,11 +136,15 @@ object Dedup {
 
   /** Exact shingle-set Jaccard for candidate pairs: distinct shingles
     * joined per side — work proportional to candidates, not corpus². */
-  def jaccard(pairs: DataFrame, docs: DataFrame, textCol: Column, idCol: Column,
+  def jaccard(pairsIn: DataFrame, docs: DataFrame, textCol: Column, idCol: Column,
               shingleK: Int = 3): DataFrame = {
     // exploded-shingle set feeds three joins — materialize once
     val sh = shingleRows(docs, textCol, idCol, shingleK).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the candidate list feeds the intersect join AND the final left
+    // join; without this the entire upstream pipeline (e.g. the LSH
+    // signature + band join) executes twice
+    val pairs = pairsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")

@@ -32,13 +32,19 @@ object Ensemble {
     * (normalize first, as the reference does). */
   def gramAgg(df: DataFrame, preds: Seq[Column], y: Column): DataFrame = {
     val p = preds.size
-    val qs = preds.map(quant)
-    val qy = quant(y)
+    // quantize ONCE in a projection below the aggregate: inlining
+    // quant(pred_i) into every product would emit it p+1 times in the
+    // generated code (p^2/2+p agg expressions), bloating the Janino
+    // compile — the dominant cost of a one-pass agg on a single run
+    val proj = df.select(
+      preds.zipWithIndex.map { case (c, i) => quant(c).as(s"_q$i") } :+
+        quant(y).as("_qy"): _*)
+    def q(i: Int) = col(s"_q$i")
     val gCols = for (i <- 0 until p; j <- i until p) yield
-      (sum(qs(i) * qs(j)) / (count(lit(1)) * lit(Scale2))).as(s"g_${i}_$j")
+      (sum(q(i) * q(j)) / (count(lit(1)) * lit(Scale2))).as(s"g_${i}_$j")
     val bCols = (0 until p).map(i =>
-      (sum(qs(i) * qy) / (count(lit(1)) * lit(Scale2))).as(s"b_$i"))
-    df.agg(count(lit(1)).as("n"), gCols ++ bCols: _*)
+      (sum(q(i) * col("_qy")) / (count(lit(1)) * lit(Scale2))).as(s"b_$i"))
+    proj.agg(count(lit(1)).as("n"), gCols ++ bCols: _*)
   }
 
   /** A4: ridge solve `w = (ATA + lam*mean(diag)*I) \ ATy`

@@ -39,6 +39,32 @@ object Fold {
     lit(Z) * h + lit(1 - Z) * ((e - lit(1.0)) / (e + lit(1.0)))
   }
 
+  /** Vector-state GRU step: the hidden state is an `array<double>`
+    * and the step applies elementwise with a per-component bias (the
+    * shape of the reference's ConvGRU, whose state is a full frame —
+    * weather4cast/rnn.py:37-72; here H components instead of H×W
+    * pixels, same recurrence). `zip_with` pairs each h_k with its
+    * bias; the input x is shared across components. */
+  def stepColVec(h: Column, x: Column, biases: Seq[Double]): Column =
+    zip_with(h, array(biases.map(lit): _*), (hk, bk) => {
+      val o = x / lit(InScale) + lit(HWeight) * hk + bk
+      val e = exp(lit(2.0) * o)
+      lit(Z) * hk + lit(1 - Z) * ((e - lit(1.0)) / (e + lit(1.0)))
+    })
+
+  /** Vector-state form of [[foldAgg]]: per-key ordered fold of an
+    * `array<double>` hidden state via aggregate() over the sorted
+    * value list. One shuffle on the key, state bounded by H. */
+  def foldAggVec(events: DataFrame, key: String, ts: String, ord2: String, v: String,
+                 biases: Seq[Double]): DataFrame = {
+    val seq = sort_array(collect_list(struct(col(ts), col(ord2), col(v).as("v"))))
+    val init = array(biases.map(_ => lit(0.0)): _*)
+    events.groupBy(col(key)).agg(
+      aggregate(transform(seq, x => x.getField("v")), init,
+        (h, x) => stepColVec(h, x, biases)).as("h_vec"),
+      count(lit(1)).as("n_steps"))
+  }
+
   /** Form 2: per-key final state via collect_list + aggregate() HOF.
     * One shuffle on the key; per-group state bounded by sequence
     * length (67 events/user here; frame sequences are 36 long). */

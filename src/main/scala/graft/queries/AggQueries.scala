@@ -54,25 +54,40 @@ object AggQueries {
        |      - ((s12 / (n * $S2)) * (s12 / (n * $S2))))) AS w2""".stripMargin
 
   /** Spark twin of the ridge sums + algebra: one shuffle-free agg,
-    * then fixed-order column arithmetic. */
+    * then fixed-order column arithmetic.
+    *
+    * Codegen shape: quantized predictions are projected ONCE below the
+    * agg, and the ridge algebra is CHAINED selects so each
+    * subexpression (each `s_ij/(n*S2)`, the lambda, the matrix
+    * entries, the determinant) is emitted a single time —
+    * CollapseProject keeps non-cheap aliases that are referenced more
+    * than once split, so the generated code stays linear instead of
+    * re-inlining `g(s11)`-style terms ~20x. The VALUES are identical
+    * to the one-select form (same IEEE ops in the same order), so the
+    * oracle hash is unchanged. */
   private def ridgeWeightsSpark(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val li = T(s, d, "lineitem")
-    val sums = li.agg(
-      count(lit(1)).as("n"),
-      sum(q(p1) * q(p1)).as("s11"),
-      sum(q(p1) * q(p2)).as("s12"),
-      sum(q(p2) * q(p2)).as("s22"),
-      sum(q(p1) * q(yv)).as("sb1"),
-      sum(q(p2) * q(yv)).as("sb2"))
+    val sums = T(s, d, "lineitem")
+      .select(q(p1).as("_q1"), q(p2).as("_q2"), q(yv).as("_qy"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_q1") * col("_q1")).as("s11"),
+        sum(col("_q1") * col("_q2")).as("s12"),
+        sum(col("_q2") * col("_q2")).as("s22"),
+        sum(col("_q1") * col("_qy")).as("sb1"),
+        sum(col("_q2") * col("_qy")).as("sb2"))
     val n2 = col("n") * lit(S2)
-    def g(c: String) = col(c) / n2
-    val lam = lit(0.1) * ((g("s11") + g("s22")) / lit(2.0))
-    val m11 = g("s11") + lam
-    val m22 = g("s22") + lam
-    val det = (m11 * m22) - (g("s12") * g("s12"))
-    sums.select(
-      (((g("sb1") * m22) - (g("sb2") * g("s12"))) / det).as("w1"),
-      (((m11 * g("sb2")) - (g("s12") * g("sb1"))) / det).as("w2"))
+    val g = sums.select(
+      (col("s11") / n2).as("g11"), (col("s12") / n2).as("g12"),
+      (col("s22") / n2).as("g22"), (col("sb1") / n2).as("gb1"),
+      (col("sb2") / n2).as("gb2"))
+    val lam = lit(0.1) * ((col("g11") + col("g22")) / lit(2.0))
+    val m = g.select(col("g12"), col("gb1"), col("gb2"),
+      (col("g11") + lam).as("m11"), (col("g22") + lam).as("m22"))
+    val dd = m.select(col("g12"), col("gb1"), col("gb2"), col("m11"), col("m22"),
+      ((col("m11") * col("m22")) - (col("g12") * col("g12"))).as("det"))
+    dd.select(
+      (((col("gb1") * col("m22")) - (col("gb2") * col("g12"))) / col("det")).as("w1"),
+      (((col("m11") * col("gb2")) - (col("g12") * col("gb1"))) / col("det")).as("w2"))
   }
 
   val all: Seq[Q] = Seq(
@@ -153,18 +168,26 @@ object AggQueries {
     // exact integer moments, fixed-order double algebra
     Q("a5_correlation",
       (s, d) => {
-        val sums = T(s, d, "lineitem").agg(
-          count(lit(1)).cast("double").as("n"),
-          sum(col("l_quantity").cast("long")).as("sx"),
-          sum(round(col("l_extendedprice")).cast("long")).as("sy"),
-          sum(col("l_quantity").cast("long") * col("l_quantity").cast("long")).as("sxx"),
-          sum(round(col("l_extendedprice")).cast("long") * round(col("l_extendedprice")).cast("long")).as("syy"),
-          sum(col("l_quantity").cast("long") * round(col("l_extendedprice")).cast("long")).as("sxy"))
+        // integer moments projected once below the agg; the mean-space
+        // algebra chained so each m(c) is emitted once (see
+        // ridgeWeightsSpark's codegen note)
+        val sums = T(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("_x"),
+            round(col("l_extendedprice")).cast("long").as("_y"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("_x")).as("sx"),
+            sum(col("_y")).as("sy"),
+            sum(col("_x") * col("_x")).as("sxx"),
+            sum(col("_y") * col("_y")).as("syy"),
+            sum(col("_x") * col("_y")).as("sxy"))
         def m(c: String) = col(c).cast("double") / col("n")
-        val cov = m("sxy") - (m("sx") * m("sy"))
-        val vx = m("sxx") - (m("sx") * m("sx"))
-        val vy = m("syy") - (m("sy") * m("sy"))
-        sums.select((cov / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"))
+        val ms = sums.select(m("sx").as("mx"), m("sy").as("my"),
+          m("sxx").as("mxx"), m("syy").as("myy"), m("sxy").as("mxy"))
+        val cov = col("mxy") - (col("mx") * col("my"))
+        val vx = col("mxx") - (col("mx") * col("mx"))
+        val vy = col("myy") - (col("my") * col("my"))
+        ms.select((cov / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"))
       },
       Some("""SELECT
              |  ((CAST(sxy AS DOUBLE) / n) - ((CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
@@ -185,14 +208,19 @@ object AggQueries {
       (s, d) => {
         val pred = col("l_quantity") * lit(2200.0)
         val truth = col("l_extendedprice")
-        val dd = round(pred - truth).cast("long")
-        val dr = (round(pred) - round(truth)).cast("long")
-        val dnl = round((round(scalars.normlogit(p1 + lit(0.01)), 6)
-          - round(scalars.normlogit(col("l_tax") + lit(0.01)), 6)) * 1000000).cast("long")
-        T(s, d, "lineitem").agg(
-          (sum(dd * dd) / count(lit(1)).cast("double")).as("mse"),
-          (sum(dr * dr) / count(lit(1)).cast("double")).as("rounded_mse"),
-          (sum(dnl * dnl) / (count(lit(1)).cast("double") * lit(1.0e12))).as("normlogit_mse"))
+        // diffs projected once below the agg: dnl expands normlogit
+        // (log/least/greatest chain) twice — inlined into sum(dnl*dnl)
+        // it would be emitted 4x in the generated code
+        val diffs = T(s, d, "lineitem").select(
+          round(pred - truth).cast("long").as("_dd"),
+          (round(pred) - round(truth)).cast("long").as("_dr"),
+          round((round(scalars.normlogit(p1 + lit(0.01)), 6)
+            - round(scalars.normlogit(col("l_tax") + lit(0.01)), 6)) * 1000000)
+            .cast("long").as("_dnl"))
+        diffs.agg(
+          (sum(col("_dd") * col("_dd")) / count(lit(1)).cast("double")).as("mse"),
+          (sum(col("_dr") * col("_dr")) / count(lit(1)).cast("double")).as("rounded_mse"),
+          (sum(col("_dnl") * col("_dnl")) / (count(lit(1)).cast("double") * lit(1.0e12))).as("normlogit_mse"))
       },
       Some {
         val lM = scalars.lM

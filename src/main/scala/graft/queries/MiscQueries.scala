@@ -53,6 +53,105 @@ object MiscQueries {
              |       (SELECT unnest([-1, 0, 1]) AS dj) d2
              |  GROUP BY 1, 2) WHERE n = 9""".stripMargin)),
 
+    // X1 (weighted): the same offset-explode stencil with ARBITRARY
+    // per-offset kernel weights — blocks.py:10-34's learned conv
+    // applies a real (non-uniform) kernel; here the 3x3 binomial
+    // kernel [[1,2,1],[2,4,2],[1,2,1]]/16 in exact integer space.
+    // Same plan shape as x1_conv_stencil: broadcast the 9 offsets,
+    // one re-aggregation shuffle on the output cell key.
+    Q("x1_conv_weighted",
+      (s, d) => {
+        val g = T(s, d, "lineitem")
+          .select((col("l_orderkey") % 16).as("i"), (col("l_partkey") % 16).as("j"),
+            col("l_quantity"))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("l_quantity").cast("long")).as("v"))
+        import s.implicits._
+        val offs = (for { di <- -1 to 1; dj <- -1 to 1 }
+          yield (di, dj, ((2 - math.abs(di)) * (2 - math.abs(dj))).toLong))
+          .toDF("di", "dj", "w")
+        g.crossJoin(broadcast(offs))
+          .select((col("i") + col("di")).as("ci"), (col("j") + col("dj")).as("cj"),
+            (col("v") * col("w")).as("wv"))
+          .groupBy(col("ci"), col("cj"))
+          .agg(count(lit(1)).as("n"), sum(col("wv")).as("swv"))
+          .where(col("n") === 9)
+          .select(col("ci"), col("cj"), (col("swv") / 16.0).as("conv"))
+      },
+      Some("""WITH g AS (SELECT l_orderkey % 16 AS i, l_partkey % 16 AS j,
+             |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+             |           FROM lineitem GROUP BY 1, 2),
+             |o AS (SELECT * FROM (VALUES (-1,-1,1),(-1,0,2),(-1,1,1),(0,-1,2),(0,0,4),
+             |                            (0,1,2),(1,-1,1),(1,0,2),(1,1,1)) t(di, dj, w))
+             |SELECT ci, cj, CAST(swv AS BIGINT) / 16e0 AS conv FROM (
+             |  SELECT g.i + o.di AS ci, g.j + o.dj AS cj, count(*) AS n, sum(v * w) AS swv
+             |  FROM g, o GROUP BY 1, 2) WHERE n = 9""".stripMargin)),
+
+    // X2 (vector state): the GRU fold with an array<double> hidden
+    // state stepped elementwise (rnn.py:37-72's frame-shaped state);
+    // per-component biases make the components diverge so the test is
+    // non-trivial. DuckDB twin: list_reduce over [v] singleton lists.
+    Q("x2_gru_vec",
+      (s, d) => Fold.foldAggVec(T(s, d, "events"), "user_id", "ts", "event_id", "value",
+        Seq(0.0, 0.1, 0.2))
+        .select(col("user_id"),
+          round(element_at(col("h_vec"), 1), 5).as("h_0"),
+          round(element_at(col("h_vec"), 2), 5).as("h_1"),
+          round(element_at(col("h_vec"), 3), 5).as("h_2"),
+          col("n_steps")),
+      Some {
+        def step(h: String, b: String) = {
+          val o = s"((x[1] / 100e0) + (0.5e0 * $h) + $b)"
+          s"(0.6e0 * $h) + (0.4e0 * ((exp(2e0 * $o) - 1e0) / (exp(2e0 * $o) + 1e0)))"
+        }
+        val lam = Seq("0.0e0", "0.1e0", "0.2e0").zipWithIndex
+          .map { case (b, k) => step(s"h[${k + 1}]", b) }.mkString("[", ", ", "]")
+        s"""SELECT user_id, round(hf[1], 5) AS h_0, round(hf[2], 5) AS h_1,
+           |  round(hf[3], 5) AS h_2, n_steps
+           |FROM (SELECT user_id,
+           |    list_reduce(list_prepend([0e0, 0e0, 0e0],
+           |      list_transform(list(value ORDER BY ts, event_id), v -> [v])),
+           |      (h, x) -> $lam) AS hf,
+           |    count(*) AS n_steps
+           |  FROM events GROUP BY user_id)""".stripMargin
+      }),
+
+    // Nested-frame flip (SURVEY §1.1's second frame representation):
+    // the 16x16 grid as an array<array<bigint>> frame, flipud =
+    // reverse(frame), fliplr = transform(frame, reverse) — the
+    // np.flip frame ops of datasets.py:289-297 on the nested form —
+    // then re-exploded to (op, i, row_csv) rows for the oracle.
+    Q("n11_frame_flip_nested",
+      (s, d) => {
+        val g = T(s, d, "lineitem")
+          .select((col("l_orderkey") % 16).as("i"), (col("l_partkey") % 16).as("j"),
+            col("l_quantity"))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("l_quantity").cast("long")).as("v"))
+        val rows = g.groupBy(col("i")).agg(
+          transform(sort_array(collect_list(struct(col("j"), col("v")))),
+            x => x.getField("v")).as("r"))
+        val frame = rows.agg(
+          transform(sort_array(collect_list(struct(col("i"), col("r")))),
+            x => x.getField("r")).as("frame"))
+        frame.select(explode(array(
+            struct(lit("flipud").as("op"), reverse(col("frame")).as("f")),
+            struct(lit("fliplr").as("op"), transform(col("frame"), r => reverse(r)).as("f"))))
+            .as("x"))
+          .select(col("x.op").as("op"), posexplode(col("x.f")))
+          .select(col("op"), col("pos").cast("long").as("i"),
+            concat_ws(",", transform(col("col"), v => v.cast("string"))).as("row_csv"))
+      },
+      Some("""WITH g AS (SELECT l_orderkey % 16 AS i, l_partkey % 16 AS j,
+             |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+             |           FROM lineitem GROUP BY 1, 2),
+             |r AS (SELECT i, string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS fwd,
+             |             string_agg(CAST(v AS VARCHAR), ',' ORDER BY j DESC) AS bwd
+             |      FROM g GROUP BY i)
+             |SELECT 'flipud' AS op, CAST(15 - i AS BIGINT) AS i, fwd AS row_csv FROM r
+             |UNION ALL
+             |SELECT 'fliplr' AS op, CAST(i AS BIGINT) AS i, bwd AS row_csv FROM r""".stripMargin)),
+
     // X2: GRU ordered fold via sort_array + aggregate() HOF
     // (rnn.py:26-30); DuckDB twin folds the identical step with
     // list_reduce over a 0.0-prepended ordered list
@@ -100,9 +199,11 @@ object MiscQueries {
     // aggregated-out levels match across engines
     Q("g_rollup_revenue",
       (s, d) => T(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_extendedprice") * 100).cast("long").as("_cents"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("revenue")),
+          (sum(col("_cents")) / 100.0).as("revenue")),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
              |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0e0 AS revenue
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),

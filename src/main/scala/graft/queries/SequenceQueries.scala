@@ -92,6 +92,46 @@ object SequenceQueries {
               |  string_agg(CAST(n AS VARCHAR), ',' ORDER BY bkt) AS seq_counts
               |FROM pb GROUP BY user_id, t0""".stripMargin)),
 
+    // W1 at the REFERENCE parameters: 36 frames at 15-min cadence
+    // (datasets.py:15-47,172 — seq len 36, 900s interval). Two scale
+    // decisions differ from the L=3 demos above, both forced by L=36:
+    //  1. the per-bucket series is pre-aggregated FIRST (map-side
+    //     combined groupBy whose shuffle is bounded by the number of
+    //     buckets — time-range bounded — never the number of events);
+    //  2. the 36-bucket sliding aggregate is ONE range-frame window
+    //     pass over that series, not a 36-way explode join: the join
+    //     form multiplies the series 36x, the range frame reads it
+    //     once. n_buckets = 36 is exactly the valid-start predicate.
+    // The series here is the global event stream (the test events are
+    // too sparse per-key at 15-min cadence); a real deployment
+    // partitions the window by the series key (region/product), each
+    // key's bucket count bounded by the time range.
+    Q("w1_seq36_range",
+      (s, d) => {
+        val series = T(s, d, "events")
+          .select(Sequences.tsBucket(col("ts"), 900L).as("bkt"), col("value"))
+          .groupBy(col("bkt"))
+          .agg(count(lit(1)).as("n_ev"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+        val w = Window.partitionBy(lit("all")).orderBy(col("bkt"))
+          .rangeBetween(Window.currentRow, 35)
+        series.select(col("bkt").as("t0"),
+            count(lit(1)).over(w).as("n_buckets"),
+            sum(col("n_ev")).over(w).as("n_events"),
+            (sum(col("cents")).over(w) / 100.0).as("sum_val"))
+          .where(col("n_buckets") === 36)
+      },
+      Some("""WITH p AS (SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) AS bkt,
+             |             count(*) AS n_ev,
+             |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |           FROM events GROUP BY 1)
+             |SELECT t0, n_buckets, n_events, sum_val FROM (
+             |  SELECT bkt AS t0, count(*) OVER w AS n_buckets,
+             |    CAST(sum(n_ev) OVER w AS BIGINT) AS n_events,
+             |    CAST(sum(cents) OVER w AS BIGINT) / 100.0e0 AS sum_val
+             |  FROM p WINDOW w AS (ORDER BY bkt RANGE BETWEEN CURRENT ROW AND 35 FOLLOWING))
+             |WHERE n_buckets = 36""".stripMargin)),
+
     // W3: last-frame selection (models.py:119,174,223)
     Q("w3_last_event",
       (s, d) => T(s, d, "events").groupBy(col("user_id")).agg(

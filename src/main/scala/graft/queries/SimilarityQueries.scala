@@ -53,12 +53,17 @@ object SimilarityQueries {
         val d2 = round(
           vectors.normSq(col("embedding")) - lit(2.0) * vectors.dot(col("embedding"), col("cv"))
             + vectors.normSq(col("cv")), 6)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(d2.asc, col("cid").asc)
+        // argmin via min_by on a (d2, cid) struct (deterministic
+        // tie-break), NOT row_number over a window: the aggregate gets
+        // map-side partials and no per-key sort of the K-expanded
+        // table — at corpus scale the shuffle carries one partial row
+        // per vector per partition instead of K expanded rows
         val assigned = emb.crossJoin(broadcast(cents))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cid"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("embedding"), col("cid")),
+            struct(d2.as("d2"), col("cid"))).as("best"))
+          .select(col("vec_id"), col("best.embedding").as("embedding"),
+            col("best.cid").as("cid"))
         val q = assigned.where(col("vec_id") === 0)
           .select(col("embedding").as("qv"), col("cid").as("qcid"))
         assigned.join(broadcast(q), col("cid") === col("qcid"))

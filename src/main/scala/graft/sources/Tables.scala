@@ -28,9 +28,22 @@ object Tables {
     "spark.sql.session.timeZone" -> "UTC",
   )
 
+  // Memoized logical plans per (session, dir, table): `spark.read
+  // .parquet` re-reads parquet footers for schema inference on every
+  // call, a fixed per-query tax when 70+ registered queries each load
+  // 1-3 tables. Keyed on the session so a restarted session (tests)
+  // never reuses plans bound to a stopped one. Plans are immutable, so
+  // sharing one DataFrame across queries is safe.
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   /** Read `<sfDir>/<name>.parquet`, normalizing any long-nanos `ts`
     * column back to TimestampType. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    planCache.computeIfAbsent((spark, sfDir, name),
+      _ => doLoad(spark, sfDir, name))
+
+  private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>

@@ -1,0 +1,22 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bounds the HLL++ sketch against its exact twin: the
+  * `g_approx_distinct` query has no SQL oracle (sketch internals are
+  * engine-specific), so the accuracy claim lives here instead —
+  * approx_count_distinct's default rsd is 5%, and the query computes
+  * both columns in one pass for exactly this comparison. */
+class ApproxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("g_approx_distinct: sketch within 5% of the exact count") {
+    val row = SparkEntry.allQueries.find(_.name == "g_approx_distinct").get
+      .fn(spark, "/root/testdata/sf0.001").collect()(0)
+    val approx = row.getAs[Long]("approx_parts").toDouble
+    val exact = row.getAs[Long]("exact_parts").toDouble
+    assert(exact > 0)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact rel-err=${math.abs(approx - exact) / exact}")
+  }
+}

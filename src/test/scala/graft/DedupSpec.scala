@@ -70,6 +70,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!ps.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("maxBucket cap bounds a duplicate-heavy corpus's hot band buckets") {
+    // 40 identical docs put all 40 rows into the same bucket in every
+    // band -> 780 quadratic pairs uncapped; the cap drops the hot
+    // buckets entirely (exact dedup owns this case), while distinct
+    // docs' small buckets are untouched.
+    val heavy = ((1L to 40L).map(i => (i, base)) ++ Seq(
+      (101L, base.replace("lazy", "sleepy") + " extra tail words here"),
+      (102L, "completely different words about spark catalyst tungsten shuffles and joins")
+    )).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(heavy, $"text", $"doc_id", 3, 4)
+    val banded = Dedup.lshBands(sig, 4, 4)
+    val uncapped = Dedup.lshCandidatePairs(banded, 4, 4).count()
+    val capped = Dedup.lshCandidatePairs(banded, 4, 4, maxBucket = 10).count()
+    assert(uncapped >= 780L, s"hot bucket should be quadratic uncapped: $uncapped")
+    assert(capped < 40L, s"cap must drop the hot bucket: $capped")
+  }
+
   test("shingles: short docs yield empty shingle set, not an error") {
     val s = Seq((9L, "one two")).toDF("doc_id", "text")
       .select(size(text.shingles($"text", 3)).as("n")).collect()(0).getInt(0)

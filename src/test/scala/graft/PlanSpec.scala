@@ -54,6 +54,13 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan".r.findAllIn(p).length == 1, "window form scans once")
   }
 
+  test("w1_seq36_range: L=36 slides as one range window over the pre-aggregated series") {
+    val p = finalPlan("w1_seq36_range")
+    assert(!p.contains("Generate explode"), "the 36-step window must not 36x-explode the series")
+    assert(p.contains("partial_count"), "bucket series must pre-aggregate with map-side combine")
+    assert("FileScan".r.findAllIn(p).length == 1, "events scanned once")
+  }
+
   test("bucketed big-big join runs with zero shuffles (co-located)") {
     // the 100 TB path for fact-fact joins: bucketBy the join key at
     // write time; the join then needs no Exchange at read time

@@ -1,0 +1,16 @@
+#!/bin/bash
+# Dev runner: java -cp against compiled classes (dev-loop only; the
+# driver uses sbt runMain). Usage: tools/run.sh graft.Bench [args...]
+# Env knobs pass straight through (SPARK_GRAFT_SF_DIR, _ONLY, _REPEAT, _CPUS).
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CP" "$@"
