@@ -138,13 +138,21 @@ object Dedup {
     * joined per side — work proportional to candidates, not corpus². */
   def jaccard(pairsIn: DataFrame, docs: DataFrame, textCol: Column, idCol: Column,
               shingleK: Int = 3): DataFrame = {
-    // exploded-shingle set feeds three joins — materialize once
-    val sh = shingleRows(docs, textCol, idCol, shingleK).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the candidate list feeds the intersect join AND the final left
     // join; without this the entire upstream pipeline (e.g. the LSH
     // signature + band join) executes twice
     val pairs = pairsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // "work ∝ candidates, not corpus" applies to the shingle sets too:
+    // only docs that appear in some candidate pair are exploded /
+    // deduped — the broadcast semi-filter runs BELOW the explode, so a
+    // corpus where LSH pairs 10% of docs shingles 10% of docs
+    val candIds = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val cand = docs.select(idCol.as("doc_id"), textCol.as("_t"))
+      .join(broadcast(candIds), Seq("doc_id"))
+    // exploded-shingle set feeds three joins — materialize once
+    val sh = shingleRows(cand, col("_t"), col("doc_id"), shingleK).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")

@@ -90,6 +90,35 @@ object SimilarityQueries {
            |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
       }),
 
+    // embedding-cosine near-dup dedup: the pairwise analog of
+    // e_ann_bucketed — hyperplane-bucket every vector, generate pairs
+    // ONLY within a bucket (one equi-join shuffle on the bucket key,
+    // never an all-pairs cross join), exact cosine on the survivors,
+    // rank by similarity. The test corpus plants no true embedding
+    // dups, so the query emits the top-20 most-similar bucketed pairs
+    // (a dedup run would add `where cos >= t`— same plan).
+    Q("d_embed_neardup",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            vectors.hyperplaneBucket(col("embedding"), AnnBits, Dim).as("bucket"))
+        val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+        val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+        a.join(b, "bucket")
+          .where(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            round(vectors.cosine(col("va"), col("vb")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
+          .limit(20)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+              |            ${bucketSql("CAST(embedding AS DOUBLE[])", AnnBits)} AS bucket
+              |          FROM embeddings)
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |  round(${cosSql("a.ve", "b.ve")}, 6) AS cos
+              |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |ORDER BY cos DESC, vec_a, vec_b LIMIT 20""".stripMargin)),
+
     // brute-force cosine top-k against the vec_id=0 query vector
     Q("e_cosine_topk",
       (s, d) => {
