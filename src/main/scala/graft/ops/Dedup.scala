@@ -48,16 +48,20 @@ object Dedup {
     * Shape: explode -> codegen'd md5/substring -> groupBy(doc) with
     * map-side-combined `min` (the shuffle carries at most one partial
     * row per doc per partition). Docs shorter than the shingle width
-    * keep a NULL signature via the left join. */
+    * keep a NULL signature via the left join — pass
+    * `keepShort = false` to skip that join (and its shuffle) when the
+    * consumer drops null signatures anyway, as LSH banding does. */
   def minhashSignature(docs: DataFrame, textCol: Column, idCol: Column,
-                       shingleK: Int = 3, seeds: Int = 4): DataFrame = {
+                       shingleK: Int = 3, seeds: Int = 4,
+                       keepShort: Boolean = true): DataFrame = {
     require(seeds <= 4, "one md5 yields 4 independent 32-bit slices")
     val hx = shingleRows(docs, textCol, idCol, shingleK)
       .select(col("doc_id"), md5(col("s")).as("hx"))
     val aggs = (0 until seeds).map(s =>
       min(substring(col("hx"), 8 * s + 1, 8)).as(s"m_$s"))
     val sig = hx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    docs.select(idCol.as("doc_id")).join(sig, Seq("doc_id"), "left")
+    if (keepShort) docs.select(idCol.as("doc_id")).join(sig, Seq("doc_id"), "left")
+    else sig
   }
 
   /** LSH banding: `bands` band keys over the signature columns (rows
@@ -150,8 +154,13 @@ object Dedup {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val cand = docs.select(idCol.as("doc_id"), textCol.as("_t"))
       .join(broadcast(candIds), Seq("doc_id"))
-    // exploded-shingle set feeds three joins — materialize once
-    val sh = shingleRows(cand, col("_t"), col("doc_id"), shingleK).distinct()
+    // exploded-shingle set feeds three joins — materialize once.
+    // repartition by doc_id BEFORE the distinct: hash-by-doc satisfies
+    // the (doc_id, s) clustering, so the dedup, the per-doc count
+    // below, and the doc_a-side join all reuse ONE exchange (the
+    // validStarts single-shuffle pattern)
+    val sh = shingleRows(cand, col("_t"), col("doc_id"), shingleK)
+      .repartition(col("doc_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = pairs

@@ -130,8 +130,10 @@ object TextQueries {
     // LSH banded candidate pairs + signature-agreement estimate
     Q("d_lsh_pairs",
       (s, d) => {
+        // keepShort=false: banding drops null signatures anyway, so
+        // the null-keeping left join (one shuffle) is pure cost here
         val sig = Dedup.minhashSignature(T(s, d, "documents"), col("text"), col("doc_id"),
-          shingleK = 3, seeds = Seeds)
+          shingleK = 3, seeds = Seeds, keepShort = false)
         Dedup.lshCandidatePairs(Dedup.lshBands(sig, Seeds, Bands), Seeds, Bands)
       },
       Some(s"""$sigCte
@@ -189,7 +191,8 @@ object TextQueries {
     Q("d_jaccard_pairs",
       (s, d) => {
         val docs = T(s, d, "documents")
-        val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 3, Seeds)
+        val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 3, Seeds,
+          keepShort = false)
         val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, Seeds, Bands), Seeds, Bands)
           .select("doc_a", "doc_b")
         Dedup.jaccard(pairs, docs, col("text"), col("doc_id"), 3)
