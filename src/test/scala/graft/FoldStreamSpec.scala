@@ -27,6 +27,23 @@ class FoldStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("vector-state fold: component with zero bias == scalar fold, others diverge") {
+    // stepColVec with bias 0.0 applies exactly the scalar recurrence,
+    // so h_vec[0] must equal foldAgg's h_final bit-for-bit; non-zero
+    // biases must produce different trajectories (state really is
+    // per-component, not broadcast)
+    val v = Fold.foldAggVec(events, "user_id", "ts", "event_id", "value", Seq(0.0, 0.1, 0.2))
+      .select($"user_id", element_at($"h_vec", 1).as("h0"), element_at($"h_vec", 2).as("h1"))
+    val sc = Fold.foldAgg(events, "user_id", "ts", "event_id", "value")
+      .select($"user_id", $"h_final")
+    val joined = v.join(sc, "user_id").collect()
+    assert(joined.length == 15)
+    joined.foreach { r =>
+      assert(r.getAs[Double]("h0") == r.getAs[Double]("h_final"), r.toString)
+      assert(r.getAs[Double]("h1") != r.getAs[Double]("h_final"), r.toString)
+    }
+  }
+
   test("fold is order-dependent (sanity: reversed order differs)") {
     val fwd = Fold.foldAgg(events, "user_id", "ts", "event_id", "value")
       .agg(sum(abs($"h_final"))).collect()(0).getDouble(0)
