@@ -163,9 +163,13 @@ object Dedup {
       .repartition(col("doc_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // shuffle_hash, NOT sort-merge: the (doc_b, s) intersect join
+    // moves |pairs| x |shingles/doc| rows — hashing the smaller
+    // shingle side avoids sorting the expanded side entirely
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")).hint("shuffle_hash"),
+        Seq("doc_b", "s"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     pairs.select("doc_a", "doc_b")
       .join(inter, Seq("doc_a", "doc_b"), "left")
