@@ -17,6 +17,12 @@ import graft.functions.text
   *  - exact Jaccard runs only over the LSH-surviving pairs.
   * Every hash is md5 so an external SQL engine reproduces the exact
   * pipeline (no engine-private hash seeds).
+  *
+  * Cache lifecycle: [[lshCandidatePairs]] and [[jaccard]] persist
+  * reused subplans (a lazily-returned plan cannot unpersist itself).
+  * The caller owns the lifecycle — drop them after the action with
+  * `spark.catalog.clearCache()` (as Bench/Verify do between queries)
+  * or by unpersisting the returned plan's cached children.
   */
 object Dedup {
 

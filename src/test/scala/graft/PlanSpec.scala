@@ -61,6 +61,18 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan".r.findAllIn(p).length == 1, "events scanned once")
   }
 
+  test("x1_conv_weighted: the 9 kernel offsets broadcast; only re-agg shuffles") {
+    val p = finalPlan("x1_conv_weighted")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "offset table must broadcast")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross join")
+  }
+
+  test("d_embed_neardup: pair generation is a bucket equi-join, never all-pairs") {
+    val p = finalPlan("d_embed_neardup")
+    assert(!p.contains("CartesianProduct"), "bucketed pairs must not cross join:\n" + p.take(1200))
+  }
+
   test("bucketed big-big join runs with zero shuffles (co-located)") {
     // the 100 TB path for fact-fact joins: bucketBy the join key at
     // write time; the join then needs no Exchange at read time
