@@ -160,28 +160,24 @@ object Dedup {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val cand = docs.select(idCol.as("doc_id"), textCol.as("_t"))
       .join(broadcast(candIds), Seq("doc_id"))
-    // exploded-shingle set feeds three joins — materialize once.
-    // repartition by doc_id BEFORE the distinct: hash-by-doc satisfies
-    // the (doc_id, s) clustering, so the dedup, the per-doc count
-    // below, and the doc_a-side join all reuse ONE exchange (the
-    // validStarts single-shuffle pattern)
-    val sh = shingleRows(cand, col("_t"), col("doc_id"), shingleK)
-      .repartition(col("doc_id")).distinct()
+    // Per-doc distinct-shingle ARRAYS: the codegen'd explode path
+    // feeds collect_set, so the only big shuffle is ~|distinct
+    // shingle rows| into the per-doc set build. The alternative —
+    // joining exploded (doc, shingle) rows per pair side — shuffles
+    // |pairs| x |shingles/doc| expanded rows (~10x more here).
+    // (Do NOT build the arrays with the shingles() HOF: its lambdas
+    // evaluate interpreted, measured ~3x the whole query's cost.)
+    val sets = shingleRows(cand, col("_t"), col("doc_id"), shingleK)
+      .groupBy(col("doc_id")).agg(collect_set(col("s")).as("ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // shuffle_hash, NOT sort-merge: the (doc_b, s) intersect join
-    // moves |pairs| x |shingles/doc| rows — hashing the smaller
-    // shingle side avoids sorting the expanded side entirely
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")).hint("shuffle_hash"),
-        Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    pairs.select("doc_a", "doc_b")
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+    // each pair gathers its two sets via small equi-joins and
+    // intersects them row-locally; work strictly ∝ |pairs|
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_inter"),
+        size(col("sa")).cast("long").as("na"), size(col("sb")).cast("long").as("nb"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         (col("n_inter").cast("double") /
           (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
