@@ -65,7 +65,10 @@ object AggQueries {
     * re-inlining `g(s11)`-style terms ~20x. The VALUES are identical
     * to the one-select form (same IEEE ops in the same order), so the
     * oracle hash is unchanged. */
-  private def ridgeWeightsSpark(s: org.apache.spark.sql.SparkSession, d: String) = {
+  /** The regularized-moment stage shared by both ridge variants:
+    * one-pass quantized sums -> normalized moments -> (g12, gb1, gb2,
+    * m11, m22) with the mean-diagonal lambda folded in. */
+  private def ridgeMoments(s: org.apache.spark.sql.SparkSession, d: String) = {
     val sums = T(s, d, "lineitem")
       .select(q(p1).as("_q1"), q(p2).as("_q2"), q(yv).as("_qy"))
       .agg(
@@ -81,13 +84,31 @@ object AggQueries {
       (col("s22") / n2).as("g22"), (col("sb1") / n2).as("gb1"),
       (col("sb2") / n2).as("gb2"))
     val lam = lit(0.1) * ((col("g11") + col("g22")) / lit(2.0))
-    val m = g.select(col("g12"), col("gb1"), col("gb2"),
+    g.select(col("g12"), col("gb1"), col("gb2"),
       (col("g11") + lam).as("m11"), (col("g22") + lam).as("m22"))
+  }
+
+  private def ridgeWeightsSpark(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val m = ridgeMoments(s, d)
     val dd = m.select(col("g12"), col("gb1"), col("gb2"), col("m11"), col("m22"),
       ((col("m11") * col("m22")) - (col("g12") * col("g12"))).as("det"))
     dd.select(
       (((col("gb1") * col("m22")) - (col("gb2") * col("g12"))) / col("det")).as("w1"),
       (((col("m11") * col("gb2")) - (col("g12") * col("gb1"))) / col("det")).as("w2"))
+  }
+
+  /** A4 sum-to-1 variant, in-plan: for p=2 the KKT system
+    * (ensemble.py:49-57) collapses to the closed form
+    * w1 = (M22 - M12 + b1 - b2) / (M11 - 2 M12 + M22), w2 = 1 - w1
+    * (substitute w2 = 1 - w1 into the regularized quadratic and set
+    * the derivative to zero). `EnsembleSpec` checks this analytic
+    * form agrees with the driver-side KKT Gaussian elimination. */
+  private def ridgeSum1Spark(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val m = ridgeMoments(s, d)
+    val w1 = m.select(
+      (((col("m22") - col("g12")) + (col("gb1") - col("gb2"))) /
+        ((col("m11") - (lit(2.0) * col("g12"))) + col("m22"))).as("w1"))
+    w1.select(col("w1"), (lit(1.0) - col("w1")).as("w2"))
   }
 
   val all: Seq[Q] = Seq(
@@ -150,6 +171,21 @@ object AggQueries {
     Q("a4_ridge_weights",
       (s, d) => ridgeWeightsSpark(s, d),
       Some(s"$ridgeSelectSql\nFROM ($ridgeSumsSql)")),
+
+    // A4 sum-to-1: the constrained KKT variant (ensemble.py:49-57),
+    // p=2 closed form fully in-plan so the oracle reproduces it
+    Q("a4_ridge_sum1",
+      (s, d) => ridgeSum1Spark(s, d),
+      Some(s"""WITH s AS ($ridgeSumsSql),
+              |g AS (SELECT (s11 / (n * $S2)) AS g11, (s12 / (n * $S2)) AS g12,
+              |             (s22 / (n * $S2)) AS g22, (sb1 / (n * $S2)) AS gb1,
+              |             (sb2 / (n * $S2)) AS gb2 FROM s),
+              |m AS (SELECT g12, gb1, gb2,
+              |             g11 + (0.1e0 * ((g11 + g22) / 2e0)) AS m11,
+              |             g22 + (0.1e0 * ((g11 + g22) / 2e0)) AS m22 FROM g)
+              |SELECT w1, (1e0 - w1) AS w2 FROM (
+              |  SELECT (((m22 - g12) + (gb1 - gb2))
+              |          / ((m11 - (2e0 * g12)) + m22)) AS w1 FROM m)""".stripMargin)),
 
     // A3+A4+N7: the whole ensemble-fit path — fit weights, broadcast
     // them, blend per row (ensemble.py:81-101)

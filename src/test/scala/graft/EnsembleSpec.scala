@@ -47,6 +47,20 @@ class EnsembleSpec extends AnyFunSuite {
     assert(math.abs(w.sum - 1.0) < 1e-12)
   }
 
+  test("p=2 sum-to-1 closed form == KKT Gaussian elimination") {
+    // the a4_ridge_sum1 query's in-plan algebra:
+    // w1 = (M22 - M12 + b1 - b2) / (M11 - 2 M12 + M22)
+    val (g11, g12, g22) = (0.3, 0.1, 0.5)
+    val (b1, b2) = (0.2, 0.4)
+    val kkt = Ensemble.ridgeSolveSum1(
+      Array(Array(g11, g12), Array(g12, g22)), Array(b1, b2), 0.1)
+    val lam = 0.1 * ((g11 + g22) / 2)
+    val (m11, m22) = (g11 + lam, g22 + lam)
+    val w1 = (m22 - g12 + (b1 - b2)) / (m11 - 2 * g12 + m22)
+    assert(math.abs(kkt(0) - w1) < 1e-12, s"kkt=${kkt.toSeq} analytic=$w1")
+    assert(math.abs(kkt(1) - (1.0 - w1)) < 1e-12)
+  }
+
   test("solver handles p=5 with pivoting") {
     val rnd = new scala.util.Random(3)
     val p = 5
