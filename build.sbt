@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // JIT code cache: the default 240m fills after ~50 generated-code
+  // query plans; once full, C2 flushes/stops compiling and later
+  // queries run interpreted-hot (warm times creep toward cold ones)
+  "-XX:ReservedCodeCacheSize=512m",
 )

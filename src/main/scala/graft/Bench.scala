@@ -19,6 +19,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // static conf, so it must be set at session build: the default
+      // generated-code cache holds only 100 entries, and 70+ queries
+      // x several codegen units each evict everything between repeats
+      // (each repeat then pays full Janino recompilation — measured as
+      // warm times approaching cold ones late in the run)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config(graft.sources.Tables.conf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,15 +64,16 @@ object Bench {
     }
     spark.catalog.clearCache()
     // SPARK_GRAFT_ONLY=comma-list restricts to named queries (dev knob).
-    // SPARK_GRAFT_REPEAT=n runs each query n times; the reported time is
-    // the per-query MINIMUM. Default 2: the JVM charges one-time Janino
+    // SPARK_GRAFT_REPEAT=n runs each query n times. REPORTING CONTRACT
+    // (kept stable across rounds): "value"/"queries" are the COLD
+    // first-run times — directly comparable to every earlier round's
+    // artifact and to the single-shot DuckDB oracle runs. The per-query
+    // MINIMUM over the n repeats is reported separately as
+    // "warm_total"/"warm_queries": the JVM charges one-time Janino
     // codegen compilation + C2 JIT (~0.3-1s per unique plan) to the
-    // first execution — a cold-start artifact of the runtime, not
-    // operator throughput (a C++ engine like the DuckDB oracle has no
-    // analogous cost: its first and repeat runs measure equal). The min
-    // isolates steady-state throughput, standard JVM-benchmarking
-    // (JMH) practice; the cold pass is still reported as "cold_total"
-    // so both numbers are visible.
+    // first execution, so the min isolates steady-state throughput
+    // (standard JVM-benchmarking practice) without redefining the
+    // headline number.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -88,7 +95,7 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      name -> (if (times.contains(-1.0)) (-1.0, -1.0) else (times.min, times.head))
+      name -> (if (times.contains(-1.0)) (-1.0, -1.0) else (times.head, times.min))
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -96,16 +103,16 @@ object Bench {
     } + "\""
     val fullErrJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
-    val coldTotal = results.collect { case (_, (_, c)) if c >= 0 => c }.sum
+    val warmTotal = results.collect { case (_, (_, w)) if w >= 0 => w }.sum
     // Full per-query detail (full precision) goes to a file; the ONE
     // stdout JSON line must survive the driver's 2000-char output-tail
     // capture, so its queries dict lists slowest-first and stops at a
     // character budget ("queries_elided" counts the fast ones cut;
     // bench_full.json always has all of them).
     val fullQs = results.map { case (k, (v, _)) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val fullCold = results.map { case (k, (_, c)) => s"${q(k)}:$c" }.mkString("{", ",", "}")
+    val fullWarm = results.map { case (k, (_, w)) => s"${q(k)}:$w" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"cold_total":$coldTotal,"cold_queries":$fullCold,"failed":${errors.size},"errors":$fullErrJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"warm_total":$warmTotal,"warm_queries":$fullWarm,"failed":${errors.size},"errors":$fullErrJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()
@@ -133,8 +140,8 @@ object Bench {
         if (len + e.length + 1 <= budget) (acc :+ e, len + e.length + 1) else (acc, len)
     }
     val elided = entries.size - kept.size
-    val coldFmt = String.format(java.util.Locale.ROOT, "%.3f", Double.box(coldTotal))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_elided":$elided,"cold_total":$coldFmt,"failed":${errors.size},"errors":$errJson,"errors_elided":$errElided,"sf":"$sfDir"}""")
+    val warmFmt = String.format(java.util.Locale.ROOT, "%.3f", Double.box(warmTotal))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_elided":$elided,"warm_total":$warmFmt,"failed":${errors.size},"errors":$errJson,"errors_elided":$errElided,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

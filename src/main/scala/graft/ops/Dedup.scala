@@ -20,11 +20,40 @@ import graft.functions.text
   *
   * Cache lifecycle: [[lshCandidatePairs]] and [[jaccard]] persist
   * reused subplans (a lazily-returned plan cannot unpersist itself).
-  * The caller owns the lifecycle — drop them after the action with
-  * `spark.catalog.clearCache()` (as Bench/Verify do between queries)
-  * or by unpersisting the returned plan's cached children.
+  * The caller owns the lifecycle: use [[lshCandidatePairsFull]] /
+  * [[jaccardFull]] to get the persisted handles and call
+  * `unpersistAll()` once the downstream action has run, or drop
+  * everything with `spark.catalog.clearCache()` (as Bench/Verify do
+  * between queries). The plain overloads are conveniences for
+  * one-shot callers who accept either of those cleanups.
   */
 object Dedup {
+
+  /** LSH candidate generation with its operational side-channels.
+    *
+    * @param pairs          the candidate pairs (doc_a, doc_b, jaccard_est)
+    * @param droppedBuckets (band_idx, band_key, n_docs) for every band
+    *                       bucket the `maxBucket` skew cap dropped —
+    *                       empty when the cap never engaged. Count its
+    *                       rows (or sum n_docs) to quantify the recall
+    *                       loss: docs in these buckets get NO candidate
+    *                       pairs from that band, so 'no dups found' and
+    *                       'dups were in a capped bucket' stay
+    *                       distinguishable. Route their members through
+    *                       exact dedup as the cap's doc prescribes.
+    * @param caches         the persisted intermediates backing both
+    *                       frames — unpersist after the action. */
+  final case class LshCandidates(pairs: DataFrame, droppedBuckets: DataFrame,
+                                 caches: Seq[DataFrame]) {
+    def unpersistAll(blocking: Boolean = false): Unit =
+      caches.foreach(_.unpersist(blocking))
+  }
+
+  /** A result plus the persisted subplans it is built on. */
+  final case class CachedFrame(result: DataFrame, caches: Seq[DataFrame]) {
+    def unpersistAll(blocking: Boolean = false): Unit =
+      caches.foreach(_.unpersist(blocking))
+  }
 
   /** Exact-duplicate groups by normalized-text fingerprint. */
   def exactDupGroups(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
@@ -91,7 +120,14 @@ object Dedup {
     * signature-agreement estimate `jaccard_est` = matching
     * components / seeds. */
   def lshCandidatePairs(bandedIn: DataFrame, seeds: Int, bands: Int,
-                        maxBucket: Int = Int.MaxValue): DataFrame = {
+                        maxBucket: Int = Int.MaxValue): DataFrame =
+    lshCandidatePairsFull(bandedIn, seeds, bands, maxBucket).pairs
+
+  /** As [[lshCandidatePairs]], additionally returning the dropped-bucket
+    * side channel and the persisted intermediates (see
+    * [[LshCandidates]]). */
+  def lshCandidatePairsFull(bandedIn: DataFrame, seeds: Int, bands: Int,
+                            maxBucket: Int = Int.MaxValue): LshCandidates = {
     val bandStructs = array((0 until bands).map(b =>
       struct(lit(b).as("band_idx"), col(s"band_$b").as("band_key"))): _*)
     // one row per (doc, band); feeds both sides of the self-join
@@ -108,11 +144,16 @@ object Dedup {
     // quadratic on it. With `maxBucket` set, over-full buckets are
     // DROPPED (their members are near-exact duplicates — run exact
     // dedup first to collapse them; the cap is the backstop, not the
-    // dedup). One extra aggregate on the already-cached rows.
+    // dedup), and reported in `droppedBuckets` so the recall loss is
+    // observable. One extra aggregate on the already-cached rows.
+    val bucketSizes = exploded.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n_docs"))
+    val dropped =
+      if (maxBucket == Int.MaxValue) bucketSizes.where(lit(false))
+      else bucketSizes.where(col("n_docs") > maxBucket)
     val rows = if (maxBucket == Int.MaxValue) exploded else {
-      val keep = exploded.groupBy(col("band_idx"), col("band_key"))
-        .agg(count(lit(1)).as("_bn"))
-        .where(col("_bn") <= maxBucket)
+      val keep = bucketSizes
+        .where(col("n_docs") <= maxBucket)
         .select(col("band_idx"), col("band_key"))
       exploded.join(keep, Seq("band_idx", "band_key"))
     }
@@ -122,7 +163,7 @@ object Dedup {
     val right = rows.select(
       col("band_idx") +: col("band_key") +: col("doc_id").as("doc_b") +:
         (0 until seeds).map(i => col(s"m_$i").as(s"mb_$i")): _*)
-    left.join(right, Seq("band_idx", "band_key"))
+    val pairs = left.join(right, Seq("band_idx", "band_key"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (0 until seeds).map(i =>
@@ -130,6 +171,7 @@ object Dedup {
           .cast("double").as("n_match"))
       .distinct()
       .select(col("doc_a"), col("doc_b"), (col("n_match") / seeds).as("jaccard_est"))
+    LshCandidates(pairs, dropped, Seq(exploded))
   }
 
   /** SimHash (nBits <= 16 via md5 hex digits): explode tokens, one
@@ -147,7 +189,14 @@ object Dedup {
   /** Exact shingle-set Jaccard for candidate pairs: distinct shingles
     * joined per side — work proportional to candidates, not corpus². */
   def jaccard(pairsIn: DataFrame, docs: DataFrame, textCol: Column, idCol: Column,
-              shingleK: Int = 3): DataFrame = {
+              shingleK: Int = 3): DataFrame =
+    jaccardFull(pairsIn, docs, textCol, idCol, shingleK).result
+
+  /** As [[jaccard]], additionally returning the persisted intermediates
+    * (candidate pairs, per-doc shingle sets) so the caller can
+    * unpersist them after the downstream action. */
+  def jaccardFull(pairsIn: DataFrame, docs: DataFrame, textCol: Column, idCol: Column,
+                  shingleK: Int = 3): CachedFrame = {
     // the candidate list feeds the intersect join AND the final left
     // join; without this the entire upstream pipeline (e.g. the LSH
     // signature + band join) executes twice
@@ -172,7 +221,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // each pair gathers its two sets via small equi-joins and
     // intersects them row-locally; work strictly ∝ |pairs|
-    pairs
+    val out = pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -181,5 +230,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         (col("n_inter").cast("double") /
           (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
+    CachedFrame(out, Seq(pairs, sets))
   }
 }

@@ -32,16 +32,37 @@ object Tables {
   // .parquet` re-reads parquet footers for schema inference on every
   // call, a fixed per-query tax when 70+ registered queries each load
   // 1-3 tables. Keyed on the session so a restarted session (tests)
-  // never reuses plans bound to a stopped one. Plans are immutable, so
-  // sharing one DataFrame across queries is safe.
+  // never reuses plans bound to a stopped one; a listener evicts a
+  // session's entries when it stops, so neither the session nor its
+  // DataFrames outlive it in this map. Plans are immutable, so sharing
+  // one DataFrame across queries is safe — with one caveat: the plan
+  // pins the parquet FILE LISTING at first load. Rewriting files under
+  // an sfDir mid-session would be served stale; call [[invalidate]]
+  // after regenerating test data.
   private val planCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Drop every memoized plan (all sessions). Needed only when files
+    * under a previously-loaded sfDir have been rewritten. */
+  def invalidate(): Unit = planCache.clear()
 
   /** Read `<sfDir>/<name>.parquet`, normalizing any long-nanos `ts`
     * column back to TimestampType. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (evictionHooked.add(spark)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          planCache.keySet.removeIf(k => k._1 eq spark)
+          evictionHooked.remove(spark)
+        }
+      })
+    }
     planCache.computeIfAbsent((spark, sfDir, name),
       _ => doLoad(spark, sfDir, name))
+  }
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")

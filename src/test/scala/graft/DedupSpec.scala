@@ -87,6 +87,37 @@ class DedupSpec extends AnyFunSuite {
     assert(capped < 40L, s"cap must drop the hot bucket: $capped")
   }
 
+  test("capped run reports dropped buckets; uncapped run reports none") {
+    val heavy = ((1L to 40L).map(i => (i, base)) ++ Seq(
+      (101L, base.replace("lazy", "sleepy") + " extra tail words here"),
+      (102L, "completely different words about spark catalyst tungsten shuffles and joins")
+    )).toDF("doc_id", "text")
+    val banded = Dedup.lshBands(Dedup.minhashSignature(heavy, $"text", $"doc_id", 3, 4), 4, 4)
+    val capped = Dedup.lshCandidatePairsFull(banded, 4, 4, maxBucket = 10)
+    val dropped = capped.droppedBuckets.collect()
+    // the 40 identical docs form one >10-doc bucket in EACH of the 4
+    // bands — the side channel makes the recall loss countable
+    assert(dropped.length == 4, s"expected 4 hot buckets, got ${dropped.toSeq}")
+    assert(dropped.forall(_.getAs[Long]("n_docs") >= 40L))
+    val uncapped = Dedup.lshCandidatePairsFull(banded, 4, 4)
+    assert(uncapped.droppedBuckets.count() == 0L)
+    capped.unpersistAll(); uncapped.unpersistAll()
+  }
+
+  test("Full variants expose persisted intermediates; unpersistAll releases them") {
+    val sig = Dedup.minhashSignature(docs, $"text", $"doc_id", 3, 4)
+    val lsh = Dedup.lshCandidatePairsFull(Dedup.lshBands(sig, 4, 4), 4, 4)
+    lsh.pairs.write.format("noop").mode("overwrite").save()
+    assert(lsh.caches.nonEmpty && lsh.caches.forall(_.storageLevel.useMemory))
+    lsh.unpersistAll(blocking = true)
+    assert(lsh.caches.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
+    val jf = Dedup.jaccardFull(lsh.pairs.select("doc_a", "doc_b"), docs, $"text", $"doc_id", 3)
+    jf.result.write.format("noop").mode("overwrite").save()
+    assert(jf.caches.size == 2 && jf.caches.forall(_.storageLevel.useMemory))
+    jf.unpersistAll(blocking = true)
+    assert(jf.caches.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
+  }
+
   test("shingles: short docs yield empty shingle set, not an error") {
     val s = Seq((9L, "one two")).toDF("doc_id", "text")
       .select(size(text.shingles($"text", 3)).as("n")).collect()(0).getInt(0)
