@@ -38,6 +38,23 @@ object text {
     when(length(norm) === 0, md5(t)).otherwise(md5(norm))
   }
 
+  /** Polynomial rolling-hash document fingerprint: fold tokens
+    * left-to-right as h' = (h*31 + v(tok)) mod (2^31 - 1), with the
+    * per-token value v = ascii(first) + 131*ascii(last) + 7*length.
+    * Order-SENSITIVE (unlike the bag-of-shingles MinHash) and
+    * incremental — appending a token updates the hash in O(1), the
+    * property a streaming ingest fingerprint needs. [[fingerprint]]
+    * (md5) stays the collision-robust dedup key; this is the cheap
+    * sequential form. All integer arithmetic: identical in any
+    * engine. Bound: h < 2^31, 31*h + v < 2^36 — no 64-bit overflow.
+    * aggregate() evaluates interpreted (one fold per document — off
+    * the hot path; the per-token md5 pipelines stay codegen'd). */
+  def rollingFingerprint(t: Column): Column = {
+    val vals = transform(tokens(t), tk =>
+      (ascii(tk) + lit(131) * ascii(reverse(tk)) + lit(7) * length(tk)).cast("long"))
+    aggregate(vals, lit(0L), (acc, v) => pmod(acc * lit(31L) + v, lit(2147483647L)))
+  }
+
   /** k-word shingles as an array of strings: shingle i joins tokens
     * [i, i+k). */
   def shingles(t: Column, k: Int = 3): Column = {

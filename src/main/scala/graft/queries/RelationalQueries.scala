@@ -163,6 +163,31 @@ object RelationalQueries {
              |JOIN (SELECT l_orderkey, bool_or(l_quantity > 45e0) AS has_big
              |      FROM lineitem GROUP BY l_orderkey) ON o_orderkey = l_orderkey""".stripMargin)),
 
+    // J6: salted skew join — o_orderstatus has 3 distinct values, so a
+    // plain shuffle join would serialize 150k+ rows onto <=3 reducer
+    // partitions; Skew.saltedJoin spreads each status over 8 salt
+    // buckets (24 join keys). shuffle_hash hint keeps the dim from
+    // being broadcast so the demonstrated distribution is the real
+    // one. Output is row-identical to the unsalted join (the oracle
+    // IS the unsalted join).
+    Q("j6_salted_skew_join",
+      (s, d) => {
+        val orders = T(s, d, "orders")
+        val dim = orders.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_status"))
+        graft.ops.Skew.saltedJoin(
+            orders, dim.hint("shuffle_hash"), Seq("o_orderstatus"),
+            col("o_orderkey"), s = 8)
+          .groupBy(col("o_orderstatus"), col("n_status"))
+          .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("sum_price"))
+      },
+      Some("""WITH dim AS (SELECT o_orderstatus, count(*) AS n_status
+             |            FROM orders GROUP BY 1)
+             |SELECT o.o_orderstatus, d.n_status,
+             |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0e0 AS sum_price
+             |FROM orders o JOIN dim d ON o.o_orderstatus = d.o_orderstatus
+             |GROUP BY 1, 2""".stripMargin)),
+
     // O1: sort + top-k with rank. Spark plans TakeOrderedAndProject
     // (no global sort of the full table); the rank window runs over
     // the 100 surviving rows only.

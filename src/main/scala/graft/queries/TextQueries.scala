@@ -121,6 +121,20 @@ object TextQueries {
            |            FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)))""".stripMargin
       }),
 
+    // rolling-hash fingerprint (order-sensitive, incremental) next to
+    // the md5 fingerprint of t_exact_dedup; DuckDB twin folds the same
+    // recurrence with list_reduce
+    Q("t_rolling_fp",
+      (s, d) => T(s, d, "documents").select(col("doc_id"),
+        text.rollingFingerprint(col("text")).as("rolling_fp")),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(text, ' '),
+             |        tk -> CAST(ascii(tk) + 131 * ascii(reverse(tk)) + 7 * length(tk) AS BIGINT))),
+             |    (acc, v) -> (acc * 31 + v) % 2147483647) AS rolling_fp
+             |FROM documents""".stripMargin)),
+
     // MinHash signature: 4 md5-salted min-hash components per doc
     Q("d_minhash_sig",
       (s, d) => Dedup.minhashSignature(T(s, d, "documents"), col("text"), col("doc_id"),

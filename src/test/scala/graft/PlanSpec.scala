@@ -61,6 +61,13 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan".r.findAllIn(p).length == 1, "events scanned once")
   }
 
+  test("j6: salted join keys include the salt and the dim is not broadcast") {
+    val p = finalPlan("j6_salted_skew_join")
+    assert(p.contains("_salt"), "join must run on (key, salt):\n" + p.take(1200))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      "a broadcast would hide the salted shuffle distribution the demo proves")
+  }
+
   test("x1_conv_weighted: the 9 kernel offsets broadcast; only re-agg shuffles") {
     val p = finalPlan("x1_conv_weighted")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
