@@ -174,6 +174,36 @@ object Dedup {
     LshCandidates(pairs, dropped, Seq(exploded))
   }
 
+  /** Candidate ID pairs only — the variant a downstream exact
+    * rescorer (e.g. [[jaccard]]) wants. Same banded self-join as
+    * [[lshCandidatePairsFull]], but no signature columns ride through
+    * the join and the distinct dedupes bare (doc_a, doc_b): half the
+    * shuffled row width for the same candidate set. */
+  def lshCandidateIdPairs(bandedIn: DataFrame, bands: Int,
+                          maxBucket: Int = Int.MaxValue): CachedFrame = {
+    val bandStructs = array((0 until bands).map(b =>
+      struct(lit(b).as("band_idx"), col(s"band_$b").as("band_key"))): _*)
+    val exploded = bandedIn
+      .select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx").as("band_idx"),
+        col("bk.band_key").as("band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = if (maxBucket == Int.MaxValue) exploded else {
+      val keep = exploded.groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") <= maxBucket)
+        .select(col("band_idx"), col("band_key"))
+      exploded.join(keep, Seq("band_idx", "band_key"))
+    }
+    val pairs = rows.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
+      .join(rows.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    CachedFrame(pairs, Seq(exploded))
+  }
+
   /** SimHash (nBits <= 16 via md5 hex digits): explode tokens, one
     * shuffle on doc id, per-bit vote sums combined into the hash. */
   def simhash(docs: DataFrame, textCol: Column, idCol: Column, nBits: Int = 16): DataFrame = {

@@ -207,8 +207,9 @@ object TextQueries {
         val docs = T(s, d, "documents")
         val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 3, Seeds,
           keepShort = false)
-        val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, Seeds, Bands), Seeds, Bands)
-          .select("doc_a", "doc_b")
+        // id-pairs variant: the rescorer ignores jaccard_est, so the
+        // signature columns never enter the self-join/distinct
+        val pairs = Dedup.lshCandidateIdPairs(Dedup.lshBands(sig, Seeds, Bands), Bands).result
         Dedup.jaccard(pairs, docs, col("text"), col("doc_id"), 3)
           .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
       },

@@ -104,6 +104,22 @@ class DedupSpec extends AnyFunSuite {
     capped.unpersistAll(); uncapped.unpersistAll()
   }
 
+  test("lshCandidateIdPairs yields exactly the full variant's pair set") {
+    val banded = Dedup.lshBands(Dedup.minhashSignature(docs, $"text", $"doc_id", 3, 4), 4, 4)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.lshCandidatePairsFull(banded, 4, 4)
+    val ids = Dedup.lshCandidateIdPairs(banded, 4)
+    assert(pairSet(ids.result) == pairSet(full.pairs))
+    // and under a cap, both drop the same buckets
+    val fullCap = Dedup.lshCandidatePairsFull(banded, 4, 4, maxBucket = 1)
+    val idsCap = Dedup.lshCandidateIdPairs(banded, 4, maxBucket = 1)
+    assert(pairSet(idsCap.result) == pairSet(fullCap.pairs))
+    Seq(full.caches, fullCap.caches, ids.caches, idsCap.caches)
+      .flatten.foreach(_.unpersist())
+  }
+
   test("Full variants expose persisted intermediates; unpersistAll releases them") {
     val sig = Dedup.minhashSignature(docs, $"text", $"doc_id", 3, 4)
     val lsh = Dedup.lshCandidatePairsFull(Dedup.lshBands(sig, 4, 4), 4, 4)
