@@ -90,6 +90,54 @@ object SimilarityQueries {
            |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
       }),
 
+    // IVF centroid TRAINING: one Lloyd iteration in-plan — assign all
+    // vectors to their nearest seed centroid (broadcast + min_by
+    // argmin, as e_ivf_ann), then re-estimate each cell's centroid as
+    // the per-dimension member mean. The mean runs in exact integer
+    // space (1e-6-quantized BIGINT sums) so parallel reassociation
+    // cannot perturb it. Long-form output (cid, pos, n, c_mean):
+    // K x 64 rows, array-free for the oracle. Iterating = re-running
+    // with these means as the next seed; each iteration is one
+    // broadcast + two shuffles regardless of corpus size.
+    Q("e_ivf_train",
+      (s, d) => {
+        val emb = T(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val cents = emb.where(col("vec_id").between(1, IvfK))
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val d2 = round(
+          vectors.normSq(col("embedding")) - lit(2.0) * vectors.dot(col("embedding"), col("cv"))
+            + vectors.normSq(col("cv")), 6)
+        val assigned = emb.crossJoin(broadcast(cents))
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("embedding"), col("cid")),
+            struct(d2.as("d2"), col("cid"))).as("best"))
+          .select(col("best.cid").as("cid"), col("best.embedding").as("ve"))
+        assigned
+          .select(col("cid"), posexplode(col("ve")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(count(lit(1)).as("n"),
+            (sum(round(col("v").cast("double") * 1e6).cast("long"))
+              / (lit(1e6) * count(lit(1)))).as("c_mean"))
+          .select(col("cid"), col("pos").cast("long").as("pos"), col("n"), col("c_mean"))
+      },
+      Some {
+        def dotS(a: String, b: String) =
+          s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           |c AS (SELECT vec_id AS cid, ve AS cv FROM e WHERE vec_id BETWEEN 1 AND $IvfK),
+           |a AS (SELECT ve, cid FROM (
+           |    SELECT e.ve, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(${dotS("e.ve", "e.ve")} - 2e0 * ${dotS("e.ve", "c.cv")}
+           |          + ${dotS("c.cv", "c.cv")}, 6) ASC, c.cid ASC) AS rn
+           |    FROM e, c) WHERE rn = 1)
+           |SELECT cid, i - 1 AS pos, count(*) AS n,
+           |  CAST(sum(CAST(round(ve[i] * 1000000) AS BIGINT)) AS BIGINT)
+           |    / (1e6 * count(*)) AS c_mean
+           |FROM a, range(1, ${Dim + 1}) t(i)
+           |GROUP BY cid, i - 1""".stripMargin
+      }),
+
     // embedding-cosine near-dup dedup: the pairwise analog of
     // e_ann_bucketed — hyperplane-bucket every vector, generate pairs
     // ONLY within a bucket (one equi-join shuffle on the bucket key,
