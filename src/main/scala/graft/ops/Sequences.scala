@@ -56,6 +56,26 @@ object Sequences {
       .select(col(key), col("prev_ts").as("gap_start"), col(ts).as("gap_end"))
   }
 
+  /** Gap-based sessionization: assign every event a per-key session id
+    * (events further than `maxGapSeconds` from their predecessor start
+    * a new session). Two window passes over ONE key shuffle — lag to
+    * flag session starts, cumulative sum to number them — the
+    * standard scale shape for clickstream/session analytics; skew is
+    * bounded by the hottest key. `tieBreak` makes the within-ts order
+    * (and so the ids) deterministic. */
+  def sessionize(events: DataFrame, key: String, ts: String,
+                 maxGapSeconds: Long, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
+    events
+      .withColumn("_prev", lag(col(ts), 1).over(w))
+      .withColumn("_new", when(col("_prev").isNull ||
+        unix_micros(col(ts)) - unix_micros(col("_prev")) > maxGapSeconds * 1000000L, 1L)
+        .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev", "_new")
+  }
+
   /** J2/W1: sequence assembly as an equi-join after explode — for each
     * valid start bucket, gather the rows of buckets [b, b+seqLen).
     * The explode(sequence) + equi-join form shuffles on (key, bucket)

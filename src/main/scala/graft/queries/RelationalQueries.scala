@@ -188,6 +188,31 @@ object RelationalQueries {
              |FROM orders o JOIN dim d ON o.o_orderstatus = d.o_orderstatus
              |GROUP BY 1, 2""".stripMargin)),
 
+    // J7: as-of (point-in-time) join — every event gets the latest
+    // anchor (event_id % 7 == 0, deduped to one per (user, ts)) at or
+    // before its timestamp. Spark-first shape: tagged union + one key
+    // window (ops/AsOf), never a range theta-join; the oracle is
+    // DuckDB's NATIVE ASOF LEFT JOIN, so the window rewrite is proven
+    // equivalent to the dedicated operator.
+    Q("j7_asof_join",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val anchors = ev.where(pmod(col("event_id"), lit(7)) === 0)
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("anchor_val"),
+            max(col("event_id")).as("anchor_id"))
+        graft.ops.AsOf.asofJoin(
+            ev.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+            anchors, "user_id", "ts",
+            valCols = Seq("anchor_val", "anchor_id"), tieBreak = "anchor_id")
+      },
+      Some("""WITH r AS (SELECT user_id, ts, arg_max(value, event_id) AS anchor_val,
+             |            max(event_id) AS anchor_id
+             |          FROM events WHERE event_id % 7 = 0 GROUP BY 1, 2)
+             |SELECT l.event_id, l.user_id, l.ts, l.value, r.anchor_val, r.anchor_id
+             |FROM events l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
+
     // O1: sort + top-k with rank. Spark plans TakeOrderedAndProject
     // (no global sort of the full table); the rank window runs over
     // the 100 surviving rows only.

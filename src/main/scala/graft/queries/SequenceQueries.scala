@@ -171,5 +171,28 @@ object SequenceQueries {
               |SELECT user_id, make_timestamp(bkt * $Step * 1000000) AS t0_ts,
               |  make_timestamp((bkt + 1) * $Step * 1000000) AS target_ts
               |FROM s""".stripMargin)),
+
+    // W7: gap-based sessionization — two window passes over one key
+    // shuffle (lag flags session starts, cumulative sum numbers them),
+    // then per-session stats. The clickstream-analytics staple.
+    Q("w7_sessionize",
+      (s, d) => Sequences.sessionize(T(s, d, "events"), "user_id", "ts", 7200L, "event_id")
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("s_start"), max(col("ts")).as("s_end")),
+      Some("""SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts) AS s_start, max(ts) AS s_end
+             |FROM (
+             |  SELECT user_id, ts,
+             |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM (
+             |    SELECT user_id, ts, event_id,
+             |      CASE WHEN prev_ts IS NULL
+             |             OR epoch_us(ts) - epoch_us(prev_ts) > 7200000000 THEN 1 ELSE 0 END AS is_new
+             |    FROM (SELECT user_id, ts, event_id,
+             |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |          FROM events)))
+             |GROUP BY user_id, session_id""".stripMargin)),
   )
 }
