@@ -216,6 +216,38 @@ object MiscQueries {
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // pivot (long -> wide): order counts per year x status. Spark's
+    // pivot with explicit values keeps the plan a plain groupBy with
+    // conditional aggregates (no second pass to discover columns);
+    // coalesce pins absent combinations to 0 like the oracle's FILTER
+    Q("g_pivot_status",
+      (s, d) => T(s, d, "orders")
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .groupBy(col("yr")).pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("yr"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p")),
+      Some("""SELECT year(o_orderdate) AS yr,
+             |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+             |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+             |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // exact percentiles (sort-based): median + p90 of event value per
+    // type. Both engines linearly interpolate between the two
+    // straddling order statistics; round(6) absorbs the last-ulp
+    // difference in the interpolation arithmetic
+    Q("g_median_value",
+      (s, d) => T(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90")),
+      Some("""SELECT event_type, round(quantile_cont(value, 0.5e0), 6) AS med,
+             |  round(quantile_cont(value, 0.9e0), 6) AS p90
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // approx_count_distinct (HLL++): sketch internals are
     // engine-specific so there is no SQL oracle (driver records a
     // rows-only check); the test bound lives in the exact twin below

@@ -213,6 +213,54 @@ object RelationalQueries {
              |FROM events l ASOF LEFT JOIN r
              |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
 
+    // J8: semi/anti joins — existence filtering without row
+    // multiplication (the dedup-safe way to ask "has orders?"/"has
+    // none"). full_outer + coalesce keeps segments where either count
+    // is zero, matching the oracle's FILTER counts.
+    Q("j8_semi_anti",
+      (s, d) => {
+        val c = T(s, d, "customer")
+        val o = T(s, d, "orders")
+        val active = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_active"))
+        val inactive = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_inactive"))
+        active.join(inactive, Seq("c_mktsegment"), "full_outer")
+          .select(col("c_mktsegment"),
+            coalesce(col("n_active"), lit(0L)).as("n_active"),
+            coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(count(*) FILTER (has_o) AS BIGINT) AS n_active,
+             |  CAST(count(*) FILTER (NOT has_o) AS BIGINT) AS n_inactive
+             |FROM (SELECT c_mktsegment,
+             |        EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+             |      FROM customer)
+             |GROUP BY 1""".stripMargin)),
+
+    // O3: the ANSI rank family over a tie-heavy column — every output
+    // is a function of (partition, order key) alone, so the row set is
+    // deterministic under any execution order; distinct collapses the
+    // per-row duplication
+    Q("o3_rank_family",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        T(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            round(percent_rank().over(w), 6).as("prnk"),
+            round(cume_dist().over(w), 6).as("cdist"))
+          .distinct()
+      },
+      Some("""SELECT DISTINCT l_returnflag, l_quantity,
+             |  CAST(rank() OVER w AS BIGINT) AS rnk,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             |  round(percent_rank() OVER w, 6) AS prnk,
+             |  round(cume_dist() OVER w, 6) AS cdist
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)""".stripMargin)),
+
     // O1: sort + top-k with rank. Spark plans TakeOrderedAndProject
     // (no global sort of the full table); the rank window runs over
     // the 100 surviving rows only.
