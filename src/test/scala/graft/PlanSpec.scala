@@ -61,6 +61,21 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan".r.findAllIn(p).length == 1, "events scanned once")
   }
 
+  test("j7: as-of join is JOIN-FREE — union + one shared-sort window pass") {
+    val p = finalPlan("j7_asof_join")
+    assert(!p.contains("Join"), "as-of must rewrite to union+window, not a range join")
+    assert("Sort \\[".r.findAllIn(p).length == 1,
+      "both ignoreNulls windows must share one sort:\n" + p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      "one key shuffle for the window, one for the anchor agg")
+  }
+
+  test("w7: sessionize windows + session agg reuse ONE key shuffle") {
+    val p = finalPlan("w7_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "lag, cumulative sum, and the per-session agg must share the user_id exchange:\n" + p.take(1200))
+  }
+
   test("j6: salted join keys include the salt and the dim is not broadcast") {
     val p = finalPlan("j6_salted_skew_join")
     assert(p.contains("_salt"), "join must run on (key, salt):\n" + p.take(1200))
