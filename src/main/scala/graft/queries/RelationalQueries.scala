@@ -261,6 +261,28 @@ object RelationalQueries {
              |FROM lineitem
              |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)""".stripMargin)),
 
+    // O4: top-N per group — row_number + filter, the partitioned
+    // cousin of O1's global top-k. The selected columns are a subset
+    // of the sort key, so rows tied on the full key are
+    // interchangeable and the output is deterministic even though
+    // (l_orderkey, l_linenumber) is not unique in this lake.
+    Q("o4_topn_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        T(s, d, "lineitem")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 3)
+          .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
+            col("l_linenumber"), col("l_extendedprice"))
+      },
+      Some("""SELECT l_returnflag, CAST(rn AS BIGINT) AS rn, l_orderkey, l_linenumber, l_extendedprice
+             |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             |        row_number() OVER (PARTITION BY l_returnflag
+             |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+             |      FROM lineitem)
+             |WHERE rn <= 3""".stripMargin)),
+
     // O1: sort + top-k with rank. Spark plans TakeOrderedAndProject
     // (no global sort of the full table); the rank window runs over
     // the 100 surviving rows only.

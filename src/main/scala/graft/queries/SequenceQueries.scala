@@ -194,5 +194,25 @@ object SequenceQueries {
              |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              |          FROM events)))
              |GROUP BY user_id, session_id""".stripMargin)),
+
+    // W8: moving average over a bounded row frame — the time-series
+    // smoothing staple. The frame sum runs in quantized BIGINT space:
+    // engines may accumulate sliding windows differently (segment
+    // trees vs running sums), which integer arithmetic is immune to.
+    Q("w8_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+        T(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            (sum(round(col("value") * 1e6).cast("long")).over(w)
+              / (lit(1e6) * count(lit(1)).over(w))).as("mavg"))
+      },
+      Some("""SELECT user_id, event_id, ts,
+             |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS BIGINT)
+             |    / (1e6 * count(*) OVER w) AS mavg
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)),
   )
 }

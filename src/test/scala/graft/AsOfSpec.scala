@@ -24,6 +24,34 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(4L).isEmpty, "keys never mix")
   }
 
+  test("asofJoin matches a brute-force reference on seeded random data") {
+    val rnd = new scala.util.Random(42)
+    // deliberately collision-heavy: few keys, few timestamps, so ties
+    // and missing-anchor cases all occur
+    val left = (1L to 200L).map(id => (id, rnd.nextInt(5).toLong, ts(rnd.nextInt(50).toLong)))
+      .toDF("id", "k", "t")
+    val rightRows = (1L to 60L).map(aid =>
+      (aid, rnd.nextInt(5).toLong, ts(rnd.nextInt(50).toLong), rnd.nextDouble()))
+    val right = rightRows.toDF("aid", "k", "t", "av")
+      // unique (k, t): keep the max-aid row, as the query layer does
+      .groupBy($"k", $"t").agg(max_by($"av", $"aid").as("av"), max($"aid").as("aid"))
+    val got = AsOf.asofJoin(left.toDF(), right, "k", "t", Seq("av", "aid"), tieBreak = "aid")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.get(r.fieldIndex("av"))), Option(r.get(r.fieldIndex("aid"))))).toMap
+    // brute force: latest (max t, then max aid) anchor with t <= left.t
+    val anchors = right.collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[java.sql.Timestamp]("t"), r.getAs[Double]("av"), r.getAs[Long]("aid")))
+    for ((id, k, t) <- left.collect().map(r =>
+        (r.getAs[Long]("id"), r.getAs[Long]("k"), r.getAs[java.sql.Timestamp]("t")))) {
+      val eligible = anchors.filter(a => a._1 == k && !a._2.after(t))
+      val expect = if (eligible.isEmpty) (None, None) else {
+        val best = eligible.maxBy(a => (a._2.getTime, a._4))
+        (Some(best._3), Some(best._4))
+      }
+      assert(got(id) == expect, s"id=$id k=$k t=$t")
+    }
+  }
+
   test("sessionize: gap strictly greater than maxGap starts a new session") {
     val ev = Seq((1L, 10L, 0L), (2L, 10L, 100L), (3L, 10L, 200L), (4L, 10L, 501L), (5L, 20L, 0L))
       .map { case (id, k, sec) => (id, k, ts(sec)) }.toDF("event_id", "user_id", "t")
