@@ -238,20 +238,33 @@ object RelationalQueries {
              |      FROM customer)
              |GROUP BY 1""".stripMargin)),
 
-    // O3: the ANSI rank family over a tie-heavy column — every output
-    // is a function of (partition, order key) alone, so the row set is
-    // deterministic under any execution order; distinct collapses the
-    // per-row duplication
+    // O3: the ANSI rank family over a tie-heavy column. NOT computed
+    // as a window over the raw rows — l_returnflag has 3 values, so
+    // that window would sort the whole table on 3 tasks. Instead:
+    // parallel partial+final groupBy collapses the 600k rows to ~150
+    // (flag, quantity) groups, and the rank family falls out of
+    // cumulative counts over that TINY series (rank = preceding rows
+    // + 1, dense_rank = distinct position, percent_rank/cume_dist =
+    // the ANSI count formulas on exact integers). The oracle stays
+    // DuckDB's real window functions — proving the aggregation
+    // rewrite IS the rank family.
     Q("o3_rank_family",
       (s, d) => {
+        val g = T(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("cnt"))
         val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-        T(s, d, "lineitem")
-          .select(col("l_returnflag"), col("l_quantity"),
-            rank().over(w).cast("long").as("rnk"),
-            dense_rank().over(w).cast("long").as("drnk"),
-            round(percent_rank().over(w), 6).as("prnk"),
-            round(cume_dist().over(w), 6).as("cdist"))
-          .distinct()
+        val wAll = Window.partitionBy(col("l_returnflag"))
+        g.select(col("l_returnflag"), col("l_quantity"),
+            (coalesce(sum(col("cnt")).over(
+              w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L).as("rnk"),
+            row_number().over(w).cast("long").as("drnk"),
+            sum(col("cnt")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+            sum(col("cnt")).over(wAll).as("n"))
+          .select(col("l_returnflag"), col("l_quantity"), col("rnk"), col("drnk"),
+            round((col("rnk") - 1).cast("double") / (col("n") - 1).cast("double"), 6).as("prnk"),
+            round(col("cum").cast("double") / col("n").cast("double"), 6).as("cdist"))
       },
       Some("""SELECT DISTINCT l_returnflag, l_quantity,
              |  CAST(rank() OVER w AS BIGINT) AS rnk,
@@ -261,21 +274,21 @@ object RelationalQueries {
              |FROM lineitem
              |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)""".stripMargin)),
 
-    // O4: top-N per group — row_number + filter, the partitioned
-    // cousin of O1's global top-k. The selected columns are a subset
-    // of the sort key, so rows tied on the full key are
-    // interchangeable and the output is deterministic even though
-    // (l_orderkey, l_linenumber) is not unique in this lake.
+    // O4: top-N per group — NOT the naive full-table window (3 groups
+    // => 3 tasks sort everything) but ops/TopN's threshold pre-filter:
+    // one parallel agg finds each group's n-th value, a broadcast
+    // filter keeps ~n survivors per group, and the ordering window
+    // runs over those only. The oracle is the one-pass window form —
+    // proving the two-phase rewrite emits identical rows.
     Q("o4_topn_per_group",
-      (s, d) => {
-        val w = Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-        T(s, d, "lineitem")
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .where(col("rn") <= 3)
-          .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
-            col("l_linenumber"), col("l_extendedprice"))
-      },
+      (s, d) => graft.ops.TopN.topNPerGroup(
+          T(s, d, "lineitem")
+            .select(col("l_returnflag"), col("l_orderkey"),
+              col("l_linenumber"), col("l_extendedprice")),
+          group = "l_returnflag", value = "l_extendedprice", n = 3,
+          tieBreaks = Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice")),
       Some("""SELECT l_returnflag, CAST(rn AS BIGINT) AS rn, l_orderkey, l_linenumber, l_extendedprice
              |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
              |        row_number() OVER (PARTITION BY l_returnflag

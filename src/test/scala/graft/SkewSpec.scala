@@ -24,6 +24,21 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("TopN threshold pre-filter == naive window on tie-heavy random data") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // few groups, heavily tied values, one group smaller than n
+    val rows = (1L to 500L).map(id => (id, rnd.nextInt(4).toLong, rnd.nextInt(12).toDouble)) ++
+      Seq((9001L, 99L, 5.0), (9002L, 99L, 5.0)) // group 99 has only 2 rows
+    val df = rows.toDF("id", "g", "v")
+    val got = graft.ops.TopN.topNPerGroup(df, "g", "v", n = 5, tieBreaks = Seq("id"))
+      .select("g", "rn", "id", "v").collect().map(_.toSeq).toSet
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id".asc)
+    val naive = df.withColumn("rn", row_number().over(w).cast("long"))
+      .where($"rn" <= 5).select("g", "rn", "id", "v").collect().map(_.toSeq).toSet
+    assert(got == naive)
+  }
+
   test("rolling fingerprint is order-sensitive; md5 fingerprint is not") {
     import graft.functions.text
     val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
