@@ -39,8 +39,15 @@ object vectors {
   def norm(a: Column): Column = sqrt(normSq(a))
 
   /** Cosine similarity `a.b / (|a| |b|)`; NULL (not an ANSI error) when
-    * either vector has zero norm — e.g. an all-zero padded embedding. */
+    * either vector has zero norm — e.g. an all-zero padded embedding.
+    * Fused native expression: one array traversal for all three
+    * accumulators (graft.expressions.CosineSim); [[cosineComposed]]
+    * is the 3-pass builtin composition it is bit-identical to. */
   def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", asDouble(a), asDouble(b))
+
+  /** Composable 3-pass form of [[cosine]] — the test cross-check. */
+  def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Deterministic ±1 hyperplane components: hyperplane `k`'s `d`-th

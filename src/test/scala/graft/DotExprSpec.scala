@@ -50,4 +50,27 @@ class DotExprSpec extends AnyFunSuite {
     val c = v.select(vectors.cosine($"a", $"b")).collect()(0).getDouble(0)
     assert(math.abs(c - 24.0 / 25.0) < 1e-12)
   }
+
+  test("fused cosine == 3-pass composed cosine on real embeddings, bit-exact") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.where($"vec_id" === 0).select($"embedding".as("qv"))
+    val both = emb.crossJoin(broadcast(q)).select(
+      vectors.cosine($"embedding", $"qv").as("fused"),
+      vectors.cosineComposed($"embedding", $"qv").as("composed"))
+    assert(both.where($"fused" =!= $"composed" ||
+      ($"fused".isNull !== $"composed".isNull)).count() == 0)
+  }
+
+  test("fused cosine null semantics: zero norm, length mismatch, null element") {
+    val df = Seq(
+      (Seq[java.lang.Double](0.0, 0.0), Seq[java.lang.Double](1.0, 2.0)),  // zero norm -> null
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),       // mismatch -> null
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)), // null elem -> null
+      (Seq[java.lang.Double](1.0, 0.0), Seq[java.lang.Double](1.0, 0.0))   // 1.0
+    ).toDF("a", "b")
+    val out = df.select(vectors.cosine($"a", $"b").as("c"),
+      vectors.cosineComposed($"a", $"b").as("cc")).collect()
+    for (i <- 0 to 2) assert(out(i).isNullAt(0) && out(i).isNullAt(1), s"row $i")
+    assert(out(3).getDouble(0) == 1.0 && out(3).getDouble(1) == 1.0)
+  }
 }
