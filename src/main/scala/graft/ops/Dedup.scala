@@ -233,12 +233,15 @@ object Dedup {
     val pairs = pairsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // "work ∝ candidates, not corpus" applies to the shingle sets too:
     // only docs that appear in some candidate pair are exploded /
-    // deduped — the broadcast semi-filter runs BELOW the explode, so a
-    // corpus where LSH pairs 10% of docs shingles 10% of docs
+    // deduped — the semi-filter runs BELOW the explode, so a corpus
+    // where LSH pairs 10% of docs shingles 10% of docs. left_semi
+    // with a shuffle-hash hint, NOT broadcast: 10% of a 100 TB corpus
+    // does not broadcast, and skipping the broadcast barrier also
+    // fuses the whole rescore into one job locally
     val candIds = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val cand = docs.select(idCol.as("doc_id"), textCol.as("_t"))
-      .join(broadcast(candIds), Seq("doc_id"))
+      .join(candIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
     // Per-doc distinct-shingle ARRAYS: the codegen'd explode path
     // feeds collect_set, so the only big shuffle is ~|distinct
     // shingle rows| into the per-doc set build. The alternative —
