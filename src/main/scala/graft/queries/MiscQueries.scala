@@ -235,6 +235,30 @@ object MiscQueries {
              |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
              |FROM orders GROUP BY 1""".stripMargin)),
 
+    // unpivot (wide -> long), the inverse reshaping of g_pivot_status:
+    // three measure columns melt into (measure, val) rows, then a
+    // per-(flag, measure) quantized aggregate. The oracle's UNION ALL
+    // is the relational definition of the melt.
+    Q("g_unpivot",
+      (s, d) => T(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("val") * 100).cast("long")) / 100.0).as("sum_val")),
+      Some("""WITH u AS (
+             |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+             |  UNION ALL
+             |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL
+             |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+             |SELECT l_returnflag, measure, count(*) AS n,
+             |  CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT) / 100.0e0 AS sum_val
+             |FROM u GROUP BY 1, 2""".stripMargin)),
+
     // exact percentiles (sort-based): median + p90 of event value per
     // type. Both engines linearly interpolate between the two
     // straddling order statistics; round(6) absorbs the last-ulp

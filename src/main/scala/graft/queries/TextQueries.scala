@@ -121,6 +121,82 @@ object TextQueries {
            |            FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)))""".stripMargin
       }),
 
+    // corpus top terms: the wordcount staple over the BPE-ish
+    // tokenizer (regex runs, not whitespace), deterministic tie-break
+    Q("t_top_terms",
+      (s, d) => T(s, d, "documents")
+        .select(explode(text.wordTokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(20),
+      Some("""SELECT term, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             |      FROM documents)
+             |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin)),
+
+    // TF-IDF top-3 terms per document: tf and df from one token
+    // explode, idf joined back, corpus size as a broadcast scalar,
+    // and the per-doc top-k via ops/TopN's threshold pre-filter (the
+    // oracle is the naive window form — the rewrite must emit
+    // identical rows). ln rounded at 6: Java vs libm last-ulp.
+    Q("t_tfidf_top",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(text.wordTokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+        val nDocs = docs.agg(count(lit(1)).as("nd"))
+        val scored = tf.join(dfq, "term").crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("term"),
+            round(col("tf").cast("double") *
+              log(col("nd").cast("double") / col("dfc").cast("double")), 6).as("tfidf"))
+        graft.ops.TopN.topNPerGroup(scored, "doc_id", "tfidf", 3, Seq("term"))
+          .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             |              FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS nd FROM documents),
+             |scored AS (SELECT doc_id, term,
+             |             round(CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(dfc AS DOUBLE)), 6) AS tfidf
+             |           FROM tf JOIN dfq USING (term), n)
+             |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tfidf FROM (
+             |  SELECT doc_id, term, tfidf,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+             |  FROM scored)
+             |WHERE rn <= 3""".stripMargin)),
+
+    // deterministic stratified mix-sampling — the data-mixing step of
+    // a training corpus: per-language keep rates decided by an
+    // md5-derived bucket (seeded, engine-reproducible, no RNG state),
+    // so any worker re-derives the same keep/drop for a row
+    Q("t_mix_sample",
+      (s, d) => {
+        def hexVal(c: org.apache.spark.sql.Column) =
+          ascii(c) - when(ascii(c) >= 97, 87).otherwise(48)
+        val hx = md5(concat(lit("mix7:"), col("doc_id").cast("string")))
+        val bucket = (hexVal(substring(hx, 1, 1)) * 4096 + hexVal(substring(hx, 2, 1)) * 256
+          + hexVal(substring(hx, 3, 1)) * 16 + hexVal(substring(hx, 4, 1))) % 100
+        val rate = when(col("lang") === "en", 80)
+          .when(col("lang") === "de", 50).otherwise(20)
+        T(s, d, "documents")
+          .where(bucket < rate)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      },
+      Some {
+        def hv(c: String) = s"(ascii($c) - CASE WHEN ascii($c) >= 97 THEN 87 ELSE 48 END)"
+        val hx = "md5(concat('mix7:', CAST(doc_id AS VARCHAR)))"
+        val bucket = s"(${hv(s"substring($hx, 1, 1)")} * 4096 + ${hv(s"substring($hx, 2, 1)")} * 256" +
+          s" + ${hv(s"substring($hx, 3, 1)")} * 16 + ${hv(s"substring($hx, 4, 1)")}) % 100"
+        s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+           |FROM documents
+           |WHERE $bucket < (CASE WHEN lang = 'en' THEN 80
+           |                      WHEN lang = 'de' THEN 50 ELSE 20 END)
+           |GROUP BY lang""".stripMargin
+      }),
+
     // rolling-hash fingerprint (order-sensitive, incremental) next to
     // the md5 fingerprint of t_exact_dedup; DuckDB twin folds the same
     // recurrence with list_reduce
