@@ -73,12 +73,15 @@ object Dedup {
       .select(col("doc_id"), concat_ws(" ",
         (1 to k).map(o => element_at(col("_tk"), col("_i") + o)): _*).as("s"))
 
-  /** MinHash signature: `seeds` (<= 4) independent min-hash components
-    * per document from ONE md5 per shingle — component `s` is the min
-    * over the s-th 8-hex-char (32-bit) slice of the shingle's md5.
-    * Disjoint slices of a crypto hash are independent uniform hashes,
-    * so each slice-min is a valid MinHash permutation at a quarter of
-    * the hashing cost of salting md5 per seed.
+  /** MinHash signature: `seeds` independent min-hash components per
+    * document from ceil(seeds/4) md5 evaluations per shingle —
+    * component `s` is the min over the (s%4)-th 8-hex-char (32-bit)
+    * slice of md5 number s/4 (the first md5 is unsalted, extra ones
+    * salt the shingle with "mh<g>:", so signatures for seeds <= 4 are
+    * byte-identical to the original scheme and existing oracles are
+    * untouched). Disjoint slices of a crypto hash are independent
+    * uniform hashes, so each slice-min is a valid MinHash permutation
+    * at a quarter of the hashing cost of salting md5 per seed.
     *
     * Shape: explode -> codegen'd md5/substring -> groupBy(doc) with
     * map-side-combined `min` (the shuffle carries at most one partial
@@ -89,12 +92,16 @@ object Dedup {
   def minhashSignature(docs: DataFrame, textCol: Column, idCol: Column,
                        shingleK: Int = 3, seeds: Int = 4,
                        keepShort: Boolean = true): DataFrame = {
-    require(seeds <= 4, "one md5 yields 4 independent 32-bit slices")
-    val hx = shingleRows(docs, textCol, idCol, shingleK)
-      .select(col("doc_id"), md5(col("s")).as("hx"))
+    require(seeds >= 1, "need at least one component")
+    val groups = (seeds + 3) / 4
+    val hashed = shingleRows(docs, textCol, idCol, shingleK)
+      .select(col("doc_id") +: (0 until groups).map { g =>
+        val src = if (g == 0) col("s") else concat(lit(s"mh$g:"), col("s"))
+        md5(src).as(s"hx_$g")
+      }: _*)
     val aggs = (0 until seeds).map(s =>
-      min(substring(col("hx"), 8 * s + 1, 8)).as(s"m_$s"))
-    val sig = hx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      min(substring(col(s"hx_${s / 4}"), 8 * (s % 4) + 1, 8)).as(s"m_$s"))
+    val sig = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     if (keepShort) docs.select(idCol.as("doc_id")).join(sig, Seq("doc_id"), "left")
     else sig
   }

@@ -134,6 +134,23 @@ class DedupSpec extends AnyFunSuite {
     assert(jf.caches.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
   }
 
+  test("8-seed signature: first 4 components match the 4-seed scheme; b=4,r=2 banding works") {
+    val sig4 = Dedup.minhashSignature(docs, $"text", $"doc_id", 3, 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> (0 until 4).map(i => r.getAs[String](s"m_$i"))).toMap
+    val sig8df = Dedup.minhashSignature(docs, $"text", $"doc_id", 3, 8)
+    val sig8 = sig8df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 8).map(i => r.getAs[String](s"m_$i"))).toMap
+    // backwards-compatible prefix: seeds<=4 slice scheme unchanged
+    for ((id, s4) <- sig4) assert(sig8(id).take(4) == s4, s"doc $id prefix changed")
+    // the salted second md5 yields genuinely different components
+    assert(sig8(1L).take(4) != sig8(1L).drop(4))
+    // banding at r=2 over 8 seeds still surfaces the exact pair only
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig8df.where($"m_0".isNotNull), 8, 4), 8, 4)
+    val ps = pairs.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(ps.contains((1L, 2L)))
+    assert(!ps.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("shingles: short docs yield empty shingle set, not an error") {
     val s = Seq((9L, "one two")).toDF("doc_id", "text")
       .select(size(text.shingles($"text", 3)).as("n")).collect()(0).getInt(0)

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Results must not depend on the physical partitioning — the property
+  * that makes the sf0.01 oracle hashes transfer to a 1000-executor
+  * cluster. Runs representative queries under a deliberately odd
+  * shuffle-partition count and compares row sets against the default. */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  // one per family: join+agg, quantized single-pass agg, LSH banding,
+  // window rank rewrite, as-of join
+  private val probes = Seq("j3_equi_join_agg", "a3_gram_matrix", "d_lsh_pairs",
+    "o3_rank_family", "j7_asof_join")
+
+  private def rows(name: String): Set[Seq[Any]] = {
+    val q = SparkEntry.allQueries.find(_.name == name).get
+    val out = q.fn(spark, d).collect().map(_.toSeq.map {
+      case ts: java.sql.Timestamp => ts.getTime
+      case x => x
+    }.toSeq).toSet
+    spark.catalog.clearCache()
+    out
+  }
+
+  test("row sets identical under shuffle.partitions = 7 vs default") {
+    val default = spark.conf.get("spark.sql.shuffle.partitions")
+    val baseline = probes.map(n => n -> rows(n)).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      for (n <- probes) assert(rows(n) == baseline(n), s"$n changed under 7 partitions")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", default)
+  }
+}
