@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Fused cosine similarity over two `array<double>` columns: ONE array
   * traversal accumulates a.b, a.a and b.b together, where the
@@ -24,13 +24,10 @@ case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    if (NumericArray.ok(left.dataType) && NumericArray.ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_cosine requires two array<double> arguments, got " +
+      s"graft_cosine requires two array<double|float> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
@@ -42,11 +39,14 @@ case class CosineSim(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val xf = NumericArray.isFloat(left.dataType)
+    val yf = NumericArray.isFloat(right.dataType)
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       ab += xv * yv; aa += xv * xv; bb += yv * yv
       i += 1
     }
@@ -72,8 +72,8 @@ case class CosineSim(left: Expression, right: Expression)
          |  double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final double $xv = $a.getDouble($i);
-         |    final double $yv = $b.getDouble($i);
+         |    final double $xv = ${NumericArray.getter(left.dataType, a, i)};
+         |    final double $yv = ${NumericArray.getter(right.dataType, b, i)};
          |    $ab += $xv * $yv; $aa += $xv * $xv; $bb += $yv * $yv;
          |  }
          |  if (!${ev.isNull}) {

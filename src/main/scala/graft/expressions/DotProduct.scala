@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native dot product over two `array<double>` columns.
   *
@@ -24,18 +24,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *  - NULL if the arrays differ in length (zip_with pads with null ->
   *    null product -> null sum);
   *  - NULL if any element is null (null poisons the fold).
+  *
+  * Each side may be `array<double>` OR `array<float>`: floats widen
+  * to double per element (exact), which spares the hot path a per-row
+  * `cast(array<float> as array<double>)` array copy — the oracle's
+  * CAST-then-sum computes the same doubles.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    if (NumericArray.ok(left.dataType) && NumericArray.ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot requires two array<double> arguments, got " +
+      s"graft_dot requires two array<double|float> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
@@ -47,11 +49,15 @@ case class DotProduct(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val xf = NumericArray.isFloat(left.dataType)
+    val yf = NumericArray.isFloat(right.dataType)
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getDouble(i) * y.getDouble(i)
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -62,6 +68,8 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val gx = NumericArray.getter(left.dataType, a, i)
+      val gy = NumericArray.getter(right.dataType, b, i)
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -70,7 +78,7 @@ case class DotProduct(left: Expression, right: Expression)
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    $acc += $gx * $gy;
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
@@ -79,6 +87,21 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Shared element-type plumbing for the numeric-array expressions. */
+private[expressions] object NumericArray {
+  def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  /** Java source reading element `i` of `arr` as double. */
+  def getter(dt: DataType, arr: String, i: String): String =
+    if (isFloat(dt)) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
 }
 
 /** Session extension registering the engine's native expressions —

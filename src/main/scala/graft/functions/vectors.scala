@@ -18,9 +18,11 @@ object vectors {
   /** Dot product `sum_i a_i * b_i`, left-to-right accumulation.
     * Native codegen'd expression (graft.expressions.DotProduct,
     * registered by GraftExtensions via Tables.conf); [[dotHof]] is the
-    * built-in-only equivalent. */
+    * built-in-only equivalent. Float arrays are read directly (each
+    * element widens to double, exact) — no per-row
+    * `cast(array<float> as array<double>)` copy on the hot path. */
   def dot(a: Column, b: Column): Column =
-    call_function("graft_dot", asDouble(a), asDouble(b))
+    call_function("graft_dot", a, b)
 
   /** Composable-builtins form of [[dot]] — identical semantics
     * (left-to-right fold, null on length mismatch or null element),
@@ -42,9 +44,10 @@ object vectors {
     * either vector has zero norm — e.g. an all-zero padded embedding.
     * Fused native expression: one array traversal for all three
     * accumulators (graft.expressions.CosineSim); [[cosineComposed]]
-    * is the 3-pass builtin composition it is bit-identical to. */
+    * is the 3-pass builtin composition it is bit-identical to.
+    * Float arrays are read directly, as in [[dot]]. */
   def cosine(a: Column, b: Column): Column =
-    call_function("graft_cosine", asDouble(a), asDouble(b))
+    call_function("graft_cosine", a, b)
 
   /** Composable 3-pass form of [[cosine]] — the test cross-check. */
   def cosineComposed(a: Column, b: Column): Column =
