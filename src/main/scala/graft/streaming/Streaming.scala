@@ -64,4 +64,53 @@ object Streaming {
       fp.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("fingerprint")
     else fp.dropDuplicates("fingerprint")
   }
+
+  /** Streaming sessionization — the custom-state operator behind
+    * [[graft.ops.Sequences.sessionize]]'s batch plan, as
+    * `flatMapGroupsWithState` with an EVENT-TIME timeout: per key the
+    * state holds the open session (start, last, count); a micro-batch
+    * closes and EMITS a session the moment a new event arrives more
+    * than `maxGapSeconds` after the last one, and the timeout flushes
+    * a session once the watermark passes its gap horizon — so state
+    * size is O(open sessions), bounded, forever. Emits one row per
+    * COMPLETED session: (key, s_start_ms, s_end_ms, n_events).
+    * Batch-twin equivalence is test-asserted in `FoldStreamSpec`. */
+  def sessionizeStream(events: DataFrame, key: String, ts: String,
+                       maxGapSeconds: Long, watermark: String): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = maxGapSeconds * 1000L
+    val typed = events
+      .withWatermark(ts, watermark)
+      .select(col(key).cast("long"), col(ts))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, it: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s0, s1, n) = state.get
+            state.remove()
+            Iterator.single((k, s0, s1, n))
+          } else {
+            // within a micro-batch rows arrive unordered: sort by time
+            val times = it.map(_._2.getTime).toArray.sorted
+            var out = List.empty[(Long, Long, Long, Long)]
+            var (start, last, n) = state.getOption.getOrElse((-1L, -1L, 0L))
+            for (t <- times) {
+              if (start < 0) { start = t; last = t; n = 1L }
+              else if (t - last > gapMs) {
+                out = (k, start, last, n) :: out
+                start = t; last = t; n = 1L
+              } else { last = t; n += 1L }
+            }
+            if (start >= 0) {
+              state.update((start, last, n))
+              state.setTimeoutTimestamp(last + gapMs + 1L)
+            }
+            out.reverse.iterator
+          }
+      }.toDF(key, "s_start_ms", "s_end_ms", "n_events")
+  }
 }

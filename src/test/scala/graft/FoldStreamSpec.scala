@@ -128,6 +128,42 @@ class FoldStreamSpec extends AnyFunSuite {
     assert(Streaming.streamingDedup(batch, $"text", "ts", "10 minutes").count() == 2L)
   }
 
+  test("streaming sessionize (flatMapGroupsWithState + event-time timeout) == batch sessions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (user, sec)
+    val ev = mem.toDF().toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val out = Streaming.sessionizeStream(ev, "user_id", "ts",
+      maxGapSeconds = 300L, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // t=0 would collide with the INITIAL watermark (0) and be
+      // dropped as late — start times well above it
+      mem.addData((10L, 1000L), (10L, 1100L), (10L, 1200L), (20L, 1050L), (20L, 1150L))
+      q.processAllAvailable()
+      // u10's next event is > gap later -> closes session 1 in-batch
+      mem.addData((10L, 2000L), (10L, 2100L))
+      q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past
+      // every open session's horizon, the second triggers the timeout
+      // sweep under that watermark
+      mem.addData((99L, 10000L)); q.processAllAvailable()
+      mem.addData((99L, 20000L)); q.processAllAvailable()
+      val got = spark.table("sess_out").where($"user_id" < 99)
+        .collect().map(r => (r.getLong(0), r.getLong(1) / 1000, r.getLong(2) / 1000, r.getLong(3))).toSet
+      // the batch operator's sessions for the same events
+      val batch = Seq((10L, 1000L), (10L, 1100L), (10L, 1200L), (20L, 1050L), (20L, 1150L),
+          (10L, 2000L), (10L, 2100L))
+        .toDF("user_id", "sec").withColumn("ts", timestamp_seconds($"sec"))
+      val expect = graft.ops.Sequences.sessionize(batch, "user_id", "ts", 300L, "sec")
+        .groupBy($"user_id", $"session_id")
+        .agg(min($"sec").as("s0"), max($"sec").as("s1"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got == expect, s"got $got expect $expect")
+    } finally q.stop()
+  }
+
   test("ST2: streaming sliding window + completeness == batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
