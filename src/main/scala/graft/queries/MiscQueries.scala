@@ -235,6 +235,26 @@ object MiscQueries {
              |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
              |FROM orders GROUP BY 1""".stripMargin)),
 
+    // SQL API parity: the same engine drives plain Spark SQL over a
+    // temp view — the TPC-H Q1-shaped pricing summary, authored as SQL
+    // text instead of DataFrame calls (identical Catalyst plan class)
+    Q("sql_pricing_summary",
+      (s, d) => {
+        T(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+                |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+                |    / 10000.0 AS revenue
+                |FROM lineitem_v
+                |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0e0 AS sum_qty,
+             |  CAST(sum(CAST(round(l_extendedprice * (1e0 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+             |    / 10000.0e0 AS revenue
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
     // unpivot (wide -> long), the inverse reshaping of g_pivot_status:
     // three measure columns melt into (measure, val) rows, then a
     // per-(flag, measure) quantized aggregate. The oracle's UNION ALL
