@@ -35,10 +35,12 @@ object MiscQueries {
             col("l_quantity"))
           .groupBy(col("i"), col("j"))
           .agg(sum(col("l_quantity").cast("long")).as("v"))
-        import s.implicits._
-        val offs = (for { di <- -1 to 1; dj <- -1 to 1 } yield (di, dj)).toDF("di", "dj")
-        g.crossJoin(broadcast(offs))
-          .select((col("i") + col("di")).as("ci"), (col("j") + col("dj")).as("cj"), col("v"))
+        // inline literal offsets + explode, NOT crossJoin(broadcast(
+        // toDF)): same 9-way expansion without the broadcast-build job
+        val offs = array((for { di <- -1 to 1; dj <- -1 to 1 }
+          yield struct(lit(di).as("di"), lit(dj).as("dj"))): _*)
+        g.select(col("i"), col("j"), col("v"), explode(offs).as("o"))
+          .select((col("i") + col("o.di")).as("ci"), (col("j") + col("o.dj")).as("cj"), col("v"))
           .groupBy(col("ci"), col("cj"))
           .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
           .where(col("n") === 9)
@@ -57,7 +59,7 @@ object MiscQueries {
     // per-offset kernel weights — blocks.py:10-34's learned conv
     // applies a real (non-uniform) kernel; here the 3x3 binomial
     // kernel [[1,2,1],[2,4,2],[1,2,1]]/16 in exact integer space.
-    // Same plan shape as x1_conv_stencil: broadcast the 9 offsets,
+    // Same plan shape as x1_conv_stencil: inline offset explode,
     // one re-aggregation shuffle on the output cell key.
     Q("x1_conv_weighted",
       (s, d) => {
@@ -66,13 +68,12 @@ object MiscQueries {
             col("l_quantity"))
           .groupBy(col("i"), col("j"))
           .agg(sum(col("l_quantity").cast("long")).as("v"))
-        import s.implicits._
-        val offs = (for { di <- -1 to 1; dj <- -1 to 1 }
-          yield (di, dj, ((2 - math.abs(di)) * (2 - math.abs(dj))).toLong))
-          .toDF("di", "dj", "w")
-        g.crossJoin(broadcast(offs))
-          .select((col("i") + col("di")).as("ci"), (col("j") + col("dj")).as("cj"),
-            (col("v") * col("w")).as("wv"))
+        val offs = array((for { di <- -1 to 1; dj <- -1 to 1 }
+          yield struct(lit(di).as("di"), lit(dj).as("dj"),
+            lit(((2 - math.abs(di)) * (2 - math.abs(dj))).toLong).as("w"))): _*)
+        g.select(col("i"), col("j"), col("v"), explode(offs).as("o"))
+          .select((col("i") + col("o.di")).as("ci"), (col("j") + col("o.dj")).as("cj"),
+            (col("v") * col("o.w")).as("wv"))
           .groupBy(col("ci"), col("cj"))
           .agg(count(lit(1)).as("n"), sum(col("wv")).as("swv"))
           .where(col("n") === 9)

@@ -83,11 +83,13 @@ class PlanSpec extends AnyFunSuite {
       "a broadcast would hide the salted shuffle distribution the demo proves")
   }
 
-  test("x1_conv_weighted: the 9 kernel offsets broadcast; only re-agg shuffles") {
+  test("x1_conv_weighted: inline offset explode, no join at all for the stencil") {
     val p = finalPlan("x1_conv_weighted")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      "offset table must broadcast")
-    assert(!p.contains("CartesianProduct"), "no unbroadcast cross join")
+    assert(p.contains("Generate explode"), "offsets must expand via literal explode")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "the stencil needs no join (the offset table is a literal)")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      "grid agg + cell re-agg are the only shuffles")
   }
 
   test("d_embed_neardup: pair generation is a bucket equi-join, never all-pairs") {
