@@ -34,13 +34,14 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
+  @transient private lazy val xf = NumericArray.isFloat(left.dataType)
+  @transient private lazy val yf = NumericArray.isFloat(right.dataType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val xf = NumericArray.isFloat(left.dataType)
-    val yf = NumericArray.isFloat(right.dataType)
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {

@@ -44,13 +44,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
+  @transient private lazy val xf = NumericArray.isFloat(left.dataType)
+  @transient private lazy val yf = NumericArray.isFloat(right.dataType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val xf = NumericArray.isFloat(left.dataType)
-    val yf = NumericArray.isFloat(right.dataType)
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -36,6 +36,8 @@ object AsOf {
                valCols: Seq[String], tieBreak: String): DataFrame = {
     require(valCols.forall(v => !left.columns.contains(v)),
       s"right value columns ${valCols.mkString(",")} must not collide with left")
+    require(!(left.columns ++ right.columns).exists(Set("_side", "_tb")),
+      "_side/_tb are reserved working columns")
     val l = left.withColumn("_side", lit(1)).withColumn("_tb", lit(null).cast("long"))
     val r = right.withColumn("_side", lit(0)).withColumn("_tb", col(tieBreak).cast("long"))
       .select((key +: time +: valCols :+ "_side" :+ "_tb").map(col): _*)

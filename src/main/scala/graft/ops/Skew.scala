@@ -37,6 +37,8 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  saltSrc: Column, s: Int): DataFrame = {
     require(s >= 1, "salt fan-out must be >= 1")
+    require(!(fact.columns ++ dim.columns).contains("_salt"),
+      "_salt is a reserved working column")
     val saltedFact = fact.withColumn("_salt", pmod(saltSrc.cast("int"), lit(s)))
     val saltedDim = dim.withColumn("_salt",
       explode(array((0 until s).map(lit): _*)))

@@ -29,6 +29,8 @@ object TopN {
   def topNPerGroup(df: DataFrame, group: String, value: String, n: Int,
                    tieBreaks: Seq[String]): DataFrame = {
     require(n >= 1, "top-N needs n >= 1")
+    require(!df.columns.exists(Set("_cnt", "_cum", "_vmin", "rn")),
+      "_cnt/_cum/_vmin/rn are reserved working/output columns")
     val byValue = df.groupBy(col(group), col(value)).agg(count(lit(1)).as("_cnt"))
     val wDesc = Window.partitionBy(col(group)).orderBy(col(value).desc)
     // a value block contributes to the top n iff fewer than n rows

@@ -103,7 +103,13 @@ object Streaming {
               else if (t - last > gapMs) {
                 out = (k, start, last, n) :: out
                 start = t; last = t; n = 1L
-              } else { last = t; n += 1L }
+              } else {
+                // t may be out-of-order relative to earlier batches
+                // (late-but-within-watermark): extend, never regress
+                if (t < start) start = t
+                if (t > last) last = t
+                n += 1L
+              }
             }
             if (start >= 0) {
               state.update((start, last, n))

@@ -164,6 +164,29 @@ class FoldStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize: late-but-within-watermark event extends, never regresses, the session") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val ev = mem.toDF().toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val out = Streaming.sessionizeStream(ev, "user_id", "ts",
+      maxGapSeconds = 300L, watermark = "500 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1000L), (1L, 1100L)); q.processAllAvailable()
+      // 1050 arrives in a LATER batch, older than the session's last
+      // event but above the watermark (1100 - 500) -> still counted,
+      // session bounds unchanged
+      mem.addData((1L, 1050L)); q.processAllAvailable()
+      mem.addData((99L, 10000L)); q.processAllAvailable()
+      mem.addData((99L, 20000L)); q.processAllAvailable()
+      val got = spark.table("sess_late").where($"user_id" === 1)
+        .collect().map(r => (r.getLong(1) / 1000, r.getLong(2) / 1000, r.getLong(3))).toSet
+      assert(got == Set((1000L, 1100L, 3L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("ST2: streaming sliding window + completeness == batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
