@@ -305,6 +305,17 @@ object MiscQueries {
       },
       None),
 
+    // approx_percentile (Greenwald-Khanna sketch): like the HLL++
+    // query, sketch internals are engine-specific -> rows-only check;
+    // the exact percentile twin rides in the same row and ApproxSpec
+    // bounds the sketch error against it. The mergeable sketch is the
+    // 100 TB path where a global sort for exact quantiles would not fly.
+    Q("g_approx_quantile",
+      (s, d) => T(s, d, "lineitem").agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_med"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_med")),
+      None),
+
     // multimodal metadata: the graded twin of Multimodal.decodeStub —
     // width/height/channels/format derived from payload bytes
     // (payload = unhex(md5(text)); bytes read via hex-digit ascii math)

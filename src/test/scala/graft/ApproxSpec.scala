@@ -19,4 +19,14 @@ class ApproxSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05,
       s"approx=$approx exact=$exact rel-err=${math.abs(approx - exact) / exact}")
   }
+
+  test("g_approx_quantile: GK sketch median within 2% of the exact median") {
+    val row = SparkEntry.allQueries.find(_.name == "g_approx_quantile").get
+      .fn(spark, "/root/testdata/sf0.001").collect()(0)
+    val approx = row.getAs[Double]("approx_med")
+    val exact = row.getAs[Double]("exact_med")
+    assert(exact > 0)
+    assert(math.abs(approx - exact) / exact < 0.02,
+      s"approx=$approx exact=$exact rel-err=${math.abs(approx - exact) / exact}")
+  }
 }

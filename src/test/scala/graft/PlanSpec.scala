@@ -76,6 +76,12 @@ class PlanSpec extends AnyFunSuite {
       "lag, cumulative sum, and the per-session agg must share the user_id exchange:\n" + p.take(1200))
   }
 
+  test("e_ivf_train: broadcast centroid assign + min_by aggregate, no window sort") {
+    val p = finalPlan("e_ivf_train")
+    assert(p.contains("BroadcastExchange"), "centroids must broadcast")
+    assert(!p.contains("Window"), "argmin must be the min_by aggregate, not row_number")
+  }
+
   test("j6: salted join keys include the salt and the dim is not broadcast") {
     val p = finalPlan("j6_salted_skew_join")
     assert(p.contains("_salt"), "join must run on (key, salt):\n" + p.take(1200))
