@@ -7,20 +7,22 @@ import org.apache.spark.sql.functions._
 /** Exact top-N rows per group, at scale.
   *
   * The textbook `row_number().over(partitionBy(group).orderBy(v desc))
-  * .where(rn <= n)` sorts EVERY row of a group on one task — with few
-  * or skewed groups that is a handful of tasks sorting the whole
-  * table. This operator gets the identical rows in three scale-safe
-  * phases:
-  *   1. parallel partial+final `groupBy(group, value).count` — the
-  *      only pass over the full data, map-side combined;
-  *   2. per-group n-th-value threshold from that tiny (group, value)
-  *      table (cheap window over ~|distinct values| rows);
-  *   3. broadcast the thresholds, pre-filter the fact rows (survivors
-  *      per group ~= n + ties), and run the final ordering window
-  *      over the survivors only.
-  * Ties on `value` at the threshold are kept by phase 3's filter and
-  * resolved by the same deterministic tie-break columns the one-pass
-  * form would use, so the output is row-identical to it. */
+  * .where(rn <= n)` clusters by group alone — with few or skewed
+  * groups, a handful of tasks sort the whole table. This operator
+  * gets identical rows in two phases:
+  *   1. LOCAL PRUNE: rank rows within (group, input-partition-id) and
+  *      keep each bucket's top n. A row outside its own partition's
+  *      per-group top n cannot be in the global top n (superset
+  *      guarantee), and the buckets spread over |groups| x |partitions|
+  *      reducers, so every core sorts a slice instead of three cores
+  *      sorting everything.
+  *   2. FINALIZE: the global ordering window over the <= n x
+  *      |partitions| survivors per group — trivially small.
+  * Works for any value distribution (a value-distinct pre-aggregation
+  * would degenerate when the value column is near-unique, as real
+  * prices/scores are). Ties beyond the `tieBreaks` total order are
+  * interchangeable rows, so the emitted multiset matches the one-pass
+  * window form (asserted against it in tests and by the o4 oracle). */
 object TopN {
 
   /** @param tieBreaks columns that make the within-value order total
@@ -29,23 +31,16 @@ object TopN {
   def topNPerGroup(df: DataFrame, group: String, value: String, n: Int,
                    tieBreaks: Seq[String]): DataFrame = {
     require(n >= 1, "top-N needs n >= 1")
-    require(!df.columns.exists(Set("_cnt", "_cum", "_vmin", "rn")),
-      "_cnt/_cum/_vmin/rn are reserved working/output columns")
-    val byValue = df.groupBy(col(group), col(value)).agg(count(lit(1)).as("_cnt"))
-    val wDesc = Window.partitionBy(col(group)).orderBy(col(value).desc)
-    // a value block contributes to the top n iff fewer than n rows
-    // strictly precede it; the per-group MIN such value is the cut
-    val thresholds = byValue
-      .withColumn("_cum", sum(col("_cnt")).over(
-        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .where(col("_cum") - col("_cnt") < n)
-      .groupBy(col(group)).agg(min(col(value)).as("_vmin"))
-    val ordered = Window.partitionBy(col(group))
-      .orderBy(col(value).desc +: tieBreaks.map(col(_).asc): _*)
-    df.join(broadcast(thresholds), Seq(group))
-      .where(col(value) >= col("_vmin"))
-      .drop("_vmin")
-      .withColumn("rn", row_number().over(ordered).cast("long"))
+    require(!df.columns.exists(Set("_pid", "_lrn", "rn")),
+      "_pid/_lrn/rn are reserved working/output columns")
+    val ordCols = col(value).desc +: tieBreaks.map(col(_).asc)
+    val local = Window.partitionBy(col(group), col("_pid")).orderBy(ordCols: _*)
+    val global = Window.partitionBy(col(group)).orderBy(ordCols: _*)
+    df.withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(local))
+      .where(col("_lrn") <= n)
+      .drop("_pid", "_lrn")
+      .withColumn("rn", row_number().over(global).cast("long"))
       .where(col("rn") <= n)
   }
 }

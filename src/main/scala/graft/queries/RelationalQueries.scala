@@ -275,11 +275,11 @@ object RelationalQueries {
              |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)""".stripMargin)),
 
     // O4: top-N per group — NOT the naive full-table window (3 groups
-    // => 3 tasks sort everything) but ops/TopN's threshold pre-filter:
-    // one parallel agg finds each group's n-th value, a broadcast
-    // filter keeps ~n survivors per group, and the ordering window
-    // runs over those only. The oracle is the one-pass window form —
-    // proving the two-phase rewrite emits identical rows.
+    // => 3 tasks sort everything) but ops/TopN's per-input-partition
+    // local prune: every core ranks its own slice per group, only the
+    // <= n x partitions survivors reach the global ordering window.
+    // The oracle is the one-pass window form — proving the two-phase
+    // rewrite emits identical rows.
     Q("o4_topn_per_group",
       (s, d) => graft.ops.TopN.topNPerGroup(
           T(s, d, "lineitem")

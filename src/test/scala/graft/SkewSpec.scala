@@ -24,7 +24,7 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
-  test("TopN threshold pre-filter == naive window on tie-heavy random data") {
+  test("TopN local-prune == naive window on tie-heavy random data") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(7)
     // few groups, heavily tied values, one group smaller than n
