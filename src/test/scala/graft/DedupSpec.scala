@@ -134,6 +134,17 @@ class DedupSpec extends AnyFunSuite {
     assert(jf.caches.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
   }
 
+  test("32-bit simhash: low 16 bits equal the 16-bit hash; near-dups still close") {
+    val sh16 = Dedup.simhash(docs, $"text", $"doc_id", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sh32 = Dedup.simhash(docs, $"text", $"doc_id", 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, h) <- sh16) assert((sh32(id) & 0xFFFFL) == h, s"doc $id low bits changed")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh32(1L), sh32(2L)) == 0)
+    assert(ham(sh32(1L), sh32(3L)) < ham(sh32(1L), sh32(4L)))
+  }
+
   test("8-seed signature: first 4 components match the 4-seed scheme; b=4,r=2 banding works") {
     val sig4 = Dedup.minhashSignature(docs, $"text", $"doc_id", 3, 4)
       .collect().map(r => r.getAs[Long]("doc_id") -> (0 until 4).map(i => r.getAs[String](s"m_$i"))).toMap
