@@ -39,7 +39,7 @@ object SparkEntry {
     ops.Sequences.assemble(starts, ev, "user_id", "bkt", 3)
       .groupBy(col("user_id"), col("t0"))
       .agg(count(lit(1)).as("n_events"),
-        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_val"))
+        (sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")) / 100.0).as("sum_val"))
       .select(col("user_id"), col("t0"), col("n_events"),
         functions.scalars.sigmoid(col("sum_val") / lit(100.0)).as("activity_score"))
   }

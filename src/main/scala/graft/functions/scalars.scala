@@ -21,9 +21,12 @@ object scalars {
     (x - lit(lo)) * lit(1.0 / (hi - lo))
 
   /** N2: inverse scale + quantize `round(x*(hi-lo)+lo) -> int`
-    * (datasets.py:387-394). Cast to long for oracle type parity. */
+    * (datasets.py:387-394). Cast to long for oracle type parity.
+    * floor(v + 0.5) rather than round(): Spark's double round() is
+    * BigDecimal-backed (per-row allocation); floor is one IEEE op with
+    * identical Spark/DuckDB semantics (see graft.queries.qlong). */
   def minmaxEncode(x: Column, lo: Double, hi: Double): Column =
-    round(x * lit(hi - lo) + lit(lo), 0).cast("long")
+    floor(x * lit(hi - lo) + lit(lo) + lit(0.5)).cast("long")
 
   /** N3/P3: fill-value -> NULL. The reference masks `data == fillvalue`
     * (datasets.py:61); NULL is the relational form of that mask. */

@@ -24,7 +24,14 @@ object Ensemble {
   val Scale: Long = 1L << 20
   private val Scale2: Double = (Scale.toDouble) * Scale.toDouble
 
-  private def quant(c: Column): Column = round(c * Scale.toDouble).cast("long")
+  // floor(x*S + 0.5), not round(): Spark's double round() is
+  // BigDecimal-backed — a Double.toString + allocation PER ROW, which
+  // made this 6-sum agg 3.5x slower than the floor form at sf0.1 and
+  // leaves GC debt for whatever runs next. floor is one IEEE op with
+  // identical Spark/DuckDB semantics, so the oracle twin (see
+  // AggQueries.qSql) matches bit-for-bit by construction.
+  private def quant(c: Column): Column =
+    floor(c * Scale.toDouble + lit(0.5)).cast("long")
 
   /** A3: one-pass Gram aggregation. Returns a 1-row DataFrame with
     * column `n` plus `g_i_j` (i <= j) and `b_i` normalized moments

@@ -24,9 +24,9 @@ object AggQueries {
   private val S = Ensemble.Scale.toDouble          // 2^20
   private val S2 = S * S                           // 2^40
 
-  // quantized-BIGINT forms, Spark and SQL
-  private def q(c: org.apache.spark.sql.Column) = round(c * S).cast("long")
-  private def qSql(e: String) = s"CAST(round(($e) * $S) AS BIGINT)"
+  // quantized-BIGINT forms, Spark and SQL (floor-based: see package.qlong)
+  private def q(c: org.apache.spark.sql.Column) = qlong(c, S)
+  private def qSql(e: String) = qlongSql(e, S.toString)
 
   // shared SQL fragments for the ridge path (p=2: p1, p2 -> y)
   private val ridgeSumsSql =
@@ -125,7 +125,7 @@ object AggQueries {
         val w = Window.partitionBy("l_orderkey")
         val cnt = sum(when(col("l_discount") =!= 0.0, 1).otherwise(0)).over(w)
         val sumc = sum(when(col("l_discount") =!= 0.0,
-          round(col("l_extendedprice") * 100).cast("long"))).over(w)
+          qlong(col("l_extendedprice"), 100))).over(w)
         val mean = when(cnt > 0, sumc / (lit(100.0) * cnt))
         T(s, d, "lineitem").select(
           col("l_orderkey"), col("l_linenumber"),
@@ -141,7 +141,7 @@ object AggQueries {
              |    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
              |      sum(CASE WHEN l_discount <> 0e0 THEN 1 ELSE 0 END)
              |        OVER (PARTITION BY l_orderkey) AS cnt,
-             |      sum(CASE WHEN l_discount <> 0e0 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+             |      sum(CASE WHEN l_discount <> 0e0 THEN CAST(floor((l_extendedprice) * 100 + 0.5e0) AS BIGINT) END)
              |        OVER (PARTITION BY l_orderkey) AS sumc
              |    FROM lineitem))""".stripMargin)),
 
@@ -209,7 +209,7 @@ object AggQueries {
         // ridgeWeightsSpark's codegen note)
         val sums = T(s, d, "lineitem")
           .select(col("l_quantity").cast("long").as("_x"),
-            round(col("l_extendedprice")).cast("long").as("_y"))
+            qlong(col("l_extendedprice"), 1).as("_y"))
           .agg(
             count(lit(1)).cast("double").as("n"),
             sum(col("_x")).as("sx"),
@@ -232,10 +232,10 @@ object AggQueries {
              |FROM (
              |  SELECT CAST(count(*) AS DOUBLE) AS n,
              |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
-             |    CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+             |    CAST(sum(CAST(floor((l_extendedprice) * 1 + 0.5e0) AS BIGINT)) AS BIGINT) AS sy,
              |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
-             |    CAST(sum(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
-             |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+             |    CAST(sum(CAST(floor((l_extendedprice) * 1 + 0.5e0) AS BIGINT) * CAST(floor((l_extendedprice) * 1 + 0.5e0) AS BIGINT)) AS BIGINT) AS syy,
+             |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(floor((l_extendedprice) * 1 + 0.5e0) AS BIGINT)) AS BIGINT) AS sxy
              |  FROM lineitem)""".stripMargin)),
 
     // A6: loss/metric reductions — MSE, rounded-MSE, normlogit-MSE
@@ -247,12 +247,15 @@ object AggQueries {
         // diffs projected once below the agg: dnl expands normlogit
         // (log/least/greatest chain) twice — inlined into sum(dnl*dnl)
         // it would be emitted 4x in the generated code
+        // signed diffs: floor(x + 0.5) rounds half-ties toward +inf on
+        // negatives (vs round()'s away-from-zero) — the SQL twin uses
+        // the identical floor form, so the hash contract holds
         val diffs = T(s, d, "lineitem").select(
-          round(pred - truth).cast("long").as("_dd"),
-          (round(pred) - round(truth)).cast("long").as("_dr"),
-          round((round(scalars.normlogit(p1 + lit(0.01)), 6)
-            - round(scalars.normlogit(col("l_tax") + lit(0.01)), 6)) * 1000000)
-            .cast("long").as("_dnl"))
+          qlong(pred - truth, 1).as("_dd"),
+          (qlong(pred, 1) - qlong(truth, 1)).as("_dr"),
+          qlong(round(scalars.normlogit(p1 + lit(0.01)), 6)
+            - round(scalars.normlogit(col("l_tax") + lit(0.01)), 6), 1000000)
+            .as("_dnl"))
         diffs.agg(
           (sum(col("_dd") * col("_dd")) / count(lit(1)).cast("double")).as("mse"),
           (sum(col("_dr") * col("_dr")) / count(lit(1)).cast("double")).as("rounded_mse"),
@@ -268,9 +271,9 @@ object AggQueries {
            |  CAST(sum(dnl * dnl) AS BIGINT) / (CAST(count(*) AS DOUBLE) * 1e12) AS normlogit_mse
            |FROM (
            |  SELECT
-           |    CAST(round((l_quantity * 2200e0) - l_extendedprice) AS BIGINT) AS dd,
-           |    CAST(round(l_quantity * 2200e0) - round(l_extendedprice) AS BIGINT) AS dr,
-           |    CAST(round((${nl("l_discount + 0.01e0")} - ${nl("l_tax + 0.01e0")}) * 1000000) AS BIGINT) AS dnl
+           |    CAST(floor(((l_quantity * 2200e0) - l_extendedprice) * 1 + 0.5e0) AS BIGINT) AS dd,
+           |    CAST(floor((l_quantity * 2200e0) * 1 + 0.5e0) - floor((l_extendedprice) * 1 + 0.5e0) AS BIGINT) AS dr,
+           |    CAST(floor((${nl("l_discount + 0.01e0")} - ${nl("l_tax + 0.01e0")}) * 1000000 + 0.5e0) AS BIGINT) AS dnl
            |  FROM lineitem)""".stripMargin
       }),
 

@@ -118,9 +118,9 @@ object RelationalQueries {
         .groupBy(col("r_name"))
         .agg(
           count(lit(1)).as("n_cust"),
-          (sum(round(col("c_acctbal") * 100).cast("long")) / 100.0).as("sum_bal")),
+          (sum(qlong(col("c_acctbal"), 100)) / 100.0).as("sum_bal")),
       Some("""SELECT r_name, count(*) AS n_cust,
-             |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0e0 AS sum_bal
+             |  CAST(sum(CAST(floor((c_acctbal) * 100 + 0.5e0) AS BIGINT)) AS BIGINT) / 100.0e0 AS sum_bal
              |FROM customer
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
@@ -135,10 +135,10 @@ object RelationalQueries {
         .groupBy(col("c_mktsegment"), col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n_items"),
-          (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long"))
+          (sum(qlong(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000))
             / 10000.0).as("revenue")),
       Some("""SELECT c_mktsegment, o_orderstatus, count(*) AS n_items,
-             |  CAST(sum(CAST(round(l_extendedprice * (1e0 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+             |  CAST(sum(CAST(floor((l_extendedprice * (1e0 - l_discount)) * 10000 + 0.5e0) AS BIGINT)) AS BIGINT)
              |    / 10000.0e0 AS revenue
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -179,12 +179,12 @@ object RelationalQueries {
             orders, dim.hint("shuffle_hash"), Seq("o_orderstatus"),
             col("o_orderkey"), s = 8)
           .groupBy(col("o_orderstatus"), col("n_status"))
-          .agg((sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("sum_price"))
+          .agg((sum(qlong(col("o_totalprice"), 100)) / 100.0).as("sum_price"))
       },
       Some("""WITH dim AS (SELECT o_orderstatus, count(*) AS n_status
              |            FROM orders GROUP BY 1)
              |SELECT o.o_orderstatus, d.n_status,
-             |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0e0 AS sum_price
+             |  CAST(sum(CAST(floor((o.o_totalprice) * 100 + 0.5e0) AS BIGINT)) AS BIGINT) / 100.0e0 AS sum_price
              |FROM orders o JOIN dim d ON o.o_orderstatus = d.o_orderstatus
              |GROUP BY 1, 2""".stripMargin)),
 

@@ -36,7 +36,7 @@ object ScalarQueries {
         scalars.minmaxEncode(
           scalars.minmaxDecode(col("l_extendedprice"), lo, hi), lo, hi).as("encoded")),
       Some(s"""SELECT l_orderkey, l_linenumber,
-              |  CAST(round(((l_extendedprice - 0e0) * $inv) * ${hi - lo} + $lo) AS BIGINT) AS encoded
+              |  CAST(floor(((l_extendedprice - 0e0) * $inv) * ${hi - lo} + $lo + 0.5e0) AS BIGINT) AS encoded
               |FROM lineitem""".stripMargin)),
 
     // N3/P3: fill-value -> NULL (datasets.py:61)

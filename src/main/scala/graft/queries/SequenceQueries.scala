@@ -59,11 +59,11 @@ object SequenceQueries {
         Sequences.assemble(starts, ev, "user_id", "bkt", L)
           .groupBy(col("user_id"), col("t0"))
           .agg(count(lit(1)).as("n_events"),
-            (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_val"))
+            (sum(qlong(col("value"), 100)) / 100.0).as("sum_val"))
       },
       Some(s"""$bucketCte
               |SELECT b.user_id AS user_id, s.bkt AS t0, count(*) AS n_events,
-              |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0e0 AS sum_val
+              |  CAST(sum(CAST(floor((value) * 100 + 0.5e0) AS BIGINT)) AS BIGINT) / 100.0e0 AS sum_val
               |FROM s JOIN b ON b.user_id = s.user_id AND b.bkt BETWEEN s.bkt AND s.bkt + ${L - 1}
               |GROUP BY b.user_id, s.bkt""".stripMargin)),
 
@@ -112,7 +112,7 @@ object SequenceQueries {
           .select(Sequences.tsBucket(col("ts"), 900L).as("bkt"), col("value"))
           .groupBy(col("bkt"))
           .agg(count(lit(1)).as("n_ev"),
-            sum(round(col("value") * 100).cast("long")).as("cents"))
+            sum(qlong(col("value"), 100)).as("cents"))
         val w = Window.partitionBy(lit("all")).orderBy(col("bkt"))
           .rangeBetween(Window.currentRow, 35)
         series.select(col("bkt").as("t0"),
@@ -123,7 +123,7 @@ object SequenceQueries {
       },
       Some("""WITH p AS (SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) AS bkt,
              |             count(*) AS n_ev,
-             |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |             CAST(sum(CAST(floor((value) * 100 + 0.5e0) AS BIGINT)) AS BIGINT) AS cents
              |           FROM events GROUP BY 1)
              |SELECT t0, n_buckets, n_events, sum_val FROM (
              |  SELECT bkt AS t0, count(*) OVER w AS n_buckets,
@@ -205,11 +205,11 @@ object SequenceQueries {
           .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
         T(s, d, "events")
           .select(col("user_id"), col("event_id"), col("ts"),
-            (sum(round(col("value") * 1e6).cast("long")).over(w)
+            (sum(qlong(col("value"), 1e6)).over(w)
               / (lit(1e6) * count(lit(1)).over(w))).as("mavg"))
       },
       Some("""SELECT user_id, event_id, ts,
-             |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS BIGINT)
+             |  CAST(sum(CAST(floor((value) * 1000000 + 0.5e0) AS BIGINT)) OVER w AS BIGINT)
              |    / (1e6 * count(*) OVER w) AS mavg
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

@@ -116,7 +116,7 @@ object SimilarityQueries {
           .select(col("cid"), posexplode(col("ve")).as(Seq("pos", "v")))
           .groupBy(col("cid"), col("pos"))
           .agg(count(lit(1)).as("n"),
-            (sum(round(col("v").cast("double") * 1e6).cast("long"))
+            (sum(qlong(col("v").cast("double"), 1e6))
               / (lit(1e6) * count(lit(1)))).as("c_mean"))
           .select(col("cid"), col("pos").cast("long").as("pos"), col("n"), col("c_mean"))
       },
@@ -132,7 +132,7 @@ object SimilarityQueries {
            |          + ${dotS("c.cv", "c.cv")}, 6) ASC, c.cid ASC) AS rn
            |    FROM e, c) WHERE rn = 1)
            |SELECT cid, i - 1 AS pos, count(*) AS n,
-           |  CAST(sum(CAST(round(ve[i] * 1000000) AS BIGINT)) AS BIGINT)
+           |  CAST(sum(CAST(floor((ve[i]) * 1000000 + 0.5e0) AS BIGINT)) AS BIGINT)
            |    / (1e6 * count(*)) AS c_mean
            |FROM a, range(1, ${Dim + 1}) t(i)
            |GROUP BY cid, i - 1""".stripMargin

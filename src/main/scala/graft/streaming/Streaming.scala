@@ -22,12 +22,15 @@ object Streaming {
   /** ST1: incremental aggregation — running count / exact cents sum /
     * mean per key. In update output mode each micro-batch merges
     * partials into the state store, reproducing ensemble.py:35-36. */
-  def incrementalStats(events: DataFrame, key: String, value: String): DataFrame =
+  def incrementalStats(events: DataFrame, key: String, value: String): DataFrame = {
+    // floor-quantized cents (see graft.queries.qlong: round() on doubles
+    // is BigDecimal-backed — per-row allocation the hot path can't afford)
+    val cents = floor(col(value) * lit(100.0) + lit(0.5)).cast("long")
     events.groupBy(col(key)).agg(
       count(lit(1)).as("n"),
-      (sum(round(col(value) * 100).cast("long")) / 100.0).as("sum_v"),
-      (sum(round(col(value) * 100).cast("long")) /
-        (lit(100.0) * count(lit(1)))).as("mean_v"))
+      (sum(cents) / 100.0).as("sum_v"),
+      (sum(cents) / (lit(100.0) * count(lit(1)))).as("mean_v"))
+  }
 
   /** ST2: event-time sliding window + completeness filter — emit a
     * window only when at least `minCount` events arrived
