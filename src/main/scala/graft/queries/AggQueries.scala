@@ -253,8 +253,8 @@ object AggQueries {
         val diffs = T(s, d, "lineitem").select(
           qlong(pred - truth, 1).as("_dd"),
           (qlong(pred, 1) - qlong(truth, 1)).as("_dr"),
-          qlong(round(scalars.normlogit(p1 + lit(0.01)), 6)
-            - round(scalars.normlogit(col("l_tax") + lit(0.01)), 6), 1000000)
+          qlong(qround(scalars.normlogit(p1 + lit(0.01)), 6)
+            - qround(scalars.normlogit(col("l_tax") + lit(0.01)), 6), 1000000)
             .as("_dnl"))
         diffs.agg(
           (sum(col("_dd") * col("_dd")) / count(lit(1)).cast("double")).as("mse"),
@@ -264,7 +264,7 @@ object AggQueries {
       Some {
         val lM = scalars.lM
         def nl(x: String) =
-          s"round((ln(least(greatest($x, 3e-3), 0.997e0) / (1e0 - least(greatest($x, 3e-3), 0.997e0))) + $lM) / ${2.0 * lM}, 6)"
+          qroundSql(s"(ln(least(greatest($x, 3e-3), 0.997e0) / (1e0 - least(greatest($x, 3e-3), 0.997e0))) + $lM) / ${2.0 * lM}", 6)
         s"""SELECT
            |  CAST(sum(dd * dd) AS BIGINT) / CAST(count(*) AS DOUBLE) AS mse,
            |  CAST(sum(dr * dr) AS BIGINT) / CAST(count(*) AS DOUBLE) AS rounded_mse,

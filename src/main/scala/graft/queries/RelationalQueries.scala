@@ -263,16 +263,16 @@ object RelationalQueries {
               w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
             sum(col("cnt")).over(wAll).as("n"))
           .select(col("l_returnflag"), col("l_quantity"), col("rnk"), col("drnk"),
-            round((col("rnk") - 1).cast("double") / (col("n") - 1).cast("double"), 6).as("prnk"),
-            round(col("cum").cast("double") / col("n").cast("double"), 6).as("cdist"))
+            qround((col("rnk") - 1).cast("double") / (col("n") - 1).cast("double"), 6).as("prnk"),
+            qround(col("cum").cast("double") / col("n").cast("double"), 6).as("cdist"))
       },
-      Some("""SELECT DISTINCT l_returnflag, l_quantity,
-             |  CAST(rank() OVER w AS BIGINT) AS rnk,
-             |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-             |  round(percent_rank() OVER w, 6) AS prnk,
-             |  round(cume_dist() OVER w, 6) AS cdist
-             |FROM lineitem
-             |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)""".stripMargin)),
+      Some(s"""SELECT DISTINCT l_returnflag, l_quantity,
+              |  CAST(rank() OVER w AS BIGINT) AS rnk,
+              |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+              |  ${qroundSql("percent_rank() OVER w", 6)} AS prnk,
+              |  ${qroundSql("cume_dist() OVER w", 6)} AS cdist
+              |FROM lineitem
+              |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)""".stripMargin)),
 
     // O4: top-N per group — NOT the naive full-table window (3 groups
     // => 3 tasks sort everything) but ops/TopN's per-input-partition

@@ -56,38 +56,40 @@ object ScalarQueries {
       Some("SELECT c_custkey, greatest(c_acctbal, 0e0) AS bal_clamped FROM customer")),
 
     // N4: log-clip (models.py:102-106); ln last-ulp differs across
-    // libm implementations -> round(6)
+    // libm implementations -> snap to the 1e-6 grid (qround)
     Q("n4_log_clip",
       (s, d) => T(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        round(scalars.logClip(col("l_discount")), 6).as("log_clipped")),
-      Some("""SELECT l_orderkey, l_linenumber,
-             |  round(ln(greatest(l_discount, 2e-4)), 6) AS log_clipped
-             |FROM lineitem""".stripMargin)),
+        qround(scalars.logClip(col("l_discount")), 6).as("log_clipped")),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              |  ${qroundSql("ln(greatest(l_discount, 2e-4))", 6)} AS log_clipped
+              |FROM lineitem""".stripMargin)),
 
     // N5: logit on clipped domain (ensemble.py:7-15)
     Q("n5_logit",
       (s, d) => T(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        round(scalars.logit(scalars.clip(col("l_discount"), 0.003, 0.997)), 6).as("logit_v")),
-      Some("""SELECT l_orderkey, l_linenumber,
-             |  round(ln(least(greatest(l_discount, 3e-3), 0.997e0)
-             |    / (1e0 - least(greatest(l_discount, 3e-3), 0.997e0))), 6) AS logit_v
-             |FROM lineitem""".stripMargin)),
+        qround(scalars.logit(scalars.clip(col("l_discount"), 0.003, 0.997)), 6).as("logit_v")),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              |  ${qroundSql("""ln(least(greatest(l_discount, 3e-3), 0.997e0)
+             |    / (1e0 - least(greatest(l_discount, 3e-3), 0.997e0)))""", 6)} AS logit_v
+              |FROM lineitem""".stripMargin)),
 
     // N5: normlogit and its exact inverse (ensemble.py:60-78)
     Q("n5_normlogit_roundtrip",
       (s, d) => T(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        round(scalars.normlogit(col("l_discount")), 6).as("nl"),
-        round(scalars.invNormlogit(scalars.normlogit(col("l_discount"))), 6).as("nl_inv")),
+        qround(scalars.normlogit(col("l_discount")), 6).as("nl"),
+        qround(scalars.invNormlogit(scalars.normlogit(col("l_discount"))), 6).as("nl_inv")),
       Some {
         val lM = scalars.lM
+        val nlE = s"""(ln(least(greatest(l_discount, 3e-3), 0.997e0)
+           |    / (1e0 - least(greatest(l_discount, 3e-3), 0.997e0))) + $lM) / ${2.0 * lM}"""
+        val invE = s"""1e0 / (1e0 + exp(-(${2.0 * lM} * ((ln(least(greatest(l_discount, 3e-3), 0.997e0)
+           |    / (1e0 - least(greatest(l_discount, 3e-3), 0.997e0))) + $lM) / ${2.0 * lM}) - $lM)))"""
         s"""SELECT l_orderkey, l_linenumber,
-           |  round((ln(least(greatest(l_discount, 3e-3), 0.997e0)
-           |    / (1e0 - least(greatest(l_discount, 3e-3), 0.997e0))) + $lM) / ${2.0 * lM}, 6) AS nl,
-           |  round(1e0 / (1e0 + exp(-(${2.0 * lM} * ((ln(least(greatest(l_discount, 3e-3), 0.997e0)
-           |    / (1e0 - least(greatest(l_discount, 3e-3), 0.997e0))) + $lM) / ${2.0 * lM}) - $lM))), 6) AS nl_inv
+           |  ${qroundSql(nlE, 6)} AS nl,
+           |  ${qroundSql(invE, 6)} AS nl_inv
            |FROM lineitem""".stripMargin
       }),
 
@@ -95,10 +97,10 @@ object ScalarQueries {
     Q("n6_sigmoid",
       (s, d) => T(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        round(scalars.sigmoid((col("l_quantity") - lit(25.0)) / lit(10.0)), 6).as("sig")),
-      Some("""SELECT l_orderkey, l_linenumber,
-             |  round(1e0 / (1e0 + exp(-((l_quantity - 25e0) / 10e0))), 6) AS sig
-             |FROM lineitem""".stripMargin)),
+        qround(scalars.sigmoid((col("l_quantity") - lit(25.0)) / lit(10.0)), 6).as("sig")),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              |  ${qroundSql("1e0 / (1e0 + exp(-((l_quantity - 25e0) / 10e0)))", 6)} AS sig
+              |FROM lineitem""".stripMargin)),
 
     // N7: weighted linear blend (ensemble.py:86-97); pure linear ops,
     // identical shape both sides -> bit-exact, no rounding needed
@@ -118,16 +120,17 @@ object ScalarQueries {
     Q("n7_blend_logit_space",
       (s, d) => T(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        round(scalars.blendLogitSpace(Seq(
+        qround(scalars.blendLogitSpace(Seq(
           (col("l_discount") + lit(0.01), 0.6),
           (col("l_tax") + lit(0.01), 0.4))), 6).as("blended_nl")),
       Some {
         val lM = scalars.lM
         def nl(x: String) =
           s"((ln(least(greatest($x, 3e-3), 0.997e0) / (1e0 - least(greatest($x, 3e-3), 0.997e0))) + $lM) / ${2.0 * lM})"
+        val blendE = s"""1e0 / (1e0 + exp(-(${2.0 * lM} * ((${nl("l_discount + 0.01e0")} * 0.6e0)
+           |    + (${nl("l_tax + 0.01e0")} * 0.4e0)) - $lM)))"""
         s"""SELECT l_orderkey, l_linenumber,
-           |  round(1e0 / (1e0 + exp(-(${2.0 * lM} * ((${nl("l_discount + 0.01e0")} * 0.6e0)
-           |    + (${nl("l_tax + 0.01e0")} * 0.4e0)) - $lM))), 6) AS blended_nl
+           |  ${qroundSql(blendE, 6)} AS blended_nl
            |FROM lineitem""".stripMargin
       }),
 

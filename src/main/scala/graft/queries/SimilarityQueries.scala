@@ -50,7 +50,7 @@ object SimilarityQueries {
           .select(col("vec_id").as("cid"), col("embedding").as("cv"))
         // d2 = |v|^2 - 2 v.c + |c|^2, rounded to absorb fold-order
         // noise before it can flip an argmin
-        val d2 = round(
+        val d2 = qround(
           vectors.normSq(col("embedding")) - lit(2.0) * vectors.dot(col("embedding"), col("cv"))
             + vectors.normSq(col("cv")), 6)
         // argmin via min_by on a (d2, cid) struct (deterministic
@@ -69,7 +69,7 @@ object SimilarityQueries {
         assigned.join(broadcast(q), col("cid") === col("qcid"))
           .where(col("vec_id") =!= 0)
           .select(col("vec_id"), col("cid"),
-            round(vectors.cosine(col("embedding"), col("qv")), 6).as("cos"))
+            qround(vectors.cosine(col("embedding"), col("qv")), 6).as("cos"))
           .orderBy(col("cos").desc, col("vec_id").asc)
           .limit(10)
       },
@@ -81,11 +81,11 @@ object SimilarityQueries {
            |a AS (SELECT vec_id, ve, cid FROM (
            |    SELECT e.vec_id, e.ve, c.cid,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        round(${dotS("e.ve", "e.ve")} - 2e0 * ${dotS("e.ve", "c.cv")}
-           |          + ${dotS("c.cv", "c.cv")}, 6) ASC, c.cid ASC) AS rn
+           |        (floor((${dotS("e.ve", "e.ve")} - 2e0 * ${dotS("e.ve", "c.cv")}
+           |          + ${dotS("c.cv", "c.cv")}) * 1000000 + 0.5e0) / 1000000.0e0) ASC, c.cid ASC) AS rn
            |    FROM e, c) WHERE rn = 1),
            |q AS (SELECT ve AS qv, cid AS qcid FROM a WHERE vec_id = 0)
-           |SELECT vec_id, cid, round(${cosSql("ve", "qv")}, 6) AS cos
+           |SELECT vec_id, cid, (floor((${cosSql("ve", "qv")}) * 1000000 + 0.5e0) / 1000000.0e0) AS cos
            |FROM a, q WHERE cid = qcid AND vec_id <> 0
            |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
       }),
@@ -104,7 +104,7 @@ object SimilarityQueries {
         val emb = T(s, d, "embeddings").select(col("vec_id"), col("embedding"))
         val cents = emb.where(col("vec_id").between(1, IvfK))
           .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        val d2 = round(
+        val d2 = qround(
           vectors.normSq(col("embedding")) - lit(2.0) * vectors.dot(col("embedding"), col("cv"))
             + vectors.normSq(col("cv")), 6)
         val assigned = emb.crossJoin(broadcast(cents))
@@ -128,8 +128,8 @@ object SimilarityQueries {
            |a AS (SELECT ve, cid FROM (
            |    SELECT e.ve, c.cid,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        round(${dotS("e.ve", "e.ve")} - 2e0 * ${dotS("e.ve", "c.cv")}
-           |          + ${dotS("c.cv", "c.cv")}, 6) ASC, c.cid ASC) AS rn
+           |        (floor((${dotS("e.ve", "e.ve")} - 2e0 * ${dotS("e.ve", "c.cv")}
+           |          + ${dotS("c.cv", "c.cv")}) * 1000000 + 0.5e0) / 1000000.0e0) ASC, c.cid ASC) AS rn
            |    FROM e, c) WHERE rn = 1)
            |SELECT cid, i - 1 AS pos, count(*) AS n,
            |  CAST(sum(CAST(floor((ve[i]) * 1000000 + 0.5e0) AS BIGINT)) AS BIGINT)
@@ -155,7 +155,7 @@ object SimilarityQueries {
         a.join(b, "bucket")
           .where(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
-            round(vectors.cosine(col("va"), col("vb")), 6).as("cos"))
+            qround(vectors.cosine(col("va"), col("vb")), 6).as("cos"))
           .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
           .limit(20)
       },
@@ -163,7 +163,7 @@ object SimilarityQueries {
               |            ${bucketSql("CAST(embedding AS DOUBLE[])", AnnBits)} AS bucket
               |          FROM embeddings)
               |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-              |  round(${cosSql("a.ve", "b.ve")}, 6) AS cos
+              |  (floor((${cosSql("a.ve", "b.ve")}) * 1000000 + 0.5e0) / 1000000.0e0) AS cos
               |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
               |ORDER BY cos DESC, vec_a, vec_b LIMIT 20""".stripMargin)),
 
@@ -175,12 +175,12 @@ object SimilarityQueries {
         emb.crossJoin(broadcast(q))
           .where(col("vec_id") =!= 0)
           .select(col("vec_id"),
-            round(vectors.cosine(col("embedding"), col("qv")), 6).as("cos"))
+            qround(vectors.cosine(col("embedding"), col("qv")), 6).as("cos"))
           .orderBy(col("cos").desc, col("vec_id").asc)
           .limit(20)
       },
       Some(s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-              |SELECT vec_id, round(${cosSql("ve", "qv")}, 6) AS cos
+              |SELECT vec_id, (floor((${cosSql("ve", "qv")}) * 1000000 + 0.5e0) / 1000000.0e0) AS cos
               |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings WHERE vec_id <> 0), q
               |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin)),
 
@@ -208,7 +208,7 @@ object SimilarityQueries {
         emb.join(broadcast(q), col("bucket") === col("qbucket"))
           .where(col("vec_id") =!= 0)
           .select(col("vec_id"),
-            round(vectors.cosine(col("embedding"), col("qv")), 6).as("cos"))
+            qround(vectors.cosine(col("embedding"), col("qv")), 6).as("cos"))
           .orderBy(col("cos").desc, col("vec_id").asc)
           .limit(10)
       },
@@ -216,7 +216,7 @@ object SimilarityQueries {
               |            ${bucketSql("CAST(embedding AS DOUBLE[])", AnnBits)} AS bucket
               |          FROM embeddings),
               |q AS (SELECT ve AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
-              |SELECT vec_id, round(${cosSql("ve", "qv")}, 6) AS cos
+              |SELECT vec_id, (floor((${cosSql("ve", "qv")}) * 1000000 + 0.5e0) / 1000000.0e0) AS cos
               |FROM e, q WHERE bucket = qbucket AND vec_id <> 0
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
   )

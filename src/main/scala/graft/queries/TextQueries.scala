@@ -149,7 +149,7 @@ object TextQueries {
         val nDocs = docs.agg(count(lit(1)).as("nd"))
         val scored = tf.join(dfq, "term").crossJoin(broadcast(nDocs))
           .select(col("doc_id"), col("term"),
-            round(col("tf").cast("double") *
+            qround(col("tf").cast("double") *
               log(col("nd").cast("double") / col("dfc").cast("double")), 6).as("tfidf"))
         graft.ops.TopN.topNPerGroup(scored, "doc_id", "tfidf", 3, Seq("term"))
           .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
@@ -160,7 +160,7 @@ object TextQueries {
              |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
              |n AS (SELECT count(*) AS nd FROM documents),
              |scored AS (SELECT doc_id, term,
-             |             round(CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(dfc AS DOUBLE)), 6) AS tfidf
+             |             (floor((CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(dfc AS DOUBLE))) * 1000000 + 0.5e0) / 1000000.0e0) AS tfidf
              |           FROM tf JOIN dfq USING (term), n)
              |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tfidf FROM (
              |  SELECT doc_id, term, tfidf,

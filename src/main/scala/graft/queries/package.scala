@@ -46,4 +46,23 @@ package object queries {
     * e0 literal so neither engine parses a DECIMAL). */
   def qlongSql(e: String, k: String): String =
     s"CAST(floor(($e) * $k + 0.5e0) AS BIGINT)"
+
+  /** Snap a double to the 10^-digits grid — the transcendental-output
+    * absorber (Java vs libm ln/exp differ in the last ulp; quantizing
+    * to 1e-6 makes both engines emit the same double). floor-based for
+    * the same reason as [[qlong]]: Spark's round(x, d) on doubles is
+    * BigDecimal-backed (Double.toString + allocation per row). The
+    * long->double conversion and the division are exact/correctly
+    * rounded at these magnitudes, so Spark and DuckDB agree bit-for-bit
+    * when fed the same input. */
+  def qround(c: Column, digits: Int): Column = {
+    val k = math.pow(10, digits)
+    F.floor(c * F.lit(k) + F.lit(0.5)).cast("double") / F.lit(k)
+  }
+
+  /** SQL twin of [[qround]]. */
+  def qroundSql(e: String, digits: Int): String = {
+    val k = math.pow(10, digits).toLong
+    s"(floor(($e) * $k + 0.5e0) / $k.0e0)"
+  }
 }
