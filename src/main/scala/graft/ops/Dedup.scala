@@ -18,14 +18,15 @@ import graft.functions.text
   * Every hash is md5 so an external SQL engine reproduces the exact
   * pipeline (no engine-private hash seeds).
   *
-  * Cache lifecycle: [[lshCandidatePairs]] and [[jaccard]] persist
-  * reused subplans (a lazily-returned plan cannot unpersist itself).
-  * The caller owns the lifecycle: use [[lshCandidatePairsFull]] /
-  * [[jaccardFull]] to get the persisted handles and call
-  * `unpersistAll()` once the downstream action has run, or drop
+  * Cache lifecycle: [[jaccard]] persists reused subplans (a
+  * lazily-returned plan cannot unpersist itself). The caller owns the
+  * lifecycle: use [[jaccardFull]] to get the persisted handles and
+  * call `unpersistAll()` once the downstream action has run, or drop
   * everything with `spark.catalog.clearCache()` (as Bench/Verify do
-  * between queries). The plain overloads are conveniences for
-  * one-shot callers who accept either of those cleanups.
+  * between queries). The plain overload is a convenience for one-shot
+  * callers who accept either of those cleanups. The LSH pair
+  * generators are single-pass since the bucket-gather rewrite and
+  * persist nothing (their `caches` are empty, kept for API stability).
   */
 object Dedup {
 
@@ -119,13 +120,19 @@ object Dedup {
       .select(col("doc_id") +: (0 until seeds).map(i => col(s"m_$i")) ++: bandCols: _*)
   }
 
-  /** Candidate pairs: ONE self-equi-join on the composite
-    * (band index, band key) — the band index rides inside the join key,
-    * so all bands share a single shuffle instead of `bands` separate
-    * joins (the previous shape; same candidate set, 1/bands the
-    * stages and codegen). Never an all-pairs cross join. Adds the
+  /** Candidate pairs: gather each (band index, band key) bucket's
+    * members with ONE shuffle (hash agg -> collect_list), then emit
+    * the bucket-local pairs by a double explode of the member array —
+    * no self-join, no second shuffle, no persisted intermediate.
+    * The band index rides inside the group key, so all bands share
+    * that single shuffle. Never an all-pairs cross join. Adds the
     * signature-agreement estimate `jaccard_est` = matching
-    * components / seeds. */
+    * components / seeds.
+    *
+    * The member arrays are bounded by `maxBucket` (the skew cap) —
+    * at corpus scale ALWAYS set it: a duplicate-heavy corpus puts
+    * thousands of docs into one bucket, and both the array and the
+    * quadratic pair fan-out need the cap as backstop. */
   def lshCandidatePairs(bandedIn: DataFrame, seeds: Int, bands: Int,
                         maxBucket: Int = Int.MaxValue): DataFrame =
     lshCandidatePairsFull(bandedIn, seeds, bands, maxBucket).pairs
@@ -137,78 +144,61 @@ object Dedup {
                             maxBucket: Int = Int.MaxValue): LshCandidates = {
     val bandStructs = array((0 until bands).map(b =>
       struct(lit(b).as("band_idx"), col(s"band_$b").as("band_key"))): _*)
-    // one row per (doc, band); feeds both sides of the self-join
-    // (2 scans) — materialize once: the S3 decode-cache pattern
-    // applied where re-computation actually hurts
-    val exploded = bandedIn
-      .select(col("doc_id") +: (0 until seeds).map(i => col(s"m_$i")) :+
-        explode(bandStructs).as("bk"): _*)
-      .select(col("doc_id") +: (0 until seeds).map(i => col(s"m_$i")) :+
-        col("bk.band_idx").as("band_idx") :+ col("bk.band_key").as("band_key"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Skew guard for the 100 TB path: a duplicate-heavy corpus puts
-    // thousands of docs into one band bucket and the self-join goes
-    // quadratic on it. With `maxBucket` set, over-full buckets are
-    // DROPPED (their members are near-exact duplicates — run exact
-    // dedup first to collapse them; the cap is the backstop, not the
+    val member = struct(col("doc_id") +: (0 until seeds).map(i => col(s"m_$i")): _*)
+    // one shuffle: every bucket's members gathered into an array
+    val buckets = bandedIn
+      .select(member.as("m"), explode(bandStructs).as("bk"))
+      .groupBy(col("bk.band_idx").as("band_idx"), col("bk.band_key").as("band_key"))
+      .agg(collect_list(col("m")).as("ms"))
+    // Skew guard for the 100 TB path: over-full buckets are DROPPED
+    // (their members are near-exact duplicates — run exact dedup
+    // first to collapse them; the cap is the backstop, not the
     // dedup), and reported in `droppedBuckets` so the recall loss is
-    // observable. One extra aggregate on the already-cached rows.
-    val bucketSizes = exploded.groupBy(col("band_idx"), col("band_key"))
-      .agg(count(lit(1)).as("n_docs"))
-    val dropped =
-      if (maxBucket == Int.MaxValue) bucketSizes.where(lit(false))
-      else bucketSizes.where(col("n_docs") > maxBucket)
-    val rows = if (maxBucket == Int.MaxValue) exploded else {
-      val keep = bucketSizes
-        .where(col("n_docs") <= maxBucket)
-        .select(col("band_idx"), col("band_key"))
-      exploded.join(keep, Seq("band_idx", "band_key"))
-    }
-    val left = rows.select(
-      col("band_idx") +: col("band_key") +: col("doc_id").as("doc_a") +:
-        (0 until seeds).map(i => col(s"m_$i").as(s"ma_$i")): _*)
-    val right = rows.select(
-      col("band_idx") +: col("band_key") +: col("doc_id").as("doc_b") +:
-        (0 until seeds).map(i => col(s"m_$i").as(s"mb_$i")): _*)
-    val pairs = left.join(right, Seq("band_idx", "band_key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    // observable.
+    val dropped = buckets.where(
+      if (maxBucket == Int.MaxValue) lit(false) else size(col("ms")) > maxBucket)
+      .select(col("band_idx"), col("band_key"), size(col("ms")).cast("long").as("n_docs"))
+    val kept =
+      if (maxBucket == Int.MaxValue) buckets
+      else buckets.where(size(col("ms")) <= maxBucket)
+    // bucket-local pair fan-out: two chained explodes of the member
+    // array (quadratic in bucket size, which the cap bounds) — pure
+    // map-side work on the agg output
+    val pairs = kept
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (0 until seeds).map(i =>
-          when(col(s"ma_$i") === col(s"mb_$i"), 1).otherwise(0)).reduce(_ + _)
+          when(col(s"a.m_$i") === col(s"b.m_$i"), 1).otherwise(0)).reduce(_ + _)
           .cast("double").as("n_match"))
       .distinct()
       .select(col("doc_a"), col("doc_b"), (col("n_match") / seeds).as("jaccard_est"))
-    LshCandidates(pairs, dropped, Seq(exploded))
+    LshCandidates(pairs, dropped, Seq.empty)
   }
 
   /** Candidate ID pairs only — the variant a downstream exact
-    * rescorer (e.g. [[jaccard]]) wants. Same banded self-join as
-    * [[lshCandidatePairsFull]], but no signature columns ride through
-    * the join and the distinct dedupes bare (doc_a, doc_b): half the
-    * shuffled row width for the same candidate set. */
+    * rescorer (e.g. [[jaccard]]) wants. Same one-shuffle
+    * bucket-gather as [[lshCandidatePairsFull]], but only doc ids
+    * enter the member arrays and the distinct dedupes bare
+    * (doc_a, doc_b): minimum row width for the same candidate set. */
   def lshCandidateIdPairs(bandedIn: DataFrame, bands: Int,
                           maxBucket: Int = Int.MaxValue): CachedFrame = {
     val bandStructs = array((0 until bands).map(b =>
       struct(lit(b).as("band_idx"), col(s"band_$b").as("band_key"))): _*)
-    val exploded = bandedIn
+    val buckets = bandedIn
       .select(col("doc_id"), explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("bk.band_idx").as("band_idx"),
-        col("bk.band_key").as("band_key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows = if (maxBucket == Int.MaxValue) exploded else {
-      val keep = exploded.groupBy(col("band_idx"), col("band_key"))
-        .agg(count(lit(1)).as("n_docs"))
-        .where(col("n_docs") <= maxBucket)
-        .select(col("band_idx"), col("band_key"))
-      exploded.join(keep, Seq("band_idx", "band_key"))
-    }
-    val pairs = rows.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
-      .join(rows.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b")),
-        Seq("band_idx", "band_key"))
+      .groupBy(col("bk.band_idx").as("band_idx"), col("bk.band_key").as("band_key"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+    val kept =
+      if (maxBucket == Int.MaxValue) buckets
+      else buckets.where(size(col("ids")) <= maxBucket)
+    val pairs = kept
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
       .distinct()
-    CachedFrame(pairs, Seq(exploded))
+    CachedFrame(pairs, Seq.empty)
   }
 
   /** SimHash (nBits <= 32: bit b votes with the high bit of the b-th
@@ -249,8 +239,10 @@ object Dedup {
     // with a shuffle-hash hint, NOT broadcast: 10% of a 100 TB corpus
     // does not broadcast, and skipping the broadcast barrier also
     // fuses the whole rescore into one job locally
+    // no .distinct(): left_semi ignores right-side duplicates, so
+    // deduping here would only add a shuffle for nothing
     val candIds = pairs
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     val cand = docs.select(idCol.as("doc_id"), textCol.as("_t"))
       .join(candIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
     // Per-doc distinct-shingle ARRAYS: the codegen'd explode path

@@ -124,9 +124,9 @@ class DedupSpec extends AnyFunSuite {
     val sig = Dedup.minhashSignature(docs, $"text", $"doc_id", 3, 4)
     val lsh = Dedup.lshCandidatePairsFull(Dedup.lshBands(sig, 4, 4), 4, 4)
     lsh.pairs.write.format("noop").mode("overwrite").save()
-    assert(lsh.caches.nonEmpty && lsh.caches.forall(_.storageLevel.useMemory))
+    // the bucket-gather pair generator is single-pass: nothing to cache
+    assert(lsh.caches.isEmpty)
     lsh.unpersistAll(blocking = true)
-    assert(lsh.caches.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
     val jf = Dedup.jaccardFull(lsh.pairs.select("doc_a", "doc_b"), docs, $"text", $"doc_id", 3)
     jf.result.write.format("noop").mode("overwrite").save()
     assert(jf.caches.size == 2 && jf.caches.forall(_.storageLevel.useMemory))
