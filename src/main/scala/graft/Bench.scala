@@ -64,16 +64,21 @@ object Bench {
     }
     spark.catalog.clearCache()
     // SPARK_GRAFT_ONLY=comma-list restricts to named queries (dev knob).
-    // SPARK_GRAFT_REPEAT=n runs each query n times. REPORTING CONTRACT
-    // (kept stable across rounds): "value"/"queries" are the COLD
-    // first-run times — directly comparable to every earlier round's
-    // artifact and to the single-shot DuckDB oracle runs. The per-query
-    // MINIMUM over the n repeats is reported separately as
-    // "warm_total"/"warm_queries": the JVM charges one-time Janino
-    // codegen compilation + C2 JIT (~0.3-1s per unique plan) to the
-    // first execution, so the min isolates steady-state throughput
-    // (standard JVM-benchmarking practice) without redefining the
-    // headline number.
+    // SPARK_GRAFT_REPEAT=n runs each query n times. REPORTING CONTRACT:
+    // "value"/"queries" are the COLD first-run times, directly
+    // comparable to the single-shot DuckDB oracle runs. (Semantic
+    // note for cross-round comparison: round-4 and earlier artifacts
+    // reported the per-query MIN as "value"; round 5 switched the
+    // headline to cold — r4's "value" is comparable to r5+'s
+    // "warm_total", not to "value".) The per-query MINIMUM over the n
+    // repeats is reported separately as "warm_total"/"warm_queries":
+    // the JVM charges one-time Janino codegen compilation + C2 JIT
+    // (~0.3-1s per unique plan) to the first execution, so the min
+    // isolates steady-state throughput (standard JVM-benchmarking
+    // practice) without redefining the headline number. Per-query
+    // spread (all repeat times) goes to bench_full.json, and queries
+    // whose repeats disagree badly are called out in stdout "noisy" —
+    // so environmental noise is distinguishable from real regression.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -81,6 +86,11 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
+        // pay the previous run's GC debt OUTSIDE the timer: allocation
+        // churn left by query N-1 otherwise lands as a collection
+        // pause inside query N's measurement (observed as a 6x
+        // round-over-round "regression" of an unchanged 6-sum agg)
+        System.gc()
         val t0 = System.nanoTime()
         val dt = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -95,24 +105,26 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      name -> (if (times.contains(-1.0)) (-1.0, -1.0) else (times.head, times.min))
+      name -> (if (times.contains(-1.0)) (-1.0, -1.0, times) else (times.head, times.min, times))
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val fullErrJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
-    val warmTotal = results.collect { case (_, (_, w)) if w >= 0 => w }.sum
+    val total = results.collect { case (_, (v, _, _)) if v >= 0 => v }.sum
+    val warmTotal = results.collect { case (_, (_, w, _)) if w >= 0 => w }.sum
     // Full per-query detail (full precision) goes to a file; the ONE
     // stdout JSON line must survive the driver's 2000-char output-tail
     // capture, so its queries dict lists slowest-first and stops at a
     // character budget ("queries_elided" counts the fast ones cut;
     // bench_full.json always has all of them).
-    val fullQs = results.map { case (k, (v, _)) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val fullWarm = results.map { case (k, (_, w)) => s"${q(k)}:$w" }.mkString("{", ",", "}")
+    val fullQs = results.map { case (k, (v, _, _)) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val fullWarm = results.map { case (k, (_, w, _)) => s"${q(k)}:$w" }.mkString("{", ",", "}")
+    val fullAll = results.map { case (k, (_, _, ts)) =>
+      s"${q(k)}:${ts.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"warm_total":$warmTotal,"warm_queries":$fullWarm,"failed":${errors.size},"errors":$fullErrJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"warm_total":$warmTotal,"warm_queries":$fullWarm,"all_times":$fullAll,"failed":${errors.size},"errors":$fullErrJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()
@@ -132,16 +144,33 @@ object Bench {
     val errElided = errEntries.size - errKept.size
     // explicit locale: the default-locale format would emit comma
     // decimals (invalid JSON) under e.g. de_DE
-    val entries = results.sortBy(-_._2._1).map { case (k, (v, _)) =>
-      s"${q(k)}:${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}" }
-    val budget = 1600 - errJson.length
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val entries = results.sortBy(-_._2._1).map { case (k, (v, _, _)) =>
+      s"${q(k)}:${f3(v)}" }
+    // repeat-disagreement callouts: a query whose repeats span more
+    // than 50% of its min AND 0.3s absolute is environmental noise or
+    // a warmup artifact, not plan cost — reported as [min,max] so a
+    // reader can tell a noisy measurement from a real regression
+    val noisy = results.collect {
+      case (k, (v, _, ts)) if v >= 0 && ts.size > 1 &&
+        (ts.max - ts.min) > math.max(0.3, 0.5 * ts.min) =>
+        s"${q(k)}:[${f3(ts.min)},${f3(ts.max)}]"
+    }
+    val noisyJson = {
+      val (keep, _) = noisy.foldLeft((Vector.empty[String], 0)) {
+        case ((acc, len), e) =>
+          if (len + e.length + 1 <= 300) (acc :+ e, len + e.length + 1) else (acc, len)
+      }
+      keep.mkString("{", ",", "}")
+    }
+    val budget = 1600 - errJson.length - noisyJson.length
     val (kept, used) = entries.foldLeft((Vector.empty[String], 0)) {
       case ((acc, len), e) =>
         if (len + e.length + 1 <= budget) (acc :+ e, len + e.length + 1) else (acc, len)
     }
     val elided = entries.size - kept.size
-    val warmFmt = String.format(java.util.Locale.ROOT, "%.3f", Double.box(warmTotal))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_elided":$elided,"warm_total":$warmFmt,"failed":${errors.size},"errors":$errJson,"errors_elided":$errElided,"sf":"$sfDir"}""")
+    val warmFmt = f3(warmTotal)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_elided":$elided,"warm_total":$warmFmt,"noisy":$noisyJson,"failed":${errors.size},"errors":$errJson,"errors_elided":$errElided,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

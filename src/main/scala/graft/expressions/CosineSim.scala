@@ -27,15 +27,15 @@ case class CosineSim(left: Expression, right: Expression)
     if (NumericArray.ok(left.dataType) && NumericArray.ok(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_cosine requires two array<double|float> arguments, got " +
+      s"graft_cosine requires two numeric-array arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
-  @transient private lazy val xf = NumericArray.isFloat(left.dataType)
-  @transient private lazy val yf = NumericArray.isFloat(right.dataType)
+  @transient private lazy val readX = NumericArray.reader(left.dataType)
+  @transient private lazy val readY = NumericArray.reader(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -46,8 +46,8 @@ case class CosineSim(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      val xv = readX(x, i)
+      val yv = readY(y, i)
       ab += xv * yv; aa += xv * xv; bb += yv * yv
       i += 1
     }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Native dot product over two `array<double>` columns.
   *
@@ -37,15 +37,15 @@ case class DotProduct(left: Expression, right: Expression)
     if (NumericArray.ok(left.dataType) && NumericArray.ok(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot requires two array<double|float> arguments, got " +
+      s"graft_dot requires two numeric-array arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
-  @transient private lazy val xf = NumericArray.isFloat(left.dataType)
-  @transient private lazy val yf = NumericArray.isFloat(right.dataType)
+  @transient private lazy val readX = NumericArray.reader(left.dataType)
+  @transient private lazy val readY = NumericArray.reader(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -56,9 +56,7 @@ case class DotProduct(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += readX(x, i) * readY(y, i)
       i += 1
     }
     acc
@@ -90,19 +88,35 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Shared element-type plumbing for the numeric-array expressions. */
+/** Shared element-type plumbing for the numeric-array expressions.
+  * Every numeric element type is accepted and widened to double in
+  * the getter (so ad-hoc inputs like `array(1, 2, 3)` — array<int> —
+  * work without an explicit cast; int/long values above 2^53 lose
+  * precision exactly as an explicit cast-to-double would). */
 private[expressions] object NumericArray {
   def ok(dt: DataType): Boolean = dt match {
-    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
-    case _ => false
-  }
-  def isFloat(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType | FloatType | IntegerType | LongType |
+                   ShortType | ByteType, _) => true
     case _ => false
   }
   /** Java source reading element `i` of `arr` as double. */
-  def getter(dt: DataType, arr: String, i: String): String =
-    if (isFloat(dt)) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
+  def getter(dt: DataType, arr: String, i: String): String = dt match {
+    case ArrayType(FloatType, _)   => s"((double) $arr.getFloat($i))"
+    case ArrayType(IntegerType, _) => s"((double) $arr.getInt($i))"
+    case ArrayType(LongType, _)    => s"((double) $arr.getLong($i))"
+    case ArrayType(ShortType, _)   => s"((double) $arr.getShort($i))"
+    case ArrayType(ByteType, _)    => s"((double) $arr.getByte($i))"
+    case _                         => s"$arr.getDouble($i)"
+  }
+  /** Interpreted-eval twin of [[getter]]. */
+  def reader(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(FloatType, _)   => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+    case ArrayType(LongType, _)    => (a, i) => a.getLong(i).toDouble
+    case ArrayType(ShortType, _)   => (a, i) => a.getShort(i).toDouble
+    case ArrayType(ByteType, _)    => (a, i) => a.getByte(i).toDouble
+    case _                         => (a, i) => a.getDouble(i)
+  }
 }
 
 /** Session extension registering the engine's native expressions —

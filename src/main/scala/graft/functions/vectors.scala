@@ -18,9 +18,10 @@ object vectors {
   /** Dot product `sum_i a_i * b_i`, left-to-right accumulation.
     * Native codegen'd expression (graft.expressions.DotProduct,
     * registered by GraftExtensions via Tables.conf); [[dotHof]] is the
-    * built-in-only equivalent. Float arrays are read directly (each
-    * element widens to double, exact) — no per-row
-    * `cast(array<float> as array<double>)` copy on the hot path. */
+    * built-in-only equivalent. Any numeric element type is accepted
+    * and read directly, widening per element to double — no per-row
+    * `cast(array<float> as array<double>)` copy on the hot path (and
+    * ad-hoc `array(1, 2, 3)` int arrays work unchanged). */
   def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 

@@ -32,14 +32,18 @@ object Skew {
     * be a fact-side integral column (ideally unique or uniform — a
     * line number, a hash — so the salt spreads evenly); the salt is
     * `pmod(saltSrc, s)`, deterministic so retried tasks re-derive the
-    * same salt. Output = the plain inner equi-join on `keys`, with
-    * fact-then-dim columns and no salt column. */
+    * same salt. A NULL `saltSrc` value salts to 0 (coalesce) rather
+    * than producing a NULL salt — which the inner equi-join would
+    * silently eliminate, breaking the row-for-row contract above.
+    * Output = the plain inner equi-join on `keys`, with fact-then-dim
+    * columns and no salt column. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  saltSrc: Column, s: Int): DataFrame = {
     require(s >= 1, "salt fan-out must be >= 1")
     require(!(fact.columns ++ dim.columns).contains("_salt"),
       "_salt is a reserved working column")
-    val saltedFact = fact.withColumn("_salt", pmod(saltSrc.cast("int"), lit(s)))
+    val saltedFact = fact.withColumn("_salt",
+      coalesce(pmod(saltSrc.cast("int"), lit(s)), lit(0)))
     val saltedDim = dim.withColumn("_salt",
       explode(array((0 until s).map(lit): _*)))
     saltedFact.join(saltedDim, keys :+ "_salt").drop("_salt")

@@ -92,44 +92,49 @@ object SequenceQueries {
               |  string_agg(CAST(n AS VARCHAR), ',' ORDER BY bkt) AS seq_counts
               |FROM pb GROUP BY user_id, t0""".stripMargin)),
 
-    // W1 at the REFERENCE parameters: 36 frames at 15-min cadence
-    // (datasets.py:15-47,172 — seq len 36, 900s interval). Two scale
-    // decisions differ from the L=3 demos above, both forced by L=36:
-    //  1. the per-bucket series is pre-aggregated FIRST (map-side
-    //     combined groupBy whose shuffle is bounded by the number of
-    //     buckets — time-range bounded — never the number of events);
+    // W1 at the REFERENCE parameters: 36-frame sequences
+    // (datasets.py:15-47,172 — seq len 36). Three scale decisions,
+    // all forced by L=36:
+    //  1. the per-(series, bucket) counts are pre-aggregated FIRST
+    //     (map-side combined groupBy whose shuffle is bounded by
+    //     series x time-range, never the number of events);
     //  2. the 36-bucket sliding aggregate is ONE range-frame window
     //     pass over that series, not a 36-way explode join: the join
     //     form multiplies the series 36x, the range frame reads it
-    //     once. n_buckets = 36 is exactly the valid-start predicate.
-    // The series here is the global event stream (the test events are
-    // too sparse per-key at 15-min cadence); a real deployment
-    // partitions the window by the series key (region/product), each
-    // key's bucket count bounded by the time range.
+    //     once. n_buckets = 36 is exactly the valid-start predicate;
+    //  3. the window is PARTITIONED BY the series key — every series
+    //     is an independent task, so the plan scales with the number
+    //     of series (the reference's regions/products). The synthetic
+    //     key here is user_id % 4 at 1h cadence (the fixture's events
+    //     are too sparse for 36 consecutive 15-min buckets per key);
+    //     a real deployment keys by region/product at 900s.
     Q("w1_seq36_range",
       (s, d) => {
         val series = T(s, d, "events")
-          .select(Sequences.tsBucket(col("ts"), 900L).as("bkt"), col("value"))
-          .groupBy(col("bkt"))
+          .select((col("user_id") % 4).as("sid"),
+            Sequences.tsBucket(col("ts"), 3600L).as("bkt"), col("value"))
+          .groupBy(col("sid"), col("bkt"))
           .agg(count(lit(1)).as("n_ev"),
             sum(qlong(col("value"), 100)).as("cents"))
-        val w = Window.partitionBy(lit("all")).orderBy(col("bkt"))
+        val w = Window.partitionBy(col("sid")).orderBy(col("bkt"))
           .rangeBetween(Window.currentRow, 35)
-        series.select(col("bkt").as("t0"),
+        series.select(col("sid"), col("bkt").as("t0"),
             count(lit(1)).over(w).as("n_buckets"),
             sum(col("n_ev")).over(w).as("n_events"),
             (sum(col("cents")).over(w) / 100.0).as("sum_val"))
           .where(col("n_buckets") === 36)
       },
-      Some("""WITH p AS (SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) AS bkt,
+      Some("""WITH p AS (SELECT user_id % 4 AS sid,
+             |             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bkt,
              |             count(*) AS n_ev,
              |             CAST(sum(CAST(floor((value) * 100 + 0.5e0) AS BIGINT)) AS BIGINT) AS cents
-             |           FROM events GROUP BY 1)
-             |SELECT t0, n_buckets, n_events, sum_val FROM (
-             |  SELECT bkt AS t0, count(*) OVER w AS n_buckets,
+             |           FROM events GROUP BY 1, 2)
+             |SELECT sid, t0, n_buckets, n_events, sum_val FROM (
+             |  SELECT sid, bkt AS t0, count(*) OVER w AS n_buckets,
              |    CAST(sum(n_ev) OVER w AS BIGINT) AS n_events,
              |    CAST(sum(cents) OVER w AS BIGINT) / 100.0e0 AS sum_val
-             |  FROM p WINDOW w AS (ORDER BY bkt RANGE BETWEEN CURRENT ROW AND 35 FOLLOWING))
+             |  FROM p WINDOW w AS (PARTITION BY sid ORDER BY bkt
+             |                      RANGE BETWEEN CURRENT ROW AND 35 FOLLOWING))
              |WHERE n_buckets = 36""".stripMargin)),
 
     // W3: last-frame selection (models.py:119,174,223)

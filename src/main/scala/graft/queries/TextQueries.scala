@@ -136,9 +136,10 @@ object TextQueries {
 
     // TF-IDF top-3 terms per document: tf and df from one token
     // explode, idf joined back, corpus size as a broadcast scalar,
-    // and the per-doc top-k via ops/TopN's threshold pre-filter (the
-    // oracle is the naive window form — the rewrite must emit
-    // identical rows). ln rounded at 6: Java vs libm last-ulp.
+    // and the per-doc top-k via ops/TopN's per-input-partition local
+    // prune + global finalize (the oracle is the naive window form —
+    // the rewrite must emit identical rows). ln snapped to the 1e-6
+    // grid: Java vs libm last-ulp.
     Q("t_tfidf_top",
       (s, d) => {
         val docs = T(s, d, "documents")

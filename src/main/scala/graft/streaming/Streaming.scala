@@ -77,7 +77,17 @@ object Streaming {
     * a session once the watermark passes its gap horizon — so state
     * size is O(open sessions), bounded, forever. Emits one row per
     * COMPLETED session: (key, s_start_ms, s_end_ms, n_events).
-    * Batch-twin equivalence is test-asserted in `FoldStreamSpec`. */
+    *
+    * Batch-twin equivalence (test-asserted in `FoldStreamSpec`) holds
+    * for in-order streams and for late data that lands within
+    * `maxGapSeconds` of the open session. A late-but-within-watermark
+    * event that precedes the open session's START by more than the gap
+    * is MERGED into it here (the session's start extends backwards;
+    * the gap test only looks forward from `last`), whereas the batch
+    * [[graft.ops.Sequences.sessionize]] would emit it as a separate
+    * earlier session — an append-mode stream cannot retract the open
+    * session to split it. Size the watermark at or below
+    * `maxGapSeconds` if that divergence matters. */
   def sessionizeStream(events: DataFrame, key: String, ts: String,
                        maxGapSeconds: Long, watermark: String): DataFrame = {
     import events.sparkSession.implicits._

@@ -59,6 +59,8 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate explode"), "the 36-step window must not 36x-explode the series")
     assert(p.contains("partial_count"), "bucket series must pre-aggregate with map-side combine")
     assert("FileScan".r.findAllIn(p).length == 1, "events scanned once")
+    assert(!p.contains("Exchange SinglePartition"),
+      "window must be keyed by the series id, never a single global partition")
   }
 
   test("j7: as-of join is JOIN-FREE — union + one shared-sort window pass") {
