@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.ops.Raster
 
 /** N14: bilinear warp / advection gather (weather4cast/layers.py:23-79)
   * plus the S5 date-key fallback and P6 threshold-any predicate — the
@@ -91,5 +92,48 @@ object WarpQueries {
              |SELECT c.i AS i, c.j AS j, sum(c.w * g2.v) AS warped
              |FROM corners c JOIN g g2 ON g2.i = c.ci AND g2.j = c.cj
              |GROUP BY c.i, c.j""".stripMargin)),
+
+    // S2/S7 ingest boundary END-TO-END through a real binary carrier
+    // (datasets.py:75-110 NetCDF uint16 reads; 455-459 uint16 writes):
+    // each user's event series becomes one packed two-variable uint16
+    // "frame" (v1 = value at scale 1/128 with event_type='error'
+    // playing _FillValue; v2 = even-second-of-day at scale 2), then
+    // the blob is decoded back to long-form (frame, cell, v1, v2)
+    // rows. Pack is ONE shuffle (the row_number window's uid exchange
+    // is reused by the groupBy); decode hexes each blob once below an
+    // explode over cell indexes. The oracle computes the
+    // quantize->dequantize identity directly from events — any
+    // corruption in the hex/unhex/substr/conv carrier hash-mismatches.
+    Q("s2_raster_pack_decode",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("uid")).orderBy(col("event_id"))
+        val coded = T(s, d, "events")
+          .select(col("user_id").as("uid"), col("event_id"), col("value"),
+            col("event_type"), col("ts"))
+          .withColumn("k", (row_number().over(w) - 1).cast("long"))
+          .select(col("uid"), col("k"),
+            Raster.encodeU16(col("value"), 128.0, col("event_type") === "error").as("c1"),
+            shiftright(unix_timestamp(col("ts")) % 86400L, 1).as("c2"))
+        val packed = coded.groupBy(col("uid"))
+          .agg(Raster.packOrdered(col("k"), Raster.cellHex(col("c1"), col("c2"))).as("blob"))
+        packed.select(col("uid"), hex(col("blob")).as("hxs"))
+          .select(col("uid"), col("hxs"),
+            explode(sequence(lit(0L), (length(col("hxs")) / 8).cast("long") - 1)).as("k"))
+          .select(col("uid"), col("k"),
+            Raster.decodeU16(Raster.unpackCode(col("hxs"), col("k"), 0, 2), 0.0078125).as("v1"),
+            Raster.decodeU16(Raster.unpackCode(col("hxs"), col("k"), 1, 2), 2.0).as("v2"))
+      },
+      Some("""WITH coded AS (
+             |  SELECT user_id AS uid,
+             |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT) AS k,
+             |    CASE WHEN event_type = 'error' OR value IS NULL THEN 65535
+             |         ELSE least(65534, greatest(0, CAST(floor(value * 128e0 + 0.5e0) AS BIGINT))) END AS c1,
+             |    (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 2 AS c2
+             |  FROM events)
+             |SELECT uid, k,
+             |  CASE WHEN c1 = 65535 THEN NULL ELSE CAST(c1 AS DOUBLE) * 0.0078125e0 END AS v1,
+             |  CAST(c2 AS DOUBLE) * 2e0 AS v2
+             |FROM coded""".stripMargin)),
   )
 }
