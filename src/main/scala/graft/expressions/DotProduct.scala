@@ -138,5 +138,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_cosine(a, b) takes two arrays")
         CosineSim(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bottom_k"),
+      new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_bottom_k(expr, k) takes a value and a literal k")
+        BottomK(children.head, children(1)).toAggregateExpression()
+      }))
   }
 }

@@ -281,7 +281,7 @@ object RelationalQueries {
     // The oracle is the one-pass window form — proving the two-phase
     // rewrite emits identical rows.
     Q("o4_topn_per_group",
-      (s, d) => graft.ops.TopN.topNPerGroup(
+      (s, d) => graft.ops.TopN.topNPerGroupAgg(
           T(s, d, "lineitem")
             .select(col("l_returnflag"), col("l_orderkey"),
               col("l_linenumber"), col("l_extendedprice")),

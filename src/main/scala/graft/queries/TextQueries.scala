@@ -136,8 +136,8 @@ object TextQueries {
 
     // TF-IDF top-3 terms per document: tf and df from one token
     // explode, idf joined back, corpus size as a broadcast scalar,
-    // and the per-doc top-k via ops/TopN's per-input-partition local
-    // prune + global finalize (the oracle is the naive window form —
+    // and the per-doc top-k via the graft_bottom_k bounded aggregate
+    // (ops/TopN.topNPerGroupAgg — the oracle is the naive window form;
     // the rewrite must emit identical rows). ln snapped to the 1e-6
     // grid: Java vs libm last-ulp.
     Q("t_tfidf_top",
@@ -152,7 +152,7 @@ object TextQueries {
           .select(col("doc_id"), col("term"),
             qround(col("tf").cast("double") *
               log(col("nd").cast("double") / col("dfc").cast("double")), 6).as("tfidf"))
-        graft.ops.TopN.topNPerGroup(scored, "doc_id", "tfidf", 3, Seq("term"))
+        graft.ops.TopN.topNPerGroupAgg(scored, "doc_id", "tfidf", 3, Seq("term"))
           .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
       },
       Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

@@ -37,6 +37,10 @@ class SkewSpec extends AnyFunSuite {
     val naive = df.withColumn("rn", row_number().over(w).cast("long"))
       .where($"rn" <= 5).select("g", "rn", "id", "v").collect().map(_.toSeq).toSet
     assert(got == naive)
+    // the bounded-aggregate form (graft_bottom_k) must emit the same rows
+    val viaAgg = graft.ops.TopN.topNPerGroupAgg(df, "g", "v", n = 5, tieBreaks = Seq("id"))
+      .select("g", "rn", "id", "v").collect().map(_.toSeq).toSet
+    assert(viaAgg == naive)
   }
 
   test("rolling fingerprint is order-sensitive; md5 fingerprint is not") {
