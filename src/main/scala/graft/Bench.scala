@@ -25,6 +25,11 @@ object Bench {
       // (each repeat then pays full Janino recompilation — measured as
       // warm times approaching cold ones late in the run)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // dev knob: SPARK_GRAFT_AQE=false measures how much of the
+      // per-query floor is adaptive re-planning (each exchange is a
+      // blocking stage + re-optimize at this scale); production keeps
+      // AQE on — it is the skew/coalesce story at 100 TB
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config(graft.sources.Tables.conf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
