@@ -139,6 +139,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSim(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_slices"),
+      new ExpressionInfo(classOf[MinHashSlices].getName, "graft_minhash_slices"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_minhash_slices(tokens, k, seeds) takes three arguments")
+        MinHashSlices(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bottom_k"),
       new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
       (children: Seq[Expression]) => {

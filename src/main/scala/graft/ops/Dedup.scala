@@ -84,15 +84,34 @@ object Dedup {
     * uniform hashes, so each slice-min is a valid MinHash permutation
     * at a quarter of the hashing cost of salting md5 per seed.
     *
-    * Shape: explode -> codegen'd md5/substring -> groupBy(doc) with
-    * map-side-combined `min` (the shuffle carries at most one partial
-    * row per doc per partition). Docs shorter than the shingle width
-    * keep a NULL signature via the left join — pass
-    * `keepShort = false` to skip that join (and its shuffle) when the
-    * consumer drops null signatures anyway, as LSH banding does. */
+    * Shape: ONE per-document native expression
+    * ([[graft.expressions.MinHashSlices]] `graft_minhash_slices`) —
+    * no shingle row fan-out and no groupBy(doc) shuffle; the
+    * signature is complete inside the scan stage, which at corpus
+    * scale deletes a full shuffle from every MinHash consumer. Docs
+    * shorter than the shingle width get a NULL signature; pass
+    * `keepShort = false` to drop them (as LSH banding wants). */
   def minhashSignature(docs: DataFrame, textCol: Column, idCol: Column,
                        shingleK: Int = 3, seeds: Int = 4,
                        keepShort: Boolean = true): DataFrame = {
+    require(seeds >= 1, "need at least one component")
+    val sig = docs.select(idCol.as("doc_id"),
+        call_function("graft_minhash_slices",
+          split(textCol, " "), lit(shingleK), lit(seeds)).as("_mh"))
+      .select(col("doc_id") +:
+        (0 until seeds).map(s => element_at(col("_mh"), s + 1).as(s"m_$s")): _*)
+    if (keepShort) sig else sig.where(col("m_0").isNotNull)
+  }
+
+  /** The composed-builtins twin of [[minhashSignature]] — explode
+    * shingles, md5 + substring slices, map-side-combined `min` per
+    * doc. Identical output (test-asserted); kept for sessions without
+    * GraftExtensions and as the oracle-shaped cross-check. The native
+    * form wins at scale because this one SHUFFLES the per-doc partial
+    * mins where the expression finishes inside the scan stage. */
+  def minhashSignatureExploded(docs: DataFrame, textCol: Column, idCol: Column,
+                               shingleK: Int = 3, seeds: Int = 4,
+                               keepShort: Boolean = true): DataFrame = {
     require(seeds >= 1, "need at least one component")
     val groups = (seeds + 3) / 4
     val hashed = shingleRows(docs, textCol, idCol, shingleK)

@@ -162,6 +162,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!ps.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("native minhash expression == exploded-builtins pipeline on real docs") {
+    val real = sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    for (seeds <- Seq(4, 8)) {
+      val native = Dedup.minhashSignature(real, $"text", $"doc_id", 3, seeds)
+        .collect().map(r => r.getLong(0) ->
+          (0 until seeds).map(i => r.getAs[String](s"m_$i"))).toMap
+      val exploded = Dedup.minhashSignatureExploded(real, $"text", $"doc_id", 3, seeds)
+        .collect().map(r => r.getLong(0) ->
+          (0 until seeds).map(i => r.getAs[String](s"m_$i"))).toMap
+      assert(native.keySet == exploded.keySet)
+      for ((id, e) <- exploded)
+        assert(native(id) == e, s"doc $id signature diverged (seeds=$seeds)")
+    }
+  }
+
   test("shingles: short docs yield empty shingle set, not an error") {
     val s = Seq((9L, "one two")).toDF("doc_id", "text")
       .select(size(text.shingles($"text", 3)).as("n")).collect()(0).getInt(0)
