@@ -147,6 +147,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSlices(children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingle_set"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_shingle_set(tokens, k) takes two arguments")
+        ShingleSet(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bottom_k"),
       new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
       (children: Seq[Expression]) => {

@@ -264,15 +264,15 @@ object Dedup {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     val cand = docs.select(idCol.as("doc_id"), textCol.as("_t"))
       .join(candIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
-    // Per-doc distinct-shingle ARRAYS: the codegen'd explode path
-    // feeds collect_set, so the only big shuffle is ~|distinct
-    // shingle rows| into the per-doc set build. The alternative —
-    // joining exploded (doc, shingle) rows per pair side — shuffles
-    // |pairs| x |shingles/doc| expanded rows (~10x more here).
-    // (Do NOT build the arrays with the shingles() HOF: its lambdas
-    // evaluate interpreted, measured ~3x the whole query's cost.)
-    val sets = shingleRows(cand, col("_t"), col("doc_id"), shingleK)
-      .groupBy(col("doc_id")).agg(collect_set(col("s")).as("ss"))
+    // Per-doc distinct-shingle ARRAYS via the native graft_shingle_set
+    // expression — computed IN the semi-join stage (already
+    // partitioned by doc_id), so the explode -> collect_set shuffle
+    // of every distinct shingle row is gone; order-insensitive
+    // consumers (array_intersect + size) make set equality the only
+    // contract, cross-checked against the composed form in DedupSpec.
+    val sets = cand
+      .select(col("doc_id"),
+        call_function("graft_shingle_set", split(col("_t"), " "), lit(shingleK)).as("ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // each pair gathers its two sets via small equi-joins and
     // intersects them row-locally; work strictly ∝ |pairs|

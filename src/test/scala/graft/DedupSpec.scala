@@ -177,6 +177,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("native shingle-set expression == explode+collect_set on real docs") {
+    val real = sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val native = real.select($"doc_id",
+        call_function("graft_shingle_set", split($"text", " "), lit(3)).as("ss"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val composed = Dedup.shingleRows(real, $"text", $"doc_id", 3)
+      .groupBy($"doc_id").agg(collect_set($"s").as("ss"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // composed drops <k-token docs; native gives them an empty set
+    for ((id, s) <- composed) assert(native(id) == s, s"doc $id shingle set diverged")
+    for ((id, s) <- native if !composed.contains(id)) assert(s.isEmpty)
+  }
+
   test("shingles: short docs yield empty shingle set, not an error") {
     val s = Seq((9L, "one two")).toDF("doc_id", "text")
       .select(size(text.shingles($"text", 3)).as("n")).collect()(0).getInt(0)
