@@ -154,6 +154,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleSet(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_simhash(tokens, nBits) takes two arguments")
+        SimHash64(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bottom_k"),
       new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
       (children: Seq[Expression]) => {

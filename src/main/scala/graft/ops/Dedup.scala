@@ -221,11 +221,22 @@ object Dedup {
   }
 
   /** SimHash (nBits <= 32: bit b votes with the high bit of the b-th
-    * md5 hex digit, and one md5 has 32 digits): explode tokens, one
-    * shuffle on doc id, per-bit vote sums combined into the hash.
-    * The default 16 matches the graded query; 32 is the same plan
-    * with twice the vote columns. */
+    * md5 hex digit, and one md5 has 32 digits) — ONE per-document
+    * native expression ([[graft.expressions.SimHash64]]
+    * `graft_simhash`): no token fan-out, no groupBy(doc) shuffle, the
+    * hash is complete inside the scan stage. The default 16 matches
+    * the graded query. */
   def simhash(docs: DataFrame, textCol: Column, idCol: Column, nBits: Int = 16): DataFrame = {
+    require(nBits >= 1 && nBits <= 32, "one md5 provides 32 hex-digit vote bits")
+    docs.select(idCol.as("doc_id"),
+      call_function("graft_simhash", text.tokens(textCol), lit(nBits)).as("simhash"))
+  }
+
+  /** Composed-builtins twin of [[simhash]] (explode tokens -> md5 ->
+    * per-bit CASE vote sums grouped by doc) — the oracle-shaped plan,
+    * kept for extension-less sessions and as the cross-check
+    * (test-asserted equal in DedupSpec). */
+  def simhashExploded(docs: DataFrame, textCol: Column, idCol: Column, nBits: Int = 16): DataFrame = {
     require(nBits >= 1 && nBits <= 32, "one md5 provides 32 hex-digit vote bits")
     val toks = docs.select(idCol.as("doc_id"), explode(text.tokens(textCol)).as("tok"))
       .withColumn("hx", md5(col("tok")))

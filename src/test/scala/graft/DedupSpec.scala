@@ -177,6 +177,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("native simhash expression == exploded vote pipeline on real docs") {
+    val real = sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    for (bits <- Seq(16, 32)) {
+      val native = Dedup.simhash(real, $"text", $"doc_id", bits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exploded = Dedup.simhashExploded(real, $"text", $"doc_id", bits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native == exploded, s"simhash diverged at $bits bits")
+    }
+  }
+
   test("native shingle-set expression == explode+collect_set on real docs") {
     val real = sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val native = real.select($"doc_id",
