@@ -161,6 +161,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_word_counts"),
+      new ExpressionInfo(classOf[WordCounts].getName, "graft_word_counts"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_word_counts(tokens) takes one argument")
+        WordCounts(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bottom_k"),
       new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
       (children: Seq[Expression]) => {

@@ -134,18 +134,23 @@ object TextQueries {
              |      FROM documents)
              |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin)),
 
-    // TF-IDF top-3 terms per document: tf and df from one token
-    // explode, idf joined back, corpus size as a broadcast scalar,
-    // and the per-doc top-k via the graft_bottom_k bounded aggregate
-    // (ops/TopN.topNPerGroupAgg — the oracle is the naive window form;
-    // the rewrite must emit identical rows). ln snapped to the 1e-6
-    // grid: Java vs libm last-ulp.
+    // TF-IDF top-3 terms per document. TF comes from the native
+    // graft_word_counts per-doc map (ZERO-shuffle: the composed
+    // explode + groupBy(doc, term) moves every distinct (doc, term)
+    // pair, which the doc id makes partition-unique — map-side
+    // combine can't help), DF aggregates the exploded map entries,
+    // idf joins back with the corpus size as a broadcast scalar, and
+    // the per-doc top-k is the graft_bottom_k bounded aggregate
+    // (ops/TopN.topNPerGroupAgg — the oracle is the naive
+    // explode/groupBy/window form; the rewrites must emit identical
+    // rows). ln snapped to the 1e-6 grid: Java vs libm last-ulp.
     Q("t_tfidf_top",
       (s, d) => {
         val docs = T(s, d, "documents")
         val tf = docs
-          .select(col("doc_id"), explode(text.wordTokens(col("text"))).as("term"))
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .select(col("doc_id"),
+            explode(call_function("graft_word_counts", text.wordTokens(col("text"))))
+              .as(Seq("term", "tf")))
         val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
         val nDocs = docs.agg(count(lit(1)).as("nd"))
         val scored = tf.join(dfq, "term").crossJoin(broadcast(nDocs))

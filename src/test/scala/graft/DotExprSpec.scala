@@ -61,6 +61,18 @@ class DotExprSpec extends AnyFunSuite {
       ($"fused".isNull !== $"composed".isNull)).count() == 0)
   }
 
+  test("graft_word_counts map == explode + groupBy(doc, term) count on real docs") {
+    val real = sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val toks = graft.functions.text.wordTokens($"text")
+    val native = real.select($"doc_id",
+        explode(call_function("graft_word_counts", toks)).as(Seq("term", "tf")))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getInt(2).toLong).toMap
+    val composed = real.select($"doc_id", explode(toks).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(native == composed)
+  }
+
   test("fused cosine null semantics: zero norm, length mismatch, null element") {
     val df = Seq(
       (Seq[java.lang.Double](0.0, 0.0), Seq[java.lang.Double](1.0, 2.0)),  // zero norm -> null
