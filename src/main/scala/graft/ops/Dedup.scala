@@ -247,6 +247,64 @@ object Dedup {
       text.simhashFromVotes((0 until nBits).map(b => col(s"v_$b"))).as("simhash"))
   }
 
+  /** Duplicate CLUSTERS from candidate pairs: connected components by
+    * iterative min-label propagation, the step every real dedup
+    * pipeline needs between "pairs found" and "keep one doc per
+    * group". Returns (doc_id, cluster) for every doc appearing in a
+    * pair, where `cluster` = the smallest doc_id in its component —
+    * the canonical survivor under keep-first policy (docs in no pair
+    * are their own singleton clusters; callers union them in if they
+    * need full coverage).
+    *
+    * Scale shape: the classic Pregel-style loop — each iteration is
+    * one equi-join of the (symmetric) edge list with the current
+    * labels plus a min-aggregate, so an iteration costs two key
+    * shuffles of |edges| / |nodes| rows and the loop runs
+    * O(component diameter) times, NOT O(nodes). Near-dup components
+    * are small cliques (diameter 2-3); `maxIter` is a backstop, and
+    * the per-iteration convergence check is a driver-side count of a
+    * tiny changed-labels join (control plane, not a data-path
+    * collect).
+    *
+    * Each generation is `localCheckpoint`ed, not just persisted: the
+    * label frame of iteration k references iteration k-1 twice (the
+    * neighbor-min join and the convergence diff), so an un-truncated
+    * logical plan doubles per iteration and OOMs the ANALYZER long
+    * before the data is large — checkpointing cuts the lineage to a
+    * flat scan of the materialized partitions. On a real cluster use
+    * reliable `checkpoint()` (HDFS) instead if executor loss matters
+    * mid-loop. */
+  def dupClusters(pairsIn: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairsIn
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairsIn.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // propagate src's label to dst, keep the per-node minimum
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("_nbr"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("label").as("_old")), "id")
+        .where(col("label") =!= col("_old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
   /** Exact shingle-set Jaccard for candidate pairs: distinct shingles
     * joined per side — work proportional to candidates, not corpus². */
   def jaccard(pairsIn: DataFrame, docs: DataFrame, textCol: Column, idCol: Column,

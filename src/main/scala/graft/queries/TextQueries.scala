@@ -283,6 +283,29 @@ object TextQueries {
            |FROM sh a JOIN sh c ON c.doc_id = a.doc_id + 1""".stripMargin
       }),
 
+    // duplicate clusters: LSH candidate pairs -> connected components
+    // (iterative min-label propagation) -> (doc, canonical keep-first
+    // cluster id). The oracle computes the same components via a
+    // recursive transitive closure over the identical pair set.
+    Q("d_dup_clusters",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 3, Seeds,
+          keepShort = false)
+        val pairs = Dedup.lshCandidateIdPairs(Dedup.lshBands(sig, Seeds, Bands), Bands).result
+        Dedup.dupClusters(pairs)
+      },
+      Some(s"""${sigCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+              |pairs AS (SELECT DISTINCT doc_a, doc_b FROM ($pairsSql)),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |          UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT src, dst FROM edges
+              |  UNION
+              |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+              |SELECT id AS doc_id, least(id, min(r)) AS cluster
+              |FROM reach GROUP BY id""".stripMargin)),
+
     // exact shingle-set Jaccard over the LSH candidates
     Q("d_jaccard_pairs",
       (s, d) => {

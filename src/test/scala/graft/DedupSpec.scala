@@ -201,6 +201,14 @@ class DedupSpec extends AnyFunSuite {
     for ((id, s) <- native if !composed.contains(id)) assert(s.isEmpty)
   }
 
+  test("dupClusters: chains merge into one component labeled by its min id") {
+    // components: {1,2,3,9} via chain 9-1, 1-2, 2-3; {5,6}; 7 isolated (no pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 1L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("shingles: short docs yield empty shingle set, not an error") {
     val s = Seq((9L, "one two")).toDF("doc_id", "text")
       .select(size(text.shingles($"text", 3)).as("n")).collect()(0).getInt(0)
