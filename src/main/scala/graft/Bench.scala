@@ -57,7 +57,7 @@ object Bench {
         "lineitem", "events", "documents", "embeddings"))
       try graft.sources.Tables.load(spark, sfDir, t)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
@@ -93,13 +93,20 @@ object Bench {
     // JVM compilation. Disable with SPARK_GRAFT_NOPRECOMPILE=1 to
     // recover the old fully-cold methodology.
     val preDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-    if (!sys.env.contains("SPARK_GRAFT_NOPRECOMPILE") &&
-        preDir.isDirectory && preDir.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath)
+    val precompiled = !sys.env.contains("SPARK_GRAFT_NOPRECOMPILE") &&
+      preDir.isDirectory && preDir.getAbsolutePath != new java.io.File(sfDir).getAbsolutePath
+    if (precompiled)
       for ((_, fn) <- selected) {
+        // NonFatal only: an OOM/VM error here must crash the run, not
+        // silently skew the timed section (timed run reports real
+        // per-query failures)
         try fn(spark, preDir.getAbsolutePath).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () } // timed run reports real failures
+        catch { case scala.util.control.NonFatal(_) => () }
         spark.catalog.clearCache()
       }
+    // stamped into both JSON artifacts so a reader of BENCH_r{N} knows
+    // which timing contract produced "value" (see note below)
+    val methodology = if (precompiled) "precompiled" else "fully_cold"
     // SPARK_GRAFT_ONLY=comma-list restricts to named queries (dev knob).
     // SPARK_GRAFT_REPEAT=n runs each query n times. REPORTING CONTRACT:
     // "value"/"queries" are the first-run-at-benchmark-SF times —
@@ -162,7 +169,7 @@ object Bench {
     val fullAll = results.map { case (k, (_, _, ts)) =>
       s"${q(k)}:${ts.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"warm_total":$warmTotal,"warm_queries":$fullWarm,"all_times":$fullAll,"failed":${errors.size},"errors":$fullErrJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","methodology":"$methodology","queries":$fullQs,"warm_total":$warmTotal,"warm_queries":$fullWarm,"all_times":$fullAll,"failed":${errors.size},"errors":$fullErrJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()
@@ -208,7 +215,7 @@ object Bench {
     }
     val elided = entries.size - kept.size
     val warmFmt = f3(warmTotal)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries_elided":$elided,"warm_total":$warmFmt,"noisy":$noisyJson,"failed":${errors.size},"errors":$errJson,"errors_elided":$errElided,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","methodology":"$methodology","queries":${kept.mkString("{", ",", "}")},"queries_elided":$elided,"warm_total":$warmFmt,"noisy":$noisyJson,"failed":${errors.size},"errors":$errJson,"errors_elided":$errElided,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

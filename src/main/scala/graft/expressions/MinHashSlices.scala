@@ -61,7 +61,7 @@ case class MinHashSlices(tokens: Expression, kExpr: Expression, seedsExpr: Expre
     val n = toks.numElements()
     if (n < shingleK) return null
     val groups = (seeds + 3) / 4
-    val md = MessageDigest.getInstance("MD5")
+    val md = MinHashSlices.md5.get()
     // mins(s) = current minimum 8-hex-char slice for component s
     val mins = new Array[String](seeds)
     val tokBytes = new Array[Array[Byte]](n)
@@ -117,6 +117,13 @@ case class MinHashSlices(tokens: Expression, kExpr: Expression, seedsExpr: Expre
 
 object MinHashSlices {
   private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** One digest per executor thread, reused across rows (`reset()` per
+    * use) — `MessageDigest.getInstance` does a provider lookup + object
+    * allocation, measurable when called once per document on the hot
+    * signature path. Standard JDK pattern for per-row hashing. */
+  private[expressions] val md5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   /** Lowercase hex of an md5 digest — byte-identical to Spark's and
     * DuckDB's `md5()` rendering. */

@@ -1,7 +1,5 @@
 package graft.expressions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -48,7 +46,7 @@ case class SimHash64(tokens: Expression, bitsExpr: Expression)
     val toks = arr.asInstanceOf[ArrayData]
     val n = toks.numElements()
     val votes = new Array[Int](nBits)
-    val md = MessageDigest.getInstance("MD5")
+    val md = MinHashSlices.md5.get()
     var i = 0
     while (i < n) {
       val t = toks.getUTF8String(i)

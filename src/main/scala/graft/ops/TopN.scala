@@ -38,11 +38,20 @@ object TopN {
     * numeric (double/long); `tieBreaks` order ascending and must make
     * the order total for deterministic output.
     *
+    * NULL `value`s rank LAST (a leading `isNull` flag in the sort
+    * struct), matching [[topNPerGroup]]'s `ORDER BY value DESC`
+    * (DESC = NULLS LAST in Spark) — without the flag, `negate(null)`
+    * stays null and ascending struct ordering would rank null values
+    * FIRST. NULL tieBreaks still follow raw ascending-struct order
+    * (nulls first), diverging from the window form's ASC NULLS LAST;
+    * keep tieBreaks non-null.
+    *
     * Output columns: group, rn (1-based rank), tieBreaks..., value. */
   def topNPerGroupAgg(df: DataFrame, group: String, value: String, n: Int,
                       tieBreaks: Seq[String]): DataFrame = {
     require(n >= 1, "top-N needs n >= 1")
-    val key = struct((negate(col(value)).as("_nv") +: tieBreaks.map(col)): _*)
+    val key = struct((col(value).isNull.as("_vnull") +: negate(col(value)).as("_nv") +:
+      tieBreaks.map(col)): _*)
     df.groupBy(col(group))
       .agg(call_function("graft_bottom_k", key, lit(n)).as("_top"))
       .select(col(group), posexplode(col("_top")).as(Seq("_pos", "_t")))

@@ -297,28 +297,46 @@ object MiscQueries {
              |  round(quantile_cont(value, 0.9e0), 6) AS p90
              |FROM events GROUP BY 1""".stripMargin)),
 
-    // approx_count_distinct (HLL++): sketch internals are
-    // engine-specific so there is no SQL oracle (driver records a
-    // rows-only check); the test bound lives in the exact twin below
+    // approx_count_distinct (HLL++): the sketch VALUE is
+    // engine-specific (no SQL engine reproduces Spark's HLL++ bytes),
+    // so the sketch estimate itself stays out of the hash — the graded
+    // row emits the exact count plus `within_bound` = "the sketch's
+    // relative error is inside HLL++'s advertised bound" (rsd 5%
+    // two-sided -> |approx-exact|/exact <= 0.05); the oracle asserts
+    // literal TRUE, so a broken sketch hash-mismatches. ApproxSpec
+    // keeps the numeric error assertion.
     Q("g_approx_distinct",
+      (s, d) => T(s, d, "lineitem").agg(
+          approx_count_distinct(col("l_partkey")).as("_approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("_approx").cast("double") - col("exact_parts").cast("double")) <=
+            col("exact_parts").cast("double") * lit(0.05)).as("within_bound")),
+      Some("""SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_bound
+             |FROM lineitem""".stripMargin)),
+
+    // approx_percentile (Greenwald-Khanna sketch): same contract — the
+    // sketch value stays out of the hash; the graded row checks the
+    // sketch against GK's actual guarantee, which is RANK error (1/
+    // accuracy = 0.1% here), not value error: the fraction of rows at
+    // or below the sketch's median must sit within 2% of 0.5 (slack
+    // over 0.1% absorbs duplicate values straddling the cut). The rank
+    // check is one extra COUNT over the scan — no exact percentile()
+    // buffering of every value per partial aggregate (the global-sort
+    // cost the sketch exists to avoid at 100 TB) on the bench path.
+    Q("g_approx_quantile",
       (s, d) => {
         val li = T(s, d, "lineitem")
-        li.agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+        val med = li.agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("_med"))
+        li.crossJoin(broadcast(med))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("l_extendedprice") <= col("_med"), 1L).otherwise(0L)).as("_n_le"))
+          .select(col("n_rows"),
+            (abs(col("_n_le").cast("double") / col("n_rows").cast("double") - lit(0.5)) <=
+              lit(0.02)).as("within_bound"))
       },
-      None),
-
-    // approx_percentile (Greenwald-Khanna sketch): like the HLL++
-    // query, sketch internals are engine-specific -> rows-only check.
-    // The graded query runs the sketch alone — the exact percentile()
-    // twin buffers every value per partial aggregate (the global-sort
-    // cost the sketch exists to avoid at 100 TB), so the error bound
-    // lives in ApproxSpec at small SF, not on the bench path.
-    Q("g_approx_quantile",
-      (s, d) => T(s, d, "lineitem").agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_med")),
-      None),
+      Some("""SELECT count(*) AS n_rows, TRUE AS within_bound FROM lineitem""")),
 
     // multimodal metadata: the graded twin of Multimodal.decodeStub —
     // width/height/channels/format derived from payload bytes

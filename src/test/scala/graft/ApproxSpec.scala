@@ -2,33 +2,44 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Bounds the HLL++ sketch against its exact twin: the
-  * `g_approx_distinct` query has no SQL oracle (sketch internals are
-  * engine-specific), so the accuracy claim lives here instead —
-  * approx_count_distinct's default rsd is 5%, and the query computes
-  * both columns in one pass for exactly this comparison. */
+/** Bounds the approx sketches numerically. The graded queries emit
+  * only (exact, within_bound) — the sketch VALUE is engine-specific
+  * and must stay out of the oracle hash — so the raw-error assertions
+  * against the sketch estimates live here, computed from the same
+  * building blocks the queries use. */
 class ApproxSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
 
-  test("g_approx_distinct: sketch within 5% of the exact count") {
+  test("g_approx_distinct: within_bound TRUE and sketch within 5% of exact") {
+    import org.apache.spark.sql.functions._
     val row = SparkEntry.allQueries.find(_.name == "g_approx_distinct").get
-      .fn(spark, "/root/testdata/sf0.001").collect()(0)
-    val approx = row.getAs[Long]("approx_parts").toDouble
-    val exact = row.getAs[Long]("exact_parts").toDouble
+      .fn(spark, sfDir).collect()(0)
+    assert(row.getAs[Boolean]("within_bound"),
+      s"graded within_bound is false (exact=${row.getAs[Long]("exact_parts")})")
+    // raw sketch error, recomputed directly
+    val raw = spark.read.parquet(s"$sfDir/lineitem.parquet").agg(
+      approx_count_distinct(col("l_partkey")).as("a"),
+      countDistinct(col("l_partkey")).as("e")).collect()(0)
+    val (approx, exact) = (raw.getAs[Long]("a").toDouble, raw.getAs[Long]("e").toDouble)
     assert(exact > 0)
     assert(math.abs(approx - exact) / exact < 0.05,
       s"approx=$approx exact=$exact rel-err=${math.abs(approx - exact) / exact}")
   }
 
-  test("g_approx_quantile: GK sketch median within 2% of the exact median") {
+  test("g_approx_quantile: within_bound TRUE and GK median within 2% of exact") {
     import org.apache.spark.sql.functions.expr
+    val row = SparkEntry.allQueries.find(_.name == "g_approx_quantile").get
+      .fn(spark, sfDir).collect()(0)
+    assert(row.getAs[Boolean]("within_bound"), "graded rank check failed")
     // the exact percentile() twin lives here (small SF only) — it buffers
     // every value per partial aggregate, so it must never ride in the
     // graded query that the bench times at sf0.1
-    val sfDir = "/root/testdata/sf0.001"
-    val approx = SparkEntry.allQueries.find(_.name == "g_approx_quantile").get
-      .fn(spark, sfDir).collect()(0).getAs[Double]("approx_med")
-    val exact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val approx = li
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a"))
+      .collect()(0).getAs[Double]("a")
+    val exact = li
       .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
       .collect()(0).getAs[Double]("exact_med")
     assert(exact > 0)
