@@ -209,6 +209,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("dupClusters: pointer doubling closes a 64-node chain in <= 7 iterations") {
+    // worst case for plain min-propagation (diameter 63 would need 63
+    // rounds); the label[label] shortcut halves the remaining distance
+    // each round, so maxIter = 7 must suffice — failOnUnconverged
+    // (default true) turns a miss into a thrown error, so this test
+    // pins BOTH the O(log D) convergence and the correct labels
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(chain, maxIter = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64)
+    assert(got.values.forall(_ == 0L), s"non-root labels: ${got.filter(_._2 != 0L)}")
+  }
+
+  test("dupClusters: backstop with labels still moving throws, not silent wrong output") {
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // opt-out path: caller explicitly accepts unconverged labels
+    val lax = Dedup.dupClusters(chain, maxIter = 2, failOnUnconverged = false)
+    assert(lax.count() == 64)
+  }
+
   test("shingles: short docs yield empty shingle set, not an error") {
     val s = Seq((9L, "one two")).toDF("doc_id", "text")
       .select(size(text.shingles($"text", 3)).as("n")).collect()(0).getInt(0)
