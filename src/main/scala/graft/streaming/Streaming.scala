@@ -78,16 +78,19 @@ object Streaming {
     * size is O(open sessions), bounded, forever. Emits one row per
     * COMPLETED session: (key, s_start_ms, s_end_ms, n_events).
     *
-    * Batch-twin equivalence (test-asserted in `FoldStreamSpec`) holds
-    * for in-order streams and for late data that lands within
-    * `maxGapSeconds` of the open session. A late-but-within-watermark
-    * event that precedes the open session's START by more than the gap
-    * is MERGED into it here (the session's start extends backwards;
-    * the gap test only looks forward from `last`), whereas the batch
-    * [[graft.ops.Sequences.sessionize]] would emit it as a separate
-    * earlier session — an append-mode stream cannot retract the open
-    * session to split it. Size the watermark at or below
-    * `maxGapSeconds` if that divergence matters. */
+    * Batch-twin equivalence (test-asserted in `FoldStreamSpec`): each
+    * micro-batch merges the OPEN SESSION as an atomic blob into the
+    * batch's sorted events and re-applies the gap rule over the
+    * ordered items, so a late-but-within-watermark event that precedes
+    * the open session's start by more than the gap SPLIT-EMITS as its
+    * own earlier completed session (exactly what the batch
+    * [[graft.ops.Sequences.sessionize]] produces), and one within the
+    * gap extends the session's start backwards. The divergence that
+    * remains is inherent to append mode: a session already EMITTED
+    * (closed by a later event or by timeout) cannot be retracted if an
+    * even-later-arriving event would have merged with it — size the
+    * watermark at or below `maxGapSeconds` and that event is dropped
+    * as too-late instead, keeping outputs consistent. */
   def sessionizeStream(events: DataFrame, key: String, ts: String,
                        maxGapSeconds: Long, watermark: String): DataFrame = {
     import events.sparkSession.implicits._
@@ -107,26 +110,33 @@ object Streaming {
             state.remove()
             Iterator.single((k, s0, s1, n))
           } else {
-            // within a micro-batch rows arrive unordered: sort by time
-            val times = it.map(_._2.getTime).toArray.sorted
-            var out = List.empty[(Long, Long, Long, Long)]
-            var (start, last, n) = state.getOption.getOrElse((-1L, -1L, 0L))
-            for (t <- times) {
-              if (start < 0) { start = t; last = t; n = 1L }
-              else if (t - last > gapMs) {
-                out = (k, start, last, n) :: out
-                start = t; last = t; n = 1L
-              } else {
-                // t may be out-of-order relative to earlier batches
-                // (late-but-within-watermark): extend, never regress
-                if (t < start) start = t
-                if (t > last) last = t
-                n += 1L
-              }
+            // within a micro-batch rows arrive unordered: sort by time,
+            // then merge the open session in as an ATOMIC item (its
+            // interior events are compressed to (start, last, n)) at
+            // its start-ordered position and re-run the gap rule over
+            // the ordered items — identical to batch sessionization of
+            // "previous session's events + this batch"
+            val items: Array[(Long, Long, Long)] = {
+              val singles = it.map(r => (r._2.getTime, r._2.getTime, 1L)).toArray
+              (state.getOption.fold(singles)(singles :+ _)).sortBy(x => (x._1, x._2))
             }
-            if (start >= 0) {
-              state.update((start, last, n))
-              state.setTimeoutTimestamp(last + gapMs + 1L)
+            var out = List.empty[(Long, Long, Long, Long)]
+            if (items.nonEmpty) {
+              var (s0, s1, cnt) = items(0)
+              var i = 1
+              while (i < items.length) {
+                val (a, b, m) = items(i)
+                if (a - s1 > gapMs) {
+                  out = (k, s0, s1, cnt) :: out
+                  s0 = a; s1 = b; cnt = m
+                } else {
+                  if (b > s1) s1 = b
+                  cnt += m
+                }
+                i += 1
+              }
+              state.update((s0, s1, cnt))
+              state.setTimeoutTimestamp(s1 + gapMs + 1L)
             }
             out.reverse.iterator
           }

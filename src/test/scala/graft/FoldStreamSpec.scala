@@ -187,6 +187,38 @@ class FoldStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize: backward-late event beyond the gap SPLIT-EMITS its own session") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val ev = mem.toDF().toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val out = Streaming.sessionizeStream(ev, "user_id", "ts",
+      maxGapSeconds = 300L, watermark = "2000 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_split")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 5000L), (1L, 5100L)); q.processAllAvailable()
+      // 4000 is above the watermark (5100 - 2000) but precedes the open
+      // session's START by more than the gap: the batch operator would
+      // make it a separate earlier session — the stream must too, not
+      // absorb it by extending the session start backwards
+      mem.addData((1L, 4000L)); q.processAllAvailable()
+      mem.addData((99L, 10000L)); q.processAllAvailable()
+      mem.addData((99L, 20000L)); q.processAllAvailable()
+      val got = spark.table("sess_split").where($"user_id" === 1)
+        .collect().map(r => (r.getLong(1) / 1000, r.getLong(2) / 1000, r.getLong(3))).toSet
+      val expect = graft.ops.Sequences.sessionize(
+          Seq((1L, 5000L), (1L, 5100L), (1L, 4000L)).toDF("user_id", "sec")
+            .withColumn("ts", timestamp_seconds($"sec")),
+          "user_id", "ts", 300L, "sec")
+        .groupBy($"session_id")
+        .agg(min($"sec").as("s0"), max($"sec").as("s1"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(expect == Set((4000L, 4000L, 1L), (5000L, 5100L, 2L)))
+      assert(got == expect, s"got $got expect $expect")
+    } finally q.stop()
+  }
+
   test("ST2: streaming sliding window + completeness == batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
