@@ -338,7 +338,10 @@ object MiscQueries {
       },
       Some("""SELECT count(*) AS n_rows, TRUE AS within_bound FROM lineitem""")),
 
-    // multimodal metadata: the graded twin of Multimodal.decodeStub —
+    // multimodal metadata: the graded twin of Multimodal.decodeStub
+    // (the fallback branch of Multimodal.decode — synthetic md5
+    // payloads match no container magic; real PNG/BMP/JPEG headers
+    // take the real parse, proven in MultimodalSinksSpec) —
     // width/height/channels/format derived from payload bytes
     // (payload = unhex(md5(text)); bytes read via hex-digit ascii math)
     Q("m_multimodal_meta",

@@ -31,6 +31,56 @@ class MultimodalSinksSpec extends AnyFunSuite {
     assert(decoded.where($"byteLen" =!= 16).count() == 0)
   }
 
+  test("real container headers: PNG/BMP/JPEG from the JDK's own encoders decode correctly") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def encode(fmt: String, img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"JDK has no $fmt writer")
+      bos.toByteArray
+    }
+    val rgb = new BufferedImage(37, 21, BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(3, 4, 0xff8800) // non-trivial content
+    val gray = new BufferedImage(5, 9, BufferedImage.TYPE_BYTE_GRAY)
+
+    val png = Multimodal.decode(1L, encode("png", rgb))
+    assert((png.width, png.height, png.channels, png.format) == ((37, 21, 3, "png")), png)
+    val pngGray = Multimodal.decode(2L, encode("png", gray))
+    assert((pngGray.width, pngGray.height, pngGray.channels, pngGray.format) == ((5, 9, 1, "png")), pngGray)
+    val bmp = Multimodal.decode(3L, encode("bmp", rgb))
+    assert((bmp.width, bmp.height, bmp.channels, bmp.format) == ((37, 21, 3, "bmp")), bmp)
+    val jpg = Multimodal.decode(4L, encode("jpg", rgb))
+    assert((jpg.width, jpg.height, jpg.channels, jpg.format) == ((37, 21, 3, "jpeg")), jpg)
+  }
+
+  test("real container headers: hand-built PNG IHDR byte literal (no encoder involved)") {
+    // PNG signature + IHDR length/type + width=640 height=480,
+    // bit depth 8, color type 6 (RGBA) — the spec's §11.2.2 layout
+    val b = Array[Int](
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0x00, 0x00, 0x00, 0x0d, 'I', 'H', 'D', 'R', // IHDR chunk header
+      0x00, 0x00, 0x02, 0x80, // width 640
+      0x00, 0x00, 0x01, 0xe0, // height 480
+      0x08, 0x06 // bit depth 8, color type 6
+    ).map(_.toByte)
+    val d = Multimodal.decode(7L, b)
+    assert((d.width, d.height, d.channels, d.format) == ((640, 480, 4, "png")), d)
+    assert(d.byteLen == b.length && d.checksum == b.map(_ & 0xff).sum.toLong)
+  }
+
+  test("decodeAll routes real containers through the Spark path (mapPartitions)") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(new BufferedImage(12, 8, BufferedImage.TYPE_INT_RGB), "png", bos)
+    val media = Seq((1L, bos.toByteArray), (2L, Array[Byte](9, 8, 7, 6, 5)))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeAll(spark, media).collect().map(d => d.id -> d).toMap
+    assert((out(1L).width, out(1L).height, out(1L).format) == ((12, 8, "png")))
+    // unrecognized payload falls back to the deterministic stub
+    assert(out(2L) == Multimodal.decodeStub(2L, Array[Byte](9, 8, 7, 6, 5)))
+  }
+
   test("encode sink: partitioned write + decode round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     // customer: c_custkey IS unique (lineitem's (orderkey, linenumber)
