@@ -65,6 +65,115 @@ object Fold {
       count(lit(1)).as("n_steps"))
   }
 
+  /** ConvGRU step: the hidden state is a w×w grid flattened row-major
+    * into an `array<double>` and the gate pre-activation CONVOLVES the
+    * state — `o = conv2d(h, K)` composed with the input drive — which
+    * is the reference's actual ConvGRU cell (weather4cast/rnn.py:54-60:
+    * `conv2d(h, W) + conv2d(x, U)` inside each gate), not just an
+    * elementwise vector recurrence. K is the 3×3 binomial kernel
+    * [[1,2,1],[2,4,2],[1,2,1]]/16 with zero padding (out-of-bounds
+    * neighbors contribute 0), the same kernel as the graded
+    * `x1_conv_weighted` stencil; x is the per-step scalar drive
+    * (conv(x·1, U) of a constant input collapses to a scalar).
+    *
+    * The expression is generic in the cell index k (one `transform`
+    * over `sequence(0, w²-1)` with `element_at` neighbor gathers), so
+    * the expression tree — and codegen size — is O(1) in the grid
+    * size: the same column works at 16×16 and at the reference's
+    * 256×256 frame (`RefScaleSpec`). */
+  def stepColConvGrid(h: Column, x: Column, w: Int): Column =
+    transform(sequence(lit(0L), lit(w.toLong * w - 1)), k => {
+      val i = (k / lit(w)).cast("long")
+      val j = k % lit(w)
+      val conv = (for { di <- -1 to 1; dj <- -1 to 1 } yield {
+        val wgt = ((2 - math.abs(di)) * (2 - math.abs(dj))).toDouble
+        when((i + lit(di)).between(lit(0), lit(w - 1)) &&
+             (j + lit(dj)).between(lit(0), lit(w - 1)),
+          element_at(h, (k + lit(di * w) + lit(dj) + lit(1)).cast("int")) * lit(wgt))
+          .otherwise(lit(0.0))
+      }).reduce(_ + _)
+      val o = x / lit(InScale) + lit(HWeight) * (conv / lit(16.0))
+      val e = exp(lit(2.0) * o)
+      lit(Z) * element_at(h, (k + lit(1)).cast("int")) +
+        lit(1 - Z) * ((e - lit(1.0)) / (e + lit(1.0)))
+    })
+
+  /** Grid-state form of [[foldAgg]]: per-key ordered fold of a w×w
+    * hidden grid through [[stepColConvGrid]] — the composed ConvGRU
+    * (X1 stencil ∘ X2 fold as ONE recurrence). One shuffle on the
+    * key; per-group state is the w² grid plus the collected sequence.
+    *
+    * NOTE: kept as the SQL-shaped twin for the oracle and for specs;
+    * the GRADED query uses [[foldTypedConvGrid]] — Spark evaluates
+    * higher-order-function lambdas interpreted (CodegenFallback), and
+    * at 256 cells × 9 gathers per step the interpreter overhead is
+    * ~50× a JVM loop (measured 34s vs 0.7s at sf0.01). A per-cell
+    * array recurrence is exactly the case SURVEY assigns to the typed
+    * path. `RefScaleSpec` pins the two forms equal. */
+  def foldAggConvGrid(events: DataFrame, key: String, ts: String, ord2: String,
+                      v: String, w: Int): DataFrame = {
+    val seq = sort_array(collect_list(struct(col(ts), col(ord2), col(v).as("v"))))
+    val init = array_repeat(lit(0.0), w * w)
+    events.groupBy(col(key)).agg(
+      aggregate(transform(seq, x => x.getField("v")), init,
+        (h, x) => stepColConvGrid(h, x, w)).as("h_grid"),
+      count(lit(1)).as("n_steps"))
+  }
+
+  /** One ConvGRU step on a primitive array — bit-identical arithmetic
+    * to [[stepColConvGrid]] / the DuckDB twin: per cell, the 9 kernel
+    * taps accumulate in the same (di, dj) order (out-of-bounds taps
+    * contribute exact 0, which is additive-identity for finite
+    * doubles, so skipping them preserves the bit pattern), then
+    * o = x/100 + 0.5·(conv/16) and tanh expanded via exp. */
+  def convGridStep(h: Array[Double], x: Double, w: Int): Array[Double] = {
+    val out = new Array[Double](w * w)
+    var k = 0
+    while (k < w * w) {
+      val i = k / w; val j = k % w
+      var conv = 0.0
+      var di = -1
+      while (di <= 1) {
+        var dj = -1
+        while (dj <= 1) {
+          val ni = i + di; val nj = j + dj
+          if (ni >= 0 && ni < w && nj >= 0 && nj < w)
+            conv += h(ni * w + nj) * ((2 - math.abs(di)) * (2 - math.abs(dj))).toDouble
+          dj += 1
+        }
+        di += 1
+      }
+      val o = x / InScale + HWeight * (conv / 16.0)
+      val e = math.exp(2.0 * o)
+      out(k) = Z * h(k) + (1 - Z) * ((e - 1.0) / (e + 1.0))
+      k += 1
+    }
+    out
+  }
+
+  /** Typed (Form 1) ConvGRU fold: groupByKey + mapGroups, state one
+    * primitive w² array per key. One shuffle on the key, JVM-speed
+    * inner loop, O(w²) state per group — the 100 TB shape for a
+    * frame-state recurrence (the reference holds a 256×256 frame per
+    * sequence; 65536 doubles = 512 KB per in-flight group). */
+  def foldTypedConvGrid(spark: SparkSession, events: DataFrame, key: String, ts: String,
+                        ord2: String, v: String, w: Int): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Long, Long, Double)] = events
+      .select(col(key).cast("long"),
+        (col(ts).cast("double") * 1e6).cast("long"),
+        col(ord2).cast("long"), col(v).cast("double"))
+      .as[(Long, Long, Long, Double)]
+    ds.groupByKey(_._1)
+      .mapGroups { (k, rows) =>
+        val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+        var h = new Array[Double](w * w)
+        sorted.foreach(r => h = convGridStep(h, r._4, w))
+        (k, h, sorted.length.toLong)
+      }
+      .toDF(key, "h_grid", "n_steps")
+  }
+
   /** Form 2: per-key final state via collect_list + aggregate() HOF.
     * One shuffle on the key; per-group state bounded by sequence
     * length (67 events/user here; frame sequences are 36 long). */

@@ -117,6 +117,56 @@ object MiscQueries {
            |  FROM events GROUP BY user_id)""".stripMargin
       }),
 
+    // X1 ∘ X2 composed: the TRUE ConvGRU recurrence (rnn.py:54-60) —
+    // each fold step's gate pre-activation is the 3×3 binomial stencil
+    // OF THE HIDDEN 16×16 GRID (zero-padded), not an elementwise map:
+    // h' = 0.6·h + 0.4·tanh(x/100 + 0.5·conv(h)/16), folded over each
+    // user's time-ordered events. DuckDB twin: list_reduce whose
+    // lambda re-convolves the flattened grid via a k-generic
+    // neighbor-gather (nested list_transform). Probes: two grid cells
+    // (corner feels the boundary, center doesn't) + an exact integer
+    // checksum over all 256 cells (each cell quantized to 1e-5 BEFORE
+    // the sum, so summation order cannot change the value).
+    // Typed mapGroups fold (Form 1): HOF lambdas are CodegenFallback
+    // and 50× slower here — see Fold.foldAggConvGrid's note; the two
+    // forms are pinned equal in RefScaleSpec.
+    Q("x2_convgru",
+      (s, d) => {
+        val w = 16
+        Fold.foldTypedConvGrid(s, T(s, d, "events"), "user_id", "ts", "event_id", "value", w)
+          .select(col("user_id"),
+            round(element_at(col("h_grid"), 1), 5).as("h_00"),
+            round(element_at(col("h_grid"), 8 * w + 8 + 1), 5).as("h_88"),
+            aggregate(transform(col("h_grid"), c => qlong(c, 100000.0)),
+              lit(0L), (acc, c) => acc + c).as("checksum"),
+            col("n_steps"))
+      },
+      Some {
+        val w = 16; val n = w * w
+        val conv = (for { di <- -1 to 1; dj <- -1 to 1 } yield {
+          val wgt = (2 - math.abs(di)) * (2 - math.abs(dj))
+          s"(CASE WHEN (k // $w) + ($di) BETWEEN 0 AND ${w - 1} " +
+            s"AND (k % $w) + ($dj) BETWEEN 0 AND ${w - 1} " +
+            s"THEN h[k + (${di * w}) + ($dj) + 1] * ${wgt}e0 ELSE 0e0 END)"
+        }).mkString(" + ")
+        val o = s"(x[1] / 100e0) + (0.5e0 * (($conv) / 16e0))"
+        val step = s"list_transform(range(0, $n), k -> " +
+          s"0.6e0 * h[k + 1] + 0.4e0 * ((exp(2e0 * ($o)) - 1e0) / (exp(2e0 * ($o)) + 1e0)))"
+        s"""SELECT user_id,
+           |  round(hf[1], 5) AS h_00,
+           |  round(hf[${8 * w + 8 + 1}], 5) AS h_88,
+           |  CAST(list_sum(list_transform(hf, c -> CAST(floor(c * 100000 + 0.5e0) AS BIGINT))) AS BIGINT) AS checksum,
+           |  n_steps
+           |FROM (
+           |  SELECT user_id,
+           |    list_reduce(
+           |      list_prepend(list_transform(range(0, $n), i -> 0e0),
+           |        list_transform(list(value ORDER BY ts, event_id), v -> [v])),
+           |      (h, x) -> $step) AS hf,
+           |    count(*) AS n_steps
+           |  FROM events GROUP BY user_id)""".stripMargin
+      }),
+
     // Nested-frame flip (SURVEY §1.1's second frame representation):
     // the 16x16 grid as an array<array<bigint>> frame, flipud =
     // reverse(frame), fliplr = transform(frame, reverse) — the

@@ -96,4 +96,64 @@ class RefScaleSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ConvGRU: Catalyst HOF form == typed mapGroups form (8x8 grid)") {
+    // x2_convgru's graded path is the typed fold (HOF lambdas are
+    // CodegenFallback, ~50x slower at 256 cells); this pins the two
+    // forms equal to the ulp on an 8x8 grid (observed: a single
+    // 1-ulp cell — the typed loop skips out-of-bounds taps while the
+    // HOF adds literal zeros, and Catalyst's evaluation introduces
+    // last-ulp accumulation noise the graded oracle's round(5)/
+    // quantized checksum absorbs by design).
+    val w = 8; val keys = 6; val steps = 12
+    val ev = spark.range(0L, keys.toLong * steps)
+      .select((col("id") % keys).as("k"), (col("id") / keys).cast("long").as("step"),
+        (((col("id") * 53) % 997).cast("double") / 7.0).as("v"))
+    val hof = Fold.foldAggConvGrid(ev, "k", "step", "step", "v", w)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](r.fieldIndex("h_grid"))).toMap
+    val typed = Fold.foldTypedConvGrid(spark, ev, "k", "step", "step", "v", w)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](r.fieldIndex("h_grid"))).toMap
+    assert(hof.keySet == typed.keySet && hof.nonEmpty)
+    hof.foreach { case (k, hv) =>
+      val tv = typed(k)
+      assert(hv.length == tv.length)
+      hv.indices.foreach { c =>
+        assert(math.abs(hv(c) - tv(c)) < 1e-13,
+          s"key=$k cell=$c: HOF ${hv(c)} vs typed ${tv(c)}")
+      }
+    }
+  }
+
+  test("ConvGRU at the reference frame size: 256x256, 36 steps, interior closed form") {
+    // With a single sequence driving every cell identically and h0=0,
+    // a cell whose boundary distance exceeds the step count has only
+    // ever convolved uniform neighborhoods: conv(h)/16 = h (the
+    // binomial kernel sums to 16), so that cell must follow the SCALAR
+    // GRU recurrence h' = Z h + (1-Z) tanh(x/100 + 0.5 h) =
+    // Fold.step — while cells near the border, whose zero-padded taps
+    // leak in, must NOT. Proves the composed stencil-of-state fold at
+    // the reference's full 256×256 frame (datasets.py:127) without a
+    // 65536-cell hand oracle.
+    val w = 256; val steps = 36
+    val xs = (0 until steps).map(t => ((t * 37) % 200).toDouble)
+    val ev = spark.range(0L, steps.toLong)
+      .select(lit(0L).as("k"), col("id").as("step"),
+        (((col("id") * 37) % 200).cast("double")).as("v"))
+    val row = Fold.foldTypedConvGrid(spark, ev, "k", "step", "step", "v", w)
+      .collect().head
+    val h = row.getSeq[Double](row.fieldIndex("h_grid"))
+    assert(h.length == w * w && row.getLong(row.fieldIndex("n_steps")) == steps)
+    val scalar = xs.foldLeft(0.0)(Fold.step)
+    // interior: every cell at boundary distance >= 36 (uniform cone)
+    for ((i, j) <- Seq((128, 128), (36, 36), (219, 219), (36, 219), (100, 50)))
+      assert(math.abs(h(i * w + j) - scalar) < 1e-12,
+        s"interior ($i,$j): ${h(i * w + j)} vs scalar $scalar")
+    // boundary: the zero-pad must have bent the corner away
+    assert(math.abs(h(0) - scalar) > 1e-6, "corner cell should deviate from interior")
+    // symmetry: the drive is isotropic, so the four corners agree (to
+    // the ulp — tap accumulation ORDER differs between mirrored
+    // corners, so bitwise equality is not guaranteed)
+    for (c <- Seq(h(w - 1), h((w - 1) * w), h(w * w - 1)))
+      assert(math.abs(h(0) - c) < 1e-12, s"corner asymmetry: ${h(0)} vs $c")
+  }
 }
