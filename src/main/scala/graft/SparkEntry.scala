@@ -21,7 +21,8 @@ object SparkEntry {
       TextQueries.all ++
       SimilarityQueries.all ++
       MiscQueries.all ++
-      WarpQueries.all
+      WarpQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's §3.1 pipeline shape end-to-end: catalog scan ->

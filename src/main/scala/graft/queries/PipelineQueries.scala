@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.scalars
+import graft.ops.{Raster, Sequences}
+
+/** The flagship submit pipeline as ONE composed graded query —
+  * the reference's end-to-end path (weather4cast/main.py:226-262 →
+  * datasets.py:397-459): catalog scan → S4 priority dedup → P5 valid
+  * starts → J2 sequence assembly → J1 broadcast static-dim join →
+  * N1 min-max decode + P3 fill→NULL → A1 conditional mean imputation
+  * (all-fill → 0.0) → N6/N7 sigmoid-member blend → N2/S2 uint16
+  * encode → S8 sink-shaped packed frame (the Raster codec's hex
+  * blob, one row per assembled sequence).
+  *
+  * Every stage is an operator already graded solo; this proves the
+  * COMPOSITION — one Catalyst plan from scan to sink-shaped frame.
+  * Plan shape at scale: dedup + valid-starts + assembly are key
+  * shuffles on (user, bucket); the dim join broadcasts; impute rides
+  * one (user, t0) window exchange that the final pack-aggregation
+  * reuses. No cartesian, no collect, no UDF.
+  */
+object PipelineQueries {
+
+  private val Step = 3600L // hourly buckets
+  private val L = 3        // sequence length
+
+  val all: Seq[Q] = Seq(
+
+    Q("pipe_submit_e2e",
+      (s, d) => {
+        // S1 catalog scan + bucketize
+        val ev = T(s, d, "events").select(col("user_id"),
+          Sequences.tsBucket(col("ts"), Step).as("bkt"),
+          col("value"), col("event_type"), col("event_id"))
+        // S4: per (user, bucket) keep the best-priority event
+        val pri = when(col("event_type") === "purchase", 0)
+          .when(col("event_type") === "signup", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "view", 3)
+          .otherwise(4)
+        val dedup = Sequences.priorityDedup(ev, Seq("user_id", "bkt"), pri, col("event_id"))
+        // P5: valid starts from the RAW bucket grid, not the deduped
+        // rows — the bucket set is identical (dedup keeps one row per
+        // existing bucket), and deriving it upstream lets this branch
+        // prune to 2 columns and skip the dedup window entirely
+        // (plan-audited: saves a whole window+exchange recompute)
+        val starts = Sequences.validStarts(
+          ev.select(col("user_id"), col("bkt")), "user_id", "bkt", L)
+        // J2: assemble [t0, t0+L) per start
+        val asm = Sequences.assemble(starts, dedup, "user_id", "bkt", L)
+        // J1: broadcast static dim (left: keep users without a dim row)
+        val dim = T(s, d, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("seg"))
+        val joined = asm.join(broadcast(dim), Seq("user_id"), "left")
+          .withColumn("segment", coalesce(col("seg"), lit("NONE")))
+        // N1 decode + P3 fill→NULL ('error' events are the fill mask)
+        val dv = when(col("event_type") === "error", lit(null))
+          .otherwise(scalars.minmaxDecode(col("value"), 0.0, 200.0))
+        // A1: conditional mean impute over the sequence, all-fill → 0.0
+        val w = Window.partitionBy("user_id", "t0")
+        val withDv = joined.withColumn("dv", dv)
+        val cnt = sum(when(col("dv").isNotNull, 1).otherwise(0)).over(w)
+        val sumc = sum(when(col("dv").isNotNull, qlong(col("dv"), 100000.0))).over(w)
+        val mean = when(cnt > 0, sumc / (lit(100000.0) * cnt))
+        val imputed = withDv.withColumn("iv",
+          when(col("dv").isNull, coalesce(mean, lit(0.0))).otherwise(col("dv")))
+        // N6/N7: blend the imputed member with its sigmoid-activated twin
+        val m2 = scalars.sigmoid((col("iv") * lit(4.0)) - lit(2.0))
+        val blended = imputed.withColumn("bv", scalars.blend(Seq((col("iv"), 0.7), (m2, 0.3))))
+        // N2/S2: uint16 encode (invScale 2^15 — exact binary fraction)
+        val coded = blended.withColumn("code", Raster.encodeU16(col("bv"), 32768.0, lit(false)))
+        // S8: sink-shaped pack — one ordered hex frame per sequence
+        coded.groupBy(col("user_id"), col("t0"), col("segment"))
+          .agg(count(lit(1)).as("n_steps"),
+            hex(Raster.packOrdered(col("step"), Raster.cellHex(col("code")))).as("frame_hex"))
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, CAST(floor(epoch(ts) / $Step) AS BIGINT) AS bkt,
+              |         value, event_type, event_id
+              |  FROM events),
+              |dd AS (SELECT user_id, bkt, value, event_type FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY user_id, bkt
+              |      ORDER BY CASE event_type WHEN 'purchase' THEN 0 WHEN 'signup' THEN 1
+              |        WHEN 'click' THEN 2 WHEN 'view' THEN 3 ELSE 4 END, event_id) AS rn
+              |    FROM ev) WHERE rn = 1),
+              |st AS (SELECT user_id, bkt AS t0 FROM (
+              |    SELECT user_id, bkt, lead(bkt, ${L - 1}) OVER (PARTITION BY user_id ORDER BY bkt) AS l
+              |    FROM dd)
+              |  WHERE l = bkt + ${L - 1}),
+              |asm AS (
+              |  SELECT st.user_id, st.t0, o.step, dd.value, dd.event_type
+              |  FROM st, (SELECT unnest([0, 1, 2]) AS step) o
+              |  JOIN dd ON dd.user_id = st.user_id AND dd.bkt = st.t0 + o.step),
+              |dimj AS (
+              |  SELECT a.*, coalesce(c.c_mktsegment, 'NONE') AS segment
+              |  FROM asm a LEFT JOIN customer c ON c.c_custkey = a.user_id),
+              |dec AS (SELECT user_id, t0, step, segment,
+              |    CASE WHEN event_type = 'error' THEN NULL
+              |         ELSE (value - 0e0) * 0.005e0 END AS dv FROM dimj),
+              |imp AS (SELECT user_id, t0, step, segment,
+              |    CASE WHEN dv IS NULL THEN
+              |      coalesce(CASE WHEN cnt > 0 THEN CAST(sumc AS BIGINT) / (100000.0e0 * cnt) END, 0e0)
+              |    ELSE dv END AS iv
+              |  FROM (SELECT *,
+              |      sum(CASE WHEN dv IS NOT NULL THEN 1 ELSE 0 END)
+              |        OVER (PARTITION BY user_id, t0) AS cnt,
+              |      sum(CASE WHEN dv IS NOT NULL THEN CAST(floor(dv * 100000 + 0.5e0) AS BIGINT) END)
+              |        OVER (PARTITION BY user_id, t0) AS sumc
+              |    FROM dec)),
+              |bl AS (SELECT user_id, t0, step, segment,
+              |    (iv * 0.7e0) + ((1e0 / (1e0 + exp(-((iv * 4e0) - 2e0)))) * 0.3e0) AS bv FROM imp),
+              |enc AS (SELECT user_id, t0, step, segment,
+              |    least(65534, greatest(0, CAST(floor(bv * 32768e0 + 0.5e0) AS BIGINT))) AS code FROM bl)
+              |SELECT user_id, t0, segment, count(*) AS n_steps,
+              |  string_agg(lpad(upper(to_hex(code)), 4, '0'), '' ORDER BY step) AS frame_hex
+              |FROM enc GROUP BY user_id, t0, segment""".stripMargin)),
+  )
+}
