@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-slope bench: times the dedup / ANN / text-pipeline query
+  * family at two corpus scales (1× = the SF dir's own documents/
+  * embeddings; N× = a [[ScaleGen]] output dir) and reports sec and the
+  * N×/1× slope per query. A bucketed/linear operator should show a
+  * slope ≈ N (data-proportional) — a quadratic one shows ≈ N².
+  *
+  * Methodology matches Bench: same session config, untimed harness
+  * warmup + plan precompile at sf0.001, 2 runs per query per scale,
+  * first-run and min both reported; slope is computed on the min
+  * (steady-state) times so one-time JIT doesn't pollute the ratio.
+  *
+  * Usage:
+  *   sbt "runMain graft.ScaleBench /root/testdata/sf0.1 /root/repo/scaledata/x10 10"
+  * prints ONE JSON line; full detail to scale_slope.json.
+  */
+object ScaleBench {
+  // Queries that read only documents/embeddings (the LLM-pipeline
+  // family — the operators whose 100 TB shape the slope evidences).
+  private val Family = Seq(
+    "t_exact_dedup", "d_minhash_sig", "d_simhash", "d_hamming_adjacent",
+    "d_lsh_pairs", "d_jaccard_pairs", "d_dup_clusters", "d_embed_neardup",
+    "e_cosine_topk", "e_lsh_buckets", "e_ann_bucketed", "e_ivf_train", "e_ivf_ann",
+    "t_token_stats", "t_quality_score", "t_lang_id", "t_tfidf_top",
+    "t_rolling_fp", "t_top_terms", "m_multimodal_meta")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val bigDir = if (args.length > 1) args(1) else "/root/repo/scaledata/x10"
+    val factor = if (args.length > 2) args(2).toDouble else 10.0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config(graft.sources.Tables.conf)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // untimed: session/codegen warmup + per-plan precompile at sf0.001
+    spark.range(0, 1000).selectExpr("md5(cast(id as string)) AS h", "id % 7 AS k")
+      .groupBy("k").count().write.format("noop").mode("overwrite").save()
+    val preDir = new java.io.File(new java.io.File(baseDir).getParentFile, "sf0.001")
+    for (n <- Family) {
+      try SparkEntry.queries(n)(spark, preDir.getAbsolutePath)
+        .write.format("noop").mode("overwrite").save()
+      catch { case scala.util.control.NonFatal(_) => () }
+      spark.catalog.clearCache()
+    }
+    def timeAt(dir: String): Map[String, (Double, Double)] = Family.map { n =>
+      val ts = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      n -> (ts.head, ts.min)
+    }.toMap
+    val t1 = timeAt(baseDir)
+    val tN = timeAt(bigDir)
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val per = Family.map { n =>
+      val slope = tN(n)._2 / t1(n)._2
+      s""""$n":{"t1":${f3(t1(n)._2)},"tN":${f3(tN(n)._2)},"t1_first":${f3(t1(n)._1)},"tN_first":${f3(tN(n)._1)},"slope":${f3(slope)}}"""
+    }.mkString("{", ",", "}")
+    val tot1 = Family.map(t1(_)._2).sum
+    val totN = Family.map(tN(_)._2).sum
+    val line = s"""{"metric":"scale_slope","factor":$factor,"total_t1":${f3(tot1)},"total_tN":${f3(totN)},"total_slope":${f3(totN / tot1)},"queries":$per,"base":"$baseDir","big":"$bigDir"}"""
+    val w = new java.io.PrintWriter("scale_slope.json")
+    try w.println(line) finally w.close()
+    println(line)
+    spark.stop()
+  }
+}

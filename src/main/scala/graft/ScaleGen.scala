@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-slope corpus generator: materializes an N× `documents` +
+  * `embeddings` pair from a base SF dir, preserving LINEAR content
+  * scaling — the property a real N×-larger corpus has:
+  *
+  *  - documents: copy c prepends a copy-salt token `c<c>` to the text
+  *    (and offsets doc_id), so the within-copy planted near-duplicate
+  *    structure survives (one extra token barely moves shingle
+  *    Jaccard) while cross-copy pairs of the SAME doc stay duplicates
+  *    only of themselves — the dedup pair count scales ~N, not N².
+  *  - embeddings: copy c multiplies each component by a deterministic
+  *    pseudo-random ±1 mask keyed on (c, component). Sign-flip masks
+  *    preserve norms exactly and make cross-copy cosines ≈ 0, so ANN
+  *    bucket occupancy and near-dup counts scale ~N, not N².
+  *
+  * Usage: sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /root/repo/scaledata/x10 10"
+  * Dev/ops tool — not on any query path.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(baseDir, outDir, nStr) = args
+    val n = nStr.toInt
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config(graft.sources.Tables.conf)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = sources.Tables.load(spark, baseDir, "documents")
+    val emb = sources.Tables.load(spark, baseDir, "embeddings")
+    val off = 10000000L
+    val docsN = (0 until n).map { c =>
+      val txt = if (c == 0) col("text") else concat(lit(s"c$c "), col("text"))
+      docs.select((col("doc_id") + lit(c * off)).as("doc_id"), txt.as("text"),
+        col("lang"), col("source"), length(txt).cast("long").as("n_chars"))
+    }.reduce(_ unionAll _)
+    val embN = (0 until n).map { c =>
+      val vec = if (c == 0) col("embedding")
+        else transform(col("embedding"),
+          (x, i) => x * (pmod(hash(i, lit(c)), lit(2)) * lit(2) - lit(1)).cast("float"))
+      emb.select((col("vec_id") + lit(c * off)).as("vec_id"), vec.as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+    docsN.repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    embN.repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    println(s"[scalegen] wrote ${n}x corpus to $outDir")
+    spark.stop()
+  }
+}
