@@ -141,4 +141,22 @@ class PlanSpec extends AnyFunSuite {
     assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
       expect.collect().map(r => (r.getString(0), r.getLong(1))).toMap)
   }
+
+  test("x2_convgru: typed grid fold runs on ONE key shuffle, no window, no join") {
+    val p = finalPlan("x2_convgru")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      "mapGroups fold must shuffle once on the key:\n" + p.take(1200))
+    assert(p.contains("MapGroups"), "graded path must be the typed fold")
+  }
+
+  test("pipe_submit_e2e: keyed shuffles + broadcasts only; pack agg reuses the impute window exchange") {
+    val p = finalPlan("pipe_submit_e2e")
+    // 3 data shuffles: dedup window, valid-starts window, impute window
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3,
+      "flagship must not grow extra shuffles:\n" + p.take(1500))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      "starts and dim joins must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "no cartesian / unplanned shuffle join in the flagship")
+  }
 }
