@@ -168,6 +168,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordCounts(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_cms_estimate(sketch, item) takes two arguments")
+        CmsEstimate(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bottom_k"),
       new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
       (children: Seq[Expression]) => {

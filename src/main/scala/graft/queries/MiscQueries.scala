@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.Fold
+import graft.ops.{Fold, Sketches}
 import graft.streaming.Streaming
 
 /** Remaining SURVEY.md surface: X1 conv stencil, X2 GRU ordered fold,
@@ -238,6 +238,30 @@ object MiscQueries {
              |  FROM events, (SELECT unnest([0, 1, 2]) AS o) o)
              |GROUP BY user_id, wstart HAVING count(*) >= 3""".stripMargin)),
 
+    // ST4 batch twin: stream-stream interval join (view→click
+    // attribution within 30 min). The identical plan runs on two
+    // watermarked streams (FoldStreamSpec asserts equivalence); here
+    // it's one key shuffle with the range bound as a post-join filter
+    Q("st4_stream_join",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val views = ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id").as("_cuid"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        Streaming.intervalJoin(views, clicks, "user_id", "_cuid",
+            "view_ts", "click_ts", 1800L)
+          .select(col("user_id"), col("view_id"), col("click_id"),
+            (unix_millis(col("click_ts")) - unix_millis(col("view_ts"))).as("lag_ms"))
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+             |  epoch_ms(c.ts) - epoch_ms(v.ts) AS lag_ms
+             |FROM events v JOIN events c
+             |  ON c.user_id = v.user_id
+             | AND v.event_type = 'view' AND c.event_type = 'click'
+             | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin)),
+
     // JSON extraction on events.props
     Q("j5_json_extract",
       (s, d) => T(s, d, "events").select(col("event_id"),
@@ -387,6 +411,19 @@ object MiscQueries {
               lit(0.02)).as("within_bound"))
       },
       Some("""SELECT count(*) AS n_rows, TRUE AS within_bound FROM lineitem""")),
+
+    // count-min-sketch heavy hitters: same sketch contract as the two
+    // rows above — the sketch VALUE stays out of the hash; the graded
+    // row carries exact top-10 counts plus the CMS point-query
+    // guarantee as a boolean (exact <= est <= exact + ceil(eps*N),
+    // deterministic under the fixed seed). Probe rides a broadcast of
+    // the ~100 KB sketch via graft_cms_estimate.
+    Q("g_heavy_hitters",
+      (s, d) => Sketches.heavyHitters(T(s, d, "events"), "user_id", 10),
+      Some("""SELECT user_id, exact_cnt, TRUE AS within_bound FROM (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+             |  FROM events GROUP BY user_id
+             |  ORDER BY exact_cnt DESC, user_id LIMIT 10)""".stripMargin)),
 
     // multimodal metadata: the graded twin of Multimodal.decodeStub
     // (the fallback branch of Multimodal.decode — synthetic md5

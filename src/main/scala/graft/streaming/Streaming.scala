@@ -142,4 +142,26 @@ object Streaming {
           }
       }.toDF(key, "s_start_ms", "s_end_ms", "n_events")
   }
+
+  /** ST4: stream-stream correlation join — pair each right-side event
+    * with the same-key left-side events it follows within
+    * `maxLagSeconds` (view→click attribution, impression→conversion,
+    * request→response pairing). The condition is
+    * `lKey = rKey AND rts BETWEEN lts AND lts + maxLag`.
+    *
+    * On two streaming inputs apply `.withWatermark` on BOTH sides
+    * upstream; the two-sided time bound is what lets Spark expire
+    * buffered rows once the watermark passes each side's horizon —
+    * join state is O(events per watermark+lag window), not O(stream),
+    * the months-running-pipeline property. On batch frames the same
+    * call plans as an equi-join on the key with the range as a
+    * post-join filter: ONE key shuffle, never a theta join.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lKey: String, rKey: String, lts: String, rts: String,
+                   maxLagSeconds: Long): DataFrame =
+    left.join(right,
+      left.col(lKey) === right.col(rKey) &&
+        right.col(rts) >= left.col(lts) &&
+        right.col(rts) <= left.col(lts) + expr(s"INTERVAL $maxLagSeconds SECOND"))
 }

@@ -46,4 +46,35 @@ class ApproxSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.02,
       s"approx=$approx exact=$exact rel-err=${math.abs(approx - exact) / exact}")
   }
+
+  test("g_heavy_hitters: every top-10 row inside the CMS point-query bound") {
+    val rows = SparkEntry.allQueries.find(_.name == "g_heavy_hitters").get
+      .fn(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"),
+        s"CMS bound violated for item ${r.get(0)} (exact=${r.getAs[Long]("exact_cnt")})")
+    }
+  }
+
+  test("graft_cms_estimate: never under-counts, over-counts at most eps*N on every key") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Sketches
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val n = ev.count()
+    val sketch = ev.agg(
+      expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("_cms"))
+    val checked = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(sketch))
+      .select(col("exact"),
+        Sketches.cmsEstimate(col("_cms"), col("user_id")).as("est"))
+      .collect()
+    assert(checked.nonEmpty)
+    val slack = math.ceil(0.001 * n).toLong
+    checked.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact"), r.getAs[Long]("est"))
+      assert(est >= exact, s"CMS under-counted: est=$est < exact=$exact")
+      assert(est <= exact + slack, s"est=$est > exact=$exact + $slack")
+    }
+  }
 }

@@ -245,4 +245,46 @@ class FoldStreamSpec extends AnyFunSuite {
       assert(!batch.exists(_._1 == 2L)) // user 2 never reaches completeness 2
     } finally q.stop()
   }
+
+  test("ST4: watermarked stream-stream interval join == batch twin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val viewRows = Seq(
+      (1L, 101L, t("2024-01-01 10:00:00")),
+      (1L, 102L, t("2024-01-01 11:00:00")),
+      (2L, 201L, t("2024-01-01 10:05:00")))
+    val clickRows = Seq(
+      (1L, 901L, t("2024-01-01 10:10:00")), // pairs with 101 (10 min lag)
+      (1L, 902L, t("2024-01-01 11:25:00")), // pairs with 102 only (101 is > 30 min back)
+      (2L, 903L, t("2024-01-01 11:00:00")), // 55 min after 201 -> no pair
+      (3L, 904L, t("2024-01-01 10:00:00"))) // no view side at all
+    val vMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def joined(v: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      Streaming.intervalJoin(
+        v.toDF("user_id", "view_id", "view_ts"),
+        c.toDF("_cuid", "click_id", "click_ts"),
+        "user_id", "_cuid", "view_ts", "click_ts", 1800L)
+        .select($"user_id", $"view_id", $"click_id")
+    val q = joined(
+        vMem.toDF().toDF("user_id", "view_id", "view_ts").withWatermark("view_ts", "1 hour"),
+        cMem.toDF().toDF("_cuid", "click_id", "click_ts").withWatermark("click_ts", "1 hour"))
+      .writeStream.format("memory").queryName("st4_out").outputMode("append").start()
+    try {
+      // sides arrive in different micro-batches: the join buffers the
+      // unmatched views in state until the matching clicks show up
+      vMem.addData(viewRows: _*)
+      q.processAllAvailable()
+      cMem.addData(clickRows.take(2): _*)
+      q.processAllAvailable()
+      cMem.addData(clickRows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("st4_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = joined(viewRows.toDF(), clickRows.toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(batch == Set((1L, 101L, 901L), (1L, 102L, 902L)))
+    } finally q.stop()
+  }
 }
