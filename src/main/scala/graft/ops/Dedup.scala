@@ -267,11 +267,15 @@ object Dedup {
     * (asserted in DedupSpec) — at the cost of one extra key shuffle
     * per iteration; near-dup components are small cliques (diameter
     * 2-3) and still converge in ~2 rounds. `maxIter` is a backstop,
-    * and the per-iteration convergence check is a driver-side count
-    * of a tiny changed-labels join (control plane, not a data-path
-    * collect). If the backstop fires with labels still moving, that
-    * is an ERROR by default (`failOnUnconverged`) — silently emitting
-    * two cluster ids for one component corrupts a dedup downstream.
+    * and the per-iteration convergence check RIDES the checkpoint
+    * action via `Dataset.observe` — the old label is carried through
+    * the doubling select and a `sum(label != old)` CollectMetrics
+    * node sits above it, so convergence costs zero extra joins and
+    * zero extra jobs per iteration (previously: one join + one
+    * count() job). If the backstop fires with labels still moving,
+    * that is an ERROR by default (`failOnUnconverged`) — silently
+    * emitting two cluster ids for one component corrupts a dedup
+    * downstream.
     *
     * Each generation is checkpointed, not just persisted: the label
     * frame of iteration k references iteration k-1 twice (the
@@ -282,7 +286,9 @@ object Dedup {
     * defaults to `localCheckpoint()` (fast; lineage gone, so an
     * executor loss mid-loop fails the job) — on a real cluster pass
     * `_.checkpoint()` with `sparkContext.setCheckpointDir` for
-    * HDFS-reliable recovery instead. */
+    * HDFS-reliable recovery instead. The checkpointer must be EAGER
+    * (both defaults are): the observed convergence metric resolves
+    * when the checkpoint materializes the frame. */
   def dupClusters(pairsIn: DataFrame, maxIter: Int = 30,
                   checkpointer: DataFrame => DataFrame = _.localCheckpoint(),
                   failOnUnconverged: Boolean = true): DataFrame = {
@@ -302,16 +308,22 @@ object Dedup {
       val prop = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"),
+          col("label").as("_old"))
       // (b) shortcut: label := label[label] (pointer doubling). The
       // left join misses only when label(i) is not a node id — it
       // always is (labels are node ids), so coalesce is belt-and-braces
+      val obs = org.apache.spark.sql.Observation(s"dupClusters_changed_$iter")
       val next = checkpointer(prop
         .join(prop.select(col("id").as("label"), col("label").as("_ll")),
           Seq("label"), "left")
-        .select(col("id"), coalesce(col("_ll"), col("label")).as("label")))
-      changed = next.join(labels.select(col("id"), col("label").as("_old")), "id")
-        .where(col("label") =!= col("_old")).count()
+        .select(col("id"), coalesce(col("_ll"), col("label")).as("label"),
+          col("_old"))
+        .observe(obs,
+          coalesce(sum(when(col("label") =!= col("_old"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"))
+        .select(col("id"), col("label")))
+      changed = obs.get("changed").asInstanceOf[Long]
       labels.unpersist()
       labels = next
       iter += 1

@@ -188,7 +188,14 @@ object Fold {
     * `mapGroupsWithState` — each micro-batch folds its new events into
     * the per-key hidden state, the streaming analog of form 1. Events
     * must arrive in order per key within the stream (or be
-    * pre-sorted per batch, which this does). */
+    * pre-sorted per batch, which this does).
+    *
+    * NoTimeout form: per-key state is one (Double, Long) pair, but the
+    * KEY SET grows forever — fine for a bounded key universe (the
+    * reference's fixed region set), wrong for an open one. For
+    * unbounded keys use [[foldStreamingTtl]], which evicts idle state
+    * at the event-time watermark, matching the reference's drop-late
+    * policy (weather4cast/datasets.py:39-47). */
   def foldStreaming(events: org.apache.spark.sql.Dataset[(Long, Long, Double)])
   : org.apache.spark.sql.Dataset[(Long, Double, Long)] = {
     import events.sparkSession.implicits._
@@ -202,6 +209,54 @@ object Fold {
           val n = n0 + sorted.length
           state.update((h, n))
           (key, h, n)
+      }
+  }
+
+  /** Form 3b (streaming, bounded state): as [[foldStreaming]] but with
+    * EVENT-TIME state eviction — a key idle for `idleGapSeconds` of
+    * event time past the watermark has its state emitted once more
+    * with `closed=true` and REMOVED, so total state is bounded by the
+    * set of keys active inside the watermark horizon, not the lifetime
+    * key universe. Mirrors [[graft.streaming.Streaming.sessionizeStream]]'s
+    * timeout discipline and the reference's lateness policy
+    * (weather4cast/datasets.py:39-47: data outside the window is
+    * dropped, not held). Input is (key, event-time, value); the caller
+    * chooses the watermark delay. Late rows (behind the watermark) are
+    * filtered by the engine before reaching the fold — a key that
+    * returns AFTER eviction restarts from h=0, the same answer the
+    * reference gives a sequence whose gap exceeds the assembly window.
+    * Output rows: (key, h, n_steps, closed). */
+  def foldStreamingTtl(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, Double)],
+                       watermark: String, idleGapSeconds: Long)
+  : org.apache.spark.sql.Dataset[(Long, Double, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val ttlMs = idleGapSeconds * 1000L
+    events.toDF("k", "ts", "v")
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Double, Long), (Long, Double, Long, Boolean)](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val (h, n) = state.get
+            state.remove()
+            (key, h, n, true)
+          } else {
+            val (h0, n0) = state.getOption.getOrElse((0.0, 0L))
+            val sorted = rows.toArray.sortBy(_._2.getTime)
+            val h = sorted.foldLeft(h0)((acc, r) => step(acc, r._3))
+            val n = n0 + sorted.length
+            state.update((h, n))
+            // timeout must sit strictly above the current watermark or
+            // the engine rejects it — max() covers an event that lands
+            // exactly on the horizon
+            state.setTimeoutTimestamp(
+              math.max(sorted.last._2.getTime + ttlMs,
+                state.getCurrentWatermarkMs() + 1L))
+            (key, h, n, false)
+          }
       }
   }
 

@@ -128,6 +128,47 @@ class FoldStreamSpec extends AnyFunSuite {
     assert(Streaming.streamingDedup(batch, $"text", "ts", "10 minutes").count() == 2L)
   }
 
+  test("X2 streaming TTL: idle key evicted at watermark, live key unchanged, return restarts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val q = Fold.foldStreamingTtl(mem.toDS(), watermark = "0 seconds", idleGapSeconds = 100L)
+      .toDF("user_id", "h_final", "n_steps", "closed")
+      .writeStream.format("memory").queryName("x2_ttl").outputMode("update").start()
+    try {
+      // both keys active at t=1000
+      mem.addData((1L, ts(1000L), 50.0), (2L, ts(1000L), 10.0))
+      q.processAllAvailable()
+      // key 1 keeps going at t=1150 -> watermark 1150 > key 2's
+      // timeout horizon (1000+100): key 2 must be evicted (closed=true)
+      mem.addData((1L, ts(1150L), 80.0))
+      q.processAllAvailable()
+      // sentinel advances the watermark again so the timeout sweep runs
+      mem.addData((99L, ts(5000L), 1.0)); q.processAllAvailable()
+      mem.addData((99L, ts(9000L), 1.0)); q.processAllAvailable()
+      val rows = spark.table("x2_ttl").where($"user_id" < 99).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+      // key 2 idle past 1000+100 while key 1's t=1150 advanced the
+      // watermark -> evicted with its full 1-event fold; key 1 outlives
+      // it but the far sentinels evict it too, with BOTH events folded
+      // (eviction emits the complete state, loses nothing)
+      val closed = rows.filter(_._4).toSet
+      assert(closed == Set(
+        (2L, Fold.step(0.0, 10.0), 1L, true),
+        (1L, Fold.step(Fold.step(0.0, 50.0), 80.0), 2L, true)), closed.toString)
+      // while live, key 1 folded both events with closed=false updates
+      val k1 = rows.filter(r => r._1 == 1L && r._3 == 2L && !r._4)
+      assert(k1.nonEmpty)
+      assert(math.abs(k1.head._2 - Fold.step(Fold.step(0.0, 50.0), 80.0)) < 1e-12)
+      // key 2 returns AFTER eviction -> restarts from h=0, n=1
+      mem.addData((2L, ts(9500L), 30.0)); q.processAllAvailable()
+      val back = spark.table("x2_ttl").where($"user_id" === 2 && !$"closed").collect()
+        .map(r => (r.getDouble(1), r.getLong(2)))
+      assert(back.exists { case (h, n) => n == 1L && math.abs(h - Fold.step(0.0, 30.0)) < 1e-12 },
+        back.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("streaming sessionize (flatMapGroupsWithState + event-time timeout) == batch sessions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Long)] // (user, sec)
