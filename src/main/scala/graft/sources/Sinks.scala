@@ -34,11 +34,33 @@ object Sinks {
       .withColumn(valueCol, scalars.minmaxDecode(col(valueCol + "_enc").cast("double"), lo, hi))
       .drop(valueCol + "_enc")
 
+  /** Hadoop `Configuration` is not `Serializable`; this wrapper ships
+    * the DRIVER's session configuration (including `spark.hadoop.*`
+    * overrides — s3a credentials, endpoints) into the partition
+    * closure via Hadoop's own wire format. A bare
+    * `new Configuration()` on the executor would see only classpath
+    * XML and silently drop those session settings. */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** HDF5-format compatibility sink: one `.h5` file per `fileKey`
     * value, each holding dataset `datasetName` = the key's frames as a
-    * (T, h, w) uint16 array, chunked per t-slice, deflate-compressed —
-    * byte-format parity with the reference's submission writer
-    * (weather4cast/datasets.py:455-459) via [[Hdf5]].
+    * (T, h, w) uint16 array, chunked per t-slice by [[Hdf5]],
+    * deflate-compressed. Readers of the reference's submission files
+    * (weather4cast/datasets.py:455-459, dataset name `array`) open
+    * these interchangeably — reader-level compatibility; exact bytes
+    * differ from h5py, which picks its own chunking.
     *
     * Distribution shape: ONE hash repartition on the file key
     * co-locates each file's rows, a within-partition sort orders them,
@@ -46,8 +68,12 @@ object Sinks {
     * memory is a single file's array (T·h·w·2 bytes, the same
     * per-file working set the reference holds), regardless of how many
     * files or rows the job writes. Files go through the Hadoop
-    * FileSystem API, so `outDir` may be any configured scheme
-    * (file://, hdfs://, s3a://).
+    * FileSystem API with the DRIVER's configuration (so `outDir` may
+    * be any scheme the session is configured for: file://, hdfs://,
+    * s3a://), and each file is written to a task-attempt temp path
+    * then renamed into place — a retried or speculative task can never
+    * leave a half-written `.h5` at the destination (the losing
+    * attempt's rename merely overwrites with identical content).
     *
     * T = max(`tCol`)+1 per key; cells (or whole slices) absent from
     * `df` become 0, the dataset's fill. Values outside 0..65535 or
@@ -56,16 +82,20 @@ object Sinks {
     */
   def writeHdf5Frames(df: DataFrame, outDir: String, fileKey: String,
                       tCol: String, yCol: String, xCol: String, valueCol: String,
-                      h: Int, w: Int, datasetName: String = "data",
+                      h: Int, w: Int, datasetName: String = "array",
                       gzipLevel: Int = 9): Unit = {
     import org.apache.hadoop.fs.Path
+    val confSer = new SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col(fileKey).cast("string").as("_k"), col(tCol).cast("int").as("_t"),
         col(yCol).cast("int").as("_y"), col(xCol).cast("int").as("_x"),
         col(valueCol).cast("int").as("_v"))
       .repartition(col("_k"))
       .sortWithinPartitions("_k", "_t", "_y", "_x")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confSer.value
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(tc => s"${tc.stageId()}-${tc.taskAttemptId()}").getOrElse("local")
         var key: String = null
         var buf = Vector.empty[(Int, Int, Int, Int)]
         def flush(): Unit = if (key != null && buf.nonEmpty) {
@@ -77,10 +107,22 @@ object Sinks {
             require(v >= 0 && v <= 0xFFFF, s"value $v outside uint16 for key $key")
             arr(t * h * w + y * w + x) = v.toShort
           }
-          val path = new Path(outDir, s"$key.h5")
-          val out = path.getFileSystem(conf).create(path, true)
-          try Hdf5.writeUint16(out, datasetName, tDim, h, w, arr, gzipLevel)
-          finally out.close()
+          val dest = new Path(outDir, s"$key.h5")
+          val tmp = new Path(outDir, s"_tmp-$attempt-$key.h5")
+          val fs = dest.getFileSystem(conf)
+          val out = fs.create(tmp, true)
+          var ok = false
+          try {
+            Hdf5.writeUint16(out, datasetName, tDim, h, w, arr, gzipLevel)
+            ok = true
+          } finally {
+            out.close()
+            if (ok) {
+              fs.delete(dest, false)
+              if (!fs.rename(tmp, dest))
+                throw new java.io.IOException(s"rename $tmp -> $dest failed")
+            } else fs.delete(tmp, false)
+          }
           buf = Vector.empty
         }
         rows.foreach { r =>

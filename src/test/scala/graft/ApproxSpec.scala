@@ -71,10 +71,21 @@ class ApproxSpec extends AnyFunSuite {
       .collect()
     assert(checked.nonEmpty)
     val slack = math.ceil(0.001 * n).toLong
+    // never-under-count is structural (min over counters that each saw
+    // every occurrence) — universal assertion. The eps*N over-count
+    // bound holds per PROBE with confidence 0.99 only, so over a full
+    // key sweep ~1% of keys MAY exceed it under an unlucky seed/data
+    // combination; assert the violation FRACTION stays within twice
+    // that budget instead of pinning every key (which held under seed
+    // 42 on today's generator but is not what the sketch promises).
+    var overBudget = 0
     checked.foreach { r =>
       val (exact, est) = (r.getAs[Long]("exact"), r.getAs[Long]("est"))
       assert(est >= exact, s"CMS under-counted: est=$est < exact=$exact")
-      assert(est <= exact + slack, s"est=$est > exact=$exact + $slack")
+      if (est > exact + slack) overBudget += 1
     }
+    val allowed = math.max(1L, math.ceil(0.02 * checked.length).toLong)
+    assert(overBudget <= allowed,
+      s"$overBudget/${checked.length} keys exceeded exact+eps*N (allowed $allowed at 1-delta=0.01)")
   }
 }
