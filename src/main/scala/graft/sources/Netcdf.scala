@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pure-JVM classic NetCDF (CDF-1 / CDF-2) reader — the ingest twin of
+  * the reference's on-disk input path (weather4cast/datasets.py:86-94:
+  * `netCDF4.Dataset(..., memory=raw_data)` with `set_auto_scale(False)`
+  * then per-variable `valid_range` / `_FillValue` preprocessing).
+  * Written from the public NetCDF Classic Format Specification
+  * (magic `CDF\x01`/`CDF\x02`, big-endian, 4-byte-aligned tagged
+  * lists); NetCDF-4 files are HDF5 containers, out of scope here.
+  *
+  * Split exactly like the reference: this layer only DECODES — raw
+  * integer/float payloads plus the `valid_range`/`_FillValue` attrs —
+  * and the numeric preprocessing (min-max scale N1, fill-to-NULL P3,
+  * conditional mean-impute A1) stays in the existing column operators,
+  * so one codepath serves parquet-packed and NetCDF inputs alike.
+  *
+  * Scale shape of [[readGrid]]: a `binaryFile` scan (one task per
+  * file, the same per-file working set the reference holds) followed
+  * by a flatMap into the repo-standard long table — embarrassingly
+  * parallel, no shuffle; all downstream pruning/aggregation runs on
+  * columnar rows. Imperative byte parsing sits in `mapPartitions` for
+  * the same reason [[graft.ops.Multimodal]]'s container sniffing does:
+  * a spec-driven cursor walk has no Catalyst equivalent.
+  */
+object Netcdf {
+
+  /** nc_type codes from the spec. */
+  private val NcByte = 1; private val NcChar = 2; private val NcShort = 3
+  private val NcInt = 4; private val NcFloat = 5; private val NcDouble = 6
+
+  private def typeSize(t: Int): Int = t match {
+    case NcByte | NcChar => 1
+    case NcShort => 2
+    case NcInt | NcFloat => 4
+    case NcDouble => 8
+    case other => throw new IllegalArgumentException(s"unsupported nc_type $other")
+  }
+
+  final case class Dim(name: String, length: Int) { def isRecord: Boolean = length == 0 }
+  final case class Attr(name: String, ncType: Int, values: Array[Double], text: String)
+  final case class Var(name: String, ncType: Int, dims: Seq[Dim], attrs: Map[String, Attr],
+                       vsize: Long, begin: Long) {
+    def isRecord: Boolean = dims.headOption.exists(_.isRecord)
+    /** Per-record (record var) or total (fixed var) element count. */
+    def sliceElems: Long = dims.drop(if (isRecord) 1 else 0)
+      .foldLeft(1L)((a, d) => a * d.length)
+  }
+  final case class Header(version: Int, numRecs: Int, dims: Seq[Dim], vars: Seq[Var],
+                          recSize: Long)
+
+  /** Parse the header of a classic NetCDF byte image. */
+  def parseHeader(bytes: Array[Byte]): Header = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    require(bytes.length >= 8 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
+      "not a classic NetCDF file (missing CDF magic); NetCDF-4/HDF5 is out of scope")
+    val version = bytes(3).toInt
+    require(version == 1 || version == 2, s"unsupported CDF version $version")
+    bb.position(4)
+    val numRecs = bb.getInt() // 0xFFFFFFFF = STREAMING; treated as a count below
+
+    def name(): String = {
+      val n = bb.getInt()
+      val s = new String(bytes, bb.position(), n, "UTF-8")
+      bb.position(bb.position() + ((n + 3) / 4) * 4) // names pad to 4
+      s
+    }
+    def taggedCount(expectTag: Int): Int = {
+      val tag = bb.getInt(); val n = bb.getInt()
+      require(tag == expectTag || (tag == 0 && n == 0),
+        s"malformed list: tag $tag count $n (expected tag $expectTag)")
+      n
+    }
+    def attrList(): Map[String, Attr] = {
+      (0 until taggedCount(0x0C)).map { _ =>
+        val nm = name(); val t = bb.getInt(); val n = bb.getInt()
+        val start = bb.position()
+        val raw = new Array[Double](if (t == NcChar) 0 else n)
+        var i = 0
+        while (i < raw.length) {
+          raw(i) = t match {
+            case NcByte => bb.get().toDouble
+            case NcShort => bb.getShort().toDouble
+            case NcInt => bb.getInt().toDouble
+            case NcFloat => bb.getFloat().toDouble
+            case NcDouble => bb.getDouble()
+          }
+          i += 1
+        }
+        val text = if (t == NcChar) new String(bytes, start, n, "UTF-8") else ""
+        bb.position(start + ((n * typeSize(t) + 3) / 4) * 4) // values pad to 4
+        nm -> Attr(nm, t, raw, text)
+      }.toMap
+    }
+
+    val dims = (0 until taggedCount(0x0A)).map(_ => Dim(name(), bb.getInt()))
+    attrList() // global attrs: parsed for cursor correctness, not used
+    val vars = (0 until taggedCount(0x0B)).map { _ =>
+      val nm = name()
+      val vdims = (0 until bb.getInt()).map(_ => dims(bb.getInt()))
+      val attrs = attrList()
+      val t = bb.getInt()
+      val vsize = bb.getInt().toLong & 0xFFFFFFFFL
+      val begin = if (version == 2) bb.getLong() else bb.getInt().toLong & 0xFFFFFFFFL
+      Var(nm, t, vdims, attrs, vsize, begin)
+    }
+    // spec: record slab stride = sum of record vars' vsize, EXCEPT a
+    // lone record variable, whose slices pack without padding
+    val recVars = vars.filter(_.isRecord)
+    val recSize =
+      if (recVars.length == 1) recVars.head.sliceElems * typeSize(recVars.head.ncType)
+      else recVars.map(_.vsize).sum
+    Header(version, numRecs, dims, vars, recSize)
+  }
+
+  /** Decode one variable to doubles in row-major dim order (record dim
+    * outermost, `numRecs` slabs). No scaling, no fill substitution —
+    * the reference's `set_auto_scale(False)` contract. */
+  def readVar(bytes: Array[Byte], hdr: Header, v: Var): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val slice = v.sliceElems
+    val nSlices = if (v.isRecord) hdr.numRecs else 1
+    require(slice * nSlices <= Int.MaxValue, s"variable ${v.name} too large for one array")
+    val out = new Array[Double]((slice * nSlices).toInt)
+    var s = 0
+    while (s < nSlices) {
+      bb.position((v.begin + (if (v.isRecord) s * hdr.recSize else 0L)).toInt)
+      var i = 0
+      while (i < slice) {
+        out(s * slice.toInt + i) = v.ncType match {
+          case NcByte => bb.get().toDouble
+          case NcShort => bb.getShort().toDouble
+          case NcInt => bb.getInt().toDouble
+          case NcFloat => bb.getFloat().toDouble
+          case NcDouble => bb.getDouble()
+          case NcChar => (bb.get() & 0xFF).toDouble
+        }
+        i += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** S2 over NetCDF: scan `pathGlob` as binary files and emit the
+    * repo-standard long grid for `varName` — one row per cell:
+    * `(path, t, y, x, raw, valid_lo, valid_hi, fill_value)` with the
+    * trailing two dims mapped to (y, x), an optional third-from-last
+    * (or record) dim to t, and 1-/2-d variables zero-padded. `raw` is
+    * the unscaled stored value; feed it to the existing operators for
+    * the reference's preprocessing (P3 `raw == fill_value` mask, N1
+    * `(raw - lo) / (hi - lo)`, A1 mean-impute), e.g. via
+    * [[decodedValue]]. */
+  def readGrid(spark: SparkSession, pathGlob: String, varName: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { files =>
+        files.flatMap { case (path, bytes) =>
+          val hdr = parseHeader(bytes)
+          val v = hdr.vars.find(_.name == varName).getOrElse(
+            throw new IllegalArgumentException(
+              s"$path has no variable '$varName'; has ${hdr.vars.map(_.name).mkString(", ")}"))
+          val shape = (if (v.isRecord) hdr.numRecs +: v.dims.tail.map(_.length)
+                       else v.dims.map(_.length)).map(_.toLong)
+          val (t, h, w) = shape.reverse.padTo(3, 1L).take(3) match {
+            case Seq(wd, ht, tm) => (tm, ht, wd)
+          }
+          require(shape.product == t * h * w,
+        s"${v.name}: rank-${shape.length} shape ${shape.mkString("x")} needs >3-d flattening")
+          val data = readVar(bytes, hdr, v)
+          val vr = v.attrs.get("valid_range").map(_.values)
+          val lo = vr.map(_(0)); val hi = vr.map(_(1))
+          val fill = v.attrs.get("_FillValue").map(_.values(0))
+          for (i <- data.indices.iterator) yield {
+            val ti = i / (h * w).toInt; val rem = i % (h * w).toInt
+            (path, ti.toLong, (rem / w).toLong, (rem % w).toLong, data(i),
+              lo.getOrElse(Double.NaN), hi.getOrElse(Double.NaN),
+              fill.getOrElse(Double.NaN))
+          }
+        }
+      }
+      .toDF("path", "t", "y", "x", "raw", "valid_lo", "valid_hi", "fill_value")
+  }
+
+  /** The reference's preprocess as one column (datasets.py:58-71 minus
+    * the per-variable mean-impute, which is A1's job): fill cells →
+    * NULL, others min-max scaled to [0, 1] by the file's own
+    * `valid_range`. NaN attr sentinels (absent attrs) pass raw through. */
+  def decodedValue: org.apache.spark.sql.Column =
+    when(col("raw") === col("fill_value"), lit(null).cast("double"))
+      .otherwise(when(isnan(col("valid_lo")), col("raw"))
+        .otherwise((col("raw") - col("valid_lo")) / (col("valid_hi") - col("valid_lo"))))
+}
