@@ -175,6 +175,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CmsEstimate(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_normalize(s) takes one string argument")
+        NormalizeText(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bottom_k"),
       new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
       (children: Seq[Expression]) => {

