@@ -12,6 +12,7 @@ cell-by-cell. Reports PASS/FAIL per query with a diff sample.
 Driver-side tooling only — the shipped library never imports this.
 """
 import json
+import os
 import math
 import sys
 
@@ -56,8 +57,16 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    # comma-separated query names whose ORACLE side is infeasible at the
+    # chosen data size (e.g. the recursive transitive closure behind
+    # d_dup_clusters balloons past 50 GB in DuckDB at 4.4M pairs) —
+    # skipping here skips the COMPARISON, not the Spark execution
+    skip = set(filter(None, os.environ.get("ORACLE_SKIP", "").split(",")))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if name in skip:
+            print(f"SKIP {name} (ORACLE_SKIP)")
+            continue
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'")
             scols, srows = spark_rel.columns, spark_rel.fetchall()
