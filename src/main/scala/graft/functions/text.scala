@@ -36,6 +36,21 @@ object text {
   def normalizeComposed(t: Column): Column =
     trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** PII redaction for training-data scrubbing: emails then phone-like
+    * digit runs replaced by typed placeholder tokens. Patterns stay in
+    * the regex subset Java and RE2 (DuckDB) evaluate identically, so
+    * the operator is oracle-checkable; emails are rewritten FIRST so a
+    * long digit run inside a local-part can't be half-eaten by the
+    * phone pass. Deliberately conservative (no names/addresses — those
+    * need NER, out of an expression's league); the point is the
+    * codegen'd scan-stage shape: redaction is per-row map work, no
+    * shuffle, runs inside the same WholeStageCodegen span as the
+    * quality/language filters it precedes. */
+  def redactPii(t: Column): Column =
+    regexp_replace(
+      regexp_replace(t, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>")
+
   /** Document fingerprint = md5 of normalized text (exact near-layout
     * dedup key). Non-Latin text whose normalized form is empty falls
     * back to hashing the raw text — otherwise every CJK/Cyrillic doc

@@ -217,6 +217,58 @@ object TextQueries {
              |    (acc, v) -> (acc * 31 + v) % 2147483647) AS rolling_fp
              |FROM documents""".stripMargin)),
 
+    // PII scrubbing: emails/phones -> typed placeholders. Scan-stage
+    // map work (no shuffle); the corpus is synthetic so most rows pass
+    // through unchanged — the hash compare pins the transform, and
+    // TextPipelineSpec asserts the redaction behavior on crafted PII.
+    Q("t_redact_pii",
+      (s, d) => T(s, d, "documents").select(col("doc_id"),
+        text.redactPii(col("text")).as("red_text"),
+        (text.redactPii(col("text")) =!= col("text")).as("changed")),
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS red_text,
+             |  (regexp_replace(regexp_replace(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') <> text) AS changed
+             |FROM documents""".stripMargin)),
+
+    // benchmark decontamination: 5-gram overlap of every corpus doc
+    // against a held-out "benchmark" slice (doc_id % 50 = 0 stands in
+    // for an eval suite). Shape for 100 TB: the benchmark shingle set
+    // is BROADCAST (eval suites are tiny next to a corpus), the left
+    // join + countDistinct pair runs in ONE shuffle keyed by doc —
+    // corpus shingles never join each other, so there is no N² term.
+    Q("t_decontam_overlap",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val corpusSh = Dedup.shingleRows(
+          docs.where(col("doc_id") % 50 =!= 0), col("text"), col("doc_id"), 5)
+        val benchSh = Dedup.shingleRows(
+          docs.where(col("doc_id") % 50 === 0), col("text"), col("doc_id"), 5)
+          .select(col("s")).distinct().withColumn("_hit", lit(1))
+        corpusSh.join(broadcast(benchSh), Seq("s"), "left")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("s")).as("n_sh"),
+            countDistinct(when(col("_hit") === 1, col("s"))).as("n_hit"))
+          .where(col("n_hit") > 0)
+          .select(col("doc_id"), col("n_sh"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_sh").cast("double")).as("contam_frac"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 4),
+             |         i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]))) AS s
+             |       FROM toks WHERE len(tk) >= 5),
+             |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+             |corpus AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+             |  CAST(count(*) FILTER (WHERE s IN (SELECT s FROM bench)) AS BIGINT) AS n_hit,
+             |  CAST(count(*) FILTER (WHERE s IN (SELECT s FROM bench)) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS contam_frac
+             |FROM corpus GROUP BY doc_id
+             |HAVING count(*) FILTER (WHERE s IN (SELECT s FROM bench)) > 0""".stripMargin)),
+
     // MinHash signature: 4 md5-salted min-hash components per doc
     Q("d_minhash_sig",
       (s, d) => Dedup.minhashSignature(T(s, d, "documents"), col("text"), col("doc_id"),
