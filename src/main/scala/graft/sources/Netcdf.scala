@@ -29,9 +29,9 @@ import org.apache.spark.sql.functions._
   */
 object Netcdf {
 
-  /** nc_type codes from the spec. */
-  private val NcByte = 1; private val NcChar = 2; private val NcShort = 3
-  private val NcInt = 4; private val NcFloat = 5; private val NcDouble = 6
+  /** nc_type codes from the spec (public: [[writeGrid3]] takes one). */
+  val NcByte = 1; val NcChar = 2; val NcShort = 3
+  val NcInt = 4; val NcFloat = 5; val NcDouble = 6
 
   private def typeSize(t: Int): Int = t match {
     case NcByte | NcChar => 1
@@ -196,4 +196,103 @@ object Netcdf {
     when(col("raw") === col("fill_value"), lit(null).cast("double"))
       .otherwise(when(isnan(col("valid_lo")), col("raw"))
         .otherwise((col("raw") - col("valid_lo")) / (col("valid_hi") - col("valid_lo"))))
+
+  // ---- writer: the read path's exact inverse ------------------------
+
+  /** Write one rank-3 variable as a classic CDF-1 file (CDF-2 only
+    * buys >2 GiB offsets — a per-key frame file never needs them):
+    * fixed dims (t, y, x), optional `valid_range`/`_FillValue` attrs
+    * (NC_SHORT attr values for an NC_SHORT variable, as the reference
+    * files carry), big-endian, 4-byte aligned. `ncType` 3 (short) or
+    * 6 (double); values are truncated to the target type unchecked
+    * for doubles, range-checked for shorts. The layout decisions
+    * (attr order, name padding, vsize) match SourcesSpec's
+    * hand-built from-the-spec fixture byte-for-byte — asserted there,
+    * so writer and reader cannot drift together. */
+  def writeGrid3(out: java.io.OutputStream, varName: String, t: Int, h: Int, w: Int,
+                 data: Array[Double], ncType: Int = NcShort,
+                 validRange: Option[(Double, Double)] = None,
+                 fillValue: Option[Double] = None,
+                 dimNames: (String, String, String) = ("t", "y", "x")): Unit = {
+    require(t > 0 && h > 0 && w > 0, s"dims must be positive, got ($t,$h,$w)")
+    require(data.length == t * h * w, s"data length ${data.length} != t*h*w = ${t * h * w}")
+    require(ncType == NcShort || ncType == NcDouble,
+      s"writer supports NC_SHORT (3) and NC_DOUBLE (6), got $ncType")
+    if (ncType == NcShort) data.foreach(v =>
+      require(v >= Short.MinValue && v <= Short.MaxValue && v == v.toShort.toDouble,
+        s"value $v not representable as NC_SHORT"))
+
+    def headerBytes(begin: Long): java.io.ByteArrayOutputStream = {
+      val b = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(b)
+      def name(s: String): Unit = {
+        o.writeInt(s.length); o.write(s.getBytes("US-ASCII"))
+        (0 until ((4 - s.length % 4) % 4)).foreach(_ => o.writeByte(0))
+      }
+      def shortAttr(nm: String, vs: Seq[Double]): Unit = {
+        name(nm); o.writeInt(NcShort); o.writeInt(vs.length)
+        vs.foreach(v => o.writeShort(v.toInt))
+        if (vs.length % 2 == 1) o.writeShort(0) // pad values to 4
+      }
+      def doubleAttr(nm: String, vs: Seq[Double]): Unit = {
+        name(nm); o.writeInt(NcDouble); o.writeInt(vs.length)
+        vs.foreach(o.writeDouble) // 8-byte values are always aligned
+      }
+      o.write(Array[Byte]('C', 'D', 'F', 1))
+      o.writeInt(0) // numrecs: fixed dims only
+      o.writeInt(0x0A); o.writeInt(3)
+      name(dimNames._1); o.writeInt(t)
+      name(dimNames._2); o.writeInt(h)
+      name(dimNames._3); o.writeInt(w)
+      o.writeInt(0); o.writeInt(0) // no global attrs
+      o.writeInt(0x0B); o.writeInt(1)
+      name(varName)
+      o.writeInt(3); o.writeInt(0); o.writeInt(1); o.writeInt(2)
+      val nAttrs = validRange.size + fillValue.size
+      if (nAttrs == 0) { o.writeInt(0); o.writeInt(0) }
+      else {
+        o.writeInt(0x0C); o.writeInt(nAttrs)
+        val attr: (String, Seq[Double]) => Unit =
+          if (ncType == NcShort) shortAttr else doubleAttr
+        validRange.foreach { case (lo, hi) => attr("valid_range", Seq(lo, hi)) }
+        fillValue.foreach(f => attr("_FillValue", Seq(f)))
+      }
+      o.writeInt(ncType)
+      val width = typeSize(ncType)
+      o.writeInt(((data.length * width + 3) / 4) * 4) // vsize, padded
+      o.writeInt(begin.toInt)
+      b
+    }
+    val hdrLen = headerBytes(0L).size().toLong
+    val b = headerBytes(hdrLen)
+    val o = new java.io.DataOutputStream(b)
+    if (ncType == NcShort) {
+      data.foreach(v => o.writeShort(v.toInt))
+      if (data.length % 2 == 1) o.writeShort(0) // data padded to 4
+    } else data.foreach(o.writeDouble)
+    b.writeTo(out)
+  }
+
+  /** Per-key NetCDF sink, the `.nc` twin of
+    * [[Sinks.writeHdf5Frames]]: one classic CDF-1 file per `fileKey`
+    * holding that key's (T, h, w) grid, written with the driver's
+    * Hadoop configuration via a task-attempt temp path + rename.
+    * Same distribution shape: one hash repartition on the key, sorted
+    * within partitions, one file's array in memory at a time. */
+  def writeFrames(df: DataFrame, outDir: String, fileKey: String,
+                  tCol: String, yCol: String, xCol: String, valueCol: String,
+                  h: Int, w: Int, varName: String = "data",
+                  validRange: Option[(Double, Double)] = None,
+                  fillValue: Option[Double] = None): Unit =
+    Sinks.writeKeyedFiles(df, outDir, fileKey, tCol, yCol, xCol, valueCol, ".nc") {
+      (out, tDim, cells) =>
+        val arr = Array.fill(tDim * h * w)(fillValue.getOrElse(0.0))
+        cells.foreach { case (t, y, x, v) =>
+          require(y >= 0 && y < h && x >= 0 && x < w,
+            s"coordinate ($t,$y,$x) outside (*, $h, $w)")
+          arr(t * h * w + y * w + x) = v
+        }
+        writeGrid3(out, varName, tDim, h, w, arr,
+          validRange = validRange, fillValue = fillValue)
+    }
 }

@@ -152,6 +152,60 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("NetCDF writer reproduces the hand-built spec fixture BYTE-FOR-BYTE") {
+    // fix1 was written field-by-field from the format spec; if
+    // writeGrid3 emits identical bytes for the same logical content,
+    // writer and reader are pinned to the spec independently — they
+    // cannot drift together
+    val b = new java.io.ByteArrayOutputStream()
+    sources.Netcdf.writeGrid3(b, "temperature", 2, 2, 3,
+      Array(10, 20, 30, -1, 50, 60, 70, -1, 90, 100, 110, 120).map(_.toDouble),
+      ncType = sources.Netcdf.NcShort,
+      validRange = Some((0.0, 500.0)), fillValue = Some(-1.0))
+    assert(b.toByteArray.sameElements(fix1), "writer output != spec-built fixture bytes")
+  }
+
+  test("NetCDF writer NC_DOUBLE round-trip through the reader") {
+    val vals = Array.tabulate(2 * 3 * 4)(i => i * 0.25 - 1.5)
+    val b = new java.io.ByteArrayOutputStream()
+    sources.Netcdf.writeGrid3(b, "rr", 2, 3, 4, vals, ncType = sources.Netcdf.NcDouble,
+      validRange = Some((-2.0, 6.0)), fillValue = Some(-999.0))
+    val hdr = sources.Netcdf.parseHeader(b.toByteArray)
+    val v = hdr.vars.head
+    assert(v.ncType == sources.Netcdf.NcDouble)
+    assert(v.attrs("valid_range").values.toSeq == Seq(-2.0, 6.0))
+    assert(v.attrs("_FillValue").values.toSeq == Seq(-999.0))
+    assert(sources.Netcdf.readVar(b.toByteArray, hdr, v).sameElements(vals))
+  }
+
+  test("NetCDF per-key sink: one parseable .nc per key, absent cells take the fill value") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ncsink")
+    try {
+      val df = Seq(
+        ("a", 0, 0, 0, 7.0), ("a", 0, 0, 1, 8.0), ("a", 0, 1, 0, 9.0), ("a", 0, 1, 1, 10.0),
+        ("b", 0, 0, 0, 1.0), ("b", 1, 1, 1, 2.0)
+      ).toDF("k", "t", "y", "x", "v")
+      sources.Netcdf.writeFrames(df, dir.toString, "k", "t", "y", "x", "v",
+        h = 2, w = 2, varName = "rr", validRange = Some((0.0, 100.0)),
+        fillValue = Some(-1.0))
+      val grid = sources.Netcdf.readGrid(spark, s"$dir/*.nc", "rr")
+      val back = grid.orderBy("path", "t", "y", "x").collect()
+      assert(back.length == 4 + 8, s"a: 1x2x2 cells + b: 2x2x2 cells, got ${back.length}")
+      val bCells = back.filter(_.getAs[String]("path").endsWith("b.nc"))
+        .map(r => (r.getAs[Long]("t"), r.getAs[Long]("y"), r.getAs[Long]("x")) -> r.getAs[Double]("raw")).toMap
+      assert(bCells((0L, 0L, 0L)) == 1.0 && bCells((1L, 1L, 1L)) == 2.0)
+      assert(bCells((0L, 1L, 1L)) == -1.0, "absent cell takes the declared fill value")
+      // and the fill decodes to NULL downstream, like the reference's mask
+      val nulls = grid.withColumn("value", sources.Netcdf.decodedValue)
+        .where(col("value").isNull).count()
+      assert(nulls == 6, s"6 absent cells in b.nc must decode to NULL, got $nulls")
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.delete(dir)
+    }
+  }
+
   test("NetCDF reader is loud on garbage: bad magic and unknown variable throw") {
     intercept[IllegalArgumentException](
       sources.Netcdf.parseHeader("not a netcdf file".getBytes))
