@@ -24,9 +24,9 @@ import java.util.zip.Deflater
   * Deliberate minimalism (all limits thrown, never silent):
   *  - one dataset per file, root group only — the reference writes
   *    exactly that;
-  *  - at most 64 chunks (one B-tree leaf, 2×K_istore entries); a
-  *    reference day is 32 slices. Larger T needs multi-level chunk
-  *    B-trees — out of scope until a consumer needs it.
+  *  - chunk B-tree depth ≤ 2: one leaf (≤64 chunks — a reference day
+  *    is 32 slices, byte-layout unchanged) or a root over
+  *    sibling-linked leaves (≤4096 chunks). Deeper trees thrown.
   */
 object Hdf5 {
 
@@ -42,8 +42,8 @@ object Hdf5 {
     require(t > 0 && h > 0 && w > 0, s"dims must be positive, got ($t,$h,$w)")
     require(data.length == t.toLong * h * w,
       s"data length ${data.length} != t*h*w = ${t.toLong * h * w}")
-    require(t <= 2 * ISTORE_K,
-      s"$t chunks exceed one B-tree leaf (${2 * ISTORE_K}); multi-level chunk trees unimplemented")
+    require(t <= 2 * ISTORE_K * 2 * ISTORE_K,
+      s"$t chunks exceed a 2-level chunk B-tree (${2 * ISTORE_K * 2 * ISTORE_K}); deeper trees unimplemented")
     require(name.nonEmpty && name.length <= 255, "dataset name must be 1..255 chars")
 
     // -- compress one chunk per t-slice -------------------------------
@@ -81,6 +81,12 @@ object Hdf5 {
     val dsOhSize = 16 + dsMsgsSize
     val chunkKeySize = 8 + 8 * 4 // size + mask + 4 offsets (t,y,x,elem)
     val chunkBtSize = 24 + 2 * ISTORE_K * (chunkKeySize + 8) + chunkKeySize
+    // ≤64 chunks: ONE leaf node (the reference's 32-slice files stay
+    // byte-identical). More: a 2-level tree — a root (level 1) whose
+    // entries point at sibling-linked leaves of ≤64 chunks each.
+    val leafCap = 2 * ISTORE_K
+    val nLeaves = (t + leafCap - 1) / leafCap
+    val chunkTreeSize = (if (nLeaves == 1) 1 else 1 + nLeaves).toLong * chunkBtSize
 
     val rootOhAddr = sbSize.toLong
     val groupBtAddr = rootOhAddr + rootOhSize
@@ -89,13 +95,16 @@ object Hdf5 {
     val snodAddr = heapDataAddr + heapDataSize
     val dsOhAddr = snodAddr + snodSize
     val chunkBtAddr = dsOhAddr + dsOhSize
+    // leaf i sits after the root (or IS the tree when there is one)
+    def leafAddr(i: Int): Long =
+      if (nLeaves == 1) chunkBtAddr else chunkBtAddr + (1L + i) * chunkBtSize
     val chunkAddrs = new Array[Long](t)
-    var nextAddr = chunkBtAddr + chunkBtSize
+    var nextAddr = chunkBtAddr + chunkTreeSize
     ti = 0
     while (ti < t) { chunkAddrs(ti) = nextAddr; nextAddr += chunks(ti).length; ti += 1 }
     val eof = nextAddr
 
-    val fixed = ByteBuffer.allocate((chunkBtAddr + chunkBtSize).toInt)
+    val fixed = ByteBuffer.allocate((chunkBtAddr + chunkTreeSize).toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
 
     // -- superblock v0 (96 bytes) --------------------------------------
@@ -217,25 +226,56 @@ object Hdf5 {
     fixed.put(0.toByte); fixed.put(0.toByte); fixed.put(0.toByte);
     fixed.put(0.toByte); fixed.put(0.toByte) // message padding to 32
 
-    // -- chunk b-tree v1 leaf ------------------------------------------
-    val cbtStart = fixed.position()
-    fixed.put('T'.toByte); fixed.put('R'.toByte); fixed.put('E'.toByte); fixed.put('E'.toByte)
-    fixed.put(1.toByte) // node type 1: raw data chunks
-    fixed.put(0.toByte)
-    fixed.putShort(t.toShort)
-    fixed.putLong(UNDEF); fixed.putLong(UNDEF)
-    ti = 0
-    while (ti < t) {
-      fixed.putInt(chunks(ti).length) // chunk size after filters
-      fixed.putInt(0) // filter mask: all applied
-      fixed.putLong(ti.toLong); fixed.putLong(0L); fixed.putLong(0L); fixed.putLong(0L)
-      fixed.putLong(chunkAddrs(ti))
-      ti += 1
+    // -- chunk b-tree v1 -----------------------------------------------
+    // key of chunk c (the upper-bound key uses size 0, offset t)
+    def putChunkKey(c: Int): Unit = {
+      if (c < t) {
+        fixed.putInt(chunks(c).length) // chunk size after filters
+        fixed.putInt(0) // filter mask: all applied
+        fixed.putLong(c.toLong)
+      } else {
+        fixed.putInt(0); fixed.putInt(0)
+        fixed.putLong(t.toLong) // strict upper bound on every offset
+      }
+      fixed.putLong(0L); fixed.putLong(0L); fixed.putLong(0L)
     }
-    // final key: strict upper bound on every chunk offset
-    fixed.putInt(0); fixed.putInt(0)
-    fixed.putLong(t.toLong); fixed.putLong(0L); fixed.putLong(0L); fixed.putLong(0L)
-    fixed.position(cbtStart + chunkBtSize)
+    if (nLeaves > 1) { // root node, level 1: one entry per leaf
+      val rootStart = fixed.position()
+      fixed.put('T'.toByte); fixed.put('R'.toByte); fixed.put('E'.toByte); fixed.put('E'.toByte)
+      fixed.put(1.toByte) // node type 1: raw data chunks
+      fixed.put(1.toByte) // level 1: children are leaves
+      fixed.putShort(nLeaves.toShort)
+      fixed.putLong(UNDEF); fixed.putLong(UNDEF)
+      var li = 0
+      while (li < nLeaves) {
+        putChunkKey(li * leafCap) // child's first chunk key
+        fixed.putLong(leafAddr(li))
+        li += 1
+      }
+      putChunkKey(t) // final key: upper bound
+      fixed.position(rootStart + chunkBtSize)
+    }
+    var li = 0
+    while (li < nLeaves) {
+      val cbtStart = fixed.position()
+      val lo = li * leafCap
+      val hi = math.min(t, lo + leafCap)
+      fixed.put('T'.toByte); fixed.put('R'.toByte); fixed.put('E'.toByte); fixed.put('E'.toByte)
+      fixed.put(1.toByte) // node type 1: raw data chunks
+      fixed.put(0.toByte) // leaf level
+      fixed.putShort((hi - lo).toShort)
+      fixed.putLong(if (li == 0) UNDEF else leafAddr(li - 1)) // left sibling
+      fixed.putLong(if (li == nLeaves - 1) UNDEF else leafAddr(li + 1)) // right sibling
+      ti = lo
+      while (ti < hi) {
+        putChunkKey(ti)
+        fixed.putLong(chunkAddrs(ti))
+        ti += 1
+      }
+      putChunkKey(hi) // final key: next leaf's first chunk, or the upper bound
+      fixed.position(cbtStart + chunkBtSize)
+      li += 1
+    }
 
     out.write(fixed.array())
     ti = 0

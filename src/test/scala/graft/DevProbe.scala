@@ -25,7 +25,7 @@ object DevProbe {
       println(f"PROBE $name%-24s min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
 
-    val docs = spark.read.parquet("/root/repo/scaledata/x10/documents.parquet")
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "documents")
     docs.persist(); docs.count()
     val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 3, 4, keepShort = false)
     val pairs = Dedup.lshCandidateIdPairs(Dedup.lshBands(sig, 4, 4), 4).result.persist()

@@ -113,31 +113,40 @@ class Hdf5Spec extends AnyFunSuite {
     assert(dims != null && chunkDims != null && chunkBt >= 0 && gzip >= 0,
       "all four dataset messages present")
 
-    // chunk B-tree v1 leaf: inflate each chunk into the t-slice it names
-    assert(ascii(chunkBt, 4) == "TREE", "chunk B-tree signature")
-    assert(u8(chunkBt + 4) == 1 && u8(chunkBt + 5) == 0, "raw-data node, leaf")
-    val nChunks = u16(chunkBt + 6)
+    // chunk B-tree v1: recursive descent (level>0 nodes carry child
+    // node addresses; leaves carry chunk addresses), inflating each
+    // chunk into the t-slice its key names
     val Seq(t, h, w) = dims
     val out = new Array[Short]((t * h * w).toInt)
     val keySize = 8 + 8 * chunkDims.length
-    var c = 0
-    while (c < nChunks) {
-      val kp = chunkBt + 24 + c * (keySize + 8)
-      val csize = u32(kp).toInt
-      assert(u32(kp + 4) == 0, "filter mask: all filters applied")
-      val tOff = u64(kp + 8)
-      val addr = u64(kp + keySize)
-      val inf = new Inflater()
-      inf.setInput(bytes, addr.toInt, csize)
-      val raw = new Array[Byte]((h * w * 2).toInt)
-      val got = inf.inflate(raw)
-      assert(got == raw.length && inf.finished(), s"chunk $c inflates to exactly one slice")
-      inf.end()
-      val sb2 = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-      var i = 0
-      while (i < h * w) { out((tOff * h * w).toInt + i) = sb2.getShort(); i += 1 }
-      c += 1
+    def walk(node: Long): Unit = {
+      assert(ascii(node, 4) == "TREE", "chunk B-tree signature")
+      assert(u8(node + 4) == 1, "raw-data node type")
+      val level = u8(node + 5)
+      val n = u16(node + 6)
+      var c = 0
+      while (c < n) {
+        val kp = node + 24 + c * (keySize + 8)
+        val child = u64(kp + keySize)
+        if (level > 0) walk(child)
+        else {
+          val csize = u32(kp).toInt
+          assert(u32(kp + 4) == 0, "filter mask: all filters applied")
+          val tOff = u64(kp + 8)
+          val inf = new Inflater()
+          inf.setInput(bytes, child.toInt, csize)
+          val raw = new Array[Byte]((h * w * 2).toInt)
+          val got = inf.inflate(raw)
+          assert(got == raw.length && inf.finished(), s"chunk at $child inflates to one slice")
+          inf.end()
+          val sb2 = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < h * w) { out((tOff * h * w).toInt + i) = sb2.getShort(); i += 1 }
+        }
+        c += 1
+      }
     }
+    walk(chunkBt)
     (dsName, dims, chunkDims, gzip, out)
   }
 
@@ -217,9 +226,25 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
-  test("limits are loud: >64 chunks, bad dims, bad length all throw") {
+  test("2-level chunk tree: >64 chunks split into sibling-linked leaves under a root") {
+    val t = 150; val h = 3; val w = 5 // 3 leaves: 64 + 64 + 22
+    val data = Array.tabulate(t * h * w)(i => ((i * 31) % 65536).toShort)
+    val bytes = write("array", t, h, w, data)
+    val (_, dims, _, _, back) = parse(bytes)
+    assert(dims == Seq(t, h, w))
+    assert(back.sameElements(data), "all 150 slices recovered through the 2-level tree")
+    // structural: the tree's first node must be level 1 with 3 entries
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val layoutRootOk = (0 until bytes.length - 8).exists { p =>
+      bytes(p) == 'T' && bytes(p + 1) == 'R' && bytes(p + 2) == 'E' && bytes(p + 3) == 'E' &&
+        bytes(p + 4) == 1 && bytes(p + 5) == 1 && bb.getShort(p + 6) == 3
+    }
+    assert(layoutRootOk, "a level-1 raw-data node with 3 entries exists")
+  }
+
+  test("limits are loud: >4096 chunks, bad dims, bad length all throw") {
     val ok = new Array[Short](4)
-    intercept[IllegalArgumentException](write("x", 65, 2, 2, new Array[Short](65 * 4)))
+    intercept[IllegalArgumentException](write("x", 4097, 1, 1, new Array[Short](4097)))
     intercept[IllegalArgumentException](write("x", 0, 2, 2, ok))
     intercept[IllegalArgumentException](write("x", 1, 2, 2, new Array[Short](5)))
     intercept[IllegalArgumentException](write("", 1, 2, 2, ok))
