@@ -269,6 +269,28 @@ object TextQueries {
              |FROM corpus GROUP BY doc_id
              |HAVING count(*) FILTER (WHERE s IN (SELECT s FROM bench)) > 0""".stripMargin)),
 
+    // within-doc repetition (Gopher-style quality rule): fraction of
+    // repeated 2-grams = 1 - distinct/total. One doc-keyed shuffle;
+    // boilerplate/spam scores high, clean prose near 0.
+    Q("t_repetition",
+      (s, d) => {
+        val bi = Dedup.shingleRows(T(s, d, "documents"), col("text"), col("doc_id"), 2)
+        bi.groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_bigrams"),
+          countDistinct(col("s")).as("n_distinct"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+            (lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams").cast("double"))
+              .as("rep_ratio"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |bi AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
+             |         i -> concat_ws(' ', tk[i+1], tk[i+2]))) AS s
+             |       FROM toks WHERE len(tk) >= 2)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(count(DISTINCT s) AS BIGINT) AS n_distinct,
+             |  1.0 - CAST(count(DISTINCT s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rep_ratio
+             |FROM bi GROUP BY doc_id""".stripMargin)),
+
     // MinHash signature: 4 md5-salted min-hash components per doc
     Q("d_minhash_sig",
       (s, d) => Dedup.minhashSignature(T(s, d, "documents"), col("text"), col("doc_id"),
