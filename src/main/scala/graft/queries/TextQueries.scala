@@ -248,10 +248,15 @@ object TextQueries {
         val benchSh = Dedup.shingleRows(
           docs.where(col("doc_id") % 50 === 0), col("text"), col("doc_id"), 5)
           .select(col("s")).distinct().withColumn("_hit", lit(1))
+        // two-level agg instead of a dual countDistinct: the latter
+        // plans as Expand (2x the exploded shingle rows) shuffled on a
+        // wide composite key; this dedupes (doc, shingle) with map-side
+        // combine first, then counts per doc — plan-pinned in PlanSpec
         corpusSh.join(broadcast(benchSh), Seq("s"), "left")
+          .groupBy(col("doc_id"), col("s"))
+          .agg(max(coalesce(col("_hit"), lit(0))).as("_h"))
           .groupBy(col("doc_id"))
-          .agg(countDistinct(col("s")).as("n_sh"),
-            countDistinct(when(col("_hit") === 1, col("s"))).as("n_hit"))
+          .agg(count(lit(1)).as("n_sh"), sum(col("_h")).as("n_hit"))
           .where(col("n_hit") > 0)
           .select(col("doc_id"), col("n_sh"), col("n_hit"),
             (col("n_hit").cast("double") / col("n_sh").cast("double")).as("contam_frac"))

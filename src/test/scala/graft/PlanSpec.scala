@@ -149,6 +149,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("MapGroups"), "graded path must be the typed fold")
   }
 
+  test("t_decontam_overlap: benchmark shingles broadcast; corpus never self-joins") {
+    val p = finalPlan("t_decontam_overlap")
+    assert(p.contains("BroadcastHashJoin"), "benchmark side must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no corpus-corpus shuffle join:\n" + p.take(1200))
+    // exactly: the benchmark side's own distinct (tiny, pre-broadcast)
+    // + the (doc, shingle) dedup + the doc-keyed count, all map-side
+    // combined; no Expand doubling the exploded rows
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 3,
+      "three agg exchanges (bench distinct + 2-level corpus agg):\n" + p.take(1200))
+    assert(!p.contains("Expand"), "dual countDistinct would 2x the shingle rows")
+  }
+
+  test("t_repetition: one doc-keyed aggregation over the bigram explode") {
+    val p = finalPlan("t_repetition")
+    assert(!p.contains("Join"), "within-doc signal needs no join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      "doc-keyed agg (+ distinct stage) only:\n" + p.take(1200))
+  }
+
   test("pipe_submit_e2e: keyed shuffles + broadcasts only; pack agg reuses the impute window exchange") {
     val p = finalPlan("pipe_submit_e2e")
     // 3 data shuffles: dedup window, valid-starts window, impute window
