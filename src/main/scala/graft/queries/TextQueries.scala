@@ -18,6 +18,11 @@ object TextQueries {
   private val Seeds = 4
   private val Bands = 4 // rows-per-band = 1: max recall variant
 
+  // chunking / packing parameters (t_chunk_split, t_pack_sequences)
+  private val ChunkSize = 500 // chars per chunk
+  private val ChunkStride = 400 // 100-char overlap between neighbors
+  private val PackBudget = 1024 // tokens per training pack
+
   // ---- shared oracle SQL fragments ----
 
   private val normSql =
@@ -413,5 +418,69 @@ object TextQueries {
               |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
               |JOIN cnt ca ON ca.doc_id = p.doc_a
               |JOIN cnt cb ON cb.doc_id = p.doc_b""".stripMargin)),
+
+    // fixed-window document chunking with overlap (chunk=500 chars,
+    // stride=400 -> 100-char overlap): the context-window splitter every
+    // LLM ingest pipeline runs before tokenization. Pure scan-stage
+    // sequence+explode — zero shuffle, output rows ~ corpus chars /
+    // stride, so the shape is flat at any corpus size.
+    Q("t_chunk_split",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val n = length(col("text")).cast("long")
+        val nChunks = when(n <= ChunkSize, lit(1L))
+          .otherwise(floor((n - lit(ChunkSize - ChunkStride + 1)) / lit(ChunkStride.toDouble)).cast("long") + lit(1L))
+        docs.select(col("doc_id"), col("text"), nChunks.as("n_chunks"))
+          .select(col("doc_id"), col("n_chunks"), col("text"),
+            explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"), col("n_chunks"),
+            col("text").substr((col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkSize))
+              .as("chunk_text"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, text,
+              |    CASE WHEN length(text) <= $ChunkSize THEN 1
+              |         ELSE (length(text) - ${ChunkSize - ChunkStride + 1}) // $ChunkStride + 1 END AS n_chunks
+              |  FROM documents),
+              |ex AS (SELECT doc_id, text, n_chunks,
+              |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM base)
+              |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+              |  CAST(n_chunks AS BIGINT) AS n_chunks,
+              |  substring(text, CAST(chunk_id * $ChunkStride + 1 AS INT), $ChunkSize) AS chunk_text
+              |FROM ex""".stripMargin)),
+
+    // greedy token-budget sequence packing: assign docs (in stable
+    // doc_id order) to consecutive packs of <=~1024 tokens — the
+    // pretraining batch-assembly step. Partitioned by (lang, source):
+    // each shard packs independently, which is the 100 TB shape (a
+    // single global running sum would serialize the corpus; per-shard
+    // packing is deterministic given the shard key and parallel across
+    // shards). One window shuffle on the shard key + one agg shuffle.
+    Q("t_pack_sequences",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        T(s, d, "documents")
+          .select(col("lang"), col("source"), col("doc_id"),
+            text.nTokens(col("text")).as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .groupBy(col("lang"), col("source"),
+            expr(s"CAST((cum - 1) DIV $PackBudget AS BIGINT)").as("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            min(col("doc_id")).as("first_doc"))
+      },
+      Some(s"""WITH t AS (SELECT lang, source, doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+              |c AS (SELECT lang, source, doc_id, n_tokens,
+              |    sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM t)
+              |SELECT lang, source, CAST((cum - 1) // $PackBudget AS BIGINT) AS pack_id,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              |  CAST(min(doc_id) AS BIGINT) AS first_doc
+              |FROM c GROUP BY lang, source, pack_id""".stripMargin)),
   )
 }

@@ -60,4 +60,57 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(2L) > 0.5 && got(2L) < 1.0, s"partial overlap strictly between: $got")
     assert(!got.contains(3L), s"clean doc must not appear: $got")
   }
+
+  test("t_chunk_split: overlapping chunks losslessly reconstruct every doc") {
+    // chunk i covers chars [i*400+1, i*400+500]; dropping each later
+    // chunk's first 100 chars (the overlap) and concatenating must give
+    // back the original text exactly, for short, boundary, and long docs
+    val q = SparkEntry.allQueries.find(_.name == "t_chunk_split").get
+    val lens = Seq(0, 1, 499, 500, 501, 900, 901, 1300, 5000)
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, Seq.tabulate(n)(j => ('a' + (j % 26)).toChar).mkString,
+        "en", "src", n.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("chunks").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val chunks = q.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val original = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, parts) <- chunks) {
+      val rebuilt = parts.head + parts.tail.map(_.drop(100)).mkString
+      assert(rebuilt == original(id), s"doc $id len=${original(id).length}: reconstruction broke")
+      assert(parts.forall(_.length <= 500), s"doc $id: chunk over size")
+      // every doc yields at least one chunk; exact count formula
+      val n = original(id).length
+      val want = if (n <= 500) 1 else (n - 101) / 400 + 1
+      assert(parts.length == want, s"doc $id len=$n: ${parts.length} chunks, want $want")
+    }
+    assert(chunks.keySet == original.keySet)
+  }
+
+  test("t_pack_sequences: packs partition the corpus and respect the token budget") {
+    val q = SparkEntry.allQueries.find(_.name == "t_pack_sequences").get
+    val d = "/root/testdata/sf0.001"
+    val packs = q.fn(spark, d).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)), (r.getLong(3), r.getLong(4))))
+    val docs = sources.Tables.load(spark, d, "documents")
+      .select($"lang", $"source", text.nTokens($"text").as("t"))
+      .groupBy($"lang", $"source").agg(sum($"t").as("tot"), max($"t").as("mx"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // conservation: per shard, pack totals sum to the shard's tokens and doc counts
+    for (((lang, src), (tot, mx, n)) <- docs) {
+      val mine = packs.filter(p => p._1._1 == lang && p._1._2 == src)
+      assert(mine.map(_._2._2).sum == tot, s"$lang/$src: token conservation")
+      assert(mine.map(_._2._1).sum == n, s"$lang/$src: doc conservation")
+      // greedy bound: a pack exceeds the budget only via its straddling
+      // last doc, so total <= budget + max_doc_tokens - 1
+      assert(mine.forall(_._2._2 <= 1024 + mx - 1), s"$lang/$src: pack over budget+straddle")
+      // pack ids are distinct; the last is exactly (tot-1) div budget
+      // (ids may skip only when a single doc exceeds the budget)
+      val ids = mine.map(_._1._3).sorted
+      assert(ids.distinct.length == ids.length, s"$lang/$src: duplicate pack ids")
+      assert(ids.last == (tot - 1) / 1024, s"$lang/$src: last pack id ${ids.last}")
+    }
+  }
 }
