@@ -179,4 +179,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       "no cartesian / unplanned shuffle join in the flagship")
   }
+
+  test("t_chunk_split: chunking is scan-stage explode work, zero shuffles") {
+    val p = finalPlan("t_chunk_split")
+    assert(!p.contains("Exchange"), "per-doc chunking must not shuffle:\n" + p.take(1200))
+    assert(p.contains("Generate"), "chunk fan-out must be an explode, not a join")
+  }
+
+  test("t_pack_sequences: one shard-key window shuffle + one pack agg shuffle") {
+    val p = finalPlan("t_pack_sequences")
+    assert(!p.contains("Join"), "packing needs no join")
+    assert(!p.contains("rangepartitioning"), "no global sort — ordering is within-shard only")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      "window on (lang,source) + groupBy (lang,source,pack_id) only:\n" + p.take(1200))
+  }
 }
