@@ -448,6 +448,50 @@ object TextQueries {
               |  substring(text, CAST(chunk_id * $ChunkStride + 1 AS INT), $ChunkSize) AS chunk_text
               |FROM ex""".stripMargin)),
 
+    // character-trigram LM quality score (the CCNet/KenLM perplexity
+    // filter, reduced to a broadcastable n-gram model): train trigram
+    // counts on a deterministic reference slice (doc_id % 10 == 0),
+    // broadcast the model (bounded: |charset|^3 keys max, ~100k
+    // observed), score every doc by its Laplace-smoothed mean log
+    // likelihood. Scale shape: model = one bounded agg broadcast back;
+    // scoring = scan-stage explode + broadcast join + doc-keyed agg —
+    // no corpus-sized shuffle anywhere. Mean is computed in exact
+    // integer space (per-term qlong at 1e-6) so the parallel sum is
+    // reassociation-proof and hash-matches DuckDB.
+    Q("t_lm_score",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val tri = docs.select(col("doc_id"),
+          explode(when(length(col("text")) >= 3,
+            expr("transform(sequence(0, length(text) - 3), i -> substring(text, i + 1, 3))"))
+            .otherwise(array())).as("tg"))
+        val model = tri.where(col("doc_id") % 10 === 0)
+          .groupBy(col("tg")).agg(count(lit(1)).as("cnt"))
+        val stats = model.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
+        val term = log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double")
+          / (col("tot") + col("v")).cast("double"))
+        tri.join(broadcast(model), Seq("tg"), "left")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), qlong(term, 1e6).as("q"))
+          .groupBy(col("doc_id"))
+          .agg((sum(col("q")).cast("double") / count(lit(1)).cast("double") / lit(1e6))
+            .as("lm_score"))
+      },
+      Some("""WITH tri AS (SELECT doc_id,
+             |    unnest(list_transform(range(0, length(text) - 2),
+             |      i -> substring(text, CAST(i + 1 AS INT), 3))) AS tg
+             |  FROM documents WHERE length(text) >= 3),
+             |model AS (SELECT tg, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM tri WHERE doc_id % 10 = 0 GROUP BY tg),
+             |stats AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+             |    CAST(count(*) AS BIGINT) AS v FROM model)
+             |SELECT t.doc_id,
+             |  CAST(sum(CAST(floor(ln(CAST(coalesce(m.cnt, 0) + 1 AS DOUBLE)
+             |        / CAST(s.tot + s.v AS DOUBLE)) * 1000000e0 + 0.5e0) AS BIGINT)) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) / 1000000e0 AS lm_score
+             |FROM tri t LEFT JOIN model m ON m.tg = t.tg CROSS JOIN stats s
+             |GROUP BY t.doc_id""".stripMargin)),
+
     // greedy token-budget sequence packing: assign docs (in stable
     // doc_id order) to consecutive packs of <=~1024 tokens — the
     // pretraining batch-assembly step. Partitioned by (lang, source):

@@ -186,6 +186,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "chunk fan-out must be an explode, not a join")
   }
 
+  test("t_lm_score: model + stats broadcast; corpus side never shuffle-joins") {
+    val p = finalPlan("t_lm_score")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, "model join must broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "stats scalar must arrive by broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus trigrams must never be a shuffle-join side:\n" + p.take(1200))
+  }
+
   test("t_pack_sequences: one shard-key window shuffle + one pack agg shuffle") {
     val p = finalPlan("t_pack_sequences")
     assert(!p.contains("Join"), "packing needs no join")
