@@ -249,4 +249,43 @@ class Hdf5Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](write("x", 1, 2, 2, new Array[Short](5)))
     intercept[IllegalArgumentException](write("", 1, 2, 2, ok))
   }
+
+  test("production reader agrees with the independent parser on 1- and 2-level files") {
+    for ((t, h, w) <- Seq((5, 7, 11), (150, 3, 5))) {
+      val data = Array.tabulate(t * h * w)(i => ((i * 2654435761L) % 65536).toShort)
+      val bytes = write("array", t, h, w, data)
+      val g = Hdf5.readUint16(bytes)
+      val (name, dims, _, _, back) = parse(bytes)
+      assert(g.name == name && Seq(g.t.toLong, g.h.toLong, g.w.toLong) == dims)
+      assert(g.data.sameElements(back) && g.data.sameElements(data))
+    }
+    // reader is loud on garbage, not silently zero
+    intercept[IllegalArgumentException](Hdf5.readUint16(Array.fill[Byte](128)(0x41)))
+  }
+
+  test("Hdf5.readGrid: sink output round-trips through the Spark read path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("h5read").toFile
+    try {
+      val df = Seq(
+        ("a", 0, 0, 0, 7), ("a", 0, 0, 1, 8), ("a", 0, 1, 0, 9), ("a", 0, 1, 1, 65535),
+        ("b", 0, 0, 0, 1), ("b", 1, 1, 1, 2)
+      ).toDF("k", "t", "y", "x", "v")
+      graft.sources.Sinks.writeHdf5Frames(df, dir.getAbsolutePath,
+        "k", "t", "y", "x", "v", h = 2, w = 2)
+      val back = Hdf5.readGrid(spark, dir.getAbsolutePath + "/*.h5")
+        .collect()
+        .map(r => (r.getString(0).split('/').last, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // every written cell comes back with its uint16 value; absences are 0
+      val m = back.map(x => (x._1, x._2, x._3, x._4) -> x._5).toMap
+      assert(m(("a.h5", 0L, 1L, 1L)) == 65535L, "uint16 max survives the read path")
+      assert(m(("a.h5", 0L, 0L, 0L)) == 7L && m(("b.h5", 1L, 1L, 1L)) == 2L)
+      assert(m(("b.h5", 0L, 1L, 1L)) == 0L, "absent cell reads as fill 0")
+      assert(back.length == 4 + 8, "a: 1x2x2, b: 2x2x2 dense grids")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }
