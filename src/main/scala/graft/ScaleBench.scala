@@ -26,7 +26,8 @@ object ScaleBench {
     "e_cosine_topk", "e_lsh_buckets", "e_ann_bucketed", "e_ivf_train", "e_ivf_ann",
     "t_token_stats", "t_quality_score", "t_lang_id", "t_tfidf_top",
     "t_rolling_fp", "t_top_terms", "m_multimodal_meta",
-    "t_redact_pii", "t_decontam_overlap", "t_repetition")
+    "t_redact_pii", "t_decontam_overlap", "t_repetition",
+    "t_chunk_split", "t_pack_sequences", "t_lm_score")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -108,4 +108,62 @@ class MultimodalSinksSpec extends AnyFunSuite {
       .where($"c_mktsegment" === "BUILDING").count()
     assert(pruned.count() == nSeg)
   }
+
+  test("sampleFrames: every-k-th frame per video, stub fallback for non-video payloads") {
+    // video 1: 10 distinguishable 2x3 frames; video 2: raw md5 bytes (stub path)
+    val frames = (0 until 10).map(i => Array.tabulate(6)(j => (i * 10 + j).toByte))
+    val v1 = Multimodal.packVideo(frames, 2, 3)
+    val media = Seq((1L, v1), (2L, java.security.MessageDigest.getInstance("MD5")
+      .digest("x".getBytes))).toDF("id", "payload")
+    val got = Multimodal.sampleFrames(spark, media, 3).collect()
+      .groupBy(_.id).view.mapValues(_.sortBy(_.frameIdx)).toMap
+    assert(got(1L).map(_.frameIdx).toSeq == Seq(0, 3, 6, 9), "every 3rd frame")
+    assert(got(1L).forall(f => f.h == 2 && f.w == 3))
+    assert(got(1L)(1).pixels.sameElements(frames(3)), "frame payload intact")
+    assert(got(2L).length == 1 && got(2L)(0).frameIdx == 0, "stub = one deterministic frame")
+    // sampling never materializes unsampled frames
+    assert(Multimodal.sampleFrames(spark, media, 1).collect().count(_.id == 1L) == 10)
+  }
+
+  test("resizeFrame: 2x2 mean-pool is exact round-half-up; bad pool is loud") {
+    val f = Multimodal.Frame(7L, 0, 4, 4,
+      Array[Int](0, 2, 10, 10, 4, 6, 10, 11, 255, 255, 0, 0, 255, 253, 1, 0)
+        .map(_.toByte))
+    val r = Multimodal.resizeFrame(f, 2)
+    assert(r.h == 2 && r.w == 2)
+    // blocks: (0+2+4+6)/4=3, (10+10+10+11+2)/4=10.25->10, (255*3+253+2)/4->255, (0+0+1+0+2)/4->0
+    assert(r.pixels.map(_ & 0xff).toSeq == Seq(3, 10, 255, 0))
+    intercept[IllegalArgumentException](Multimodal.resizeFrame(f, 3))
+  }
+
+  test("frameStats: exact integer sums, population variance, 4-bin histogram") {
+    val px = Array[Int](0, 63, 64, 127, 128, 191, 192, 255).map(_.toByte)
+    val ds = Seq(Multimodal.Frame(5L, 2, 2, 4, px)).toDS()
+    val r = Multimodal.frameStats(ds).collect()(0)
+    val vals = px.map(_ & 0xff)
+    assert(r.getAs[Long]("pix_sum") == vals.map(_.toLong).sum)
+    assert(r.getAs[Long]("pix_sq") == vals.map(v => v.toLong * v).sum)
+    assert(r.getAs[Long]("h0") == 2 && r.getAs[Long]("h1") == 2 &&
+      r.getAs[Long]("h2") == 2 && r.getAs[Long]("h3") == 2)
+    val mean = vals.sum.toDouble / 8
+    assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-12)
+    val popVar = vals.map(v => (v - mean) * (v - mean)).sum / 8
+    assert(math.abs(r.getAs[Double]("variance") - popVar) < 1e-9)
+  }
+
+  test("end-to-end: sample -> resize -> stats composes over a media table") {
+    val vids = (1L to 4L).map { id =>
+      val fr = (0 until 6).map(i =>
+        Array.tabulate(16)(j => ((id * 37 + i * 11 + j) % 256).toByte))
+      (id, Multimodal.packVideo(fr, 4, 4))
+    }
+    val media = vids.toDF("id", "payload")
+    val stats = Multimodal.frameStats(
+      Multimodal.sampleFrames(spark, media, 2)
+        .map(f => Multimodal.resizeFrame(f, 2)))
+    val rows = stats.collect()
+    assert(rows.length == 4 * 3, "4 videos x frames {0,2,4}")
+    assert(rows.forall(r => r.getAs[Int]("h") == 2 && r.getAs[Int]("w") == 2 &&
+      r.getAs[Long]("n_pix") == 4))
+  }
 }
