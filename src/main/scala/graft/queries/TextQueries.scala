@@ -419,6 +419,37 @@ object TextQueries {
               |JOIN cnt ca ON ca.doc_id = p.doc_a
               |JOIN cnt cb ON cb.doc_id = p.doc_b""".stripMargin)),
 
+    // the dedup pipeline's END PRODUCT: the deduplicated corpus.
+    // Clusters (signature -> LSH -> connected components) pick a
+    // canonical member (min doc_id = the cluster label); every other
+    // member is dropped and the keep-list is corpus ANTI-JOIN drop-set.
+    // Scale shape: the drop-set is |duplicates| rows (small relative to
+    // the corpus by definition of near-dup density), so the anti-join
+    // broadcasts or shuffle-hashes on the id key — never corpus².
+    Q("d_dedup_keep",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 3, Seeds,
+          keepShort = false)
+        val pairs = Dedup.lshCandidateIdPairs(Dedup.lshBands(sig, Seeds, Bands), Bands).result
+        val drop = Dedup.dupClusters(pairs)
+          .where(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+        docs.join(drop, Seq("doc_id"), "left_anti").select(col("doc_id"), col("n_chars"))
+      },
+      Some(s"""${sigCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+              |pairs AS (SELECT DISTINCT doc_a, doc_b FROM ($pairsSql)),
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |          UNION SELECT doc_b, doc_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT src, dst FROM edges
+              |  UNION
+              |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+              |clusters AS (SELECT id AS doc_id, least(id, min(r)) AS cluster
+              |             FROM reach GROUP BY id)
+              |SELECT d.doc_id, d.n_chars FROM documents d
+              |WHERE NOT EXISTS (SELECT 1 FROM clusters c
+              |                  WHERE c.doc_id = d.doc_id AND c.doc_id != c.cluster)""".stripMargin)),
+
     // fixed-window document chunking with overlap (chunk=500 chars,
     // stride=400 -> 100-char overlap): the context-window splitter every
     // LLM ingest pipeline runs before tokenization. Pure scan-stage

@@ -209,6 +209,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("keep-list shape: corpus anti-join drops every non-canonical member, keeps the rest") {
+    // same components as above; docs 1..9, keep = {1,5} canonicals +
+    // {4,7,8} untouched; drop = {2,3,6,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 1L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val drop = Dedup.dupClusters(pairs)
+      .where($"doc_id" =!= $"cluster").select($"doc_id")
+    val keep = docs.join(drop, Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keep == Seq(1L, 4L, 5L, 7L, 8L))
+  }
+
   test("dupClusters: pointer doubling closes a 64-node chain in <= 7 iterations") {
     // worst case for plain min-propagation (diameter 63 would need 63
     // rounds); the label[label] shortcut halves the remaining distance
