@@ -499,11 +499,22 @@ object TextQueries {
         val model = tri.where(col("doc_id") % 10 === 0)
           .groupBy(col("tg")).agg(count(lit(1)).as("cnt"))
         val stats = model.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
-        val term = log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double")
-          / (col("tot") + col("v")).cast("double"))
-        tri.join(broadcast(model), Seq("tg"), "left")
+        // precompute the quantized log-likelihood PER MODEL KEY (bounded
+        // dimension), not per corpus occurrence: ln runs |model| times
+        // instead of |corpus trigrams| times, and the hot scoring path
+        // is a codegen'd long lookup. Identical numbers by construction
+        // (same per-trigram ln input -> same quantized value), so the
+        // per-occurrence oracle SQL is unchanged.
+        val qModel = model.crossJoin(broadcast(stats))
+          .select(col("tg"),
+            qlong(log((col("cnt") + lit(1L)).cast("double")
+              / (col("tot") + col("v")).cast("double")), 1e6).as("q"))
+        // unseen-trigram fallback ln(1/(tot+v)): coalesce evaluates it
+        // only on misses, and its ln input is per-row constant
+        val qMiss = qlong(log(lit(1.0) / (col("tot") + col("v")).cast("double")), 1e6)
+        tri.join(broadcast(qModel), Seq("tg"), "left")
           .crossJoin(broadcast(stats))
-          .select(col("doc_id"), qlong(term, 1e6).as("q"))
+          .select(col("doc_id"), coalesce(col("q"), qMiss).as("q"))
           .groupBy(col("doc_id"))
           .agg((sum(col("q")).cast("double") / count(lit(1)).cast("double") / lit(1e6))
             .as("lm_score"))
