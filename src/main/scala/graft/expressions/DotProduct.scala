@@ -182,6 +182,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NormalizeText(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_char_ngrams(s, n) takes a string and a literal n")
+        CharNgrams(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bottom_k"),
       new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
       (children: Seq[Expression]) => {

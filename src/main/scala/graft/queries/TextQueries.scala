@@ -492,10 +492,12 @@ object TextQueries {
     Q("t_lm_score",
       (s, d) => {
         val docs = T(s, d, "documents")
+        // native one-pass gram list (returns empty for len<3 — explode
+        // drops those rows, matching the oracle's WHERE length >= 3);
+        // the composed substring twin is what DuckDB runs and what
+        // ScalarsSpec pins this equal to
         val tri = docs.select(col("doc_id"),
-          explode(when(length(col("text")) >= 3,
-            expr("transform(sequence(0, length(text) - 3), i -> substring(text, i + 1, 3))"))
-            .otherwise(array())).as("tg"))
+          explode(call_function("graft_char_ngrams", col("text"), lit(3))).as("tg"))
         val model = tri.where(col("doc_id") % 10 === 0)
           .groupBy(col("tg")).agg(count(lit(1)).as("cnt"))
         val stats = model.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))

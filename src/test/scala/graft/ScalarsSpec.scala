@@ -99,6 +99,31 @@ class ScalarsSpec extends AnyFunSuite {
     assert(fpNew.except(fpOld).count() == 0 && fpOld.except(fpNew).count() == 0)
   }
 
+  test("graft_char_ngrams: one-pass gram list == composed substring twin, docs + edges") {
+    // the composed form is what the DuckDB oracle runs for t_lm_score;
+    // the native expression must match it element-for-element
+    val composed =
+      when(length(col("text")) >= 3,
+        expr("transform(sequence(0, length(text) - 3), i -> substring(text, i + 1, 3))"))
+        .otherwise(expr("CAST(array() AS array<string>)"))
+    val docs = sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val disagree = docs.select(
+      call_function("graft_char_ngrams", col("text"), lit(3)).as("fast"),
+      composed.as("slow"))
+      .where(not(col("fast") <=> col("slow"))).count()
+    assert(disagree == 0L, s"$disagree documents gram differently")
+    // multibyte boundaries, exact-n strings, shorter-than-n, empty
+    val edges = Seq("日本語テキスト", "ÀÉÎõ", "abc", "ab", "", "ǅŸß x",
+      "mixèd ascii ünïcode").toDF("text")
+    val got = edges.select(
+      call_function("graft_char_ngrams", col("text"), lit(3)).as("fast"),
+      composed.as("slow")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"mismatch: fast=${r.getSeq[String](0)} slow=${r.getSeq[String](1)}")
+    }
+  }
+
   test("fillToNull + clampMin semantics") {
     val df = Seq(0.0, -3.0, 7.0).toDF("x")
     val nulls = df.select(scalars.fillToNull(col("x"), lit(0.0)).as("y"))
