@@ -32,6 +32,10 @@ object DriveCheck {
     println("== tsBucket + validStarts on real events ==")
     val b = ev.select(col("user_id"), ops.Sequences.tsBucket(col("ts"), 600L).as("bkt"))
     ops.Sequences.validStarts(b, "user_id", "bkt", 3).orderBy("user_id", "bkt").show(5)
+    println("== flagship entry() — the driver's rows>0 smoke ==")
+    val entryRows = SparkEntry.entry(spark).count()
+    require(entryRows > 0, "flagship entry() returned no rows")
+    println(s"entry rows: $entryRows")
     println("DRIVE OK")
     spark.stop()
   }
