@@ -31,8 +31,14 @@ case class CharNgrams(str: Expression, nExpr: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (str.dataType == StringType && nExpr.foldable && nExpr.dataType == IntegerType) {
-      if (n >= 1) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure("graft_char_ngrams: n must be >= 1")
+      // eval() before the Number cast: a NULL integer literal is
+      // foldable+IntegerType and would NPE during analysis otherwise
+      nExpr.eval() match {
+        case null => TypeCheckResult.TypeCheckFailure(
+          "graft_char_ngrams: n must be a non-null literal >= 1")
+        case v if v.asInstanceOf[Number].intValue() >= 1 => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure("graft_char_ngrams: n must be >= 1")
+      }
     } else TypeCheckResult.TypeCheckFailure(
       "graft_char_ngrams(s string, n int literal)")
 

@@ -20,8 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * it was never the bottleneck (0.17s for the same corpus).
   *
   * Equivalence notes, each matching the regex pipeline exactly:
-  *  - lowercase via `String.toLowerCase()` = Spark `lower`'s own
-  *    non-ASCII path (UTF8String.toLowerCase), full Unicode mappings;
+  *  - lowercase via `UTF8String.toLowerCase` — the same code path
+  *    Spark's `lower` takes (ASCII fast path, locale-independent
+  *    full mappings), so no default-locale divergence;
   *  - the keep-class test runs per UTF-16 code unit; a supplementary
   *    character's two surrogates each fail [a-z0-9 ] just as the
   *    regex's code-point match removes the whole character;
@@ -50,9 +51,13 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
 }
 
 object NormalizeText {
-  /** The kernel; public static for generated code. */
+  /** The kernel; public static for generated code. Lowercasing goes
+    * through `UTF8String.toLowerCase` — the exact code path Spark's
+    * `lower` uses (ASCII fast path, then locale-independent full
+    * mapping) — rather than `String.toLowerCase()`, whose
+    * default-locale behavior diverges on a tr/az JVM ('I' → 'ı'). */
   def normalize(s: UTF8String): UTF8String = {
-    val lowered = s.toString.toLowerCase()
+    val lowered = s.toLowerCase.toString
     val n = lowered.length
     val buf = new Array[Char](n)
     var o = 0

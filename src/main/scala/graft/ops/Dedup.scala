@@ -292,7 +292,9 @@ object Dedup {
   def dupClusters(pairsIn: DataFrame, maxIter: Int = 30,
                   checkpointer: DataFrame => DataFrame = _.localCheckpoint(),
                   failOnUnconverged: Boolean = true,
-                  verbose: Boolean = false): DataFrame = {
+                  verbose: Boolean = false,
+                  metricTimeout: scala.concurrent.duration.FiniteDuration =
+                    scala.concurrent.duration.Duration(60, "s")): DataFrame = {
     // Join strategy note: every iteration joins the (big, static) edge
     // list with the (node-sized) labels frame. Checkpointed frames
     // surface as ExistingRDD with UnknownPartitioning, so the edge
@@ -338,7 +340,30 @@ object Dedup {
           coalesce(sum(when(col("label") =!= col("_old"), 1L).otherwise(0L)),
             lit(0L)).as("changed"))
         .select(col("id"), col("label")))
-      changed = obs.get("changed").asInstanceOf[Long]
+      // Guard the eager-checkpointer contract in code, not just docs: a
+      // lazy checkpointer (e.g. `_.persist()`) runs no job, the metric
+      // never resolves, and a bare blocking `obs.get` would hang
+      // forever. Metrics resolve asynchronously (listener fires after
+      // the checkpoint action), so poll `get` behind a timeout: an
+      // eager checkpointer resolves in milliseconds; a lazy one hits
+      // the timeout and gets a descriptive contract error instead of a
+      // hang.
+      changed = {
+        import scala.concurrent.{Await, Future, TimeoutException}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        try Await.result(Future(obs.get), metricTimeout)("changed").asInstanceOf[Long]
+        catch {
+          case _: TimeoutException =>
+            labels.unpersist(); edges.unpersist()
+            throw new IllegalArgumentException(
+              "dupClusters: convergence metric never resolved — the supplied " +
+                "checkpointer must be EAGER (materialize the frame, like the " +
+                "default localCheckpoint() or checkpoint(eager = true)); a " +
+                "lazy one (persist()/identity) runs no job, so no metrics " +
+                "are observed")
+        }
+      }
       if (verbose) System.err.println(
         f"[graft] dupClusters iter $iter: changed=$changed (${(System.nanoTime() - t0) / 1e9}%.2fs)")
       labels.unpersist()

@@ -61,7 +61,14 @@ object Netcdf {
     val version = bytes(3).toInt
     require(version == 1 || version == 2, s"unsupported CDF version $version")
     bb.position(4)
-    val numRecs = bb.getInt() // 0xFFFFFFFF = STREAMING; treated as a count below
+    val numRecs = bb.getInt()
+    // 0xFFFFFFFF is the spec's STREAMING sentinel, not a count — a
+    // reader that treats it as one surfaces an opaque
+    // NegativeArraySizeException deep in readVar. Reject loudly here.
+    require(numRecs >= 0,
+      s"numrecs $numRecs: STREAMING (0xFFFFFFFF) / negative record counts " +
+        "are not supported — the file was written by an interrupted or " +
+        "streaming writer; re-write it with a fixed record count")
 
     def name(): String = {
       val n = bb.getInt()
@@ -174,9 +181,20 @@ object Netcdf {
           require(shape.product == t * h * w,
         s"${v.name}: rank-${shape.length} shape ${shape.mkString("x")} needs >3-d flattening")
           val data = readVar(bytes, hdr, v)
-          val vr = v.attrs.get("valid_range").map(_.values)
+          val vr = v.attrs.get("valid_range").map { a =>
+            require(a.values.length >= 2,
+              s"$path ${v.name}: valid_range attr must carry >=2 numeric values, " +
+                s"got ${a.values.length} (nc_type ${a.ncType}" +
+                (if (a.ncType == NcChar) ", char-typed attrs have none" else "") + ")")
+            a.values
+          }
           val lo = vr.map(_(0)); val hi = vr.map(_(1))
-          val fill = v.attrs.get("_FillValue").map(_.values(0))
+          val fill = v.attrs.get("_FillValue").map { a =>
+            require(a.values.nonEmpty,
+              s"$path ${v.name}: _FillValue attr must carry a numeric value, " +
+                s"got none (nc_type ${a.ncType})")
+            a.values(0)
+          }
           for (i <- data.indices.iterator) yield {
             val ti = i / (h * w).toInt; val rem = i % (h * w).toInt
             (path, ti.toLong, (rem / w).toLong, (rem % w).toLong, data(i),

@@ -144,6 +144,9 @@ object Sinks {
         }
         rows.foreach { r =>
           val k = r.getString(0)
+          require(k != null,
+            s"null $fileKey value: every row must carry a non-null file key " +
+              "(a null key has no destination file; filter or fill upstream)")
           if (k != key) { flush(); key = k }
           buf :+= ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
         }

@@ -245,6 +245,15 @@ class DedupSpec extends AnyFunSuite {
     assert(lax.count() == 64)
   }
 
+  test("dupClusters: a lazy (non-eager) checkpointer is a contract error, not a hang") {
+    val chain = (0L until 4L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupClusters(chain, checkpointer = identity,
+        metricTimeout = scala.concurrent.duration.Duration(3, "s"))
+    }
+    assert(e.getMessage.contains("EAGER"), s"got: ${e.getMessage}")
+  }
+
   test("shingles: short docs yield empty shingle set, not an error") {
     val s = Seq((9L, "one two")).toDF("doc_id", "text")
       .select(size(text.shingles($"text", 3)).as("n")).collect()(0).getInt(0)

@@ -124,6 +124,17 @@ class ScalarsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_char_ngrams: NULL / invalid n literal is an analysis error, not an NPE") {
+    val docs = Seq("abc").toDF("text")
+    val eNull = intercept[org.apache.spark.sql.AnalysisException](
+      docs.select(call_function("graft_char_ngrams", col("text"),
+        lit(null).cast("int"))).collect())
+    assert(eNull.getMessage.contains("non-null"), s"got: ${eNull.getMessage}")
+    val eZero = intercept[org.apache.spark.sql.AnalysisException](
+      docs.select(call_function("graft_char_ngrams", col("text"), lit(0))).collect())
+    assert(eZero.getMessage.contains(">= 1"), s"got: ${eZero.getMessage}")
+  }
+
   test("fillToNull + clampMin semantics") {
     val df = Seq(0.0, -3.0, 7.0).toDF("x")
     val nulls = df.select(scalars.fillToNull(col("x"), lit(0.0)).as("y"))

@@ -212,4 +212,31 @@ class SourcesSpec extends AnyFunSuite {
     val hdr = sources.Netcdf.parseHeader(fix1)
     assert(hdr.vars.forall(_.name != "no_such_var"))
   }
+
+  test("NetCDF STREAMING numrecs sentinel (0xFFFFFFFF) is rejected at parse, not a NegativeArraySize later") {
+    // fix2 with numrecs patched to the streaming sentinel: bytes 4..7
+    val streaming = fix2.clone()
+    streaming(4) = -1; streaming(5) = -1; streaming(6) = -1; streaming(7) = -1
+    val e = intercept[IllegalArgumentException](sources.Netcdf.parseHeader(streaming))
+    assert(e.getMessage.contains("STREAMING"), s"expected a loud STREAMING message, got: ${e.getMessage}")
+  }
+
+  test("per-key sink rejects null file keys loudly instead of mis-filing rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ncnull")
+    try {
+      val df = Seq((Some("a"), 0, 0, 0, 1.0), (Option.empty[String], 0, 0, 1, 2.0))
+        .toDF("k", "t", "y", "x", "v")
+      val e = intercept[Exception] {
+        sources.Netcdf.writeFrames(df, dir.toString, "k", "t", "y", "x", "v", h = 1, w = 2)
+      }
+      // the require surfaces wrapped in SparkException; the root message travels
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("null k value")),
+        s"expected the null-key contract message, got: ${msgs(e).mkString(" | ")}")
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.delete(dir)
+    }
+  }
 }
