@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * then per-variable `valid_range` / `_FillValue` preprocessing).
   * Written from the public NetCDF Classic Format Specification
   * (magic `CDF\x01`/`CDF\x02`, big-endian, 4-byte-aligned tagged
-  * lists); NetCDF-4 files are HDF5 containers, out of scope here.
+  * lists); NetCDF-4 `.nc` files are HDF5 containers and route to
+  * [[Hdf5Nc]]'s generic spec-walk — [[readGrid]] sniffs the magic,
+  * so ONE API reads both on-disk generations.
   *
   * Split exactly like the reference: this layer only DECODES — raw
   * integer/float payloads plus the `valid_range`/`_FillValue` attrs —
@@ -57,7 +59,7 @@ object Netcdf {
   def parseHeader(bytes: Array[Byte]): Header = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     require(bytes.length >= 8 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
-      "not a classic NetCDF file (missing CDF magic); NetCDF-4/HDF5 is out of scope")
+      "not a classic NetCDF file (missing CDF magic); for NetCDF-4/HDF5 containers use Hdf5Nc or readGrid, which routes by magic")
     val version = bytes(3).toInt
     require(version == 1 || version == 2, s"unsupported CDF version $version")
     bb.position(4)
@@ -169,6 +171,19 @@ object Netcdf {
       .as[(String, Array[Byte])]
       .mapPartitions { files =>
         files.flatMap { case (path, bytes) =>
+          // one .nc API for both on-disk generations: NetCDF-4 files
+          // are HDF5 containers — sniff the magic and route to the
+          // generic HDF5 spec-walk; classic CDF-1/2 decodes here
+          if (Hdf5Nc.isHdf5(bytes)) Hdf5Nc.gridRows(path, bytes, varName)
+          else gridRowsClassic(path, bytes, varName)
+        }
+      }
+      .toDF("path", "t", "y", "x", "raw", "valid_lo", "valid_hi", "fill_value")
+  }
+
+  /** Classic CDF-1/2 branch of [[readGrid]]. */
+  private def gridRowsClassic(path: String, bytes: Array[Byte], varName: String)
+      : Iterator[(String, Long, Long, Long, Double, Double, Double, Double)] = {
           val hdr = parseHeader(bytes)
           val v = hdr.vars.find(_.name == varName).getOrElse(
             throw new IllegalArgumentException(
@@ -201,9 +216,6 @@ object Netcdf {
               lo.getOrElse(Double.NaN), hi.getOrElse(Double.NaN),
               fill.getOrElse(Double.NaN))
           }
-        }
-      }
-      .toDF("path", "t", "y", "x", "raw", "valid_lo", "valid_hi", "fill_value")
   }
 
   /** The reference's preprocess as one column (datasets.py:58-71 minus

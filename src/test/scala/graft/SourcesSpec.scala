@@ -213,6 +213,229 @@ class SourcesSpec extends AnyFunSuite {
     assert(hdr.vars.forall(_.name != "no_such_var"))
   }
 
+  // ---- NetCDF-4 (HDF5-container) fixtures, written from the HDF5 ----
+  // File Format Specification field-by-field, independently of
+  // sources.Hdf5Nc and sources.Hdf5 — same doctrine as the CDF
+  // fixtures above: a reader bug cannot self-agree with these bytes.
+
+  /** Superblock v0 + v1 object headers + old-style group: dataset
+    * `temperature` (2,2,3) int16 LE contiguous with v1 attribute
+    * messages valid_range [0,500] and _FillValue -1 — the NetCDF-4
+    * twin of `fix1`, cell-for-cell. */
+  private lazy val nc4fix1: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(600).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def name8(s: String): Unit = {
+      bb.put(s.getBytes("US-ASCII")); bb.put(0.toByte)
+      while (bb.position() % 8 != 0) bb.put(0.toByte)
+    }
+    def i16Type(): Unit = { // datatype msg body: fixed-point v1, LE, signed, 2 bytes
+      bb.put(0x10.toByte); bb.put(0x08.toByte); bb.put(0.toByte); bb.put(0.toByte)
+      bb.putInt(2); bb.putShort(0); bb.putShort(16)
+    }
+    val rootOh = 96L; val groupBt = 136L; val heapHdr = 184L; val heapData = 216L
+    val snod = 248L; val dsOh = 296L; val dataAddr = 576L; val eof = 600L
+    // superblock v0
+    bb.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    bb.put(Array[Byte](0, 0, 0, 0, 0, 8, 8, 0))
+    bb.putShort(4); bb.putShort(16); bb.putInt(0)
+    bb.putLong(0L); bb.putLong(-1L); bb.putLong(eof); bb.putLong(-1L)
+    bb.putLong(0L); bb.putLong(rootOh); bb.putInt(1); bb.putInt(0)
+    bb.putLong(groupBt); bb.putLong(heapHdr)
+    assert(bb.position() == rootOh)
+    // root object header v1: one symbol-table message
+    bb.put(1.toByte); bb.put(0.toByte); bb.putShort(1); bb.putInt(1); bb.putInt(24); bb.putInt(0)
+    bb.putShort(0x11); bb.putShort(16); bb.putInt(0)
+    bb.putLong(groupBt); bb.putLong(heapHdr)
+    assert(bb.position() == groupBt)
+    // group B-tree leaf with the one SNOD child
+    bb.put("TREE".getBytes); bb.put(0.toByte); bb.put(0.toByte); bb.putShort(1)
+    bb.putLong(-1L); bb.putLong(-1L)
+    bb.putLong(0L); bb.putLong(snod); bb.putLong(8L)
+    assert(bb.position() == heapHdr)
+    // local heap: "" at 0, "temperature" at 8
+    bb.put("HEAP".getBytes); bb.put(0.toByte); bb.put(0.toByte); bb.putShort(0)
+    bb.putLong(32L); bb.putLong(24L); bb.putLong(heapData)
+    bb.putLong(0L)
+    bb.put("temperature".getBytes); bb.put(0.toByte)
+    bb.position(snod.toInt)
+    bb.put("SNOD".getBytes); bb.put(1.toByte); bb.put(0.toByte); bb.putShort(1)
+    bb.putLong(8L); bb.putLong(dsOh); bb.putInt(0); bb.putInt(0)
+    bb.position(dsOh.toInt) // SNOD scratch stays zero
+    // dataset object header v1: dataspace, datatype, 2 attrs, layout
+    bb.put(1.toByte); bb.put(0.toByte); bb.putShort(5); bb.putInt(1); bb.putInt(264); bb.putInt(0)
+    bb.putShort(0x01); bb.putShort(56); bb.putInt(0) // dataspace v1 rank 3 + maxdims
+    bb.put(1.toByte); bb.put(3.toByte); bb.put(1.toByte); bb.put(0.toByte); bb.putInt(0)
+    Seq(2L, 2L, 3L, 2L, 2L, 3L).foreach(bb.putLong)
+    bb.putShort(0x03); bb.putShort(16); bb.putInt(0) // datatype int16 LE signed
+    i16Type(); bb.putInt(0)
+    bb.putShort(0x0C); bb.putShort(64); bb.putInt(0) // attribute v1 valid_range
+    bb.put(1.toByte); bb.put(0.toByte); bb.putShort(12); bb.putShort(12); bb.putShort(16)
+    name8("valid_range")
+    i16Type(); bb.putInt(0) // dt declared 12, padded to 16
+    bb.put(1.toByte); bb.put(1.toByte); bb.putShort(0); bb.putInt(0); bb.putLong(2L) // ds rank-1 [2]
+    bb.putShort(0); bb.putShort(500); bb.putInt(0) // values + message pad
+    bb.putShort(0x0C); bb.putShort(64); bb.putInt(0) // attribute v1 _FillValue
+    bb.put(1.toByte); bb.put(0.toByte); bb.putShort(11); bb.putShort(12); bb.putShort(16)
+    name8("_FillValue")
+    i16Type(); bb.putInt(0)
+    bb.put(1.toByte); bb.put(1.toByte); bb.putShort(0); bb.putInt(0); bb.putLong(1L)
+    bb.putShort(-1); bb.putShort(0); bb.putInt(0) // value + message pad
+    bb.putShort(0x08); bb.putShort(24); bb.putInt(0) // layout v3 contiguous
+    bb.put(3.toByte); bb.put(1.toByte)
+    bb.putLong(dataAddr); bb.putLong(24L)
+    bb.putShort(0); bb.putInt(0) // message pad 18 -> 24
+    assert(bb.position() == dataAddr, s"dataset OH ended at ${bb.position()}, want $dataAddr")
+    Seq(10, 20, 30, -1, 50, 60, 70, -1, 90, 100, 110, 120).foreach(v => bb.putShort(v.toShort))
+    assert(bb.position() == eof)
+    bb.array()
+  }
+
+  /** Superblock v2 + v2 `OHDR` headers + compact link message:
+    * dataset `rr` (3,2,3) float64 LE, chunked (2,2,2) with
+    * shuffle+deflate filters — edge chunks carry garbage outside the
+    * dataspace that the reader must clip — plus a v3 _FillValue attr.
+    * Cell value = t*100 + y*10 + x. */
+  private lazy val nc4fix2: Array[Byte] = {
+    val dims = Seq(3, 2, 3); val cdims = Seq(2, 2, 2)
+    // chunks first (addresses depend on their compressed sizes)
+    val chunkOffs = for (t <- Seq(0, 2); x <- Seq(0, 2)) yield Seq(t, 0, x)
+    val payloads = chunkOffs.map { off =>
+      val raw = java.nio.ByteBuffer.allocate(8 * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (lt <- 0 until 2; ly <- 0 until 2; lx <- 0 until 2) {
+        val (t, y, x) = (off(0) + lt, off(1) + ly, off(2) + lx)
+        raw.putDouble(
+          if (t < dims(0) && y < dims(1) && x < dims(2)) t * 100.0 + y * 10.0 + x
+          else -777.0) // outside the dataspace: must be clipped, never read
+      }
+      val shuffled = new Array[Byte](64) // byte-plane transpose, elem size 8
+      for (i <- 0 until 8; j <- 0 until 8) shuffled(j * 8 + i) = raw.array()(i * 8 + j)
+      val d = new java.util.zip.Deflater()
+      d.setInput(shuffled); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](256)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      out.toByteArray
+    }
+    val sb = 0; val rootOh = 48; val dsOh = 76; val btree = 256
+    val keySize = 8 + 8 * 4
+    val btreeSize = 24 + payloads.length * (keySize + 8) + keySize
+    assert(btree + btreeSize == 512)
+    val chunkAddrs = payloads.scanLeft(512L)((a, p) => a + p.length).init
+    val eof = chunkAddrs.last + payloads.last.length
+    val bb = java.nio.ByteBuffer.allocate(eof.toInt).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // superblock v2 (checksums unverified by the reader: zeros)
+    bb.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    bb.put(2.toByte); bb.put(8.toByte); bb.put(8.toByte); bb.put(0.toByte)
+    bb.putLong(0L); bb.putLong(-1L); bb.putLong(eof); bb.putLong(rootOh.toLong)
+    bb.putInt(0)
+    assert(bb.position() == rootOh)
+    // root OHDR v2: one hard-link message "rr" -> dsOh
+    bb.put("OHDR".getBytes); bb.put(2.toByte); bb.put(0.toByte)
+    bb.put(17.toByte) // chunk0 size (1-byte form)
+    bb.put(0x06.toByte); bb.putShort(13); bb.put(0.toByte) // link message hdr
+    bb.put(1.toByte); bb.put(0.toByte) // link v1, flags: hard, 1-byte name len
+    bb.put(2.toByte); bb.put("rr".getBytes)
+    bb.putLong(dsOh.toLong)
+    bb.putInt(0) // checksum
+    assert(bb.position() == dsOh)
+    // dataset OHDR v2: dataspace v2, datatype f64, filters v2, attr v3, layout
+    bb.put("OHDR".getBytes); bb.put(2.toByte); bb.put(0.toByte)
+    bb.put(169.toByte)
+    bb.put(0x01.toByte); bb.putShort(28); bb.put(0.toByte) // dataspace v2 rank 3 simple
+    bb.put(2.toByte); bb.put(3.toByte); bb.put(0.toByte); bb.put(1.toByte)
+    dims.foreach(d => bb.putLong(d.toLong))
+    bb.put(0x03.toByte); bb.putShort(20); bb.put(0.toByte) // datatype float64 LE
+    bb.put(0x11.toByte); bb.put(0x20.toByte); bb.put(0x3F.toByte); bb.put(0.toByte)
+    bb.putInt(8)
+    bb.putShort(0); bb.putShort(64) // bit offset / precision
+    bb.put(52.toByte); bb.put(11.toByte); bb.put(0.toByte); bb.put(52.toByte) // exp/mantissa
+    bb.putInt(1023) // exponent bias
+    bb.put(0x0B.toByte); bb.putShort(22); bb.put(0.toByte) // filter pipeline v2: shuffle, deflate
+    bb.put(2.toByte); bb.put(2.toByte)
+    bb.putShort(2); bb.putShort(0); bb.putShort(1); bb.putInt(8) // shuffle(elem=8)
+    bb.putShort(1); bb.putShort(0); bb.putShort(1); bb.putInt(6) // deflate(level)
+    bb.put(0x0C.toByte); bb.putShort(52); bb.put(0.toByte) // attribute v3 _FillValue (f64 scalar)
+    bb.put(3.toByte); bb.put(0.toByte); bb.putShort(11); bb.putShort(20); bb.putShort(4)
+    bb.put(0.toByte) // name charset
+    bb.put("_FillValue".getBytes); bb.put(0.toByte)
+    bb.put(0x11.toByte); bb.put(0x20.toByte); bb.put(0x3F.toByte); bb.put(0.toByte)
+    bb.putInt(8); bb.putShort(0); bb.putShort(64)
+    bb.put(52.toByte); bb.put(11.toByte); bb.put(0.toByte); bb.put(52.toByte); bb.putInt(1023)
+    bb.put(2.toByte); bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte) // dataspace v2 scalar
+    bb.putDouble(-9999.0)
+    bb.put(0x08.toByte); bb.putShort(27); bb.put(0.toByte) // layout v3 chunked
+    bb.put(3.toByte); bb.put(2.toByte); bb.put(4.toByte)
+    bb.putLong(btree.toLong)
+    (cdims :+ 8).foreach(bb.putInt)
+    bb.putInt(0) // checksum
+    assert(bb.position() == btree, s"dataset OHDR ended at ${bb.position()}, want $btree")
+    // chunk B-tree v1: one leaf, 4 chunks
+    bb.put("TREE".getBytes); bb.put(1.toByte); bb.put(0.toByte); bb.putShort(payloads.length.toShort)
+    bb.putLong(-1L); bb.putLong(-1L)
+    chunkOffs.zip(payloads).zip(chunkAddrs).foreach { case ((off, p), addr) =>
+      bb.putInt(p.length); bb.putInt(0)
+      off.foreach(o => bb.putLong(o.toLong)); bb.putLong(0L)
+      bb.putLong(addr)
+    }
+    bb.putInt(0); bb.putInt(0) // upper-bound key
+    Seq(3L, 2L, 3L, 0L).foreach(bb.putLong)
+    bb.position(512)
+    payloads.foreach(bb.put)
+    assert(bb.position() == eof)
+    bb.array()
+  }
+
+  test("NetCDF-4 container (superblock v0, v1 headers, contiguous): identical grid to its CDF-1 twin") {
+    import org.apache.spark.sql.functions._
+    val dirC = java.nio.file.Files.createTempDirectory("graft_nc_classic")
+    val dirH = java.nio.file.Files.createTempDirectory("graft_nc_h5")
+    java.nio.file.Files.write(dirC.resolve("temp.nc"), fix1)
+    java.nio.file.Files.write(dirH.resolve("temp.nc"), nc4fix1)
+    try {
+      def grid(dir: java.nio.file.Path): Seq[Seq[Any]] =
+        sources.Netcdf.readGrid(spark, s"$dir/*.nc", "temperature")
+          .withColumn("value", sources.Netcdf.decodedValue)
+          .drop("path").orderBy("t", "y", "x")
+          .collect().toSeq.map(_.toSeq)
+      val classic = grid(dirC); val h5 = grid(dirH)
+      assert(h5.length == 12)
+      assert(h5 == classic, "HDF5-container grid != CDF-1 twin grid")
+    } finally {
+      Seq(dirC, dirH).foreach { d =>
+        d.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.delete(d)
+      }
+    }
+  }
+
+  test("NetCDF-4 container (superblock v2, OHDR, chunked+shuffle+deflate): edge chunks clipped, attrs decoded") {
+    val dss = sources.Hdf5Nc.parse(nc4fix2)
+    assert(dss.map(_.path) == Seq("rr"))
+    val ds = dss.head
+    assert(ds.dims == Seq(3L, 2L, 3L) && ds.chunkDims == Seq(2, 2, 2))
+    assert(ds.filters == Seq(2, 1)) // shuffle then deflate, write order
+    assert(ds.attrs("_FillValue").values.toSeq == Seq(-9999.0))
+    val data = sources.Hdf5Nc.readData(nc4fix2, ds)
+    for (t <- 0 until 3; y <- 0 until 2; x <- 0 until 3)
+      assert(data(t * 6 + y * 3 + x) == t * 100.0 + y * 10.0 + x,
+        s"cell ($t,$y,$x) = ${data(t * 6 + y * 3 + x)}")
+    assert(!data.contains(-777.0), "edge-chunk garbage leaked through clipping")
+  }
+
+  test("generic HDF5 walk opens the repo's own submission-writer files (uint16 chunked+deflate)") {
+    val vals = Array.tabulate[Short](3 * 4 * 5)(i => (i * 7 % 65536 - 32768).toShort)
+    val b = new java.io.ByteArrayOutputStream()
+    sources.Hdf5.writeUint16(b, "array", 3, 4, 5, vals)
+    val dss = sources.Hdf5Nc.parse(b.toByteArray)
+    assert(dss.map(_.path) == Seq("array"))
+    val ds = dss.head
+    assert(ds.dims == Seq(3L, 4L, 5L) && !ds.dtype.signed && ds.dtype.size == 2)
+    val got = sources.Hdf5Nc.readData(b.toByteArray, ds)
+    vals.zip(got).zipWithIndex.foreach { case ((v, g), i) =>
+      assert(g == (v & 0xFFFF).toDouble, s"cell $i: $g != ${v & 0xFFFF}")
+    }
+  }
+
   test("NetCDF STREAMING numrecs sentinel (0xFFFFFFFF) is rejected at parse, not a NegativeArraySize later") {
     // fix2 with numrecs patched to the streaming sentinel: bytes 4..7
     val streaming = fix2.clone()
