@@ -88,6 +88,48 @@ object MiscQueries {
              |  SELECT g.i + o.di AS ci, g.j + o.dj AS cj, count(*) AS n, sum(v * w) AS swv
              |  FROM g, o GROUP BY 1, 2) WHERE n = 9""".stripMargin)),
 
+    // X1 (multi-channel): a real C_in -> C_out learned-conv shape
+    // (blocks.py:65-113 res_block stacks C_in->C_out kernel blocks;
+    // blocks.py:37-62) — every output channel sums over ALL input
+    // channels and all 9 spatial offsets, weight w(co, ci, di, dj) =
+    // (co*3 + ci + 1) * (2-|di|) * (2-|dj|), exact integer space.
+    // Plan shape unchanged from the single-channel stencil: one
+    // input-cell agg shuffle, an inline offset x out-channel explode
+    // (27 contributions per input cell per out channel, no crossJoin
+    // broadcast build), one re-agg shuffle on the output cell key.
+    // 'valid' padding + full-channel contract = keep count-27 cells.
+    Q("x1_conv_multichannel",
+      (s, d) => {
+        val g = T(s, d, "lineitem")
+          .select((col("l_orderkey") % 16).as("i"), (col("l_partkey") % 16).as("j"),
+            (col("l_suppkey") % 3).as("c"), col("l_quantity"))
+          .groupBy(col("i"), col("j"), col("c"))
+          .agg(sum(col("l_quantity").cast("long")).as("v"))
+        val offs = array((for { di <- -1 to 1; dj <- -1 to 1; co <- 0 to 1 }
+          yield struct(lit(di).as("di"), lit(dj).as("dj"), lit(co).as("co"))): _*)
+        g.select(col("i"), col("j"), col("c"), col("v"), explode(offs).as("o"))
+          .select((col("i") + col("o.di")).as("oi"), (col("j") + col("o.dj")).as("oj"),
+            col("o.co").as("co"),
+            (col("v") * ((col("o.co") * 3 + col("c") + 1) *
+              (lit(2) - abs(col("o.di"))) * (lit(2) - abs(col("o.dj"))))).as("wv"))
+          .groupBy(col("oi"), col("oj"), col("co"))
+          .agg(count(lit(1)).as("n"), sum(col("wv")).as("sv"))
+          .where(col("n") === 27)
+          .select(col("oi"), col("oj"), col("co"), col("sv").cast("long").as("conv"))
+      },
+      Some("""WITH g AS (SELECT l_orderkey % 16 AS i, l_partkey % 16 AS j,
+             |             l_suppkey % 3 AS c,
+             |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+             |           FROM lineitem GROUP BY 1, 2, 3),
+             |o AS (SELECT d1.di, d2.dj, cc.co
+             |      FROM (SELECT unnest([-1, 0, 1]) AS di) d1,
+             |           (SELECT unnest([-1, 0, 1]) AS dj) d2,
+             |           (SELECT unnest([0, 1]) AS co) cc)
+             |SELECT oi, oj, co, CAST(sv AS BIGINT) AS conv FROM (
+             |  SELECT g.i + o.di AS oi, g.j + o.dj AS oj, o.co AS co, count(*) AS n,
+             |         sum(v * ((o.co * 3 + g.c + 1) * (2 - abs(o.di)) * (2 - abs(o.dj)))) AS sv
+             |  FROM g, o GROUP BY 1, 2, 3) WHERE n = 27""".stripMargin)),
+
     // X2 (vector state): the GRU fold with an array<double> hidden
     // state stepped elementwise (rnn.py:37-72's frame-shaped state);
     // per-component biases make the components diverge so the test is
