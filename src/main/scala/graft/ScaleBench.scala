@@ -54,17 +54,34 @@ object ScaleBench {
       catch { case scala.util.control.NonFatal(_) => () }
       spark.catalog.clearCache()
     }
-    def timeAt(dir: String): Map[String, (Double, Double)] = Family.map { n =>
-      val ts = (1 to 2).map { _ =>
-        System.gc()
-        val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        dt
+    def timeAt(dir: String): Map[String, (Double, Double)] = {
+      // same label sharing as Bench: d_dup_clusters (earlier in
+      // Family) materializes the labels, d_dedup_keep is timed as the
+      // incremental Dedup.keepList anti-join over them — the slope
+      // then measures the end product's own cost, not clustering twice
+      var labels: Option[org.apache.spark.sql.DataFrame] = None
+      def run(n: String): org.apache.spark.sql.DataFrame = n match {
+        case "d_dup_clusters" =>
+          val df = SparkEntry.queries(n)(spark, dir); labels = Some(df); df
+        case "d_dedup_keep" if labels.isDefined =>
+          import org.apache.spark.sql.functions.col
+          graft.ops.Dedup.keepList(labels.get,
+              graft.sources.Tables.load(spark, dir, "documents"))
+            .select(col("doc_id"), col("n_chars"))
+        case _ => SparkEntry.queries(n)(spark, dir)
       }
-      n -> (ts.head, ts.min)
-    }.toMap
+      Family.map { n =>
+        val ts = (1 to 2).map { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          run(n).write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          dt
+        }
+        n -> (ts.head, ts.min)
+      }.toMap
+    }
     val t1 = timeAt(baseDir)
     val tN = timeAt(bigDir)
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

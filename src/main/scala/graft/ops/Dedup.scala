@@ -381,6 +381,21 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
   }
 
+  /** The dedup END PRODUCT from already-materialized cluster labels:
+    * one anti-join, no re-clustering. `labels` is [[dupClusters]]
+    * output `(doc_id, cluster)`; every non-canonical member
+    * (doc_id != cluster) is dropped from `corpus`, the canonical + the
+    * never-paired rows survive. Scale shape: the drop-set is
+    * |duplicates| rows — small relative to the corpus by near-dup
+    * density — so the anti-join broadcasts or shuffle-hashes on the id
+    * key; the expensive clustering is paid once when the labels frame
+    * is materialized, not once per derived product. */
+  def keepList(labels: DataFrame, corpus: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val drop = labels.where(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as(idCol))
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Exact shingle-set Jaccard for candidate pairs: distinct shingles
     * joined per side — work proportional to candidates, not corpus². */
   def jaccard(pairsIn: DataFrame, docs: DataFrame, textCol: Column, idCol: Column,

@@ -432,9 +432,8 @@ object TextQueries {
         val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 3, Seeds,
           keepShort = false)
         val pairs = Dedup.lshCandidateIdPairs(Dedup.lshBands(sig, Seeds, Bands), Bands).result
-        val drop = Dedup.dupClusters(pairs)
-          .where(col("doc_id") =!= col("cluster")).select(col("doc_id"))
-        docs.join(drop, Seq("doc_id"), "left_anti").select(col("doc_id"), col("n_chars"))
+        Dedup.keepList(Dedup.dupClusters(pairs), docs)
+          .select(col("doc_id"), col("n_chars"))
       },
       Some(s"""${sigCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
               |pairs AS (SELECT DISTINCT doc_a, doc_b FROM ($pairsSql)),

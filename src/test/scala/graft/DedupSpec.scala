@@ -214,11 +214,16 @@ class DedupSpec extends AnyFunSuite {
     // {4,7,8} untouched; drop = {2,3,6,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (9L, 1L), (5L, 6L)).toDF("doc_a", "doc_b")
     val docs = (1L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
-    val drop = Dedup.dupClusters(pairs)
-      .where($"doc_id" =!= $"cluster").select($"doc_id")
+    val labels = Dedup.dupClusters(pairs)
+    val drop = labels.where($"doc_id" =!= $"cluster").select($"doc_id")
     val keep = docs.join(drop, Seq("doc_id"), "left_anti")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(keep == Seq(1L, 4L, 5L, 7L, 8L))
+    // the keepList API over already-materialized labels is the same
+    // anti-join — one call, no re-clustering
+    val viaApi = Dedup.keepList(labels, docs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaApi == keep)
   }
 
   test("dupClusters: pointer doubling closes a 64-node chain in <= 7 iterations") {
