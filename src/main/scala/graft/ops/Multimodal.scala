@@ -106,13 +106,68 @@ object Multimodal {
     Decoded(id, 0, 0, 0, "jpeg", b.length, checksumOf(b))
   }
 
-  /** Container-sniffing decode: real header parse for PNG/BMP/JPEG,
-    * [[decodeStub]] for everything else (synthetic payloads, audio,
-    * video — the formats this container has no codec for). */
+  /** WAV/PCM audio metadata, parsed from the real RIFF container. */
+  final case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                           nFrames: Long, durationMs: Double, pcm: Boolean)
+
+  /** WAV: 'RIFF' <size> 'WAVE', then tagged chunks. */
+  def isWav(b: Array[Byte]): Boolean =
+    b.length >= 44 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Real RIFF/WAVE chunk walk (pure JVM, same doctrine as the image
+    * headers): the `fmt ` chunk carries audio format (1 = PCM,
+    * 3 = IEEE float), channel count, sample rate and bits per sample;
+    * the `data` chunk's size over the frame size gives the frame count
+    * and duration. Chunks are word-aligned (odd sizes pad one byte).
+    * Missing/garbled `fmt `/`data` chunks throw — never a silent
+    * zero-duration clip. Cross-checked in MultimodalSinksSpec against
+    * bytes the JDK's own `javax.sound.sampled` writer produced. */
+  def decodeWav(b: Array[Byte]): WavMeta = {
+    require(isWav(b), "not a RIFF/WAVE container")
+    var i = 12
+    var rate = -1; var ch = -1; var bits = -1; var fmt = -1
+    var dataSize = -1L
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
+      if (id == "fmt ") {
+        require(size >= 16, s"fmt chunk too small ($size bytes)")
+        fmt = u8(b, i + 8) | (u8(b, i + 9) << 8)
+        ch = u8(b, i + 10) | (u8(b, i + 11) << 8)
+        rate = le32(b, i + 12)
+        bits = u8(b, i + 22) | (u8(b, i + 23) << 8)
+      } else if (id == "data") {
+        dataSize = size
+      }
+      val advance = 8L + size + (size & 1) // chunks are word-aligned
+      require(advance > 8 || size == 0, s"WAV chunk '$id' has bogus size $size")
+      require(i + advance <= Int.MaxValue, s"WAV chunk '$id' size $size overflows")
+      i += advance.toInt
+    }
+    require(rate > 0 && ch > 0 && bits > 0,
+      s"WAV has no valid 'fmt ' chunk (rate=$rate ch=$ch bits=$bits)")
+    require(dataSize >= 0, "WAV has no 'data' chunk")
+    val frameSize = ch * ((bits + 7) / 8)
+    val frames = dataSize / frameSize
+    WavMeta(rate, ch, bits, frames, frames * 1000.0 / rate, pcm = fmt == 1)
+  }
+
+  /** Container-sniffing decode: real header parse for PNG/BMP/JPEG and
+    * WAV (audio maps into the shared shape as width = sample rate,
+    * height = bits per sample — use [[decodeWav]] for the typed view),
+    * [[decodeStub]] only for payloads with no recognized container
+    * (synthetic test bytes, video). */
   def decode(id: Long, payload: Array[Byte]): Decoded =
     if (isPng(payload)) decodePng(id, payload)
     else if (isBmp(payload)) decodeBmp(id, payload)
     else if (isJpeg(payload)) decodeJpeg(id, payload)
+    else if (isWav(payload)) {
+      val m = decodeWav(payload)
+      Decoded(id, m.sampleRate, m.bitsPerSample, m.channels, "wav",
+        payload.length, checksumOf(payload))
+    }
     else decodeStub(id, payload)
 
   /** STUB codec for payloads with no recognized container (and the
