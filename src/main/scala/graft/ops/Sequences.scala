@@ -56,6 +56,27 @@ object Sequences {
       .select(col(key), col("prev_ts").as("gap_start"), col(ts).as("gap_end"))
   }
 
+  /** ST3's watermark drop-late policy as a BATCH operator — the graded
+    * twin of Structured Streaming's `withWatermark` drop-late default
+    * that FoldStreamSpec exercises live (the reference's
+    * drop-incomplete ingest contract, datasets.py:39-47, 86-89):
+    * replay each key's events in `arrival` order, hold a per-key
+    * running watermark = max event time seen so far − horizon, and
+    * flag every event whose event time is already below the watermark
+    * when it arrives. ONE keyed window pass (running max over arrival
+    * order), no self-join. Spark's streaming watermark is a global
+    * low-water mark; the per-key form is the partition-parallel batch
+    * analog — a global running max would serialize the corpus through
+    * a single ordering. */
+  def lateFlagged(events: DataFrame, key: String, ts: String, arrival: Column,
+                  horizonSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(arrival)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.withColumn("is_late",
+      coalesce(unix_timestamp(col(ts)) <
+        max(unix_timestamp(col(ts))).over(w) - lit(horizonSeconds), lit(false)))
+  }
+
   /** Gap-based sessionization: assign every event a per-key session id
     * (events further than `maxGapSeconds` from their predecessor start
     * a new session). Two window passes over ONE key shuffle — lag to

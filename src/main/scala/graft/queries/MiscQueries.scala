@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Fold, Sketches}
+import graft.ops.{Fold, Sequences, Sketches}
 import graft.streaming.Streaming
 
 /** Remaining SURVEY.md surface: X1 conv stencil, X2 GRU ordered fold,
@@ -279,6 +279,39 @@ object MiscQueries {
              |  SELECT user_id, date_trunc('hour', ts) - o.o * INTERVAL 1 HOUR AS wstart
              |  FROM events, (SELECT unnest([0, 1, 2]) AS o) o)
              |GROUP BY user_id, wstart HAVING count(*) >= 3""".stripMargin)),
+
+    // ST3 batch twin: the watermark DROP-LATE policy, graded. Events
+    // replay in a deterministic pseudo-random arrival order (md5 of
+    // event_id — the w4_seeded_shuffle trick, modeling out-of-order
+    // network arrival; the generator emits events already in ts order,
+    // under which nothing is ever late); each user's running watermark
+    // is max event time seen − 7 days, and an event below it at
+    // arrival is flagged late (dropped from the kept aggregates).
+    // FoldStreamSpec holds the live Structured Streaming twin; this
+    // row pins the policy against the DuckDB oracle. One keyed window
+    // pass + one agg — no self-join, no global ordering.
+    Q("st3_drop_late",
+      (s, d) => Sequences.lateFlagged(
+          T(s, d, "events").select(col("user_id"), col("ts"), col("event_id"), col("value")),
+          "user_id", "ts", md5(col("event_id").cast("string")), 604800L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late"),
+          (sum(when(!col("is_late"), qlong(col("value"), 100)).otherwise(0L)) / 100.0)
+            .as("kept_val")),
+      Some("""WITH f AS (
+             |  SELECT user_id, value,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+             |    max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             |      PARTITION BY user_id ORDER BY md5(CAST(event_id AS VARCHAR))
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_total,
+             |  CAST(sum(CASE WHEN wm IS NOT NULL AND tse < wm - 604800 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+             |  CAST(sum(CASE WHEN wm IS NULL OR tse >= wm - 604800
+             |    THEN CAST(floor((value) * 100 + 0.5e0) AS BIGINT) ELSE 0 END) AS BIGINT)
+             |    / 100.0e0 AS kept_val
+             |FROM f GROUP BY user_id""".stripMargin)),
 
     // ST4 batch twin: stream-stream interval join (view→click
     // attribution within 30 min). The identical plan runs on two

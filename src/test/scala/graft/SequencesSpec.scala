@@ -72,4 +72,22 @@ class SequencesSpec extends AnyFunSuite {
     val b = ev.select(Sequences.tsBucket($"ts", 3600L).as("b")).collect().map(_.getLong(0))
     assert(b(1) == b(0) + 1)
   }
+
+  test("lateFlagged: per-key running watermark flags exactly the below-horizon arrivals") {
+    // arrival order a1..a5; event times (seconds) chosen so that:
+    //  a1 t=1000 -> watermark starts (never late)
+    //  a2 t=5000 -> wm was 1000-100 (ok), advances max to 5000
+    //  a3 t=4950 -> wm 4900, 4950 >= 4900 -> within horizon, kept
+    //  a4 t=4800 -> wm 4900, late
+    //  a5 t=900  -> far below -> late
+    val ev = Seq((1L, 1000L, "a1"), (1L, 5000L, "a2"), (1L, 4950L, "a3"),
+        (1L, 4800L, "a4"), (1L, 900L, "a5"),
+        (2L, 100L, "b1")) // other key: own watermark, never late
+      .toDF("k", "sec", "arr")
+      .select($"k", to_timestamp(from_unixtime($"sec")).as("ts"), $"arr")
+    val got = Sequences.lateFlagged(ev, "k", "ts", $"arr", 100L)
+      .collect().map(r => r.getAs[String]("arr") -> r.getAs[Boolean]("is_late")).toMap
+    assert(got == Map("a1" -> false, "a2" -> false, "a3" -> false,
+      "a4" -> true, "a5" -> true, "b1" -> false), got)
+  }
 }
