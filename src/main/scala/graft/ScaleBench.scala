@@ -84,6 +84,31 @@ object ScaleBench {
     }
     val t1 = timeAt(baseDir)
     val tN = timeAt(bigDir)
+    // ---- flagship at REFERENCE SHAPE (datasets.py:218-225: batches of
+    // 36-frame sequences of 256x256 grids; rnn.py:54-60 ConvGRU): time
+    // the typed ConvGRU fold at w=16 (the graded x2_convgru shape) and
+    // at w=256 over identical synthetic 36-step inputs — RefScaleSpec
+    // pins the 256x256 arithmetic by closed form; this records its
+    // COST. Input is built in-memory (range -> users x 36 steps), so
+    // the measurement is pure fold work; slope is reported against the
+    // 256x cell growth (65536/256 cells) — linear-in-cells = ~256.
+    def refShape(w: Int, users: Int): Double = {
+      val ev = spark.range(0, users.toLong * 36)
+        .selectExpr("id div 36 AS user_id", "CAST(id % 36 AS DOUBLE) AS tsd",
+          "id % 36 AS event_id", "CAST((id * 37) % 199 AS DOUBLE) / 2.0 AS value")
+      (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.ops.Fold.foldTypedConvGrid(spark, ev, "user_id", "tsd", "event_id", "value", w)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }.min
+    }
+    refShape(16, 4) // untimed: JIT the fold path at both branch shapes
+    val ref16 = refShape(16, 32)
+    val ref256 = refShape(256, 32)
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val per = Family.map { n =>
       val slope = tN(n)._2 / t1(n)._2
@@ -91,7 +116,8 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val tot1 = Family.map(t1(_)._2).sum
     val totN = Family.map(tN(_)._2).sum
-    val line = s"""{"metric":"scale_slope","factor":$factor,"total_t1":${f3(tot1)},"total_tN":${f3(totN)},"total_slope":${f3(totN / tot1)},"queries":$per,"base":"$baseDir","big":"$bigDir"}"""
+    val refJson = s"""{"w16_sec":${f3(ref16)},"w256_sec":${f3(ref256)},"users":32,"steps":36,"cells_factor":256,"slope":${f3(ref256 / ref16)}}"""
+    val line = s"""{"metric":"scale_slope","factor":$factor,"total_t1":${f3(tot1)},"total_tN":${f3(totN)},"total_slope":${f3(totN / tot1)},"queries":$per,"ref_shape_convgru":$refJson,"base":"$baseDir","big":"$bigDir"}"""
     val w = new java.io.PrintWriter("scale_slope.json")
     try w.println(line) finally w.close()
     println(line)
