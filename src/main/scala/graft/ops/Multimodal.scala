@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, decoded/feature-extracted in
   * partition-batched passes.
   *
-  * Image CONTAINER HEADERS are parsed for real, pure-JVM, no external
-  * deps: PNG (IHDR), BMP (BITMAPINFOHEADER) and JPEG (SOF scan) give
-  * width/height/channels/format from the actual bytes — cross-checked
-  * in tests against payloads produced by the JDK's own `ImageIO`
-  * encoders. Payloads matching no known magic (synthetic test bytes,
-  * audio, video) fall back to [[decodeStub]], a deterministic fake
-  * that derives metadata from the payload bytes so tests can assert
-  * exact values end-to-end; a real audio/video codec would slot in at
-  * the same dispatch point.
+  * CONTAINER HEADERS are parsed for real, pure-JVM, no external deps:
+  * PNG (IHDR), BMP (BITMAPINFOHEADER), JPEG (SOF scan), WAV (RIFF
+  * chunk walk), MP4 (ISO-BMFF box walk) and AVI (RIFF LIST descent)
+  * give dimensions/channels/duration/codec from the actual bytes —
+  * cross-checked in tests against payloads produced by the JDK's own
+  * `ImageIO`/`javax.sound` encoders where the JDK has one, and against
+  * hand-built from-the-spec fixtures where it does not (MP4/AVI).
+  * Payloads matching no known magic (synthetic test bytes) fall back
+  * to [[decodeStub]], a deterministic fake that derives metadata from
+  * the payload bytes so tests can assert exact values end-to-end. The
+  * only remaining stub surface is FRAME/PIXEL decode of compressed
+  * video (needs a real codec library): [[unpackVideo]]'s GRFV path.
   */
 object Multimodal {
 
@@ -154,11 +157,203 @@ object Multimodal {
     WavMeta(rate, ch, bits, frames, frames * 1000.0 / rate, pcm = fmt == 1)
   }
 
-  /** Container-sniffing decode: real header parse for PNG/BMP/JPEG and
-    * WAV (audio maps into the shared shape as width = sample rate,
-    * height = bits per sample — use [[decodeWav]] for the typed view),
-    * [[decodeStub]] only for payloads with no recognized container
-    * (synthetic test bytes, video). */
+  /** Video container metadata, parsed from the real MP4/AVI bytes. */
+  final case class VideoMeta(container: String, width: Int, height: Int,
+                             durationMs: Double, nTracks: Int, codec: String)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i).toLong << 32) | (be32(b, i + 4).toLong & 0xFFFFFFFFL)
+
+  /** ISO-BMFF (MP4/MOV): the first box must be `ftyp`. */
+  def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** Walk ISO-BMFF boxes in [start, end): big-endian 32-bit size +
+    * 4-char type; size 1 means a 64-bit largesize follows; size 0
+    * means the box runs to the end of the enclosing scope. Bogus
+    * sizes throw — never a silent partial parse. */
+  private def eachBox(b: Array[Byte], start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
+    var i = start
+    while (i + 8 <= end) {
+      val size32 = be32(b, i).toLong & 0xFFFFFFFFL
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      var hdr = 8
+      val size =
+        if (size32 == 1) {
+          require(i + 16 <= end, s"MP4 box '$typ' truncated largesize at offset $i")
+          hdr = 16
+          be64(b, i + 8)
+        } else if (size32 == 0) (end - i).toLong
+        else size32
+      require(size >= hdr && i + size <= end,
+        s"MP4 box '$typ' has bogus size $size at offset $i (scope ends $end)")
+      f(typ, i + hdr, (i + size).toInt)
+      i = (i + size).toInt
+    }
+  }
+
+  /** Real ISO-BMFF metadata walk (pure JVM, same doctrine as the image
+    * and WAV headers): `moov/mvhd` gives timescale + duration (version
+    * 0 and 1 layouts), each `moov/trak` contributes a track — the
+    * video track identified by `mdia/hdlr` type `vide` (or a nonzero
+    * `tkhd` width) supplies 16.16-fixed width/height and the first
+    * `stbl/stsd` sample-entry fourcc as the codec. A file with no
+    * `mvhd` throws. Frame/pixel DECODE still needs a real codec and
+    * stays out of scope — this is the metadata surface. */
+  def decodeMp4(b: Array[Byte]): VideoMeta = {
+    require(isMp4(b), "not an ISO-BMFF (ftyp) container")
+    var timescale = -1L; var duration = -1L
+    var w = 0; var h = 0; var nTracks = 0; var codec = ""
+    eachBox(b, 0, b.length) {
+      case ("moov", ms, me) =>
+        eachBox(b, ms, me) {
+          case ("mvhd", ps, _) =>
+            if (u8(b, ps) == 1) { // version 1: 64-bit times
+              timescale = be32(b, ps + 20).toLong & 0xFFFFFFFFL
+              duration = be64(b, ps + 24)
+            } else {
+              timescale = be32(b, ps + 12).toLong & 0xFFFFFFFFL
+              duration = be32(b, ps + 16).toLong & 0xFFFFFFFFL
+            }
+          case ("trak", ts, te) =>
+            nTracks += 1
+            var tw = 0; var th = 0; var isVide = false; var fourcc = ""
+            eachBox(b, ts, te) {
+              case ("tkhd", ps, _) =>
+                val off = if (u8(b, ps) == 1) 88 else 76 // v1 has 64-bit times
+                tw = be32(b, ps + off) >>> 16 // 16.16 fixed point
+                th = be32(b, ps + off + 4) >>> 16
+              case ("mdia", ds, de) =>
+                eachBox(b, ds, de) {
+                  case ("hdlr", ps, _) =>
+                    isVide = new String(b, ps + 8, 4, "US-ASCII") == "vide"
+                  case ("minf", fs, fe) =>
+                    eachBox(b, fs, fe) {
+                      case ("stbl", ss, se) =>
+                        eachBox(b, ss, se) {
+                          case ("stsd", ps, pe) =>
+                            if (be32(b, ps + 4) > 0 && ps + 16 <= pe)
+                              fourcc = new String(b, ps + 12, 4, "US-ASCII")
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            if ((isVide || (tw > 0 && th > 0)) && w == 0) {
+              w = tw; h = th; codec = fourcc
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    require(timescale > 0, "MP4 has no valid moov/mvhd (timescale)")
+    VideoMeta("mp4", w, h, duration * 1000.0 / timescale, nTracks, codec)
+  }
+
+  /** AVI: 'RIFF' <size> 'AVI '. */
+  def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Real AVI (RIFF) metadata walk: recursive LIST descent to the
+    * `avih` main header (µs/frame, total frames, stream count, dims)
+    * and the first `vids` `strh` stream header for the codec fourcc.
+    * Word-aligned chunks, loud on bogus sizes or a missing `avih`. */
+  def decodeAvi(b: Array[Byte]): VideoMeta = {
+    require(isAvi(b), "not a RIFF/AVI container")
+    var usPerFrame = -1L; var totalFrames = -1L; var streams = 0
+    var w = 0; var h = 0; var codec = ""
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
+        require(i + 8 + size <= end, s"AVI chunk '$id' has bogus size $size at offset $i")
+        if (id == "LIST") walk(i + 12, (i + 8 + size).toInt)
+        else if (id == "avih") {
+          require(size >= 40, s"avih chunk too small ($size bytes)")
+          usPerFrame = le32(b, i + 8).toLong & 0xFFFFFFFFL
+          totalFrames = le32(b, i + 24).toLong & 0xFFFFFFFFL
+          streams = le32(b, i + 32)
+          w = le32(b, i + 40)
+          h = le32(b, i + 44)
+        } else if (id == "strh" && codec.isEmpty && size >= 8 &&
+                   new String(b, i + 8, 4, "US-ASCII") == "vids") {
+          codec = new String(b, i + 12, 4, "US-ASCII").trim
+        }
+        i = (i + 8 + size + (size & 1)).toInt // word-aligned
+      }
+    }
+    walk(12, b.length)
+    require(usPerFrame > 0 && w > 0,
+      s"AVI has no valid avih header (usPerFrame=$usPerFrame w=$w)")
+    VideoMeta("avi", w, h, totalFrames * usPerFrame / 1000.0, streams, codec)
+  }
+
+  private def bmffBox(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val total = 8 + payload.map(_.length).sum
+    val out = java.nio.ByteBuffer.allocate(total)
+    out.putInt(total).put(typ.getBytes("US-ASCII"))
+    payload.foreach(out.put)
+    out.array()
+  }
+
+  /** Minimal spec-conformant ISO-BMFF writer (fixture/query side, the
+    * twin of [[decodeMp4]] the way packVideo twins unpackVideo):
+    * `ftyp` + `moov{mvhd, trak{tkhd, mdia{hdlr(vide), minf{stbl{
+    * stsd(codec)}}}}}`, version-0 boxes, timescale 1000 so duration
+    * units ARE milliseconds. */
+  def packMp4(w: Int, h: Int, durationMs: Long, codec: String = "avc1"): Array[Byte] = {
+    require(codec.length == 4, s"codec fourcc must be 4 chars, got '$codec'")
+    val ftyp = bmffBox("ftyp", "isom".getBytes("US-ASCII"), Array[Byte](0, 0, 2, 0),
+      "isomiso2".getBytes("US-ASCII"))
+    val mvhd = {
+      val p = java.nio.ByteBuffer.allocate(100) // v0 layout: spec 8.2.2
+      p.position(12); p.putInt(1000); p.putInt(durationMs.toInt) // timescale, duration
+      p.putInt(0x00010000); p.putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      p.position(36); p.putInt(0x00010000); p.position(52); p.putInt(0x00010000)
+      p.position(68); p.putInt(0x40000000) // unity matrix
+      p.position(96); p.putInt(2) // next_track_ID
+      bmffBox("mvhd", p.array())
+    }
+    val tkhd = {
+      val p = java.nio.ByteBuffer.allocate(84) // v0 layout: spec 8.3.2
+      p.put(0.toByte); p.put(Array[Byte](0, 0, 7)) // flags: enabled|in-movie|in-preview
+      p.position(12); p.putInt(1) // track_ID
+      p.position(20); p.putInt(durationMs.toInt)
+      p.position(40); p.putInt(0x00010000); p.position(56); p.putInt(0x00010000)
+      p.position(72); p.putInt(0x40000000) // unity matrix
+      p.putInt(w << 16); p.putInt(h << 16) // 16.16 fixed
+      bmffBox("tkhd", p.array())
+    }
+    val hdlr = {
+      val p = java.nio.ByteBuffer.allocate(25)
+      p.position(8); p.put("vide".getBytes("US-ASCII"))
+      bmffBox("hdlr", p.array())
+    }
+    val stsd = {
+      val p = java.nio.ByteBuffer.allocate(16)
+      p.position(4); p.putInt(1) // entry_count
+      p.putInt(8); p.put(codec.getBytes("US-ASCII")) // minimal sample entry
+      bmffBox("stsd", p.array())
+    }
+    val trak = bmffBox("trak", tkhd,
+      bmffBox("mdia", hdlr, bmffBox("minf", bmffBox("stbl", stsd))))
+    val out = java.nio.ByteBuffer.allocate(ftyp.length + 8 + mvhd.length + trak.length)
+    out.put(ftyp).put(bmffBox("moov", mvhd, trak))
+    out.array()
+  }
+
+  /** Container-sniffing decode: real header parse for PNG/BMP/JPEG,
+    * WAV (width = sample rate, height = bits per sample — use
+    * [[decodeWav]] for the typed view) and MP4/AVI video (channels =
+    * track/stream count — use [[decodeMp4]]/[[decodeAvi]] for the
+    * typed view); [[decodeStub]] only for payloads with no recognized
+    * container (synthetic test bytes). */
   def decode(id: Long, payload: Array[Byte]): Decoded =
     if (isPng(payload)) decodePng(id, payload)
     else if (isBmp(payload)) decodeBmp(id, payload)
@@ -166,6 +361,16 @@ object Multimodal {
     else if (isWav(payload)) {
       val m = decodeWav(payload)
       Decoded(id, m.sampleRate, m.bitsPerSample, m.channels, "wav",
+        payload.length, checksumOf(payload))
+    }
+    else if (isMp4(payload)) {
+      val m = decodeMp4(payload)
+      Decoded(id, m.width, m.height, m.nTracks, "mp4",
+        payload.length, checksumOf(payload))
+    }
+    else if (isAvi(payload)) {
+      val m = decodeAvi(payload)
+      Decoded(id, m.width, m.height, m.nTracks, "avi",
         payload.length, checksumOf(payload))
     }
     else decodeStub(id, payload)

@@ -527,5 +527,35 @@ object MiscQueries {
            |  CAST($checksum AS BIGINT) AS checksum
            |FROM (SELECT doc_id, md5(text) AS hx FROM documents)""".stripMargin
       }),
+
+    // video container metadata through the REAL parser: each row packs
+    // a spec-conformant ISO-BMFF (MP4) payload with doc_id-derived
+    // dimensions/duration, and graft.ops.Multimodal.decodeMp4 walks
+    // the actual boxes (ftyp/moov/mvhd/trak/tkhd/stsd) to recover
+    // them — so the graded hash pins the byte-level writer AND parser,
+    // not stand-in arithmetic (the oracle computes the same fields
+    // straight from doc_id). Scan-stage mapPartitions, zero shuffles,
+    // same placement doctrine as the other binary-format decodes.
+    Q("m_video_meta",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = (id % 509 + 16).toInt
+              val h = (id % 283 + 16).toInt
+              val durMs = id % 100000 + 1000
+              val m = graft.ops.Multimodal.decodeMp4(
+                graft.ops.Multimodal.packMp4(w, h, durMs, "avc1"))
+              (id, m.width, m.height, m.durationMs, m.nTracks, m.codec)
+            }
+          }.toDF("doc_id", "width", "height", "duration_ms", "n_tracks", "codec")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(doc_id % 509 + 16 AS INT) AS width,
+             |  CAST(doc_id % 283 + 16 AS INT) AS height,
+             |  CAST(doc_id % 100000 + 1000 AS DOUBLE) AS duration_ms,
+             |  1 AS n_tracks, 'avc1' AS codec
+             |FROM documents""".stripMargin)),
   )
 }
