@@ -309,6 +309,8 @@ object Multimodal {
     * units ARE milliseconds. */
   def packMp4(w: Int, h: Int, durationMs: Long, codec: String = "avc1"): Array[Byte] = {
     require(codec.length == 4, s"codec fourcc must be 4 chars, got '$codec'")
+    require(durationMs >= 0 && durationMs <= Int.MaxValue,
+      s"v0 boxes carry 32-bit durations, got $durationMs ms")
     val ftyp = bmffBox("ftyp", "isom".getBytes("US-ASCII"), Array[Byte](0, 0, 2, 0),
       "isomiso2".getBytes("US-ASCII"))
     val mvhd = {
@@ -345,6 +347,41 @@ object Multimodal {
       bmffBox("mdia", hdlr, bmffBox("minf", bmffBox("stbl", stsd))))
     val out = java.nio.ByteBuffer.allocate(ftyp.length + 8 + mvhd.length + trak.length)
     out.put(ftyp).put(bmffBox("moov", mvhd, trak))
+    out.array()
+  }
+
+  /** Minimal RIFF/WAVE writer (fixture/query side, twin of
+    * [[decodeWav]]): canonical 44-byte header + silent PCM data. */
+  def packWav(rate: Int, channels: Int, bits: Int, nFrames: Int): Array[Byte] = {
+    require(rate > 0 && channels > 0 && bits > 0 && bits % 8 == 0 && nFrames >= 0,
+      s"bad WAV params rate=$rate ch=$channels bits=$bits frames=$nFrames")
+    val frameSize = channels * bits / 8
+    val dataSize = nFrames * frameSize
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1) // PCM
+    out.putShort(channels.toShort).putInt(rate)
+    out.putInt(rate * frameSize).putShort(frameSize.toShort).putShort(bits.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    out.array()
+  }
+
+  /** Minimal PNG signature + IHDR writer (fixture/query side, twin of
+    * the [[decode]] PNG branch): header-only — CRC zeroed, no IDAT —
+    * enough for any header parser, documented as NOT a renderable
+    * file. Color types per spec §11.2.2: 0 grey, 2 rgb, 4 grey+alpha,
+    * 6 rgba. */
+  def packPngHeader(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad PNG dims ${w}x$h")
+    require(Set(0, 2, 3, 4, 6)(colorType), s"bad PNG color type $colorType")
+    val out = java.nio.ByteBuffer.allocate(33)
+    out.put(PngMagic)
+    out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    out.putInt(w).putInt(h)
+    out.put(8.toByte).put(colorType.toByte) // bit depth 8
     out.array()
   }
 

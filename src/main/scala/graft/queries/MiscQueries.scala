@@ -557,5 +557,55 @@ object MiscQueries {
              |  CAST(doc_id % 100000 + 1000 AS DOUBLE) AS duration_ms,
              |  1 AS n_tracks, 'avc1' AS codec
              |FROM documents""".stripMargin)),
+
+    // audio container metadata through the REAL parser — same contract
+    // as m_video_meta: packWav writes a canonical RIFF/WAVE header
+    // with doc_id-derived params, decodeWav chunk-walks it back, and
+    // the oracle recomputes the fields (incl. the IEEE-exact
+    // frames*1000.0/rate duration) straight from doc_id.
+    Q("m_audio_meta",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val m = graft.ops.Multimodal.decodeWav(graft.ops.Multimodal.packWav(
+                ((id % 4 + 1) * 8000).toInt, (id % 2 + 1).toInt, 16, (id % 97 + 1).toInt))
+              (id, m.sampleRate, m.channels, m.bitsPerSample, m.nFrames, m.durationMs, m.pcm)
+            }
+          }.toDF("doc_id", "sample_rate", "channels", "bits", "n_frames", "duration_ms", "pcm")
+      },
+      Some("""SELECT doc_id,
+             |  CAST((doc_id % 4 + 1) * 8000 AS INT) AS sample_rate,
+             |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+             |  16 AS bits,
+             |  CAST(doc_id % 97 + 1 AS BIGINT) AS n_frames,
+             |  CAST(doc_id % 97 + 1 AS DOUBLE) * 1000.0 / ((doc_id % 4 + 1) * 8000) AS duration_ms,
+             |  TRUE AS pcm
+             |FROM documents""".stripMargin)),
+
+    // image header metadata through the REAL parser — packPngHeader
+    // writes the spec's signature+IHDR layout (header-only fixture),
+    // the decode dispatch takes the real PNG branch (not the stub),
+    // and the oracle recomputes dims + the color-type→channel map.
+    Q("m_image_meta",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val m = graft.ops.Multimodal.decode(id, graft.ops.Multimodal.packPngHeader(
+                (id % 1021 + 1).toInt, (id % 747 + 1).toInt, ((id % 4) * 2).toInt))
+              (id, m.width, m.height, m.channels, m.format, m.byteLen)
+            }
+          }.toDF("doc_id", "width", "height", "channels", "format", "byte_len")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(doc_id % 1021 + 1 AS INT) AS width,
+             |  CAST(doc_id % 747 + 1 AS INT) AS height,
+             |  CAST(CASE (doc_id % 4) * 2 WHEN 0 THEN 1 WHEN 2 THEN 3
+             |       WHEN 4 THEN 2 ELSE 4 END AS INT) AS channels,
+             |  'png' AS format, 33 AS byte_len
+             |FROM documents""".stripMargin)),
   )
 }
