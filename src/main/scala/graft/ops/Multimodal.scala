@@ -273,7 +273,10 @@ object Multimodal {
         val id = new String(b, i, 4, "US-ASCII")
         val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
         require(i + 8 + size <= end, s"AVI chunk '$id' has bogus size $size at offset $i")
-        if (id == "LIST") walk(i + 12, (i + 8 + size).toInt)
+        if (id == "LIST") {
+          require(size >= 4, s"AVI LIST at offset $i too small ($size bytes)")
+          walk(i + 12, (i + 8 + size).toInt)
+        }
         else if (id == "avih") {
           require(size >= 40, s"avih chunk too small ($size bytes)")
           usPerFrame = le32(b, i + 8).toLong & 0xFFFFFFFFL

@@ -111,7 +111,9 @@ object Hdf5Nc {
     private def ascii(a: Long, n: Int): String = new String(bytes, a.toInt, n, "US-ASCII")
     private def cstr(a: Long): String = {
       var q = a; val sb = new StringBuilder
-      while (u8(q) != 0) { sb.append(u8(q).toChar); q += 1 }
+      while (q < bytes.length && u8(q) != 0) { sb.append(u8(q).toChar); q += 1 }
+      if (q >= bytes.length)
+        fail(s"unterminated name at offset $a (heap offset out of bounds?)")
       sb.toString
     }
     private def fail(msg: String): Nothing =
@@ -428,13 +430,14 @@ object Hdf5Nc {
             var buf = java.util.Arrays.copyOfRange(bytes, child.toInt, child.toInt + csize)
             if (ds.filters.contains(1)) { // inflate (deflate is outermost on write)
               val inf = new java.util.zip.Inflater()
-              inf.setInput(buf)
-              val o = new Array[Byte](rawSize)
-              val got = inf.inflate(o)
-              if (got != rawSize || !inf.finished())
-                fail(s"chunk at $child inflated to $got of $rawSize bytes")
-              inf.end()
-              buf = o
+              try {
+                inf.setInput(buf)
+                val o = new Array[Byte](rawSize)
+                val got = inf.inflate(o)
+                if (got != rawSize || !inf.finished())
+                  fail(s"chunk at $child inflated to $got of $rawSize bytes")
+                buf = o
+              } finally inf.end() // native memory — freed even on the fail path
             }
             if (ds.filters.contains(2)) buf = unshuffle(buf, ds.dtype.size)
             if (buf.length != rawSize)
