@@ -202,4 +202,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
       "window on (lang,source) + groupBy (lang,source,pack_id) only:\n" + p.take(1200))
   }
+
+  test("st3_drop_late: running-watermark window and per-key agg share ONE key shuffle") {
+    val p = finalPlan("st3_drop_late")
+    assert(!p.contains("Join"), "drop-late is windowed, never joined")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "the user_id window exchange must be reused by the user_id agg:\n" + p.take(1200))
+  }
+
+  test("m_video_meta: container pack+parse is pure scan-stage work, zero shuffles") {
+    val p = finalPlan("m_video_meta")
+    assert(!p.contains("Exchange"),
+      "binary decode must stay embarrassingly parallel:\n" + p.take(1200))
+  }
 }
