@@ -27,7 +27,8 @@ object ScaleBench {
     "t_token_stats", "t_quality_score", "t_lang_id", "t_tfidf_top",
     "t_rolling_fp", "t_top_terms", "m_multimodal_meta",
     "t_redact_pii", "t_decontam_overlap", "t_repetition",
-    "t_chunk_split", "t_pack_sequences", "t_lm_score", "d_dedup_keep")
+    "t_chunk_split", "t_pack_sequences", "t_lm_score", "d_dedup_keep",
+    "m_video_meta", "m_audio_meta", "m_image_meta")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
