@@ -380,6 +380,8 @@ object Hdf5Nc {
         while (i < n) { out(i * elemSize + j) = in(idx); idx += 1; i += 1 }
         j += 1
       }
+      // HDF5's shuffle leaves a non-multiple tail untouched
+      while (idx < in.length) { out(idx) = in(idx); idx += 1 }
       out
     }
 
@@ -428,18 +430,23 @@ object Hdf5Nc {
             if (u32(kp + 4) != 0) fail("partially-applied filter mask unsupported")
             val offs = Array.tabulate(rank)(d => u64(kp + 8 + 8L * d))
             var buf = java.util.Arrays.copyOfRange(bytes, child.toInt, child.toInt + csize)
-            if (ds.filters.contains(1)) { // inflate (deflate is outermost on write)
-              val inf = new java.util.zip.Inflater()
-              try {
-                inf.setInput(buf)
-                val o = new Array[Byte](rawSize)
-                val got = inf.inflate(o)
-                if (got != rawSize || !inf.finished())
-                  fail(s"chunk at $child inflated to $got of $rawSize bytes")
-                buf = o
-              } finally inf.end() // native memory — freed even on the fail path
+            // the pipeline message lists filters in WRITE order; undo
+            // them in reverse so an unusual-but-legal order (e.g.
+            // shuffle applied after deflate) decodes correctly too
+            ds.filters.reverseIterator.foreach {
+              case 1 => // inflate
+                val inf = new java.util.zip.Inflater()
+                try {
+                  inf.setInput(buf)
+                  val o = new Array[Byte](rawSize)
+                  val got = inf.inflate(o)
+                  if (got != rawSize || !inf.finished())
+                    fail(s"chunk at $child inflated to $got of $rawSize bytes")
+                  buf = o
+                } finally inf.end() // native memory — freed even on the fail path
+              case 2 => buf = unshuffle(buf, ds.dtype.size)
+              case id => fail(s"filter id $id unsupported") // unreachable: parse rejects
             }
-            if (ds.filters.contains(2)) buf = unshuffle(buf, ds.dtype.size)
             if (buf.length != rawSize)
               fail(s"chunk at $child is ${buf.length} bytes, expected $rawSize")
             val vals = decode(buf, 0, chunkElems, ds.dtype)
