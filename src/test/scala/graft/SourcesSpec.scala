@@ -295,8 +295,31 @@ class SourcesSpec extends AnyFunSuite {
     * shuffle+deflate filters — edge chunks carry garbage outside the
     * dataspace that the reader must clip — plus a v3 _FillValue attr.
     * Cell value = t*100 + y*10 + x. */
-  private lazy val nc4fix2: Array[Byte] = {
+  private lazy val nc4fix2: Array[Byte] = nc4fix2Of(Seq(2, 1))
+
+  /** Same container, parameterized by filter-pipeline WRITE order:
+    * Seq(2, 1) = the standard shuffle-then-deflate, Seq(1, 2) = the
+    * unusual-but-legal deflate-then-shuffle (shuffle runs over the
+    * compressed bytes, whose length need not be a multiple of the
+    * element size — the tail stays in place). */
+  private def nc4fix2Of(order: Seq[Int]): Array[Byte] = {
     val dims = Seq(3, 2, 3); val cdims = Seq(2, 2, 2)
+    def shuffleBytes(in: Array[Byte]): Array[Byte] = {
+      val n = in.length / 8
+      val out = new Array[Byte](in.length)
+      for (i <- 0 until n; j <- 0 until 8) out(j * n + i) = in(i * 8 + j)
+      for (k <- n * 8 until in.length) out(k) = in(k) // tail untouched
+      out
+    }
+    def deflateBytes(in: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(in); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](256)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      out.toByteArray
+    }
     // chunks first (addresses depend on their compressed sizes)
     val chunkOffs = for (t <- Seq(0, 2); x <- Seq(0, 2)) yield Seq(t, 0, x)
     val payloads = chunkOffs.map { off =>
@@ -307,15 +330,11 @@ class SourcesSpec extends AnyFunSuite {
           if (t < dims(0) && y < dims(1) && x < dims(2)) t * 100.0 + y * 10.0 + x
           else -777.0) // outside the dataspace: must be clipped, never read
       }
-      val shuffled = new Array[Byte](64) // byte-plane transpose, elem size 8
-      for (i <- 0 until 8; j <- 0 until 8) shuffled(j * 8 + i) = raw.array()(i * 8 + j)
-      val d = new java.util.zip.Deflater()
-      d.setInput(shuffled); d.finish()
-      val out = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](256)
-      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-      d.end()
-      out.toByteArray
+      order.foldLeft(raw.array()) {
+        case (b, 2) => shuffleBytes(b)
+        case (b, 1) => deflateBytes(b)
+        case (_, f) => sys.error(s"fixture filter $f")
+      }
     }
     val sb = 0; val rootOh = 48; val dsOh = 76; val btree = 256
     val keySize = 8 + 8 * 4
@@ -351,10 +370,13 @@ class SourcesSpec extends AnyFunSuite {
     bb.putShort(0); bb.putShort(64) // bit offset / precision
     bb.put(52.toByte); bb.put(11.toByte); bb.put(0.toByte); bb.put(52.toByte) // exp/mantissa
     bb.putInt(1023) // exponent bias
-    bb.put(0x0B.toByte); bb.putShort(22); bb.put(0.toByte) // filter pipeline v2: shuffle, deflate
+    bb.put(0x0B.toByte); bb.putShort(22); bb.put(0.toByte) // filter pipeline v2, in `order`
     bb.put(2.toByte); bb.put(2.toByte)
-    bb.putShort(2); bb.putShort(0); bb.putShort(1); bb.putInt(8) // shuffle(elem=8)
-    bb.putShort(1); bb.putShort(0); bb.putShort(1); bb.putInt(6) // deflate(level)
+    order.foreach {
+      case 2 => bb.putShort(2); bb.putShort(0); bb.putShort(1); bb.putInt(8) // shuffle(elem=8)
+      case 1 => bb.putShort(1); bb.putShort(0); bb.putShort(1); bb.putInt(6) // deflate(level)
+      case f => sys.error(s"fixture filter $f")
+    }
     bb.put(0x0C.toByte); bb.putShort(52); bb.put(0.toByte) // attribute v3 _FillValue (f64 scalar)
     bb.put(3.toByte); bb.put(0.toByte); bb.putShort(11); bb.putShort(20); bb.putShort(4)
     bb.put(0.toByte) // name charset
@@ -420,6 +442,19 @@ class SourcesSpec extends AnyFunSuite {
       assert(data(t * 6 + y * 3 + x) == t * 100.0 + y * 10.0 + x,
         s"cell ($t,$y,$x) = ${data(t * 6 + y * 3 + x)}")
     assert(!data.contains(-777.0), "edge-chunk garbage leaked through clipping")
+  }
+
+  test("NetCDF-4 container with deflate-then-shuffle pipeline order decodes identically") {
+    // legal but unusual WRITE order [deflate, shuffle]: the reader
+    // must undo in reverse (unshuffle the compressed bytes — whose
+    // length is not a multiple of 8, exercising the tail path — then
+    // inflate), and land on the same grid as the standard order
+    val exotic = nc4fix2Of(Seq(1, 2))
+    val ds = sources.Hdf5Nc.parse(exotic).head
+    assert(ds.filters == Seq(1, 2)) // write order preserved
+    val data = sources.Hdf5Nc.readData(exotic, ds)
+    val std = sources.Hdf5Nc.readData(nc4fix2, sources.Hdf5Nc.parse(nc4fix2).head)
+    assert(data.toSeq == std.toSeq, "filter order must not change the decoded grid")
   }
 
   test("generic HDF5 walk opens the repo's own submission-writer files (uint16 chunked+deflate)") {
