@@ -181,6 +181,31 @@ object Netcdf {
       .toDF("path", "t", "y", "x", "raw", "valid_lo", "valid_hi", "fill_value")
   }
 
+  /** Multi-variable S2 scan: the [[readGrid]] long grid plus a `var`
+    * column, ALL requested variables decoded in ONE `binaryFile` pass
+    * over the files — the reference's static file carries
+    * latitude/longitude (+ elevation beside it) and its products can
+    * carry several variables (datasets.py:129-162, 182-198); at fleet
+    * scale a V-variable read costs one scan, not V. The per-variable
+    * header re-parse is noise next to the payload decode. */
+  def readGrids(spark: SparkSession, pathGlob: String, varNames: Seq[String]): DataFrame = {
+    require(varNames.nonEmpty, "readGrids needs at least one variable name")
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { files =>
+        files.flatMap { case (path, bytes) =>
+          varNames.iterator.flatMap { vn =>
+            val rows = if (Hdf5Nc.isHdf5(bytes)) Hdf5Nc.gridRows(path, bytes, vn)
+                       else gridRowsClassic(path, bytes, vn)
+            rows.map { case (p, t, y, x, raw, lo, hi, f) => (p, vn, t, y, x, raw, lo, hi, f) }
+          }
+        }
+      }
+      .toDF("path", "var", "t", "y", "x", "raw", "valid_lo", "valid_hi", "fill_value")
+  }
+
   /** Classic CDF-1/2 branch of [[readGrid]]. */
   private def gridRowsClassic(path: String, bytes: Array[Byte], varName: String)
       : Iterator[(String, Long, Long, Long, Double, Double, Double, Double)] = {

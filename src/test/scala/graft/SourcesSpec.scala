@@ -94,6 +94,37 @@ class SourcesSpec extends AnyFunSuite {
     (0 until 12).foreach(i => o.writeFloat(i * 1.5f))
   }
 
+  /** CDF-1, two variables over the same (y=2, x=3) grid — the
+    * reference's static-file shape (lat/lon/elevation in one file,
+    * datasets.py:129-162): `latitude` NC_FLOAT then `elevation`
+    * NC_SHORT with a _FillValue. */
+  private lazy val fix3: Array[Byte] = cdfBytes { (o, begin) =>
+    o.write(Array[Byte]('C', 'D', 'F', 1))
+    o.writeInt(0) // numrecs
+    o.writeInt(0x0A); o.writeInt(2) // NC_DIMENSION x2
+    ncName(o, "y"); o.writeInt(2)
+    ncName(o, "x"); o.writeInt(3)
+    o.writeInt(0); o.writeInt(0) // no global attrs
+    o.writeInt(0x0B); o.writeInt(2) // NC_VARIABLE x2
+    ncName(o, "latitude")
+    o.writeInt(2); o.writeInt(0); o.writeInt(1) // rank 2: dims y,x
+    o.writeInt(0); o.writeInt(0) // no attrs
+    o.writeInt(5) // NC_FLOAT
+    o.writeInt(24) // vsize: 6 x 4 bytes
+    o.writeInt(begin.toInt)
+    ncName(o, "elevation")
+    o.writeInt(2); o.writeInt(0); o.writeInt(1)
+    o.writeInt(0x0C); o.writeInt(1) // NC_ATTRIBUTE x1
+    ncName(o, "_FillValue"); o.writeInt(3); o.writeInt(1) // NC_SHORT x1
+    o.writeShort(-32767); o.writeShort(0) // value + pad
+    o.writeInt(3) // NC_SHORT
+    o.writeInt(12) // vsize: 6 x 2 bytes
+    o.writeInt(begin.toInt + 24)
+  } { o =>
+    Seq(60.1f, 60.2f, 60.3f, 59.1f, 59.2f, 59.3f).foreach(o.writeFloat)
+    Seq(5, 12, -32767, 44, 180, 7).foreach(o.writeShort)
+  }
+
   test("NetCDF header parse: dims, attrs, type, begin recovered from spec-built bytes") {
     val hdr = sources.Netcdf.parseHeader(fix1)
     assert(hdr.version == 1 && hdr.numRecs == 0)
@@ -427,6 +458,24 @@ class SourcesSpec extends AnyFunSuite {
       Seq(dirC, dirH).foreach { d =>
         d.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.delete(d)
       }
+    }
+  }
+
+  test("readGrids: multi-variable static file decodes in one pass with a var column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nc_static")
+    java.nio.file.Files.write(dir.resolve("static.nc"), fix3)
+    try {
+      val rows = sources.Netcdf.readGrids(spark, s"$dir/*.nc", Seq("latitude", "elevation"))
+        .orderBy("var", "y", "x").collect()
+      assert(rows.length == 12)
+      val lat = rows.filter(_.getString(1) == "latitude").map(_.getDouble(5)).toSeq
+      assert(lat == Seq(60.1f, 60.2f, 60.3f, 59.1f, 59.2f, 59.3f).map(_.toDouble))
+      val elev = rows.filter(_.getString(1) == "elevation")
+      assert(elev.map(_.getDouble(5)).toSeq == Seq(5.0, 12.0, -32767.0, 44.0, 180.0, 7.0))
+      assert(elev.forall(_.getDouble(8) == -32767.0), "elevation _FillValue")
+      assert(rows.forall(_.getLong(2) == 0L), "2-d vars pad t=0")
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.delete(dir)
     }
   }
 
