@@ -70,6 +70,25 @@ object Hdf5Nc {
     * trailing two dims → (y, x), third-from-last → t, 1-/2-d padded. */
   def gridRows(path: String, bytes: Array[Byte], varName: String)
       : Iterator[(String, Long, Long, Long, Double, Double, Double, Double)] = {
+    val (ds, (_, h, w), lo, hi, fill) = gridMeta(path, bytes, varName)
+    val data = readData(bytes, ds)
+    for (i <- data.indices.iterator) yield {
+      val ti = i / (h * w).toInt; val rem = i % (h * w).toInt
+      (path, ti.toLong, (rem / w).toLong, (rem % w).toLong, data(i), lo, hi, fill)
+    }
+  }
+
+  /** Header-only twin of [[gridRows]]: (t, h, w) + decode attrs with
+    * NO payload read — the no-`raw` path of the netcdf connector's
+    * column pruning. */
+  def gridShape(path: String, bytes: Array[Byte], varName: String)
+      : ((Long, Long, Long), Double, Double, Double) = {
+    val (_, thw, lo, hi, fill) = gridMeta(path, bytes, varName)
+    (thw, lo, hi, fill)
+  }
+
+  private def gridMeta(path: String, bytes: Array[Byte], varName: String)
+      : (Dataset, (Long, Long, Long), Double, Double, Double) = {
     val dss = parse(bytes)
     val ds = dss.find(d => d.path == varName || d.path.endsWith("/" + varName))
       .getOrElse(throw new IllegalArgumentException(
@@ -80,24 +99,18 @@ object Hdf5Nc {
     }
     require(shape.product == t * h * w,
       s"${ds.path}: rank-${shape.length} shape ${shape.mkString("x")} needs >3-d flattening")
-    val data = readData(bytes, ds)
     val vr = ds.attrs.get("valid_range").map { a =>
       require(a.values.length >= 2,
         s"$path ${ds.path}: valid_range attr must carry >=2 numeric values, got ${a.values.length}")
       a.values
     }
-    val lo = vr.map(_(0)); val hi = vr.map(_(1))
     val fill = ds.attrs.get("_FillValue").map { a =>
       require(a.values.nonEmpty,
         s"$path ${ds.path}: _FillValue attr must carry a numeric value")
       a.values(0)
     }
-    for (i <- data.indices.iterator) yield {
-      val ti = i / (h * w).toInt; val rem = i % (h * w).toInt
-      (path, ti.toLong, (rem / w).toLong, (rem % w).toLong, data(i),
-        lo.getOrElse(Double.NaN), hi.getOrElse(Double.NaN),
-        fill.getOrElse(Double.NaN))
-    }
+    (ds, (t, h, w), vr.map(_(0)).getOrElse(Double.NaN),
+      vr.map(_(1)).getOrElse(Double.NaN), fill.getOrElse(Double.NaN))
   }
 
   // ---- the spec walk ------------------------------------------------

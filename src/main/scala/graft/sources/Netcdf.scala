@@ -206,41 +206,64 @@ object Netcdf {
       .toDF("path", "var", "t", "y", "x", "raw", "valid_lo", "valid_hi", "fill_value")
   }
 
+  /** One file → long-grid rows for one variable, either `.nc`
+    * generation (shared by [[readGrid]]/[[readGrids]] and the
+    * `spark.read.format("netcdf")` connector). */
+  private[sources] def fileGridRows(path: String, bytes: Array[Byte], varName: String)
+      : Iterator[(String, Long, Long, Long, Double, Double, Double, Double)] =
+    if (Hdf5Nc.isHdf5(bytes)) Hdf5Nc.gridRows(path, bytes, varName)
+    else gridRowsClassic(path, bytes, varName)
+
   /** Classic CDF-1/2 branch of [[readGrid]]. */
   private def gridRowsClassic(path: String, bytes: Array[Byte], varName: String)
       : Iterator[(String, Long, Long, Long, Double, Double, Double, Double)] = {
-          val hdr = parseHeader(bytes)
-          val v = hdr.vars.find(_.name == varName).getOrElse(
-            throw new IllegalArgumentException(
-              s"$path has no variable '$varName'; has ${hdr.vars.map(_.name).mkString(", ")}"))
-          val shape = (if (v.isRecord) hdr.numRecs +: v.dims.tail.map(_.length)
-                       else v.dims.map(_.length)).map(_.toLong)
-          val (t, h, w) = shape.reverse.padTo(3, 1L).take(3) match {
-            case Seq(wd, ht, tm) => (tm, ht, wd)
-          }
-          require(shape.product == t * h * w,
-        s"${v.name}: rank-${shape.length} shape ${shape.mkString("x")} needs >3-d flattening")
-          val data = readVar(bytes, hdr, v)
-          val vr = v.attrs.get("valid_range").map { a =>
-            require(a.values.length >= 2,
-              s"$path ${v.name}: valid_range attr must carry >=2 numeric values, " +
-                s"got ${a.values.length} (nc_type ${a.ncType}" +
-                (if (a.ncType == NcChar) ", char-typed attrs have none" else "") + ")")
-            a.values
-          }
-          val lo = vr.map(_(0)); val hi = vr.map(_(1))
-          val fill = v.attrs.get("_FillValue").map { a =>
-            require(a.values.nonEmpty,
-              s"$path ${v.name}: _FillValue attr must carry a numeric value, " +
-                s"got none (nc_type ${a.ncType})")
-            a.values(0)
-          }
-          for (i <- data.indices.iterator) yield {
-            val ti = i / (h * w).toInt; val rem = i % (h * w).toInt
-            (path, ti.toLong, (rem / w).toLong, (rem % w).toLong, data(i),
-              lo.getOrElse(Double.NaN), hi.getOrElse(Double.NaN),
-              fill.getOrElse(Double.NaN))
-          }
+    val hdr = parseHeader(bytes)
+    val (v, (_, h, w), lo, hi, fill) = classicMeta(path, hdr, varName)
+    val data = readVar(bytes, hdr, v)
+    for (i <- data.indices.iterator) yield {
+      val ti = i / (h * w).toInt; val rem = i % (h * w).toInt
+      (path, ti.toLong, (rem / w).toLong, (rem % w).toLong, data(i), lo, hi, fill)
+    }
+  }
+
+  /** Header-only (t, h, w) + decode attrs for one variable of either
+    * `.nc` generation, NO payload read — the no-`raw` path of the
+    * netcdf connector's column pruning. */
+  private[sources] def gridShape(path: String, bytes: Array[Byte], varName: String)
+      : ((Long, Long, Long), Double, Double, Double) =
+    if (Hdf5Nc.isHdf5(bytes)) Hdf5Nc.gridShape(path, bytes, varName)
+    else {
+      val (_, thw, lo, hi, fill) = classicMeta(path, parseHeader(bytes), varName)
+      (thw, lo, hi, fill)
+    }
+
+  private def classicMeta(path: String, hdr: Header, varName: String)
+      : (Var, (Long, Long, Long), Double, Double, Double) = {
+    val v = hdr.vars.find(_.name == varName).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no variable '$varName'; has ${hdr.vars.map(_.name).mkString(", ")}"))
+    val shape = (if (v.isRecord) hdr.numRecs +: v.dims.tail.map(_.length)
+                 else v.dims.map(_.length)).map(_.toLong)
+    val (t, h, w) = shape.reverse.padTo(3, 1L).take(3) match {
+      case Seq(wd, ht, tm) => (tm, ht, wd)
+    }
+    require(shape.product == t * h * w,
+      s"${v.name}: rank-${shape.length} shape ${shape.mkString("x")} needs >3-d flattening")
+    val vr = v.attrs.get("valid_range").map { a =>
+      require(a.values.length >= 2,
+        s"$path ${v.name}: valid_range attr must carry >=2 numeric values, " +
+          s"got ${a.values.length} (nc_type ${a.ncType}" +
+          (if (a.ncType == NcChar) ", char-typed attrs have none" else "") + ")")
+      a.values
+    }
+    val fill = v.attrs.get("_FillValue").map { a =>
+      require(a.values.nonEmpty,
+        s"$path ${v.name}: _FillValue attr must carry a numeric value, " +
+          s"got none (nc_type ${a.ncType})")
+      a.values(0)
+    }
+    (v, (t, h, w), vr.map(_(0)).getOrElse(Double.NaN),
+      vr.map(_(1)).getOrElse(Double.NaN), fill.getOrElse(Double.NaN))
   }
 
   /** The reference's preprocess as one column (datasets.py:58-71 minus

@@ -479,6 +479,40 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("spark.read.format(netcdf): DSv2 connector matches readGrids; pruning skips payload decode") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nc_dsv2")
+    java.nio.file.Files.write(dir.resolve("static.nc"), fix3)
+    java.nio.file.Files.write(dir.resolve("temp.nc"), nc4fix1) // HDF5-container generation
+    try {
+      // multi-var over the classic file: identical rows to readGrids
+      // string-compare: the attr columns legitimately carry NaN, and
+      // NaN != NaN would fail element equality on identical rows
+      val viaFmt = spark.read.format("netcdf").option("vars", "latitude,elevation")
+        .load(s"$dir/static.nc").orderBy("var", "y", "x").collect().map(_.toSeq.toString)
+      val viaFn = sources.Netcdf.readGrids(spark, s"$dir/static.nc",
+        Seq("latitude", "elevation")).orderBy("var", "y", "x").collect().map(_.toSeq.toString)
+      assert(viaFmt.length == 12 && viaFmt.toSeq == viaFn.toSeq)
+      // glob across BOTH .nc generations in one load
+      val both = spark.read.format("netcdf").option("var", "temperature")
+        .load(s"$dir/temp.nc")
+      assert(both.count() == 12)
+      // pruned projection (no `raw`): header-only path, same cell set
+      val pruned = spark.read.format("netcdf").option("vars", "elevation")
+        .load(s"$dir/static.nc").select("var", "t", "y", "x", "fill_value")
+      assert(pruned.queryExecution.executedPlan.toString.contains("fill_value"),
+        "scan must carry the pruned schema")
+      val cells = pruned.collect()
+      assert(cells.length == 6 && cells.forall(_.getDouble(4) == -32767.0))
+      // missing vars option: loud
+      val e = intercept[Exception](
+        spark.read.format("netcdf").load(s"$dir/static.nc").collect())
+      assert(e.getMessage.contains("vars"), e.getMessage)
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.delete(dir)
+    }
+  }
+
   test("NetCDF-4 container (superblock v2, OHDR, chunked+shuffle+deflate): edge chunks clipped, attrs decoded") {
     val dss = sources.Hdf5Nc.parse(nc4fix2)
     assert(dss.map(_.path) == Seq("rr"))
