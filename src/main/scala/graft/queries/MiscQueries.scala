@@ -607,5 +607,85 @@ object MiscQueries {
              |       WHEN 4 THEN 2 ELSE 4 END AS INT) AS channels,
              |  'png' AS format, 33 AS byte_len
              |FROM documents""".stripMargin)),
+
+    // REAL pixel decode end-to-end: each row encodes a renderable PNG
+    // (zlib IDAT and all) through the JDK's own ImageIO writer with
+    // doc_id-derived dims and a per-pixel closed form, decodePixels
+    // runs the full ImageIO PNG codec back to rasters, and the graded
+    // output is exact per-channel long sums. The oracle recomputes the
+    // same sums from the closed form by enumerating (x, y) — so the
+    // hash pins the entire compressed-image round-trip, not header
+    // arithmetic. PNG is lossless: bit-exact by construction.
+    // Scan-stage mapPartitions (pack fused with decode in one
+    // WholeStageCodegen-adjacent stage), zero shuffles.
+    Q("m_image_pixels",
+      (s, d) => {
+        import s.implicits._
+        val media = T(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = (id % 8 + 4).toInt
+              val h = (id % 6 + 3).toInt
+              val png = graft.ops.Multimodal.packImage(w, h, "png") { (x, y) =>
+                val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+                (r << 16) | (((r + 85) % 256) << 8) | ((r + 170) % 256)
+              }
+              (id, png)
+            }
+          }.toDF("id", "payload")
+        graft.ops.Multimodal.imagePixelStats(s, media)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""WITH xs AS (SELECT unnest(range(0, 12)) AS x),
+             |     ys AS (SELECT unnest(range(0, 9)) AS y),
+             |     px AS (
+             |       SELECT d.doc_id,
+             |              CAST(d.doc_id % 8 + 4 AS INT) AS width,
+             |              CAST(d.doc_id % 6 + 3 AS INT) AS height,
+             |              (d.doc_id * 7 + xs.x * 3 + ys.y * 5) % 256 AS r
+             |       FROM documents d, xs, ys
+             |       WHERE xs.x < d.doc_id % 8 + 4 AND ys.y < d.doc_id % 6 + 3)
+             |SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+             |       CAST(sum(r) AS BIGINT) AS r_sum,
+             |       CAST(sum((r + 85) % 256) AS BIGINT) AS g_sum,
+             |       CAST(sum((r + 170) % 256) AS BIGINT) AS b_sum
+             |FROM px GROUP BY 1, 2, 3, 4""".stripMargin)),
+
+    // REAL multi-frame video-path decode: each row packs an animated
+    // GIF (the one multi-frame container with a JDK codec) whose gray
+    // frames follow a closed form, unpackVideo decodes every frame
+    // through ImageIO's GIF reader, and frame-level exact sums are
+    // graded. Gray <= 256 colors makes the palette encode lossless.
+    // One row per (doc, frame), all scan-stage, zero shuffles.
+    Q("m_gif_frames",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.flatMap { id =>
+              val nF = (id % 3 + 2).toInt
+              val frames = (0 until nF).map { f =>
+                Array.tabulate(16)(i => ((id + f * 31 + i * 7) % 256).toByte)
+              }
+              val gif = graft.ops.Multimodal.packGifFrames(frames, 4, 4)
+              graft.ops.Multimodal.unpackVideo(id, gif).map { fr =>
+                var sum = 0L; var sq = 0L
+                fr.pixels.foreach { b => val v = b & 0xff; sum += v; sq += v.toLong * v }
+                (id, fr.frameIdx, fr.h, fr.w, sum, sq)
+              }
+            }
+          }.toDF("doc_id", "frame_idx", "h", "w", "pix_sum", "pix_sq")
+      },
+      Some("""WITH fs AS (SELECT unnest(range(0, 4)) AS f),
+             |     ps AS (SELECT unnest(range(0, 16)) AS i),
+             |     px AS (
+             |       SELECT d.doc_id, fs.f, (d.doc_id + fs.f * 31 + ps.i * 7) % 256 AS v
+             |       FROM documents d, fs, ps
+             |       WHERE fs.f < d.doc_id % 3 + 2)
+             |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+             |       CAST(4 AS INT) AS h, CAST(4 AS INT) AS w,
+             |       CAST(sum(v) AS BIGINT) AS pix_sum,
+             |       CAST(sum(v * v) AS BIGINT) AS pix_sq
+             |FROM px GROUP BY 1, 2""".stripMargin)),
   )
 }
