@@ -195,5 +195,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_bottom_k(expr, k) takes a value and a literal k")
         BottomK(children.head, children(1)).toAggregateExpression()
       }))
+    // Spark's OWN bloom sketch pair (the expressions behind AQE runtime
+    // filters), surfaced by name: they are internal-only in the stock
+    // registry, but they are exactly the right machinery for exact
+    // prune-then-confirm pipelines (Dedup.bloomDecontamKeep).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_bloom_agg(xxhash64_value, est_items, num_bits) takes three arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_might_contain(bloom_bytes, xxhash64_value) takes two arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
   }
 }

@@ -303,5 +303,37 @@ object SimilarityQueries {
            |  (SELECT count(*) FROM ivf WHERE vec_id IN (SELECT vec_id FROM ex)),
            |  TRUE""".stripMargin
       }),
+
+    // semantic dedup END PRODUCT: the keep-list after embedding
+    // near-dup removal under the min-id policy — a vector is dropped
+    // iff some SMALLER-id vector in its LSH bucket has cosine >= thr.
+    // Candidates are bucket-confined (the 100 TB shape: no all-pairs),
+    // the threshold compares the 6-decimal-quantized cosine so the
+    // IEEE boundary can't flip between engines, and the drop-set
+    // anti-join is the same one-pass derivation d_dedup_keep uses.
+    // Transitive-closure semantics are available by composing the
+    // already-graded dupClusters + keepList over these pairs.
+    Q("e_semantic_keep",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            vectors.hyperplaneBucket(col("embedding"), AnnBits, Dim).as("bucket"))
+        val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+        val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+        val drop = a.join(b, "bucket")
+          .where(col("vec_a") < col("vec_b") &&
+            qround(vectors.cosine(col("va"), col("vb")), 6) >= 0.40)
+          .select(col("vec_b").as("vec_id")).distinct()
+        emb.select(col("vec_id")).join(drop, Seq("vec_id"), "left_anti")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+              |            ${bucketSql("CAST(embedding AS DOUBLE[])", AnnBits)} AS bucket
+              |          FROM embeddings),
+              |dropped AS (SELECT DISTINCT b.vec_id
+              |            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |            WHERE (floor((${cosSql("a.ve", "b.ve")}) * 1000000 + 0.5e0)
+              |                   / 1000000.0e0) >= 0.40)
+              |SELECT vec_id FROM embeddings
+              |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin)),
   )
 }

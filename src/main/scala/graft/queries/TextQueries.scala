@@ -279,6 +279,46 @@ object TextQueries {
              |FROM corpus GROUP BY doc_id
              |HAVING count(*) FILTER (WHERE s IN (SELECT s FROM bench)) > 0""".stripMargin)),
 
+    // decontamination END PRODUCT with a Bloom prefilter: the clean
+    // keep-list (corpus docs sharing no 5-gram with the benchmark
+    // slice). The Bloom sketch — Spark's own BloomFilterAggregate /
+    // BloomFilterMightContain pair, surfaced as graft_bloom_agg /
+    // graft_might_contain — prunes corpus shingles in the scan stage
+    // BEFORE any join; the exact-confirm semi-join then removes false
+    // positives, so the graded result is EXACT and the oracle is the
+    // plain exact SQL (no within_bound weakening needed: Bloom has no
+    // false negatives). Docs too short to shingle survive trivially.
+    Q("t_bloom_decontam",
+      (s, d) => Dedup.bloomDecontamKeep(T(s, d, "documents"),
+        col("text"), col("doc_id"), col("doc_id") % 50 === 0, shingleK = 5),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 4),
+             |         i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]))) AS s
+             |       FROM toks WHERE len(tk) >= 5),
+             |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+             |contaminated AS (SELECT DISTINCT doc_id FROM sh
+             |                 WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM bench))
+             |SELECT doc_id FROM documents
+             |WHERE doc_id % 50 <> 0
+             |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin)),
+
+    // exact substring duplication (Lee et al. 2021, stride form):
+    // 40-char windows every 10 chars, one equi-join on window equality
+    // — doc pairs sharing an aligned duplicated span, with the shared
+    // window count. Scan-stage explode, distinct with map-side
+    // combine, never all-pairs.
+    Q("d_substr_dup",
+      (s, d) => Dedup.substrDupPairs(T(s, d, "documents"),
+        col("text"), col("doc_id"), winLen = 40, stride = 10),
+      Some("""WITH w AS (
+             |  SELECT DISTINCT doc_id, substr(text, CAST(i * 10 + 1 AS BIGINT), 40) AS s
+             |  FROM documents, range(0, 200) t(i)
+             |  WHERE length(text) >= 40 AND i <= (length(text) - 40) // 10)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(count(*) AS BIGINT) AS n_windows
+             |FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2""".stripMargin)),
+
     // within-doc repetition (Gopher-style quality rule): fraction of
     // repeated 2-grams = 1 - distinct/total. One doc-keyed shuffle;
     // boilerplate/spam scores high, clean prose near 0.

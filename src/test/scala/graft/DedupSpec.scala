@@ -264,4 +264,45 @@ class DedupSpec extends AnyFunSuite {
       .select(size(text.shingles($"text", 3)).as("n")).collect()(0).getInt(0)
     assert(s == 0)
   }
+
+  test("bloomDecontamKeep: bloom prune + exact confirm equals the plain exact keep-list") {
+    // bench doc 10 shares a 5-gram with docs 1/2/3 (same base text);
+    // doc 4 and the short doc 6 are clean
+    val corpus = docs.union(Seq(
+      (6L, "too short"),
+      (10L, base + " with a benchmark suffix")).toDF("doc_id", "text"))
+    val keep = Dedup.bloomDecontamKeep(corpus, $"text", $"doc_id",
+      $"doc_id" === 10L, shingleK = 5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keep == Seq(4L, 5L, 6L), s"got $keep")
+
+    // exactness under a DELIBERATELY tiny, collision-heavy filter:
+    // false positives must be confirmed away, never surfacing
+    val keepTiny = Dedup.bloomDecontamKeep(corpus, $"text", $"doc_id",
+      $"doc_id" === 10L, shingleK = 5, estItems = 4L, numBits = 64L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keepTiny == Seq(4L, 5L, 6L), s"tiny-filter run diverged: $keepTiny")
+  }
+
+  test("bloomDecontamKeep: empty benchmark slice keeps the whole corpus") {
+    val keep = Dedup.bloomDecontamKeep(docs, $"text", $"doc_id",
+      $"doc_id" === 999L, shingleK = 5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keep == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("substrDupPairs: exact dup shares all aligned windows; unrelated docs never pair") {
+    val winLen = 40; val stride = 10
+    val expWindows = (0 to (base.length - winLen) / stride)
+      .map(i => base.substring(i * stride, i * stride + winLen)).distinct.size
+    val pairs = Dedup.substrDupPairs(docs, $"text", $"doc_id", winLen, stride)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 == expWindows.toLong), s"exact-dup pair: $exact, want $expWindows")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: ${pairs.toSeq}")
+    // near-dup (doc 3, one word changed) shares the windows before the
+    // edit but not all of them
+    val near = pairs.filter(p => p._2 == 3L || p._1 == 3L)
+    near.foreach(p => assert(p._3 < expWindows, s"near-dup shares all windows? $p"))
+  }
 }

@@ -215,4 +215,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"),
       "binary decode must stay embarrassingly parallel:\n" + p.take(1200))
   }
+
+  test("m_image_pixels / m_gif_frames: real codec round-trips stay scan-stage") {
+    val p1 = finalPlan("m_image_pixels")
+    assert(!p1.contains("Exchange"),
+      "PNG encode+decode must stay embarrassingly parallel:\n" + p1.take(1200))
+    val p2 = finalPlan("m_gif_frames")
+    assert(!p2.contains("Exchange"),
+      "GIF frame decode must stay embarrassingly parallel:\n" + p2.take(1200))
+  }
+
+  test("t_bloom_decontam: bloom prunes in the scan; bench side broadcasts; no corpus self-join") {
+    val p = finalPlan("t_bloom_decontam")
+    assert(p.contains("might_contain"),
+      "the bloom predicate must sit in the corpus scan stage:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "exact confirm must be a broadcast semi-join:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("d_substr_dup: window-equality pairs are an equi-join, never all-pairs") {
+    val p = finalPlan("d_substr_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "substring pairing must key on the window, not cross-join:\n" + p.take(1200))
+  }
+
+  test("e_semantic_keep: near-dup candidates are bucket-confined") {
+    val p = finalPlan("e_semantic_keep")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "semantic dedup must pair within LSH buckets only:\n" + p.take(1200))
+  }
 }
