@@ -605,24 +605,26 @@ object Multimodal {
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      // interlaceFlag FALSE: the JDK writer's default interlaced
+      // encode scrambles rows on heights not divisible by the pass
+      // structure (verified empirically: 4-row frames come back
+      // [row0, row3, row1, zeros]); sequential storage round-trips.
+      // Metadata depends only on the image type — built once, reused
+      // for every frame.
+      val md = writer.getDefaultImageMetadata(
+        javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
+      val fmt = md.getNativeMetadataFormatName
+      val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val descs = root.getElementsByTagName("ImageDescriptor")
+      (0 until descs.getLength).foreach { i =>
+        descs.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          .setAttribute("interlaceFlag", "FALSE")
+      }
+      md.setFromTree(fmt, root)
       frames.foreach { px =>
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
         img.getRaster.setDataElements(0, 0, w, h, px)
-        // interlaceFlag FALSE: the JDK writer's default interlaced
-        // encode scrambles rows on heights not divisible by the pass
-        // structure (verified empirically: 4-row frames come back
-        // [row0, row3, row1, zeros]); sequential storage round-trips
-        val md = writer.getDefaultImageMetadata(
-          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
-        val fmt = md.getNativeMetadataFormatName
-        val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-        val descs = root.getElementsByTagName("ImageDescriptor")
-        (0 until descs.getLength).foreach { i =>
-          descs.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-            .setAttribute("interlaceFlag", "FALSE")
-        }
-        md.setFromTree(fmt, root)
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
       }
       writer.endWriteSequence()

@@ -20,7 +20,8 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    never misread;
   *  - dataset layouts (v3): contiguous, compact, and chunked with
   *    B-tree v1 chunk indexes at any level, edge chunks clipped to
-  *    the dataspace, deflate and shuffle filters;
+  *    the dataspace, deflate, shuffle and fletcher32 (checksum
+  *    verified, mismatch is loud) filters in any pipeline order;
   *  - datatypes: fixed-point 1/2/4/8-byte signed/unsigned and IEEE
   *    float32/64, both endiannesses; fixed-length strings in attrs;
   *  - attribute messages v1/v2/v3 (`valid_range`, `_FillValue`, ...);
@@ -359,8 +360,9 @@ object Hdf5Nc {
       }
       if (dims == null || dt == null || layoutClass < 0)
         fail(s"dataset $path missing dataspace/datatype/layout message")
-      filters.foreach(id => if (id != 1 && id != 2)
-        fail(s"dataset $path: filter id $id unsupported (deflate=1, shuffle=2 only)"))
+      filters.foreach(id => if (id != 1 && id != 2 && id != 3)
+        fail(s"dataset $path: filter id $id unsupported " +
+          "(deflate=1, shuffle=2, fletcher32=3 only)"))
       Dataset(path, dims, dt, layoutClass, dataAddr, dataSize, chunkDims, filters, attrs.result())
     }
 
@@ -396,6 +398,39 @@ object Hdf5Nc {
       // HDF5's shuffle leaves a non-multiple tail untouched
       while (idx < in.length) { out(idx) = in(idx); idx += 1 }
       out
+    }
+
+    /** HDF5's Fletcher-32 (`H5_checksum_fletcher32`): 16-bit words
+      * packed BIG-endian (hi byte first — the opposite of the textbook
+      * little-endian Fletcher-32, so standard test vectors do NOT
+      * apply), accumulated in 360-word blocks with shift-folds — 360
+      * is the largest block for which the C library's uint32 sums
+      * cannot overflow, so plain long accumulation reproduces it
+      * bit-for-bit. An odd trailing byte contributes `byte << 8`. */
+    private def fletcher32(b: Array[Byte], len: Int): Long = {
+      var sum1 = 0L; var sum2 = 0L
+      var i = 0
+      var words = len / 2
+      while (words > 0) {
+        var t = math.min(words, 360).toInt
+        words -= t
+        while (t > 0) {
+          sum1 += ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+          sum2 += sum1
+          i += 2; t -= 1
+        }
+        sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+        sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+      }
+      if ((len & 1) != 0) {
+        sum1 += (b(i) & 0xff) << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+        sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+      ((sum2 & 0xffffL) << 16) | (sum1 & 0xffffL)
     }
 
     def readData(ds: Dataset): Array[Double] = {
@@ -446,20 +481,37 @@ object Hdf5Nc {
             // the pipeline message lists filters in WRITE order; undo
             // them in reverse so an unusual-but-legal order (e.g.
             // shuffle applied after deflate) decodes correctly too
-            ds.filters.reverseIterator.foreach {
-              case 1 => // inflate
+            ds.filters.zipWithIndex.reverseIterator.foreach { case (fid, wi) => fid match {
+              case 1 => // inflate — an inner fletcher32 (earlier in
+                // write order) rides UNDER the compression, so the
+                // expected plaintext carries its 4-byte trailer still
+                val expect = rawSize + 4 * ds.filters.take(wi).count(_ == 3)
                 val inf = new java.util.zip.Inflater()
                 try {
                   inf.setInput(buf)
-                  val o = new Array[Byte](rawSize)
-                  val got = inf.inflate(o)
-                  if (got != rawSize || !inf.finished())
-                    fail(s"chunk at $child inflated to $got of $rawSize bytes")
+                  val o = new Array[Byte](expect)
+                  val got =
+                    try inf.inflate(o)
+                    catch { case e: java.util.zip.DataFormatException =>
+                      fail(s"chunk at $child is not a zlib stream (${e.getMessage}): corrupt chunk")
+                    }
+                  if (got != expect || !inf.finished())
+                    fail(s"chunk at $child inflated to $got of $expect bytes")
                   buf = o
                 } finally inf.end() // native memory — freed even on the fail path
               case 2 => buf = unshuffle(buf, ds.dtype.size)
+              case 3 => // fletcher32: verify the appended checksum, strip it
+                if (buf.length < 4) fail(s"chunk at $child too short for a fletcher32 trailer")
+                val dataLen = buf.length - 4
+                val stored = (buf(dataLen) & 0xffL) | ((buf(dataLen + 1) & 0xffL) << 8) |
+                  ((buf(dataLen + 2) & 0xffL) << 16) | ((buf(dataLen + 3) & 0xffL) << 24)
+                val computed = fletcher32(buf, dataLen)
+                if (computed != stored)
+                  fail(f"chunk at $child fletcher32 mismatch: " +
+                    f"stored 0x$stored%08x computed 0x$computed%08x (corrupt chunk)")
+                buf = java.util.Arrays.copyOf(buf, dataLen)
               case id => fail(s"filter id $id unsupported") // unreachable: parse rejects
-            }
+            } }
             if (buf.length != rawSize)
               fail(s"chunk at $child is ${buf.length} bytes, expected $rawSize")
             val vals = decode(buf, 0, chunkElems, ds.dtype)

@@ -332,9 +332,30 @@ class SourcesSpec extends AnyFunSuite {
     * Seq(2, 1) = the standard shuffle-then-deflate, Seq(1, 2) = the
     * unusual-but-legal deflate-then-shuffle (shuffle runs over the
     * compressed bytes, whose length need not be a multiple of the
-    * element size — the tail stays in place). */
+    * element size — the tail stays in place), 3 anywhere = fletcher32
+    * (appends the HDF5-variant checksum trailer the reader must
+    * verify and strip). The fixture-side fletcher is reimplemented
+    * from the spec independently of the reader's. */
   private def nc4fix2Of(order: Seq[Int]): Array[Byte] = {
     val dims = Seq(3, 2, 3); val cdims = Seq(2, 2, 2)
+    def fletcherBytes(in: Array[Byte]): Array[Byte] = {
+      // independent spec reimplementation: 16-bit BE words, mod-65535
+      // folds (no block needed at fixture sizes), LE 4-byte trailer
+      var s1 = 0L; var s2 = 0L; var i = 0
+      while (i + 1 < in.length) {
+        s1 = (s1 + (((in(i) & 0xff) << 8) | (in(i + 1) & 0xff))) % 65535
+        s2 = (s2 + s1) % 65535
+        i += 2
+      }
+      if (i < in.length) { s1 = (s1 + ((in(i) & 0xff) << 8)) % 65535; s2 = (s2 + s1) % 65535 }
+      val ck = (s2 << 16) | s1
+      val out = java.util.Arrays.copyOf(in, in.length + 4)
+      out(in.length) = ck.toByte
+      out(in.length + 1) = (ck >> 8).toByte
+      out(in.length + 2) = (ck >> 16).toByte
+      out(in.length + 3) = (ck >> 24).toByte
+      out
+    }
     def shuffleBytes(in: Array[Byte]): Array[Byte] = {
       val n = in.length / 8
       val out = new Array[Byte](in.length)
@@ -364,14 +385,20 @@ class SourcesSpec extends AnyFunSuite {
       order.foldLeft(raw.array()) {
         case (b, 2) => shuffleBytes(b)
         case (b, 1) => deflateBytes(b)
+        case (b, 3) => fletcherBytes(b)
         case (_, f) => sys.error(s"fixture filter $f")
       }
     }
-    val sb = 0; val rootOh = 48; val dsOh = 76; val btree = 256
+    // fletcher32 carries no client values: a 6-byte v2 pipeline entry
+    // vs 10 for shuffle/deflate — offsets below shift with the order
+    val pipeSize = 2 + order.map(f => if (f == 3) 6 else 10).sum
+    val dsChunk0 = 147 + pipeSize // 169 for the two-filter form
+    val sb = 0; val rootOh = 48; val dsOh = 76
+    val btree = dsOh + 7 + dsChunk0 + 4
     val keySize = 8 + 8 * 4
     val btreeSize = 24 + payloads.length * (keySize + 8) + keySize
-    assert(btree + btreeSize == 512)
-    val chunkAddrs = payloads.scanLeft(512L)((a, p) => a + p.length).init
+    val dataStart = (btree + btreeSize).toLong
+    val chunkAddrs = payloads.scanLeft(dataStart)((a, p) => a + p.length).init
     val eof = chunkAddrs.last + payloads.last.length
     val bb = java.nio.ByteBuffer.allocate(eof.toInt).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     // superblock v2 (checksums unverified by the reader: zeros)
@@ -391,7 +418,7 @@ class SourcesSpec extends AnyFunSuite {
     assert(bb.position() == dsOh)
     // dataset OHDR v2: dataspace v2, datatype f64, filters v2, attr v3, layout
     bb.put("OHDR".getBytes); bb.put(2.toByte); bb.put(0.toByte)
-    bb.put(169.toByte)
+    bb.put(dsChunk0.toByte)
     bb.put(0x01.toByte); bb.putShort(28); bb.put(0.toByte) // dataspace v2 rank 3 simple
     bb.put(2.toByte); bb.put(3.toByte); bb.put(0.toByte); bb.put(1.toByte)
     dims.foreach(d => bb.putLong(d.toLong))
@@ -401,11 +428,12 @@ class SourcesSpec extends AnyFunSuite {
     bb.putShort(0); bb.putShort(64) // bit offset / precision
     bb.put(52.toByte); bb.put(11.toByte); bb.put(0.toByte); bb.put(52.toByte) // exp/mantissa
     bb.putInt(1023) // exponent bias
-    bb.put(0x0B.toByte); bb.putShort(22); bb.put(0.toByte) // filter pipeline v2, in `order`
-    bb.put(2.toByte); bb.put(2.toByte)
+    bb.put(0x0B.toByte); bb.putShort(pipeSize.toShort); bb.put(0.toByte) // filter pipeline v2, in `order`
+    bb.put(2.toByte); bb.put(order.length.toByte)
     order.foreach {
       case 2 => bb.putShort(2); bb.putShort(0); bb.putShort(1); bb.putInt(8) // shuffle(elem=8)
       case 1 => bb.putShort(1); bb.putShort(0); bb.putShort(1); bb.putInt(6) // deflate(level)
+      case 3 => bb.putShort(3); bb.putShort(0); bb.putShort(0) // fletcher32 (no client data)
       case f => sys.error(s"fixture filter $f")
     }
     bb.put(0x0C.toByte); bb.putShort(52); bb.put(0.toByte) // attribute v3 _FillValue (f64 scalar)
@@ -433,7 +461,7 @@ class SourcesSpec extends AnyFunSuite {
     }
     bb.putInt(0); bb.putInt(0) // upper-bound key
     Seq(3L, 2L, 3L, 0L).foreach(bb.putLong)
-    bb.position(512)
+    bb.position(dataStart.toInt)
     payloads.foreach(bb.put)
     assert(bb.position() == eof)
     bb.array()
@@ -538,6 +566,45 @@ class SourcesSpec extends AnyFunSuite {
     val data = sources.Hdf5Nc.readData(exotic, ds)
     val std = sources.Hdf5Nc.readData(nc4fix2, sources.Hdf5Nc.parse(nc4fix2).head)
     assert(data.toSeq == std.toSeq, "filter order must not change the decoded grid")
+  }
+
+  test("NetCDF-4 fletcher32 filter: checksum verified and stripped; corruption is loud") {
+    // netCDF4's usual write order: fletcher32 first, then shuffle,
+    // then deflate (the checksum rides under the compression, so the
+    // reader strips it LAST after inflate+unshuffle)
+    val withCk = nc4fix2Of(Seq(3, 2, 1))
+    val ds = sources.Hdf5Nc.parse(withCk).head
+    assert(ds.filters == Seq(3, 2, 1))
+    val data = sources.Hdf5Nc.readData(withCk, ds)
+    val std = sources.Hdf5Nc.readData(nc4fix2, sources.Hdf5Nc.parse(nc4fix2).head)
+    assert(data.toSeq == std.toSeq, "fletcher32 must be transparent on intact data")
+
+    // checksum OUTSIDE the compression (write order [shuffle, deflate,
+    // fletcher32]): stripped first, over the compressed bytes
+    val outer = nc4fix2Of(Seq(2, 1, 3))
+    val dataOuter = sources.Hdf5Nc.readData(outer, sources.Hdf5Nc.parse(outer).head)
+    assert(dataOuter.toSeq == std.toSeq)
+
+    // flip a byte of the OUTER checksum trailer (last 4 bytes of the
+    // last chunk): the fletcher mismatch must be loud, never a
+    // silently-wrong grid
+    val corruptOuter = outer.clone()
+    corruptOuter(corruptOuter.length - 2) = (corruptOuter(corruptOuter.length - 2) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException] {
+      sources.Hdf5Nc.readData(corruptOuter, sources.Hdf5Nc.parse(corruptOuter).head)
+    }
+    assert(e.getMessage.contains("fletcher32"), s"got: ${e.getMessage}")
+
+    // flip a byte under the compression (inner-checksum form): zlib
+    // breaks first, and the reader must surface that loudly too —
+    // a contract IllegalArgumentException, not a raw zip exception
+    val corruptInner = withCk.clone()
+    corruptInner(corruptInner.length - 3) = (corruptInner(corruptInner.length - 3) ^ 0x40).toByte
+    val e2 = intercept[IllegalArgumentException] {
+      sources.Hdf5Nc.readData(corruptInner, sources.Hdf5Nc.parse(corruptInner).head)
+    }
+    assert(e2.getMessage.contains("corrupt") || e2.getMessage.contains("inflated") ||
+      e2.getMessage.contains("fletcher32"), s"got: ${e2.getMessage}")
   }
 
   test("generic HDF5 walk opens the repo's own submission-writer files (uint16 chunked+deflate)") {
