@@ -422,14 +422,19 @@ object Dedup {
                         benchPred: Column, shingleK: Int,
                         estItems: Long = 100000L,
                         numBits: Long = 1L << 20): DataFrame = {
+    // persisted: the distinct shingle set feeds BOTH the driver-side
+    // bloom aggregate (an eager action) and the lazy exact-confirm
+    // semi-join — without the persist the bench slice is scanned,
+    // split and deduped twice
     val benchSh = shingleRows(docs.where(benchPred), textCol, idCol, shingleK)
       .select(col("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bf = benchSh
       .agg(call_function("graft_bloom_agg",
         xxhash64(col("s")), lit(estItems), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val corpus = docs.where(!benchPred).select(idCol.as("doc_id"), textCol.as("_t"))
-    if (bf == null) return corpus.select(col("doc_id"))
+    if (bf == null) { benchSh.unpersist(); return corpus.select(col("doc_id")) }
     val maybe = shingleRows(corpus, col("_t"), col("doc_id"), shingleK)
       .where(call_function("graft_might_contain", lit(bf), xxhash64(col("s"))))
     val contaminated = maybe.join(broadcast(benchSh), Seq("s"), "left_semi")

@@ -473,33 +473,43 @@ object Multimodal {
         java.awt.color.ColorSpace.TYPE_GRAY
       if (gray) {
         // raw raster samples, NOT getRGB: getRGB color-converts the
-        // linear gray space to sRGB (gamma), silently rewriting values
+        // linear gray space to sRGB (gamma), silently rewriting
+        // values. Bulk getSamples (one call, not w*h virtual calls) —
+        // this is per-split scan-stage work at corpus scale.
+        val samples = img.getRaster.getSamples(0, 0, w, h, 0, null: Array[Int])
+        // normalize sample depth to 8 bits: 16-bit gray scales down
+        // (>> 8), sub-byte depths (1/2/4-bit) scale up to full range
+        // (a 1-bit white must be 255, not 1) — truncating the low
+        // byte or keeping raw indices would be silently wrong values
+        val depth = img.getColorModel.getComponentSize(0)
         val out = new Array[Byte](w * h)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            out(y * w + x) = raster.getSample(x, y, 0).toByte
-            x += 1
+        var i = 0
+        if (depth == 8) {
+          while (i < out.length) { out(i) = samples(i).toByte; i += 1 }
+        } else if (depth == 16) {
+          while (i < out.length) { out(i) = (samples(i) >> 8).toByte; i += 1 }
+        } else if (depth < 8) {
+          val maxv = (1 << depth) - 1
+          while (i < out.length) {
+            out(i) = ((samples(i) * 255 + maxv / 2) / maxv).toByte
+            i += 1
           }
-          y += 1
+        } else {
+          throw new IllegalArgumentException(
+            s"payload for id=$id has unsupported gray sample depth $depth")
         }
         Some(ImagePixels(id, w, h, 1, out))
       } else {
+        // one bulk sRGB conversion call for the whole raster
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
         val out = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val o = (y * w + x) * 3
-            out(o) = ((rgb >> 16) & 0xff).toByte
-            out(o + 1) = ((rgb >> 8) & 0xff).toByte
-            out(o + 2) = (rgb & 0xff).toByte
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < rgb.length) {
+          val v = rgb(i)
+          out(i * 3) = ((v >> 16) & 0xff).toByte
+          out(i * 3 + 1) = ((v >> 8) & 0xff).toByte
+          out(i * 3 + 2) = (v & 0xff).toByte
+          i += 1
         }
         Some(ImagePixels(id, w, h, 3, out))
       }
@@ -515,12 +525,14 @@ object Multimodal {
     javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { img.setRGB(x, y, pix(x, y)); x += 1 }
+      while (x < w) { rgb(y * w + x) = pix(x, y); x += 1 }
       y += 1
     }
+    img.setRGB(0, 0, w, h, rgb, 0, w) // one bulk store, not w*h calls
     val bos = new java.io.ByteArrayOutputStream()
     require(javax.imageio.ImageIO.write(img, fmt, bos),
       s"no ImageIO writer for format '$fmt'")
@@ -636,36 +648,50 @@ object Multimodal {
   }
 
   /** Decode a GRFV payload into frames; animated GIF payloads decode
-    * through the REAL JDK codec (every frame, gray); other non-GRFV
-    * payloads become one deterministic stub frame (pixels = cyclic
-    * payload bytes at the stub codec's fake dims) so mixed media
-    * columns never throw. */
+    * through the REAL JDK codec — every frame, gray via integer
+    * Rec.601 luma ((299r+587g+114b+500)/1000), which degenerates to
+    * the exact palette value when r==g==b, so [[packGifFrames]]
+    * round-trips bit-exactly while color GIFs get a defined luma
+    * conversion instead of a silently-wrong single channel. Other
+    * non-GRFV payloads — and GIF-magic payloads the codec rejects
+    * (truncated/garbage bytes) — become one deterministic stub frame
+    * (pixels = cyclic payload bytes at the stub codec's fake dims) so
+    * mixed media columns never throw. */
   def unpackVideo(id: Long, payload: Array[Byte]): Iterator[Frame] =
     if (isGif(payload)) {
-      javax.imageio.ImageIO.setUseCache(false)
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
       try {
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        require(n > 0, s"GIF payload has no frames (id=$id)")
-        (0 until n).map { i =>
-          val img = reader.read(i)
-          val h = img.getHeight; val w = img.getWidth
-          val px = new Array[Byte](h * w)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            // palette -> sRGB -> gray: GIF gray palettes have r==g==b
-            while (x < w) { px(y * w + x) = (img.getRGB(x, y) & 0xff).toByte; x += 1 }
-            y += 1
-          }
-          Frame(id, i, h, w, px)
-        }.iterator
-      } finally {
-        reader.dispose()
-        iis.close()
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          require(n > 0, s"GIF payload has no frames (id=$id)")
+          // materialize eagerly so a frame-level decode failure is
+          // caught HERE and falls back, not at iterator consumption
+          (0 until n).map { i =>
+            val img = reader.read(i)
+            val h = img.getHeight; val w = img.getWidth
+            val rgb = img.getRGB(0, 0, w, h, null, 0, w) // one bulk call
+            val px = new Array[Byte](h * w)
+            var j = 0
+            while (j < rgb.length) {
+              val v = rgb(j)
+              px(j) = ((((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
+                (v & 0xff) * 114 + 500) / 1000).toByte
+              j += 1
+            }
+            Frame(id, i, h, w, px)
+          }.toVector.iterator
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) =>
+        val s = decodeStub(id, payload)
+        val px = Array.tabulate(s.height * s.width)(i => payload(i % payload.length))
+        Iterator.single(Frame(id, 0, s.height, s.width, px))
       }
     } else if (isVideo(payload)) {
       val bb = java.nio.ByteBuffer.wrap(payload)

@@ -310,10 +310,12 @@ object TextQueries {
     Q("d_substr_dup",
       (s, d) => Dedup.substrDupPairs(T(s, d, "documents"),
         col("text"), col("doc_id"), winLen = 40, stride = 10),
-      Some("""WITH w AS (
-             |  SELECT DISTINCT doc_id, substr(text, CAST(i * 10 + 1 AS BIGINT), 40) AS s
-             |  FROM documents, range(0, 200) t(i)
-             |  WHERE length(text) >= 40 AND i <= (length(text) - 40) // 10)
+      Some("""WITH w0 AS (
+             |  SELECT doc_id, text,
+             |         unnest(range(0, (length(text) - 40) // 10 + 1)) AS i
+             |  FROM documents WHERE length(text) >= 40),
+             |w AS (SELECT DISTINCT doc_id,
+             |        substr(text, CAST(i * 10 + 1 AS BIGINT), 40) AS s FROM w0)
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |       CAST(count(*) AS BIGINT) AS n_windows
              |FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id

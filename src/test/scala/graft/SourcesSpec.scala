@@ -339,16 +339,23 @@ class SourcesSpec extends AnyFunSuite {
   private def nc4fix2Of(order: Seq[Int]): Array[Byte] = {
     val dims = Seq(3, 2, 3); val cdims = Seq(2, 2, 2)
     def fletcherBytes(in: Array[Byte]): Array[Byte] = {
-      // independent spec reimplementation: 16-bit BE words, mod-65535
-      // folds (no block needed at fixture sizes), LE 4-byte trailer
+      // independent spec reimplementation: 16-bit BE words, LE 4-byte
+      // trailer. Plain long accumulation + one final reduction (no
+      // 360-word blocks needed at fixture sizes). The C library's
+      // shift-folds are congruent mod 65535 but land on 0xFFFF — not
+      // 0 — when a nonzero sum is an exact multiple of 65535 (folds
+      // never map nonzero to zero); mirror that edge so the writer
+      // and the fold-faithful reader can never disagree on any input.
       var s1 = 0L; var s2 = 0L; var i = 0
       while (i + 1 < in.length) {
-        s1 = (s1 + (((in(i) & 0xff) << 8) | (in(i + 1) & 0xff))) % 65535
-        s2 = (s2 + s1) % 65535
+        s1 += ((in(i) & 0xff) << 8) | (in(i + 1) & 0xff)
+        s2 += s1
         i += 2
       }
-      if (i < in.length) { s1 = (s1 + ((in(i) & 0xff) << 8)) % 65535; s2 = (s2 + s1) % 65535 }
-      val ck = (s2 << 16) | s1
+      if (i < in.length) { s1 += (in(i) & 0xff) << 8; s2 += s1 }
+      def reduce(raw: Long): Long =
+        if (raw > 0 && raw % 65535 == 0) 65535L else raw % 65535
+      val ck = (reduce(s2) << 16) | reduce(s1)
       val out = java.util.Arrays.copyOf(in, in.length + 4)
       out(in.length) = ck.toByte
       out(in.length + 1) = (ck >> 8).toByte
@@ -605,6 +612,22 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("corrupt") || e2.getMessage.contains("inflated") ||
       e2.getMessage.contains("fletcher32"), s"got: ${e2.getMessage}")
+
+    // and the whole stack: the DSv2 connector reads the checksummed
+    // file through the same spec-walk
+    val dir = java.nio.file.Files.createTempDirectory("graft_nc_fletcher")
+    java.nio.file.Files.write(dir.resolve("ck.nc"), withCk)
+    try {
+      val rows = spark.read.format("netcdf").option("var", "rr")
+        .load(s"$dir/ck.nc").orderBy("t", "y", "x").collect()
+      assert(rows.length == 18)
+      assert(rows.forall { r =>
+        r.getAs[Double]("raw") ==
+          r.getAs[Long]("t") * 100.0 + r.getAs[Long]("y") * 10.0 + r.getAs[Long]("x")
+      })
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.delete(dir)
+    }
   }
 
   test("generic HDF5 walk opens the repo's own submission-writer files (uint16 chunked+deflate)") {
