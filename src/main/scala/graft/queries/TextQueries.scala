@@ -302,6 +302,84 @@ object TextQueries {
              |WHERE doc_id % 50 <> 0
              |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin)),
 
+    // the LLM-side FLAGSHIP: the full corpus-scrub pipeline as ONE
+    // Catalyst plan — held-out bench split + quality floor (scan
+    // stage) -> exact dedup (min-id per normalized fingerprint, one
+    // key shuffle) -> MinHash/LSH near-dup removal (scan-stage
+    // signatures, band-bucket pairs, min-id drop policy, anti-join)
+    // -> 5-gram decontamination vs the bench slice (broadcast
+    // shingles, semi-join confine, anti-join) -> kept corpus with
+    // token counts. Every stage is the already-graded operator; the
+    // composition is what a real ingest run executes, and the oracle
+    // replays the identical stage order and tie-breaks. (Production
+    // would Jaccard-rescore the LSH candidates before dropping —
+    // d_jaccard_pairs grades that op; the pure-band policy here keeps
+    // the composed oracle deterministic.)
+    Q("pipe_scrub_e2e",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, d, "documents")
+        val base = docs.where(col("doc_id") % 50 =!= 0 &&
+          text.nTokens(col("text")) >= 5)
+        val w = Window.partitionBy(text.fingerprint(col("text")))
+        val ex = base.withColumn("_keep", min(col("doc_id")).over(w))
+          .where(col("doc_id") === col("_keep")).drop("_keep")
+        val sig = Dedup.minhashSignature(ex, col("text"), col("doc_id"),
+          shingleK = 3, seeds = Seeds, keepShort = false)
+        val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, Seeds, Bands), Seeds, Bands)
+        val dropNear = pairs.select(col("doc_b").as("doc_id")).distinct()
+        val near = ex.join(dropNear, Seq("doc_id"), "left_anti")
+        val benchSh = Dedup.shingleRows(docs.where(col("doc_id") % 50 === 0),
+          col("text"), col("doc_id"), 5).select(col("s")).distinct()
+        val contaminated = Dedup.shingleRows(near, col("text"), col("doc_id"), 5)
+          .join(broadcast(benchSh), Seq("s"), "left_semi")
+          .select(col("doc_id")).distinct()
+        near.join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), text.nTokens(col("text")).as("n_tokens"))
+      },
+      Some {
+        val mins = (0 until Seeds).map(s =>
+          s"list_min(list_transform(hxl, h -> substring(h, ${8 * s + 1}, 8))) AS m_$s")
+          .mkString(",\n    ")
+        s"""WITH base AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 50 <> 0 AND len(string_split(text, ' ')) >= 5),
+           |fp AS (SELECT doc_id, text,
+           |         CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fingerprint
+           |       FROM (SELECT doc_id, text, $normSql AS norm FROM base)),
+           |ex AS (SELECT doc_id, text FROM (
+           |         SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fingerprint) AS keeper
+           |         FROM fp)
+           |       WHERE doc_id = keeper),
+           |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM ex),
+           |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN NULL
+           |         ELSE list_transform(range(0, len(tk) - 2),
+           |                i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])) END AS shl
+           |       FROM toks),
+           |hx AS (SELECT doc_id, list_transform(shl, x -> md5(x)) AS hxl FROM sh),
+           |sig AS (SELECT doc_id,
+           |    $mins
+           |  FROM hx),
+           |b AS (SELECT * FROM sig WHERE m_0 IS NOT NULL),
+           |drop_near AS (SELECT DISTINCT doc_b AS doc_id FROM (
+           |$pairsSql)),
+           |near AS (SELECT doc_id, text FROM ex
+           |         WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)),
+           |btoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+           |          WHERE doc_id % 50 = 0),
+           |bsh AS (SELECT DISTINCT unnest(list_transform(range(0, len(tk) - 4),
+           |          i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]))) AS s
+           |        FROM btoks WHERE len(tk) >= 5),
+           |ntoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM near),
+           |nsh AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 4),
+           |          i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]))) AS s
+           |        FROM ntoks WHERE len(tk) >= 5),
+           |contaminated AS (SELECT DISTINCT doc_id FROM nsh
+           |                 WHERE s IN (SELECT s FROM bsh))
+           |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |FROM near WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
+      }),
+
     // exact substring duplication (Lee et al. 2021, stride form):
     // 40-char windows every 10 chars, one equi-join on window equality
     // — doc pairs sharing an aligned duplicated span, with the shared

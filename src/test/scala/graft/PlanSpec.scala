@@ -245,4 +245,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "semantic dedup must pair within LSH buckets only:\n" + p.take(1200))
   }
+
+  test("pipe_scrub_e2e: the scrub flagship composes without cartesians or global sorts") {
+    val p = finalPlan("pipe_scrub_e2e")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no stage of the scrub pipeline may go quadratic:\n" + p.take(1500))
+    assert(!p.contains("rangepartitioning"),
+      "nothing in the scrub needs a global sort:\n" + p.take(1500))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "decontam must confine by semi-join and drop by anti-join:\n" + p.take(1500))
+  }
 }
