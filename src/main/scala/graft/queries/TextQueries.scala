@@ -539,6 +539,42 @@ object TextQueries {
               |JOIN cnt ca ON ca.doc_id = p.doc_a
               |JOIN cnt cb ON cb.doc_id = p.doc_b""".stripMargin)),
 
+    // the PRODUCTION near-dup policy as an end product: LSH candidates
+    // rescored by exact shingle-set Jaccard, pairs at >= 0.5 drop the
+    // larger id, keep-list by anti-join. The threshold compares the
+    // identical integer-count division on both engines (n_inter /
+    // (n_a + n_b - n_inter) — IEEE-exact same shape), so the boundary
+    // cannot flip. This is the rescore stage pipe_scrub_e2e's comment
+    // defers to, graded standalone.
+    Q("d_rescored_keep",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 3, Seeds,
+          keepShort = false)
+        val pairs = Dedup.lshCandidateIdPairs(Dedup.lshBands(sig, Seeds, Bands), Bands).result
+        val drop = Dedup.jaccard(pairs, docs, col("text"), col("doc_id"), 3)
+          .where(col("jaccard") >= 0.5)
+          .select(col("doc_b").as("doc_id")).distinct()
+        docs.join(drop, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_chars"))
+      },
+      Some(s"""$sigCte,
+              |pairs AS (SELECT DISTINCT doc_a, doc_b FROM ($pairsSql)),
+              |shd AS (SELECT DISTINCT doc_id, unnest(shl) AS s FROM sh),
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+              |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+              |          FROM pairs p
+              |          JOIN shd x ON x.doc_id = p.doc_a
+              |          JOIN shd y ON y.doc_id = p.doc_b AND y.s = x.s
+              |          GROUP BY p.doc_a, p.doc_b),
+              |dropped AS (SELECT DISTINCT i.doc_b FROM inter i
+              |            JOIN cnt ca ON ca.doc_id = i.doc_a
+              |            JOIN cnt cb ON cb.doc_id = i.doc_b
+              |            WHERE CAST(i.n_inter AS DOUBLE)
+              |              / CAST(ca.n_sh + cb.n_sh - i.n_inter AS DOUBLE) >= 0.5)
+              |SELECT doc_id, n_chars FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_b FROM dropped)""".stripMargin)),
+
     // the dedup pipeline's END PRODUCT: the deduplicated corpus.
     // Clusters (signature -> LSH -> connected components) pick a
     // canonical member (min doc_id = the cluster label); every other
