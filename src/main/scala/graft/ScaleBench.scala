@@ -30,7 +30,8 @@ object ScaleBench {
     "t_chunk_split", "t_pack_sequences", "t_lm_score", "d_dedup_keep",
     "m_video_meta", "m_audio_meta", "m_image_meta",
     "t_bloom_decontam", "d_substr_dup", "e_semantic_keep",
-    "m_image_pixels", "m_gif_frames", "pipe_scrub_e2e", "d_rescored_keep")
+    "m_image_pixels", "m_gif_frames", "pipe_scrub_e2e", "d_rescored_keep",
+    "t_curriculum")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -28,6 +28,19 @@ object TextQueries {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
+  /** DuckDB twin of text.qualityScore (shared by t_quality_score and
+    * t_curriculum — one definition, two graded uses). */
+  private val qualitySql =
+    """((least(CAST(length(text) AS DOUBLE) / 500e0, 1e0) * 0.4e0)
+      |   + (least((CAST(len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','of','and','in','to','is','on','for','with'], x))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5e0, 1e0) * 0.4e0))
+      |  + ((CASE WHEN (CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+      |          / CAST(len(string_split(text, ' ')) AS DOUBLE)) >= 3e0
+      |        AND (CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+      |          / CAST(len(string_split(text, ' ')) AS DOUBLE)) <= 10e0
+      |      THEN 1e0 ELSE 0e0 END) * 0.2e0)""".stripMargin
+
   /** toks + 3-shingle list + minhash signature CTEs (mirrors
     * text.shingles + Dedup.minhashSignature). */
   private val sigCte = {
@@ -86,17 +99,30 @@ object TextQueries {
     Q("t_quality_score",
       (s, d) => T(s, d, "documents").select(col("doc_id"),
         text.qualityScore(col("text")).as("quality")),
-      Some("""SELECT doc_id,
-             |  ((least(CAST(length(text) AS DOUBLE) / 500e0, 1e0) * 0.4e0)
-             |   + (least((CAST(len(list_filter(string_split(text, ' '),
-             |        x -> list_contains(['the','a','of','and','in','to','is','on','for','with'], x))) AS DOUBLE)
-             |      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5e0, 1e0) * 0.4e0))
-             |  + ((CASE WHEN (CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
-             |          / CAST(len(string_split(text, ' ')) AS DOUBLE)) >= 3e0
-             |        AND (CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
-             |          / CAST(len(string_split(text, ' ')) AS DOUBLE)) <= 10e0
-             |      THEN 1e0 ELSE 0e0 END) * 0.2e0) AS quality
-             |FROM documents""".stripMargin)),
+      Some(s"""SELECT doc_id, $qualitySql AS quality
+              |FROM documents""".stripMargin)),
+
+    // curriculum sharding: quality deciles WITHIN each source shard —
+    // ntile over a (source)-keyed window, so the sort is per-shard
+    // (one hash exchange + within-partition sort), never a global
+    // range sort; doc_id tie-break makes the decile assignment
+    // deterministic on both engines (same IEEE quality doubles, same
+    // SQL-standard ntile remainder distribution).
+    Q("t_curriculum",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        T(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            text.qualityScore(col("text")).as("quality"))
+          .withColumn("decile", ntile(10).over(w))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, source, $qualitySql AS quality FROM documents)
+              |SELECT doc_id, source, quality,
+              |  CAST(ntile(10) OVER (PARTITION BY source
+              |                       ORDER BY quality DESC, doc_id) AS INT) AS decile
+              |FROM q""".stripMargin)),
 
     // n-gram-profile language id (argmax with first-wins tie-break)
     Q("t_lang_id",

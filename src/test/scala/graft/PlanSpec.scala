@@ -246,6 +246,14 @@ class PlanSpec extends AnyFunSuite {
       "semantic dedup must pair within LSH buckets only:\n" + p.take(1200))
   }
 
+  test("t_curriculum: decile sort is per source shard, never a global range sort") {
+    val p = finalPlan("t_curriculum")
+    assert(!p.contains("rangepartitioning"),
+      "curriculum must sort within shards only:\n" + p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "one source-keyed exchange for the ntile window:\n" + p.take(1200))
+  }
+
   test("pipe_scrub_e2e: the scrub flagship composes without cartesians or global sorts") {
     val p = finalPlan("pipe_scrub_e2e")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
