@@ -41,14 +41,18 @@ object TextQueries {
       |          / CAST(len(string_split(text, ' ')) AS DOUBLE)) <= 10e0
       |      THEN 1e0 ELSE 0e0 END) * 0.2e0)""".stripMargin
 
-  /** toks + 3-shingle list + minhash signature CTEs (mirrors
-    * text.shingles + Dedup.minhashSignature). */
-  private val sigCte = {
+  /** toks + 3-shingle list + minhash signature CTE chain over any
+    * source relation (mirrors text.shingles + Dedup.minhashSignature)
+    * — ONE definition; every oracle that replays the signature scheme
+    * interpolates this, so a slice-scheme change cannot desynchronize
+    * a composed oracle from the graded primitive. No WITH prefix:
+    * callers splice it into their own chains. */
+  private def sigCtes(from: String): String = {
     // component s = min over the s-th 8-hex-char slice of ONE md5 per
     // shingle (mirrors Dedup.minhashSignature's slice scheme)
     val mins = (0 until Seeds).map(s =>
       s"list_min(list_transform(hxl, h -> substring(h, ${8 * s + 1}, 8))) AS m_$s").mkString(",\n    ")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $from),
        |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN NULL
        |         ELSE list_transform(range(0, len(tk) - 2),
        |                i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])) END AS shl
@@ -59,6 +63,25 @@ object TextQueries {
        |  FROM hx),
        |b AS (SELECT * FROM sig WHERE m_0 IS NOT NULL)""".stripMargin
   }
+  private val sigCte = "WITH " + sigCtes("documents")
+
+  /** 5-gram list over a token-list column `tk` (the decontam shingle
+    * form) — shared by every oracle that explodes 5-grams. */
+  private val gram5 =
+    "list_transform(range(0, len(tk) - 4),\n" +
+    "         i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]))"
+
+  /** Exact shingle-set Jaccard CTE chain over candidate `pairs` and
+    * the signature chain's `sh` (shd/cnt/inter) — shared by
+    * d_jaccard_pairs and d_rescored_keep. */
+  private val jaccardCtes =
+    """shd AS (SELECT DISTINCT doc_id, unnest(shl) AS s FROM sh),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+      |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+      |          FROM pairs p
+      |          JOIN shd x ON x.doc_id = p.doc_a
+      |          JOIN shd y ON y.doc_id = p.doc_b AND y.s = x.s
+      |          GROUP BY p.doc_a, p.doc_b)""".stripMargin
 
   /** Banded candidate pairs (b=4, r=1) with signature-agreement count. */
   private val pairsSql = {
@@ -292,9 +315,8 @@ object TextQueries {
           .select(col("doc_id"), col("n_sh"), col("n_hit"),
             (col("n_hit").cast("double") / col("n_sh").cast("double")).as("contam_frac"))
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |sh AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 4),
-             |         i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]))) AS s
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (SELECT doc_id, unnest($gram5) AS s
              |       FROM toks WHERE len(tk) >= 5),
              |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
              |corpus AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
@@ -317,9 +339,8 @@ object TextQueries {
     Q("t_bloom_decontam",
       (s, d) => Dedup.bloomDecontamKeep(T(s, d, "documents"),
         col("text"), col("doc_id"), col("doc_id") % 50 === 0, shingleK = 5),
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |sh AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 4),
-             |         i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]))) AS s
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (SELECT doc_id, unnest($gram5) AS s
              |       FROM toks WHERE len(tk) >= 5),
              |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
              |contaminated AS (SELECT DISTINCT doc_id FROM sh
@@ -350,6 +371,15 @@ object TextQueries {
         val w = Window.partitionBy(text.fingerprint(col("text")))
         val ex = base.withColumn("_keep", min(col("doc_id")).over(w))
           .where(col("doc_id") === col("_keep")).drop("_keep")
+        // `ex` and `near` each feed two consumers below, so their
+        // post-shuffle window/anti-join work executes twice in this
+        // one plan (ReuseExchange only saves the work below identical
+        // exchanges). A RECORDED trade: persisting would collapse the
+        // advertised single-Catalyst-plan shape into multiple jobs,
+        // and the duplicated subtree is the cheap top of the pipeline
+        // (measured slope 1.6 at the 10x corpus, SCALE.md). Callers
+        // who want the materialized form compose the Dedup.*Full
+        // variants instead.
         val sig = Dedup.minhashSignature(ex, col("text"), col("doc_id"),
           shingleK = 3, seeds = Seeds, keepShort = false)
         val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, Seeds, Bands), Seeds, Bands)
@@ -364,9 +394,6 @@ object TextQueries {
           .select(col("doc_id"), text.nTokens(col("text")).as("n_tokens"))
       },
       Some {
-        val mins = (0 until Seeds).map(s =>
-          s"list_min(list_transform(hxl, h -> substring(h, ${8 * s + 1}, 8))) AS m_$s")
-          .mkString(",\n    ")
         s"""WITH base AS (
            |  SELECT doc_id, text FROM documents
            |  WHERE doc_id % 50 <> 0 AND len(string_split(text, ' ')) >= 5),
@@ -377,28 +404,17 @@ object TextQueries {
            |         SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fingerprint) AS keeper
            |         FROM fp)
            |       WHERE doc_id = keeper),
-           |toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM ex),
-           |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN NULL
-           |         ELSE list_transform(range(0, len(tk) - 2),
-           |                i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])) END AS shl
-           |       FROM toks),
-           |hx AS (SELECT doc_id, list_transform(shl, x -> md5(x)) AS hxl FROM sh),
-           |sig AS (SELECT doc_id,
-           |    $mins
-           |  FROM hx),
-           |b AS (SELECT * FROM sig WHERE m_0 IS NOT NULL),
+           |${sigCtes("ex")},
            |drop_near AS (SELECT DISTINCT doc_b AS doc_id FROM (
            |$pairsSql)),
            |near AS (SELECT doc_id, text FROM ex
            |         WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)),
            |btoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
            |          WHERE doc_id % 50 = 0),
-           |bsh AS (SELECT DISTINCT unnest(list_transform(range(0, len(tk) - 4),
-           |          i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]))) AS s
+           |bsh AS (SELECT DISTINCT unnest($gram5) AS s
            |        FROM btoks WHERE len(tk) >= 5),
            |ntoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM near),
-           |nsh AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 4),
-           |          i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]))) AS s
+           |nsh AS (SELECT doc_id, unnest($gram5) AS s
            |        FROM ntoks WHERE len(tk) >= 5),
            |contaminated AS (SELECT DISTINCT doc_id FROM nsh
            |                 WHERE s IN (SELECT s FROM bsh))
@@ -550,13 +566,7 @@ object TextQueries {
       },
       Some(s"""$sigCte,
               |pairs AS (SELECT DISTINCT doc_a, doc_b FROM ($pairsSql)),
-              |shd AS (SELECT DISTINCT doc_id, unnest(shl) AS s FROM sh),
-              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
-              |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
-              |          FROM pairs p
-              |          JOIN shd x ON x.doc_id = p.doc_a
-              |          JOIN shd y ON y.doc_id = p.doc_b AND y.s = x.s
-              |          GROUP BY p.doc_a, p.doc_b)
+              |$jaccardCtes
               |SELECT p.doc_a, p.doc_b, coalesce(i.n_inter, 0) AS n_inter,
               |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
               |    / CAST(ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
@@ -586,13 +596,7 @@ object TextQueries {
       },
       Some(s"""$sigCte,
               |pairs AS (SELECT DISTINCT doc_a, doc_b FROM ($pairsSql)),
-              |shd AS (SELECT DISTINCT doc_id, unnest(shl) AS s FROM sh),
-              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
-              |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
-              |          FROM pairs p
-              |          JOIN shd x ON x.doc_id = p.doc_a
-              |          JOIN shd y ON y.doc_id = p.doc_b AND y.s = x.s
-              |          GROUP BY p.doc_a, p.doc_b),
+              |$jaccardCtes,
               |dropped AS (SELECT DISTINCT i.doc_b FROM inter i
               |            JOIN cnt ca ON ca.doc_id = i.doc_a
               |            JOIN cnt cb ON cb.doc_id = i.doc_b
