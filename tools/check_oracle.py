@@ -55,7 +55,16 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # partial dirs (e.g. the ScaleGen 10x corpus has only
+        # documents/embeddings) still work for queries confined to the
+        # present tables; a query touching a missing one fails loudly
+        # at execution, never silently. Spark-written tables are
+        # DIRECTORIES of part files — glob those.
+        p = f"{sf}/{t}.parquet"
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     # comma-separated query names whose ORACLE side is infeasible at the
     # chosen data size (e.g. the recursive transitive closure behind
