@@ -647,14 +647,230 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---- real AVI frame codec (container walk + per-frame decode) ----
+
+  /** 'MJPG' as the little-endian uint32 a BITMAPINFOHEADER
+    * biCompression field carries. */
+  private val FourccMjpg: Long =
+    ('M' & 0xffL) | ('J'.toLong << 8) | ('P'.toLong << 16) | ('G'.toLong << 24)
+
+  private def leChunk(idStr: String, payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(idStr.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    out.array() // trailing pad byte (odd sizes) stays zero
+  }
+
+  private def leList(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = 4 + parts.map(_.length).sum
+    val out = java.nio.ByteBuffer.allocate(8 + body)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("LIST".getBytes("US-ASCII")).putInt(body).put(typ.getBytes("US-ASCII"))
+    parts.foreach(out.put)
+    out.array()
+  }
+
+  /** Encode dense gray frames as a REAL AVI (RIFF) file — the write
+    * twin of the AVI branch in [[unpackVideo]], the way
+    * [[packGifFrames]] twins the GIF branch. Spec-conformant
+    * `hdrl(avih, strl(strh vids, strf BITMAPINFOHEADER))` + `movi`:
+    *
+    *  - codec `"DIB "` (default): uncompressed 8-bit bottom-up DIB
+    *    rows in `00db` chunks, stride padded to 4, with a 256-entry
+    *    grayscale RGBQUAD palette — LOSSLESS, round-trips bit-exact;
+    *  - codec `"MJPG"`: every frame JPEG-encoded through the JDK's
+    *    real ImageIO codec into `00dc` chunks (standard motion-JPEG).
+    *    Lossy: frame count and dims are exact, pixels approximate.
+    */
+  def packAviFrames(frames: Seq[Array[Byte]], h: Int, w: Int,
+                    codec: String = "DIB "): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == h * w),
+      s"every frame must be h*w=${h * w} bytes")
+    require(codec == "DIB " || codec == "MJPG",
+      s"codec '$codec' not supported (DIB  | MJPG)")
+    val raw = codec == "DIB "
+    val stride = (w + 3) & ~3
+    val payloads: Seq[Array[Byte]] =
+      if (raw) frames.map { px =>
+        val out = new Array[Byte](stride * h)
+        var y = 0
+        while (y < h) { // DIB row 0 = bottom image row
+          System.arraycopy(px, (h - 1 - y) * w, out, y * stride, w)
+          y += 1
+        }
+        out
+      } else {
+        javax.imageio.ImageIO.setUseCache(false)
+        frames.map { px =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          img.getRaster.setDataElements(0, 0, w, h, px)
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "jpg", bos),
+            "JDK has no JPEG writer")
+          bos.toByteArray
+        }
+      }
+    val bufSize = payloads.map(_.length).max
+    val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(40000).putInt(0).putInt(0).putInt(0) // µs/frame (25 fps), maxBps, pad, flags
+      .putInt(frames.size).putInt(0).putInt(1).putInt(bufSize) // total, initial, streams, bufSize
+      .putInt(w).putInt(h) // + 16 reserved bytes already zero
+    val strh = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("US-ASCII")).put(codec.getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0) // flags, priority, language, initialFrames
+      .putInt(1).putInt(25).putInt(0).putInt(frames.size) // scale, rate, start, length
+      .putInt(bufSize).putInt(-1).putInt(0) // bufSize, quality, sampleSize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    val strf = java.nio.ByteBuffer
+      .allocate(40 + (if (raw) 256 * 4 else 0))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(w).putInt(h) // biSize, biWidth, biHeight (>0: bottom-up)
+      .putShort(1).putShort(if (raw) 8 else 24) // biPlanes, biBitCount
+      .putInt(if (raw) 0 else FourccMjpg.toInt) // biCompression: BI_RGB | 'MJPG'
+      .putInt(stride * h).putInt(0).putInt(0) // biSizeImage, XPels, YPels
+      .putInt(if (raw) 256 else 0).putInt(0) // biClrUsed, biClrImportant
+    if (raw) { // grayscale palette: RGBQUAD = (blue, green, red, 0)
+      var k = 0
+      while (k < 256) {
+        strf.put(k.toByte).put(k.toByte).put(k.toByte).put(0.toByte); k += 1
+      }
+    }
+    val hdrl = leList("hdrl", leChunk("avih", avih.array()),
+      leList("strl", leChunk("strh", strh.array()), leChunk("strf", strf.array())))
+    val movi = leList("movi",
+      payloads.map(p => leChunk(if (raw) "00db" else "00dc", p)): _*)
+    val out = java.nio.ByteBuffer.allocate(12 + hdrl.length + movi.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + hdrl.length + movi.length)
+      .put("AVI ".getBytes("US-ASCII")).put(hdrl).put(movi)
+    out.array()
+  }
+
+  /** Real AVI frame decode: walks the RIFF tree for the first `vids`
+    * stream's BITMAPINFOHEADER and the `movi` `00db`/`00dc` chunks.
+    * Uncompressed 8-bit DIB frames (biCompression=0) de-stride,
+    * un-flip bottom-up rows, and map palette indices through the
+    * Rec.601 luma of their RGBQUAD (exact identity for a gray
+    * palette); MJPG frames decode through the JDK's real JPEG codec,
+    * luma like the GIF branch. Any other codec fourcc fails loudly —
+    * the [[unpackVideo]] caller turns that into the deterministic
+    * stub frame, same policy as a rejected GIF. */
+  private def unpackAvi(id: Long, b: Array[Byte]): Iterator[Frame] = {
+    var inVids = false
+    var w = 0; var h = 0; var topDown = false
+    var bitCount = 0; var compression = 0L
+    var palette: Array[Byte] = null
+    val chunks = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val cid = new String(b, i, 4, "US-ASCII")
+        val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
+        require(i + 8 + size <= end, s"AVI chunk '$cid' has bogus size $size at offset $i")
+        if (cid == "LIST") {
+          require(size >= 4, s"AVI LIST at offset $i too small ($size bytes)")
+          walk(i + 12, (i + 8 + size).toInt)
+        } else if (cid == "strh" && size >= 4) {
+          inVids = new String(b, i + 8, 4, "US-ASCII") == "vids"
+        } else if (cid == "strf" && inVids && w == 0) {
+          require(size >= 40, s"vids strf too small ($size bytes)")
+          val biSize = le32(b, i + 8)
+          w = le32(b, i + 12)
+          val rawH = le32(b, i + 16)
+          topDown = rawH < 0
+          h = math.abs(rawH)
+          bitCount = (u8(b, i + 22)) | (u8(b, i + 23) << 8)
+          compression = le32(b, i + 24).toLong & 0xFFFFFFFFL
+          if (bitCount == 8) {
+            val clrUsed = le32(b, i + 40)
+            val n = if (clrUsed == 0) 256 else clrUsed
+            require(8 + biSize + n * 4 <= size + 8,
+              s"8-bit vids strf missing its $n-entry palette")
+            palette = new Array[Byte](256)
+            var k = 0
+            while (k < n) {
+              val o = i + 8 + biSize + k * 4
+              val blue = u8(b, o); val green = u8(b, o + 1); val red = u8(b, o + 2)
+              palette(k) = ((red * 299 + green * 587 + blue * 114 + 500) / 1000).toByte
+              k += 1
+            }
+          }
+        } else if (cid.startsWith("00") && size > 0 &&
+                   cid(2) == 'd' && (cid(3) == 'b' || cid(3) == 'c')) {
+          val p = new Array[Byte](size.toInt)
+          System.arraycopy(b, i + 8, p, 0, size.toInt)
+          chunks += p
+        }
+        i = (i + 8 + size + (size & 1)).toInt
+      }
+    }
+    walk(12, b.length)
+    require(w > 0 && h > 0, "AVI has no vids stream header (strf)")
+    val fs = chunks.result()
+    require(fs.nonEmpty, s"AVI payload has no frames (id=$id)")
+    if (compression == 0L && bitCount == 8) {
+      require(palette != null, "8-bit DIB stream without a palette")
+      val stride = (w + 3) & ~3
+      // eager (Vector.map) so a truncated frame fails inside the
+      // caller's try, not at iterator consumption — same as MJPG/GIF
+      fs.zipWithIndex.map { case (p, fi) =>
+        require(p.length >= stride * h,
+          s"DIB frame $fi truncated (${p.length} < ${stride * h})")
+        val px = new Array[Byte](h * w)
+        var y = 0
+        while (y < h) {
+          val srcRow = if (topDown) y else h - 1 - y
+          var x = 0
+          while (x < w) { px(y * w + x) = palette(p(srcRow * stride + x) & 0xff); x += 1 }
+          y += 1
+        }
+        Frame(id, fi, h, w, px)
+      }.iterator
+    } else if (compression == FourccMjpg) {
+      javax.imageio.ImageIO.setUseCache(false)
+      // materialize eagerly so a frame-level decode failure surfaces
+      // HERE (caller falls back to the stub), not at consumption
+      fs.zipWithIndex.map { case (jpeg, fi) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+        require(img != null, s"JDK JPEG codec rejected MJPG frame $fi (id=$id)")
+        val fh = img.getHeight; val fw = img.getWidth
+        val px = new Array[Byte](fh * fw)
+        if (img.getRaster.getNumBands == 1) {
+          // single-band gray: read raster samples directly — getRGB
+          // on TYPE_BYTE_GRAY applies a linear-gray->sRGB gamma
+          // conversion that would shift every stored value
+          val samples = img.getRaster.getSamples(0, 0, fw, fh, 0, null: Array[Int])
+          var j = 0
+          while (j < samples.length) { px(j) = samples(j).toByte; j += 1 }
+        } else {
+          val rgb = img.getRGB(0, 0, fw, fh, null, 0, fw)
+          var j = 0
+          while (j < rgb.length) {
+            val v = rgb(j)
+            px(j) = ((((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
+              (v & 0xff) * 114 + 500) / 1000).toByte
+            j += 1
+          }
+        }
+        Frame(id, fi, fh, fw, px)
+      }.iterator
+    } else fail(s"unsupported AVI codec (biCompression=$compression bitCount=$bitCount)")
+  }
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
   /** Decode a GRFV payload into frames; animated GIF payloads decode
     * through the REAL JDK codec — every frame, gray via integer
     * Rec.601 luma ((299r+587g+114b+500)/1000), which degenerates to
     * the exact palette value when r==g==b, so [[packGifFrames]]
     * round-trips bit-exactly while color GIFs get a defined luma
-    * conversion instead of a silently-wrong single channel. Other
-    * non-GRFV payloads — and GIF-magic payloads the codec rejects
-    * (truncated/garbage bytes) — become one deterministic stub frame
+    * conversion instead of a silently-wrong single channel. AVI
+    * payloads route through [[unpackAvi]] — real container walk plus
+    * real per-frame decode for uncompressed DIB (lossless) and MJPG
+    * (JDK JPEG codec). Other non-GRFV payloads — and GIF/AVI-magic
+    * payloads the codecs reject (truncated/garbage bytes, codecs the
+    * JDK lacks such as H.264) — become one deterministic stub frame
     * (pixels = cyclic payload bytes at the stub codec's fake dims) so
     * mixed media columns never throw. */
   def unpackVideo(id: Long, payload: Array[Byte]): Iterator[Frame] =
@@ -689,6 +905,13 @@ object Multimodal {
           iis.close()
         }
       } catch { case scala.util.control.NonFatal(_) =>
+        val s = decodeStub(id, payload)
+        val px = Array.tabulate(s.height * s.width)(i => payload(i % payload.length))
+        Iterator.single(Frame(id, 0, s.height, s.width, px))
+      }
+    } else if (isAvi(payload)) {
+      try unpackAvi(id, payload)
+      catch { case scala.util.control.NonFatal(_) =>
         val s = decodeStub(id, payload)
         val px = Array.tabulate(s.height * s.width)(i => payload(i % payload.length))
         Iterator.single(Frame(id, 0, s.height, s.width, px))

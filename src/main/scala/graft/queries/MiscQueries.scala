@@ -687,5 +687,46 @@ object MiscQueries {
              |       CAST(sum(v) AS BIGINT) AS pix_sum,
              |       CAST(sum(v * v) AS BIGINT) AS pix_sq
              |FROM px GROUP BY 1, 2""".stripMargin)),
+
+    // REAL AVI video-path decode: each row packs a spec-conformant
+    // RIFF/AVI (hdrl avih + vids strh/strf + movi 00db chunks) whose
+    // uncompressed 8-bit DIB frames follow a closed form, unpackVideo
+    // takes the real AVI branch (container walk, palette map,
+    // de-stride, bottom-up un-flip — w=6 forces a stride-8 row pad so
+    // the graded hash pins the de-striding), and frame-level exact
+    // sums are graded. DIB is lossless: bit-exact by construction;
+    // the MJPG (JDK JPEG codec) sibling is lossy and asserted with
+    // tolerance in MultimodalSinksSpec instead. One row per
+    // (doc, frame), all scan-stage, zero shuffles.
+    Q("m_avi_frames",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.flatMap { id =>
+              val nF = (id % 3 + 2).toInt
+              val frames = (0 until nF).map { f =>
+                Array.tabulate(18)(i => ((id + f * 37 + i * 11) % 256).toByte)
+              }
+              val avi = graft.ops.Multimodal.packAviFrames(frames, 3, 6)
+              graft.ops.Multimodal.unpackVideo(id, avi).map { fr =>
+                var sum = 0L; var sq = 0L
+                fr.pixels.foreach { b => val v = b & 0xff; sum += v; sq += v.toLong * v }
+                (id, fr.frameIdx, fr.h, fr.w, sum, sq)
+              }
+            }
+          }.toDF("doc_id", "frame_idx", "h", "w", "pix_sum", "pix_sq")
+      },
+      Some("""WITH fs AS (SELECT unnest(range(0, 4)) AS f),
+             |     ps AS (SELECT unnest(range(0, 18)) AS i),
+             |     px AS (
+             |       SELECT d.doc_id, fs.f, (d.doc_id + fs.f * 37 + ps.i * 11) % 256 AS v
+             |       FROM documents d, fs, ps
+             |       WHERE fs.f < d.doc_id % 3 + 2)
+             |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+             |       CAST(3 AS INT) AS h, CAST(6 AS INT) AS w,
+             |       CAST(sum(v) AS BIGINT) AS pix_sum,
+             |       CAST(sum(v * v) AS BIGINT) AS pix_sq
+             |FROM px GROUP BY 1, 2""".stripMargin)),
   )
 }
