@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-table loader over the driver's parquet lake (TESTDATA.md).
   *
@@ -66,7 +66,7 @@ object Tables {
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+    val nanosFixed = df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
         // integral `div`, NOT `/`: nano epochs (~1.7e18) exceed
         // double's exact-integer range, so floor(ts / 1000.0) would be
@@ -74,5 +74,13 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
+    // Naive parquet timestamp[us] (isAdjustedToUTC=false) arrives as
+    // TIMESTAMP_NTZ, which `unix_micros` and numeric casts reject.
+    // The session timeZone is pinned UTC (see [[conf]]), so casting to
+    // session-local TimestampType preserves every value bit-for-bit
+    // and matches DuckDB's naive-epoch reading of the same file.
+    nanosFixed.schema.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(nanosFixed)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
 }
