@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   *
   * PIXEL DECODE is real too: [[decodePixels]] routes PNG/JPEG/GIF/BMP
   * through the JDK's own `javax.imageio` codecs (no external library),
-  * and [[unpackVideo]] decodes animated GIF — the one multi-frame
-  * container the JDK has a codec for — frame by frame. The only
-  * remaining stub surface is FRAME decode of compressed video
-  * (MP4/AVI need a real H.264-class codec library): [[unpackVideo]]'s
-  * GRFV path stands in for it.
+  * and [[unpackVideo]] decodes animated GIF frame by frame, AVI via
+  * a real RIFF walk (uncompressed DIB lossless + MJPG through the JDK
+  * JPEG codec), and MP4 via a real `stsz`/`stsc`/`stco` sample-table
+  * walk (raw grayscale lossless + motion JPEG). The only remaining
+  * stub surface is H.264-class compressed frames (`avc1`/`hvc1`),
+  * which need an external codec library: [[unpackMp4]] fails loudly
+  * with the fourcc and [[unpackVideo]] falls back to the
+  * deterministic stub frame.
   */
 object Multimodal {
 
@@ -860,6 +863,318 @@ object Multimodal {
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
+  // ---- real MP4 frame codec (sample-table walk + per-frame decode) --
+
+  /** Build an ISO-BMFF VisualSampleEntry (ISO 14496-12 §12.1.3):
+    * 8-byte box header + 78-byte body — reserved(6) + dri(2) +
+    * predefined/reserved(16) + width(2) height(2) + 72dpi horiz/vert
+    * resolution(8) + reserved(4) + frame_count(2) + 32-byte pascal
+    * compressorname + depth(2) + pre_defined(2)=-1. Depth 40 is the
+    * QuickTime image-description value for 8-bit grayscale. */
+  private def visualSampleEntry(fourcc: String, w: Int, h: Int, depth: Int): Array[Byte] = {
+    val p = java.nio.ByteBuffer.allocate(78)
+    p.position(6); p.putShort(1) // data_reference_index
+    p.position(24); p.putShort(w.toShort).putShort(h.toShort)
+    p.putInt(0x00480000).putInt(0x00480000) // 72 dpi, 16.16 fixed
+    p.position(40); p.putShort(1) // frame_count: 1 image per sample
+    p.position(74); p.putShort(depth.toShort).putShort(-1)
+    bmffBox(fourcc, p.array())
+  }
+
+  private def fullBox(typ: String, versionFlags: Int, payload: Array[Byte]): Array[Byte] = {
+    val p = java.nio.ByteBuffer.allocate(4 + payload.length)
+    p.putInt(versionFlags).put(payload)
+    bmffBox(typ, p.array())
+  }
+
+  /** Encode dense gray frames as a REAL playable-layout MP4 — the
+    * write twin of the MP4 branch in [[unpackVideo]], the way
+    * [[packAviFrames]] twins the AVI branch. Spec-conformant
+    * `ftyp` + `mdat` + `moov{mvhd, trak{tkhd, mdia{mdhd, hdlr(vide),
+    * minf{vmhd, dinf{dref url}, stbl{stsd, stts, stsc, stsz,
+    * stco}}}}}` with REAL sample tables: samples are packed
+    * `samplesPerChunk` to a chunk (a short final chunk when n is not
+    * a multiple, so readers must honor the two-entry `stsc` run-length
+    * encoding), `stsz` carries per-sample sizes, `stco` absolute
+    * file offsets of each chunk.
+    *
+    *  - codec `"raw "` (default): uncompressed 8-bit grayscale
+    *    (sample-entry depth 40, the QuickTime grayscale image
+    *    description), one byte per pixel row-major — LOSSLESS,
+    *    round-trips bit-exact;
+    *  - codec `"jpeg"`: every frame JPEG-encoded through the JDK's
+    *    real ImageIO codec (standard motion-JPEG-in-MP4 sample
+    *    entry). Lossy: frame count and dims exact, pixels approximate.
+    */
+  def packMp4Frames(frames: Seq[Array[Byte]], h: Int, w: Int,
+                    codec: String = "raw ", samplesPerChunk: Int = 2): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == h * w),
+      s"every frame must be h*w=${h * w} bytes")
+    require(codec == "raw " || codec == "jpeg",
+      s"codec '$codec' not supported (raw  | jpeg)")
+    require(samplesPerChunk >= 1, s"samplesPerChunk must be >= 1, got $samplesPerChunk")
+    val raw = codec == "raw "
+    val samples: Seq[Array[Byte]] =
+      if (raw) frames
+      else {
+        javax.imageio.ImageIO.setUseCache(false)
+        frames.map { px =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          img.getRaster.setDataElements(0, 0, w, h, px)
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "jpg", bos),
+            "JDK has no JPEG writer")
+          bos.toByteArray
+        }
+      }
+    val n = samples.size
+    val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
+    val ftyp = bmffBox("ftyp", "isom".getBytes("US-ASCII"), Array[Byte](0, 0, 2, 0),
+      "isomiso2".getBytes("US-ASCII"))
+    val mdat = bmffBox("mdat", samples: _*)
+    // absolute file offset of each chunk's first sample: mdat payload
+    // starts right after ftyp + the 8-byte mdat box header
+    val chunkOffsets = new Array[Long](nChunks)
+    var off = ftyp.length.toLong + 8
+    var si = 0
+    var ci = 0
+    while (si < n) {
+      if (si % samplesPerChunk == 0) { chunkOffsets(ci) = off; ci += 1 }
+      off += samples(si).length
+      si += 1
+    }
+    val stsd = {
+      val entry = visualSampleEntry(codec, w, h, if (raw) 40 else 24)
+      val p = java.nio.ByteBuffer.allocate(4 + entry.length)
+      p.putInt(1).put(entry)
+      fullBox("stsd", 0, p.array())
+    }
+    val stts = { // one run: n samples, delta 1 tick (timescale 25 -> 25 fps)
+      val p = java.nio.ByteBuffer.allocate(12)
+      p.putInt(1).putInt(n).putInt(1)
+      fullBox("stts", 0, p.array())
+    }
+    val stsc = { // run-length: full chunks, plus the short tail chunk if any
+      val tail = n % samplesPerChunk
+      val twoRuns = tail != 0 && n > samplesPerChunk
+      val p = java.nio.ByteBuffer.allocate(4 + (if (twoRuns) 24 else 12))
+      if (twoRuns) {
+        p.putInt(2).putInt(1).putInt(samplesPerChunk).putInt(1)
+        p.putInt(nChunks).putInt(tail).putInt(1)
+      } else {
+        p.putInt(1).putInt(1).putInt(math.min(n, samplesPerChunk)).putInt(1)
+      }
+      fullBox("stsc", 0, p.array())
+    }
+    val stsz = {
+      val p = java.nio.ByteBuffer.allocate(8 + 4 * n)
+      p.putInt(0).putInt(n) // sample_size 0 -> per-sample table follows
+      samples.foreach(s => p.putInt(s.length))
+      fullBox("stsz", 0, p.array())
+    }
+    val stco = {
+      val p = java.nio.ByteBuffer.allocate(4 + 4 * nChunks)
+      p.putInt(nChunks)
+      chunkOffsets.foreach { o =>
+        require(o <= Int.MaxValue, s"stco offset $o needs co64")
+        p.putInt(o.toInt)
+      }
+      fullBox("stco", 0, p.array())
+    }
+    val mdhd = { // timescale 25, duration n ticks = n/25 s
+      val p = java.nio.ByteBuffer.allocate(20)
+      p.position(8); p.putInt(25).putInt(n)
+      p.putShort(0x55c4.toShort) // language 'und'
+      fullBox("mdhd", 0, p.array())
+    }
+    val hdlr = {
+      val p = java.nio.ByteBuffer.allocate(25)
+      p.position(8); p.put("vide".getBytes("US-ASCII"))
+      bmffBox("hdlr", p.array())
+    }
+    val vmhd = fullBox("vmhd", 1, new Array[Byte](8)) // graphicsmode copy
+    val dref = {
+      val url = fullBox("url ", 1, Array.emptyByteArray) // flag 1: self-contained
+      val p = java.nio.ByteBuffer.allocate(4 + url.length)
+      p.putInt(1).put(url)
+      fullBox("dref", 0, p.array())
+    }
+    val durationMs = n * 1000 / 25
+    val mvhd = {
+      val p = java.nio.ByteBuffer.allocate(100) // v0 layout: spec 8.2.2
+      p.position(12); p.putInt(1000); p.putInt(durationMs)
+      p.putInt(0x00010000); p.putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      p.position(36); p.putInt(0x00010000); p.position(52); p.putInt(0x00010000)
+      p.position(68); p.putInt(0x40000000) // unity matrix
+      p.position(96); p.putInt(2) // next_track_ID
+      bmffBox("mvhd", p.array())
+    }
+    val tkhd = {
+      val p = java.nio.ByteBuffer.allocate(84) // v0 layout: spec 8.3.2
+      p.put(0.toByte); p.put(Array[Byte](0, 0, 7)) // enabled|in-movie|in-preview
+      p.position(12); p.putInt(1) // track_ID
+      p.position(20); p.putInt(durationMs)
+      p.position(40); p.putInt(0x00010000); p.position(56); p.putInt(0x00010000)
+      p.position(72); p.putInt(0x40000000) // unity matrix
+      p.putInt(w << 16); p.putInt(h << 16) // 16.16 fixed
+      bmffBox("tkhd", p.array())
+    }
+    val stbl = bmffBox("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = bmffBox("minf", vmhd, bmffBox("dinf", dref), stbl)
+    val trak = bmffBox("trak", tkhd, bmffBox("mdia", mdhd, hdlr, minf))
+    val moov = bmffBox("moov", mvhd, trak)
+    val out = java.nio.ByteBuffer.allocate(ftyp.length + mdat.length + moov.length)
+    out.put(ftyp).put(mdat).put(moov)
+    out.array()
+  }
+
+  /** Real MP4 frame decode: walks `moov/trak` for the first `vide`
+    * track, reads the FULL sample-table suite — `stsd` (codec fourcc,
+    * dims, depth), `stsz` (per-sample sizes), `stsc` (run-length
+    * samples-per-chunk), `stco`/`co64` (chunk file offsets) — expands
+    * them into absolute per-sample byte ranges, and slices each frame
+    * straight out of `mdat` by offset (never assumes one sample per
+    * chunk or contiguous chunks). Codec dispatch:
+    *
+    *  - `raw ` with depth 40 (8-bit grayscale): samples ARE the
+    *    row-major pixel bytes — lossless;
+    *  - `jpeg`/`mjpa` (motion JPEG): each sample decodes through the
+    *    JDK's real JPEG codec, gray raster read directly (dodging
+    *    getRGB's gamma rewrite) like the AVI MJPG branch;
+    *  - anything else — `avc1`/`hvc1`/H.264-class payloads the JVM
+    *    has no codec for — fails LOUDLY with the fourcc; the
+    *    [[unpackVideo]] caller turns that into the deterministic stub
+    *    frame, same policy as a rejected GIF/AVI. */
+  private def unpackMp4(id: Long, b: Array[Byte]): Iterator[Frame] = {
+    var fourcc = ""; var w = 0; var h = 0; var depth = 0
+    var sizes: Array[Int] = null
+    var stscRuns: Array[(Int, Int)] = null // (first_chunk, samples_per_chunk)
+    var chunkOffs: Array[Long] = null
+    var found = false
+    eachBox(b, 0, b.length) {
+      case ("moov", ms, me) =>
+        eachBox(b, ms, me) {
+          case ("trak", ts, te) if !found =>
+            var isVide = false
+            var f = ""; var tw = 0; var th = 0; var td = 0
+            var tSizes: Array[Int] = null
+            var tRuns: Array[(Int, Int)] = null
+            var tOffs: Array[Long] = null
+            eachBox(b, ts, te) {
+              case ("mdia", ds, de) =>
+                eachBox(b, ds, de) {
+                  case ("hdlr", ps, _) =>
+                    isVide = new String(b, ps + 8, 4, "US-ASCII") == "vide"
+                  case ("minf", fs, fe) =>
+                    eachBox(b, fs, fe) {
+                      case ("stbl", ss, se) =>
+                        eachBox(b, ss, se) {
+                          case ("stsd", ps, pe) =>
+                            require(be32(b, ps + 4) > 0 && ps + 16 <= pe,
+                              "stsd has no sample entry")
+                            f = new String(b, ps + 12, 4, "US-ASCII")
+                            val es = ps + 8 // sample entry box start
+                            tw = be16(b, es + 8 + 24)
+                            th = be16(b, es + 8 + 26)
+                            td = be16(b, es + 8 + 74)
+                          case ("stsz", ps, _) =>
+                            val fixed = be32(b, ps + 4)
+                            val cnt = be32(b, ps + 8)
+                            tSizes = Array.tabulate(cnt)(i =>
+                              if (fixed != 0) fixed else be32(b, ps + 12 + 4 * i))
+                          case ("stsc", ps, _) =>
+                            val cnt = be32(b, ps + 4)
+                            tRuns = Array.tabulate(cnt)(i =>
+                              (be32(b, ps + 8 + 12 * i), be32(b, ps + 12 + 12 * i)))
+                          case ("stco", ps, _) =>
+                            val cnt = be32(b, ps + 4)
+                            tOffs = Array.tabulate(cnt)(i =>
+                              be32(b, ps + 8 + 4 * i).toLong & 0xFFFFFFFFL)
+                          case ("co64", ps, _) =>
+                            val cnt = be32(b, ps + 4)
+                            tOffs = Array.tabulate(cnt)(i => be64(b, ps + 8 + 8 * i))
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            if (isVide) {
+              found = true
+              fourcc = f; w = tw; h = th; depth = td
+              sizes = tSizes; stscRuns = tRuns; chunkOffs = tOffs
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    require(found, s"MP4 has no video (vide) track (id=$id)")
+    require(sizes != null && stscRuns != null && chunkOffs != null,
+      s"MP4 video track missing sample tables (stsz/stsc/stco) (id=$id)")
+    require(w > 0 && h > 0, s"MP4 sample entry has no dims (id=$id)")
+    // expand stsc run-lengths + stco + stsz into absolute sample ranges
+    val n = sizes.length
+    val sampleOff = new Array[Long](n)
+    var si = 0
+    var run = 0
+    var chunk = 1 // 1-based chunk index
+    while (si < n) {
+      require(chunk <= chunkOffs.length, s"MP4 sample $si has no chunk (stco exhausted)")
+      while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk) run += 1
+      val spc = stscRuns(run)._2
+      var o = chunkOffs(chunk - 1)
+      var k = 0
+      while (k < spc && si < n) {
+        require(o + sizes(si) <= b.length,
+          s"MP4 sample $si at offset $o overruns payload (id=$id)")
+        sampleOff(si) = o
+        o += sizes(si)
+        si += 1; k += 1
+      }
+      chunk += 1
+    }
+    val slices = Array.tabulate(n) { i =>
+      val p = new Array[Byte](sizes(i))
+      System.arraycopy(b, sampleOff(i).toInt, p, 0, sizes(i))
+      p
+    }
+    if (fourcc == "raw " && depth == 40) {
+      // eager map so a truncated sample fails in the caller's try
+      slices.zipWithIndex.map { case (p, fi) =>
+        require(p.length == h * w,
+          s"raw gray frame $fi is ${p.length} bytes, expected ${h * w}")
+        Frame(id, fi, h, w, p)
+      }.iterator
+    } else if (fourcc == "jpeg" || fourcc == "mjpa") {
+      javax.imageio.ImageIO.setUseCache(false)
+      slices.zipWithIndex.map { case (jpeg, fi) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+        require(img != null, s"JDK JPEG codec rejected MP4 sample $fi (id=$id)")
+        val fh = img.getHeight; val fw = img.getWidth
+        val px = new Array[Byte](fh * fw)
+        if (img.getRaster.getNumBands == 1) {
+          val samples = img.getRaster.getSamples(0, 0, fw, fh, 0, null: Array[Int])
+          var j = 0
+          while (j < samples.length) { px(j) = samples(j).toByte; j += 1 }
+        } else {
+          val rgb = img.getRGB(0, 0, fw, fh, null, 0, fw)
+          var j = 0
+          while (j < rgb.length) {
+            val v = rgb(j)
+            px(j) = ((((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
+              (v & 0xff) * 114 + 500) / 1000).toByte
+            j += 1
+          }
+        }
+        Frame(id, fi, fh, fw, px)
+      }.iterator
+    } else fail(s"unsupported MP4 codec fourcc '$fourcc' (depth=$depth) — " +
+      "H.264-class frame decode needs an external codec library")
+  }
+
   /** Decode a GRFV payload into frames; animated GIF payloads decode
     * through the REAL JDK codec — every frame, gray via integer
     * Rec.601 luma ((299r+587g+114b+500)/1000), which degenerates to
@@ -868,7 +1183,10 @@ object Multimodal {
     * conversion instead of a silently-wrong single channel. AVI
     * payloads route through [[unpackAvi]] — real container walk plus
     * real per-frame decode for uncompressed DIB (lossless) and MJPG
-    * (JDK JPEG codec). Other non-GRFV payloads — and GIF/AVI-magic
+    * (JDK JPEG codec). MP4 payloads route through [[unpackMp4]] —
+    * real `stsz`/`stsc`/`stco` sample-table walk plus per-frame
+    * decode for raw grayscale (lossless) and motion JPEG. Other
+    * non-GRFV payloads — and GIF/AVI/MP4-magic
     * payloads the codecs reject (truncated/garbage bytes, codecs the
     * JDK lacks such as H.264) — become one deterministic stub frame
     * (pixels = cyclic payload bytes at the stub codec's fake dims) so
@@ -911,6 +1229,13 @@ object Multimodal {
       }
     } else if (isAvi(payload)) {
       try unpackAvi(id, payload)
+      catch { case scala.util.control.NonFatal(_) =>
+        val s = decodeStub(id, payload)
+        val px = Array.tabulate(s.height * s.width)(i => payload(i % payload.length))
+        Iterator.single(Frame(id, 0, s.height, s.width, px))
+      }
+    } else if (isMp4(payload)) {
+      try unpackMp4(id, payload)
       catch { case scala.util.control.NonFatal(_) =>
         val s = decodeStub(id, payload)
         val px = Array.tabulate(s.height * s.width)(i => payload(i % payload.length))
