@@ -103,4 +103,40 @@ class ApproxSpec extends AnyFunSuite {
     assert(rows("lsh") == ((3L, true)), s"lsh arm: ${rows("lsh")}")
     assert(rows("ivf") == ((5L, true)), s"ivf arm: ${rows("ivf")}")
   }
+
+  test("t_curriculum_scale: graded booleans hold; decile occupancy near 10% per source") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.allQueries.find(_.name == "t_curriculum_scale").get
+      .fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"),
+        s"GK rank bound violated for source ${r.get(0)}")
+      assert(r.getAs[Boolean]("bucket_monotone"),
+        s"decile quality ranges overlap for source ${r.get(0)}")
+    }
+    // occupancy recomputed from the same building blocks: every decile
+    // holds roughly 10% of its source (slack for sketch cuts + quality
+    // ties landing one side of a boundary)
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.text.qualityScore(col("text")).as("quality"))
+    val bounds = docs.groupBy(col("source")).agg(
+      expr("approx_percentile(quality, " +
+        "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 10000)").as("_bnd"))
+    val occ = docs.join(broadcast(bounds), Seq("source"))
+      .withColumn("_decile", expr("10 - size(filter(_bnd, b -> quality > b))"))
+      .groupBy(col("source"), col("_decile")).count().collect()
+    val bySource = occ.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rs) =>
+      val total = rs.map(_.getAs[Long]("count")).sum.toDouble
+      assert(rs.length >= 8, s"$src: only ${rs.length} non-empty deciles")
+      rs.foreach { r =>
+        val share = r.getAs[Long]("count") / total
+        assert(share >= 0.02 && share <= 0.22,
+          s"$src decile ${r.get(1)}: occupancy $share outside [0.02, 0.22]")
+      }
+    }
+  }
 }

@@ -263,4 +263,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
       "decontam must confine by semi-join and drop by anti-join:\n" + p.take(1500))
   }
+
+  test("t_curriculum_scale: no corpus sort — sketch boundaries broadcast back, bucket by comparison") {
+    val p = finalPlan("t_curriculum_scale")
+    assert(!p.contains("rangepartitioning"),
+      "the scale curriculum must never range-sort the corpus:\n" + p.take(1500))
+    assert(p.contains("approx_percentile"),
+      "decile boundaries must come from the partial-aggregable GK sketch:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "boundaries must join back as a broadcast dim, not a shuffle join:\n" + p.take(1500))
+  }
 }
