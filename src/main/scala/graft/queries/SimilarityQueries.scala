@@ -304,6 +304,101 @@ object SimilarityQueries {
            |  TRUE""".stripMargin
       }),
 
+    // GRADED ANN recall under PLANTED cluster structure — the
+    // anisotropic complement to e_ann_recall's isotropic calibration.
+    // The corpus is synthesized IN-PLAN so both engines derive the
+    // identical doubles: 16 cluster centers (the raw embeddings of
+    // vec_ids 1..16, a broadcast dim), and each planted vector is
+    //   center(vec_id % 16 + 1) + 0.15 * own_embedding
+    // — small deterministic perturbations around shared seeds, the
+    // geometry of a near-dup-rich corpus (c + 0.15e at 64-dim ~ 0.15
+    // rad ~ 8.6 deg off-center; per-hyperplane split prob ~ theta/pi
+    // ~ 0.05). Here LSH recall measures NEIGHBOR RECOVERY, not
+    // candidate mass: same-cluster vectors agree on most hyperplane
+    // signs, so the multi-probe bucket set holds nearly all true
+    // top-10 (vs the isotropic floor where recall tracks 5/16
+    // candidate coverage); IVF keeps whole clusters in one cell.
+    // Same sketch-free exact grading as e_ann_recall: quantized
+    // cosines + vec_id tie-break make both top-10 sets deterministic,
+    // `hits` is hash-graded, bounds guard collapse; ApproxSpec pins
+    // the measured recall well above the candidate-mass floor.
+    Q("e_ann_recall_planted",
+      (s, d) => {
+        val C = 16
+        val base = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val ctr = base.where(col("vec_id").between(1, C))
+          .select(col("vec_id").as("center_id"), col("ve").as("cve"))
+        val planted = base.join(broadcast(ctr),
+            col("center_id") === col("vec_id") % C + 1)
+          .select(col("vec_id"),
+            zip_with(col("cve"), col("ve"), (c, e) => c + lit(0.15) * e).as("pv"))
+        val emb = planted.select(col("vec_id"), col("pv").as("embedding"),
+          vectors.hyperplaneBucket(col("pv"), AnnBits, Dim).as("bucket"))
+        val cents = emb.where(col("vec_id").between(1, IvfK))
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val d2 = qround(
+          vectors.normSq(col("embedding")) - lit(2.0) * vectors.dot(col("embedding"), col("cv"))
+            + vectors.normSq(col("cv")), 6)
+        val assigned = emb.crossJoin(broadcast(cents))
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("embedding"), col("bucket"), col("cid")),
+            struct(d2.as("d2"), col("cid"))).as("best"))
+          .select(col("vec_id"), col("best.embedding").as("embedding"),
+            col("best.bucket").as("bucket"), col("best.cid").as("cid"))
+        val q = assigned.where(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("bucket").as("qbucket"),
+            col("cid").as("qcid"))
+        val scored = assigned.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("bucket"), col("cid"), col("qbucket"), col("qcid"),
+            qround(vectors.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        def top10(df: org.apache.spark.sql.DataFrame) =
+          df.orderBy(col("cos").desc, col("vec_id").asc).limit(10).select(col("vec_id"))
+        val exact10 = top10(scored)
+        def arm(name: String, bound: Int, cand: org.apache.spark.sql.DataFrame) =
+          top10(cand).join(exact10, Seq("vec_id"), "left_semi")
+            .agg(count(lit(1)).as("hits"))
+            .select(lit(name).as("method"), lit(10).as("k"), col("hits"),
+              (col("hits") >= bound).as("within_bound"))
+        arm("lsh", 7, scored.where(
+            bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1))
+          .unionAll(arm("ivf", 7, scored.where(col("cid") === col("qcid"))))
+      },
+      Some {
+        def dotS(a: String, b: String) =
+          s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
+        s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           |ctr AS (SELECT vec_id AS center_id, ve AS cve FROM e0 WHERE vec_id BETWEEN 1 AND 16),
+           |p AS (SELECT e0.vec_id,
+           |        list_transform(range(1, ${Dim + 1}),
+           |          i -> ctr.cve[i] + 0.15e0 * e0.ve[i]) AS pv
+           |      FROM e0 JOIN ctr ON ctr.center_id = e0.vec_id % 16 + 1),
+           |e AS (SELECT vec_id, pv AS ve, ${bucketSql("pv", AnnBits)} AS bucket FROM p),
+           |c AS (SELECT vec_id AS cid, ve AS cv FROM e WHERE vec_id BETWEEN 1 AND $IvfK),
+           |a AS (SELECT vec_id, ve, bucket, cid FROM (
+           |    SELECT e.vec_id, e.ve, e.bucket, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        (floor((${dotS("e.ve", "e.ve")} - 2e0 * ${dotS("e.ve", "c.cv")}
+           |          + ${dotS("c.cv", "c.cv")}) * 1000000 + 0.5e0) / 1000000.0e0) ASC, c.cid ASC) AS rn
+           |    FROM e, c) WHERE rn = 1),
+           |q AS (SELECT ve AS qv, bucket AS qbucket, cid AS qcid FROM a WHERE vec_id = 0),
+           |s AS (SELECT vec_id, bucket, cid, qbucket, qcid,
+           |        (floor((${cosSql("ve", "qv")}) * 1000000 + 0.5e0) / 1000000.0e0) AS cos
+           |      FROM a, q WHERE vec_id <> 0),
+           |ex AS (SELECT vec_id FROM s ORDER BY cos DESC, vec_id LIMIT 10),
+           |lsh AS (SELECT vec_id FROM s WHERE bit_count(xor(bucket, qbucket)) <= 1
+           |        ORDER BY cos DESC, vec_id LIMIT 10),
+           |ivf AS (SELECT vec_id FROM s WHERE cid = qcid ORDER BY cos DESC, vec_id LIMIT 10)
+           |SELECT 'lsh' AS method, 10 AS k,
+           |  (SELECT count(*) FROM lsh WHERE vec_id IN (SELECT vec_id FROM ex)) AS hits,
+           |  TRUE AS within_bound
+           |UNION ALL
+           |SELECT 'ivf', 10,
+           |  (SELECT count(*) FROM ivf WHERE vec_id IN (SELECT vec_id FROM ex)),
+           |  TRUE""".stripMargin
+      }),
+
     // semantic dedup END PRODUCT: the keep-list after embedding
     // near-dup removal under the min-id policy — a vector is dropped
     // iff some SMALLER-id vector in its LSH bucket has cosine >= thr.

@@ -139,4 +139,19 @@ class ApproxSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("e_ann_recall_planted: clustered corpus recall@10 pinned at sf0.01") {
+    // the anisotropic complement: with planted cluster structure
+    // (center + 0.15*perturbation), LSH recall measures neighbor
+    // recovery, not candidate mass — both arms recover the full
+    // true top-10 (vs the isotropic floor of 3/10 lsh, 5/10 ivf
+    // pinned above), because same-cluster vectors agree on nearly
+    // all hyperplane signs and whole clusters land in one IVF cell.
+    val rows = SparkEntry.allQueries.find(_.name == "e_ann_recall_planted").get
+      .fn(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("hits"), r.getAs[Boolean]("within_bound"))).toMap
+    assert(rows("lsh") == ((10L, true)), s"lsh arm: ${rows("lsh")}")
+    assert(rows("ivf") == ((10L, true)), s"ivf arm: ${rows("ivf")}")
+  }
 }
