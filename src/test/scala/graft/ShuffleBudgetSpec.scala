@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle-VOLUME regression budgets on the flagship pipelines.
+  *
+  * PlanSpec pins plan SHAPES and Bench pins wall-time, but an
+  * exchange-volume regression (a filter that stopped pushing below a
+  * shuffle, a projection that widened shuffled rows, a broadcast that
+  * silently became a shuffle) surfaces only as noisy wall-time drift —
+  * the recurring cross-round diagnosis burden SCALE.md documents. This
+  * spec reads the populated SQLMetrics straight off the executed plan
+  * (synchronous — no listener-bus race): total `shuffleBytesWritten`
+  * (actual bytes moved) over every ShuffleExchange, compared against
+  * a ceiling a few x the measured sf0.01 value (recorded in SCALE.md
+  * shuffle-budget section) so shared-box noise can't flake it but an
+  * order-of-magnitude volume regression fails loudly. Broadcasts get
+  * a per-node dataSize guard instead of a tight total: AQE
+  * legitimately promotes medium shuffle sides to broadcast at sf0.01
+  * runtime stats (e.g. pipe_submit's ~10k-row starts relation — a
+  * choice it would NOT make against 100 TB stats), so the broadcast
+  * assertion only catches the catastrophic case of a fact-sized
+  * relation being hashed onto the driver. Reused exchanges count
+  * once — they execute once.
+  */
+class ShuffleBudgetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.01"
+
+  /** All physical nodes reachable through AQE wrappers (the final
+    * adaptive plan, materialized query stages) without double-counting
+    * exchange reuse. */
+  private def walk(p: SparkPlan, seen: java.util.IdentityHashMap[SparkPlan, Unit]): Seq[SparkPlan] = {
+    if (seen.containsKey(p)) Seq.empty
+    else {
+      seen.put(p, ())
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, seen)
+        case q: QueryStageExec => walk(q.plan, seen)
+        case r: ReusedExchangeExec => walk(r.child, seen)
+        case other => other.children.flatMap(walk(_, seen))
+      }
+      p +: below
+    }
+  }
+
+  private def metric(p: SparkPlan, key: String): Long =
+    p.metrics.get(key).map(_.value).getOrElse(0L)
+
+  /** (total shuffle bytes written, largest single broadcast dataSize)
+    * after a full execution of the named query at sf0.01. */
+  private def volumes(name: String): (Long, Long) = {
+    val df: DataFrame = SparkEntry.allQueries.find(_.name == name).get.fn(spark, sfDir)
+    df.collect() // execute THIS QueryExecution (df.write would spawn its own)
+    val nodes = walk(df.queryExecution.executedPlan,
+      new java.util.IdentityHashMap[SparkPlan, Unit])
+    val shuffled = nodes.collect { case s: ShuffleExchangeLike =>
+      metric(s, "shuffleBytesWritten")
+    }.sum
+    val maxBroadcast = (0L +: nodes.collect { case b: BroadcastExchangeLike =>
+      metric(b, "dataSize")
+    }).max
+    (shuffled, maxBroadcast)
+  }
+
+  // a fact-sized relation hashed onto the driver is the failure mode;
+  // AQE's legitimate medium-side promotions stay far under this
+  private val BroadcastGuard = 96L << 20
+
+  private def assertBudget(name: String, shuffleCeiling: Long): Unit = {
+    val (sh, bc) = volumes(name)
+    info(s"$name: shuffle=${sh / 1024} KiB (ceiling ${shuffleCeiling / 1024} KiB), " +
+      s"largest broadcast=${bc / 1024} KiB (guard ${BroadcastGuard / 1024} KiB)")
+    assert(sh > 0L, s"$name executed with zero shuffle bytes — metric wiring broke")
+    assert(sh <= shuffleCeiling,
+      s"$name shuffled $sh bytes, over the $shuffleCeiling ceiling — " +
+        "an exchange started carrying more than the plan needs")
+    assert(bc <= BroadcastGuard,
+      s"$name built a $bc-byte broadcast relation — " +
+        "a join side that must stay distributed is being hashed onto the driver")
+  }
+
+  test("pipe_submit_e2e: shuffle volume stays inside its sf0.01 budget") {
+    assertBudget("pipe_submit_e2e", shuffleCeiling = 4L << 20) // measured ~300 KiB
+  }
+
+  test("pipe_scrub_e2e: shuffle volume stays inside its sf0.01 budget") {
+    assertBudget("pipe_scrub_e2e", shuffleCeiling = 4L << 20) // measured ~250 KiB
+  }
+
+  test("d_rescored_keep: shuffle volume stays inside its sf0.01 budget") {
+    assertBudget("d_rescored_keep", shuffleCeiling = 1L << 20) // measured ~10 KiB
+  }
+}
