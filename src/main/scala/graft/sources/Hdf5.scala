@@ -38,7 +38,69 @@ object Hdf5 {
     * `name` of dims (t, h, w). Returns nothing; closes nothing — the
     * caller owns `out`. */
   def writeUint16(out: OutputStream, name: String, t: Int, h: Int, w: Int,
-                  data: Array[Short], gzipLevel: Int = 9): Unit = {
+                  data: Array[Short], gzipLevel: Int = 9): Unit =
+    writeChunked3d(out, name, t, h, w, data, gzipLevel, signed = false, attrs = Nil)
+
+  /** NetCDF-4 write-side twin of the [[Hdf5Nc]] read path: one rank-3
+    * int16 variable as an HDF5-container `.nc` — same chunked+deflate
+    * container this object already writes, plus the netCDF attr layout
+    * ([[Hdf5Nc]] reads it back): v1 attribute messages `valid_range`
+    * (2 float64) and `_FillValue` (1 float64) on the dataset header,
+    * SIGNED 16-bit datatype (the classic twin stores NC_SHORT), so
+    * [[Netcdf.readGrid]] decodes a file from this writer cell-for-cell
+    * and attr-for-attr equal to its [[Netcdf.writeGrid3]] CDF-1 twin —
+    * asserted in SourcesSpec. */
+  def writeGridNc(out: OutputStream, varName: String, t: Int, h: Int, w: Int,
+                  data: Array[Double],
+                  validRange: Option[(Double, Double)] = None,
+                  fillValue: Option[Double] = None,
+                  gzipLevel: Int = 9): Unit = {
+    data.foreach(v =>
+      require(v >= Short.MinValue && v <= Short.MaxValue && v == v.toShort.toDouble,
+        s"value $v not representable as int16"))
+    val shorts = new Array[Short](data.length)
+    var i = 0
+    while (i < data.length) { shorts(i) = data(i).toShort; i += 1 }
+    val attrs = validRange.map(vr => "valid_range" -> Array(vr._1, vr._2)).toSeq ++
+      fillValue.map(f => "_FillValue" -> Array(f)).toSeq
+    writeChunked3d(out, varName, t, h, w, shorts, gzipLevel, signed = true, attrs = attrs)
+  }
+
+  /** One v1 attribute message body (the layout [[Hdf5Nc.parse]]
+    * walks): 8-byte header (version, name/datatype/dataspace sizes),
+    * nul-terminated name, float64 datatype, rank-1 dataspace — each
+    * 8-padded — then the values. */
+  private def attrMessageBody(name: String, values: Array[Double]): Array[Byte] = {
+    def pad8(n: Int): Int = (n + 7) / 8 * 8
+    val nameZ = name.length + 1
+    val dtSz = 20 // fixed header 8 + float properties 12
+    val dsSz = 16 // v1 header 8 + one dim
+    val body = ByteBuffer.allocate(8 + pad8(nameZ) + pad8(dtSz) + dsSz + 8 * values.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    body.put(1.toByte).put(0.toByte) // version 1, reserved
+    body.putShort(nameZ.toShort).putShort(dtSz.toShort).putShort(dsSz.toShort)
+    body.put(name.getBytes("US-ASCII"))
+    body.position(8 + pad8(nameZ))
+    // datatype: IEEE float64 little-endian (v1, class 1)
+    body.put(0x11.toByte) // version 1 << 4 | class 1
+    body.put(0.toByte).put(0x3F.toByte).put(0.toByte) // LE; loc/sign bits
+    body.putInt(8)
+    body.putShort(0.toShort).putShort(64.toShort) // bit offset, precision
+    body.put(52.toByte).put(11.toByte) // exponent location, size
+    body.put(0.toByte).put(52.toByte) // mantissa location, size
+    body.putInt(1023) // exponent bias
+    body.position(8 + pad8(nameZ) + pad8(dtSz))
+    // dataspace: v1, rank 1, no max dims
+    body.put(1.toByte).put(1.toByte).put(0.toByte)
+    body.position(body.position() + 5) // reserved
+    body.putLong(values.length.toLong)
+    values.foreach(body.putDouble)
+    body.array()
+  }
+
+  private def writeChunked3d(out: OutputStream, name: String, t: Int, h: Int, w: Int,
+                             data: Array[Short], gzipLevel: Int, signed: Boolean,
+                             attrs: Seq[(String, Array[Double])]): Unit = {
     require(t > 0 && h > 0 && w > 0, s"dims must be positive, got ($t,$h,$w)")
     require(data.length == t.toLong * h * w,
       s"data length ${data.length} != t*h*w = ${t.toLong * h * w}")
@@ -77,7 +139,9 @@ object Hdf5 {
     val groupBtSize = 24 + 2 * GROUP_LEAF_K * 16 + 8 // full leaf allocation
     val heapHdrSize = 32
     val snodSize = 8 + 2 * GROUP_LEAF_K * 40
-    val dsMsgsSize = 64 + 24 + 16 + 32 + 40 // dataspace, datatype, fill, filter, layout
+    val attrBodies = attrs.map { case (an, av) => attrMessageBody(an, av) }
+    // dataspace, datatype, fill, filter, layout (+ v1 attribute messages)
+    val dsMsgsSize = 64 + 24 + 16 + 32 + 40 + attrBodies.map(8 + _.length).sum
     val dsOhSize = 16 + dsMsgsSize
     val chunkKeySize = 8 + 8 * 4 // size + mask + 4 offsets (t,y,x,elem)
     val chunkBtSize = 24 + 2 * ISTORE_K * (chunkKeySize + 8) + chunkKeySize
@@ -177,9 +241,9 @@ object Hdf5 {
     fixed.putInt(0); fixed.putInt(0) // cache type 0 + reserved
     fixed.position(snodStart + snodSize) // scratch + unused entries stay zero
 
-    // -- dataset object header (v1), 5 messages ------------------------
+    // -- dataset object header (v1), 5 messages (+ attributes) ---------
     fixed.put(1.toByte); fixed.put(0.toByte)
-    fixed.putShort(5.toShort)
+    fixed.putShort((5 + attrBodies.size).toShort)
     fixed.putInt(1)
     fixed.putInt(dsMsgsSize)
     fixed.putInt(0)
@@ -190,11 +254,13 @@ object Hdf5 {
     fixed.put(0.toByte); fixed.putInt(0) // 5 reserved bytes
     fixed.putLong(t.toLong); fixed.putLong(h.toLong); fixed.putLong(w.toLong)
     fixed.putLong(t.toLong); fixed.putLong(h.toLong); fixed.putLong(w.toLong)
-    // datatype: fixed-point v1, little-endian, unsigned, 2 bytes, 16-bit precision
+    // datatype: fixed-point v1, little-endian, 2 bytes, 16-bit precision
     fixed.putShort(0x0003.toShort); fixed.putShort(16.toShort)
     fixed.putInt(0)
     fixed.put(0x10.toByte) // class 0 | version 1
-    fixed.put(0.toByte); fixed.put(0.toByte); fixed.put(0.toByte) // LE, no pad, unsigned
+    // bit field 0: LE, no pad; bit 3 = two's-complement signed
+    fixed.put((if (signed) 0x08 else 0x00).toByte)
+    fixed.put(0.toByte); fixed.put(0.toByte)
     fixed.putInt(2) // size
     fixed.putShort(0.toShort) // bit offset
     fixed.putShort(16.toShort) // bit precision
@@ -225,6 +291,12 @@ object Hdf5 {
     fixed.putInt(1); fixed.putInt(h); fixed.putInt(w); fixed.putInt(2)
     fixed.put(0.toByte); fixed.put(0.toByte); fixed.put(0.toByte);
     fixed.put(0.toByte); fixed.put(0.toByte) // message padding to 32
+    // attribute messages (netCDF-4 decode attrs), after the layout
+    attrBodies.foreach { body =>
+      fixed.putShort(0x000C.toShort); fixed.putShort(body.length.toShort)
+      fixed.putInt(0)
+      fixed.put(body)
+    }
 
     // -- chunk b-tree v1 -----------------------------------------------
     // key of chunk c (the upper-bound key uses size 0, offset t)

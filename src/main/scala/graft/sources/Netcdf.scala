@@ -352,16 +352,22 @@ object Netcdf {
   }
 
   /** Per-key NetCDF sink, the `.nc` twin of
-    * [[Sinks.writeHdf5Frames]]: one classic CDF-1 file per `fileKey`
-    * holding that key's (T, h, w) grid, written with the driver's
-    * Hadoop configuration via a task-attempt temp path + rename.
-    * Same distribution shape: one hash repartition on the key, sorted
-    * within partitions, one file's array in memory at a time. */
+    * [[Sinks.writeHdf5Frames]]: one `.nc` file per `fileKey` holding
+    * that key's (T, h, w) grid, written with the driver's Hadoop
+    * configuration via a task-attempt temp path + rename. Format
+    * fidelity matches the read side's two generations: classic CDF-1
+    * by default, or NetCDF-4 (HDF5 container with chunked+deflate
+    * int16 + attr messages, [[Hdf5.writeGridNc]]) with
+    * `netcdf4 = true` — [[readGrid]] sniffs and decodes either
+    * identically. Same distribution shape: one hash repartition on
+    * the key, sorted within partitions, one file's array in memory
+    * at a time. */
   def writeFrames(df: DataFrame, outDir: String, fileKey: String,
                   tCol: String, yCol: String, xCol: String, valueCol: String,
                   h: Int, w: Int, varName: String = "data",
                   validRange: Option[(Double, Double)] = None,
-                  fillValue: Option[Double] = None): Unit =
+                  fillValue: Option[Double] = None,
+                  netcdf4: Boolean = false): Unit =
     Sinks.writeKeyedFiles(df, outDir, fileKey, tCol, yCol, xCol, valueCol, ".nc") {
       (out, tDim, cells) =>
         val arr = Array.fill(tDim * h * w)(fillValue.getOrElse(0.0))
@@ -370,7 +376,11 @@ object Netcdf {
             s"coordinate ($t,$y,$x) outside (*, $h, $w)")
           arr(t * h * w + y * w + x) = v
         }
-        writeGrid3(out, varName, tDim, h, w, arr,
-          validRange = validRange, fillValue = fillValue)
+        if (netcdf4)
+          Hdf5.writeGridNc(out, varName, tDim, h, w, arr,
+            validRange = validRange, fillValue = fillValue)
+        else
+          writeGrid3(out, varName, tDim, h, w, arr,
+            validRange = validRange, fillValue = fillValue)
     }
 }

@@ -670,4 +670,61 @@ class SourcesSpec extends AnyFunSuite {
       dir.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.delete(dir)
     }
   }
+
+  test("NetCDF-4 writer: written HDF5-container .nc re-reads cell-for-cell equal to its CDF-1 twin") {
+    // write-side format symmetry (round-11 verdict item 8): the SAME
+    // grid + attrs through both generations' writers, decoded by the
+    // ONE readGrid path — every cell, coordinate and decode attr must
+    // agree; the HDF5 twin must parse as a REAL chunked+deflate int16
+    // dataset with float64 attr messages, not some private shape
+    val t = 3; val h = 4; val w = 5
+    val vals = Array.tabulate(t * h * w)(i => ((i * 37) % 1000 - 200).toDouble)
+    val classic = new java.io.ByteArrayOutputStream()
+    sources.Netcdf.writeGrid3(classic, "rr", t, h, w, vals,
+      validRange = Some((-200.0, 800.0)), fillValue = Some(-999.0))
+    val nc4 = new java.io.ByteArrayOutputStream()
+    sources.Hdf5.writeGridNc(nc4, "rr", t, h, w, vals,
+      validRange = Some((-200.0, 800.0)), fillValue = Some(-999.0))
+    // the container IS HDF5 and the dataset IS the netCDF-4 shape
+    assert(sources.Hdf5Nc.isHdf5(nc4.toByteArray))
+    val ds = sources.Hdf5Nc.parse(nc4.toByteArray).head
+    assert(ds.path == "rr" && ds.dims == Seq(t.toLong, h.toLong, w.toLong))
+    assert(ds.dtype.clazz == 0 && ds.dtype.size == 2 && ds.dtype.signed,
+      s"expected int16 dataset, got ${ds.dtype}")
+    assert(ds.layoutClass == 2 && ds.filters == Seq(1),
+      "netCDF-4 files are chunked+deflate")
+    assert(ds.attrs("valid_range").values.toSeq == Seq(-200.0, 800.0))
+    assert(ds.attrs("_FillValue").values.toSeq == Seq(-999.0))
+    // one readGrid path, two generations, identical rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_nc4w")
+    try {
+      java.nio.file.Files.write(dir.resolve("classic.nc"), classic.toByteArray)
+      java.nio.file.Files.write(dir.resolve("nc4.nc"), nc4.toByteArray)
+      def cells(f: String) =
+        sources.Netcdf.readGrid(spark, s"$dir/$f", "rr")
+          .collect().map(r => (r.getAs[Long]("t"), r.getAs[Long]("y"), r.getAs[Long]("x")) ->
+            (r.getAs[Double]("raw"), r.getAs[Double]("valid_lo"),
+              r.getAs[Double]("valid_hi"), r.getAs[Double]("fill_value"))).toMap
+      val a = cells("classic.nc"); val b = cells("nc4.nc")
+      assert(a.size == t * h * w && a == b,
+        "HDF5-container .nc must decode cell-for-cell equal to its CDF-1 twin")
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.delete(dir)
+    }
+    // the per-key sink writes the same container when asked
+    import spark.implicits._
+    val sdir = java.nio.file.Files.createTempDirectory("graft_nc4sink")
+    try {
+      val df = Seq(("a", 0, 0, 0, 7.0), ("a", 0, 0, 1, 8.0)).toDF("k", "t", "y", "x", "v")
+      sources.Netcdf.writeFrames(df, sdir.toString, "k", "t", "y", "x", "v",
+        h = 1, w = 2, varName = "rr", fillValue = Some(-1.0), netcdf4 = true)
+      val bytes = java.nio.file.Files.readAllBytes(sdir.resolve("a.nc"))
+      assert(sources.Hdf5Nc.isHdf5(bytes), "netcdf4=true sink must emit HDF5 containers")
+      val back = sources.Netcdf.readGrid(spark, s"$sdir/*.nc", "rr")
+        .orderBy("t", "y", "x").collect().map(_.getAs[Double]("raw")).toSeq
+      assert(back == Seq(7.0, 8.0))
+    } finally {
+      sdir.toFile.listFiles().foreach(_.delete()); java.nio.file.Files.delete(sdir)
+    }
+  }
 }
