@@ -160,7 +160,12 @@ object Bench {
     // spread (all repeat times) goes to bench_full.json, and queries
     // whose repeats disagree badly are called out in stdout "noisy" —
     // so environmental noise is distinguishable from real regression.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    // Default 5: the five-run protocol SCALE.md uses for regression
+    // adjudication is now the artifact itself — warm_queries IS the
+    // per-query min-of-5, emitted next to the cold first-run series,
+    // so cross-round comparisons read one file instead of re-running
+    // the drift investigation (rounds 9 and 10 both paid that cost).
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "5").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
@@ -202,7 +207,7 @@ object Bench {
     val fullAll = results.map { case (k, (_, _, ts)) =>
       s"${q(k)}:${ts.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","methodology":"$methodology","queries":$fullQs,"warm_total":$warmTotal,"warm_queries":$fullWarm,"all_times":$fullAll,"failed":${errors.size},"errors":$fullErrJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","methodology":"$methodology","repeat":$repeat,"queries":$fullQs,"warm_total":$warmTotal,"warm_queries":$fullWarm,"all_times":$fullAll,"failed":${errors.size},"errors":$fullErrJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()
@@ -248,7 +253,7 @@ object Bench {
     }
     val elided = entries.size - kept.size
     val warmFmt = f3(warmTotal)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","methodology":"$methodology","queries":${kept.mkString("{", ",", "}")},"queries_elided":$elided,"warm_total":$warmFmt,"noisy":$noisyJson,"failed":${errors.size},"errors":$errJson,"errors_elided":$errElided,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","methodology":"$methodology","repeat":$repeat,"queries":${kept.mkString("{", ",", "}")},"queries_elided":$elided,"warm_total":$warmFmt,"noisy":$noisyJson,"failed":${errors.size},"errors":$errJson,"errors_elided":$errElided,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
