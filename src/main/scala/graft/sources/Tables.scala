@@ -26,6 +26,14 @@ object Tables {
     // pin the same semantics so oracle comparison is meaningful.
     "spark.sql.ansi.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
+    // Naive parquet timestamp[us] (isAdjustedToUTC=false) would
+    // otherwise infer as TIMESTAMP_NTZ, forcing a post-scan cast that
+    // blocks parquet predicate pushdown on those columns (and breaks
+    // unix_micros/numeric casts). With inference off the reader yields
+    // session-local TimestampType natively — the session zone is
+    // pinned UTC above, so values match DuckDB's naive-epoch reading
+    // bit-for-bit AND filters still push to the scan.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
   )
 
   // Memoized logical plans per (session, dir, table): `spark.read
@@ -74,13 +82,29 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
-    // Naive parquet timestamp[us] (isAdjustedToUTC=false) arrives as
-    // TIMESTAMP_NTZ, which `unix_micros` and numeric casts reject.
-    // The session timeZone is pinned UTC (see [[conf]]), so casting to
-    // session-local TimestampType preserves every value bit-for-bit
-    // and matches DuckDB's naive-epoch reading of the same file.
-    nanosFixed.schema.collect {
+    // With [[conf]]'s inferTimestampNTZ=false no NTZ column reaches
+    // here; this fold is the fallback for a session built WITHOUT
+    // Tables.conf (dev REPLs), where it degrades to the old top-level
+    // cast (losing pushdown on those columns but staying correct).
+    val fixed = nanosFixed.schema.collect {
       case f if f.dataType == TimestampNTZType => f.name
     }.foldLeft(nanosFixed)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+    // the fallback only rewrites TOP-LEVEL columns: an NTZ buried in a
+    // struct/array/map would silently keep NTZ semantics — no test
+    // table nests timestamps today, so refuse loudly if one appears
+    def nestedNtz(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case s: org.apache.spark.sql.types.StructType => s.exists(f => nestedNtz(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => nestedNtz(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => nestedNtz(m.keyType) || nestedNtz(m.valueType)
+      case t => t == TimestampNTZType
+    }
+    fixed.schema.foreach { f =>
+      require(f.dataType == TimestampNTZType || !nestedNtz(f.dataType),
+        s"$name.$f: TIMESTAMP_NTZ nested inside ${f.dataType.simpleString} — " +
+          "load() only normalizes top-level columns; set " +
+          "spark.sql.parquet.inferTimestampNTZ.enabled=false (Tables.conf) " +
+          "or flatten the schema")
+    }
+    fixed
   }
 }
