@@ -154,4 +154,19 @@ class ApproxSpec extends AnyFunSuite {
     assert(rows("lsh") == ((10L, true)), s"lsh arm: ${rows("lsh")}")
     assert(rows("ivf") == ((10L, true)), s"ivf arm: ${rows("ivf")}")
   }
+
+  test("e_pq_recall: ADC recall@10 pinned at sf0.01") {
+    // untrained 16-codeword-per-subspace PQ on the isotropic corpus:
+    // recall@10 is 1 — low by design (distortion measure, not a tuned
+    // index; real deployments k-means 256/subspace), but decisively
+    // above collapse: a RANDOM ranking's expected hits at sf0.01 is
+    // 100/5000 = 0.02, so P(hits >= 1) < 2%. The pin also locks the
+    // determinism of BOTH top-10 sets (quantized keys + tie-break).
+    val rows = SparkEntry.allQueries.find(_.name == "e_pq_recall").get
+      .fn(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("hits") == 1L &&
+      rows.head.getAs[Boolean]("within_bound"),
+      s"pq_adc arm: ${rows.head}")
+  }
 }

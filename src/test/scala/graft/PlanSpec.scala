@@ -273,4 +273,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       "boundaries must join back as a broadcast dim, not a shuffle join:\n" + p.take(1500))
   }
+
+  test("e_pq_adc: encode + ADC stay in the scan stage; top-10 never global-sorts") {
+    val p = finalPlan("e_pq_adc")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be TakeOrderedAndProject, not sort+limit:\n" + p.take(1500))
+    assert(!p.contains("rangepartitioning"),
+      "PQ search must never range-sort the corpus:\n" + p.take(1500))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the folded codebook + query must broadcast to the scan:\n" + p.take(1500))
+    // the ONLY exchanges are the two single-row folds (codebook, query);
+    // the corpus path itself is exchange-free map work
+    val nEx = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(nEx <= 4, s"corpus path must not shuffle ($nEx non-broadcast Exchange):\n" + p.take(1500))
+  }
 }
