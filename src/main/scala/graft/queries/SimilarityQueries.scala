@@ -505,6 +505,58 @@ object SimilarityQueries {
               |SELECT 'pq_adc' AS method, 10 AS k,
               |  (SELECT count(*) FROM ap WHERE vec_id IN (SELECT vec_id FROM ex)) AS hits,
               |  TRUE AS within_bound""".stripMargin)),
+
+    // PQ codebook TRAINING: one per-subspace Lloyd iteration — assign
+    // every subvector to its nearest codeword (the SAME argmin the
+    // encode uses), then re-estimate each codeword as the
+    // per-dimension member mean, in exact integer space
+    // (1e-6-quantized BIGINT sums, e_ivf_train's convention) so
+    // parallel reassociation cannot perturb the result. Long form
+    // (m, cid, pos, n, c_mean): <= M*Ks*SubDim = 1024 rows. Scale
+    // shape: the corpus explodes to M rows per vector in the scan
+    // stage, the argmin runs against the broadcast folded codebook,
+    // and the (m, cid, pos) hash-agg has 1024 groups — map-side
+    // combine reduces the shuffle to <= 1024 rows per partition
+    // regardless of corpus size; iterating = re-running with these
+    // means as the next codebook, one broadcast + one tiny shuffle
+    // per iteration. This is the trained-codebook path the
+    // e_pq_recall calibration note points at.
+    Q("e_pq_train",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        def d2(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v)
+        val cbRow = emb.where(col("vec_id").between(1, PqKs))
+          .select(col("vec_id").cast("int").as("cid"),
+            explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("ve"))
+          .select(struct(col("m"), col("cid"),
+            slice(col("ve"), col("m") * PqSub + 1, lit(PqSub)).as("cv")).as("e"))
+          .agg(sort_array(collect_list(col("e"))).as("cbs"))
+        emb.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(cbRow))
+          .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("cbs"), col("ve"))
+          .select(col("m"), slice(col("ve"), col("m") * PqSub + 1, lit(PqSub)).as("sv"), col("cbs"))
+          .withColumn("cid", array_min(transform(sequence(lit(1), lit(PqKs)), k =>
+            struct(qround(d2(col("sv"),
+              element_at(col("cbs"), (col("m") * PqKs + k).cast("int")).getField("cv")), 6).as("d2"),
+              k.as("cid")))).getField("cid"))
+          .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+          .groupBy(col("m"), col("cid"), col("pos"))
+          .agg(count(lit(1)).as("n"),
+            (sum(qlong(col("v"), 1e6)) / (lit(1e6) * count(lit(1)))).as("c_mean"))
+          .select(col("m").cast("long").as("m"), col("cid").cast("long").as("cid"),
+            col("pos").cast("long").as("pos"), col("n"), col("c_mean"))
+      },
+      Some(s"""$pqEncodeCtes
+              |SELECT c.m, c.cid, i - 1 AS pos, count(*) AS n,
+              |  CAST(sum(CAST(floor(s.sv[i] * 1000000 + 0.5e0) AS BIGINT)) AS BIGINT)
+              |    / (1e6 * count(*)) AS c_mean
+              |FROM codes c
+              |JOIN sub s ON s.vec_id = c.vec_id AND s.m = c.m,
+              |     range(1, ${PqSub + 1}) t(i)
+              |GROUP BY c.m, c.cid, i - 1""".stripMargin)),
   )
 
   /** Shared PQ machinery: per NON-QUERY vector, its code string
@@ -555,11 +607,14 @@ object SimilarityQueries {
       qround(d2(col("ve"), col("qv")), 6).as("ed2"))
   }
 
-  /** DuckDB twin of [[pqScored]] as WITH-clauses ending in `ad`
-    * (vec_id, code, ad2, ed2). */
-  private def pqSqlCtes: String = {
-    def d2S(a: String, b: String, n: Int) =
-      s"list_sum(list_transform(range(1, ${n + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+  private def d2S(a: String, b: String, n: Int) =
+    s"list_sum(list_transform(range(1, ${n + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** DuckDB twin of the PQ ENCODE: WITH-clauses ending in `codes`
+    * (vec_id, m, cid) over `sub` (per-vector subvectors) and `cb`
+    * (the per-subspace codebook) — shared by the search and train
+    * oracles so the assignment scheme cannot desynchronize. */
+  private def pqEncodeCtes: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
        |ms AS (SELECT unnest(range(0, $PqM)) AS m),
        |cb AS (SELECT ms.m, e.vec_id AS cid,
@@ -572,7 +627,12 @@ object SimilarityQueries {
        |    SELECT sub.vec_id, sub.m, cb.cid,
        |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
        |        ORDER BY ${qroundSql(d2S("sub.sv", "cb.cv", PqSub), 6)} ASC, cb.cid ASC) AS rn
-       |    FROM sub JOIN cb ON sub.m = cb.m) WHERE rn = 1),
+       |    FROM sub JOIN cb ON sub.m = cb.m) WHERE rn = 1)""".stripMargin
+
+  /** DuckDB twin of [[pqScored]] as WITH-clauses ending in `ad`
+    * (vec_id, code, ad2, ed2). */
+  private def pqSqlCtes: String = {
+    s"""$pqEncodeCtes,
        |q AS (SELECT ms.m,
        |        list_transform(range(1, ${PqSub + 1}), i -> e.ve[ms.m * $PqSub + i]) AS qv
        |      FROM e, ms WHERE e.vec_id = 0),
