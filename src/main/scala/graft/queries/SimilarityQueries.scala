@@ -44,6 +44,7 @@ object SimilarityQueries {
   private val PqSub = 8
   private val PqKs = 16
   private val PqRecallBound = 1
+  private val PqPlantedBound = 7
 
   val all: Seq[Q] = Seq(
 
@@ -506,6 +507,68 @@ object SimilarityQueries {
               |  (SELECT count(*) FROM ap WHERE vec_id IN (SELECT vec_id FROM ex)) AS hits,
               |  TRUE AS within_bound""".stripMargin)),
 
+    // PQ under PLANTED cluster structure — the anisotropic complement
+    // to e_pq_recall, same corpus synthesis as e_ann_recall_planted
+    // (center(vec_id % 16 + 1) + 0.15 * own embedding, all in-plan so
+    // both engines derive identical doubles). What PQ actually
+    // guarantees shows up sharply here: every same-cluster vector
+    // quantizes to (nearly) the SAME codes, so ADC collapses the
+    // WITHIN-cluster ranking — plain recall@10 would measure which
+    // cluster members win the vec_id tie-break, i.e. noise (measured
+    // 3/10, the hypergeometric overlap of "10 smallest ids" with "10
+    // closest perturbations"). The meaningful graded metric is
+    // CLUSTER PURITY: how many of the ADC top-10 lie in the query's
+    // true cluster (ids ≡ 0 mod 16). 10/10 = inter-cluster geometry
+    // survives 64x compression intact — PQ's real claim — vs the
+    // 1/10 isotropic distortion floor e_pq_recall pins. ApproxSpec
+    // pins both numbers side by side.
+    Q("e_pq_recall_planted",
+      (s, d) => {
+        val C = 16
+        val base = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val ctr = base.where(col("vec_id").between(1, C))
+          .select(col("vec_id").as("center_id"), col("ve").as("cve"))
+        val planted = base.join(broadcast(ctr),
+            col("center_id") === col("vec_id") % C + 1)
+          .select(col("vec_id"),
+            zip_with(col("cve"), col("ve"), (c, e) => c + lit(0.15) * e).as("ve"))
+        pqScoredOn(planted)
+          .agg(call_function("graft_bottom_k",
+            struct(col("ad2"), col("vec_id")), lit(10)).as("ap"))
+          .select(lit("pq_adc_cluster").as("method"), lit(10).as("k"),
+            size(filter(transform(col("ap"), x => x.getField("vec_id")),
+              id => id % C === 0)).cast("long").as("hits"))
+          .withColumn("within_bound", col("hits") >= PqPlantedBound)
+      },
+      Some {
+        val plantedE =
+          s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+             |ctr AS (SELECT vec_id AS center_id, ve AS cve FROM e0 WHERE vec_id BETWEEN 1 AND 16),
+             |e AS (SELECT e0.vec_id,
+             |        list_transform(range(1, ${Dim + 1}),
+             |          i -> ctr.cve[i] + 0.15e0 * e0.ve[i]) AS ve
+             |      FROM e0 JOIN ctr ON ctr.center_id = e0.vec_id % 16 + 1)""".stripMargin
+        s"""${pqEncodeCtes(plantedE)},
+           |q AS (SELECT ms.m,
+           |        list_transform(range(1, ${PqSub + 1}), i -> e.ve[ms.m * $PqSub + i]) AS qv
+           |      FROM e, ms WHERE e.vec_id = 0),
+           |qf AS (SELECT ve AS qve FROM e WHERE vec_id = 0),
+           |ad AS (SELECT c.vec_id,
+           |         ${qroundSql(s"sum(${qroundSql(d2S("q.qv", "cb.cv", PqSub), 6)})", 6)} AS ad2,
+           |         any_value(${qroundSql(d2S("ev.ve", "qf.qve", Dim), 6)}) AS ed2
+           |       FROM codes c
+           |       JOIN cb ON cb.m = c.m AND cb.cid = c.cid
+           |       JOIN q ON q.m = c.m
+           |       JOIN e ev ON ev.vec_id = c.vec_id
+           |       CROSS JOIN qf
+           |       GROUP BY c.vec_id),
+           |ap AS (SELECT vec_id FROM ad ORDER BY ad2 ASC, vec_id ASC LIMIT 10)
+           |SELECT 'pq_adc_cluster' AS method, 10 AS k,
+           |  (SELECT count(*) FROM ap WHERE vec_id % 16 = 0) AS hits,
+           |  TRUE AS within_bound""".stripMargin
+      }),
+
     // PQ codebook TRAINING: one per-subspace Lloyd iteration — assign
     // every subvector to its nearest codeword (the SAME argmin the
     // encode uses), then re-estimate each codeword as the
@@ -549,7 +612,7 @@ object SimilarityQueries {
           .select(col("m").cast("long").as("m"), col("cid").cast("long").as("cid"),
             col("pos").cast("long").as("pos"), col("n"), col("c_mean"))
       },
-      Some(s"""$pqEncodeCtes
+      Some(s"""${pqEncodeCtes()}
               |SELECT c.m, c.cid, i - 1 AS pos, count(*) AS n,
               |  CAST(sum(CAST(floor(s.sv[i] * 1000000 + 0.5e0) AS BIGINT)) AS BIGINT)
               |    / (1e6 * count(*)) AS c_mean
@@ -564,9 +627,14 @@ object SimilarityQueries {
     * query (vec_id 0), all 1e-6-quantized. One broadcast of the
     * single-row folded codebook + single-row query; zero corpus
     * shuffle. */
-  private def pqScored(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val emb = T(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+  private def pqScored(s: org.apache.spark.sql.SparkSession, d: String) =
+    pqScoredOn(T(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve")))
+
+  /** [[pqScored]] over any (vec_id, ve) frame — the planted-corpus
+    * twin feeds the synthesized vectors through the identical
+    * codebook/encode/ADC path. */
+  private def pqScoredOn(emb: org.apache.spark.sql.DataFrame) = {
     // squared L2 as the SAME left-to-right fold DuckDB's list_sum
     // runs, so quantization sees bit-identical inputs on both sides
     def d2(a: Column, b: Column): Column =
@@ -610,12 +678,20 @@ object SimilarityQueries {
   private def d2S(a: String, b: String, n: Int) =
     s"list_sum(list_transform(range(1, ${n + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
 
+  /** The default `e` CTE: raw embeddings as (vec_id, ve). A def, not
+    * a val: the oracle strings interpolate during `all`'s eager
+    * construction, before helper vals below it would initialize. */
+  private def pqRawE =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)"
+
   /** DuckDB twin of the PQ ENCODE: WITH-clauses ending in `codes`
     * (vec_id, m, cid) over `sub` (per-vector subvectors) and `cb`
     * (the per-subspace codebook) — shared by the search and train
-    * oracles so the assignment scheme cannot desynchronize. */
-  private def pqEncodeCtes: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    * oracles so the assignment scheme cannot desynchronize. `eDef`
+    * supplies the CTE chain defining `e(vec_id, ve)` (raw by default;
+    * the planted twin substitutes the synthesized corpus). */
+  private def pqEncodeCtes(eDef: String = pqRawE): String =
+    s"""WITH $eDef,
        |ms AS (SELECT unnest(range(0, $PqM)) AS m),
        |cb AS (SELECT ms.m, e.vec_id AS cid,
        |         list_transform(range(1, ${PqSub + 1}), i -> e.ve[ms.m * $PqSub + i]) AS cv
@@ -632,7 +708,7 @@ object SimilarityQueries {
   /** DuckDB twin of [[pqScored]] as WITH-clauses ending in `ad`
     * (vec_id, code, ad2, ed2). */
   private def pqSqlCtes: String = {
-    s"""$pqEncodeCtes,
+    s"""${pqEncodeCtes()},
        |q AS (SELECT ms.m,
        |        list_transform(range(1, ${PqSub + 1}), i -> e.ve[ms.m * $PqSub + i]) AS qv
        |      FROM e, ms WHERE e.vec_id = 0),

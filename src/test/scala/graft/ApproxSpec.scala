@@ -169,4 +169,20 @@ class ApproxSpec extends AnyFunSuite {
       rows.head.getAs[Boolean]("within_bound"),
       s"pq_adc arm: ${rows.head}")
   }
+
+  test("e_pq_recall_planted: ADC top-10 cluster purity pinned at sf0.01") {
+    // the two PQ quality numbers side by side: isotropic recall@10 is
+    // 1 (distortion floor, pinned above), but under planted cluster
+    // structure ALL TEN of the ADC top-10 lie in the query's true
+    // cluster — inter-cluster geometry survives 64x compression
+    // intact, which is the guarantee PQ actually makes (the
+    // within-cluster ranking intentionally collapses: same-cluster
+    // vectors share codes).
+    val rows = SparkEntry.allQueries.find(_.name == "e_pq_recall_planted").get
+      .fn(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("hits") == 10L &&
+      rows.head.getAs[Boolean]("within_bound"),
+      s"pq_adc_cluster arm: ${rows.head}")
+  }
 }
