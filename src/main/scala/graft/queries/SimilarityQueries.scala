@@ -463,7 +463,7 @@ object SimilarityQueries {
       (s, d) => pqScored(s, d)
         .select(col("vec_id"), col("code"), col("ad2"))
         .orderBy(col("ad2").asc, col("vec_id").asc).limit(10),
-      Some(s"""${pqSqlCtes}
+      Some(s"""${pqSqlCtes()}
               |SELECT vec_id, code, ad2 FROM ad
               |ORDER BY ad2 ASC, vec_id ASC LIMIT 10""".stripMargin)),
 
@@ -500,7 +500,7 @@ object SimilarityQueries {
               .cast("long").as("hits"))
           .withColumn("within_bound", col("hits") >= PqRecallBound)
       },
-      Some(s"""${pqSqlCtes},
+      Some(s"""${pqSqlCtes()},
               |ex AS (SELECT vec_id FROM ad ORDER BY ed2 ASC, vec_id ASC LIMIT 10),
               |ap AS (SELECT vec_id FROM ad ORDER BY ad2 ASC, vec_id ASC LIMIT 10)
               |SELECT 'pq_adc' AS method, 10 AS k,
@@ -549,20 +549,7 @@ object SimilarityQueries {
              |        list_transform(range(1, ${Dim + 1}),
              |          i -> ctr.cve[i] + 0.15e0 * e0.ve[i]) AS ve
              |      FROM e0 JOIN ctr ON ctr.center_id = e0.vec_id % 16 + 1)""".stripMargin
-        s"""${pqEncodeCtes(plantedE)},
-           |q AS (SELECT ms.m,
-           |        list_transform(range(1, ${PqSub + 1}), i -> e.ve[ms.m * $PqSub + i]) AS qv
-           |      FROM e, ms WHERE e.vec_id = 0),
-           |qf AS (SELECT ve AS qve FROM e WHERE vec_id = 0),
-           |ad AS (SELECT c.vec_id,
-           |         ${qroundSql(s"sum(${qroundSql(d2S("q.qv", "cb.cv", PqSub), 6)})", 6)} AS ad2,
-           |         any_value(${qroundSql(d2S("ev.ve", "qf.qve", Dim), 6)}) AS ed2
-           |       FROM codes c
-           |       JOIN cb ON cb.m = c.m AND cb.cid = c.cid
-           |       JOIN q ON q.m = c.m
-           |       JOIN e ev ON ev.vec_id = c.vec_id
-           |       CROSS JOIN qf
-           |       GROUP BY c.vec_id),
+        s"""${pqSqlCtes(plantedE)},
            |ap AS (SELECT vec_id FROM ad ORDER BY ad2 ASC, vec_id ASC LIMIT 10)
            |SELECT 'pq_adc_cluster' AS method, 10 AS k,
            |  (SELECT count(*) FROM ap WHERE vec_id % 16 = 0) AS hits,
@@ -588,21 +575,12 @@ object SimilarityQueries {
       (s, d) => {
         val emb = T(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
-        def d2(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, v) => acc + v)
-        val cbRow = emb.where(col("vec_id").between(1, PqKs))
-          .select(col("vec_id").cast("int").as("cid"),
-            explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("ve"))
-          .select(struct(col("m"), col("cid"),
-            slice(col("ve"), col("m") * PqSub + 1, lit(PqSub)).as("cv")).as("e"))
-          .agg(sort_array(collect_list(col("e"))).as("cbs"))
         emb.where(col("vec_id") =!= 0)
-          .crossJoin(broadcast(cbRow))
+          .crossJoin(broadcast(pqCodebookRow(emb)))
           .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("cbs"), col("ve"))
-          .select(col("m"), slice(col("ve"), col("m") * PqSub + 1, lit(PqSub)).as("sv"), col("cbs"))
+          .select(col("m"), pqSubvec(col("ve"), col("m")).as("sv"), col("cbs"))
           .withColumn("cid", array_min(transform(sequence(lit(1), lit(PqKs)), k =>
-            struct(qround(d2(col("sv"),
+            struct(qround(pqD2(col("sv"),
               element_at(col("cbs"), (col("m") * PqKs + k).cast("int")).getField("cv")), 6).as("d2"),
               k.as("cid")))).getField("cid"))
           .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
@@ -622,6 +600,30 @@ object SimilarityQueries {
               |GROUP BY c.m, c.cid, i - 1""".stripMargin)),
   )
 
+  /** Squared L2 as the SAME left-to-right fold DuckDB's list_sum
+    * runs, so quantization sees bit-identical inputs on both sides —
+    * shared by every PQ query (search, recall, train). */
+  private def pqD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** The m-th subvector of `v`. */
+  private def pqSubvec(v: Column, m: Column): Column =
+    slice(v, m * PqSub + 1, lit(PqSub))
+
+  /** The folded PQ codebook: (m, cid) -> 8-dim codeword, ONE row
+    * whose array is sorted by (m, cid) so position m*Ks + cid
+    * addresses it — the ONE definition search and training both
+    * broadcast, so the encode and the assign cannot desynchronize
+    * (the SQL side shares [[pqEncodeCtes]] for the same reason). */
+  private def pqCodebookRow(emb: org.apache.spark.sql.DataFrame) =
+    emb.where(col("vec_id").between(1, PqKs))
+      .select(col("vec_id").cast("int").as("cid"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("ve"))
+      .select(struct(col("m"), col("cid"),
+        pqSubvec(col("ve"), col("m")).as("cv")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("cbs"))
+
   /** Shared PQ machinery: per NON-QUERY vector, its code string
     * ("c1,...,c8"), ADC distance `ad2` and exact distance `ed2` to the
     * query (vec_id 0), all 1e-6-quantized. One broadcast of the
@@ -635,20 +637,9 @@ object SimilarityQueries {
     * twin feeds the synthesized vectors through the identical
     * codebook/encode/ADC path. */
   private def pqScoredOn(emb: org.apache.spark.sql.DataFrame) = {
-    // squared L2 as the SAME left-to-right fold DuckDB's list_sum
-    // runs, so quantization sees bit-identical inputs on both sides
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-    def sub(v: Column, m: Column): Column =
-      slice(v, m * PqSub + 1, lit(PqSub))
-    // codebook: (m, cid) -> 8-dim codeword, folded to ONE row whose
-    // array is sorted by (m, cid) so position m*Ks + cid addresses it
-    val cbRow = emb.where(col("vec_id").between(1, PqKs))
-      .select(col("vec_id").cast("int").as("cid"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("ve"))
-      .select(struct(col("m"), col("cid"), sub(col("ve"), col("m")).as("cv")).as("e"))
-      .agg(sort_array(collect_list(col("e"))).as("cbs"))
+    def d2 = pqD2 _
+    def sub(v: Column, m: Column): Column = pqSubvec(v, m)
+    val cbRow = pqCodebookRow(emb)
     val qRow = emb.where(col("vec_id") === 0).select(col("ve").as("qv"))
     def cw(mIdx: Column, code: Column): Column =
       element_at(col("cbs"), (mIdx * PqKs + code).cast("int")).getField("cv")
@@ -706,9 +697,11 @@ object SimilarityQueries {
        |    FROM sub JOIN cb ON sub.m = cb.m) WHERE rn = 1)""".stripMargin
 
   /** DuckDB twin of [[pqScored]] as WITH-clauses ending in `ad`
-    * (vec_id, code, ad2, ed2). */
-  private def pqSqlCtes: String = {
-    s"""${pqEncodeCtes()},
+    * (vec_id, code, ad2, ed2). `eDef` substitutes the corpus (raw by
+    * default, synthesized for the planted twin) — one ADC definition
+    * for every PQ oracle. */
+  private def pqSqlCtes(eDef: String = pqRawE): String = {
+    s"""${pqEncodeCtes(eDef)},
        |q AS (SELECT ms.m,
        |        list_transform(range(1, ${PqSub + 1}), i -> e.ve[ms.m * $PqSub + i]) AS qv
        |      FROM e, ms WHERE e.vec_id = 0),

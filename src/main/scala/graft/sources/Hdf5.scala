@@ -58,6 +58,15 @@ object Hdf5 {
     data.foreach(v =>
       require(v >= Short.MinValue && v <= Short.MaxValue && v == v.toShort.toDouble,
         s"value $v not representable as int16"))
+    // attr values must survive the CDF-1 twin's NC_SHORT storage too,
+    // or the two generations would DECODE differently (classic
+    // truncates 0.5 -> 0; this container would keep it) — refuse
+    // loudly instead of silently diverging from writeGrid3
+    (validRange.toSeq.flatMap(vr => Seq(vr._1, vr._2)) ++ fillValue).foreach(v =>
+      require(v >= Short.MinValue && v <= Short.MaxValue && v == v.toShort.toDouble,
+        s"attr value $v not representable as int16 — the CDF-1 twin stores " +
+          "NC_SHORT attrs, so non-integral attrs would decode differently " +
+          "across generations"))
     val shorts = new Array[Short](data.length)
     var i = 0
     while (i < data.length) { shorts(i) = data(i).toShort; i += 1 }
@@ -83,7 +92,11 @@ object Hdf5 {
     body.position(8 + pad8(nameZ))
     // datatype: IEEE float64 little-endian (v1, class 1)
     body.put(0x11.toByte) // version 1 << 4 | class 1
-    body.put(0.toByte).put(0x3F.toByte).put(0.toByte) // LE; loc/sign bits
+    // bit field 0: LE, no pad, mantissa normalization IMPLIED (bits
+    // 4-5 = 2) — the libhdf5 encoding of IEEE F64LE; declaring
+    // H5T_NORM_NONE (0x00) would make spec-honoring readers (h5py,
+    // jHDF) reinterpret the mantissa without the implied bit
+    body.put(0x20.toByte).put(0x3F.toByte).put(0.toByte) // sign bit 63
     body.putInt(8)
     body.putShort(0.toShort).putShort(64.toShort) // bit offset, precision
     body.put(52.toByte).put(11.toByte) // exponent location, size

@@ -98,9 +98,11 @@ object Tables {
       case m: org.apache.spark.sql.types.MapType => nestedNtz(m.keyType) || nestedNtz(m.valueType)
       case t => t == TimestampNTZType
     }
+    // checked AFTER the fold, whose casts only rewrite top-level
+    // columns — any NTZ still visible here is necessarily nested
     fixed.schema.foreach { f =>
-      require(f.dataType == TimestampNTZType || !nestedNtz(f.dataType),
-        s"$name.$f: TIMESTAMP_NTZ nested inside ${f.dataType.simpleString} — " +
+      require(!nestedNtz(f.dataType),
+        s"$name.${f.name}: TIMESTAMP_NTZ nested inside ${f.dataType.simpleString} — " +
           "load() only normalizes top-level columns; set " +
           "spark.sql.parquet.inferTimestampNTZ.enabled=false (Tables.conf) " +
           "or flatten the schema")

@@ -121,9 +121,12 @@ class ApproxSpec extends AnyFunSuite {
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"),
         graft.functions.text.qualityScore(col("text")).as("quality"))
+    // accuracy 2000 = the SHIPPED query's sketch (TextQueries
+    // t_curriculum_scale) — the occupancy band must hold for the
+    // bucketing users actually get, not a finer one
     val bounds = docs.groupBy(col("source")).agg(
       expr("approx_percentile(quality, " +
-        "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 10000)").as("_bnd"))
+        "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 2000)").as("_bnd"))
     val occ = docs.join(broadcast(bounds), Seq("source"))
       .withColumn("_decile", expr("10 - size(filter(_bnd, b -> quality > b))"))
       .groupBy(col("source"), col("_decile")).count().collect()
