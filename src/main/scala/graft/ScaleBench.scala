@@ -33,7 +33,8 @@ object ScaleBench {
     "m_image_pixels", "m_gif_frames", "pipe_scrub_e2e", "d_rescored_keep",
     "t_curriculum",
     "t_curriculum_scale", "m_mp4_frames", "e_ann_recall_planted",
-    "e_pq_adc", "e_pq_recall", "e_pq_train", "e_pq_recall_planted")
+    "e_pq_adc", "e_pq_recall", "e_pq_train", "e_pq_recall_planted",
+    "e_ivfpq_adc")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -556,6 +556,65 @@ object SimilarityQueries {
            |  TRUE AS within_bound""".stripMargin
       }),
 
+    // IVF + PQ-on-RESIDUALS (IVFADC, Jégou et al. 2011 §III) — the
+    // composed billion-vector search shape: a coarse IVF quantizer
+    // (8 full-dim centroids, e_ivf_ann's convention) splits the
+    // corpus into cells, PQ encodes each vector's RESIDUAL from its
+    // cell centroid (residuals are smaller and better-centered than
+    // raw vectors — the compression works harder), and search runs
+    // ADC with the QUERY's residual against same-cell candidates
+    // only. Composition is pure reuse: the residual frame feeds the
+    // SAME pqScoredOn/pqSqlCtes machinery via the eDef seam, so the
+    // encode/ADC definitions cannot fork from the flat-PQ queries.
+    // Scale shape: assignment is a broadcast argmin, residuals are
+    // per-row map work, the cell filter confines the final top-10 to
+    // 1/K of the corpus, and everything before TakeOrderedAndProject
+    // stays in the scan stage.
+    Q("e_ivfpq_adc",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val cents = emb.where(col("vec_id").between(1, IvfK))
+          .select(col("vec_id").cast("int").as("cell"), col("ve").as("cv"))
+        // same squared-diff fold + quantization as the oracle's d2S,
+        // so the cell argmin cannot flip between engines
+        val dc = qround(pqD2(col("ve"), col("cv")), 6)
+        val assigned = emb.crossJoin(broadcast(cents))
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("ve"), col("cell"), col("cv")),
+            struct(dc.as("d2"), col("cell"))).as("best"))
+          .select(col("vec_id"), col("best.cell").as("cell"),
+            zip_with(col("best.ve"), col("best.cv"), (x, c) => x - c).as("ve"))
+        val qcell = assigned.where(col("vec_id") === 0)
+          .select(col("cell").as("qcell"))
+        pqScoredOn(assigned.select(col("vec_id"), col("ve")))
+          .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+          .crossJoin(broadcast(qcell))
+          .where(col("cell") === col("qcell"))
+          .select(col("vec_id"), col("cell").cast("long").as("cell"),
+            col("code"), col("ad2"))
+          .orderBy(col("ad2").asc, col("vec_id").asc).limit(10)
+      },
+      Some {
+        val residualE =
+          s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+             |c0 AS (SELECT vec_id AS cell, ve AS cv FROM e0 WHERE vec_id BETWEEN 1 AND $IvfK),
+             |asn AS (SELECT vec_id, ve, cell, cv FROM (
+             |    SELECT e0.vec_id, e0.ve, c0.cell, c0.cv,
+             |      row_number() OVER (PARTITION BY e0.vec_id
+             |        ORDER BY ${qroundSql(d2S("e0.ve", "c0.cv", Dim), 6)} ASC, c0.cell ASC) AS rn
+             |    FROM e0, c0) WHERE rn = 1),
+             |e AS (SELECT vec_id,
+             |        list_transform(range(1, ${Dim + 1}), i -> ve[i] - cv[i]) AS ve
+             |      FROM asn)""".stripMargin
+        s"""${pqSqlCtes(residualE)}
+           |SELECT ad.vec_id, asn.cell, ad.code, ad.ad2
+           |FROM ad JOIN asn ON asn.vec_id = ad.vec_id,
+           |     (SELECT cell AS qcell FROM asn WHERE vec_id = 0) q
+           |WHERE asn.cell = q.qcell
+           |ORDER BY ad.ad2 ASC, ad.vec_id ASC LIMIT 10""".stripMargin
+      }),
+
     // PQ codebook TRAINING: one per-subspace Lloyd iteration — assign
     // every subvector to its nearest codeword (the SAME argmin the
     // encode uses), then re-estimate each codeword as the
