@@ -287,4 +287,16 @@ class PlanSpec extends AnyFunSuite {
     val nEx = "(?<!Broadcast)Exchange".r.findAllIn(p).length
     assert(nEx <= 4, s"corpus path must not shuffle ($nEx non-broadcast Exchange):\n" + p.take(1500))
   }
+
+  test("e_ivfpq_adc: broadcast coarse argmin, no corpus range-sort, TakeOrdered top-10") {
+    val p = finalPlan("e_ivfpq_adc")
+    assert(p.contains("TakeOrderedAndProject"),
+      "cell-confined top-10 must be TakeOrderedAndProject:\n" + p.take(1500))
+    assert(!p.contains("rangepartitioning"),
+      "IVFADC must never range-sort the corpus:\n" + p.take(1500))
+    assert(p.contains("BroadcastExchange"),
+      "centroids/codebook/query-cell must broadcast:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"),
+      "no cartesian anywhere in the composition:\n" + p.take(1500))
+  }
 }
