@@ -34,7 +34,7 @@ object ScaleBench {
     "t_curriculum",
     "t_curriculum_scale", "m_mp4_frames", "e_ann_recall_planted",
     "e_pq_adc", "e_pq_recall", "e_pq_train", "e_pq_recall_planted",
-    "e_ivfpq_adc", "e_bq_rerank")
+    "e_ivfpq_adc", "e_ivfpq_probe2", "e_bq_rerank")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -614,50 +614,19 @@ object SimilarityQueries {
     // per-row map work, the cell filter confines the final top-10 to
     // 1/K of the corpus, and everything before TakeOrderedAndProject
     // stays in the scan stage.
-    Q("e_ivfpq_adc",
-      (s, d) => {
-        val emb = T(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
-        val cents = emb.where(col("vec_id").between(1, IvfK))
-          .select(col("vec_id").cast("int").as("cell"), col("ve").as("cv"))
-        // same squared-diff fold + quantization as the oracle's d2S,
-        // so the cell argmin cannot flip between engines
-        val dc = qround(pqD2(col("ve"), col("cv")), 6)
-        val assigned = emb.crossJoin(broadcast(cents))
-          .groupBy(col("vec_id"))
-          .agg(min_by(struct(col("ve"), col("cell"), col("cv")),
-            struct(dc.as("d2"), col("cell"))).as("best"))
-          .select(col("vec_id"), col("best.cell").as("cell"),
-            zip_with(col("best.ve"), col("best.cv"), (x, c) => x - c).as("ve"))
-        val qcell = assigned.where(col("vec_id") === 0)
-          .select(col("cell").as("qcell"))
-        pqScoredOn(assigned.select(col("vec_id"), col("ve")))
-          .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
-          .crossJoin(broadcast(qcell))
-          .where(col("cell") === col("qcell"))
-          .select(col("vec_id"), col("cell").cast("long").as("cell"),
-            col("code"), col("ad2"))
-          .orderBy(col("ad2").asc, col("vec_id").asc).limit(10)
-      },
-      Some {
-        val residualE =
-          s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-             |c0 AS (SELECT vec_id AS cell, ve AS cv FROM e0 WHERE vec_id BETWEEN 1 AND $IvfK),
-             |asn AS (SELECT vec_id, ve, cell, cv FROM (
-             |    SELECT e0.vec_id, e0.ve, c0.cell, c0.cv,
-             |      row_number() OVER (PARTITION BY e0.vec_id
-             |        ORDER BY ${qroundSql(d2S("e0.ve", "c0.cv", Dim), 6)} ASC, c0.cell ASC) AS rn
-             |    FROM e0, c0) WHERE rn = 1),
-             |e AS (SELECT vec_id,
-             |        list_transform(range(1, ${Dim + 1}), i -> ve[i] - cv[i]) AS ve
-             |      FROM asn)""".stripMargin
-        s"""${pqSqlCtes(residualE)}
-           |SELECT ad.vec_id, asn.cell, ad.code, ad.ad2
-           |FROM ad JOIN asn ON asn.vec_id = ad.vec_id,
-           |     (SELECT cell AS qcell FROM asn WHERE vec_id = 0) q
-           |WHERE asn.cell = q.qcell
-           |ORDER BY ad.ad2 ASC, ad.vec_id ASC LIMIT 10""".stripMargin
-      }),
+    Q("e_ivfpq_adc", (s, d) => ivfpqTop10(s, d, nprobe = 1),
+      Some(ivfpqSql(nprobe = 1))),
+
+    // multi-probe IVFADC — the standard recall knob: search the
+    // query's TWO nearest cells instead of one (graft_bottom_k over
+    // the 8 quantized centroid distances picks the probe list
+    // deterministically; same machinery, the candidate set doubles
+    // to 2/K of the corpus). nprobe trades scan work for recall
+    // without touching the index — at 100 TB you tune it per query
+    // class, which is why it shares every stage with e_ivfpq_adc
+    // through ivfpqTop10/ivfpqSql.
+    Q("e_ivfpq_probe2", (s, d) => ivfpqTop10(s, d, nprobe = 2),
+      Some(ivfpqSql(nprobe = 2))),
 
     // PQ codebook TRAINING: one per-subspace Lloyd iteration — assign
     // every subvector to its nearest codeword (the SAME argmin the
@@ -767,6 +736,63 @@ object SimilarityQueries {
       qround(aggregate(col("bests"), lit(0.0), (acc, b) =>
         acc + b.getField("qd2")), 6).as("ad2"),
       qround(d2(col("ve"), col("qv")), 6).as("ed2"))
+  }
+
+  /** IVFADC search shared by e_ivfpq_adc (nprobe=1) and
+    * e_ivfpq_probe2: coarse-assign every vector (broadcast argmin,
+    * same quantized squared-diff fold as the oracle's d2S), PQ-score
+    * the residual frame through [[pqScoredOn]], and keep candidates
+    * whose cell is among the query's `nprobe` nearest cells
+    * (graft_bottom_k over the 8 centroid distances — deterministic
+    * (d2, cell) order). */
+  private def ivfpqTop10(s: org.apache.spark.sql.SparkSession, d: String,
+                         nprobe: Int) = {
+    val emb = T(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val cents = emb.where(col("vec_id").between(1, IvfK))
+      .select(col("vec_id").cast("int").as("cell"), col("ve").as("cv"))
+    val dc = qround(pqD2(col("ve"), col("cv")), 6)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("ve"), col("cell"), col("cv")),
+        struct(dc.as("d2"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        zip_with(col("best.ve"), col("best.cv"), (x, c) => x - c).as("ve"))
+    val probes = emb.where(col("vec_id") === 0).crossJoin(broadcast(cents))
+      .agg(call_function("graft_bottom_k",
+        struct(dc.as("d2"), col("cell")), lit(nprobe)).as("pb"))
+      .select(transform(col("pb"), x => x.getField("cell")).as("probe_cells"))
+    pqScoredOn(assigned.select(col("vec_id"), col("ve")))
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .crossJoin(broadcast(probes))
+      .where(array_contains(col("probe_cells"), col("cell")))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("code"), col("ad2"))
+      .orderBy(col("ad2").asc, col("vec_id").asc).limit(10)
+  }
+
+  /** DuckDB twin of [[ivfpqTop10]]. */
+  private def ivfpqSql(nprobe: Int): String = {
+    val residualE =
+      s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell, ve AS cv FROM e0 WHERE vec_id BETWEEN 1 AND $IvfK),
+         |asn AS (SELECT vec_id, ve, cell, cv FROM (
+         |    SELECT e0.vec_id, e0.ve, c0.cell, c0.cv,
+         |      row_number() OVER (PARTITION BY e0.vec_id
+         |        ORDER BY ${qroundSql(d2S("e0.ve", "c0.cv", Dim), 6)} ASC, c0.cell ASC) AS rn
+         |    FROM e0, c0) WHERE rn = 1),
+         |e AS (SELECT vec_id,
+         |        list_transform(range(1, ${Dim + 1}), i -> ve[i] - cv[i]) AS ve
+         |      FROM asn)""".stripMargin
+    s"""${pqSqlCtes(residualE)},
+       |pb AS (SELECT cell FROM (
+       |    SELECT c0.cell, row_number() OVER (
+       |        ORDER BY ${qroundSql(d2S("q0.ve", "c0.cv", Dim), 6)} ASC, c0.cell ASC) AS rn
+       |    FROM (SELECT ve FROM e0 WHERE vec_id = 0) q0, c0) WHERE rn <= $nprobe)
+       |SELECT ad.vec_id, asn.cell, ad.code, ad.ad2
+       |FROM ad JOIN asn ON asn.vec_id = ad.vec_id
+       |WHERE asn.cell IN (SELECT cell FROM pb)
+       |ORDER BY ad.ad2 ASC, ad.vec_id ASC LIMIT 10""".stripMargin
   }
 
   private def d2S(a: String, b: String, n: Int) =
