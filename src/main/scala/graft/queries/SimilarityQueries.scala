@@ -59,48 +59,32 @@ object SimilarityQueries {
     // IVF-style ANN: assign every vector to its nearest centroid cell
     // (argmin L2, deterministic tie-break), search only the query
     // vector's cell. The inverted-file structure at corpus scale: the
-    // centroid table broadcasts, assignment is per-row map work, and
-    // the search join touches 1/K of the data.
+    // K centroids fold to ONE broadcast row and the assignment is a
+    // scan-stage argmin over that 8-entry array ([[ivfAssigned]]) —
+    // ZERO corpus shuffle, vs the crossJoin+groupBy form whose
+    // Exchange carried vector+centroid payloads for every corpus row.
     Q("e_ivf_ann",
       (s, d) => {
-        val emb = T(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val cents = emb.where(col("vec_id").between(1, IvfK))
-          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        // d2 = |v|^2 - 2 v.c + |c|^2, rounded to absorb fold-order
-        // noise before it can flip an argmin
-        val d2 = qround(
-          vectors.normSq(col("embedding")) - lit(2.0) * vectors.dot(col("embedding"), col("cv"))
-            + vectors.normSq(col("cv")), 6)
-        // argmin via min_by on a (d2, cid) struct (deterministic
-        // tie-break), NOT row_number over a window: the aggregate gets
-        // map-side partials and no per-key sort of the K-expanded
-        // table — at corpus scale the shuffle carries one partial row
-        // per vector per partition instead of K expanded rows
-        val assigned = emb.crossJoin(broadcast(cents))
-          .groupBy(col("vec_id"))
-          .agg(min_by(struct(col("embedding"), col("cid")),
-            struct(d2.as("d2"), col("cid"))).as("best"))
-          .select(col("vec_id"), col("best.embedding").as("embedding"),
-            col("best.cid").as("cid"))
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val assigned = ivfAssigned(emb)
+          .select(col("vec_id"), col("ve"), col("cell").cast("long").as("cid"))
         val q = assigned.where(col("vec_id") === 0)
-          .select(col("embedding").as("qv"), col("cid").as("qcid"))
+          .select(col("ve").as("qv"), col("cid").as("qcid"))
         assigned.join(broadcast(q), col("cid") === col("qcid"))
           .where(col("vec_id") =!= 0)
           .select(col("vec_id"), col("cid"),
-            qround(vectors.cosine(col("embedding"), col("qv")), 6).as("cos"))
+            qround(vectors.cosine(col("ve"), col("qv")), 6).as("cos"))
           .orderBy(col("cos").desc, col("vec_id").asc)
           .limit(10)
       },
       Some {
-        def dotS(a: String, b: String) =
-          s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
            |c AS (SELECT vec_id AS cid, ve AS cv FROM e WHERE vec_id BETWEEN 1 AND $IvfK),
            |a AS (SELECT vec_id, ve, cid FROM (
            |    SELECT e.vec_id, e.ve, c.cid,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        (floor((${dotS("e.ve", "e.ve")} - 2e0 * ${dotS("e.ve", "c.cv")}
-           |          + ${dotS("c.cv", "c.cv")}) * 1000000 + 0.5e0) / 1000000.0e0) ASC, c.cid ASC) AS rn
+           |        ${qroundSql(d2S("e.ve", "c.cv", Dim), 6)} ASC, c.cid ASC) AS rn
            |    FROM e, c) WHERE rn = 1),
            |q AS (SELECT ve AS qv, cid AS qcid FROM a WHERE vec_id = 0)
            |SELECT vec_id, cid, (floor((${cosSql("ve", "qv")}) * 1000000 + 0.5e0) / 1000000.0e0) AS cos
@@ -109,45 +93,35 @@ object SimilarityQueries {
       }),
 
     // IVF centroid TRAINING: one Lloyd iteration in-plan — assign all
-    // vectors to their nearest seed centroid (broadcast + min_by
-    // argmin, as e_ivf_ann), then re-estimate each cell's centroid as
-    // the per-dimension member mean. The mean runs in exact integer
-    // space (1e-6-quantized BIGINT sums) so parallel reassociation
-    // cannot perturb it. Long-form output (cid, pos, n, c_mean):
-    // K x 64 rows, array-free for the oracle. Iterating = re-running
-    // with these means as the next seed; each iteration is one
-    // broadcast + two shuffles regardless of corpus size.
+    // vectors to their nearest seed centroid (the scan-stage broadcast
+    // argmin of [[ivfAssigned]] — zero corpus shuffle), then
+    // re-estimate each cell's centroid as the per-dimension member
+    // mean. The mean runs in exact integer space (1e-6-quantized
+    // BIGINT sums) so parallel reassociation cannot perturb it.
+    // Long-form output (cid, pos, n, c_mean): K x 64 rows, array-free
+    // for the oracle. Iterating = re-running with these means as the
+    // next seed; each iteration is one broadcast + ONE tiny shuffle
+    // (K*64 map-side-combined groups) regardless of corpus size.
     Q("e_ivf_train",
       (s, d) => {
-        val emb = T(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val cents = emb.where(col("vec_id").between(1, IvfK))
-          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        val d2 = qround(
-          vectors.normSq(col("embedding")) - lit(2.0) * vectors.dot(col("embedding"), col("cv"))
-            + vectors.normSq(col("cv")), 6)
-        val assigned = emb.crossJoin(broadcast(cents))
-          .groupBy(col("vec_id"))
-          .agg(min_by(struct(col("embedding"), col("cid")),
-            struct(d2.as("d2"), col("cid"))).as("best"))
-          .select(col("best.cid").as("cid"), col("best.embedding").as("ve"))
-        assigned
-          .select(col("cid"), posexplode(col("ve")).as(Seq("pos", "v")))
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        ivfAssigned(emb)
+          .select(col("cell").cast("long").as("cid"),
+            posexplode(col("ve")).as(Seq("pos", "v")))
           .groupBy(col("cid"), col("pos"))
           .agg(count(lit(1)).as("n"),
-            (sum(qlong(col("v").cast("double"), 1e6))
+            (sum(qlong(col("v"), 1e6))
               / (lit(1e6) * count(lit(1)))).as("c_mean"))
           .select(col("cid"), col("pos").cast("long").as("pos"), col("n"), col("c_mean"))
       },
       Some {
-        def dotS(a: String, b: String) =
-          s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
            |c AS (SELECT vec_id AS cid, ve AS cv FROM e WHERE vec_id BETWEEN 1 AND $IvfK),
            |a AS (SELECT ve, cid FROM (
            |    SELECT e.ve, c.cid,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        (floor((${dotS("e.ve", "e.ve")} - 2e0 * ${dotS("e.ve", "c.cv")}
-           |          + ${dotS("c.cv", "c.cv")}) * 1000000 + 0.5e0) / 1000000.0e0) ASC, c.cid ASC) AS rn
+           |        ${qroundSql(d2S("e.ve", "c.cv", Dim), 6)} ASC, c.cid ASC) AS rn
            |    FROM e, c) WHERE rn = 1)
            |SELECT cid, i - 1 AS pos, count(*) AS n,
            |  CAST(sum(CAST(floor((ve[i]) * 1000000 + 0.5e0) AS BIGINT)) AS BIGINT)
@@ -260,26 +234,17 @@ object SimilarityQueries {
     Q("e_ann_recall",
       (s, d) => {
         val emb = T(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding"),
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"),
             vectors.hyperplaneBucket(col("embedding"), AnnBits, Dim).as("bucket"))
-        val cents = emb.where(col("vec_id").between(1, IvfK))
-          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        val d2 = qround(
-          vectors.normSq(col("embedding")) - lit(2.0) * vectors.dot(col("embedding"), col("cv"))
-            + vectors.normSq(col("cv")), 6)
-        val assigned = emb.crossJoin(broadcast(cents))
-          .groupBy(col("vec_id"))
-          .agg(min_by(struct(col("embedding"), col("bucket"), col("cid")),
-            struct(d2.as("d2"), col("cid"))).as("best"))
-          .select(col("vec_id"), col("best.embedding").as("embedding"),
-            col("best.bucket").as("bucket"), col("best.cid").as("cid"))
+        val assigned = ivfAssigned(emb)
+          .select(col("vec_id"), col("ve"), col("bucket"), col("cell").as("cid"))
         val q = assigned.where(col("vec_id") === 0)
-          .select(col("embedding").as("qv"), col("bucket").as("qbucket"),
+          .select(col("ve").as("qv"), col("bucket").as("qbucket"),
             col("cid").as("qcid"))
         val scored = assigned.crossJoin(broadcast(q))
           .where(col("vec_id") =!= 0)
           .select(col("vec_id"), col("bucket"), col("cid"), col("qbucket"), col("qcid"),
-            qround(vectors.cosine(col("embedding"), col("qv")), 6).as("cos"))
+            qround(vectors.cosine(col("ve"), col("qv")), 6).as("cos"))
         def top10(df: org.apache.spark.sql.DataFrame) =
           df.orderBy(col("cos").desc, col("vec_id").asc).limit(10).select(col("vec_id"))
         val exact10 = top10(scored)
@@ -293,8 +258,6 @@ object SimilarityQueries {
           .unionAll(arm("ivf", 5, scored.where(col("cid") === col("qcid"))))
       },
       Some {
-        def dotS(a: String, b: String) =
-          s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
            |            ${bucketSql("CAST(embedding AS DOUBLE[])", AnnBits)} AS bucket
            |          FROM embeddings),
@@ -302,8 +265,7 @@ object SimilarityQueries {
            |a AS (SELECT vec_id, ve, bucket, cid FROM (
            |    SELECT e.vec_id, e.ve, e.bucket, c.cid,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        (floor((${dotS("e.ve", "e.ve")} - 2e0 * ${dotS("e.ve", "c.cv")}
-           |          + ${dotS("c.cv", "c.cv")}) * 1000000 + 0.5e0) / 1000000.0e0) ASC, c.cid ASC) AS rn
+           |        ${qroundSql(d2S("e.ve", "c.cv", Dim), 6)} ASC, c.cid ASC) AS rn
            |    FROM e, c) WHERE rn = 1),
            |q AS (SELECT ve AS qv, bucket AS qbucket, cid AS qcid FROM a WHERE vec_id = 0),
            |s AS (SELECT vec_id, bucket, cid, qbucket, qcid,
@@ -351,26 +313,17 @@ object SimilarityQueries {
             col("center_id") === col("vec_id") % C + 1)
           .select(col("vec_id"),
             zip_with(col("cve"), col("ve"), (c, e) => c + lit(0.15) * e).as("pv"))
-        val emb = planted.select(col("vec_id"), col("pv").as("embedding"),
+        val emb = planted.select(col("vec_id"), col("pv").as("ve"),
           vectors.hyperplaneBucket(col("pv"), AnnBits, Dim).as("bucket"))
-        val cents = emb.where(col("vec_id").between(1, IvfK))
-          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        val d2 = qround(
-          vectors.normSq(col("embedding")) - lit(2.0) * vectors.dot(col("embedding"), col("cv"))
-            + vectors.normSq(col("cv")), 6)
-        val assigned = emb.crossJoin(broadcast(cents))
-          .groupBy(col("vec_id"))
-          .agg(min_by(struct(col("embedding"), col("bucket"), col("cid")),
-            struct(d2.as("d2"), col("cid"))).as("best"))
-          .select(col("vec_id"), col("best.embedding").as("embedding"),
-            col("best.bucket").as("bucket"), col("best.cid").as("cid"))
+        val assigned = ivfAssigned(emb)
+          .select(col("vec_id"), col("ve"), col("bucket"), col("cell").as("cid"))
         val q = assigned.where(col("vec_id") === 0)
-          .select(col("embedding").as("qv"), col("bucket").as("qbucket"),
+          .select(col("ve").as("qv"), col("bucket").as("qbucket"),
             col("cid").as("qcid"))
         val scored = assigned.crossJoin(broadcast(q))
           .where(col("vec_id") =!= 0)
           .select(col("vec_id"), col("bucket"), col("cid"), col("qbucket"), col("qcid"),
-            qround(vectors.cosine(col("embedding"), col("qv")), 6).as("cos"))
+            qround(vectors.cosine(col("ve"), col("qv")), 6).as("cos"))
         def top10(df: org.apache.spark.sql.DataFrame) =
           df.orderBy(col("cos").desc, col("vec_id").asc).limit(10).select(col("vec_id"))
         val exact10 = top10(scored)
@@ -384,8 +337,6 @@ object SimilarityQueries {
           .unionAll(arm("ivf", 7, scored.where(col("cid") === col("qcid"))))
       },
       Some {
-        def dotS(a: String, b: String) =
-          s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
         s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
            |ctr AS (SELECT vec_id AS center_id, ve AS cve FROM e0 WHERE vec_id BETWEEN 1 AND 16),
            |p AS (SELECT e0.vec_id,
@@ -397,8 +348,7 @@ object SimilarityQueries {
            |a AS (SELECT vec_id, ve, bucket, cid FROM (
            |    SELECT e.vec_id, e.ve, e.bucket, c.cid,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        (floor((${dotS("e.ve", "e.ve")} - 2e0 * ${dotS("e.ve", "c.cv")}
-           |          + ${dotS("c.cv", "c.cv")}) * 1000000 + 0.5e0) / 1000000.0e0) ASC, c.cid ASC) AS rn
+           |        ${qroundSql(d2S("e.ve", "c.cv", Dim), 6)} ASC, c.cid ASC) AS rn
            |    FROM e, c) WHERE rn = 1),
            |q AS (SELECT ve AS qv, bucket AS qbucket, cid AS qcid FROM a WHERE vec_id = 0),
            |s AS (SELECT vec_id, bucket, cid, qbucket, qcid,
@@ -567,7 +517,8 @@ object SimilarityQueries {
     // BINARY quantization + Hamming-shortlist + exact rerank — the
     // third compression point alongside PQ (e_pq_adc) and IVFADC:
     // each vector compresses to a 16-bit sign code (one hyperplane
-    // projection per bit — 32x smaller than even the PQ codes), the
+    // projection per bit — 4x smaller than the 8-byte PQ codes, 256x
+    // smaller than the raw 64-double vector), the
     // shortlist keeps only candidates within Hamming radius 5 of the
     // query's code (bit_count(xor), ~1% of an uncorrelated corpus —
     // the filter is scan-stage integer work over the broadcast query
@@ -618,13 +569,18 @@ object SimilarityQueries {
       Some(ivfpqSql(nprobe = 1))),
 
     // multi-probe IVFADC — the standard recall knob: search the
-    // query's TWO nearest cells instead of one (graft_bottom_k over
-    // the 8 quantized centroid distances picks the probe list
+    // query's TWO nearest cells instead of one (the sorted (d2, cell)
+    // prefix of the folded centroid row picks the probe list
     // deterministically; same machinery, the candidate set doubles
-    // to 2/K of the corpus). nprobe trades scan work for recall
-    // without touching the index — at 100 TB you tune it per query
-    // class, which is why it shares every stage with e_ivfpq_adc
-    // through ivfpqTop10/ivfpqSql.
+    // to 2/K of the corpus). Faithful to Jegou et al. 2011 §III:
+    // candidates in each probed cell score against the query residual
+    // w.r.t. THAT cell's centroid (per-cell qv via element_at on the
+    // broadcast residual array), so cross-cell ADC distances are
+    // commensurable — not a single shared residual, which would skew
+    // second-cell rankings by the inter-centroid offset. nprobe
+    // trades scan work for recall without touching the index — at
+    // 100 TB you tune it per query class, which is why it shares
+    // every stage with e_ivfpq_adc through ivfpqTop10/ivfpqSql.
     Q("e_ivfpq_probe2", (s, d) => ivfpqTop10(s, d, nprobe = 2),
       Some(ivfpqSql(nprobe = 2))),
 
@@ -705,14 +661,54 @@ object SimilarityQueries {
     pqScoredOn(T(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ve")))
 
+  /** The folded IVF coarse quantizer: ONE row whose `cells` array is
+    * sorted by cell id — the coarse-grain twin of [[pqCodebookRow]].
+    * Input frame must carry (vec_id, ve); centroids are the vectors
+    * of vec_ids 1..K (deterministic, training-free convention). */
+  private def ivfCellsRow(emb: org.apache.spark.sql.DataFrame) =
+    emb.where(col("vec_id").between(1, IvfK))
+      .select(struct(col("vec_id").cast("int").as("cell"), col("ve").as("cv")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("cells"))
+
+  /** ZERO-SHUFFLE coarse assignment: broadcast the single folded
+    * centroid row and compute each vector's cell as a scan-stage
+    * argmin over the K-entry array (quantized squared-L2, cell-id
+    * tie-break — the same (d2, cell) order as the oracle's
+    * row_number). Adds `cell` (int) and `cv` (the matched centroid)
+    * to the input frame. At 100 TB this is a map over the lake; the
+    * crossJoin+groupBy/min_by form it replaces paid an
+    * `Exchange hashpartitioning(vec_id)` carrying every corpus vector
+    * PLUS its matched centroid — ~2x corpus volume shuffled for what
+    * is logically a per-row computation. */
+  private def ivfAssigned(emb: org.apache.spark.sql.DataFrame) =
+    emb.crossJoin(broadcast(ivfCellsRow(emb)))
+      .withColumn("_best", array_min(transform(col("cells"), c =>
+        struct(qround(pqD2(col("ve"), c.getField("cv")), 6).as("d2"),
+          c.getField("cell").as("cell"), c.getField("cv").as("cv")))))
+      .withColumn("cell", col("_best.cell"))
+      .withColumn("cv", col("_best.cv"))
+      .drop("cells", "_best")
+
   /** [[pqScored]] over any (vec_id, ve) frame — the planted-corpus
     * twin feeds the synthesized vectors through the identical
-    * codebook/encode/ADC path. */
+    * codebook/encode/ADC path. The query vector is the frame's own
+    * vec_id 0 row, attached as a broadcast constant. */
   private def pqScoredOn(emb: org.apache.spark.sql.DataFrame) = {
+    val qRow = emb.where(col("vec_id") === 0).select(col("ve").as("qv"))
+    pqScoredQ(emb.crossJoin(broadcast(qRow)), pqCodebookRow(emb))
+  }
+
+  /** PQ encode + ADC core over a frame carrying its OWN per-row query
+    * vector `qv` — constant for flat PQ ([[pqScoredOn]]); the probed
+    * cell's query residual for IVFADC, where Jegou et al. 2011 §III
+    * scores candidates in cell i against q - c_i, NOT a single shared
+    * residual. `cbRow` is the folded codebook to encode against;
+    * `extra` columns ride through to the output. */
+  private def pqScoredQ(embQ: org.apache.spark.sql.DataFrame,
+                        cbRow: org.apache.spark.sql.DataFrame,
+                        extra: Seq[String] = Nil) = {
     def d2 = pqD2 _
     def sub(v: Column, m: Column): Column = pqSubvec(v, m)
-    val cbRow = pqCodebookRow(emb)
-    val qRow = emb.where(col("vec_id") === 0).select(col("ve").as("qv"))
     def cw(mIdx: Column, code: Column): Column =
       element_at(col("cbs"), (mIdx * PqKs + code).cast("int")).getField("cv")
     // the per-subspace argmin CARRIES its ADC term: `qd2` (query-to-
@@ -723,55 +719,66 @@ object SimilarityQueries {
     // form that element_at-indexes `bests` from inside a lambda gets
     // the whole encode inlined by projection collapse and re-run
     // per subspace (measured 4x slower).
-    val enc = emb.where(col("vec_id") =!= 0)
-      .crossJoin(broadcast(cbRow)).crossJoin(broadcast(qRow))
+    val enc = embQ.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(cbRow))
       .withColumn("bests", transform(sequence(lit(0), lit(PqM - 1)), m =>
         array_min(transform(sequence(lit(1), lit(PqKs)), k =>
           struct(qround(d2(sub(col("ve"), m), cw(m, k)), 6).as("d2"),
             k.as("cid"),
             qround(d2(sub(col("qv"), m), cw(m, k)), 6).as("qd2"))))))
-    enc.select(col("vec_id"),
+    enc.select((Seq(col("vec_id"),
       concat_ws(",", transform(col("bests"), b =>
         b.getField("cid").cast("string"))).as("code"),
       qround(aggregate(col("bests"), lit(0.0), (acc, b) =>
         acc + b.getField("qd2")), 6).as("ad2"),
-      qround(d2(col("ve"), col("qv")), 6).as("ed2"))
+      qround(d2(col("ve"), col("qv")), 6).as("ed2")) ++ extra.map(col)): _*)
   }
 
   /** IVFADC search shared by e_ivfpq_adc (nprobe=1) and
-    * e_ivfpq_probe2: coarse-assign every vector (broadcast argmin,
-    * same quantized squared-diff fold as the oracle's d2S), PQ-score
-    * the residual frame through [[pqScoredOn]], and keep candidates
-    * whose cell is among the query's `nprobe` nearest cells
-    * (graft_bottom_k over the 8 centroid distances — deterministic
-    * (d2, cell) order). */
+    * e_ivfpq_probe2: scan-stage coarse assignment ([[ivfAssigned]] —
+    * zero corpus shuffle), residuals as per-row map work, PQ encode +
+    * ADC through [[pqScoredQ]] confined to the query's `nprobe`
+    * nearest cells. Multi-probe is faithful to Jegou et al. 2011
+    * §III: each probed cell scores against the query residual w.r.t.
+    * THAT cell's centroid (the broadcast query row carries all K
+    * per-cell residuals; `element_at(qres, cell)` picks the right one
+    * per candidate in the scan stage), so cross-cell ADC distances
+    * are commensurable and nprobe is a true recall knob. */
   private def ivfpqTop10(s: org.apache.spark.sql.SparkSession, d: String,
                          nprobe: Int) = {
     val emb = T(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
-    val cents = emb.where(col("vec_id").between(1, IvfK))
-      .select(col("vec_id").cast("int").as("cell"), col("ve").as("cv"))
-    val dc = qround(pqD2(col("ve"), col("cv")), 6)
-    val assigned = emb.crossJoin(broadcast(cents))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("ve"), col("cell"), col("cv")),
-        struct(dc.as("d2"), col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"),
-        zip_with(col("best.ve"), col("best.cv"), (x, c) => x - c).as("ve"))
-    val probes = emb.where(col("vec_id") === 0).crossJoin(broadcast(cents))
-      .agg(call_function("graft_bottom_k",
-        struct(dc.as("d2"), col("cell")), lit(nprobe)).as("pb"))
-      .select(transform(col("pb"), x => x.getField("cell")).as("probe_cells"))
-    pqScoredOn(assigned.select(col("vec_id"), col("ve")))
-      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .crossJoin(broadcast(probes))
+    val assigned = ivfAssigned(emb)
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("ve"), col("cv"), (x, c) => x - c).as("ve"))
+    // ONE broadcast row for the query: its nprobe nearest cells
+    // (sorted (d2, cell) prefix) + its residual w.r.t. EVERY cell
+    // (cells array is cell-sorted, so element_at(qres, cell) works)
+    val qRow = emb.where(col("vec_id") === 0)
+      .crossJoin(broadcast(ivfCellsRow(emb)))
+      .select(
+        slice(array_sort(transform(col("cells"), c =>
+          struct(qround(pqD2(col("ve"), c.getField("cv")), 6).as("d2"),
+            c.getField("cell").as("cell")))), 1, nprobe).as("pl"),
+        transform(col("cells"), c =>
+          zip_with(col("ve"), c.getField("cv"), (x, cv) => x - cv)).as("qres"))
+      .select(transform(col("pl"), x => x.getField("cell")).as("probe_cells"),
+        col("qres"))
+    // codebook trains on ALL residuals (vec_ids 1..16); the probe
+    // filter confines the encode/ADC to nprobe/K of the corpus
+    val cb = pqCodebookRow(assigned.select(col("vec_id"), col("ve")))
+    val cand = assigned.crossJoin(broadcast(qRow))
       .where(array_contains(col("probe_cells"), col("cell")))
+      .withColumn("qv", element_at(col("qres"), col("cell")))
+      .select(col("vec_id"), col("ve"), col("qv"), col("cell"))
+    pqScoredQ(cand, cb, extra = Seq("cell"))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("code"), col("ad2"))
       .orderBy(col("ad2").asc, col("vec_id").asc).limit(10)
   }
 
-  /** DuckDB twin of [[ivfpqTop10]]. */
+  /** DuckDB twin of [[ivfpqTop10]] — per-probed-cell query residuals
+    * (`qr`), the encode shared through [[pqEncodeCtes]]. */
   private def ivfpqSql(nprobe: Int): String = {
     val residualE =
       s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
@@ -784,15 +791,26 @@ object SimilarityQueries {
          |e AS (SELECT vec_id,
          |        list_transform(range(1, ${Dim + 1}), i -> ve[i] - cv[i]) AS ve
          |      FROM asn)""".stripMargin
-    s"""${pqSqlCtes(residualE)},
+    s"""${pqEncodeCtes(residualE)},
        |pb AS (SELECT cell FROM (
        |    SELECT c0.cell, row_number() OVER (
        |        ORDER BY ${qroundSql(d2S("q0.ve", "c0.cv", Dim), 6)} ASC, c0.cell ASC) AS rn
-       |    FROM (SELECT ve FROM e0 WHERE vec_id = 0) q0, c0) WHERE rn <= $nprobe)
-       |SELECT ad.vec_id, asn.cell, ad.code, ad.ad2
-       |FROM ad JOIN asn ON asn.vec_id = ad.vec_id
-       |WHERE asn.cell IN (SELECT cell FROM pb)
-       |ORDER BY ad.ad2 ASC, ad.vec_id ASC LIMIT 10""".stripMargin
+       |    FROM (SELECT ve FROM e0 WHERE vec_id = 0) q0, c0) WHERE rn <= $nprobe),
+       |qr AS (SELECT c0.cell, ms.m,
+       |         list_transform(range(1, ${PqSub + 1}),
+       |           i -> q0.ve[ms.m * $PqSub + i] - c0.cv[ms.m * $PqSub + i]) AS qv
+       |       FROM (SELECT ve FROM e0 WHERE vec_id = 0) q0, c0, ms),
+       |ad AS (SELECT c.vec_id, asn.cell,
+       |         string_agg(CAST(c.cid AS VARCHAR), ',' ORDER BY c.m) AS code,
+       |         ${qroundSql(s"sum(${qroundSql(d2S("qr.qv", "cb.cv", PqSub), 6)})", 6)} AS ad2
+       |       FROM codes c
+       |       JOIN cb ON cb.m = c.m AND cb.cid = c.cid
+       |       JOIN asn ON asn.vec_id = c.vec_id
+       |       JOIN qr ON qr.cell = asn.cell AND qr.m = c.m
+       |       WHERE asn.cell IN (SELECT cell FROM pb)
+       |       GROUP BY c.vec_id, asn.cell)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, code, ad2 FROM ad
+       |ORDER BY ad2 ASC, vec_id ASC LIMIT 10""".stripMargin
   }
 
   private def d2S(a: String, b: String, n: Int) =

@@ -78,10 +78,22 @@ class PlanSpec extends AnyFunSuite {
       "lag, cumulative sum, and the per-session agg must share the user_id exchange:\n" + p.take(1200))
   }
 
-  test("e_ivf_train: broadcast centroid assign + min_by aggregate, no window sort") {
+  test("e_ivf_train: scan-stage coarse assign; only the K*64-group re-mean shuffles") {
     val p = finalPlan("e_ivf_train")
-    assert(p.contains("BroadcastExchange"), "centroids must broadcast")
-    assert(!p.contains("Window"), "argmin must be the min_by aggregate, not row_number")
+    assert(p.contains("BroadcastExchange"), "the folded centroid row must broadcast")
+    assert(!p.contains("Window"), "argmin must be scan-stage, not row_number")
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      "coarse assignment must NOT shuffle the corpus on vec_id:\n" + p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "the only shuffle is the (cid, pos) re-mean (map-side combined, <=K*64 groups):\n" + p.take(1500))
+  }
+
+  test("e_ivf_ann: coarse assignment is zero-shuffle scan work") {
+    val p = finalPlan("e_ivf_ann")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "cell assign + cell-confined top-10 needs NO hash exchange at all:\n" + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject") && !p.contains("rangepartitioning"),
+      "top-10 must be TakeOrderedAndProject:\n" + p.take(1500))
   }
 
   test("j6: salted join keys include the salt and the dim is not broadcast") {
@@ -288,7 +300,7 @@ class PlanSpec extends AnyFunSuite {
     assert(nEx <= 4, s"corpus path must not shuffle ($nEx non-broadcast Exchange):\n" + p.take(1500))
   }
 
-  test("e_ivfpq_adc: broadcast coarse argmin, no corpus range-sort, TakeOrdered top-10") {
+  test("e_ivfpq_adc: zero-shuffle corpus path — scan-stage assign/encode/ADC, TakeOrdered top-10") {
     val p = finalPlan("e_ivfpq_adc")
     assert(p.contains("TakeOrderedAndProject"),
       "cell-confined top-10 must be TakeOrderedAndProject:\n" + p.take(1500))
@@ -298,5 +310,21 @@ class PlanSpec extends AnyFunSuite {
       "centroids/codebook/query-cell must broadcast:\n" + p.take(1500))
     assert(!p.contains("CartesianProduct"),
       "no cartesian anywhere in the composition:\n" + p.take(1500))
+    // the r11 verdict's scale defect + watch item, both pinned on the
+    // EXECUTED (adaptive) plan: the corpus is never hash-exchanged
+    // (coarse assign is a broadcast-row argmin in the scan stage) and
+    // no sort-merge join survives (the scored-to-assigned self-join
+    // is gone — `cell` rides through pqScoredQ as a passthrough)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "IVFADC search must not hash-exchange the corpus:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "no SMJ may appear in the executed IVFADC plan:\n" + p.take(1500))
+  }
+
+  test("e_ivfpq_probe2: multi-probe keeps the zero-shuffle corpus path") {
+    val p = finalPlan("e_ivfpq_probe2")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("SortMergeJoin"),
+      "nprobe=2 must not change the plan shape:\n" + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 }
