@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.qround
+
+/** Persisted IVFADC index — the SERVING shape of a 100 TB vector
+  * store. The in-plan `e_ivfpq_*` queries re-derive centroids and
+  * re-encode the whole corpus per query (right for grading, wrong for
+  * serving); here the expensive half runs ONCE:
+  *
+  *   - [[build]]: coarse-assign every vector (scan-stage broadcast
+  *     argmin — zero corpus shuffle), PQ-encode its residual, and
+  *     write `(vec_id, codes)` parquet PARTITIONED BY `cell`, plus a
+  *     one-row `meta` table holding the folded centroid array and the
+  *     residual codebook. The only exchange in the whole build is the
+  *     partitioned-write file split.
+  *   - [[search]]: read `meta` (one row), pick the query's `nprobe`
+  *     nearest cells, and scan ONLY those partitions — the cell
+  *     filter is a LITERAL `IN`, so Catalyst prunes at planning time
+  *     and the scan's PartitionFilters touch nprobe/k of the files.
+  *     ADC runs off a precomputed m*ks-entry distance table per
+  *     probed cell (q - c_i residuals, Jegou et al. 2011 §III), so
+  *     per-candidate work is m integer lookups + adds.
+  *
+  * Everything quantizes exactly as [[Pq.scoredQ]] does, so a search
+  * over the persisted index returns bit-identical (code, ad2) to the
+  * in-plan path — `e_ivfpq_indexed` grades that against the same
+  * DuckDB oracle as `e_ivfpq_adc`.
+  *
+  * Reference analog: the precomputed catalog / decode-cache idea
+  * (weather4cast/datasets.py:51-53, 229-241) applied to similarity
+  * serving.
+  */
+object AnnIndex {
+
+  /** Build & persist the IVFADC index for `emb` (vec_id, ve) under
+    * `dir`. The caller owns corpus semantics (e.g. excluding a held-
+    * out query vector); centroids/codebook follow the vec_ids 1..k /
+    * 1..ks seed convention of [[Pq.cellsRow]]/[[Pq.codebookRow]]. */
+  def build(emb: DataFrame, dir: String, k: Int = 8,
+            p: Pq.Params = Pq.Params()): Unit = {
+    val assigned = Pq.ivfAssigned(emb, k)
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("ve"), col("cv"), (x, c) => x - c).as("ve"))
+    val cb = Pq.codebookRow(assigned.select(col("vec_id"), col("ve")), p)
+    Pq.encoded(assigned, cb, p, extra = Seq("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    Pq.cellsRow(emb, k).crossJoin(cb)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Top-`limit` ADC search of the persisted index for the one-row
+    * query frame `q` (column `qv`: array<double>). Returns
+    * (vec_id, cell, code, ad2) — identical values to the in-plan
+    * [[Pq.scoredQ]] path over the same corpus. The driver-side
+    * `head()` collects only the nprobe probe-cell ids (ints) from the
+    * one-row meta frame — sanctioned, and what makes the partition
+    * filter literal (STATIC pruning, visible as PartitionFilters in
+    * the scan). */
+  def search(spark: SparkSession, dir: String, q: DataFrame,
+             nprobe: Int = 1, limit: Int = 10,
+             p: Pq.Params = Pq.Params()): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta") // 1 row: (cells, cbs)
+    // per-cell ADC tables: qtabs[cell][m*ks + cid] =
+    //   qround(d2(subvec(q - c_cell, m), codeword(m, cid)), 6)
+    // — the same doubles Pq.scoredQ computes inline as `qd2`
+    val qRow = q.crossJoin(broadcast(meta))
+      .select(
+        slice(array_sort(transform(col("cells"), c =>
+          struct(qround(Pq.d2(col("qv"), c.getField("cv")), 6).as("d2"),
+            c.getField("cell").as("cell")))), 1, nprobe).as("pl"),
+        transform(col("cells"), c =>
+          tabFor(zip_with(col("qv"), c.getField("cv"), (x, cv) => x - cv), p))
+          .as("qtabs"))
+      .select(transform(col("pl"), x => x.getField("cell")).as("probe_cells"),
+        col("qtabs"))
+    val probes: Seq[Int] =
+      qRow.select(col("probe_cells")).head().getSeq[Int](0)
+    spark.read.parquet(s"$dir/codes")
+      .where(col("cell").isin(probes: _*))
+      .crossJoin(broadcast(qRow.select(col("qtabs"))))
+      .withColumn("tab", element_at(col("qtabs"), col("cell").cast("int")))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        concat_ws(",", transform(col("codes"), c => c.cast("string"))).as("code"),
+        qround(aggregate(sequence(lit(0), lit(p.m - 1)), lit(0.0), (acc, m) =>
+          acc + element_at(col("tab"),
+            (m * p.ks + element_at(col("codes"), m + 1)).cast("int"))), 6)
+          .as("ad2"))
+      .orderBy(col("ad2").asc, col("vec_id").asc).limit(limit)
+  }
+
+  /** The flat m*ks ADC distance table for one query residual `qres`,
+    * addressed like the folded codebook: position m*ks + cid. */
+  private def tabFor(qres: Column, p: Pq.Params): Column =
+    transform(sequence(lit(1), lit(p.m * p.ks)), i => {
+      val m = ((i - lit(1)) / lit(p.ks)).cast("int")
+      qround(Pq.d2(Pq.subvec(qres, m, p),
+        element_at(col("cbs"), i.cast("int")).getField("cv")), 6)
+    })
+}

@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.queries.{qlong, qround}
+
+/** Product-quantization + IVF expression builders — the library layer
+  * behind the `e_pq_*` / `e_ivf*` graded queries and [[AnnIndex]].
+  *
+  * Everything here is SCAN-STAGE work by construction: centroid
+  * tables and codebooks fold to ONE row each ([[cellsRow]],
+  * [[codebookRow]]) and broadcast, so coarse assignment, encode, and
+  * ADC are per-row map work over the corpus — zero corpus shuffle at
+  * any scale. All distances are 1e-6-quantized left-to-right folds so
+  * a DuckDB oracle running the same expression shapes produces
+  * bit-identical doubles (see graft.queries package doc).
+  *
+  * Reference analog: the precomputed-catalog / decode-cache idea of
+  * weather4cast/datasets.py:51-53,229-241 applied to the similarity
+  * extension surface.
+  */
+object Pq {
+
+  /** Subspace geometry: `dim`-dim vectors split into `m` subspaces of
+    * `sub = dim/m` dims, `ks` codewords per subspace. */
+  final case class Params(dim: Int = 64, m: Int = 8, ks: Int = 16) {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub: Int = dim / m
+  }
+
+  /** Squared L2 as a left-to-right fold — the SAME accumulation order
+    * DuckDB's list_sum runs, so 1e-6 quantization sees bit-identical
+    * inputs on both sides. */
+  def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** The m-th subvector of `v` (m is 0-based). */
+  def subvec(v: Column, m: Column, p: Params): Column =
+    slice(v, m * p.sub + 1, lit(p.sub))
+
+  /** Codeword (m, cid) out of the folded codebook column `cbs`
+    * (sorted by (m, cid), cid 1-based → position m*ks + cid). */
+  def cw(cbs: Column, m: Column, cid: Column, p: Params): Column =
+    element_at(cbs, (m * p.ks + cid).cast("int")).getField("cv")
+
+  /** The folded IVF coarse quantizer: ONE row whose `cells` array is
+    * sorted by cell id. Centroids are the vectors of vec_ids 1..k —
+    * the deterministic training-free convention; swap the `where` for
+    * trained centroids. Input frame carries (vec_id, ve). */
+  def cellsRow(emb: DataFrame, k: Int): DataFrame =
+    emb.where(col("vec_id").between(1, k))
+      .select(struct(col("vec_id").cast("int").as("cell"), col("ve").as("cv")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("cells"))
+
+  /** ZERO-SHUFFLE coarse assignment: broadcast the single folded
+    * centroid row, compute each vector's cell as a scan-stage argmin
+    * over the k-entry array (quantized squared-L2, cell-id
+    * tie-break). Adds `cell` (int) and `cv` (matched centroid) to the
+    * input frame. The crossJoin+groupBy/min_by alternative pays an
+    * `Exchange hashpartitioning(vec_id)` carrying every corpus vector
+    * plus its matched centroid — ~2x corpus volume shuffled for what
+    * is logically a per-row computation. */
+  def ivfAssigned(emb: DataFrame, k: Int): DataFrame =
+    emb.crossJoin(broadcast(cellsRow(emb, k)))
+      .withColumn("_best", array_min(transform(col("cells"), c =>
+        struct(qround(d2(col("ve"), c.getField("cv")), 6).as("d2"),
+          c.getField("cell").as("cell"), c.getField("cv").as("cv")))))
+      .withColumn("cell", col("_best.cell"))
+      .withColumn("cv", col("_best.cv"))
+      .drop("cells", "_best")
+
+  /** The folded PQ codebook: (m, cid) -> sub-dim codeword, ONE row
+    * whose array is sorted by (m, cid) so position m*ks + cid
+    * addresses it. Codewords are the subvectors of vec_ids 1..ks —
+    * the training-free seed; [[lloydStep]] refines it. */
+  def codebookRow(emb: DataFrame, p: Params): DataFrame =
+    emb.where(col("vec_id").between(1, p.ks))
+      .select(col("vec_id").cast("int").as("cid"),
+        explode(sequence(lit(0), lit(p.m - 1))).as("m"), col("ve"))
+      .select(struct(col("m"), col("cid"),
+        subvec(col("ve"), col("m"), p).as("cv")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("cbs"))
+
+  /** PQ encode + ADC over a frame carrying its OWN per-row query
+    * vector `qv` — a broadcast constant for flat PQ; the probed
+    * cell's query residual for IVFADC (Jegou et al. 2011 §III scores
+    * cell i against q - c_i). Emits (vec_id, code, ad2, ed2) plus
+    * `extra` passthrough columns.
+    *
+    * The per-subspace argmin CARRIES its ADC term: `qd2` (query-to-
+    * codeword distance — the m*ks-entry ADC distance table, computed
+    * alongside the encode) rides in the struct after the (d2, cid)
+    * sort key, and the ADC sum folds directly OVER `bests`. Folding
+    * over the array evaluates the encode exactly once per row; any
+    * form that element_at-indexes `bests` from inside a lambda gets
+    * the whole encode inlined by projection collapse and re-run per
+    * subspace (measured 4x slower). */
+  def scoredQ(embQ: DataFrame, cbRow: DataFrame, p: Params,
+              extra: Seq[String] = Nil): DataFrame = {
+    val enc = embQ.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(cbRow))
+      .withColumn("bests", transform(sequence(lit(0), lit(p.m - 1)), m =>
+        array_min(transform(sequence(lit(1), lit(p.ks)), k =>
+          struct(qround(d2(subvec(col("ve"), m, p), cw(col("cbs"), m, k, p)), 6).as("d2"),
+            k.as("cid"),
+            qround(d2(subvec(col("qv"), m, p), cw(col("cbs"), m, k, p)), 6).as("qd2"))))))
+    enc.select((Seq(col("vec_id"),
+      concat_ws(",", transform(col("bests"), b =>
+        b.getField("cid").cast("string"))).as("code"),
+      qround(aggregate(col("bests"), lit(0.0), (acc, b) =>
+        acc + b.getField("qd2")), 6).as("ad2"),
+      qround(d2(col("ve"), col("qv")), 6).as("ed2")) ++ extra.map(col)): _*)
+  }
+
+  /** Encode only — the INDEX-BUILD half of [[scoredQ]]: per-subspace
+    * nearest-codeword ids as `codes array<int>` (same (d2, cid)
+    * argmin, so build-time codes equal query-time codes exactly).
+    * `extra` columns ride through. No vec_id filtering: the caller
+    * decides what the corpus is. */
+  def encoded(emb: DataFrame, cbRow: DataFrame, p: Params,
+              extra: Seq[String] = Nil): DataFrame =
+    emb.crossJoin(broadcast(cbRow))
+      .withColumn("codes", transform(sequence(lit(0), lit(p.m - 1)), m =>
+        array_min(transform(sequence(lit(1), lit(p.ks)), k =>
+          struct(qround(d2(subvec(col("ve"), m, p), cw(col("cbs"), m, k, p)), 6).as("d2"),
+            k.as("cid")))).getField("cid")))
+      .select((Seq(col("vec_id"), col("codes")) ++ extra.map(col)): _*)
+
+  /** One Lloyd iteration over the PQ codebook: assign every corpus
+    * subvector to its nearest codeword (the SAME quantized argmin the
+    * encode uses), re-estimate each codeword as the per-dimension
+    * member mean in exact integer space (1e-6-quantized BIGINT sums —
+    * parallel reassociation cannot perturb it), and fold the result
+    * back to a ONE-ROW codebook. Codewords that attract no members
+    * keep their previous value (the standard k-means empty-cell
+    * policy), so the (m, cid) -> position addressing never shifts.
+    *
+    * Scale shape per iteration: one corpus scan against the broadcast
+    * codebook, one hash-agg with <= m*ks*sub (=1024 default) groups
+    * (map-side combined — the shuffle is <= 1024 rows per partition
+    * regardless of corpus size), and tiny codebook-sized folds. */
+  def lloydStep(emb: DataFrame, cbRow: DataFrame, p: Params): DataFrame = {
+    val means = emb.crossJoin(broadcast(cbRow))
+      .select(explode(sequence(lit(0), lit(p.m - 1))).as("m"), col("cbs"), col("ve"))
+      .select(col("m"), subvec(col("ve"), col("m"), p).as("sv"), col("cbs"))
+      .withColumn("cid", array_min(transform(sequence(lit(1), lit(p.ks)), k =>
+        struct(qround(d2(col("sv"), cw(col("cbs"), col("m"), k, p)), 6).as("d2"),
+          k.as("cid")))).getField("cid"))
+      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("cid"), col("pos"))
+      .agg((sum(qlong(col("v"), 1e6)) / (lit(1e6) * count(lit(1)))).as("c_mean"))
+      .groupBy(col("m"), col("cid"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c_mean")))),
+        e => e.getField("c_mean")).as("cv"))
+    val prev = cbRow.select(explode(col("cbs")).as("e"))
+      .select(col("e.m").as("m"), col("e.cid").as("cid"), col("e.cv").as("pcv"))
+    prev.join(means, Seq("m", "cid"), "left")
+      .select(struct(col("m"), col("cid"),
+        coalesce(col("cv"), col("pcv")).as("cv")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("cbs"))
+  }
+}

@@ -584,6 +584,29 @@ object SimilarityQueries {
     Q("e_ivfpq_probe2", (s, d) => ivfpqTop10(s, d, nprobe = 2),
       Some(ivfpqSql(nprobe = 2))),
 
+    // MATERIALIZED IVFADC index — the serving shape the in-plan
+    // queries deliberately don't have: ops.AnnIndex.build encodes the
+    // corpus ONCE into (vec_id, codes) parquet PARTITIONED BY cell
+    // (plus a one-row meta table with centroids + codebook), and
+    // search reads ONLY the probe-cell partitions (the probe list is
+    // a literal IN, so pruning is static — PlanSpec pins the
+    // PartitionFilters) and ranks by ADC off a precomputed distance
+    // table. Same quantization as the in-plan path end to end, so the
+    // oracle is ivfpqSql(1) verbatim — the graded proof that the
+    // persisted index returns bit-identical (code, ad2) to
+    // e_ivfpq_adc while scanning 1/K of the data at query time.
+    Q("e_ivfpq_indexed",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${math.abs(d.hashCode)}"
+        graft.ops.AnnIndex.build(emb.where(col("vec_id") =!= 0), dir, IvfK, P)
+        graft.ops.AnnIndex.search(s, dir,
+          emb.where(col("vec_id") === 0).select(col("ve").as("qv")),
+          nprobe = 1, limit = 10, p = P)
+      },
+      Some(ivfpqSql(nprobe = 1))),
+
     // PQ codebook TRAINING: one per-subspace Lloyd iteration — assign
     // every subvector to its nearest codeword (the SAME argmin the
     // encode uses), then re-estimate each codeword as the
@@ -628,29 +651,28 @@ object SimilarityQueries {
               |GROUP BY c.m, c.cid, i - 1""".stripMargin)),
   )
 
+  /** The one geometry every PQ query shares, delegated to the
+    * library layer ([[graft.ops.Pq]]) so [[graft.ops.AnnIndex]] and
+    * the graded queries provably run the SAME encode/assign/ADC
+    * definitions (the SQL side shares [[pqEncodeCtes]] for the same
+    * reason). */
+  private val P = graft.ops.Pq.Params(Dim, PqM, PqKs)
+
   /** Squared L2 as the SAME left-to-right fold DuckDB's list_sum
     * runs, so quantization sees bit-identical inputs on both sides —
     * shared by every PQ query (search, recall, train). */
-  private def pqD2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+  private def pqD2(a: Column, b: Column): Column = graft.ops.Pq.d2(a, b)
 
   /** The m-th subvector of `v`. */
   private def pqSubvec(v: Column, m: Column): Column =
-    slice(v, m * PqSub + 1, lit(PqSub))
+    graft.ops.Pq.subvec(v, m, P)
 
   /** The folded PQ codebook: (m, cid) -> 8-dim codeword, ONE row
     * whose array is sorted by (m, cid) so position m*Ks + cid
     * addresses it — the ONE definition search and training both
-    * broadcast, so the encode and the assign cannot desynchronize
-    * (the SQL side shares [[pqEncodeCtes]] for the same reason). */
+    * broadcast, so the encode and the assign cannot desynchronize. */
   private def pqCodebookRow(emb: org.apache.spark.sql.DataFrame) =
-    emb.where(col("vec_id").between(1, PqKs))
-      .select(col("vec_id").cast("int").as("cid"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("ve"))
-      .select(struct(col("m"), col("cid"),
-        pqSubvec(col("ve"), col("m")).as("cv")).as("e"))
-      .agg(sort_array(collect_list(col("e"))).as("cbs"))
+    graft.ops.Pq.codebookRow(emb, P)
 
   /** Shared PQ machinery: per NON-QUERY vector, its code string
     * ("c1,...,c8"), ADC distance `ad2` and exact distance `ed2` to the
@@ -666,28 +688,20 @@ object SimilarityQueries {
     * Input frame must carry (vec_id, ve); centroids are the vectors
     * of vec_ids 1..K (deterministic, training-free convention). */
   private def ivfCellsRow(emb: org.apache.spark.sql.DataFrame) =
-    emb.where(col("vec_id").between(1, IvfK))
-      .select(struct(col("vec_id").cast("int").as("cell"), col("ve").as("cv")).as("e"))
-      .agg(sort_array(collect_list(col("e"))).as("cells"))
+    graft.ops.Pq.cellsRow(emb, IvfK)
 
-  /** ZERO-SHUFFLE coarse assignment: broadcast the single folded
-    * centroid row and compute each vector's cell as a scan-stage
-    * argmin over the K-entry array (quantized squared-L2, cell-id
-    * tie-break — the same (d2, cell) order as the oracle's
-    * row_number). Adds `cell` (int) and `cv` (the matched centroid)
-    * to the input frame. At 100 TB this is a map over the lake; the
-    * crossJoin+groupBy/min_by form it replaces paid an
-    * `Exchange hashpartitioning(vec_id)` carrying every corpus vector
-    * PLUS its matched centroid — ~2x corpus volume shuffled for what
-    * is logically a per-row computation. */
+  /** ZERO-SHUFFLE coarse assignment ([[graft.ops.Pq.ivfAssigned]]):
+    * broadcast the single folded centroid row and compute each
+    * vector's cell as a scan-stage argmin over the K-entry array
+    * (quantized squared-L2, cell-id tie-break — the same (d2, cell)
+    * order as the oracle's row_number). Adds `cell` (int) and `cv`
+    * (the matched centroid) to the input frame. At 100 TB this is a
+    * map over the lake; the crossJoin+groupBy/min_by form it replaces
+    * paid an `Exchange hashpartitioning(vec_id)` carrying every
+    * corpus vector PLUS its matched centroid — ~2x corpus volume
+    * shuffled for what is logically a per-row computation. */
   private def ivfAssigned(emb: org.apache.spark.sql.DataFrame) =
-    emb.crossJoin(broadcast(ivfCellsRow(emb)))
-      .withColumn("_best", array_min(transform(col("cells"), c =>
-        struct(qround(pqD2(col("ve"), c.getField("cv")), 6).as("d2"),
-          c.getField("cell").as("cell"), c.getField("cv").as("cv")))))
-      .withColumn("cell", col("_best.cell"))
-      .withColumn("cv", col("_best.cv"))
-      .drop("cells", "_best")
+    graft.ops.Pq.ivfAssigned(emb, IvfK)
 
   /** [[pqScored]] over any (vec_id, ve) frame — the planted-corpus
     * twin feeds the synthesized vectors through the identical
@@ -703,36 +717,14 @@ object SimilarityQueries {
     * cell's query residual for IVFADC, where Jegou et al. 2011 §III
     * scores candidates in cell i against q - c_i, NOT a single shared
     * residual. `cbRow` is the folded codebook to encode against;
-    * `extra` columns ride through to the output. */
+    * `extra` columns ride through. Delegates to
+    * [[graft.ops.Pq.scoredQ]] — the library definition AnnIndex
+    * builds/searches with, so the graded in-plan path and the
+    * persisted-index path cannot fork. */
   private def pqScoredQ(embQ: org.apache.spark.sql.DataFrame,
                         cbRow: org.apache.spark.sql.DataFrame,
-                        extra: Seq[String] = Nil) = {
-    def d2 = pqD2 _
-    def sub(v: Column, m: Column): Column = pqSubvec(v, m)
-    def cw(mIdx: Column, code: Column): Column =
-      element_at(col("cbs"), (mIdx * PqKs + code).cast("int")).getField("cv")
-    // the per-subspace argmin CARRIES its ADC term: `qd2` (query-to-
-    // codeword distance — the 128-entry ADC distance table, computed
-    // alongside the encode) rides in the struct after the (d2, cid)
-    // sort key, and the ADC sum folds directly OVER `bests`. Folding
-    // over the array evaluates the encode exactly once per row; any
-    // form that element_at-indexes `bests` from inside a lambda gets
-    // the whole encode inlined by projection collapse and re-run
-    // per subspace (measured 4x slower).
-    val enc = embQ.where(col("vec_id") =!= 0)
-      .crossJoin(broadcast(cbRow))
-      .withColumn("bests", transform(sequence(lit(0), lit(PqM - 1)), m =>
-        array_min(transform(sequence(lit(1), lit(PqKs)), k =>
-          struct(qround(d2(sub(col("ve"), m), cw(m, k)), 6).as("d2"),
-            k.as("cid"),
-            qround(d2(sub(col("qv"), m), cw(m, k)), 6).as("qd2"))))))
-    enc.select((Seq(col("vec_id"),
-      concat_ws(",", transform(col("bests"), b =>
-        b.getField("cid").cast("string"))).as("code"),
-      qround(aggregate(col("bests"), lit(0.0), (acc, b) =>
-        acc + b.getField("qd2")), 6).as("ad2"),
-      qround(d2(col("ve"), col("qv")), 6).as("ed2")) ++ extra.map(col)): _*)
-  }
+                        extra: Seq[String] = Nil) =
+    graft.ops.Pq.scoredQ(embQ, cbRow, P, extra)
 
   /** IVFADC search shared by e_ivfpq_adc (nprobe=1) and
     * e_ivfpq_probe2: scan-stage coarse assignment ([[ivfAssigned]] —

@@ -188,4 +188,25 @@ class ApproxSpec extends AnyFunSuite {
       rows.head.getAs[Boolean]("within_bound"),
       s"pq_adc_cluster arm: ${rows.head}")
   }
+
+  test("AnnIndex: persisted-index search equals the in-plan IVFADC at nprobe=2") {
+    // the serving-path contract, stronger than the shared oracle: the
+    // index is built ONCE (codes + meta on disk), yet multi-probe
+    // search over it returns row-for-row identical (vec_id, cell,
+    // code, ad2) to the e_ivfpq_probe2 query that re-derives
+    // everything in-plan — same coarse argmin, same per-cell query
+    // residuals, same quantized ADC table, down to the last bit.
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-paritytest"
+    graft.ops.AnnIndex.build(emb.where(col("vec_id") =!= 0), dir)
+    val fromIndex = graft.ops.AnnIndex.search(spark, dir,
+      emb.where(col("vec_id") === 0).select(col("ve").as("qv")), nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    val inPlan = SparkEntry.allQueries.find(_.name == "e_ivfpq_probe2").get
+      .fn(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(fromIndex == inPlan,
+      s"index path diverged from in-plan path:\n  index=$fromIndex\n  plan =$inPlan")
+  }
 }

@@ -327,4 +327,19 @@ class PlanSpec extends AnyFunSuite {
       "nprobe=2 must not change the plan shape:\n" + p.take(1500))
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
+
+  test("e_ivfpq_indexed: persisted-index search scans ONLY the probe-cell partitions") {
+    val p = finalPlan("e_ivfpq_indexed")
+    // the serving contract: the probe list is collected as a literal,
+    // so the codes scan carries a static PartitionFilters cell
+    // predicate — at 100 TB the query reads nprobe/K of the index
+    // files, never the whole corpus
+    val scan = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("codes")).getOrElse("")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined,
+      "cell predicate must prune index partitions at planning time:\n" + scan + "\n" + p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("SortMergeJoin"),
+      "index search must stay zero-shuffle:\n" + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
 }
