@@ -189,6 +189,21 @@ class ApproxSpec extends AnyFunSuite {
       s"pq_adc_cluster arm: ${rows.head}")
   }
 
+  test("e_pq_adc_trained: two Lloyd iterations lift ADC recall@10 at sf0.01") {
+    // the trained-codebook claim, pinned numerically: the seed
+    // codebook (subvectors of vec_ids 1..16) scores 1/10, two
+    // refinement iterations over the corpus lift it to 2/10 — recall
+    // climbs, it doesn't just not-collapse. (At sf0.1 the lift
+    // flattens to 1 -> 1; the graded within_bound is the RELATIVE
+    // trained >= untrained for that reason.)
+    val row = SparkEntry.allQueries.find(_.name == "e_pq_adc_trained").get
+      .fn(spark, "/root/testdata/sf0.01").collect().head
+    assert(row.getAs[Long]("hits_untrained") == 1L &&
+      row.getAs[Long]("hits_trained") == 2L &&
+      row.getAs[Boolean]("within_bound"),
+      s"trained-recall row moved: $row")
+  }
+
   test("AnnIndex: persisted-index search equals the in-plan IVFADC at nprobe=2") {
     // the serving-path contract, stronger than the shared oracle: the
     // index is built ONCE (codes + meta on disk), yet multi-probe
