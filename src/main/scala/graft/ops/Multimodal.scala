@@ -1078,21 +1078,38 @@ object Multimodal {
                             tw = be16(b, es + 8 + 24)
                             th = be16(b, es + 8 + 26)
                             td = be16(b, es + 8 + 74)
-                          case ("stsz", ps, _) =>
+                          // Every declared count below is UNTRUSTED: bound it
+                          // against what the box (and, for fixed-size stsz,
+                          // the whole payload) can physically hold BEFORE
+                          // allocating, so a hostile count fails the require
+                          // and falls back to the stub frame instead of
+                          // raising OutOfMemoryError (not NonFatal) on a
+                          // multi-GB Array.tabulate.
+                          case ("stsz", ps, pe) =>
                             val fixed = be32(b, ps + 4)
                             val cnt = be32(b, ps + 8)
+                            require(fixed >= 0 && cnt >= 0 &&
+                              (if (fixed == 0) ps + 12 + 4L * cnt <= pe
+                               else cnt.toLong * fixed <= b.length),
+                              s"stsz declares $cnt samples (fixed=$fixed) the payload can't hold")
                             tSizes = Array.tabulate(cnt)(i =>
                               if (fixed != 0) fixed else be32(b, ps + 12 + 4 * i))
-                          case ("stsc", ps, _) =>
+                          case ("stsc", ps, pe) =>
                             val cnt = be32(b, ps + 4)
+                            require(cnt >= 0 && ps + 8 + 12L * cnt <= pe,
+                              s"stsc declares $cnt runs the box can't hold")
                             tRuns = Array.tabulate(cnt)(i =>
                               (be32(b, ps + 8 + 12 * i), be32(b, ps + 12 + 12 * i)))
-                          case ("stco", ps, _) =>
+                          case ("stco", ps, pe) =>
                             val cnt = be32(b, ps + 4)
+                            require(cnt >= 0 && ps + 8 + 4L * cnt <= pe,
+                              s"stco declares $cnt chunks the box can't hold")
                             tOffs = Array.tabulate(cnt)(i =>
                               be32(b, ps + 8 + 4 * i).toLong & 0xFFFFFFFFL)
-                          case ("co64", ps, _) =>
+                          case ("co64", ps, pe) =>
                             val cnt = be32(b, ps + 4)
+                            require(cnt >= 0 && ps + 8 + 8L * cnt <= pe,
+                              s"co64 declares $cnt chunks the box can't hold")
                             tOffs = Array.tabulate(cnt)(i => be64(b, ps + 8 + 8 * i))
                           case _ => ()
                         }
