@@ -51,31 +51,45 @@ class ShuffleBudgetSpec extends AnyFunSuite {
   private def metric(p: SparkPlan, key: String): Long =
     p.metrics.get(key).map(_.value).getOrElse(0L)
 
-  /** (total shuffle bytes written, largest single broadcast dataSize)
-    * after a full execution of the named query at sf0.01. */
-  private def volumes(name: String): (Long, Long) = {
+  /** (shuffle exchange count, total shuffle bytes written, largest
+    * single broadcast dataSize) after a full execution of the named
+    * query at sf0.01. */
+  private def volumes(name: String): (Int, Long, Long) = {
     val df: DataFrame = SparkEntry.allQueries.find(_.name == name).get.fn(spark, sfDir)
     df.collect() // execute THIS QueryExecution (df.write would spawn its own)
     val nodes = walk(df.queryExecution.executedPlan,
       new java.util.IdentityHashMap[SparkPlan, Unit])
-    val shuffled = nodes.collect { case s: ShuffleExchangeLike =>
+    val perShuffle = nodes.collect { case s: ShuffleExchangeLike =>
       metric(s, "shuffleBytesWritten")
-    }.sum
+    }
     val maxBroadcast = (0L +: nodes.collect { case b: BroadcastExchangeLike =>
       metric(b, "dataSize")
     }).max
-    (shuffled, maxBroadcast)
+    (perShuffle.length, perShuffle.sum, maxBroadcast)
   }
 
   // a fact-sized relation hashed onto the driver is the failure mode;
   // AQE's legitimate medium-side promotions stay far under this
   private val BroadcastGuard = 96L << 20
 
-  private def assertBudget(name: String, shuffleCeiling: Long): Unit = {
-    val (sh, bc) = volumes(name)
-    info(s"$name: shuffle=${sh / 1024} KiB (ceiling ${shuffleCeiling / 1024} KiB), " +
+  /** `minShuffleNodes` separates the two zero-bytes causes: a plan
+    * that still HAS exchanges but reports 0 bytes is broken metric
+    * wiring; a plan whose exchanges disappeared entirely (AQE
+    * broadcast promotion, or a rewrite to a scan-stage form) is a
+    * plan-shape change that should be re-baselined, not misdiagnosed
+    * as wiring. Zero-shuffle-by-construction queries pass 0. */
+  private def assertBudget(name: String, shuffleCeiling: Long,
+                           minShuffleNodes: Int = 1): Unit = {
+    val (nSh, sh, bc) = volumes(name)
+    info(s"$name: shuffles=$nSh, volume=${sh / 1024} KiB " +
+      s"(ceiling ${shuffleCeiling / 1024} KiB), " +
       s"largest broadcast=${bc / 1024} KiB (guard ${BroadcastGuard / 1024} KiB)")
-    assert(sh > 0L, s"$name executed with zero shuffle bytes — metric wiring broke")
+    assert(nSh >= minShuffleNodes,
+      s"$name executed with $nSh shuffle exchanges, expected >= $minShuffleNodes — " +
+        "the plan shape changed (AQE promotion or a rewrite); re-baseline this budget")
+    if (nSh > 0)
+      assert(sh > 0L,
+        s"$name has $nSh shuffle exchanges but zero shuffleBytesWritten — metric wiring broke")
     assert(sh <= shuffleCeiling,
       s"$name shuffled $sh bytes, over the $shuffleCeiling ceiling — " +
         "an exchange started carrying more than the plan needs")
@@ -94,5 +108,29 @@ class ShuffleBudgetSpec extends AnyFunSuite {
 
   test("d_rescored_keep: shuffle volume stays inside its sf0.01 budget") {
     assertBudget("d_rescored_keep", shuffleCeiling = 1L << 20) // measured ~10 KiB
+  }
+
+  // The similarity family is where a silent corpus-volume exchange
+  // crept in before (the r11 IVF coarse-assign crossJoin+min_by, fixed
+  // to the scan-stage broadcast-row argmin): a byte ceiling here would
+  // have caught it automatically — the old plan shuffled ~2x corpus
+  // volume (vector + centroid payloads per row), orders of magnitude
+  // over these ceilings.
+
+  test("e_ivfpq_adc: the corpus never shuffles — only bounded codebook/query aggregates") {
+    // scan-stage assign/encode/ADC + TakeOrderedAndProject: the only
+    // exchanges are the corpus-size-INDEPENDENT centroid/codebook
+    // aggregate partials (measured 8 KiB over 2 exchanges at sf0.01)
+    assertBudget("e_ivfpq_adc", shuffleCeiling = 64L << 10, minShuffleNodes = 0)
+  }
+
+  test("e_ivf_train: only the K-group re-mean shuffle remains") {
+    // groupBy(cell) re-mean over K*64 partial rows, never corpus-sized
+    // (measured 10 KiB over 2 exchanges at sf0.01)
+    assertBudget("e_ivf_train", shuffleCeiling = 1L << 20)
+  }
+
+  test("e_ivfpq_indexed: probe-cell search off the persisted index stays zero-shuffle") {
+    assertBudget("e_ivfpq_indexed", shuffleCeiling = 64L << 10, minShuffleNodes = 0)
   }
 }
