@@ -583,7 +583,12 @@ object Multimodal {
   // Unrecognized payloads get a deterministic single stub frame (same
   // philosophy as [[decodeStub]]: exact, testable, loud nowhere).
 
-  final case class Frame(id: Long, frameIdx: Int, h: Int, w: Int, pixels: Array[Byte])
+  /** `tMs` is the frame's media-clock presentation time in
+    * milliseconds when the container carries one (MP4 `stts` /
+    * fragment `trun` durations against the `mdhd` timescale); -1.0
+    * for clockless containers (GRFV, AVI fixture path, GIF). */
+  final case class Frame(id: Long, frameIdx: Int, h: Int, w: Int, pixels: Array[Byte],
+                         tMs: Double = -1.0)
 
   /** Pack dense gray frames into the GRFV container (test/fixture side). */
   def packVideo(frames: Seq[Array[Byte]], h: Int, w: Int): Array[Byte] = {
@@ -906,6 +911,22 @@ object Multimodal {
     *    real ImageIO codec (standard motion-JPEG-in-MP4 sample
     *    entry). Lossy: frame count and dims exact, pixels approximate.
     */
+  private def mp4EncodeSamples(frames: Seq[Array[Byte]], h: Int, w: Int,
+                               codec: String): Seq[Array[Byte]] =
+    if (codec == "raw ") frames
+    else {
+      javax.imageio.ImageIO.setUseCache(false)
+      frames.map { px =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setDataElements(0, 0, w, h, px)
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "jpg", bos),
+          "JDK has no JPEG writer")
+        bos.toByteArray
+      }
+    }
+
   def packMp4Frames(frames: Seq[Array[Byte]], h: Int, w: Int,
                     codec: String = "raw ", samplesPerChunk: Int = 2): Array[Byte] = {
     require(frames.nonEmpty && frames.forall(_.length == h * w),
@@ -914,20 +935,7 @@ object Multimodal {
       s"codec '$codec' not supported (raw  | jpeg)")
     require(samplesPerChunk >= 1, s"samplesPerChunk must be >= 1, got $samplesPerChunk")
     val raw = codec == "raw "
-    val samples: Seq[Array[Byte]] =
-      if (raw) frames
-      else {
-        javax.imageio.ImageIO.setUseCache(false)
-        frames.map { px =>
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          img.getRaster.setDataElements(0, 0, w, h, px)
-          val bos = new java.io.ByteArrayOutputStream()
-          require(javax.imageio.ImageIO.write(img, "jpg", bos),
-            "JDK has no JPEG writer")
-          bos.toByteArray
-        }
-      }
+    val samples = mp4EncodeSamples(frames, h, w, codec)
     val n = samples.size
     val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
     val ftyp = bmffBox("ftyp", "isom".getBytes("US-ASCII"), Array[Byte](0, 0, 2, 0),
@@ -1029,13 +1037,167 @@ object Multimodal {
     out.array()
   }
 
+  /** Encode dense gray frames as a FRAGMENTED MP4 (fMP4 — the layout
+    * streaming muxers produce): `ftyp` + `moov` whose sample tables
+    * are EMPTY (zero-entry `stts`/`stsc`/`stsz`/`stco`) and whose
+    * `mvex/trex` carries the track defaults, followed by one
+    * `moof`+`mdat` pair per fragment — `traf{tfhd(default-base-is-
+    * moof), tfdt(v1 base decode time), trun(data-offset + per-sample
+    * duration and size)}`. The write twin of the fragmented branch in
+    * [[unpackMp4]], the way [[packMp4Frames]] twins the classic
+    * sample-table branch.
+    *
+    * `deltas(i)` is frame i's duration in media ticks against the
+    * fixed timescale 25 (1 tick = 40 ms); empty = all-1 (25 fps).
+    * Codecs as [[packMp4Frames]]: `"raw "` lossless gray, `"jpeg"`
+    * real JDK motion-JPEG. */
+  def packMp4FramesFragmented(frames: Seq[Array[Byte]], h: Int, w: Int,
+                              codec: String = "raw ",
+                              samplesPerFragment: Int = 2,
+                              deltas: Seq[Int] = Nil): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == h * w),
+      s"every frame must be h*w=${h * w} bytes")
+    require(codec == "raw " || codec == "jpeg",
+      s"codec '$codec' not supported (raw  | jpeg)")
+    require(samplesPerFragment >= 1,
+      s"samplesPerFragment must be >= 1, got $samplesPerFragment")
+    val durs = if (deltas.isEmpty) Seq.fill(frames.size)(1) else deltas
+    require(durs.size == frames.size && durs.forall(_ > 0),
+      s"deltas must carry one positive tick count per frame")
+    val raw = codec == "raw "
+    val samples = mp4EncodeSamples(frames, h, w, codec)
+    val n = samples.size
+    val totalTicks = durs.map(_.toLong).sum
+    val ftyp = bmffBox("ftyp", "iso5".getBytes("US-ASCII"), Array[Byte](0, 0, 2, 0),
+      "iso5isom".getBytes("US-ASCII"))
+    val stsd = {
+      val entry = visualSampleEntry(codec, w, h, if (raw) 40 else 24)
+      val p = java.nio.ByteBuffer.allocate(4 + entry.length)
+      p.putInt(1).put(entry)
+      fullBox("stsd", 0, p.array())
+    }
+    // zero-entry tables: fMP4 moov declares the track, moofs carry it
+    val emptyCnt = { val p = java.nio.ByteBuffer.allocate(4); p.putInt(0); p.array() }
+    val stts = fullBox("stts", 0, emptyCnt)
+    val stsc = fullBox("stsc", 0, emptyCnt)
+    val stsz = {
+      val p = java.nio.ByteBuffer.allocate(8); p.putInt(0).putInt(0)
+      fullBox("stsz", 0, p.array())
+    }
+    val stco = fullBox("stco", 0, emptyCnt)
+    val mdhd = { // timescale 25; duration = total ticks
+      val p = java.nio.ByteBuffer.allocate(20)
+      p.position(8); p.putInt(25).putInt(totalTicks.toInt)
+      p.putShort(0x55c4.toShort) // language 'und'
+      fullBox("mdhd", 0, p.array())
+    }
+    val hdlr = {
+      val p = java.nio.ByteBuffer.allocate(25)
+      p.position(8); p.put("vide".getBytes("US-ASCII"))
+      bmffBox("hdlr", p.array())
+    }
+    val vmhd = fullBox("vmhd", 1, new Array[Byte](8))
+    val dref = {
+      val url = fullBox("url ", 1, Array.emptyByteArray)
+      val p = java.nio.ByteBuffer.allocate(4 + url.length)
+      p.putInt(1).put(url)
+      fullBox("dref", 0, p.array())
+    }
+    val mvhd = {
+      val p = java.nio.ByteBuffer.allocate(100) // v0 layout: spec 8.2.2
+      p.position(12); p.putInt(1000); p.putInt(0) // fMP4: mvhd duration 0
+      p.putInt(0x00010000); p.putShort(0x0100.toShort)
+      p.position(36); p.putInt(0x00010000); p.position(52); p.putInt(0x00010000)
+      p.position(68); p.putInt(0x40000000)
+      p.position(96); p.putInt(2) // next_track_ID
+      bmffBox("mvhd", p.array())
+    }
+    val tkhd = {
+      val p = java.nio.ByteBuffer.allocate(84) // v0 layout: spec 8.3.2
+      p.put(0.toByte); p.put(Array[Byte](0, 0, 7))
+      p.position(12); p.putInt(1) // track_ID
+      p.position(40); p.putInt(0x00010000); p.position(56); p.putInt(0x00010000)
+      p.position(72); p.putInt(0x40000000)
+      p.putInt(w << 16); p.putInt(h << 16)
+      bmffBox("tkhd", p.array())
+    }
+    val trex = { // track 1 defaults: desc index 1, no default dur/size
+      val p = java.nio.ByteBuffer.allocate(20)
+      p.putInt(1).putInt(1).putInt(0).putInt(0).putInt(0)
+      fullBox("trex", 0, p.array())
+    }
+    val stbl = bmffBox("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = bmffBox("minf", vmhd, bmffBox("dinf", dref), stbl)
+    val trak = bmffBox("trak", tkhd, bmffBox("mdia", mdhd, hdlr, minf))
+    val moov = bmffBox("moov", mvhd, trak, bmffBox("mvex", trex))
+
+    // one moof+mdat pair per samplesPerFragment slice; trun's
+    // data_offset (relative to moof start, default-base-is-moof)
+    // depends on moof's own length, so build each moof twice — the
+    // length is offset-independent
+    val fragments = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var baseTick = 0L
+    var seq = 1
+    var i = 0
+    while (i < n) {
+      val sl = samples.slice(i, math.min(i + samplesPerFragment, n))
+      val dl = durs.slice(i, math.min(i + samplesPerFragment, n))
+      def buildMoof(dataOff: Int): Array[Byte] = {
+        val mfhd = {
+          val p = java.nio.ByteBuffer.allocate(4); p.putInt(seq)
+          fullBox("mfhd", 0, p.array())
+        }
+        val tfhd = { // flags: default-base-is-moof only
+          val p = java.nio.ByteBuffer.allocate(4); p.putInt(1) // track_ID
+          fullBox("tfhd", 0x020000, p.array())
+        }
+        val tfdt = { // version 1: 64-bit baseMediaDecodeTime
+          val p = java.nio.ByteBuffer.allocate(8); p.putLong(baseTick)
+          fullBox("tfdt", 0x01000000, p.array())
+        }
+        val trun = { // flags: data-offset | sample-duration | sample-size
+          val p = java.nio.ByteBuffer.allocate(8 + 8 * sl.size)
+          p.putInt(sl.size).putInt(dataOff)
+          sl.zip(dl).foreach { case (s, d) => p.putInt(d).putInt(s.length) }
+          fullBox("trun", 0x000301, p.array())
+        }
+        bmffBox("moof", mfhd, bmffBox("traf", tfhd, tfdt, trun))
+      }
+      val moofLen = buildMoof(0).length
+      val moof = buildMoof(moofLen + 8) // first sample byte: past mdat header
+      fragments += moof
+      fragments += bmffBox("mdat", sl: _*)
+      baseTick += dl.map(_.toLong).sum
+      seq += 1
+      i += samplesPerFragment
+    }
+    val total = ftyp.length + moov.length + fragments.map(_.length).sum
+    val out = java.nio.ByteBuffer.allocate(total)
+    out.put(ftyp).put(moov)
+    fragments.foreach(out.put)
+    out.array()
+  }
+
   /** Real MP4 frame decode: walks `moov/trak` for the first `vide`
     * track, reads the FULL sample-table suite — `stsd` (codec fourcc,
     * dims, depth), `stsz` (per-sample sizes), `stsc` (run-length
-    * samples-per-chunk), `stco`/`co64` (chunk file offsets) — expands
-    * them into absolute per-sample byte ranges, and slices each frame
-    * straight out of `mdat` by offset (never assumes one sample per
-    * chunk or contiguous chunks). Codec dispatch:
+    * samples-per-chunk), `stco`/`co64` (chunk file offsets), `stts`
+    * (per-sample durations → presentation times against the `mdhd`
+    * timescale) — expands them into absolute per-sample byte ranges,
+    * and slices each frame straight out of `mdat` by offset (never
+    * assumes one sample per chunk or contiguous chunks).
+    *
+    * FRAGMENTED files (streaming muxers: empty `moov` sample tables +
+    * `mvex/trex` defaults, samples carried in `moof`+`mdat` pairs) are
+    * walked too: per fragment `traf{tfhd, tfdt, trun+}` with explicit
+    * or default-base-is-moof base offsets, per-sample or
+    * tfhd/trex-default sizes and durations, and `tfdt` decode-time
+    * anchoring. Compact (32-bit-size) `moof` headers only — the
+    * universal muxer layout; a largesize moof misaligns the base
+    * offset, fails the slice require, and stubs like any other
+    * rejected payload.
+    *
+    * Codec dispatch:
     *
     *  - `raw ` with depth 40 (8-bit grayscale): samples ARE the
     *    row-major pixel bytes — lossless;
@@ -1051,19 +1213,44 @@ object Multimodal {
     var sizes: Array[Int] = null
     var stscRuns: Array[(Int, Int)] = null // (first_chunk, samples_per_chunk)
     var chunkOffs: Array[Long] = null
+    var sttsRuns: Array[(Int, Int)] = null // (sample_count, delta_ticks)
+    var timescale = 0
+    var videTrackId = -1
+    var trexDefDur = 0; var trexDefSize = 0; var trexTrackId = -1
     var found = false
     eachBox(b, 0, b.length) {
       case ("moov", ms, me) =>
         eachBox(b, ms, me) {
+          case ("mvex", xs, xe) =>
+            eachBox(b, xs, xe) {
+              case ("trex", ps, _) =>
+                // only the first trex matters here (single-video-track
+                // doctrine, same as the trak walk)
+                if (trexTrackId < 0) {
+                  trexTrackId = be32(b, ps + 4)
+                  trexDefDur = be32(b, ps + 12)
+                  trexDefSize = be32(b, ps + 16)
+                }
+              case _ => ()
+            }
           case ("trak", ts, te) if !found =>
             var isVide = false
             var f = ""; var tw = 0; var th = 0; var td = 0
+            var tTrackId = -1
             var tSizes: Array[Int] = null
             var tRuns: Array[(Int, Int)] = null
             var tOffs: Array[Long] = null
+            var tStts: Array[(Int, Int)] = null
+            var tScale = 0
             eachBox(b, ts, te) {
+              case ("tkhd", ps, _) =>
+                val ver = u8(b, ps)
+                tTrackId = be32(b, ps + (if (ver == 1) 20 else 12))
               case ("mdia", ds, de) =>
                 eachBox(b, ds, de) {
+                  case ("mdhd", ps, _) =>
+                    val ver = u8(b, ps)
+                    tScale = be32(b, ps + (if (ver == 1) 20 else 12))
                   case ("hdlr", ps, _) =>
                     isVide = new String(b, ps + 8, 4, "US-ASCII") == "vide"
                   case ("minf", fs, fe) =>
@@ -1111,6 +1298,12 @@ object Multimodal {
                             require(cnt >= 0 && ps + 8 + 8L * cnt <= pe,
                               s"co64 declares $cnt chunks the box can't hold")
                             tOffs = Array.tabulate(cnt)(i => be64(b, ps + 8 + 8 * i))
+                          case ("stts", ps, pe) =>
+                            val cnt = be32(b, ps + 4)
+                            require(cnt >= 0 && ps + 8 + 8L * cnt <= pe,
+                              s"stts declares $cnt runs the box can't hold")
+                            tStts = Array.tabulate(cnt)(i =>
+                              (be32(b, ps + 8 + 8 * i), be32(b, ps + 12 + 8 * i)))
                           case _ => ()
                         }
                       case _ => ()
@@ -1122,48 +1315,156 @@ object Multimodal {
             if (isVide) {
               found = true
               fourcc = f; w = tw; h = th; depth = td
+              videTrackId = tTrackId; timescale = tScale
               sizes = tSizes; stscRuns = tRuns; chunkOffs = tOffs
+              sttsRuns = tStts
             }
           case _ => ()
         }
       case _ => ()
     }
     require(found, s"MP4 has no video (vide) track (id=$id)")
-    require(sizes != null && stscRuns != null && chunkOffs != null,
-      s"MP4 video track missing sample tables (stsz/stsc/stco) (id=$id)")
     require(w > 0 && h > 0, s"MP4 sample entry has no dims (id=$id)")
-    // expand stsc run-lengths + stco + stsz into absolute sample ranges
-    val n = sizes.length
-    val sampleOff = new Array[Long](n)
-    var si = 0
-    var run = 0
-    var chunk = 1 // 1-based chunk index
-    while (si < n) {
-      require(chunk <= chunkOffs.length, s"MP4 sample $si has no chunk (stco exhausted)")
-      while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk) run += 1
-      val spc = stscRuns(run)._2
-      var o = chunkOffs(chunk - 1)
-      var k = 0
-      while (k < spc && si < n) {
-        require(o + sizes(si) <= b.length,
-          s"MP4 sample $si at offset $o overruns payload (id=$id)")
-        sampleOff(si) = o
-        o += sizes(si)
-        si += 1; k += 1
+
+    val classic = sizes != null && sizes.length > 0
+    // (size, absolute offset, start tick or -1) per sample, in order
+    val plan: Array[(Int, Long, Long)] =
+      if (classic) {
+        require(stscRuns != null && chunkOffs != null,
+          s"MP4 video track missing sample tables (stsc/stco) (id=$id)")
+        // expand stsc run-lengths + stco + stsz into absolute ranges
+        val n = sizes.length
+        val out = new Array[(Int, Long, Long)](n)
+        // per-sample start ticks from stts; -1 when stts doesn't cover
+        val ticks = new Array[Long](n)
+        java.util.Arrays.fill(ticks, -1L)
+        if (sttsRuns != null) {
+          var t = 0L; var i = 0
+          sttsRuns.foreach { case (cnt, delta) =>
+            var k = 0
+            while (k < cnt && i < n) { ticks(i) = t; t += delta; i += 1; k += 1 }
+          }
+        }
+        var si = 0
+        var run = 0
+        var chunk = 1 // 1-based chunk index
+        while (si < n) {
+          require(chunk <= chunkOffs.length, s"MP4 sample $si has no chunk (stco exhausted)")
+          while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk) run += 1
+          val spc = stscRuns(run)._2
+          var o = chunkOffs(chunk - 1)
+          var k = 0
+          while (k < spc && si < n) {
+            out(si) = (sizes(si), o, ticks(si))
+            o += sizes(si)
+            si += 1; k += 1
+          }
+          chunk += 1
+        }
+        out
+      } else {
+        // fragmented: samples live in moof+mdat pairs; moov only
+        // carried stsd dims + mvex/trex defaults
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        var nextTick = 0L // running decode time; tfdt re-anchors it
+        eachBox(b, 0, b.length) {
+          case ("moof", ms, me) =>
+            val moofStart = ms - 8L // compact header (see Scaladoc)
+            eachBox(b, ms, me) {
+              case ("traf", fs, fe) =>
+                var trackId = -1
+                var baseOff = -1L
+                var defaultBaseIsMoof = false
+                var defDur = -1; var defSize = -1
+                var runPos = -1L // running write position across truns
+                eachBox(b, fs, fe) {
+                  case ("tfhd", ps, pe) =>
+                    val flags = be32(b, ps) & 0xFFFFFF
+                    trackId = be32(b, ps + 4)
+                    var q = ps + 8
+                    if ((flags & 0x1) != 0) { baseOff = be64(b, q); q += 8 }
+                    if ((flags & 0x2) != 0) q += 4 // sample_description_index
+                    if ((flags & 0x8) != 0) { defDur = be32(b, q); q += 4 }
+                    if ((flags & 0x10) != 0) { defSize = be32(b, q); q += 4 }
+                    require(q <= pe, "tfhd optional fields overrun the box")
+                    defaultBaseIsMoof = (flags & 0x020000) != 0
+                  case ("tfdt", ps, _) =>
+                    if (trackId == videTrackId) {
+                      val ver = u8(b, ps)
+                      nextTick = if (ver == 1) be64(b, ps + 4)
+                                 else be32(b, ps + 4).toLong & 0xFFFFFFFFL
+                    }
+                  case ("trun", ps, pe) if trackId == videTrackId =>
+                    val flags = be32(b, ps) & 0xFFFFFF
+                    val cnt = be32(b, ps + 4)
+                    val perDur = (flags & 0x100) != 0
+                    val perSize = (flags & 0x200) != 0
+                    val perFlags = (flags & 0x400) != 0
+                    val perCts = (flags & 0x800) != 0
+                    val entryBytes = 4 * (Seq(perDur, perSize, perFlags, perCts)
+                      .count(identity))
+                    val headBytes = 8 + (if ((flags & 0x1) != 0) 4 else 0) +
+                      (if ((flags & 0x4) != 0) 4 else 0)
+                    // UNTRUSTED count: bound against the box before any use
+                    require(cnt >= 0 && ps + headBytes + entryBytes.toLong * cnt <= pe,
+                      s"trun declares $cnt samples the box can't hold")
+                    var q = ps + 8
+                    if ((flags & 0x1) != 0) {
+                      val base =
+                        if (baseOff >= 0) baseOff
+                        else if (defaultBaseIsMoof) moofStart
+                        else fail("traf has neither base-data-offset nor default-base-is-moof")
+                      runPos = base + be32(b, q) // signed 32-bit data_offset
+                      q += 4
+                    } else require(runPos >= 0,
+                      "trun without data_offset and no preceding trun to continue from")
+                    if ((flags & 0x4) != 0) q += 4 // first_sample_flags
+                    // the clock is real iff SOME duration source exists
+                    val hasClock = perDur || defDur > 0 || trexDefDur > 0
+                    var k = 0
+                    while (k < cnt) {
+                      var dur = if (defDur >= 0) defDur else trexDefDur
+                      var sz = if (defSize >= 0) defSize else trexDefSize
+                      if (perDur) { dur = be32(b, q); q += 4 }
+                      if (perSize) { sz = be32(b, q); q += 4 }
+                      if (perFlags) q += 4
+                      if (perCts) q += 4
+                      require(sz > 0, s"fragmented sample ${acc.length} has no size " +
+                        "(no trun entry, tfhd default, or trex default)")
+                      acc += ((sz, runPos, if (hasClock) nextTick else -1L))
+                      runPos += sz
+                      nextTick += math.max(dur, 0)
+                      k += 1
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+        require(acc.nonEmpty,
+          s"MP4 has neither moov sample tables nor moof fragments with samples (id=$id)")
+        acc.toArray
       }
-      chunk += 1
-    }
-    val slices = Array.tabulate(n) { i =>
-      val p = new Array[Byte](sizes(i))
-      System.arraycopy(b, sampleOff(i).toInt, p, 0, sizes(i))
+
+    val tickToMs = if (timescale > 0) 1000.0 / timescale else -1.0
+    val slices = plan.map { case (sz, off, _) =>
+      require(off >= 0 && off + sz <= b.length,
+        s"MP4 sample at offset $off overruns payload (id=$id)")
+      val p = new Array[Byte](sz)
+      System.arraycopy(b, off.toInt, p, 0, sz)
       p
+    }
+    def timeOf(i: Int): Double = {
+      val t = plan(i)._3
+      if (t < 0 || tickToMs < 0) -1.0 else t * tickToMs
     }
     if (fourcc == "raw " && depth == 40) {
       // eager map so a truncated sample fails in the caller's try
       slices.zipWithIndex.map { case (p, fi) =>
         require(p.length == h * w,
           s"raw gray frame $fi is ${p.length} bytes, expected ${h * w}")
-        Frame(id, fi, h, w, p)
+        Frame(id, fi, h, w, p, timeOf(fi))
       }.iterator
     } else if (fourcc == "jpeg" || fourcc == "mjpa") {
       javax.imageio.ImageIO.setUseCache(false)
@@ -1186,7 +1487,7 @@ object Multimodal {
             j += 1
           }
         }
-        Frame(id, fi, fh, fw, px)
+        Frame(id, fi, fh, fw, px, timeOf(fi))
       }.iterator
     } else fail(s"unsupported MP4 codec fourcc '$fourcc' (depth=$depth) — " +
       "H.264-class frame decode needs an external codec library")

@@ -804,5 +804,53 @@ object MiscQueries {
              |       CAST(4 AS INT) AS h, CAST(6 AS INT) AS w
              |FROM documents d, fs
              |WHERE fs.f < d.doc_id % 3 + 2""".stripMargin)),
+
+    // FRAGMENTED MP4 (fMP4, the streaming-muxer layout): each row
+    // packs ftyp + moov{empty sample tables, mvex/trex} + one
+    // moof{traf{tfhd(default-base-is-moof), tfdt, trun(per-sample
+    // duration+size)}}+mdat pair per 2 samples, and unpackVideo takes
+    // the moof/traf/trun walk — fragment base offsets, trun data
+    // offsets, per-sample sizes — instead of the classic stsc/stco
+    // expansion. Per-frame durations are UNEVEN (f%3+1 ticks at
+    // timescale 25 = 40 ms/tick), so the graded t_ms column proves the
+    // decode-time clock: tfdt anchoring plus the running trun duration
+    // sum, hash-exact against the oracle's cumulative-sum window.
+    // Raw gray is lossless -> pixel sums are exact. One row per
+    // (doc, frame), all scan-stage, zero shuffles.
+    Q("m_mp4_fragmented",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.flatMap { id =>
+              val nF = (id % 4 + 2).toInt
+              val frames = (0 until nF).map { f =>
+                Array.tabulate(15)(i => ((id * 5 + f * 47 + i * 13) % 256).toByte)
+              }
+              val deltas = (0 until nF).map(f => f % 3 + 1)
+              val mp4 = graft.ops.Multimodal.packMp4FramesFragmented(
+                frames, 3, 5, samplesPerFragment = 2, deltas = deltas)
+              graft.ops.Multimodal.unpackVideo(id, mp4).map { fr =>
+                var sum = 0L
+                fr.pixels.foreach { b => sum += (b & 0xff) }
+                (id, fr.frameIdx, fr.tMs, sum)
+              }
+            }
+          }.toDF("doc_id", "frame_idx", "t_ms", "pix_sum")
+      },
+      Some("""WITH fs AS (SELECT unnest(range(0, 6)) AS f),
+             |     ft AS (SELECT f, 40.0 * COALESCE(SUM(f % 3 + 1) OVER
+             |              (ORDER BY f ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |              0) AS t_ms
+             |            FROM fs),
+             |     ps AS (SELECT unnest(range(0, 15)) AS i),
+             |     px AS (SELECT d.doc_id, ft.f, ft.t_ms,
+             |                   (d.doc_id * 5 + ft.f * 47 + ps.i * 13) % 256 AS v
+             |            FROM documents d, ft, ps
+             |            WHERE ft.f < d.doc_id % 4 + 2)
+             |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+             |       CAST(t_ms AS DOUBLE) AS t_ms,
+             |       CAST(sum(v) AS BIGINT) AS pix_sum
+             |FROM px GROUP BY 1, 2, 3""".stripMargin)),
   )
 }
