@@ -62,13 +62,52 @@ object Pq {
     * plus its matched centroid — ~2x corpus volume shuffled for what
     * is logically a per-row computation. */
   def ivfAssigned(emb: DataFrame, k: Int): DataFrame =
-    emb.crossJoin(broadcast(cellsRow(emb, k)))
+    ivfAssignedWith(emb, cellsRow(emb, k))
+
+  /** [[ivfAssigned]] against an EXPLICIT folded centroid row — the
+    * seam that lets trained centroids ([[ivfLloydStep]]) drive the
+    * same zero-shuffle scan-stage assignment as the seed convention. */
+  def ivfAssignedWith(emb: DataFrame, cells: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cells))
       .withColumn("_best", array_min(transform(col("cells"), c =>
         struct(qround(d2(col("ve"), c.getField("cv")), 6).as("d2"),
           c.getField("cell").as("cell"), c.getField("cv").as("cv")))))
       .withColumn("cell", col("_best.cell"))
       .withColumn("cv", col("_best.cv"))
       .drop("cells", "_best")
+
+  /** One FULL-VECTOR Lloyd iteration over the IVF coarse quantizer —
+    * the k-means twin of [[lloydStep]] (which refines the PQ
+    * codebook): assign every vector to its nearest cell (scan-stage
+    * broadcast argmin, zero corpus shuffle), re-estimate each cell's
+    * centroid as the per-dimension member mean in exact integer space
+    * (1e-6-quantized BIGINT sums — parallel reassociation cannot
+    * perturb it, so an oracle running the same chain derives
+    * bit-identical centroids), and fold the result back to ONE
+    * cell-sorted row. Cells that attract no members keep their
+    * previous centroid (the standard empty-cell policy).
+    *
+    * Scale shape per iteration: one corpus scan against the broadcast
+    * K-entry centroid row, one hash-agg with K*dim groups (map-side
+    * combined — the shuffle is <= K*dim rows per partition regardless
+    * of corpus size), and centroid-sized folds. Iterating to
+    * convergence = chaining calls, one broadcast + one tiny shuffle
+    * each — the [[lloydStep]] / dupClusters loop pattern. */
+  def ivfLloydStep(emb: DataFrame, cells: DataFrame): DataFrame = {
+    val means = ivfAssignedWith(emb, cells)
+      .select(col("cell"), posexplode(col("ve")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(qlong(col("v"), 1e6)) / (lit(1e6) * count(lit(1)))).as("c_mean"))
+      .groupBy(col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c_mean")))),
+        e => e.getField("c_mean")).as("cv"))
+    val prev = cells.select(explode(col("cells")).as("e"))
+      .select(col("e.cell").as("cell"), col("e.cv").as("pcv"))
+    prev.join(means, Seq("cell"), "left")
+      .select(struct(col("cell"),
+        coalesce(col("cv"), col("pcv")).as("cv")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("cells"))
+  }
 
   /** The folded PQ codebook: (m, cid) -> sub-dim codeword, ONE row
     * whose array is sorted by (m, cid) so position m*ks + cid

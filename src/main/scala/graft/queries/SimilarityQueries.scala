@@ -46,6 +46,11 @@ object SimilarityQueries {
   private val PqRecallBound = 1
   private val PqPlantedBound = 7
 
+  /** Cluster-balanced sampling: draws per cluster + the seed salt of
+    * the md5 draw key (the w4/n12 seeded-determinism convention). */
+  private val SamplePerCell = 3
+  private val SampleSeed = 12
+
   /** Binary-quantization constants: 16 sign bits, Hamming shortlist
     * radius 5. On an uncorrelated corpus the pairwise code distance
     * is Binomial(16, 1/2) (mean 8), so radius 5 keeps ~1% — measured
@@ -709,6 +714,80 @@ object SimilarityQueries {
               |  (SELECT count(*) FROM ap0 WHERE vec_id IN (SELECT vec_id FROM ex)) AS hits_untrained,
               |  (SELECT count(*) FROM ap WHERE vec_id IN (SELECT vec_id FROM ex)) AS hits_trained,
               |  TRUE AS within_bound""".stripMargin)),
+
+    // FULL-VECTOR k-means to (fixed-point) convergence — the coarse-
+    // quantizer training e_ivf_train's single re-mean points at: two
+    // chained Lloyd iterations ([[graft.ops.Pq.ivfLloydStep]] twice —
+    // per iteration ONE corpus scan against the broadcast K-entry
+    // centroid row and ONE <=K*dim-group map-side-combined shuffle,
+    // never corpus-sized), then the final assignment's per-cell
+    // stats. Centroid means run in exact integer space and empty
+    // cells keep their previous centroid on both engines, so the
+    // oracle's hand-unrolled iteration chain derives bit-identical
+    // centroids and the graded output (cid, pos, n, c_mean) pins the
+    // whole trajectory, not just the last hop. This is the trained-
+    // centroid path every IVF query's "swap the seed convention for
+    // trained centroids" note points at.
+    Q("e_kmeans_train",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val c2 = graft.ops.Pq.ivfLloydStep(emb,
+          graft.ops.Pq.ivfLloydStep(emb, ivfCellsRow(emb)))
+        graft.ops.Pq.ivfAssignedWith(emb, c2)
+          .select(col("cell").cast("long").as("cid"),
+            posexplode(col("ve")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(count(lit(1)).as("n"),
+            (sum(qlong(col("v"), 1e6))
+              / (lit(1e6) * count(lit(1)))).as("c_mean"))
+          .select(col("cid"), col("pos").cast("long").as("pos"),
+            col("n"), col("c_mean"))
+      },
+      Some(s"""${kmeansCtes(2)},
+              |af AS (${kmeansAssignSql(2)})
+              |SELECT CAST(cell AS BIGINT) AS cid, i - 1 AS pos, count(*) AS n,
+              |  CAST(sum(CAST(floor(ve[i] * 1000000 + 0.5e0) AS BIGINT)) AS BIGINT)
+              |    / (1e6 * count(*)) AS c_mean
+              |FROM af, range(1, ${Dim + 1}) t(i)
+              |GROUP BY cell, i - 1""".stripMargin)),
+
+    // Cluster-balanced diversity sampling — the curation step between
+    // clustering and training-set assembly (the SemDeDup/DsDm-style
+    // recipe: cluster the corpus semantically, then draw a BALANCED
+    // seeded sample per cluster so no dense mode dominates the mix).
+    // Assignment against the TRAINED centroids is the same broadcast
+    // scan-stage argmin; the per-cluster draw is a BOUNDED AGGREGATE
+    // (graft_bottom_k over the md5-seeded key — TopN.topNPerGroupAgg's
+    // shape), so partial state is <= n rows per (cell, input
+    // partition) and the shuffle carries K x partitions x n rows
+    // regardless of corpus size. The window form would hash-cluster
+    // 100 TB into K=8 reducers; this never sorts the corpus at all.
+    Q("e_cluster_sample",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val c2 = graft.ops.Pq.ivfLloydStep(emb,
+          graft.ops.Pq.ivfLloydStep(emb, ivfCellsRow(emb)))
+        graft.ops.Pq.ivfAssignedWith(emb, c2)
+          .groupBy(col("cell"))
+          .agg(call_function("graft_bottom_k",
+            struct(md5(concat(lit(s"$SampleSeed:"), col("vec_id").cast("string"))).as("h"),
+              col("vec_id").as("vec_id")),
+            lit(SamplePerCell)).as("_top"))
+          .select(col("cell").cast("long").as("cid"),
+            posexplode(col("_top")).as(Seq("_pos", "_t")))
+          .select(col("cid"), (col("_pos") + 1).cast("long").as("rn"),
+            col("_t.vec_id").as("vec_id"))
+      },
+      Some(s"""${kmeansCtes(2)},
+              |af AS (${kmeansAssignSql(2)})
+              |SELECT cid, rn, vec_id FROM (
+              |  SELECT CAST(cell AS BIGINT) AS cid, vec_id,
+              |    CAST(row_number() OVER (PARTITION BY cell
+              |      ORDER BY md5(concat('$SampleSeed:', CAST(vec_id AS VARCHAR))), vec_id) AS BIGINT) AS rn
+              |  FROM af)
+              |WHERE rn <= $SamplePerCell""".stripMargin)),
   )
 
   /** The one geometry every PQ query shares, delegated to the
@@ -867,6 +946,42 @@ object SimilarityQueries {
 
   private def d2S(a: String, b: String, n: Int) =
     s"list_sum(list_transform(range(1, ${n + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** Unrolled k-means iteration chain — the DuckDB twin of chained
+    * [[graft.ops.Pq.ivfLloydStep]] calls: `e0` (corpus), `c0` (seed
+    * cells, vec_ids 1..K), then per iteration t: `a{t-1}` assigns
+    * every vector to its nearest `c{t-1}` centroid (the same
+    * (qround(d2), cell) order as the scan-stage argmin), `m{t}`
+    * re-means in exact integer space, `c{t}` folds back per-cell
+    * lists with the empty-cell keep-previous policy. */
+  private def kmeansCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |c0 AS (SELECT vec_id AS cell, ve AS cv FROM e0 WHERE vec_id BETWEEN 1 AND $IvfK)""".stripMargin)
+    for (t <- 1 to iters) sb ++=
+      s""",
+         |a${t - 1} AS (${kmeansAssignSql(t - 1)}),
+         |m$t AS (SELECT cell, i - 1 AS pos,
+         |      CAST(sum(CAST(floor(ve[i] * 1000000 + 0.5e0) AS BIGINT)) AS BIGINT)
+         |        / (1e6 * count(*)) AS c_mean
+         |    FROM a${t - 1}, range(1, ${Dim + 1}) t(i) GROUP BY cell, i - 1),
+         |c$t AS (SELECT c.cell,
+         |      CASE WHEN count(m.pos) = 0 THEN any_value(c.cv)
+         |           ELSE list(m.c_mean ORDER BY m.pos) END AS cv
+         |    FROM c${t - 1} c LEFT JOIN m$t m ON m.cell = c.cell
+         |    GROUP BY c.cell)""".stripMargin
+    sb.toString
+  }
+
+  /** Nearest-`c$t`-centroid assignment of the whole corpus —
+    * row_number over the same (qround(d2), cell) total order the
+    * Spark argmin sorts by. */
+  private def kmeansAssignSql(t: Int): String =
+    s"""SELECT vec_id, ve, cell FROM (
+       |    SELECT e0.vec_id, e0.ve, c.cell,
+       |      row_number() OVER (PARTITION BY e0.vec_id ORDER BY
+       |        ${qroundSql(d2S("e0.ve", "c.cv", Dim), 6)} ASC, c.cell ASC) AS rn
+       |    FROM e0, c$t c) WHERE rn = 1""".stripMargin
 
   /** The default `e` CTE: raw embeddings as (vec_id, ve). A def, not
     * a val: the oracle strings interpolate during `all`'s eager

@@ -328,6 +328,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("e_cluster_sample: per-cluster draw is a bounded aggregate, never a corpus window") {
+    val p = finalPlan("e_cluster_sample")
+    // the curation shape at 100 TB: graft_bottom_k partials cap state
+    // at n rows per (cell, partition) — a row_number window here
+    // would hash-cluster the whole corpus into K=8 reducers and sort
+    assert(!p.contains("Window"),
+      "sampling must not plan a window over the corpus:\n" + p.take(1500))
+    assert(!p.contains("rangepartitioning"),
+      "sampling must never global-sort:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "centroid chain must stay broadcast:\n" + p.take(1500))
+  }
+
+  test("e_kmeans_train: Lloyd chain keeps every exchange centroid-sized") {
+    val p = finalPlan("e_kmeans_train")
+    // each iteration = broadcast centroid row in, K*dim-group
+    // map-side-combined agg out; the corpus itself never exchanges
+    assert(!p.contains("rangepartitioning") && !p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"),
+      "training must stay broadcast + bounded hash-agg:\n" + p.take(1500))
+  }
+
   test("e_ivfpq_indexed: persisted-index search scans ONLY the probe-cell partitions") {
     val p = finalPlan("e_ivfpq_indexed")
     // the serving contract: the probe list is collected as a literal,

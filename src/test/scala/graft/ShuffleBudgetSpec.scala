@@ -133,4 +133,14 @@ class ShuffleBudgetSpec extends AnyFunSuite {
   test("e_ivfpq_indexed: probe-cell search off the persisted index stays zero-shuffle") {
     assertBudget("e_ivfpq_indexed", shuffleCeiling = 64L << 10, minShuffleNodes = 0)
   }
+
+  test("e_kmeans_train: two Lloyd iterations shuffle only centroid-group partials") {
+    // per iteration: one K*dim-group map-side-combined agg + the
+    // centroid-row folds — corpus-size-independent by construction
+    assertBudget("e_kmeans_train", shuffleCeiling = 1L << 20)
+  }
+
+  test("e_cluster_sample: the balanced draw shuffles <= K x partitions x n sample rows") {
+    assertBudget("e_cluster_sample", shuffleCeiling = 1L << 20)
+  }
 }
