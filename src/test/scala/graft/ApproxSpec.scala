@@ -224,4 +224,34 @@ class ApproxSpec extends AnyFunSuite {
     assert(fromIndex == inPlan,
       s"index path diverged from in-plan path:\n  index=$fromIndex\n  plan =$inPlan")
   }
+
+  test("AnnIndex.append: incrementally-built index is bit-identical to a one-shot build") {
+    // frozen-quantizer contract: encode-on-append against the
+    // PERSISTED centroids/codebook yields the same codes table as
+    // building over the full corpus, so multi-probe search results
+    // match row for row — at scale, a delta scan is never a rebuild
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val isDelta = col("vec_id") % 10 === 3 && col("vec_id") > 16
+    val q = emb.where(col("vec_id") === 0).select(col("ve").as("qv"))
+    val dirFull = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-apptest-full"
+    val dirApp = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-apptest-inc"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(dirFull, dirApp).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    graft.ops.AnnIndex.build(corpus, dirFull)
+    graft.ops.AnnIndex.build(corpus.where(!isDelta), dirApp)
+    graft.ops.AnnIndex.append(spark, corpus.where(isDelta), dirApp)
+    val full = graft.ops.AnnIndex.search(spark, dirFull, q, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    val inc = graft.ops.AnnIndex.search(spark, dirApp, q, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == full,
+      s"appended index diverged from one-shot build:\n  inc =$inc\n  full=$full")
+    // and the appended rows really landed in the codes table
+    val nFull = spark.read.parquet(s"$dirFull/codes").count()
+    val nInc = spark.read.parquet(s"$dirApp/codes").count()
+    assert(nInc == nFull, s"row counts diverged: $nInc vs $nFull")
+  }
 }
