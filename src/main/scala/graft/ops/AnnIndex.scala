@@ -162,12 +162,68 @@ object AnnIndex {
       .withColumn("tab", element_at(col("qtabs"), col("cell").cast("int")))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         concat_ws(",", transform(col("codes"), c => c.cast("string"))).as("code"),
-        qround(aggregate(sequence(lit(0), lit(p.m - 1)), lit(0.0), (acc, m) =>
-          acc + element_at(col("tab"),
-            (m * p.ks + element_at(col("codes"), m + 1)).cast("int"))), 6)
-          .as("ad2"))
+        adcOver(col("tab"), col("codes"), p).as("ad2"))
       .orderBy(col("ad2").asc, col("vec_id").asc).limit(limit)
   }
+
+  /** STREAMING serving: score a STREAM of query vectors against the
+    * persisted index — the online half of build-once/search-many.
+    * `queries` is a streaming frame (query_id, qv: array<double>,
+    * ts: timestamp); the one-row meta table joins in as a broadcast
+    * static side, each query computes its probe cells + per-cell ADC
+    * tables in the scan stage (the same expressions [[search]]
+    * runs), candidates come from a stream-static EQUI join on `cell`
+    * against the codes table, and the per-query top-`limit` is the
+    * bounded `graft_bottom_k` aggregate over a watermarked event-time
+    * window — state per open query is the k-row buffer, never the
+    * candidate set, so the query stream can run for months. Emits in
+    * append mode once the watermark closes a window:
+    * (query_id, wstart, rk, vec_id, ad2), rk 1..limit, values
+    * bit-identical to [[search]] over the same index.
+    *
+    * Scale note, stated honestly: the probe list is per-ROW here, so
+    * the codes side cannot be statically partition-pruned the way the
+    * batch [[search]]'s literal IN is; each micro-batch's join reads
+    * the cells its queries touch via the join itself. At 100 TB you
+    * bucket the codes table by cell so the join co-locates, or batch
+    * queries by probe cell upstream. */
+  def searchStream(spark: SparkSession, queries: DataFrame, dir: String,
+                   nprobe: Int = 1, limit: Int = 10,
+                   p: Pq.Params = Pq.Params(),
+                   delay: String = "10 seconds",
+                   windowLen: String = "10 seconds"): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").withColumn("_one", lit(1))
+    val probed = queries.withColumn("_one", lit(1))
+      .join(broadcast(meta), "_one")
+      .withColumn("pl", slice(array_sort(transform(col("cells"), c =>
+        struct(qround(Pq.d2(col("qv"), c.getField("cv")), 6).as("d2"),
+          c.getField("cell").as("cell")))), 1, nprobe))
+      .withColumn("qtabs", transform(col("cells"), c =>
+        tabFor(zip_with(col("qv"), c.getField("cv"), (x, cv) => x - cv), p)))
+      .select(col("query_id"), col("ts"),
+        explode(transform(col("pl"), x => x.getField("cell"))).as("cell"),
+        col("qtabs"))
+      .withColumn("tab", element_at(col("qtabs"), col("cell").cast("int")))
+      .drop("qtabs")
+    val scored = probed.join(spark.read.parquet(s"$dir/codes"), "cell")
+      .withColumn("ad2", adcOver(col("tab"), col("codes"), p))
+    scored.withWatermark("ts", delay)
+      .groupBy(col("query_id"), window(col("ts"), windowLen))
+      .agg(call_function("graft_bottom_k",
+        struct(col("ad2"), col("vec_id")), lit(limit)).as("_top"))
+      .select(col("query_id"), col("window.start").as("wstart"),
+        posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), col("wstart"),
+        (col("_pos") + 1).cast("long").as("rk"),
+        col("_t.vec_id").as("vec_id"), col("_t.ad2").as("ad2"))
+  }
+
+  /** ADC distance of one code row against the flat distance table
+    * `tab` — m integer lookups + adds, shared by the batch and
+    * streaming search paths so they cannot fork. */
+  private def adcOver(tab: Column, codes: Column, p: Pq.Params): Column =
+    qround(aggregate(sequence(lit(0), lit(p.m - 1)), lit(0.0), (acc, m) =>
+      acc + element_at(tab, (m * p.ks + element_at(codes, m + 1)).cast("int"))), 6)
 
   /** The flat m*ks ADC distance table for one query residual `qres`,
     * addressed like the folded codebook: position m*ks + cid. */
