@@ -34,7 +34,14 @@ object ScaleBench {
     "t_curriculum",
     "t_curriculum_scale", "m_mp4_frames", "e_ann_recall_planted",
     "e_pq_adc", "e_pq_recall", "e_pq_train", "e_pq_recall_planted",
-    "e_ivfpq_adc", "e_ivfpq_probe2", "e_bq_rerank")
+    "e_ivfpq_adc", "e_ivfpq_probe2", "e_bq_rerank",
+    // round-12 serving/curation family: the indexed/appended pair
+    // builds its persisted index on the FIRST run (fingerprint marker
+    // skips it after), so min-time slope measures the steady-state
+    // SEARCH; k-means/sampling slopes evidence the centroid-sized
+    // shuffle claim at 10x corpus
+    "e_pq_adc_trained", "e_ivfpq_indexed", "e_ivfpq_appended",
+    "e_kmeans_train", "e_cluster_sample")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -102,6 +102,35 @@ object AnnIndex {
       }
     }
 
+  /** Post-append COMPACTION — the third verb of the index lifecycle
+    * (build → append → compact): every [[append]] adds at least one
+    * file per touched cell, and a month of daily deltas turns each
+    * probe-cell scan into hundreds of small-file opens. Rewrites the
+    * codes table with `maxRecordsPerFile` bin-packing per cell
+    * partition into a fresh directory, then atomically swaps it in
+    * (rename old → `.old`, new → live, delete old), so a concurrent
+    * [[search]] sees either layout, never a half-written one. Row
+    * content is untouched — parity is spec-asserted — and the meta
+    * table is not rewritten. */
+  def compact(spark: SparkSession, dir: String,
+              maxRecordsPerFile: Long = 1L << 20): Unit = {
+    val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/codes_compact_old")
+    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true); fs.delete(old, true)
+    // one shuffle by cell so each partition writes one run of files;
+    // maxRecordsPerFile caps file size without a per-cell coalesce(1)
+    // driver loop (cells can be arbitrarily large at 100 TB)
+    spark.read.parquet(codes.toString)
+      .repartition(col("cell"))
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cell").parquet(tmp.toString)
+    require(fs.rename(codes, old), s"compact: could not retire $codes")
+    require(fs.rename(tmp, codes), s"compact: could not promote $tmp")
+    fs.delete(old, true)
+  }
+
   /** [[build]] only when no CURRENT index for this corpus exists —
     * the build-once/search-many contract a serving index actually
     * has. "Current" = a marker file whose name carries

@@ -253,5 +253,23 @@ class ApproxSpec extends AnyFunSuite {
     val nFull = spark.read.parquet(s"$dirFull/codes").count()
     val nInc = spark.read.parquet(s"$dirApp/codes").count()
     assert(nInc == nFull, s"row counts diverged: $nInc vs $nFull")
+
+    // compact: the post-append file count drops back while search
+    // stays bit-identical (the lifecycle's third verb)
+    def dataFiles(p: String): Int = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val it = fs.listFiles(path, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = dataFiles(s"$dirApp/codes")
+    graft.ops.AnnIndex.compact(spark, dirApp)
+    val after = dataFiles(s"$dirApp/codes")
+    assert(after < before, s"compact did not shrink the file count: $before -> $after")
+    val compacted = graft.ops.AnnIndex.search(spark, dirApp, q, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(compacted == full,
+      s"compaction changed search results:\n  got =$compacted\n  want=$full")
   }
 }
