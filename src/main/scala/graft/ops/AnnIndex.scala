@@ -42,16 +42,23 @@ object AnnIndex {
   /** Build & persist the IVFADC index for `emb` (vec_id, ve) under
     * `dir`. The caller owns corpus semantics (e.g. excluding a held-
     * out query vector); centroids/codebook follow the vec_ids 1..k /
-    * 1..ks seed convention of [[Pq.cellsRow]]/[[Pq.codebookRow]]. */
+    * 1..ks seed convention of [[Pq.cellsRow]]/[[Pq.codebookRow]] —
+    * or pass `cells` (a folded one-row centroid frame, e.g. the
+    * output of chained [[Pq.ivfLloydStep]]) to build the index over
+    * TRAINED coarse centroids: the meta table persists whatever
+    * quantizer built the codes, so [[search]]/[[searchStream]]/
+    * [[append]] follow transparently — train → build → serve. */
   def build(emb: DataFrame, dir: String, k: Int = 8,
-            p: Pq.Params = Pq.Params()): Unit = {
-    val assigned = Pq.ivfAssigned(emb, k)
+            p: Pq.Params = Pq.Params(),
+            cells: Option[DataFrame] = None): Unit = {
+    val cellsRow = cells.getOrElse(Pq.cellsRow(emb, k))
+    val assigned = Pq.ivfAssignedWith(emb, cellsRow)
       .select(col("vec_id"), col("cell"),
         zip_with(col("ve"), col("cv"), (x, c) => x - c).as("ve"))
     val cb = Pq.codebookRow(assigned.select(col("vec_id"), col("ve")), p)
     Pq.encoded(assigned, cb, p, extra = Seq("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
-    Pq.cellsRow(emb, k).crossJoin(cb)
+    cellsRow.crossJoin(cb)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 

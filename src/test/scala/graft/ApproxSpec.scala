@@ -272,4 +272,43 @@ class ApproxSpec extends AnyFunSuite {
     assert(compacted == full,
       s"compaction changed search results:\n  got =$compacted\n  want=$full")
   }
+
+  test("AnnIndex with TRAINED centroids: meta persists the quantizer, search follows") {
+    // train -> build -> serve: two Lloyd iterations refine the coarse
+    // quantizer, the index is built over it, and every candidate the
+    // persisted search returns sits in a probed cell of the TRAINED
+    // assignment — proof the quantizer rides in meta end to end
+    // rather than being re-derived by the seed convention at query
+    // time. Results must also differ from the seed-built index
+    // (the training knob actually threads through).
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val trained = graft.ops.Pq.ivfLloydStep(corpus,
+      graft.ops.Pq.ivfLloydStep(corpus, graft.ops.Pq.cellsRow(corpus, 8)))
+    val q = emb.where(col("vec_id") === 0).select(col("ve").as("qv"))
+    val dirT = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-trainedtest"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dirT), true)
+    graft.ops.AnnIndex.build(corpus, dirT, cells = Some(trained))
+    val got = graft.ops.AnnIndex.search(spark, dirT, q, nprobe = 2).collect()
+    assert(got.length == 10)
+    // the probed cells under the trained quantizer, computed in-plan
+    val probeCells = emb.where(col("vec_id") === 0)
+      .crossJoin(broadcast(trained))
+      .select(slice(array_sort(transform(col("cells"), c =>
+        struct(graft.queries.qround(graft.ops.Pq.d2(col("ve"), c.getField("cv")), 6).as("d2"),
+          c.getField("cell").as("cell")))), 1, 2).as("pl"))
+      .select(explode(col("pl")).as("e")).select(col("e.cell"))
+      .collect().map(_.getInt(0)).toSet
+    assert(got.forall(r => probeCells.contains(r.getLong(1).toInt)),
+      s"candidates outside the trained probe cells: ${got.mkString(",")} vs $probeCells")
+    val dirS = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-seedtest"
+    fs.delete(new org.apache.hadoop.fs.Path(dirS), true)
+    graft.ops.AnnIndex.build(corpus, dirS)
+    val seed = graft.ops.AnnIndex.search(spark, dirS, q, nprobe = 2).collect()
+    assert(got.map(_.toSeq).toSeq != seed.map(_.toSeq).toSeq,
+      "trained and seed indexes returned identical results — the knob is not wired")
+  }
 }
