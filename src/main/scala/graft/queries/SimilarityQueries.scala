@@ -644,6 +644,26 @@ object SimilarityQueries {
       },
       Some(ivfpqSql(nprobe = 1))),
 
+    // IVFADC over a TRAINED coarse quantizer — the full composition
+    // every IVF query's "swap the seed for trained centroids" note
+    // promises: two k-means Lloyd iterations (e_kmeans_train's exact
+    // chain) produce the folded centroid row, and the SAME
+    // quantizer-agnostic ivfpqTop10 machinery assigns, residual-
+    // encodes, and searches against it. The oracle composes the
+    // hand-unrolled k-means CTEs into the IVFADC CTEs, so the graded
+    // hash pins the WHOLE train→search pipeline bit-for-bit. Scale
+    // shape unchanged: training shuffles stay centroid-sized, search
+    // stays scan-stage + cell-confined.
+    Q("e_ivfpq_trained",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val c2 = graft.ops.Pq.ivfLloydStep(emb,
+          graft.ops.Pq.ivfLloydStep(emb, ivfCellsRow(emb)))
+        ivfpqTop10(s, d, nprobe = 1, cells = Some(c2))
+      },
+      Some(trainedIvfpqSql(2, 1))),
+
     // PQ codebook TRAINING: one per-subspace Lloyd iteration — assign
     // every subvector to its nearest codeword (the SAME argmin the
     // encode uses), then re-estimate each codeword as the
@@ -904,17 +924,22 @@ object SimilarityQueries {
     * per candidate in the scan stage), so cross-cell ADC distances
     * are commensurable and nprobe is a true recall knob. */
   private def ivfpqTop10(s: org.apache.spark.sql.SparkSession, d: String,
-                         nprobe: Int) = {
+                         nprobe: Int,
+                         cells: Option[org.apache.spark.sql.DataFrame] = None) = {
     val emb = T(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
-    val assigned = ivfAssigned(emb)
+    // seed-convention coarse quantizer unless the caller passes a
+    // TRAINED folded centroid row (e.g. chained Pq.ivfLloydStep) —
+    // every stage downstream is quantizer-agnostic
+    val cellsFrame = cells.getOrElse(ivfCellsRow(emb))
+    val assigned = graft.ops.Pq.ivfAssignedWith(emb, cellsFrame)
       .select(col("vec_id"), col("cell"),
         zip_with(col("ve"), col("cv"), (x, c) => x - c).as("ve"))
     // ONE broadcast row for the query: its nprobe nearest cells
     // (sorted (d2, cell) prefix) + its residual w.r.t. EVERY cell
     // (cells array is cell-sorted, so element_at(qres, cell) works)
     val qRow = emb.where(col("vec_id") === 0)
-      .crossJoin(broadcast(ivfCellsRow(emb)))
+      .crossJoin(broadcast(cellsFrame))
       .select(
         slice(array_sort(transform(col("cells"), c =>
           struct(qround(pqD2(col("ve"), c.getField("cv")), 6).as("d2"),
@@ -936,29 +961,46 @@ object SimilarityQueries {
       .orderBy(col("ad2").asc, col("vec_id").asc).limit(10)
   }
 
-  /** DuckDB twin of [[ivfpqTop10]] — per-probed-cell query residuals
-    * (`qr`), the encode shared through [[pqEncodeCtes]]. */
-  private def ivfpqSql(nprobe: Int): String = {
-    val residualE =
+  /** DuckDB twin of [[ivfpqTop10]] over the SEED coarse quantizer —
+    * delegates to [[ivfpqSqlOver]] with the vec_id-1..K centroid CTE. */
+  private def ivfpqSql(nprobe: Int): String =
+    ivfpqSqlOver(
       s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         |c0 AS (SELECT vec_id AS cell, ve AS cv FROM e0 WHERE vec_id BETWEEN 1 AND $IvfK),
+         |c0 AS (SELECT vec_id AS cell, ve AS cv FROM e0 WHERE vec_id BETWEEN 1 AND $IvfK)""".stripMargin,
+      "c0", nprobe)
+
+  /** DuckDB twin of [[ivfpqTop10]] over the TRAINED coarse quantizer:
+    * the k-means chain ([[kmeansCtes]]) runs first, then the same
+    * IVFADC CTEs read its final `c{iters}` centroids. */
+  private def trainedIvfpqSql(iters: Int, nprobe: Int): String =
+    ivfpqSqlOver(kmeansCtes(iters).stripPrefix("WITH "), s"c$iters", nprobe)
+
+  /** The quantizer-agnostic IVFADC oracle body: `chain` must define
+    * `e0` (vec_id, ve: DOUBLE[]) and the centroid CTE `c` (cell, cv);
+    * assignment, residuals, encode ([[pqEncodeCtes]]), per-probed-cell
+    * query residuals (`qr`), and cell-confined ADC are identical for
+    * seed and trained centroids — the same property the Spark side
+    * gets from [[ivfpqTop10]]'s `cells` parameter. */
+  private def ivfpqSqlOver(chain: String, c: String, nprobe: Int): String = {
+    val residualE =
+      s"""$chain,
          |asn AS (SELECT vec_id, ve, cell, cv FROM (
-         |    SELECT e0.vec_id, e0.ve, c0.cell, c0.cv,
+         |    SELECT e0.vec_id, e0.ve, cc.cell, cc.cv,
          |      row_number() OVER (PARTITION BY e0.vec_id
-         |        ORDER BY ${qroundSql(d2S("e0.ve", "c0.cv", Dim), 6)} ASC, c0.cell ASC) AS rn
-         |    FROM e0, c0) WHERE rn = 1),
+         |        ORDER BY ${qroundSql(d2S("e0.ve", "cc.cv", Dim), 6)} ASC, cc.cell ASC) AS rn
+         |    FROM e0, $c cc) WHERE rn = 1),
          |e AS (SELECT vec_id,
          |        list_transform(range(1, ${Dim + 1}), i -> ve[i] - cv[i]) AS ve
          |      FROM asn)""".stripMargin
     s"""${pqEncodeCtes(residualE)},
        |pb AS (SELECT cell FROM (
-       |    SELECT c0.cell, row_number() OVER (
-       |        ORDER BY ${qroundSql(d2S("q0.ve", "c0.cv", Dim), 6)} ASC, c0.cell ASC) AS rn
-       |    FROM (SELECT ve FROM e0 WHERE vec_id = 0) q0, c0) WHERE rn <= $nprobe),
-       |qr AS (SELECT c0.cell, ms.m,
+       |    SELECT cc.cell, row_number() OVER (
+       |        ORDER BY ${qroundSql(d2S("q0.ve", "cc.cv", Dim), 6)} ASC, cc.cell ASC) AS rn
+       |    FROM (SELECT ve FROM e0 WHERE vec_id = 0) q0, $c cc) WHERE rn <= $nprobe),
+       |qr AS (SELECT cc.cell, ms.m,
        |         list_transform(range(1, ${PqSub + 1}),
-       |           i -> q0.ve[ms.m * $PqSub + i] - c0.cv[ms.m * $PqSub + i]) AS qv
-       |       FROM (SELECT ve FROM e0 WHERE vec_id = 0) q0, c0, ms),
+       |           i -> q0.ve[ms.m * $PqSub + i] - cc.cv[ms.m * $PqSub + i]) AS qv
+       |       FROM (SELECT ve FROM e0 WHERE vec_id = 0) q0, $c cc, ms),
        |ad AS (SELECT c.vec_id, asn.cell,
        |         string_agg(CAST(c.cid AS VARCHAR), ',' ORDER BY c.m) AS code,
        |         ${qroundSql(s"sum(${qroundSql(d2S("qr.qv", "cb.cv", PqSub), 6)})", 6)} AS ad2
