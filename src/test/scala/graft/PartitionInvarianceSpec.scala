@@ -11,9 +11,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   private val d = "/root/testdata/sf0.001"
 
   // one per family: join+agg, quantized single-pass agg, LSH banding,
-  // window rank rewrite, as-of join
+  // window rank rewrite, as-of join — plus the round-12 iteration
+  // chains, where a float re-mean would be the classic partition-
+  // order leak (the exact integer-space sums are what make the
+  // chained Lloyd steps and the bounded bottom-k draw invariant)
   private val probes = Seq("j3_equi_join_agg", "a3_gram_matrix", "d_lsh_pairs",
-    "o3_rank_family", "j7_asof_join")
+    "o3_rank_family", "j7_asof_join",
+    "e_kmeans_train", "e_cluster_sample", "e_ivfpq_trained")
 
   private def rows(name: String): Set[Seq[Any]] = {
     val q = SparkEntry.allQueries.find(_.name == name).get
