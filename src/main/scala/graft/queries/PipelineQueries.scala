@@ -116,5 +116,57 @@ object PipelineQueries {
               |SELECT user_id, t0, segment, count(*) AS n_steps,
               |  string_agg(lpad(upper(to_hex(code)), 4, '0'), '' ORDER BY step) AS frame_hex
               |FROM enc GROUP BY user_id, t0, segment""".stripMargin)),
+
+    // The CURATION flagship — the LLM-data-pipeline composition the
+    // similarity/text families exist for, as ONE Catalyst plan:
+    // k-means the embedding corpus (2 chained Lloyd iterations,
+    // centroid-sized shuffles), assign every document's embedding to
+    // its trained semantic cluster, gate on the graded quality score,
+    // and draw the top-5 HIGHEST-QUALITY docs per cluster as a
+    // bounded graft_bottom_k aggregate — the SemDeDup/DsDm-style
+    // "cluster, then balance the mix" recipe. Plan shape at scale:
+    // training folds to broadcast rows, assignment is scan-stage, the
+    // doc join is ONE id-keyed equi-shuffle (bucket/co-locate at
+    // 100 TB), and the draw's partial state is <= 5 rows per (cell,
+    // partition) — the corpus is never sorted or windowed. Every
+    // stage is graded solo (e_kmeans_train, t_quality_score,
+    // e_cluster_sample); this pins the composition.
+    Q("pipe_curate_e2e",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val c2 = graft.ops.Pq.ivfLloydStep(emb,
+          graft.ops.Pq.ivfLloydStep(emb, graft.ops.Pq.cellsRow(emb, 8)))
+        val assigned = graft.ops.Pq.ivfAssignedWith(emb, c2)
+          .select(col("vec_id").as("doc_id"), col("cell"))
+        val gated = T(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.text.qualityScore(col("text")).as("quality"),
+            col("n_chars"))
+          .where(col("quality") >= 0.5)
+        assigned.join(gated, "doc_id")
+          .groupBy(col("cell"))
+          .agg(call_function("graft_bottom_k",
+            struct(negate(col("quality")).as("nq"), col("doc_id").as("doc_id"),
+              col("n_chars").as("n_chars")), lit(5)).as("_top"))
+          .select(col("cell").cast("long").as("cid"),
+            posexplode(col("_top")).as(Seq("_pos", "_t")))
+          .select(col("cid"), (col("_pos") + 1).cast("long").as("rn"),
+            col("_t.doc_id").as("doc_id"),
+            negate(col("_t.nq")).as("quality"),
+            col("_t.n_chars").as("n_chars"))
+      },
+      Some(s"""${SimilarityQueries.kmeansCtes(2)},
+              |af AS (${SimilarityQueries.kmeansAssignSql(2)}),
+              |dq AS (SELECT doc_id, ${TextQueries.qualitySql} AS quality, n_chars
+              |       FROM documents),
+              |j AS (SELECT af.cell, dq.doc_id, dq.quality, dq.n_chars
+              |      FROM af JOIN dq ON dq.doc_id = af.vec_id
+              |      WHERE dq.quality >= 0.5e0)
+              |SELECT cid, rn, doc_id, quality, n_chars FROM (
+              |  SELECT CAST(cell AS BIGINT) AS cid, doc_id, quality, n_chars,
+              |    CAST(row_number() OVER (PARTITION BY cell
+              |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rn
+              |  FROM j) WHERE rn <= 5""".stripMargin)),
   )
 }

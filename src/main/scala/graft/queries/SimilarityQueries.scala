@@ -1024,7 +1024,7 @@ object SimilarityQueries {
     * (qround(d2), cell) order as the scan-stage argmin), `m{t}`
     * re-means in exact integer space, `c{t}` folds back per-cell
     * lists with the empty-cell keep-previous policy. */
-  private def kmeansCtes(iters: Int): String = {
+  private[queries] def kmeansCtes(iters: Int): String = {
     val sb = new StringBuilder(
       s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
          |c0 AS (SELECT vec_id AS cell, ve AS cv FROM e0 WHERE vec_id BETWEEN 1 AND $IvfK)""".stripMargin)
@@ -1046,7 +1046,7 @@ object SimilarityQueries {
   /** Nearest-`c$t`-centroid assignment of the whole corpus —
     * row_number over the same (qround(d2), cell) total order the
     * Spark argmin sorts by. */
-  private def kmeansAssignSql(t: Int): String =
+  private[queries] def kmeansAssignSql(t: Int): String =
     s"""SELECT vec_id, ve, cell FROM (
        |    SELECT e0.vec_id, e0.ve, c.cell,
        |      row_number() OVER (PARTITION BY e0.vec_id ORDER BY

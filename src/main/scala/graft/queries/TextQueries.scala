@@ -30,7 +30,7 @@ object TextQueries {
 
   /** DuckDB twin of text.qualityScore (shared by t_quality_score and
     * t_curriculum — one definition, two graded uses). */
-  private val qualitySql =
+  private[queries] val qualitySql =
     """((least(CAST(length(text) AS DOUBLE) / 500e0, 1e0) * 0.4e0)
       |   + (least((CAST(len(list_filter(string_split(text, ' '),
       |        x -> list_contains(['the','a','of','and','in','to','is','on','for','with'], x))) AS DOUBLE)

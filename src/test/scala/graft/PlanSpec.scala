@@ -341,6 +341,14 @@ class PlanSpec extends AnyFunSuite {
       "centroid chain must stay broadcast:\n" + p.take(1500))
   }
 
+  test("pipe_curate_e2e: curation flagship — one id-keyed join, bounded draw, no corpus window") {
+    val p = finalPlan("pipe_curate_e2e")
+    assert(!p.contains("Window"),
+      "the per-cluster draw must stay a bounded aggregate:\n" + p.take(1500))
+    assert(!p.contains("rangepartitioning") && !p.contains("CartesianProduct"),
+      "no global sort / cartesian anywhere in the composition:\n" + p.take(1500))
+  }
+
   test("e_kmeans_train: Lloyd chain keeps every exchange centroid-sized") {
     val p = finalPlan("e_kmeans_train")
     // each iteration = broadcast centroid row in, K*dim-group

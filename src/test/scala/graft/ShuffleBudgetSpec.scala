@@ -143,4 +143,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
   test("e_cluster_sample: the balanced draw shuffles <= K x partitions x n sample rows") {
     assertBudget("e_cluster_sample", shuffleCeiling = 1L << 20)
   }
+
+  test("pipe_curate_e2e: training + assignment + id join + draw stay inside budget") {
+    // the only data-proportional exchange is the doc_id equi-join of
+    // the (doc_id, cell) assignment to the quality-gated doc stats —
+    // ~2 small columns per surviving doc; everything else is
+    // centroid-sized or bounded bottom-k partials
+    assertBudget("pipe_curate_e2e", shuffleCeiling = 2L << 20)
+  }
 }
