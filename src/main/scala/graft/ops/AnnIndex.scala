@@ -83,6 +83,33 @@ object AnnIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
+  /** Streaming INGEST for the persisted index — the encode-on-arrival
+    * half of the streaming story ([[searchStream]] is the query
+    * half): every micro-batch of new vectors (vec_id, ve) appends via
+    * [[append]], so the index absorbs a live feed with delta-sized
+    * scans against the frozen quantizers. Each batch is guarded by a
+    * batch-id marker: a RESTARTED batch (processed fully but the
+    * checkpoint didn't advance — the common failure) is skipped
+    * instead of double-appended. The residual at-least-once window is
+    * a crash INSIDE an append (files written, marker not) — the same
+    * partial-append ambiguity [[buildAppendIfAbsent]] documents;
+    * production closes it by staging per-batch files and committing
+    * via rename. */
+  def appendStream(spark: SparkSession, vectors: DataFrame, dir: String,
+                   p: Pq.Params = Pq.Params(),
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$dir/_appended_batch_$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          append(spark, batch, dir, p)
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
+
   /** Build-base-then-append exactly ONCE per corpus fingerprint — the
     * graded incremental-maintenance flow. The idempotency unit is the
     * whole build+append sequence: a half-applied append is

@@ -53,4 +53,44 @@ class AnnStreamSpec extends AnyFunSuite {
       assert(got.count(_._1 == 0L) == 10 && got.count(_._1 == 37L) == 10)
     } finally q.stop()
   }
+
+  test("appendStream: index ingested from a vector stream == one-shot build") {
+    // the ingest half: base build, then the delta arrives as TWO
+    // micro-batches through foreachBatch append — search over the
+    // streamed index must equal search over a full one-shot build
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val isDelta = col("vec_id") % 10 === 4 && col("vec_id") > 16
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dirS = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-ingest-stream"
+    val dirF = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-ingest-full"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-ingest-ckpt"
+    Seq(dirS, dirF, ckpt).foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    graft.ops.AnnIndex.build(corpus.where(!isDelta), dirS)
+    graft.ops.AnnIndex.build(corpus, dirF)
+
+    val delta = corpus.where(isDelta)
+      .select(col("vec_id"), col("ve")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val vecs = mem.toDF().toDF("vec_id", "ve")
+      .select(col("vec_id"), col("ve").cast("array<double>").as("ve"))
+    val q = graft.ops.AnnIndex.appendStream(spark, vecs, dirS, checkpoint = ckpt)
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val qv = emb.where(col("vec_id") === 0).select(col("ve").as("qv"))
+    val streamed = graft.ops.AnnIndex.search(spark, dirS, qv, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    val oneShot = graft.ops.AnnIndex.search(spark, dirF, qv, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == oneShot,
+      s"streamed index diverged:\n  got =$streamed\n  want=$oneShot")
+    assert(spark.read.parquet(s"$dirS/codes").count() ==
+      spark.read.parquet(s"$dirF/codes").count())
+  }
 }
