@@ -203,6 +203,8 @@ object AnnIndex {
   def search(spark: SparkSession, dir: String, q: DataFrame,
              nprobe: Int = 1, limit: Int = 10,
              p: Pq.Params = Pq.Params()): DataFrame = {
+    require(nprobe >= 1 && limit >= 1,
+      s"search needs nprobe >= 1 and limit >= 1, got nprobe=$nprobe limit=$limit")
     val meta = spark.read.parquet(s"$dir/meta") // 1 row: (cells, cbs)
     // per-cell ADC tables: qtabs[cell][m*ks + cid] =
     //   qround(d2(subvec(q - c_cell, m), codeword(m, cid)), 6)
@@ -217,8 +219,14 @@ object AnnIndex {
           .as("qtabs"))
       .select(transform(col("pl"), x => x.getField("cell")).as("probe_cells"),
         col("qtabs"))
-    val probes: Seq[Int] =
-      qRow.select(col("probe_cells")).head().getSeq[Int](0)
+    // one-row contract made loud: an empty query frame would throw a
+    // bare NoSuchElementException from head(); >1 rows would silently
+    // search only the first query's cells with ALL rows' tabs
+    val qRows = qRow.select(col("probe_cells")).take(2)
+    require(qRows.length == 1,
+      s"search takes exactly ONE query row, got ${qRows.length} — " +
+        "use searchStream for a stream of queries")
+    val probes: Seq[Int] = qRows(0).getSeq[Int](0)
     spark.read.parquet(s"$dir/codes")
       .where(col("cell").isin(probes: _*))
       .crossJoin(broadcast(qRow.select(col("qtabs"))))

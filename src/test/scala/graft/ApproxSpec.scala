@@ -311,4 +311,28 @@ class ApproxSpec extends AnyFunSuite {
     assert(got.map(_.toSeq).toSeq != seed.map(_.toSeq).toSeq,
       "trained and seed indexes returned identical results — the knob is not wired")
   }
+
+  test("AnnIndex.search: loud contract errors, never silent wrong answers") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-paritytest" // built by the earlier test
+    graft.ops.AnnIndex.build(emb.where(col("vec_id") =!= 0), dir)
+    val q1 = emb.where(col("vec_id") === 0).select(col("ve").as("qv"))
+    // nprobe above K clamps to all cells rather than erroring
+    assert(graft.ops.AnnIndex.search(spark, dir, q1, nprobe = 99).count() == 10)
+    val eEmpty = intercept[IllegalArgumentException] {
+      graft.ops.AnnIndex.search(spark, dir, q1.where(lit(false)))
+    }
+    assert(eEmpty.getMessage.contains("ONE query row"), eEmpty.getMessage)
+    val eTwo = intercept[IllegalArgumentException] {
+      graft.ops.AnnIndex.search(spark, dir,
+        emb.where(col("vec_id").isin(0, 1)).select(col("ve").as("qv")))
+    }
+    assert(eTwo.getMessage.contains("ONE query row"), eTwo.getMessage)
+    val eBad = intercept[IllegalArgumentException] {
+      graft.ops.AnnIndex.search(spark, dir, q1, nprobe = 0)
+    }
+    assert(eBad.getMessage.contains("nprobe"), eBad.getMessage)
+  }
 }

@@ -17,7 +17,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   // chained Lloyd steps and the bounded bottom-k draw invariant)
   private val probes = Seq("j3_equi_join_agg", "a3_gram_matrix", "d_lsh_pairs",
     "o3_rank_family", "j7_asof_join",
-    "e_kmeans_train", "e_cluster_sample", "e_ivfpq_trained")
+    "e_kmeans_train", "e_cluster_sample", "e_ivfpq_trained", "pipe_curate_e2e")
 
   private def rows(name: String): Set[Seq[Any]] = {
     val q = SparkEntry.allQueries.find(_.name == name).get
