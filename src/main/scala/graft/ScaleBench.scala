@@ -41,7 +41,8 @@ object ScaleBench {
     // SEARCH; k-means/sampling slopes evidence the centroid-sized
     // shuffle claim at 10x corpus
     "e_pq_adc_trained", "e_ivfpq_indexed", "e_ivfpq_appended",
-    "e_kmeans_train", "e_cluster_sample")
+    "e_kmeans_train", "e_cluster_sample", "e_ivfpq_trained",
+    "pipe_curate_e2e")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

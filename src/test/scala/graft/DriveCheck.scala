@@ -32,6 +32,20 @@ object DriveCheck {
     println("== tsBucket + validStarts on real events ==")
     val b = ev.select(col("user_id"), ops.Sequences.tsBucket(col("ts"), 600L).as("bkt"))
     ops.Sequences.validStarts(b, "user_id", "bkt", 3).orderBy("user_id", "bkt").show(5)
+    println("== ANN index lifecycle: build -> append -> compact -> search ==")
+    val embv = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val corpus = embv.where(col("vec_id") =!= 0)
+    val cut = col("vec_id") % 10 === 6 && col("vec_id") > 16
+    val idxDir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-drivecheck"
+    val hfs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(idxDir), true)
+    ops.AnnIndex.build(corpus.where(!cut), idxDir)
+    ops.AnnIndex.append(spark, corpus.where(cut), idxDir)
+    ops.AnnIndex.compact(spark, idxDir)
+    val hits = ops.AnnIndex.search(spark, idxDir,
+      embv.where(col("vec_id") === 0).select(col("ve").as("qv")), nprobe = 2)
+    hits.show(3)
+    require(hits.count() == 10, "index search did not return a full top-10")
     println("== flagship entry() — the driver's rows>0 smoke ==")
     val entryRows = SparkEntry.entry(spark).count()
     require(entryRows > 0, "flagship entry() returned no rows")
