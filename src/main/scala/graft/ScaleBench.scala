@@ -37,9 +37,10 @@ object ScaleBench {
     "e_ivfpq_adc", "e_ivfpq_probe2", "e_bq_rerank",
     // round-12 serving/curation family: the indexed/appended pair
     // builds its persisted index on the FIRST run (fingerprint marker
-    // skips it after), so min-time slope measures the steady-state
-    // SEARCH; k-means/sampling slopes evidence the centroid-sized
-    // shuffle claim at 10x corpus
+    // skips it after — the O(#files) table fingerprint, so the
+    // repeat-run check cost is corpus-size-independent and min-time
+    // slope measures the steady-state SEARCH); k-means/sampling
+    // slopes evidence the centroid-sized shuffle claim at 10x corpus
     "e_pq_adc_trained", "e_ivfpq_indexed", "e_ivfpq_appended",
     "e_kmeans_train", "e_cluster_sample", "e_ivfpq_trained",
     "pipe_curate_e2e")

@@ -97,11 +97,17 @@ object AnnIndex {
     * via rename. */
   def appendStream(spark: SparkSession, vectors: DataFrame, dir: String,
                    p: Pq.Params = Pq.Params(),
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // markers are namespaced by CHECKPOINT identity, not batchId
+    // alone: a stream restarted with a fresh checkpoint restarts
+    // batchIds at 0, and bare-batchId markers from the old run would
+    // silently swallow the new run's first batches
+    val ckptTag = java.lang.Integer.toHexString(checkpoint.hashCode)
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = new org.apache.hadoop.fs.Path(s"$dir/_appended_batch_$batchId")
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$dir/_appended_${ckptTag}_batch_$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker) && !batch.isEmpty) {
           append(spark, batch, dir, p)
@@ -109,31 +115,77 @@ object AnnIndex {
         }
       }
       .start()
+  }
+
+  /** O(#files) fingerprint of a parquet table path: folds every data
+    * file's (name, length, mtime). The right invalidation key for
+    * immutable-file lakes — a regenerated table changes lengths or
+    * mtimes — at constant cost w.r.t. row count, unlike the
+    * [[dataFingerprint]] fallback's corpus scan. */
+  def tableFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var h = 1125899906842597L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) {
+        h = h * 31 + f.getPath.getName.hashCode
+        h = h * 31 + f.getLen
+        h = h * 31 + f.getModificationTime
+      }
+    }
+    java.lang.Long.toHexString(h)
+  }
+
+  /** One-pass DATA fingerprint: (count, Σvec_id, Σq(Σ_dims v)) — the
+    * per-row component fold makes a change confined to ANY dimension
+    * move the triple. O(corpus·dim) read; prefer passing
+    * [[tableFingerprint]] where the corpus is a file table. */
+  private def dataFingerprint(emb: DataFrame): String = {
+    val fp = emb.agg(
+      count(lit(1)), sum(col("vec_id")),
+      sum(qround(aggregate(col("ve"), lit(0.0), (acc, v) => acc + v) * 1e6, 0)
+        .cast("long"))).head()
+    s"${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}"
+  }
+
+  /** Run `work` exactly once per (dir, kind, [[BuildVersion]],
+    * fingerprint). When the CURRENT marker is absent the dir is
+    * cleared first — that removes stale data AND stale markers of
+    * prior fingerprints, so an older corpus state can never be served
+    * off its leftover marker after the data flip-flops. The marker is
+    * written only after `work` completes: a crash restarts from an
+    * empty dir. */
+  private def oncePerFingerprint(spark: SparkSession, dir: String,
+                                 kind: String, fp: String)(work: => Unit): Unit =
+    synchronized {
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$dir/_${kind}_v${BuildVersion}_$fp")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        work
+        fs.create(marker, true).close()
+      }
+    }
 
   /** Build-base-then-append exactly ONCE per corpus fingerprint — the
     * graded incremental-maintenance flow. The idempotency unit is the
     * whole build+append sequence: a half-applied append is
     * indistinguishable from a complete one by inspection, so a
     * missing marker restarts from an EMPTY dir rather than risking
-    * duplicated rows; the marker (fingerprinted over base ∪ delta,
-    * version-stamped like [[buildIfAbsent]]) is written only after
-    * both steps complete. */
+    * duplicated rows; the marker is written only after both steps
+    * complete. Pass `fingerprint` ([[tableFingerprint]]) to make the
+    * check O(#files); the fallback scans base ∪ delta. */
   def buildAppendIfAbsent(spark: SparkSession, base: DataFrame,
                           delta: DataFrame, dir: String, k: Int = 8,
-                          p: Pq.Params = Pq.Params()): Unit =
-    synchronized {
-      val fp = base.unionAll(delta).agg(
-        count(lit(1)), sum(col("vec_id")),
-        sum(qround(element_at(col("ve"), 1) * 1e6, 0).cast("long"))).head()
-      val marker = new org.apache.hadoop.fs.Path(
-        s"$dir/_built_append_v${BuildVersion}_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}")
-      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker)) {
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-        build(base, dir, k, p)
-        append(spark, delta, dir, p)
-        fs.create(marker, true).close()
-      }
+                          p: Pq.Params = Pq.Params(),
+                          fingerprint: Option[String] = None): Unit =
+    oncePerFingerprint(spark, dir, "built_append",
+      fingerprint.getOrElse(dataFingerprint(base.unionAll(delta)))) {
+      build(base, dir, k, p)
+      append(spark, delta, dir, p)
     }
 
   /** Post-append COMPACTION — the third verb of the index lifecycle
@@ -141,17 +193,27 @@ object AnnIndex {
     * file per touched cell, and a month of daily deltas turns each
     * probe-cell scan into hundreds of small-file opens. Rewrites the
     * codes table with `maxRecordsPerFile` bin-packing per cell
-    * partition into a fresh directory, then atomically swaps it in
-    * (rename old → `.old`, new → live, delete old), so a concurrent
-    * [[search]] sees either layout, never a half-written one. Row
-    * content is untouched — parity is spec-asserted — and the meta
-    * table is not rewritten. */
+    * partition into a fresh directory, then swaps it in with two
+    * renames. The swap is NOT atomic: a reader can observe a brief
+    * missing-`codes` window between the renames (sequence compaction
+    * against query traffic, or version the codes path in meta, for a
+    * zero-window serving system), and a crash inside the window
+    * strands the data in `codes_compact_old` — which the NEXT call
+    * self-heals (recovery rename below) before doing anything
+    * destructive; a failed promotion also restores the original in-
+    * process. Row content is untouched — parity is spec-asserted —
+    * and the meta table is not rewritten. */
   def compact(spark: SparkSession, dir: String,
               maxRecordsPerFile: Long = 1L << 20): Unit = {
     val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes_compact_tmp")
     val old = new org.apache.hadoop.fs.Path(s"$dir/codes_compact_old")
     val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover a prior compact that died between its renames: the only
+    // copy of the data is `old` — restore it BEFORE the cleanup below
+    // would delete it
+    if (!fs.exists(codes) && fs.exists(old))
+      require(fs.rename(old, codes), s"compact: could not recover $old")
     fs.delete(tmp, true); fs.delete(old, true)
     // one shuffle by cell so each partition writes one run of files;
     // maxRecordsPerFile caps file size without a per-cell coalesce(1)
@@ -161,35 +223,31 @@ object AnnIndex {
       .write.option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("cell").parquet(tmp.toString)
     require(fs.rename(codes, old), s"compact: could not retire $codes")
-    require(fs.rename(tmp, codes), s"compact: could not promote $tmp")
+    if (!fs.rename(tmp, codes)) {
+      fs.rename(old, codes) // put the original back before failing
+      throw new IllegalStateException(
+        s"compact: could not promote $tmp; original codes restored")
+    }
     fs.delete(old, true)
   }
 
   /** [[build]] only when no CURRENT index for this corpus exists —
     * the build-once/search-many contract a serving index actually
-    * has. "Current" = a marker file whose name carries
-    * [[BuildVersion]] (stale code → rebuild) and a one-pass corpus
-    * fingerprint (count, Σvec_id, Σq(ve[0]) — stale DATA under the
-    * same path → rebuild); the marker is written only after the
-    * overwrite-mode build completes, so a crashed build self-heals.
-    * The fingerprint scan is a column-pruned single pass — orders of
-    * magnitude cheaper than re-encoding the corpus, which is the
-    * whole point: repeated queries against the same corpus pay
-    * SEARCH cost only. Uses the Hadoop FileSystem API so the same
-    * code addresses a DFS index dir on a real cluster. */
+    * has. "Current" = a marker whose name carries [[BuildVersion]]
+    * (stale code → rebuild) and a corpus fingerprint (stale DATA
+    * under the same path → rebuild; an absent marker also clears the
+    * dir, so stale markers of PRIOR corpus states cannot resurrect).
+    * Pass `fingerprint` ([[tableFingerprint]]) to make the check
+    * O(#files) — the serving-query choice, and what keeps the
+    * steady-state cost pure SEARCH; the fallback is the
+    * [[dataFingerprint]] corpus scan. Hadoop FileSystem API
+    * throughout, so the same code addresses a DFS index dir. */
   def buildIfAbsent(spark: SparkSession, emb: DataFrame, dir: String,
-                    k: Int = 8, p: Pq.Params = Pq.Params()): Unit =
-    synchronized {
-      val fp = emb.agg(
-        count(lit(1)), sum(col("vec_id")),
-        sum(qround(element_at(col("ve"), 1) * 1e6, 0).cast("long"))).head()
-      val marker = new org.apache.hadoop.fs.Path(
-        s"$dir/_built_v${BuildVersion}_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}")
-      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker)) {
-        build(emb, dir, k, p)
-        fs.create(marker, true).close()
-      }
+                    k: Int = 8, p: Pq.Params = Pq.Params(),
+                    fingerprint: Option[String] = None): Unit =
+    oncePerFingerprint(spark, dir, "built",
+      fingerprint.getOrElse(dataFingerprint(emb))) {
+      build(emb, dir, k, p)
     }
 
   /** Top-`limit` ADC search of the persisted index for the one-row
@@ -263,19 +321,24 @@ object AnnIndex {
                    p: Pq.Params = Pq.Params(),
                    delay: String = "10 seconds",
                    windowLen: String = "10 seconds"): DataFrame = {
+    require(nprobe >= 1 && limit >= 1,
+      s"searchStream needs nprobe >= 1 and limit >= 1, got nprobe=$nprobe limit=$limit")
     val meta = spark.read.parquet(s"$dir/meta").withColumn("_one", lit(1))
+    // the ADC table is computed AFTER the probe-cell explode, one
+    // table per (query, probed cell) — not one per (query, cell):
+    // at nprobe=1, K=8 that is 8x less per-query table work in the
+    // hot path (cells is cell-sorted, so element_at is positional)
     val probed = queries.withColumn("_one", lit(1))
       .join(broadcast(meta), "_one")
       .withColumn("pl", slice(array_sort(transform(col("cells"), c =>
         struct(qround(Pq.d2(col("qv"), c.getField("cv")), 6).as("d2"),
           c.getField("cell").as("cell")))), 1, nprobe))
-      .withColumn("qtabs", transform(col("cells"), c =>
-        tabFor(zip_with(col("qv"), c.getField("cv"), (x, cv) => x - cv), p)))
-      .select(col("query_id"), col("ts"),
-        explode(transform(col("pl"), x => x.getField("cell"))).as("cell"),
-        col("qtabs"))
-      .withColumn("tab", element_at(col("qtabs"), col("cell").cast("int")))
-      .drop("qtabs")
+      .select(col("query_id"), col("ts"), col("qv"), col("cells"), col("cbs"),
+        explode(transform(col("pl"), x => x.getField("cell"))).as("cell"))
+      .withColumn("tab", tabFor(zip_with(col("qv"),
+        element_at(col("cells"), col("cell").cast("int")).getField("cv"),
+        (x, cv) => x - cv), p))
+      .select(col("query_id"), col("ts"), col("cell"), col("tab"))
     val scored = probed.join(spark.read.parquet(s"$dir/codes"), "cell")
       .withColumn("ad2", adcOver(col("tab"), col("codes"), p))
     scored.withWatermark("ts", delay)

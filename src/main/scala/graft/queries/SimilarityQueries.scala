@@ -608,8 +608,11 @@ object SimilarityQueries {
         // Build-once/search-many: the first call over a corpus pays
         // the encode; every later call (bench repeats, repeated user
         // queries) is fingerprint-checked and pays SEARCH only — the
-        // serving contract this query exists to demonstrate.
-        graft.ops.AnnIndex.buildIfAbsent(s, emb.where(col("vec_id") =!= 0), dir, IvfK, P)
+        // serving contract this query exists to demonstrate. The
+        // fingerprint is the O(#files) table form, so the check cost
+        // is independent of corpus size.
+        graft.ops.AnnIndex.buildIfAbsent(s, emb.where(col("vec_id") =!= 0), dir, IvfK, P,
+          fingerprint = Some(graft.ops.AnnIndex.tableFingerprint(s, s"$d/embeddings.parquet")))
         graft.ops.AnnIndex.search(s, dir,
           emb.where(col("vec_id") === 0).select(col("ve").as("qv")),
           nprobe = 1, limit = 10, p = P)
@@ -637,7 +640,8 @@ object SimilarityQueries {
         val isDelta = col("vec_id") % 10 === 7 && col("vec_id") > PqKs
         val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-app-${math.abs(d.hashCode)}"
         graft.ops.AnnIndex.buildAppendIfAbsent(s,
-          corpus.where(!isDelta), corpus.where(isDelta), dir, IvfK, P)
+          corpus.where(!isDelta), corpus.where(isDelta), dir, IvfK, P,
+          fingerprint = Some(graft.ops.AnnIndex.tableFingerprint(s, s"$d/embeddings.parquet")))
         graft.ops.AnnIndex.search(s, dir,
           emb.where(col("vec_id") === 0).select(col("ve").as("qv")),
           nprobe = 1, limit = 10, p = P)

@@ -271,6 +271,18 @@ class ApproxSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(compacted == full,
       s"compaction changed search results:\n  got =$compacted\n  want=$full")
+
+    // crash-window recovery: simulate a compact that died between its
+    // two renames (codes gone, data stranded in codes_compact_old) —
+    // the next compact must restore it, not delete the only copy
+    val codesP = new org.apache.hadoop.fs.Path(s"$dirApp/codes")
+    val oldP = new org.apache.hadoop.fs.Path(s"$dirApp/codes_compact_old")
+    assert(fs.rename(codesP, oldP))
+    graft.ops.AnnIndex.compact(spark, dirApp)
+    val recovered = graft.ops.AnnIndex.search(spark, dirApp, q, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(recovered == full,
+      s"crash recovery lost data:\n  got =$recovered\n  want=$full")
   }
 
   test("AnnIndex with TRAINED centroids: meta persists the quantizer, search follows") {
