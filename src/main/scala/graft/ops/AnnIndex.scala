@@ -244,10 +244,11 @@ object AnnIndex {
     * throughout, so the same code addresses a DFS index dir. */
   def buildIfAbsent(spark: SparkSession, emb: DataFrame, dir: String,
                     k: Int = 8, p: Pq.Params = Pq.Params(),
-                    fingerprint: Option[String] = None): Unit =
-    oncePerFingerprint(spark, dir, "built",
+                    fingerprint: Option[String] = None,
+                    cells: Option[DataFrame] = None): Unit =
+    oncePerFingerprint(spark, dir, if (cells.isDefined) "built_tr" else "built",
       fingerprint.getOrElse(dataFingerprint(emb))) {
-      build(emb, dir, k, p)
+      build(emb, dir, k, p, cells)
     }
 
   /** Top-`limit` ADC search of the persisted index for the one-row

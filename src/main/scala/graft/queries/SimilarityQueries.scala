@@ -648,6 +648,27 @@ object SimilarityQueries {
       },
       Some(ivfpqSql(nprobe = 1))),
 
+    // the persisted x trained matrix cell: build the MATERIALIZED
+    // index over k-means-trained centroids (meta carries the trained
+    // quantizer) and search it — graded against the SAME composed
+    // oracle as the in-plan e_ivfpq_trained, so the persisted trained
+    // path is pinned bit-identical too, not just spec-asserted.
+    Q("e_ivfpq_indexed_trained",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val c2 = graft.ops.Pq.ivfLloydStep(emb,
+          graft.ops.Pq.ivfLloydStep(emb, ivfCellsRow(emb)))
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-tr-${math.abs(d.hashCode)}"
+        graft.ops.AnnIndex.buildIfAbsent(s, emb.where(col("vec_id") =!= 0), dir, IvfK, P,
+          cells = Some(c2),
+          fingerprint = Some(graft.ops.AnnIndex.tableFingerprint(s, s"$d/embeddings.parquet")))
+        graft.ops.AnnIndex.search(s, dir,
+          emb.where(col("vec_id") === 0).select(col("ve").as("qv")),
+          nprobe = 1, limit = 10, p = P)
+      },
+      Some(trainedIvfpqSql(2, 1))),
+
     // IVFADC over a TRAINED coarse quantizer — the full composition
     // every IVF query's "swap the seed for trained centroids" note
     // promises: two k-means Lloyd iterations (e_kmeans_train's exact
