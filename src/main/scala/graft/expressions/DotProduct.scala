@@ -189,6 +189,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CharNgrams(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_pq_score"),
+      new ExpressionInfo(classOf[PqScoreExpr].getName, "graft_pq_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          "graft_pq_score(ve, qv, cbs, m, ks) takes five arguments")
+        PqScoreExpr(children(0), children(1), children(2), children(3), children(4))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ivf_cell"),
+      new ExpressionInfo(classOf[IvfCellExpr].getName, "graft_ivf_cell"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_ivf_cell(ve, cells) takes two arguments")
+        IvfCellExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bottom_k"),
       new ExpressionInfo(classOf[BottomK].getName, "graft_bottom_k"),
       (children: Seq[Expression]) => {

@@ -69,6 +69,20 @@ object Pq {
     * same zero-shuffle scan-stage assignment as the seed convention. */
   def ivfAssignedWith(emb: DataFrame, cells: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cells))
+      // native fused argmin (graft.expressions.IvfCellExpr): one JVM
+      // loop per row instead of a K-struct HOF tree — bit-identical
+      // to [[ivfAssignedWithHof]], cross-checked in PqExprSpec. The
+      // winner's array position rides in the struct, so the matched
+      // centroid lookup holds for ANY cell-id scheme.
+      .withColumn("_bc", call_function("graft_ivf_cell", col("ve"), col("cells")))
+      .withColumn("cell", col("_bc.cell"))
+      .withColumn("cv", element_at(col("cells"), col("_bc.idx")).getField("cv"))
+      .drop("cells", "_bc")
+
+  /** The composable HOF twin of [[ivfAssignedWith]] — kept as the
+    * cross-check reference the native kernel is asserted against. */
+  private[graft] def ivfAssignedWithHof(emb: DataFrame, cells: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cells))
       .withColumn("_best", array_min(transform(col("cells"), c =>
         struct(qround(d2(col("ve"), c.getField("cv")), 6).as("d2"),
           c.getField("cell").as("cell"), c.getField("cv").as("cv")))))
@@ -136,7 +150,21 @@ object Pq {
     * the whole encode inlined by projection collapse and re-run per
     * subspace (measured 4x slower). */
   def scoredQ(embQ: DataFrame, cbRow: DataFrame, p: Params,
-              extra: Seq[String] = Nil): DataFrame = {
+              extra: Seq[String] = Nil): DataFrame =
+    // native fused encode+ADC (graft.expressions.PqScoreExpr): one
+    // JVM loop per row where the HOF form interprets m*ks struct
+    // nodes — bit-identical to [[scoredQHof]] (PqExprSpec)
+    embQ.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(cbRow))
+      .withColumn("_ps", call_function("graft_pq_score",
+        col("ve"), col("qv"), col("cbs"), lit(p.m), lit(p.ks)))
+      .select((Seq(col("vec_id"), col("_ps.code").as("code"),
+        col("_ps.ad2").as("ad2"), col("_ps.ed2").as("ed2")) ++ extra.map(col)): _*)
+
+  /** The composable HOF twin of [[scoredQ]] — the cross-check
+    * reference for the native kernel. */
+  private[graft] def scoredQHof(embQ: DataFrame, cbRow: DataFrame, p: Params,
+                                extra: Seq[String] = Nil): DataFrame = {
     val enc = embQ.where(col("vec_id") =!= 0)
       .crossJoin(broadcast(cbRow))
       .withColumn("bests", transform(sequence(lit(0), lit(p.m - 1)), m =>
@@ -159,11 +187,16 @@ object Pq {
     * decides what the corpus is. */
   def encoded(emb: DataFrame, cbRow: DataFrame, p: Params,
               extra: Seq[String] = Nil): DataFrame =
+    // encode-only native form: NULL query → the kernel skips the
+    // query-side table work; codes come back as the split code string
+    // (same (d2, cid) argmin — build-time codes equal query-time
+    // codes exactly)
     emb.crossJoin(broadcast(cbRow))
-      .withColumn("codes", transform(sequence(lit(0), lit(p.m - 1)), m =>
-        array_min(transform(sequence(lit(1), lit(p.ks)), k =>
-          struct(qround(d2(subvec(col("ve"), m, p), cw(col("cbs"), m, k, p)), 6).as("d2"),
-            k.as("cid")))).getField("cid")))
+      .withColumn("codes",
+        transform(split(call_function("graft_pq_score",
+            col("ve"), lit(null).cast("array<double>"), col("cbs"),
+            lit(p.m), lit(p.ks)).getField("code"), ","),
+          c => c.cast("int")))
       .select((Seq(col("vec_id"), col("codes")) ++ extra.map(col)): _*)
 
   /** One Lloyd iteration over the PQ codebook: assign every corpus
