@@ -213,13 +213,14 @@ object Pq {
     * (map-side combined — the shuffle is <= 1024 rows per partition
     * regardless of corpus size), and tiny codebook-sized folds. */
   def lloydStep(emb: DataFrame, cbRow: DataFrame, p: Params): DataFrame = {
-    val means = emb.crossJoin(broadcast(cbRow))
-      .select(explode(sequence(lit(0), lit(p.m - 1))).as("m"), col("cbs"), col("ve"))
-      .select(col("m"), subvec(col("ve"), col("m"), p).as("sv"), col("cbs"))
-      .withColumn("cid", array_min(transform(sequence(lit(1), lit(p.ks)), k =>
-        struct(qround(d2(col("sv"), cw(col("cbs"), col("m"), k, p)), 6).as("d2"),
-          k.as("cid")))).getField("cid"))
-      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+    // assignment through the native encode kernel: all m subspace
+    // argmins in ONE eval per corpus row (the exploded HOF form ran
+    // an interpreted ks-codeword argmin per (row, m) pair); the
+    // (q6(d2), cid) order is identical, so assignments — and the
+    // means below — are bit-for-bit the same
+    val means = encoded(emb, cbRow, p, extra = Seq("ve"))
+      .select(col("ve"), posexplode(col("codes")).as(Seq("m", "cid")))
+      .select(col("m"), col("cid"), posexplode(subvec(col("ve"), col("m"), p)).as(Seq("pos", "v")))
       .groupBy(col("m"), col("cid"), col("pos"))
       .agg((sum(qlong(col("v"), 1e6)) / (lit(1e6) * count(lit(1)))).as("c_mean"))
       .groupBy(col("m"), col("cid"))

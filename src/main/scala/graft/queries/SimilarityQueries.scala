@@ -708,15 +708,14 @@ object SimilarityQueries {
       (s, d) => {
         val emb = T(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
-        emb.where(col("vec_id") =!= 0)
-          .crossJoin(broadcast(pqCodebookRow(emb)))
-          .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("cbs"), col("ve"))
-          .select(col("m"), pqSubvec(col("ve"), col("m")).as("sv"), col("cbs"))
-          .withColumn("cid", array_min(transform(sequence(lit(1), lit(PqKs)), k =>
-            struct(qround(pqD2(col("sv"),
-              element_at(col("cbs"), (col("m") * PqKs + k).cast("int")).getField("cv")), 6).as("d2"),
-              k.as("cid")))).getField("cid"))
-          .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        // assignment through the native encode kernel (all subspace
+        // argmins in one eval per row — identical (q6(d2), cid)
+        // order, so the grouped means are bit-for-bit unchanged)
+        graft.ops.Pq.encoded(emb.where(col("vec_id") =!= 0),
+            pqCodebookRow(emb), P, extra = Seq("ve"))
+          .select(col("ve"), posexplode(col("codes")).as(Seq("m", "cid")))
+          .select(col("m"), col("cid"),
+            posexplode(pqSubvec(col("ve"), col("m"))).as(Seq("pos", "v")))
           .groupBy(col("m"), col("cid"), col("pos"))
           .agg(count(lit(1)).as("n"),
             (sum(qlong(col("v"), 1e6)) / (lit(1e6) * count(lit(1)))).as("c_mean"))
