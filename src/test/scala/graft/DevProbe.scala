@@ -1,52 +1,41 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Throwaway profiling main (not part of the library surface). */
 object DevProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
-      .config(graft.sources.Tables.conf)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import org.apache.spark.sql.functions._
-    import graft.ops.Dedup
-
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    def timeIt(name: String)(f: => Unit): Unit = {
-      val ts = (1 to 3).map { _ => val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
-      println(f"PROBE $name%-24s min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    import graft.ops.Multimodal
+    // the m_gif_frames per-row workload: nF 4x4 gray frames
+    val ids = (0L until 20000L).toArray
+    def frames(id: Long): Seq[Array[Byte]] = {
+      val nF = (id % 3 + 2).toInt
+      (0 until nF).map { f =>
+        Array.tabulate(16)(i => ((id + f * 31 + i * 7) % 256).toByte)
+      }
     }
-
-    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "documents")
-    docs.persist(); docs.count()
-    val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 3, 4, keepShort = false)
-    val pairs = Dedup.lshCandidateIdPairs(Dedup.lshBands(sig, 4, 4), 4).result.persist()
-    println(s"PROBE pairs10x = ${pairs.count()}")
-
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(32, col("src")).localCheckpoint()
-    val labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
-    val nbrMin = edges.join(labels.select(col("id").as("src"), col("label")).hint("shuffle_hash"), "src")
-      .groupBy(col("dst").as("id")).agg(min(col("label")).as("_nbr"))
-    val prop = labels.join(nbrMin.hint("shuffle_hash"), Seq("id"), "left")
-      .select(col("id"), least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
-    val next = prop.join(prop.select(col("id").as("label"), col("label").as("_ll")).hint("shuffle_hash"),
-        Seq("label"), "left")
-      .select(col("id"), coalesce(col("_ll"), col("label")).as("label"))
-    next.explain("formatted")
-    timeIt("nbrMin_only")(noop(nbrMin))
-    timeIt("prop_only")(noop(prop))
-    timeIt("full_iter_ckpt") { next.localCheckpoint() }
-    spark.stop()
+    def timeIt(name: String)(f: => Long): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); val r = f
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      println(f"PROBE $name%-28s min=${ts.map(_._1).min}%.3f " +
+        f"runs=${ts.map(t => f"${t._1}%.3f").mkString(",")} sum=${ts.head._2}")
+    }
+    val packed = ids.map(id => Multimodal.packGifFrames(frames(id), 4, 4))
+    timeIt("packGifFrames (native)") {
+      var s = 0L; ids.foreach { id => s += Multimodal.packGifFrames(frames(id), 4, 4).length }; s
+    }
+    timeIt("packGifFramesImageIO") {
+      var s = 0L; ids.foreach { id => s += Multimodal.packGifFramesImageIO(frames(id), 4, 4).length }; s
+    }
+    timeIt("unpackGif (native)") {
+      var s = 0L
+      ids.indices.foreach { i => Multimodal.unpackGif(ids(i), packed(i)).foreach(fr => s += fr.pixels.length) }
+      s
+    }
+    timeIt("unpackGifImageIO") {
+      var s = 0L
+      ids.indices.foreach { i => Multimodal.unpackGifImageIO(ids(i), packed(i)).foreach(fr => s += fr.pixels.length) }
+      s
+    }
   }
 }
