@@ -157,11 +157,12 @@ object AnnIndex {
     * off its leftover marker after the data flip-flops. The marker is
     * written only after `work` completes: a crash restarts from an
     * empty dir. */
-  private def oncePerFingerprint(spark: SparkSession, dir: String,
-                                 kind: String, fp: String)(work: => Unit): Unit =
+  private[ops] def oncePerFingerprint(spark: SparkSession, dir: String,
+                                      kind: String, fp: String,
+                                      version: Int = BuildVersion)(work: => Unit): Unit =
     synchronized {
       val marker = new org.apache.hadoop.fs.Path(
-        s"$dir/_${kind}_v${BuildVersion}_$fp")
+        s"$dir/_${kind}_v${version}_$fp")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker)) {
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)

@@ -556,6 +556,60 @@ object SimilarityQueries {
               |WHERE vec_id <> 0 AND bit_count(xor(code, qcode)) <= $BqRadius
               |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)),
 
+    // SCALAR quantization (SQ8) + ADC — the fourth compression point
+    // (faiss's SQ family, between BQ's 2 bytes and PQ's 8): each
+    // dimension stores as one byte against a per-dim [min,max] range
+    // trained in ONE corpus aggregate (64 mins + 64 maxs fold to a
+    // single row — broadcast, same shape as the PQ codebook row), so
+    // a 64-double vector becomes 64 bytes (8x) with NO codebook
+    // training and distances computed against the DEQUANTIZED codes.
+    // Scale shape: train = one map-side-combined agg to one row;
+    // encode + ADC are scan-stage transforms over the broadcast
+    // ranges; top-10 is TakeOrderedAndProject. The floor-quantized
+    // codes and the left-to-right fold make both engines bit-agree.
+    Q("e_sq8_adc",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val corpus = emb.where(col("vec_id") =!= 0)
+        val mmRow = corpus.agg(
+          array((0 until Dim).map(i => min(element_at(col("ve"), i + 1))): _*).as("mns"),
+          array((0 until Dim).map(i => max(element_at(col("ve"), i + 1))): _*).as("mxs"))
+        val q = emb.where(col("vec_id") === 0).select(col("ve").as("qv"))
+        val dq = corpus.crossJoin(broadcast(mmRow)).crossJoin(broadcast(q))
+          .withColumn("code", transform(col("ve"), (x, i) => {
+            val mn = element_at(col("mns"), i + 1)
+            val mx = element_at(col("mxs"), i + 1)
+            least(lit(255L), floor((x - mn) * lit(255.0) / (mx - mn)))
+          }))
+          .withColumn("dq", transform(col("code"), (c, i) => {
+            val mn = element_at(col("mns"), i + 1)
+            val mx = element_at(col("mxs"), i + 1)
+            mn + c.cast("double") * (mx - mn) / lit(255.0)
+          }))
+        dq.select(col("vec_id"),
+            array_join(transform(col("code"), _.cast("string")), ",").as("codes"),
+            qround(graft.ops.Pq.d2(col("dq"), col("qv")), 6).as("ad2"))
+          .orderBy(col("ad2").asc, col("vec_id").asc).limit(10)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+              |mm AS (SELECT i, min(ve[i]) AS mn, max(ve[i]) AS mx
+              |       FROM e, range(1, ${Dim + 1}) t(i) WHERE vec_id <> 0 GROUP BY i),
+              |mr AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+              |q AS (SELECT ve AS qv FROM e WHERE vec_id = 0),
+              |enc AS (SELECT vec_id, ve,
+              |         list_transform(range(1, ${Dim + 1}), i ->
+              |           LEAST(255, CAST(FLOOR((ve[i] - mns[i]) * 255e0 / (mxs[i] - mns[i])) AS BIGINT))) AS code
+              |       FROM e, mr WHERE vec_id <> 0),
+              |ad AS (SELECT vec_id, code,
+              |         list_sum(list_transform(range(1, ${Dim + 1}), i ->
+              |           (mns[i] + code[i] * (mxs[i] - mns[i]) / 255e0 - qv[i])
+              |           * (mns[i] + code[i] * (mxs[i] - mns[i]) / 255e0 - qv[i]))) AS ad2
+              |       FROM enc, mr, q)
+              |SELECT vec_id, array_to_string(code, ',') AS codes,
+              |  ${qroundSql("ad2", 6)} AS ad2
+              |FROM ad ORDER BY ad2 ASC, vec_id ASC LIMIT 10""".stripMargin)),
+
     // IVF + PQ-on-RESIDUALS (IVFADC, Jégou et al. 2011 §III) — the
     // composed billion-vector search shape: a coarse IVF quantizer
     // (8 full-dim centroids, e_ivf_ann's convention) splits the

@@ -47,21 +47,23 @@ object TextQueries {
     * interpolates this, so a slice-scheme change cannot desynchronize
     * a composed oracle from the graded primitive. No WITH prefix:
     * callers splice it into their own chains. */
-  private def sigCtes(from: String): String = {
+  private def sigCtes(from: String, sfx: String = ""): String = {
     // component s = min over the s-th 8-hex-char slice of ONE md5 per
-    // shingle (mirrors Dedup.minhashSignature's slice scheme)
+    // shingle (mirrors Dedup.minhashSignature's slice scheme).
+    // `sfx` suffixes every CTE name so two instances (e.g. corpus +
+    // delta in d_delta_index_keep) can coexist in one WITH chain.
     val mins = (0 until Seeds).map(s =>
       s"list_min(list_transform(hxl, h -> substring(h, ${8 * s + 1}, 8))) AS m_$s").mkString(",\n    ")
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $from),
-       |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN NULL
+    s"""toks$sfx AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $from),
+       |sh$sfx AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN NULL
        |         ELSE list_transform(range(0, len(tk) - 2),
        |                i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])) END AS shl
-       |       FROM toks),
-       |hx AS (SELECT doc_id, list_transform(shl, x -> md5(x)) AS hxl FROM sh),
-       |sig AS (SELECT doc_id,
+       |       FROM toks$sfx),
+       |hx$sfx AS (SELECT doc_id, list_transform(shl, x -> md5(x)) AS hxl FROM sh$sfx),
+       |sig$sfx AS (SELECT doc_id,
        |    $mins
-       |  FROM hx),
-       |b AS (SELECT * FROM sig WHERE m_0 IS NOT NULL)""".stripMargin
+       |  FROM hx$sfx),
+       |b$sfx AS (SELECT * FROM sig$sfx WHERE m_0 IS NOT NULL)""".stripMargin
   }
   private val sigCte = "WITH " + sigCtes("documents")
 
@@ -700,6 +702,51 @@ object TextQueries {
               |SELECT d.doc_id, d.n_chars FROM documents d
               |WHERE NOT EXISTS (SELECT 1 FROM clusters c
               |                  WHERE c.doc_id = d.doc_id AND c.doc_id != c.cluster)""".stripMargin)),
+
+    // PERSISTED dedup index + incremental delta dedup — the serving
+    // shape of the dedup family (what d_dedup_keep is to one corpus,
+    // this is to a corpus plus a daily crawl): ops.DedupIndex builds
+    // the fingerprint + band-bucket/signature store ONCE per corpus
+    // fingerprint (marker-skipped on every later call, the AnnIndex
+    // lifecycle contract), and the delta batch (doc_id % 10 == 7,
+    // held out of the build) dedups against the STORE — corpus text
+    // never re-read, store never shuffled, both probes broadcast the
+    // delta. Near-dup = >= 3 of 4 MinHash components agree with a
+    // band-sharing stored doc; rows-per-band = 1 makes the bucket
+    // confinement lossless for that threshold, which is why the
+    // oracle can replay the predicate exactly.
+    Q("d_delta_index_keep",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val corpus = docs.where(col("doc_id") % 10 =!= 7)
+        val delta = docs.where(col("doc_id") % 10 === 7)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-dedupidx-${math.abs(d.hashCode)}"
+        graft.ops.DedupIndex.buildIfAbsent(s, corpus, dir, col("text"), col("doc_id"),
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
+        graft.ops.DedupIndex.deltaKeep(s, delta, dir, col("text"), col("doc_id"))
+          .select(col("doc_id"), col("n_chars"))
+      },
+      Some {
+        val agree = (0 until Seeds).map(i =>
+          s"(CASE WHEN dd.m_$i = cc.m_$i THEN 1 ELSE 0 END)").mkString(" + ")
+        val candBranches = (0 until Bands).map(bn =>
+          s"""SELECT dd.doc_id, $agree AS n_match
+             |    FROM bd dd JOIN bc cc ON dd.m_$bn = cc.m_$bn""".stripMargin)
+          .mkString("\nUNION\n")
+        s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+           |delta AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+           |cf AS (SELECT DISTINCT CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+           |       FROM (SELECT text, $normSql AS norm FROM corpus)),
+           |df AS (SELECT doc_id, CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+           |       FROM (SELECT doc_id, text, $normSql AS norm FROM delta)),
+           |${sigCtes("corpus", "c")},
+           |${sigCtes("delta", "d")},
+           |near AS (SELECT DISTINCT doc_id FROM ($candBranches) WHERE n_match >= 3)
+           |SELECT dl.doc_id, dl.n_chars
+           |FROM delta dl JOIN df ON df.doc_id = dl.doc_id
+           |WHERE df.fp NOT IN (SELECT fp FROM cf)
+           |  AND dl.doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin
+      }),
 
     // fixed-window document chunking with overlap (chunk=500 chars,
     // stride=400 -> 100-char overlap): the context-window splitter every

@@ -189,6 +189,27 @@ class ApproxSpec extends AnyFunSuite {
       s"pq_adc_cluster arm: ${rows.head}")
   }
 
+  test("e_sq8_adc: per-dim 8-bit scalar quantization keeps recall@10 at 10/10 at sf0.01") {
+    // SQ8's pitch vs PQ: 8x (not 64x) compression but near-zero
+    // ranking distortion — the per-dim quantization step is
+    // (max-min)/255, two orders below typical inter-vector distances,
+    // so the ADC top-10 should MATCH the exact top-10 outright. Pin
+    // that: recall@10 = 10 (PQ's isotropic floor is 1/10 — the family
+    // spans the compression/recall trade and this is its high end).
+    import org.apache.spark.sql.functions._
+    val sq = SparkEntry.allQueries.find(_.name == "e_sq8_adc").get
+      .fn(spark, "/root/testdata/sf0.01").collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(sq.size == 10)
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val q = emb.where(col("vec_id") === 0).select(col("ve").as("qv"))
+    val exact = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), graft.ops.Pq.d2(col("ve"), col("qv")).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(sq.intersect(exact).size == 10, s"sq8 top-10 $sq vs exact $exact")
+  }
+
   test("e_pq_adc_trained: two Lloyd iterations lift ADC recall@10 at sf0.01") {
     // the trained-codebook claim, pinned numerically: the seed
     // codebook (subvectors of vec_ids 1..16) scores 1/10, two

@@ -305,4 +305,54 @@ class DedupSpec extends AnyFunSuite {
     val near = pairs.filter(p => p._2 == 3L || p._1 == 3L)
     near.foreach(p => assert(p._3 < expWindows, s"near-dup shares all windows? $p"))
   }
+
+  test("DedupIndex: delta dedups against the persisted store, never the corpus text") {
+    import graft.ops.DedupIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-spec").toString
+    // corpus = the fixture docs; delta plants one exact dup (101), one
+    // near-dup (102: one word differs from doc 1), one fresh doc
+    // (103), one short fresh doc (104: below the shingle width, NULL
+    // signature -> exact check only), and one short doc whose
+    // fingerprint collides with nothing (105)
+    val delta = Seq(
+      (101L, base),                                  // exact dup of corpus doc 1
+      (102L, base.replace("dawn", "noon")),          // near-dup of corpus doc 1
+      (103L, "entirely novel content streaming watermarks state stores and sinks forever"),
+      (104L, "tiny doc"),                            // short, fresh
+      (105L, "未知 文档")                              // short, non-latin, fresh
+    ).toDF("doc_id", "text")
+    DedupIndex.build(docs, dir, $"text", $"doc_id")
+    val kept = DedupIndex.deltaKeep(spark, delta, dir, $"text", $"doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(103L, 104L, 105L), s"kept: $kept")
+    // a delta whose short doc exactly duplicates a SHORT corpus doc is
+    // dropped by the fingerprint probe alone (no signature exists)
+    val corpus2 = Seq((1L, "tiny doc"), (2L, base)).toDF("doc_id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-dedupidx-spec2").toString
+    DedupIndex.build(corpus2, dir2, $"text", $"doc_id")
+    val kept2 = DedupIndex.deltaKeep(spark,
+        Seq((201L, "tiny doc"), (202L, "other tiny")).toDF("doc_id", "text"),
+        dir2, $"text", $"doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept2 == Seq(202L), s"kept2: $kept2")
+  }
+
+  test("DedupIndex.buildIfAbsent: marker skips the rebuild until the fingerprint moves") {
+    import graft.ops.DedupIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-marker").toString
+    DedupIndex.buildIfAbsent(spark, docs, dir, $"text", $"doc_id", fingerprint = "fpA")
+    def fpFiles = new java.io.File(s"$dir/fp").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    val first = fpFiles
+    DedupIndex.buildIfAbsent(spark, docs, dir, $"text", $"doc_id", fingerprint = "fpA")
+    assert(fpFiles == first, "same fingerprint must not rewrite the store")
+    DedupIndex.buildIfAbsent(spark, docs, dir, $"text", $"doc_id", fingerprint = "fpB")
+    assert(fpFiles != first, "a moved fingerprint must rebuild the store")
+    // the store still answers correctly after the rebuild
+    val kept = DedupIndex.deltaKeep(spark,
+        Seq((300L, base), (301L, "fresh words nobody wrote before today")).toDF("doc_id", "text"),
+        dir, $"text", $"doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(301L), s"kept: $kept")
+  }
 }
