@@ -43,7 +43,12 @@ object ScaleBench {
     // slopes evidence the centroid-sized shuffle claim at 10x corpus
     "e_pq_adc_trained", "e_ivfpq_indexed", "e_ivfpq_appended",
     "e_kmeans_train", "e_cluster_sample", "e_ivfpq_trained",
-    "pipe_curate_e2e")
+    "pipe_curate_e2e",
+    // SQ8 (range fold + scan-stage ADC — expect ~linear) and the
+    // persisted dedup store (build once per corpus fingerprint, then
+    // delta-sized probes — min-time slope measures steady-state
+    // deltaKeep, which scales with the DELTA, itself 10x here)
+    "e_sq8_adc", "d_delta_index_keep")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

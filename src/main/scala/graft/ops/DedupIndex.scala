@@ -87,6 +87,110 @@ object DedupIndex {
       build(docs, dir, textCol, idCol, shingleK, seeds, bands)
     }
 
+  /** INCREMENTAL maintenance — the second verb of the lifecycle
+    * (build → deltaKeep → append): fold the KEPT documents of a delta
+    * batch into the store so the next batch dedups against them too.
+    * Append ONLY what [[deltaKeep]] kept: kept docs' fingerprints are
+    * absent from `fp` by construction (exact matches were dropped),
+    * so the fp table stays distinct without a global re-distinct, and
+    * the appended store is row-identical to a one-shot [[build]] over
+    * corpus ∪ kept (spec-asserted). Cost: one delta-sized scan and
+    * two appends — the store is never rewritten. */
+  def append(kept: DataFrame, dir: String, textCol: Column, idCol: Column,
+             shingleK: Int = 3, seeds: Int = 4, bands: Int = 4): Unit = {
+    // `kept` normally comes from [[deltaKeep]], whose plan READS the
+    // very tables written below — and the first write invalidates any
+    // cached/unevaluated form of that plan (Spark recaches by path),
+    // so the second write would re-run deltaKeep against the
+    // half-updated store and the batch's own fingerprints would
+    // anti-join it down to NOTHING (zero band rows appended — a
+    // silent store hole, caught by DedupSpec's stream/batch parity).
+    // An EAGER localCheckpoint severs the lineage first: both writes
+    // then read the delta-sized materialized rows, never the store.
+    val k = kept.localCheckpoint()
+    try {
+      k.select(text.fingerprint(textCol).as("fp")).distinct()
+        .write.mode("append").parquet(s"$dir/fp")
+      bandRows(k, textCol, idCol, shingleK, seeds, bands)
+        .write.mode("append").parquet(s"$dir/bands")
+    } finally k.unpersist()
+  }
+
+  /** STREAMING crawl ingest — the continuous form of the
+    * deltaKeep → append cycle: each micro-batch of arriving documents
+    * dedups against the store AS OF its batch start (exact + near,
+    * the same [[deltaKeep]]), the kept rows flow to `sink`, and their
+    * sketches are appended so LATER batches dedup against them too.
+    * foreachBatch is the right Spark shape here: the probe joins need
+    * the store's CURRENT files (a stream-static join would freeze the
+    * file listing at query start), and batch-id markers namespaced by
+    * checkpoint identity make replayed batches idempotent — the
+    * [[AnnIndex.appendStream]] convention. Within one micro-batch,
+    * batch-internal duplicates are NOT collapsed (same contract as
+    * [[deltaKeep]]); order across batches is the arrival order, so
+    * the keep-set is deterministic per batch sequence. */
+  def ingestStream(spark: SparkSession, docs: DataFrame, dir: String,
+                   textCol: Column, idCol: Column,
+                   checkpoint: String,
+                   shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
+                   matchMin: Int = 3)
+                  (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ckptTag = java.lang.Integer.toHexString(checkpoint.hashCode)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$dir/_ingested_${ckptTag}_batch_$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          // the batch is read twice (keep + append) and the kept frame
+          // feeds both the sink and the store — persist once
+          val kept = deltaKeep(spark, batch, dir, textCol, idCol,
+            shingleK, seeds, bands, matchMin).persist()
+          try {
+            sink(kept, batchId)
+            append(kept, dir, textCol, idCol, shingleK, seeds, bands)
+          } finally kept.unpersist()
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
+  }
+
+  /** Store COMPACTION — the fourth verb (build → deltaKeep → append →
+    * compact): every appended batch adds at least one file to each
+    * table, and a month of crawl batches turns the store scan into
+    * thousands of small-file opens. Same swap discipline as
+    * [[AnnIndex.compact]]: rewrite into a fresh dir with
+    * `maxRecordsPerFile` bin-packing, two renames, crash inside the
+    * window self-heals on the next call. Both rewrites hash-
+    * repartition on the probe key (fp; (band_idx, band_key)) — one
+    * shuffle each, parallel at any store size (never a coalesce(1)),
+    * with `maxRecordsPerFile` capping file sizes. */
+  def compact(spark: SparkSession, dir: String,
+              maxRecordsPerFile: Long = 1L << 20): Unit =
+    for (t <- Seq("fp", "bands")) {
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${t}_compact_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/${t}_compact_old")
+      val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(cur) && fs.exists(old))
+        require(fs.rename(old, cur), s"compact: could not recover $old")
+      fs.delete(tmp, true); fs.delete(old, true)
+      val df = spark.read.parquet(cur.toString)
+      val packed =
+        if (t == "bands") df.repartition(col("band_idx"), col("band_key"))
+        else df.repartition(col("fp"))
+      packed.write.option("maxRecordsPerFile", maxRecordsPerFile).parquet(tmp.toString)
+      require(fs.rename(cur, old), s"compact: could not retire $cur")
+      if (!fs.rename(tmp, cur)) {
+        fs.rename(old, cur)
+        throw new IllegalStateException(
+          s"compact: could not promote $tmp; original $t restored")
+      }
+      fs.delete(old, true)
+    }
+
   /** Documents of `delta` that are NOT already in the indexed corpus:
     * drops exact duplicates (fingerprint present in `fp`) and near
     * duplicates (>= `matchMin` of `seeds` MinHash components agree

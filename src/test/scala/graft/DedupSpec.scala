@@ -337,6 +337,101 @@ class DedupSpec extends AnyFunSuite {
     assert(kept2 == Seq(202L), s"kept2: $kept2")
   }
 
+  test("DedupIndex.append: kept-delta ingest equals a one-shot build over corpus + kept") {
+    import graft.ops.DedupIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-append").toString
+    DedupIndex.build(docs, dir, $"text", $"doc_id")
+    val delta = Seq(
+      (101L, base),                                  // dup -> dropped, never ingested
+      (103L, "entirely novel content streaming watermarks state stores and sinks forever"),
+      (104L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val kept = DedupIndex.deltaKeep(spark, delta, dir, $"text", $"doc_id")
+    DedupIndex.append(kept, dir, $"text", $"doc_id")
+    // the appended store equals a one-shot build over corpus ∪ kept
+    val oneShotDir = java.nio.file.Files.createTempDirectory("graft-dedupidx-oneshot").toString
+    DedupIndex.build(docs.unionAll(kept), oneShotDir, $"text", $"doc_id")
+    for (t <- Seq("fp", "bands")) {
+      val a = spark.read.parquet(s"$dir/$t")
+      val b = spark.read.parquet(s"$oneShotDir/$t")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$t diverged after append")
+    }
+    // and a second delta now dedups against TODAY'S ingested docs too
+    val kept2 = DedupIndex.deltaKeep(spark,
+        Seq((201L, "entirely novel content streaming watermarks state stores and sinks forever"),
+            (202L, "genuinely unseen second-day words")).toDF("doc_id", "text"),
+        dir, $"text", $"doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept2 == Seq(202L), s"kept2: $kept2")
+  }
+
+  test("DedupIndex.ingestStream: micro-batch ingest equals sequential batch deltaKeep+append") {
+    import graft.ops.DedupIndex
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedupidx-stream").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-dedupidx-sbatch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedupidx-ckpt").toString
+    DedupIndex.build(docs, streamDir, $"text", $"doc_id")
+    DedupIndex.build(docs, batchDir, $"text", $"doc_id")
+    val b1 = Seq((101L, base), // dup of corpus doc 1 -> dropped
+      (102L, "first-batch novel content with enough words to shingle and band cleanly"))
+    val b2 = Seq(
+      (201L, "first-batch novel content with enough words to shingle and band cleanly"), // dup of 102 (prior BATCH)
+      (202L, "second-batch fresh material nobody has ingested before at all"))
+    val mem = MemoryStream[(Long, String)]
+    val keptStream = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = DedupIndex.ingestStream(spark, mem.toDF.toDF("doc_id", "text"),
+        streamDir, $"text", $"doc_id", checkpoint = ckpt) { (kept, _) =>
+      keptStream ++= kept.select($"doc_id").collect().map(_.getLong(0))
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // sequential batch twin over the same batch sequence
+    val keptBatch = Seq(b1, b2).flatMap { b =>
+      val kept = DedupIndex.deltaKeep(spark, b.toDF("doc_id", "text"),
+        batchDir, $"text", $"doc_id")
+      DedupIndex.append(kept, batchDir, $"text", $"doc_id")
+      kept.select($"doc_id").collect().map(_.getLong(0))
+    }
+    assert(keptStream.sorted.toSeq == keptBatch.sorted, s"$keptStream vs $keptBatch")
+    assert(keptStream.sorted.toSeq == Seq(102L, 202L), s"cross-batch dup survived: $keptStream")
+    // the two stores converged file-content-wise too
+    for (t <- Seq("fp", "bands")) {
+      val a = spark.read.parquet(s"$streamDir/$t")
+      val b = spark.read.parquet(s"$batchDir/$t")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$t diverged")
+    }
+  }
+
+  test("DedupIndex.compact: file counts drop, probe answers unchanged") {
+    import graft.ops.DedupIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-compact").toString
+    DedupIndex.build(docs, dir, $"text", $"doc_id")
+    // a week of tiny appends -> file sprawl
+    for (i <- 0 until 5) {
+      val b = Seq((500L + i, s"append batch $i carries its own unique words for banding purposes"))
+        .toDF("doc_id", "text")
+      DedupIndex.append(DedupIndex.deltaKeep(spark, b, dir, $"text", $"doc_id"),
+        dir, $"text", $"doc_id")
+    }
+    def files(t: String) = new java.io.File(s"$dir/$t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = (files("fp"), files("bands"))
+    val delta = Seq((900L, "append batch 3 carries its own unique words for banding purposes"), // dup of an appended doc
+      (901L, "post-compaction fresh words that match nothing stored")).toDF("doc_id", "text")
+    val keptBefore = DedupIndex.deltaKeep(spark, delta, dir, $"text", $"doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    DedupIndex.compact(spark, dir)
+    val after = (files("fp"), files("bands"))
+    assert(after._1 < before._1 && after._2 < before._2, s"no compaction: $before -> $after")
+    val keptAfter = DedupIndex.deltaKeep(spark, delta, dir, $"text", $"doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(keptBefore == keptAfter && keptAfter == Seq(901L), s"$keptBefore vs $keptAfter")
+  }
+
   test("DedupIndex.buildIfAbsent: marker skips the rebuild until the fingerprint moves") {
     import graft.ops.DedupIndex
     val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-marker").toString

@@ -358,6 +358,40 @@ class PlanSpec extends AnyFunSuite {
       "training must stay broadcast + bounded hash-agg:\n" + p.take(1500))
   }
 
+  test("e_sq8_adc: range fold broadcasts as one row; encode/ADC stay scan-stage") {
+    val p = finalPlan("e_sq8_adc")
+    assert(p.contains("TakeOrderedAndProject"),
+      "SQ8 top-10 must be TakeOrderedAndProject:\n" + p.take(1500))
+    assert(!p.contains("rangepartitioning"),
+      "SQ8 must never range-sort the corpus:\n" + p.take(1500))
+    // the ONLY exchange is the 128-value min/max fold collapsing to a
+    // single row (SinglePartition of per-partition partials); the
+    // corpus itself is never hash-exchanged — encode and dequantized
+    // ADC are transforms over the broadcast ranges in the scan stage
+    assert(!p.contains("Exchange hashpartitioning"),
+      "SQ8 search must not hash-exchange the corpus:\n" + p.take(1500))
+    assert(p.contains("BroadcastExchange"),
+      "the folded ranges + query must broadcast to the scan:\n" + p.take(1500))
+  }
+
+  test("d_delta_index_keep: the dedup store is scanned, never shuffled") {
+    val p = finalPlan("d_delta_index_keep")
+    // both probes broadcast the DELTA side onto a plain store scan;
+    // the only hash exchanges are the two delta-bounded distincts
+    // (fingerprints, near ids) — at 100 TB those are crawl-batch-
+    // sized while the store is lake-sized
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "store probes must stay broadcast hash joins:\n" + p.take(1500))
+    assert(!p.contains("rangepartitioning"),
+      "no global sort anywhere in delta dedup:\n" + p.take(1500))
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nEx <= 2, s"only the two delta-sized distincts may shuffle ($nEx):\n" + p.take(1500))
+    // the near-dup agreement filter rides the band-bucket join
+    // condition — candidates die in the scan stage, not a later filter
+    assert("BroadcastHashJoin \\[band_idx".r.findFirstIn(p).isDefined,
+      "band probe must be a broadcast equi-join on (band_idx, band_key):\n" + p.take(1500))
+  }
+
   test("e_ivfpq_indexed: persisted-index search scans ONLY the probe-cell partitions") {
     val p = finalPlan("e_ivfpq_indexed")
     // the serving contract: the probe list is collected as a literal,
