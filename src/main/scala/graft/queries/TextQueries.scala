@@ -748,6 +748,62 @@ object TextQueries {
            |  AND dl.doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin
       }),
 
+    // INCREMENTAL store maintenance, graded end to end: build the
+    // dedup store over doc_id % 10 NOT IN (7,8), ingest the day-1
+    // batch (% 10 == 8 — its kept sketches APPEND), then dedup the
+    // day-2 batch (% 10 == 7) against the APPENDED store. The oracle
+    // replays the full two-day sequence in SQL (three sigCtes
+    // instances + the set unions), so a half-applied or
+    // self-poisoning append (the bug class DedupSpec's parity test
+    // caught: the first store write invalidating the kept-plan cache)
+    // hash-mismatches here too — through an independent engine.
+    Q("d_delta_index_appended",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val corpus = docs.where(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 8)
+        val day1 = docs.where(col("doc_id") % 10 === 8)
+        val day2 = docs.where(col("doc_id") % 10 === 7)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-dedupidx-app-${math.abs(d.hashCode)}"
+        graft.ops.DedupIndex.buildAppendIfAbsent(s, corpus, day1, dir,
+          col("text"), col("doc_id"),
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
+        graft.ops.DedupIndex.deltaKeep(s, day2, dir, col("text"), col("doc_id"))
+          .select(col("doc_id"), col("n_chars"))
+      },
+      Some {
+        def agree(a: String, b: String) = (0 until Seeds).map(i =>
+          s"(CASE WHEN $a.m_$i = $b.m_$i THEN 1 ELSE 0 END)").mkString(" + ")
+        def branches(probe: String, store: String) = (0 until Bands).map(bn =>
+          s"""SELECT dd.doc_id, ${agree("dd", "cc")} AS n_match
+             |    FROM $probe dd JOIN $store cc ON dd.m_$bn = cc.m_$bn""".stripMargin)
+          .mkString("\nUNION\n")
+        s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7 AND doc_id % 10 <> 8),
+           |delta8 AS (SELECT * FROM documents WHERE doc_id % 10 = 8),
+           |delta7 AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+           |cf AS (SELECT DISTINCT CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+           |       FROM (SELECT text, $normSql AS norm FROM corpus)),
+           |ef AS (SELECT doc_id, CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+           |       FROM (SELECT doc_id, text, $normSql AS norm FROM delta8)),
+           |df AS (SELECT doc_id, CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+           |       FROM (SELECT doc_id, text, $normSql AS norm FROM delta7)),
+           |${sigCtes("corpus", "c")},
+           |${sigCtes("delta8", "e")},
+           |${sigCtes("delta7", "d")},
+           |near8 AS (SELECT DISTINCT doc_id FROM (${branches("be", "bc")}) WHERE n_match >= 3),
+           |kept8 AS (SELECT d8.doc_id FROM delta8 d8 JOIN ef ON ef.doc_id = d8.doc_id
+           |          WHERE ef.fp NOT IN (SELECT fp FROM cf)
+           |            AND d8.doc_id NOT IN (SELECT doc_id FROM near8)),
+           |sfp AS (SELECT fp FROM cf
+           |        UNION SELECT fp FROM ef WHERE doc_id IN (SELECT doc_id FROM kept8)),
+           |sb AS (SELECT * FROM bc
+           |       UNION ALL SELECT * FROM be WHERE doc_id IN (SELECT doc_id FROM kept8)),
+           |near7 AS (SELECT DISTINCT doc_id FROM (${branches("bd", "sb")}) WHERE n_match >= 3)
+           |SELECT dl.doc_id, dl.n_chars
+           |FROM delta7 dl JOIN df ON df.doc_id = dl.doc_id
+           |WHERE df.fp NOT IN (SELECT fp FROM sfp)
+           |  AND dl.doc_id NOT IN (SELECT doc_id FROM near7)""".stripMargin
+      }),
+
     // fixed-window document chunking with overlap (chunk=500 chars,
     // stride=400 -> 100-char overlap): the context-window splitter every
     // LLM ingest pipeline runs before tokenization. Pure scan-stage

@@ -151,4 +151,16 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // centroid-sized or bounded bottom-k partials
     assertBudget("pipe_curate_e2e", shuffleCeiling = 2L << 20)
   }
+
+  test("e_sq8_adc: only the one-row range fold exchanges — the corpus never shuffles") {
+    // 64 mins + 64 maxs of per-partition partials collapsing to a
+    // single row; encode + dequantized ADC ride the scan stage
+    assertBudget("e_sq8_adc", shuffleCeiling = 256L << 10, minShuffleNodes = 0)
+  }
+
+  test("d_delta_index_keep: only the two delta-bounded distincts shuffle — the store never does") {
+    // delta fingerprints + near ids (both crawl-batch-sized); the
+    // fp/bands store sides stream through broadcast hash joins
+    assertBudget("d_delta_index_keep", shuffleCeiling = 1L << 20)
+  }
 }
