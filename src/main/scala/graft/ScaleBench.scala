@@ -54,6 +54,11 @@ object ScaleBench {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val bigDir = if (args.length > 1) args(1) else "/root/repo/scaledata/x10"
     val factor = if (args.length > 2) args(2).toDouble else 10.0
+    // dev knob (like Bench's SPARK_GRAFT_ONLY): restrict the family —
+    // e.g. the x100 second-decade run curates out the shingle-join
+    // pair whose spill exceeds this box's disk at 50M shingle rows
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val family = only.fold(Family)(o => Family.filter(o.contains))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -69,7 +74,7 @@ object ScaleBench {
     spark.range(0, 1000).selectExpr("md5(cast(id as string)) AS h", "id % 7 AS k")
       .groupBy("k").count().write.format("noop").mode("overwrite").save()
     val preDir = new java.io.File(new java.io.File(baseDir).getParentFile, "sf0.001")
-    for (n <- Family) {
+    for (n <- family) {
       try SparkEntry.queries(n)(spark, preDir.getAbsolutePath)
         .write.format("noop").mode("overwrite").save()
       catch { case scala.util.control.NonFatal(_) => () }
@@ -91,7 +96,7 @@ object ScaleBench {
             .select(col("doc_id"), col("n_chars"))
         case _ => SparkEntry.queries(n)(spark, dir)
       }
-      Family.map { n =>
+      family.map { n =>
         val ts = (1 to 2).map { _ =>
           System.gc()
           val t0 = System.nanoTime()
@@ -131,15 +136,18 @@ object ScaleBench {
     val ref16 = refShape(16, 32)
     val ref256 = refShape(256, 32)
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val per = Family.map { n =>
+    val per = family.map { n =>
       val slope = tN(n)._2 / t1(n)._2
       s""""$n":{"t1":${f3(t1(n)._2)},"tN":${f3(tN(n)._2)},"t1_first":${f3(t1(n)._1)},"tN_first":${f3(tN(n)._1)},"slope":${f3(slope)}}"""
     }.mkString("{", ",", "}")
-    val tot1 = Family.map(t1(_)._2).sum
-    val totN = Family.map(tN(_)._2).sum
+    val tot1 = family.map(t1(_)._2).sum
+    val totN = family.map(tN(_)._2).sum
     val refJson = s"""{"w16_sec":${f3(ref16)},"w256_sec":${f3(ref256)},"users":32,"steps":36,"cells_factor":256,"slope":${f3(ref256 / ref16)}}"""
     val line = s"""{"metric":"scale_slope","factor":$factor,"total_t1":${f3(tot1)},"total_tN":${f3(totN)},"total_slope":${f3(totN / tot1)},"queries":$per,"ref_shape_convgru":$refJson,"base":"$baseDir","big":"$bigDir"}"""
-    val w = new java.io.PrintWriter("scale_slope.json")
+    // SPARK_GRAFT_SLOPE_OUT redirects the artifact (the x100
+    // second-decade run must not clobber the canonical 10x file)
+    val w = new java.io.PrintWriter(
+      sys.env.getOrElse("SPARK_GRAFT_SLOPE_OUT", "scale_slope.json"))
     try w.println(line) finally w.close()
     println(line)
     spark.stop()

@@ -788,7 +788,12 @@ object Multimodal {
           val w = u16(p + 5); val h = u16(p + 7)
           val packed = b(p + 9) & 0xff
           p += 10
-          require(w > 0 && h > 0 && w * h <= b.length * 256,
+          // Long math: w,h are u16 so w*h can overflow Int (65535²)
+          // and a hostile header would slip past an Int comparison;
+          // the bound itself is the MP4-walk convention — declared
+          // sizes must be plausible against the payload (LZW can
+          // expand, so allow a generous 256x) before any allocation
+          require(w > 0 && h > 0 && w.toLong * h <= b.length.toLong * 256,
             s"implausible GIF frame dims ${h}x$w (id=$id)")
           val lum =
             if ((packed & 0x80) != 0) readPalette(1 << ((packed & 7) + 1))

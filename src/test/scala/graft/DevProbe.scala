@@ -4,12 +4,10 @@ package graft
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
-    val d = "/root/testdata/sf0.001"
-    for (name <- Seq("e_sq8_adc", "d_delta_index_keep")) {
-      val df = SparkEntry.allQueries.find(_.name == name).get.fn(spark, d)
-      df.write.format("noop").mode("overwrite").save()
-      println(s"==== $name ====")
-      println(df.queryExecution.executedPlan.toString)
+    for (d <- Seq("/root/repo/scaledata/x10", "/root/repo/scaledata/x100")) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.allQueries.find(_.name == "d_lsh_pairs").get.fn(spark, d).count()
+      println(f"[probe] $d d_lsh_pairs rows=$n t=${(System.nanoTime()-t0)/1e9}%.1f")
     }
   }
 }
