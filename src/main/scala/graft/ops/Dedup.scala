@@ -516,15 +516,42 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // each pair gathers its two sets via small equi-joins and
     // intersects them row-locally; work strictly ∝ |pairs|
-    val out = pairs
+    val counted = pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_inter"),
+        size(col("sa")).cast("long").as("na"), size(col("sb")).cast("long").as("nb"))
+    val out = counted
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
+    CachedFrame(out, Seq(pairs, sets))
+  }
+
+  /** Asymmetric CONTAINMENT over the same candidate-confined
+    * machinery: c(A⊆B) = |A∩B| / |A| (and the mirror). The policy
+    * Jaccard under-scores when sizes differ — a tweet quoted verbatim
+    * inside a long article has Jaccard ≈ |tweet|/|article| ≈ 0 but
+    * containment 1.0, and quotation/subset duplication is the second
+    * axis real dedup pipelines filter on (Lee et al. 2021's exact
+    * substring criterion is containment at the character level; this
+    * is its shingle-set form over the LSH candidates). Same cost
+    * shape as [[jaccard]]: work ∝ candidates, never corpus². */
+  def containment(pairsIn: DataFrame, docs: DataFrame, textCol: Column, idCol: Column,
+                  shingleK: Int = 3): DataFrame = {
+    val jf = jaccardFull(pairsIn, docs, textCol, idCol, shingleK)
+    // rebuild from the cached sets (jaccardFull's persisted handles):
+    // the counted frame below reuses the SAME pair/set intermediates
+    val pairs = jf.caches.head; val sets = jf.caches(1)
+    pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_inter"),
         size(col("sa")).cast("long").as("na"), size(col("sb")).cast("long").as("nb"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
-        (col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"))
-    CachedFrame(out, Seq(pairs, sets))
+        (col("n_inter").cast("double") / col("na").cast("double")).as("cont_a"),
+        (col("n_inter").cast("double") / col("nb").cast("double")).as("cont_b"))
   }
 }

@@ -238,6 +238,36 @@ object RelationalQueries {
              |      FROM customer)
              |GROUP BY 1""".stripMargin)),
 
+    // J9: interval (correlation) join — the BATCH-graded twin of the
+    // ST4 streaming operator (Streaming.intervalJoin, the
+    // view→click / impression→conversion attribution shape): each
+    // click pairs with the same-user views it follows within 6 hours.
+    // Same call as the streaming form — on batch frames Spark plans
+    // it as ONE key equi-join with the time range as a post-join
+    // filter (never a theta join); on watermarked streams the
+    // two-sided bound is what lets state expire. Grading the batch
+    // form here + stream==batch in FoldStreamSpec closes the loop:
+    // the streaming operator's semantics carry a DuckDB oracle.
+    Q("j9_interval_join",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val views = ev.where(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").as("click_ts"))
+        graft.streaming.Streaming.intervalJoin(views, clicks,
+            "user_id", "c_user", "view_ts", "click_ts", maxLagSeconds = 6 * 3600)
+          .select(col("view_id"), col("click_id"), col("user_id"),
+            col("view_ts"), col("click_ts"))
+      },
+      Some("""SELECT l.event_id AS view_id, r.event_id AS click_id,
+             |  l.user_id, l.ts AS view_ts, r.ts AS click_ts
+             |FROM events l JOIN events r
+             |  ON l.user_id = r.user_id
+             | AND l.event_type = 'view' AND r.event_type = 'click'
+             | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR""".stripMargin)),
+
     // O3: the ANSI rank family over a tie-heavy column. NOT computed
     // as a window over the raw rows — l_returnflag has 3 values, so
     // that window would sort the whole table on 3 tasks. Instead:

@@ -643,6 +643,34 @@ object TextQueries {
               |JOIN cnt ca ON ca.doc_id = p.doc_a
               |JOIN cnt cb ON cb.doc_id = p.doc_b""".stripMargin)),
 
+    // asymmetric CONTAINMENT over the same LSH candidates — the
+    // second dedup axis: c(A⊆B) = |A∩B|/|A|. Jaccard under-scores
+    // subset duplication (a doc quoted verbatim inside a longer one
+    // scores ≈ |short|/|long|), containment scores it 1.0 — the
+    // shingle-set form of Lee et al. 2021's substring criterion,
+    // candidate-confined like every pair op here (work ∝ candidates,
+    // never corpus²).
+    Q("d_containment_pairs",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 3, Seeds,
+          keepShort = false)
+        val pairs = Dedup.lshCandidateIdPairs(Dedup.lshBands(sig, Seeds, Bands), Bands).result
+        Dedup.containment(pairs, docs, col("text"), col("doc_id"), 3)
+          .select(col("doc_a"), col("doc_b"), col("n_inter"),
+            col("cont_a"), col("cont_b"))
+      },
+      Some(s"""$sigCte,
+              |pairs AS (SELECT DISTINCT doc_a, doc_b FROM ($pairsSql)),
+              |$jaccardCtes
+              |SELECT p.doc_a, p.doc_b, coalesce(i.n_inter, 0) AS n_inter,
+              |  CAST(coalesce(i.n_inter, 0) AS DOUBLE) / CAST(ca.n_sh AS DOUBLE) AS cont_a,
+              |  CAST(coalesce(i.n_inter, 0) AS DOUBLE) / CAST(cb.n_sh AS DOUBLE) AS cont_b
+              |FROM pairs p
+              |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+              |JOIN cnt ca ON ca.doc_id = p.doc_a
+              |JOIN cnt cb ON cb.doc_id = p.doc_b""".stripMargin)),
+
     // the PRODUCTION near-dup policy as an end product: LSH candidates
     // rescored by exact shingle-set Jaccard, pairs at >= 0.5 drop the
     // larger id, keep-list by anti-join. The threshold compares the

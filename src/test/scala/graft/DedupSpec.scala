@@ -306,6 +306,20 @@ class DedupSpec extends AnyFunSuite {
     near.foreach(p => assert(p._3 < expWindows, s"near-dup shares all windows? $p"))
   }
 
+  test("containment: verbatim quotation scores 1.0 where jaccard collapses") {
+    val article = "alpha beta gamma " + base + " delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
+    val quote = base // fully contained in article
+    val cd = Seq((1L, article), (2L, quote)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val c = Dedup.containment(pairs, cd, $"text", $"doc_id").collect()(0)
+    val j = Dedup.jaccard(pairs, cd, $"text", $"doc_id").collect()(0)
+    // every 3-shingle of the quote appears in the article -> cont_b = 1.0
+    assert(c.getAs[Double]("cont_b") == 1.0, s"quote not contained: $c")
+    assert(c.getAs[Double]("cont_a") < 0.5, s"article should not be contained: $c")
+    assert(j.getAs[Double]("jaccard") < 0.5, s"jaccard must under-score the quotation: $j")
+  }
+
   test("DedupIndex: delta dedups against the persisted store, never the corpus text") {
     import graft.ops.DedupIndex
     val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-spec").toString
