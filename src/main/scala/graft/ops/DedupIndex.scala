@@ -229,6 +229,18 @@ object DedupIndex {
                 textCol: Column, idCol: Column,
                 shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
                 matchMin: Int = 3): DataFrame = {
+    require(matchMin >= 1 && matchMin <= seeds,
+      s"matchMin must be in [1, seeds=$seeds], got $matchMin")
+    // loud store contract (the AnnIndex.search convention): a missing
+    // table means no/half-built store — a bare [PATH_NOT_FOUND] from
+    // the lazy scan would surface later and point at parquet, not at
+    // the real fix
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq("fp", "bands"))
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$t")),
+        s"no dedup store table '$t' under $dir — run build/buildIfAbsent first " +
+          "(a half-built dir means a crashed build: buildIfAbsent self-heals it)")
     val fpStore = spark.read.parquet(s"$dir/fp")
     val bandStore = spark.read.parquet(s"$dir/bands")
     val deltaFp = delta.select(text.fingerprint(textCol).as("fp")).distinct()

@@ -306,6 +306,18 @@ class DedupSpec extends AnyFunSuite {
     near.foreach(p => assert(p._3 < expWindows, s"near-dup shares all windows? $p"))
   }
 
+  test("DedupIndex.deltaKeep: loud contract on a missing/half-built store") {
+    import graft.ops.DedupIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-miss").toString
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.deltaKeep(spark, docs, s"$dir/nothing-here", $"text", $"doc_id")
+    }
+    assert(e.getMessage.contains("buildIfAbsent"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      DedupIndex.deltaKeep(spark, docs, dir, $"text", $"doc_id", matchMin = 9)
+    }
+  }
+
   test("containment: verbatim quotation scores 1.0 where jaccard collapses") {
     val article = "alpha beta gamma " + base + " delta epsilon zeta eta theta " +
       "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
