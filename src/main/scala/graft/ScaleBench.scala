@@ -48,7 +48,8 @@ object ScaleBench {
     // persisted dedup store (build once per corpus fingerprint, then
     // delta-sized probes — min-time slope measures steady-state
     // deltaKeep, which scales with the DELTA, itself 10x here)
-    "e_sq8_adc", "d_delta_index_keep", "d_delta_index_appended")
+    "e_sq8_adc", "d_delta_index_keep", "d_delta_index_appended",
+    "d_containment_pairs")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -15,9 +15,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   // chains, where a float re-mean would be the classic partition-
   // order leak (the exact integer-space sums are what make the
   // chained Lloyd steps and the bounded bottom-k draw invariant)
+  // session-3 additions: the persisted dedup store (set-valued probe
+  // results must not depend on how the store files were written or
+  // read), SQ8 (min/max fold + floor-quantized codes), containment
+  // (candidate-confined set intersections), interval join
   private val probes = Seq("j3_equi_join_agg", "a3_gram_matrix", "d_lsh_pairs",
     "o3_rank_family", "j7_asof_join",
-    "e_kmeans_train", "e_cluster_sample", "e_ivfpq_trained", "pipe_curate_e2e")
+    "e_kmeans_train", "e_cluster_sample", "e_ivfpq_trained", "pipe_curate_e2e",
+    "d_delta_index_keep", "d_delta_index_appended", "e_sq8_adc",
+    "d_containment_pairs", "j9_interval_join")
 
   private def rows(name: String): Set[Seq[Any]] = {
     val q = SparkEntry.allQueries.find(_.name == name).get
