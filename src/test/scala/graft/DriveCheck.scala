@@ -46,6 +46,24 @@ object DriveCheck {
       embv.where(col("vec_id") === 0).select(col("ve").as("qv")), nprobe = 2)
     hits.show(3)
     require(hits.count() == 10, "index search did not return a full top-10")
+    println("== dedup store lifecycle: build -> deltaKeep -> append -> compact ==")
+    val dx = sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dedupDir = s"${sys.props("java.io.tmpdir")}/graft-dedup-drivecheck"
+    hfs.delete(new org.apache.hadoop.fs.Path(dedupDir), true)
+    ops.DedupIndex.build(dx.where(col("doc_id") % 10 =!= 7), dedupDir,
+      col("text"), col("doc_id"))
+    val kept = ops.DedupIndex.deltaKeep(spark, dx.where(col("doc_id") % 10 === 7),
+      dedupDir, col("text"), col("doc_id"))
+    val nKept = kept.count()
+    println(s"delta kept $nKept docs")
+    require(nKept > 0 && nKept <= dx.where(col("doc_id") % 10 === 7).count(),
+      "deltaKeep out of range")
+    ops.DedupIndex.append(kept, dedupDir, col("text"), col("doc_id"))
+    ops.DedupIndex.compact(spark, dedupDir)
+    // after ingest+compact, re-running the SAME delta keeps nothing
+    require(ops.DedupIndex.deltaKeep(spark, dx.where(col("doc_id") % 10 === 7),
+      dedupDir, col("text"), col("doc_id")).count() == 0,
+      "ingested delta must dedup against itself on re-run")
     println("== flagship entry() — the driver's rows>0 smoke ==")
     val entryRows = SparkEntry.entry(spark).count()
     require(entryRows > 0, "flagship entry() returned no rows")
