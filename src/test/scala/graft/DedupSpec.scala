@@ -432,6 +432,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("DedupIndex.ingestStream: a committed batch marker makes replay a no-op") {
+    import graft.ops.DedupIndex
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-replay").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedupidx-rckpt").toString
+    DedupIndex.build(docs, dir, $"text", $"doc_id")
+    val before = spark.read.parquet(s"$dir/bands").count()
+    // pre-commit batch 0's marker — the state after a sink+append
+    // completed but the checkpoint offset write crashed; on restart
+    // Spark REPLAYS batch 0 and the marker must swallow it
+    val ckptTag = java.lang.Integer.toHexString(ckpt.hashCode)
+    new java.io.File(s"$dir/_ingested_${ckptTag}_batch_0").createNewFile()
+    val mem = MemoryStream[(Long, String)]
+    var sunk = 0
+    val q = DedupIndex.ingestStream(spark, mem.toDF.toDF("doc_id", "text"),
+        dir, $"text", $"doc_id", checkpoint = ckpt) { (kept, _) =>
+      sunk += kept.count().toInt
+    }
+    try {
+      mem.addData((900L, "replayed batch content that would otherwise append new sketches"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sunk == 0, "marker-committed batch must not reach the sink again")
+    assert(spark.read.parquet(s"$dir/bands").count() == before,
+      "marker-committed batch must not append again")
+  }
+
   test("DedupIndex.compact: file counts drop, probe answers unchanged") {
     import graft.ops.DedupIndex
     val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-compact").toString
