@@ -49,7 +49,7 @@ object ScaleBench {
     // delta-sized probes — min-time slope measures steady-state
     // deltaKeep, which scales with the DELTA, itself 10x here)
     "e_sq8_adc", "d_delta_index_keep", "d_delta_index_appended",
-    "d_containment_pairs")
+    "d_containment_pairs", "t_weighted_sample")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -22,6 +22,7 @@ object TextQueries {
   private val ChunkSize = 500 // chars per chunk
   private val ChunkStride = 400 // 100-char overlap between neighbors
   private val PackBudget = 1024 // tokens per training pack
+  private val WSampleK = 20 // weighted-sample draw size (non-trivial at sf0.001's 50 docs)
 
   // ---- shared oracle SQL fragments ----
 
@@ -730,6 +731,37 @@ object TextQueries {
               |SELECT d.doc_id, d.n_chars FROM documents d
               |WHERE NOT EXISTS (SELECT 1 FROM clusters c
               |                  WHERE c.doc_id = d.doc_id AND c.doc_id != c.cluster)""".stripMargin)),
+
+    // seeded WEIGHTED sampling without replacement (Efraimidis &
+    // Spirakis 2006): key_i = -ln(u_i) / w_i with u_i a seeded
+    // md5-derived uniform and w_i = quality + 0.1 (smoothing floor so
+    // zero-quality docs keep nonzero mass); the k smallest keys ARE a
+    // weighted sample without replacement — the quality-weighted
+    // corpus subsampling step of every curation pipeline. Scale
+    // shape: u and key are scan-stage; the draw is ONE bounded
+    // graft_bottom_k aggregate (<= k rows of partial state per
+    // partition, never a global sort — the ORDER BY..LIMIT oracle
+    // form would range-sort the corpus); both engines quantize the
+    // key before comparing and tie-break on doc_id.
+    Q("t_weighted_sample",
+      (s, d) => graft.ops.Sampling.weightedSample(
+          T(s, d, "documents"), col("doc_id"),
+          text.qualityScore(col("text")) + lit(0.1), WSampleK, "ws7")
+        .select(col("rn"), col("id").as("doc_id"), col("key")),
+      Some {
+        def hd(i: Int) =
+          s"(CASE WHEN ascii(substring(h, $i, 1)) >= 97 THEN ascii(substring(h, $i, 1)) - 87 ELSE ascii(substring(h, $i, 1)) - 48 END)"
+        val v = (2 to 8).foldLeft(s"CAST(${hd(1)} AS BIGINT)")((acc, i) => s"($acc * 16 + ${hd(i)})")
+        s"""WITH b AS (SELECT doc_id, text,
+           |             md5(concat('ws7:', CAST(doc_id AS VARCHAR))) AS h
+           |           FROM documents),
+           |k AS (SELECT doc_id,
+           |        ${qroundSql(s"-ln((CAST($v AS DOUBLE) + 0.5e0) / 4294967296e0)\n            / (($qualitySql) + 0.1e0)", 6)} AS key
+           |      FROM b)
+           |SELECT CAST(row_number() OVER (ORDER BY key ASC, doc_id ASC) AS BIGINT) AS rn,
+           |       doc_id, key
+           |FROM k ORDER BY key ASC, doc_id ASC LIMIT $WSampleK""".stripMargin
+      }),
 
     // PERSISTED dedup index + incremental delta dedup — the serving
     // shape of the dedup family (what d_dedup_keep is to one corpus,

@@ -392,6 +392,17 @@ class PlanSpec extends AnyFunSuite {
       "band probe must be a broadcast equi-join on (band_idx, band_key):\n" + p.take(1500))
   }
 
+  test("t_weighted_sample: the weighted draw is a bounded aggregate, never a corpus sort") {
+    val p = finalPlan("t_weighted_sample")
+    // ES weighted sampling as ORDER BY key LIMIT k would range-sort
+    // the corpus; the graft_bottom_k form keeps <= k rows of partial
+    // state per partition and one final merge
+    assert(!p.contains("rangepartitioning") && !p.contains("TakeOrderedAndProject"),
+      "the draw must not sort the corpus:\n" + p.take(1500))
+    assert(!p.contains("Window"),
+      "the draw must not plan a window:\n" + p.take(1500))
+  }
+
   test("e_ivfpq_indexed: persisted-index search scans ONLY the probe-cell partitions") {
     val p = finalPlan("e_ivfpq_indexed")
     // the serving contract: the probe list is collected as a literal,

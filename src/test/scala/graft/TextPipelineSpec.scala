@@ -113,4 +113,31 @@ class TextPipelineSpec extends AnyFunSuite {
       assert(ids.last == (tot - 1) / 1024, s"$lang/$src: last pack id ${ids.last}")
     }
   }
+
+  test("weightedSample: inclusion tracks weight (extreme-weight fixture)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 200 rows at weight 1e-3; ids 7 and 13 at weight 1e3. Their ES
+    // keys are ~|ln u|/1e3 (≈ 1e-4) vs ~|ln u|*1e3 for the rest — a
+    // six-order-of-magnitude gap no uniform draw crosses, so BOTH
+    // heavy rows must be in any k>=2 draw, at ranks 1-2.
+    val rows = (1L to 200L).map(i => (i, if (i == 7 || i == 13) 1e3 else 1e-3))
+      .toDF("id", "w")
+    val s10 = graft.ops.Sampling.weightedSample(rows, $"id", $"w", 10, "fix")
+      .collect().sortBy(_.getAs[Long]("rn"))
+    assert(s10.length == 10)
+    val firstTwo = s10.take(2).map(_.getAs[Long]("id")).toSet
+    assert(firstTwo == Set(7L, 13L), s"heavy rows not drawn first: ${firstTwo}")
+    // k > n returns everything, ranked
+    val all = graft.ops.Sampling.weightedSample(rows.limit(5), $"id", $"w", 99, "fix")
+    assert(all.count() == 5)
+    // on the real corpus: the graded query is deterministic and the
+    // weight floor keeps every doc drawable
+    val d = "/root/testdata/sf0.01"
+    val a = SparkEntry.allQueries.find(_.name == "t_weighted_sample").get
+      .fn(spark, d).collect().map(_.getAs[Long]("doc_id")).toSeq
+    val b = SparkEntry.allQueries.find(_.name == "t_weighted_sample").get
+      .fn(spark, d).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(a == b && a.length == 20, "draw must be deterministic across runs")
+  }
 }
