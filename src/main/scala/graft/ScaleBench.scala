@@ -49,7 +49,12 @@ object ScaleBench {
     // delta-sized probes — min-time slope measures steady-state
     // deltaKeep, which scales with the DELTA, itself 10x here)
     "e_sq8_adc", "d_delta_index_keep", "d_delta_index_appended",
-    "d_containment_pairs", "t_weighted_sample")
+    "d_containment_pairs", "t_weighted_sample",
+    // session-4 additions: the JL projection search is scan-stage +
+    // TakeOrdered (expect ~linear in corpus); the span scrub is one
+    // gram-keyed exchange + doc re-agg (expect ~linear in gram volume,
+    // output-bound only through the duplicated-span mass)
+    "e_rand_proj", "e_rand_proj_planted", "t_substr_scrub", "t_datacard")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -476,6 +476,51 @@ object Dedup {
       .agg(count(lit(1)).as("n_windows"))
   }
 
+  /** Exact duplicated-span REMOVAL — the rewrite counterpart of
+    * [[substrDupPairs]] (Lee et al. 2021 apply exact substring dedup
+    * by CUTTING the duplicated span, not dropping the document): any
+    * word `k`-gram appearing in >= `minDocs` DISTINCT documents is
+    * duplicated text, and every token position covered by such a gram
+    * is cut; clean documents pass through unchanged, so the output is
+    * the full rewritten corpus: (doc_id, n_tokens, n_cut, clean_text).
+    *
+    * Scale shape: gram doc-frequency AND the hit-position list come
+    * out of ONE gram-keyed exchange (the collect_list per gram is
+    * bounded by that gram's occurrence count — the same observable-cap
+    * argument as the LSH band buckets); covered positions re-aggregate
+    * doc-keyed (collect_set dedups inside the agg buffer — no separate
+    * distinct exchange); the rebuild is a scan-stage filter-with-index
+    * over the token array. Never all-pairs, never a corpus sort. */
+  def substrScrub(docs: DataFrame, textCol: Column, idCol: Column,
+                  k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, s"k >= 1 and minDocs >= 2, got $k/$minDocs")
+    val toks = docs.select(idCol.as("doc_id"), split(textCol, " ").as("tk"))
+    val grams = toks.where(size(col("tk")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - lit(k)),
+          i => concat_ws(" ",
+            (0 until k).map(o => element_at(col("tk"), i + lit(o + 1))): _*)))
+          .as(Seq("i", "s")))
+    val hits = grams.groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("i"))).as("occ"),
+        size(collect_set(col("doc_id"))).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(explode(col("occ")).as("o"))
+      .select(col("o.doc_id").as("doc_id"), col("o.i").as("i"))
+    val cov = hits
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(k - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cl"))
+    toks.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        when(col("cl").isNull, lit(0L))
+          .otherwise(size(col("cl")).cast("long")).as("n_cut"),
+        concat_ws(" ", filter(col("tk"),
+          (x, ix) => !coalesce(array_contains(col("cl"), ix), lit(false))))
+          .as("clean_text"))
+  }
+
   /** Exact shingle-set Jaccard for candidate pairs: distinct shingles
     * joined per side — work proportional to candidates, not corpus². */
   def jaccard(pairsIn: DataFrame, docs: DataFrame, textCol: Column, idCol: Column,

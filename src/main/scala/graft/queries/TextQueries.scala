@@ -510,6 +510,73 @@ object TextQueries {
              |FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
              |GROUP BY 1, 2""".stripMargin)),
 
+    // exact duplicated-span REMOVAL — the rewrite counterpart of
+    // d_substr_dup (Lee et al. 2021 CUT the duplicated span rather
+    // than drop the document): word 5-grams shared by >= 2 distinct
+    // docs are duplicated text, covered token positions are cut, and
+    // the FULL rewritten corpus is emitted (clean docs unchanged).
+    // Scale shape documented on Dedup.substrScrub: one gram-keyed
+    // exchange + one doc-keyed re-agg + scan-stage rebuild.
+    Q("t_substr_scrub",
+      (s, d) => Dedup.substrScrub(T(s, d, "documents"),
+        col("text"), col("doc_id"), k = 5, minDocs = 2),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |pos AS (SELECT doc_id, tk, unnest(range(0, len(tk) - 4)) AS i
+             |        FROM toks WHERE len(tk) >= 5),
+             |sh AS (SELECT doc_id, i,
+             |         concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]) AS s
+             |       FROM pos),
+             |freq AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd
+             |                        FROM sh GROUP BY 1) WHERE nd >= 2),
+             |hits AS (SELECT doc_id, i FROM sh WHERE s IN (SELECT s FROM freq)),
+             |cov AS (SELECT doc_id, list(DISTINCT i + d) AS cl
+             |        FROM hits, (SELECT unnest(range(0, 5)) AS d) GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(len(c.cl), 0) AS BIGINT) AS n_cut,
+             |  coalesce(array_to_string(list_transform(
+             |    list_filter(range(0, len(t.tk)),
+             |      p -> NOT coalesce(list_contains(c.cl, p), FALSE)),
+             |    p -> t.tk[p + 1]), ' '), '') AS clean_text
+             |FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id""".stripMargin)),
+
+    // the DATA CARD: the per-(lang, source) corpus report a training
+    // run ships with — doc/token counts, exact-duplicate mass, mean
+    // quality — with lang-level and corpus-level rollup rows from the
+    // SAME pass (GROUP BY ROLLUP = one Expand + one keyed agg; three
+    // separate scans of 100 TB is the naive alternative). The dup
+    // flag costs one fingerprint-keyed exchange first (keeper = min
+    // doc_id per fingerprint, the t_exact_dedup policy); quality is
+    // pre-quantized per doc so the rollup means are exact-integer
+    // sums on both engines.
+    Q("t_datacard",
+      (s, d) => {
+        val per = T(s, d, "documents").select(
+          col("lang"), col("source"), col("doc_id"),
+          text.nTokens(col("text")).as("ntok"),
+          qlong(text.qualityScore(col("text")), 1e6).as("q6"),
+          text.fingerprint(col("text")).as("fp"))
+        val keep = per.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+        per.join(keep, Seq("fp"))
+          .withColumn("is_dup", (col("doc_id") =!= col("keeper")).cast("long"))
+          .rollup(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("n_tokens"),
+            sum(col("is_dup")).as("n_dups"),
+            (sum(col("q6")) / (lit(1e6) * count(lit(1)))).as("mean_quality"))
+      },
+      Some(s"""WITH per AS (SELECT lang, source, doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+              |    ${qlongSql(qualitySql, "1000000")} AS q6,
+              |    CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+              |  FROM (SELECT doc_id, text, lang, source, $normSql AS norm FROM documents)),
+              |keep AS (SELECT fp, min(doc_id) AS keeper FROM per GROUP BY 1)
+              |SELECT lang, source, count(*) AS n_docs,
+              |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+              |  CAST(sum(CASE WHEN per.doc_id <> keep.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+              |  CAST(sum(q6) AS BIGINT) / (1e6 * count(*)) AS mean_quality
+              |FROM per JOIN keep USING (fp)
+              |GROUP BY ROLLUP (lang, source)""".stripMargin)),
+
     // within-doc repetition (Gopher-style quality rule): fraction of
     // repeated 2-grams = 1 - distinct/total. One doc-keyed shuffle;
     // boilerplate/spam scores high, clean prose near 0.

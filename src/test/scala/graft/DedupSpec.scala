@@ -306,6 +306,24 @@ class DedupSpec extends AnyFunSuite {
     near.foreach(p => assert(p._3 < expWindows, s"near-dup shares all windows? $p"))
   }
 
+  test("substrScrub: shared span cut from BOTH docs, clean and short docs untouched") {
+    val fix = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique1 tail1 words here"),
+      (2L, "prefix2 alpha beta gamma delta epsilon zeta other2 stuff2"),
+      (3L, "totally fresh content nothing shared at all"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.substrScrub(fix, $"text", $"doc_id", k = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the 6-token shared span yields 5-grams at i=0,1 (doc 1) and
+    // i=1,2 (doc 2), covering exactly the 6 span positions in each
+    assert(out(1L) == ((10L, 6L, "unique1 tail1 words here")), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((9L, 6L, "prefix2 other2 stuff2")), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((7L, 0L, "totally fresh content nothing shared at all")),
+      s"clean doc rewritten: ${out(3L)}")
+    assert(out(4L) == ((2L, 0L, "tiny doc")), s"short doc rewritten: ${out(4L)}")
+  }
+
   test("DedupIndex.deltaKeep: loud contract on a missing/half-built store") {
     import graft.ops.DedupIndex
     val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-miss").toString

@@ -349,6 +349,31 @@ class PlanSpec extends AnyFunSuite {
       "no global sort / cartesian anywhere in the composition:\n" + p.take(1500))
   }
 
+  test("e_rand_proj: JL projection is scan-stage; zero corpus exchange; TakeOrdered top-10") {
+    val p = finalPlan("e_rand_proj")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be TakeOrderedAndProject, not sort+limit:\n" + p.take(1500))
+    assert(!p.contains("rangepartitioning") && !p.contains("CartesianProduct"),
+      "projection search must never sort or cross-join the corpus:\n" + p.take(1500))
+    // the only exchange is the single-row query broadcast: the
+    // 16-plane projection is constant-folded into the scan stage
+    val nEx = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(nEx == 0, s"corpus path must not shuffle ($nEx non-broadcast Exchange):\n" + p.take(1500))
+  }
+
+  test("t_substr_scrub: one gram-keyed exchange, one doc re-agg, scan-stage rebuild") {
+    val p = finalPlan("t_substr_scrub")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span removal must never go all-pairs:\n" + p.take(1500))
+    assert(!p.contains("Window") && !p.contains("rangepartitioning"),
+      "no corpus window/sort in the rewrite:\n" + p.take(1500))
+    // exchanges: gram-keyed occurrence gather, doc-keyed coverage
+    // re-agg, and the doc-keyed rebuild join (two sides) — all keyed
+    // hash exchanges, bounded by corpus gram volume
+    val nEx = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(nEx <= 4, s"unexpected extra shuffles ($nEx):\n" + p.take(2000))
+  }
+
   test("e_kmeans_train: Lloyd chain keeps every exchange centroid-sized") {
     val p = finalPlan("e_kmeans_train")
     // each iteration = broadcast centroid row in, K*dim-group

@@ -163,4 +163,20 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // fp/bands store sides stream through broadcast hash joins
     assertBudget("d_delta_index_keep", shuffleCeiling = 1L << 20)
   }
+
+  test("e_rand_proj: the projected corpus never shuffles — query broadcast only") {
+    // 16-plane JL projection + distances ride the scan stage; top-10
+    // is TakeOrderedAndProject — zero shuffle by construction
+    assertBudget("e_rand_proj", shuffleCeiling = 64L << 10, minShuffleNodes = 0)
+  }
+
+  test("t_substr_scrub: gram-keyed + doc-keyed exchanges bounded by gram volume") {
+    // the gram-keyed occurrence gather IS proportional to corpus gram
+    // volume (that is the operator's honest cost — Lee et al. exact
+    // substring dedup cannot avoid touching every gram once); the
+    // ceiling pins that it stays ~one row of (doc_id, pos) per gram
+    // and never widens to carrying text payloads through the shuffle
+    // (measured 1 MiB over 2 exchanges at sf0.01)
+    assertBudget("t_substr_scrub", shuffleCeiling = 4L << 20)
+  }
 }
