@@ -54,7 +54,8 @@ object ScaleBench {
     // TakeOrdered (expect ~linear in corpus); the span scrub is one
     // gram-keyed exchange + doc re-agg (expect ~linear in gram volume,
     // output-bound only through the duplicated-span mass)
-    "e_rand_proj", "e_rand_proj_planted", "t_substr_scrub", "t_datacard")
+    "e_rand_proj", "e_rand_proj_planted", "t_substr_scrub", "t_datacard",
+    "t_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -70,6 +70,52 @@ object TextQueries {
 
   /** 5-gram list over a token-list column `tk` (the decontam shingle
     * form) — shared by every oracle that explodes 5-grams. */
+  /** DuckDB twin of the chained [[graft.ops.Bpe]] merge iterations:
+    * d0 = the word-frequency dict with spaced-char seqs, then per
+    * iteration t: adjacent pairs with positions (sy/pr), the weighted
+    * best pair (count DESC, pair ASC — the same total order), greedy
+    * run-parity merge positions (mt/mp: even offsets within each
+    * consecutive-match run), and the rebuilt dict (tk/d{t}). Ends in
+    * the union of the per-iteration best rows — the merge table. */
+  private def bpeSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH d0 AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c,
+        |         trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w)""".stripMargin)
+    for (t <- 1 to iters) {
+      val p = t - 1
+      sb ++=
+        s""",
+           |sy$t AS (SELECT w, c, a, unnest(range(0, len(a))) AS i
+           |        FROM (SELECT w, c, string_split(seq, ' ') AS a FROM d$p)),
+           |pr$t AS (SELECT w, c, i, a[i+1] || ' ' || a[i+2] AS pair
+           |        FROM sy$t WHERE i < len(a) - 1),
+           |best$t AS (SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM pr$t
+           |          GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1),
+           |mt$t AS (SELECT w, i FROM pr$t, best$t WHERE pr$t.pair = best$t.pair),
+           |mp$t AS (SELECT w, i FROM (
+           |          SELECT w, i, row_number() OVER (PARTITION BY w, rid ORDER BY i) AS rn
+           |          FROM (SELECT w, i,
+           |                  i - row_number() OVER (PARTITION BY w ORDER BY i) AS rid
+           |                FROM mt$t)) WHERE rn % 2 = 1),
+           |tk$t AS (SELECT s.w, s.c, s.i,
+           |          CASE WHEN mp.i IS NOT NULL THEN s.a[s.i+1] || s.a[s.i+2]
+           |               ELSE s.a[s.i+1] END AS tok,
+           |          CASE WHEN mpprev.i IS NOT NULL THEN 0 ELSE 1 END AS keep
+           |        FROM sy$t s
+           |        LEFT JOIN mp$t mp ON mp.w = s.w AND mp.i = s.i
+           |        LEFT JOIN mp$t mpprev ON mpprev.w = s.w AND mpprev.i = s.i - 1),
+           |d$t AS (SELECT w, any_value(c) AS c, string_agg(tok, ' ' ORDER BY i) AS seq
+           |       FROM tk$t WHERE keep = 1 GROUP BY w)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (" + (1 to iters)
+      .map(t => s"SELECT CAST($t AS BIGINT) AS it, pair, cnt FROM best$t")
+      .mkString(" UNION ALL ") + ")"
+    sb.toString
+  }
+
   private val gram5 =
     "list_transform(range(0, len(tk) - 4),\n" +
     "         i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]))"
@@ -576,6 +622,21 @@ object TextQueries {
               |  CAST(sum(q6) AS BIGINT) / (1e6 * count(*)) AS mean_quality
               |FROM per JOIN keep USING (fp)
               |GROUP BY ROLLUP (lang, source)""".stripMargin)),
+
+    // distributed BPE tokenizer TRAINING (ops/Bpe): the corpus
+    // collapses to a word-frequency dictionary in ONE pass (the only
+    // corpus-sized exchange — the dict is vocabulary-sized by Heaps'
+    // law), then each merge iteration is dict-only work: weighted
+    // adjacent-pair counts, one broadcast best-pair row, greedy
+    // left-to-right merge application via an explicit run-parity
+    // position spec (never string replace — engines disagree about
+    // rescan-after-replacement, a position spec cannot). Graded
+    // output = the learned merge table itself, the artifact a
+    // tokenizer ships. The oracle unrolls the identical 3-iteration
+    // chain (the kmeansCtes convention).
+    Q("t_bpe_train",
+      (s, d) => graft.ops.Bpe.train(T(s, d, "documents"), col("text"), iters = 3),
+      Some(bpeSql(3))),
 
     // within-doc repetition (Gopher-style quality rule): fraction of
     // repeated 2-grams = 1 - distinct/total. One doc-keyed shuffle;

@@ -374,6 +374,17 @@ class PlanSpec extends AnyFunSuite {
     assert(nEx <= 4, s"unexpected extra shuffles ($nEx):\n" + p.take(2000))
   }
 
+  test("t_bpe_train: corpus pass materialized once; dict-only iteration chain") {
+    val p = finalPlan("t_bpe_train")
+    assert(p.contains("InMemoryTableScan"),
+      "the word-frequency dict must be persisted — every iteration replaying " +
+        "the corpus pass is the shape that dies at 100 TB:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"),
+      "no all-pairs anywhere in the merge chain:\n" + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"),
+      "best-pair selection must be a bounded top-1, not a global sort:\n" + p.take(1500))
+  }
+
   test("e_kmeans_train: Lloyd chain keeps every exchange centroid-sized") {
     val p = finalPlan("e_kmeans_train")
     // each iteration = broadcast centroid row in, K*dim-group

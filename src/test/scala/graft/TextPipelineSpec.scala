@@ -114,6 +114,28 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Bpe.train: greedy overlap, ascending tie-break, and merge chaining") {
+    import graft.ops.Bpe
+    // aaaa x2 + banana: iteration 1 must pick 'a a' (3 overlapping
+    // positions x weight 2 = 6) and merge GREEDILY left-to-right
+    // ('aa aa', two merges from the length-3 match run — a single
+    // non-rescanning replace would leave 'aa a a'); iteration 2 is a
+    // three-way tie at cnt 2 ('a n', 'n a', 'aa aa') broken ascending
+    // to 'a n'; iteration 3 merges the merged symbols themselves.
+    val docs = Seq((1L, "aaaa aaaa banana")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, $"text", iters = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(merges.toSeq == Seq((1L, "a a", 6L), (2L, "a n", 2L), (3L, "aa aa", 2L)),
+      s"merge table: ${merges.toSeq}")
+    // and the dict after all three: aaaa fully re-fused, banana split
+    val d0 = Bpe.wordDict(docs, $"text")
+    val (_, d1) = Bpe.mergeStep(d0)
+    val (_, d2) = Bpe.mergeStep(d1)
+    val (_, d3) = Bpe.mergeStep(d2)
+    val seqs = d3.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(seqs("aaaa") == "aaaa" && seqs("banana") == "b an an a", s"dict: $seqs")
+  }
+
   test("weightedSample: inclusion tracks weight (extreme-weight fixture)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
