@@ -101,4 +101,24 @@ object Bpe {
     * `spark.catalog.clearCache()`). */
   def train(docs: DataFrame, textCol: Column, iters: Int): DataFrame =
     trainFull(docs, textCol, iters).result
+
+  /** ENCODE with a trained dictionary: per-document word and BPE
+    * token counts, by broadcast-joining each word to its final merged
+    * segmentation. This is the serving half of tokenization at
+    * 100 TB: the corpus streams through a scan-stage explode + ONE
+    * broadcast hash join against the vocabulary-sized dict (never a
+    * shuffle of the corpus text), and re-aggregates on the doc key
+    * once. Words unseen at training time fall back to their raw
+    * character segmentation — the same rule as training's iteration
+    * 0, so the fallback is the trained dict's own floor. */
+  def encode(docs: DataFrame, textCol: Column, idCol: Column,
+             dict: DataFrame): DataFrame = {
+    val seg = dict.select(col("w"),
+      size(split(col("seq"), " ")).cast("long").as("n_sub"))
+    docs.select(idCol.as("doc_id"), explode(split(textCol, " ")).as("w"))
+      .join(broadcast(seg), Seq("w"), "left")
+      .withColumn("n_sub", coalesce(col("n_sub"), length(col("w")).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+  }
 }

@@ -77,7 +77,15 @@ object TextQueries {
     * run-parity merge positions (mt/mp: even offsets within each
     * consecutive-match run), and the rebuilt dict (tk/d{t}). Ends in
     * the union of the per-iteration best rows — the merge table. */
-  private def bpeSql(iters: Int): String = {
+  private def bpeSql(iters: Int): String =
+    bpeCtes(iters) + "\nSELECT * FROM (" + (1 to iters)
+      .map(t => s"SELECT CAST($t AS BIGINT) AS it, pair, cnt FROM best$t")
+      .mkString(" UNION ALL ") + ")"
+
+  /** The WITH-body alone (d0 .. d{iters}) — shared by the training
+    * oracle above and the encode oracle (which joins the corpus to
+    * the FINAL dict instead of reading the best rows). */
+  private def bpeCtes(iters: Int): String = {
     val sb = new StringBuilder(
       """WITH d0 AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS c,
@@ -110,9 +118,6 @@ object TextQueries {
            |d$t AS (SELECT w, any_value(c) AS c, string_agg(tok, ' ' ORDER BY i) AS seq
            |       FROM tk$t WHERE keep = 1 GROUP BY w)""".stripMargin
     }
-    sb ++= "\nSELECT * FROM (" + (1 to iters)
-      .map(t => s"SELECT CAST($t AS BIGINT) AS it, pair, cnt FROM best$t")
-      .mkString(" UNION ALL ") + ")"
     sb.toString
   }
 
@@ -637,6 +642,27 @@ object TextQueries {
     Q("t_bpe_train",
       (s, d) => graft.ops.Bpe.train(T(s, d, "documents"), col("text"), iters = 3),
       Some(bpeSql(3))),
+
+    // the ENCODE half of tokenization: per-doc word + BPE token
+    // counts against the 3-merge trained dict — corpus streams
+    // through a scan-stage explode + ONE broadcast join against the
+    // vocabulary-sized dict, then one doc-keyed re-agg (the corpus
+    // text itself never shuffles). The oracle splices the training
+    // chain's final dict into a plain join.
+    Q("t_bpe_encode",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val d0 = graft.ops.Bpe.wordDict(docs, col("text")).persist()
+        val trained = (1 to 3).foldLeft(d0)((dd, _) => graft.ops.Bpe.mergeStep(dd)._2)
+        graft.ops.Bpe.encode(docs, col("text"), col("doc_id"), trained)
+      },
+      Some(s"""${bpeCtes(3)}
+              |SELECT doc_id, count(*) AS n_words,
+              |  CAST(sum(coalesce(len(string_split(d3.seq, ' ')), length(t.w))) AS BIGINT)
+              |    AS n_bpe_tokens
+              |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+              |LEFT JOIN d3 ON d3.w = t.w
+              |GROUP BY doc_id""".stripMargin)),
 
     // within-doc repetition (Gopher-style quality rule): fraction of
     // repeated 2-grams = 1 - distinct/total. One doc-keyed shuffle;

@@ -136,6 +136,19 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(seqs("aaaa") == "aaaa" && seqs("banana") == "b an an a", s"dict: $seqs")
   }
 
+  test("Bpe.encode: trained words use merged segments, unseen words fall back to chars") {
+    import graft.ops.Bpe
+    val train = Seq((1L, "aaaa aaaa banana")).toDF("doc_id", "text")
+    val d0 = Bpe.wordDict(train, $"text")
+    val trained = (1 to 3).foldLeft(d0)((dd, _) => Bpe.mergeStep(dd)._2)
+    // after 3 merges: aaaa -> 1 subword, banana -> 4 ("b an an a");
+    // "spark" never trained -> 5 raw chars
+    val enc = Seq((7L, "aaaa banana spark")).toDF("doc_id", "text")
+    val row = Bpe.encode(enc, $"text", $"doc_id", trained).collect().head
+    assert(row.getLong(0) == 7L && row.getLong(1) == 3L && row.getLong(2) == 10L,
+      s"encode row: $row")
+  }
+
   test("weightedSample: inclusion tracks weight (extreme-weight fixture)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
