@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE (byte-pair-encoding) tokenizer TRAINING — the
@@ -23,10 +22,13 @@ import org.apache.spark.sql.functions._
   * standard BPE rule): within a run of consecutive matches of the
   * best pair, positions at even offsets merge and the odd ones are
   * consumed ("a a a a" under pair "a a" becomes "aa aa", not one
-  * merge). The run parity is computed explicitly (two windowed
-  * row_numbers over match positions) rather than through any string
-  * `replace` — engines disagree about rescanning after a replacement,
-  * an explicit position spec cannot.
+  * merge) — computed as an explicit scan-stage fold over the symbol
+  * array rather than through any string `replace` (engines disagree
+  * about rescanning after a replacement; an explicit position spec
+  * cannot). The DuckDB oracle expresses the SAME spec as run parity
+  * (merge the even offsets within each consecutive-match run — a
+  * provably identical characterization of the greedy fold, since a
+  * merge consumes exactly the next match position in its run).
   */
 object Bpe {
 
@@ -41,35 +43,49 @@ object Bpe {
   /** One BPE merge iteration over the dictionary: returns the winning
     * pair as a 1-row frame (pair, cnt) — count is frequency-weighted
     * over ALL adjacent positions, ties broken pair-ascending — and
-    * the dictionary with that pair merged greedily in every word. */
+    * the dictionary with that pair merged greedily in every word.
+    *
+    * Plan shape: pair counts are one explode + map-side-combined agg,
+    * the winner folds to one broadcast row, and the merge applies as
+    * a scan-stage left-to-right fold over each word's symbol array —
+    * no windows, no position joins (an earlier windowed run-parity
+    * form of the same spec cost ~6 exchanges per iteration; the fold
+    * costs the two the counting needs). If the dictionary has no
+    * adjacent pair left (every word one symbol), the iteration is a
+    * no-op: best is empty and the dict passes through unchanged. */
   def mergeStep(dict: DataFrame): (DataFrame, DataFrame) = {
-    val syms = dict.select(col("w"), col("c"),
-      posexplode(split(col("seq"), " ")).as(Seq("i", "sym")))
-    val wWin = Window.partitionBy("w").orderBy("i")
-    val pr = syms.withColumn("nxt", lead(col("sym"), 1).over(wWin))
-      .where(col("nxt").isNotNull)
-      .withColumn("pair", concat_ws(" ", col("sym"), col("nxt")))
-    val best = pr.groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+    val witharr = dict.withColumn("a", split(col("seq"), " "))
+    val pairs = witharr.where(size(col("a")) >= 2)
+      .select(col("c"),
+        explode(transform(sequence(lit(0), size(col("a")) - lit(2)),
+          i => concat_ws(" ",
+            element_at(col("a"), i + 1), element_at(col("a"), i + 2)))).as("pair"))
+    val best = pairs.groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair").asc).limit(1)
-    // greedy left-to-right: among consecutive match runs, merge the
-    // even offsets (rn 1, 3, ...) — rid groups a run, rn orders it
-    val mt = pr.join(broadcast(best.select(col("pair"))), Seq("pair"))
-      .select(col("w"), col("i"))
-    val mp = mt
-      .withColumn("rid", col("i") - row_number().over(wWin))
-      .withColumn("rn", row_number().over(Window.partitionBy("w", "rid").orderBy("i")))
-      .where(col("rn") % 2 === 1)
-      .groupBy(col("w")).agg(collect_set(col("i")).as("mp"))
-    val merged = dict.join(mp, Seq("w"), "left")
-      .withColumn("a", split(col("seq"), " "))
+    // greedy left-to-right non-overlap as a fold: emit the merged
+    // symbol and consume the next position on a match, carry a
+    // consumed flag otherwise ("a a a a" under "a a" -> "aa aa")
+    val merged = witharr
+      .join(broadcast(best.select(col("pair").as("_bp"))), lit(true), "left")
       .select(col("w"), col("c"),
-        concat_ws(" ", filter(
-          transform(col("a"), (s, ix) =>
-            when(array_contains(col("mp"), ix),
-              concat(s, element_at(col("a"), ix + 2)))
-              .when(array_contains(col("mp"), ix - 1), lit(null))
-              .otherwise(s)),
-          x => x.isNotNull)).as("seq"))
+        aggregate(
+          sequence(lit(0), size(col("a")) - lit(1)),
+          struct(array().cast("array<string>").as("res"), lit(false).as("skip")),
+          (acc, i) => {
+            val s = element_at(col("a"), i + 1)
+            val nx = element_at(col("a"), i + 2)
+            val isPair = nx.isNotNull &&
+              concat_ws(" ", s, nx) === col("_bp")
+            when(acc.getField("skip"),
+              struct(acc.getField("res").as("res"), lit(false).as("skip")))
+              .when(isPair,
+                struct(concat(acc.getField("res"), array(concat(s, nx))).as("res"),
+                  lit(true).as("skip")))
+              .otherwise(
+                struct(concat(acc.getField("res"), array(s)).as("res"),
+                  lit(false).as("skip")))
+          },
+          acc => concat_ws(" ", acc.getField("res"))).as("seq"))
     (best, merged)
   }
 
@@ -101,6 +117,24 @@ object Bpe {
     * `spark.catalog.clearCache()`). */
   def train(docs: DataFrame, textCol: Column, iters: Int): DataFrame =
     trainFull(docs, textCol, iters).result
+
+  /** The fully-trained dictionary after `iters` merges, with every
+    * generation persisted (same rationale as [[trainFull]]: the
+    * mergeStep plan references its input ~4 times, so an unpersisted
+    * chain re-derives ~4^iters subtrees — measured as 3.6 s of pure
+    * plan overhead on a 31-word dict at sf0.1 vs 0.9 s cached).
+    * Caches are caller-owned ([[Dedup.CachedFrame]] convention). */
+  def trainedDictFull(docs: DataFrame, textCol: Column, iters: Int): Dedup.CachedFrame = {
+    require(iters >= 0, s"iters >= 0, got $iters")
+    var dict = wordDict(docs, textCol).persist()
+    val caches = Seq.newBuilder[DataFrame]
+    caches += dict
+    for (_ <- 1 to iters) {
+      dict = mergeStep(dict)._2.persist()
+      caches += dict
+    }
+    Dedup.CachedFrame(dict, caches.result())
+  }
 
   /** ENCODE with a trained dictionary: per-document word and BPE
     * token counts, by broadcast-joining each word to its final merged

@@ -652,9 +652,8 @@ object TextQueries {
     Q("t_bpe_encode",
       (s, d) => {
         val docs = T(s, d, "documents")
-        val d0 = graft.ops.Bpe.wordDict(docs, col("text")).persist()
-        val trained = (1 to 3).foldLeft(d0)((dd, _) => graft.ops.Bpe.mergeStep(dd)._2)
-        graft.ops.Bpe.encode(docs, col("text"), col("doc_id"), trained)
+        val trained = graft.ops.Bpe.trainedDictFull(docs, col("text"), iters = 3)
+        graft.ops.Bpe.encode(docs, col("text"), col("doc_id"), trained.result)
       },
       Some(s"""${bpeCtes(3)}
               |SELECT doc_id, count(*) AS n_words,
