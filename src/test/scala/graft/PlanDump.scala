@@ -57,7 +57,12 @@ object PlanDump {
     "e_sq8_adc",          // SQ8: one-row range fold broadcast, scan-stage encode + dequantized ADC
     "d_delta_index_keep", // persisted dedup store: broadcast-the-delta probes, store never shuffles
     "t_weighted_sample",  // ES weighted draw: bounded bottom-k aggregate, no corpus sort
-    "j9_interval_join"    // ST4 batch twin: key equi-join + range filter, never a theta join
+    "j9_interval_join",   // ST4 batch twin: key equi-join + range filter, never a theta join
+    "e_rand_proj",        // JL projection: scan-stage 16-plane fold, zero corpus exchange, TakeOrdered
+    "t_substr_scrub",     // duplicated-span removal: gram-keyed gather + doc re-agg + scan rebuild
+    "t_datacard",         // rollup report: fingerprint keeper exchange + ONE Expand agg pass
+    "t_bpe_train",        // BPE training: persisted dict chain, explode+agg per iteration, fold apply
+    "t_bpe_encode"        // BPE encode: corpus explode + broadcast dict join + doc re-agg
   )
 
   def main(args: Array[String]): Unit = {
