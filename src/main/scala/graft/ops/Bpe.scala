@@ -136,6 +136,32 @@ object Bpe {
     Dedup.CachedFrame(dict, caches.result())
   }
 
+  /** Persist the trained dictionary exactly ONCE per corpus
+    * fingerprint (the shared [[AnnIndex.oncePerFingerprint]] marker
+    * lifecycle — the same serving contract as the ANN index and the
+    * dedup store): the tokenizer's trained artifact. At 100 TB the
+    * training chain runs once per corpus version; every later encode
+    * job — batch or streaming — reads the vocabulary-sized parquet
+    * and broadcast-joins it, paying zero training cost. A crashed
+    * build self-heals (marker written only after the write), and a
+    * stale marker of a prior corpus state cannot resurrect (absent
+    * marker clears the dir first). */
+  def buildDictIfAbsent(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                        textCol: Column, dir: String, iters: Int,
+                        fingerprint: String): Unit =
+    AnnIndex.oncePerFingerprint(spark, dir, s"bpedict_i$iters", fingerprint) {
+      val t = trainedDictFull(docs, textCol, iters)
+      t.result.write.mode("overwrite").parquet(s"$dir/dict")
+      t.unpersistAll()
+    }
+
+  /** [[encode]] against the persisted dictionary — the serving path.
+    * Missing/half-built stores fail loudly at plan time (the parquet
+    * read refuses an absent path). */
+  def encodeIndexed(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                    textCol: Column, idCol: Column, dir: String): DataFrame =
+    encode(docs, textCol, idCol, spark.read.parquet(s"$dir/dict"))
+
   /** ENCODE with a trained dictionary: per-document word and BPE
     * token counts, by broadcast-joining each word to its final merged
     * segmentation. This is the serving half of tokenization at

@@ -663,6 +663,27 @@ object TextQueries {
               |LEFT JOIN d3 ON d3.w = t.w
               |GROUP BY doc_id""".stripMargin)),
 
+    // encode against the PERSISTED trained dict — the tokenizer's
+    // serving shape (build-once per corpus fingerprint via the shared
+    // AnnIndex marker lifecycle, then every encode job broadcast-joins
+    // the vocabulary-sized parquet, paying zero training cost). Same
+    // oracle as t_bpe_encode: persisted == in-plan, hash-graded.
+    Q("t_bpe_encode_indexed",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-bpedict-${math.abs(d.hashCode)}"
+        graft.ops.Bpe.buildDictIfAbsent(s, docs, col("text"), dir, iters = 3,
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
+        graft.ops.Bpe.encodeIndexed(s, docs, col("text"), col("doc_id"), dir)
+      },
+      Some(s"""${bpeCtes(3)}
+              |SELECT doc_id, count(*) AS n_words,
+              |  CAST(sum(coalesce(len(string_split(d3.seq, ' ')), length(t.w))) AS BIGINT)
+              |    AS n_bpe_tokens
+              |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+              |LEFT JOIN d3 ON d3.w = t.w
+              |GROUP BY doc_id""".stripMargin)),
+
     // within-doc repetition (Gopher-style quality rule): fraction of
     // repeated 2-grams = 1 - distinct/total. One doc-keyed shuffle;
     // boilerplate/spam scores high, clean prose near 0.

@@ -149,6 +149,34 @@ class TextPipelineSpec extends AnyFunSuite {
       s"encode row: $row")
   }
 
+  test("Bpe persisted dict: build-once marker semantics + encode parity") {
+    import graft.ops.Bpe
+    val docs = Seq((1L, "aaaa aaaa banana"), (2L, "banana spark")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpedict").toString
+    Bpe.buildDictIfAbsent(spark, docs, $"text", dir, iters = 2, fingerprint = "fp1")
+    val trained = Bpe.trainedDictFull(docs, $"text", iters = 2)
+    val persisted = Bpe.encodeIndexed(spark, docs, $"text", $"doc_id", dir)
+      .collect().map(_.toSeq).toSet
+    val inPlan = Bpe.encode(docs, $"text", $"doc_id", trained.result)
+      .collect().map(_.toSeq).toSet
+    trained.unpersistAll()
+    assert(persisted == inPlan, s"persisted != in-plan: $persisted vs $inPlan")
+    // same fingerprint: the marker must skip the rebuild entirely,
+    // even when handed a different corpus frame
+    val other = Seq((9L, "zz zz")).toDF("doc_id", "text")
+    Bpe.buildDictIfAbsent(spark, other, $"text", dir, iters = 2, fingerprint = "fp1")
+    val again = Bpe.encodeIndexed(spark, docs, $"text", $"doc_id", dir)
+      .collect().map(_.toSeq).toSet
+    assert(again == persisted, "same fingerprint must be a no-op")
+    // moved fingerprint: rebuild from the new corpus (old dict gone,
+    // so 'aaaa' now falls back to its 4 raw chars)
+    Bpe.buildDictIfAbsent(spark, other, $"text", dir, iters = 2, fingerprint = "fp2")
+    val rebuilt = Bpe.encodeIndexed(spark,
+        Seq((3L, "aaaa")).toDF("doc_id", "text"), $"text", $"doc_id", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rebuilt.toSeq == Seq((3L, 1L, 4L)), s"rebuild: ${rebuilt.toSeq}")
+  }
+
   test("weightedSample: inclusion tracks weight (extreme-weight fixture)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
