@@ -476,6 +476,11 @@ object Dedup {
       .agg(count(lit(1)).as("n_windows"))
   }
 
+  /** [[substrScrub]] result plus the observable over-cap gram frame
+    * (s, n_occ) — the skew report, [[LshCandidates]]' droppedBuckets
+    * convention. */
+  final case class ScrubResult(result: DataFrame, droppedGrams: DataFrame)
+
   /** Exact duplicated-span REMOVAL — the rewrite counterpart of
     * [[substrDupPairs]] (Lee et al. 2021 apply exact substring dedup
     * by CUTTING the duplicated span, not dropping the document): any
@@ -484,16 +489,29 @@ object Dedup {
     * is cut; clean documents pass through unchanged, so the output is
     * the full rewritten corpus: (doc_id, n_tokens, n_cut, clean_text).
     *
-    * Scale shape: gram doc-frequency AND the hit-position list come
-    * out of ONE gram-keyed exchange (the collect_list per gram is
-    * bounded by that gram's occurrence count — the same observable-cap
-    * argument as the LSH band buckets); covered positions re-aggregate
-    * doc-keyed (collect_set dedups inside the agg buffer — no separate
-    * distinct exchange); the rebuild is a scan-stage filter-with-index
-    * over the token array. Never all-pairs, never a corpus sort. */
+    * Scale shape: gram doc-frequency AND the occurrence list come out
+    * of ONE gram-keyed exchange whose aggregate state is BOUNDED — a
+    * `graft_bottom_k` gather of at most `maxOcc + 1` (doc_id, i)
+    * pairs per gram, with the distinct-doc count read off the full
+    * (non-overflowed) buffer. A gram with more than `maxOcc`
+    * occurrences overflows the buffer and is DROPPED from scrubbing,
+    * observably ([[substrScrubFull]].droppedGrams) — the LSH
+    * `maxBucket` skew convention: an unbounded collect_list here is
+    * the agg-buffer OOM a mega-frequent boilerplate gram triggers at
+    * corpus scale. Covered positions re-aggregate doc-keyed
+    * (collect_set state is bounded by the doc's own token count);
+    * the rebuild is a scan-stage filter-with-index over the token
+    * array. Never all-pairs, never a corpus sort. */
   def substrScrub(docs: DataFrame, textCol: Column, idCol: Column,
-                  k: Int = 5, minDocs: Int = 2): DataFrame = {
-    require(k >= 1 && minDocs >= 2, s"k >= 1 and minDocs >= 2, got $k/$minDocs")
+                  k: Int = 5, minDocs: Int = 2, maxOcc: Int = 10000): DataFrame =
+    substrScrubFull(docs, textCol, idCol, k, minDocs, maxOcc).result
+
+  /** [[substrScrub]] with the over-cap grams exposed. */
+  def substrScrubFull(docs: DataFrame, textCol: Column, idCol: Column,
+                      k: Int = 5, minDocs: Int = 2,
+                      maxOcc: Int = 10000): ScrubResult = {
+    require(k >= 1 && minDocs >= 2 && maxOcc >= 1,
+      s"k >= 1, minDocs >= 2, maxOcc >= 1, got $k/$minDocs/$maxOcc")
     val toks = docs.select(idCol.as("doc_id"), split(textCol, " ").as("tk"))
     val grams = toks.where(size(col("tk")) >= k)
       .select(col("doc_id"),
@@ -501,17 +519,21 @@ object Dedup {
           i => concat_ws(" ",
             (0 until k).map(o => element_at(col("tk"), i + lit(o + 1))): _*)))
           .as(Seq("i", "s")))
-    val hits = grams.groupBy(col("s"))
-      .agg(collect_list(struct(col("doc_id"), col("i"))).as("occ"),
-        size(collect_set(col("doc_id"))).as("nd"))
-      .where(col("nd") >= minDocs)
+    val gathered = grams.groupBy(col("s"))
+      .agg(call_function("graft_bottom_k",
+        struct(col("doc_id"), col("i")), lit(maxOcc + 1)).as("occ"))
+    val dropped = gathered.where(size(col("occ")) === maxOcc + 1)
+      .select(col("s"), lit(maxOcc.toLong).as("n_occ_floor"))
+    val hits = gathered
+      .where(size(col("occ")) <= maxOcc &&
+        size(array_distinct(transform(col("occ"), o => o.getField("doc_id")))) >= minDocs)
       .select(explode(col("occ")).as("o"))
       .select(col("o.doc_id").as("doc_id"), col("o.i").as("i"))
     val cov = hits
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + lit(k - 1))).as("p"))
       .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cl"))
-    toks.join(cov, Seq("doc_id"), "left")
+    val result = toks.join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("tk")).cast("long").as("n_tokens"),
         when(col("cl").isNull, lit(0L))
@@ -519,6 +541,7 @@ object Dedup {
         concat_ws(" ", filter(col("tk"),
           (x, ix) => !coalesce(array_contains(col("cl"), ix), lit(false))))
           .as("clean_text"))
+    ScrubResult(result, dropped)
   }
 
   /** Exact shingle-set Jaccard for candidate pairs: distinct shingles

@@ -567,7 +567,10 @@ object TextQueries {
     // docs are duplicated text, covered token positions are cut, and
     // the FULL rewritten corpus is emitted (clean docs unchanged).
     // Scale shape documented on Dedup.substrScrub: one gram-keyed
-    // exchange + one doc-keyed re-agg + scan-stage rebuild.
+    // exchange with BOUNDED agg state (graft_bottom_k gather, grams
+    // over the 10000-occurrence cap observably dropped — the LSH
+    // maxBucket skew convention, mirrored by the oracle's HAVING) +
+    // one doc-keyed re-agg + scan-stage rebuild.
     Q("t_substr_scrub",
       (s, d) => Dedup.substrScrub(T(s, d, "documents"),
         col("text"), col("doc_id"), k = 5, minDocs = 2),
@@ -577,8 +580,8 @@ object TextQueries {
              |sh AS (SELECT doc_id, i,
              |         concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]) AS s
              |       FROM pos),
-             |freq AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd
-             |                        FROM sh GROUP BY 1) WHERE nd >= 2),
+             |freq AS (SELECT s FROM sh GROUP BY s
+             |         HAVING count(*) <= 10000 AND count(DISTINCT doc_id) >= 2),
              |hits AS (SELECT doc_id, i FROM sh WHERE s IN (SELECT s FROM freq)),
              |cov AS (SELECT doc_id, list(DISTINCT i + d) AS cl
              |        FROM hits, (SELECT unnest(range(0, 5)) AS d) GROUP BY doc_id)

@@ -324,6 +324,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((2L, 0L, "tiny doc")), s"short doc rewritten: ${out(4L)}")
   }
 
+  test("substrScrub: over-cap mega-gram drops observably, normal grams still scrub") {
+    // 'x y z w v' repeats 3x in doc 1 and once in doc 2 (4 occurrences
+    // > maxOcc=3 -> dropped, both docs keep those spans); the distinct
+    // 'p q r s t' span (one occurrence in each doc, 2 <= cap) scrubs
+    val fix = Seq(
+      (1L, "x y z w v x y z w v x y z w v p q r s t"),
+      (2L, "x y z w v end1 end2 end3 p q r s t")).toDF("doc_id", "text")
+    val full = Dedup.substrScrubFull(fix, $"text", $"doc_id",
+      k = 5, minDocs = 2, maxOcc = 3)
+    val dropped = full.droppedGrams.collect().map(_.getString(0))
+    assert(dropped.toSeq == Seq("x y z w v"), s"dropped: ${dropped.toSeq}")
+    val out = full.result.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((5L, "x y z w v x y z w v x y z w v")), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((5L, "x y z w v end1 end2 end3")), s"doc2: ${out(2L)}")
+    // and with a cap that admits it, the mega-gram scrubs everywhere
+    val uncapped = Dedup.substrScrub(fix, $"text", $"doc_id",
+      k = 5, minDocs = 2, maxOcc = 100)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(uncapped(1L) == "" && uncapped(2L) == "end1 end2 end3",
+      s"uncapped: $uncapped")
+  }
+
   test("DedupIndex.deltaKeep: loud contract on a missing/half-built store") {
     import graft.ops.DedupIndex
     val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-miss").toString
