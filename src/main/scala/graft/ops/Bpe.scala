@@ -162,6 +162,31 @@ object Bpe {
                     textCol: Column, idCol: Column, dir: String): DataFrame =
     encode(docs, textCol, idCol, spark.read.parquet(s"$dir/dict"))
 
+  /** Streaming ENCODE against the persisted dictionary — tokenizing
+    * a live ingest feed with the trained artifact. The document
+    * stream explodes to words in the scan stage and stream-static-
+    * broadcast-joins the vocabulary-sized dict (STATELESS — the
+    * blessed stream-static shape, no join state at all); only the
+    * per-doc re-aggregation is stateful, bounded to the running
+    * (n_words, n_bpe_tokens) counters per open event-time window and
+    * flushed by the watermark. Append-mode emissions are
+    * row-identical to batch [[encode]] per doc (TextPipelineSpec). */
+  def encodeStream(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                   textCol: Column, idCol: Column, tsCol: Column, dir: String,
+                   delay: String = "10 seconds",
+                   windowLen: String = "10 seconds"): DataFrame = {
+    val seg = spark.read.parquet(s"$dir/dict").select(col("w"),
+      size(split(col("seq"), " ")).cast("long").as("n_sub"))
+    docs.select(idCol.as("doc_id"), tsCol.as("ts"),
+        explode(split(textCol, " ")).as("w"))
+      .join(broadcast(seg), Seq("w"), "left")
+      .withColumn("n_sub", coalesce(col("n_sub"), length(col("w")).cast("long")))
+      .withWatermark("ts", delay)
+      .groupBy(col("doc_id"), window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+  }
+
   /** ENCODE with a trained dictionary: per-document word and BPE
     * token counts, by broadcast-joining each word to its final merged
     * segmentation. This is the serving half of tokenization at

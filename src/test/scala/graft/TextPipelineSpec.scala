@@ -177,6 +177,34 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(rebuilt.toSeq == Seq((3L, 1L, 4L)), s"rebuild: ${rebuilt.toSeq}")
   }
 
+  test("Bpe.encodeStream: streamed doc feed == batch encode over the persisted dict") {
+    import graft.ops.Bpe
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val train = Seq((1L, "aaaa aaaa banana"), (2L, "banana spark")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpestream").toString
+    Bpe.buildDictIfAbsent(spark, train, $"text", dir, iters = 2, fingerprint = "s1")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)] // (doc_id, text, sec)
+    val stream = mem.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    val out = Bpe.encodeStream(spark, stream, $"text", $"doc_id", $"ts", dir)
+    val q = out.writeStream.format("memory").queryName("bpe_stream_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, "aaaa banana unseen", 4L), (11L, "banana banana", 6L))
+      q.processAllAvailable()
+      mem.addData((12L, "late", 100L)) // advances the watermark; closes [0,10)
+      q.processAllAvailable()
+      val got = spark.table("bpe_stream_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Bpe.encodeIndexed(spark,
+          Seq((10L, "aaaa banana unseen"), (11L, "banana banana")).toDF("doc_id", "text"),
+          $"text", $"doc_id", dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch, s"\n got=$got\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("weightedSample: inclusion tracks weight (extreme-weight fixture)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
