@@ -64,6 +64,22 @@ object DriveCheck {
     require(ops.DedupIndex.deltaKeep(spark, dx.where(col("doc_id") % 10 === 7),
       dedupDir, col("text"), col("doc_id")).count() == 0,
       "ingested delta must dedup against itself on re-run")
+    println("== BPE lifecycle: train -> persist dict -> encode (batch == indexed) ==")
+    val bpeDir = s"${sys.props("java.io.tmpdir")}/graft-bpe-drivecheck"
+    hfs.delete(new org.apache.hadoop.fs.Path(bpeDir), true)
+    val merges = ops.Bpe.train(dx, col("text"), iters = 2).collect()
+    require(merges.length == 2 && merges.forall(_.getLong(2) > 0),
+      s"BPE training degenerate: ${merges.toSeq}")
+    println(s"merges: ${merges.map(r => s"${r.getString(1)}(${r.getLong(2)})").mkString(", ")}")
+    ops.Bpe.buildDictIfAbsent(spark, dx, col("text"), bpeDir, iters = 2,
+      fingerprint = "drivecheck")
+    val encIdx = ops.Bpe.encodeIndexed(spark, dx, col("text"), col("doc_id"), bpeDir)
+    val trainedDict = ops.Bpe.trainedDictFull(dx, col("text"), iters = 2)
+    val encPlan = ops.Bpe.encode(dx, col("text"), col("doc_id"), trainedDict.result)
+    require(encIdx.exceptAll(encPlan).isEmpty && encPlan.exceptAll(encIdx).isEmpty,
+      "persisted-dict encode diverged from the in-plan encode")
+    trainedDict.unpersistAll()
+    println(s"encoded ${encIdx.count()} docs through the persisted dict")
     println("== flagship entry() — the driver's rows>0 smoke ==")
     val entryRows = SparkEntry.entry(spark).count()
     require(entryRows > 0, "flagship entry() returned no rows")
