@@ -631,6 +631,35 @@ object TextQueries {
               |FROM per JOIN keep USING (fp)
               |GROUP BY ROLLUP (lang, source)""".stripMargin)),
 
+    // cross-SOURCE overlap matrix — the data-card companion that
+    // finds source-level contamination (mirrored crawls, syndicated
+    // feeds): for every source pair, the number of distinct word
+    // 5-grams present in both. Shape: distinct (source, gram) ->
+    // ONE gram-keyed aggregate whose collect_set state is bounded by
+    // the SOURCE COUNT (20 here, never corpus-sized), pair fan-out
+    // from the sorted set is scan-stage array work, and the final agg
+    // is over <= sources^2 rows. The oracle takes the equivalent
+    // self-join form (identical semantics over the distinct rows).
+    Q("t_source_overlap",
+      (s, d) => {
+        val sh = Dedup.shingleRows(T(s, d, "documents"), col("text"), col("source"), 5)
+          .select(col("doc_id").as("source"), col("s")).distinct()
+        sh.groupBy(col("s")).agg(sort_array(collect_set(col("source"))).as("ss"))
+          .where(size(col("ss")) >= 2)
+          .select(explode(flatten(transform(col("ss"), (a, i) =>
+            transform(slice(col("ss"), i + lit(2), greatest(size(col("ss")) - i - lit(1), lit(0))),
+              b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+          .agg(count(lit(1)).as("shared_grams"))
+      },
+      Some(s"""WITH toks AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+              |sh AS (SELECT DISTINCT source, unnest($gram5) AS s
+              |       FROM toks WHERE len(tk) >= 5)
+              |SELECT a.source AS src_a, b.source AS src_b,
+              |       CAST(count(*) AS BIGINT) AS shared_grams
+              |FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+              |GROUP BY 1, 2""".stripMargin)),
+
     // distributed BPE tokenizer TRAINING (ops/Bpe): the corpus
     // collapses to a word-frequency dictionary in ONE pass (the only
     // corpus-sized exchange — the dict is vocabulary-sized by Heaps'

@@ -19,11 +19,19 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   // results must not depend on how the store files were written or
   // read), SQ8 (min/max fold + floor-quantized codes), containment
   // (candidate-confined set intersections), interval join
+  // session-4 additions: the BPE merge chain (a tie in the weighted
+  // pair counts resolved differently per partitioning would cascade
+  // through every later iteration — the (cnt DESC, pair ASC) total
+  // order is what makes it invariant), the span scrub (bottom-k
+  // gather + coverage sets), the rollup data card (keeper = min
+  // doc_id per fingerprint), and the JL projection top-10
   private val probes = Seq("j3_equi_join_agg", "a3_gram_matrix", "d_lsh_pairs",
     "o3_rank_family", "j7_asof_join",
     "e_kmeans_train", "e_cluster_sample", "e_ivfpq_trained", "pipe_curate_e2e",
     "d_delta_index_keep", "d_delta_index_appended", "e_sq8_adc",
-    "d_containment_pairs", "j9_interval_join")
+    "d_containment_pairs", "j9_interval_join",
+    "t_bpe_train", "t_bpe_encode", "t_substr_scrub", "t_datacard",
+    "e_rand_proj", "t_source_overlap")
 
   private def rows(name: String): Set[Seq[Any]] = {
     val q = SparkEntry.allQueries.find(_.name == name).get
