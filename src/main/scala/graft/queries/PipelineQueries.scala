@@ -168,5 +168,66 @@ object PipelineQueries {
               |    CAST(row_number() OVER (PARTITION BY cell
               |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rn
               |  FROM j) WHERE rn <= 5""".stripMargin)),
+
+    // FLAGSHIP 4 — the TOKENIZE pipeline: what a preprocessing run
+    // executes between raw crawl and training batches, as ONE graded
+    // composition: quality floor -> exact dedup (min-id keeper) ->
+    // BPE training ON THE KEPT CORPUS (2 merge iterations, dictionary
+    // -space — the dict derives from the same plan's scrub output) ->
+    // encode every kept doc with the freshly trained dict -> greedy
+    // sequence packing by BPE-token budget per (lang, source) shard.
+    // Every stage is graded solo (t_quality_score, t_exact_dedup,
+    // t_bpe_train, t_bpe_encode, t_pack_sequences); the composition
+    // proves they chain: the oracle splices the scrub CTEs into the
+    // BPE chain's word source and the pack window on top. Scale
+    // shape: one fingerprint-keyed exchange (dedup), one corpus word
+    // explode feeding the vocab-sized dict chain, one broadcast dict
+    // join back, one (lang, source) window for the pack cum-sum — the
+    // corpus text itself crosses the wire only in the dedup exchange.
+    Q("pipe_tokenize_e2e",
+      (s, d) => {
+        val docs = graft.sources.Tables.load(s, d, "documents")
+        val scored = docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+            graft.functions.text.qualityScore(col("text")).as("q"),
+            graft.functions.text.fingerprint(col("text")).as("fp"))
+          .where(col("q") >= 0.5)
+        val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+        val kept = scored.join(keep, Seq("fp"))
+          .where(col("doc_id") === col("keeper"))
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+          .persist() // feeds the dict chain, the encode, and the pack
+        val dict = graft.ops.Bpe.trainedDictFull(kept, col("text"), iters = 2)
+        val enc = graft.ops.Bpe.encode(kept, col("text"), col("doc_id"), dict.result)
+        val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        kept.select(col("doc_id"), col("lang"), col("source"))
+          .join(enc.select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"))
+          .withColumn("cum", sum(col("n_bpe_tokens")).over(w))
+          .select(col("doc_id"), col("lang"), col("source"), col("n_bpe_tokens"),
+            expr("CAST((cum - 1) DIV 1024 AS BIGINT)").as("pack_id"))
+      },
+      Some {
+        val prelude =
+          s"""scored AS (SELECT doc_id, text, lang, source,
+             |    CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+             |  FROM (SELECT doc_id, text, lang, source, ${TextQueries.normSql} AS norm,
+             |          ${TextQueries.qualitySql} AS q FROM documents)
+             |  WHERE q >= 0.5e0),
+             |kept AS (SELECT doc_id, text, lang, source FROM (
+             |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM scored)
+             |  WHERE doc_id = keeper),""".stripMargin
+        s"""${TextQueries.bpeCtes(2, srcRel = "kept", prelude = prelude)},
+           |enc AS (SELECT t.doc_id,
+           |    CAST(sum(coalesce(len(string_split(d2.seq, ' ')), length(t.w))) AS BIGINT)
+           |      AS n_bpe_tokens
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM kept) t
+           |  LEFT JOIN d2 ON d2.w = t.w GROUP BY t.doc_id),
+           |c AS (SELECT k.doc_id, k.lang, k.source, e.n_bpe_tokens,
+           |    sum(e.n_bpe_tokens) OVER (PARTITION BY k.lang, k.source ORDER BY k.doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM kept k JOIN enc e ON e.doc_id = k.doc_id)
+           |SELECT doc_id, lang, source, n_bpe_tokens,
+           |  CAST((cum - 1) // 1024 AS BIGINT) AS pack_id FROM c""".stripMargin
+      }),
   )
 }

@@ -26,7 +26,7 @@ object TextQueries {
 
   // ---- shared oracle SQL fragments ----
 
-  private val normSql =
+  private[queries] val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
   /** DuckDB twin of text.qualityScore (shared by t_quality_score and
@@ -83,14 +83,16 @@ object TextQueries {
       .mkString(" UNION ALL ") + ")"
 
   /** The WITH-body alone (d0 .. d{iters}) — shared by the training
-    * oracle above and the encode oracle (which joins the corpus to
-    * the FINAL dict instead of reading the best rows). */
-  private def bpeCtes(iters: Int): String = {
+    * oracle above, the encode oracles, and the tokenize flagship
+    * (which trains on a SCRUBBED corpus: `prelude` supplies leading
+    * CTEs and `srcRel` names the relation d0 counts words from). */
+  private[queries] def bpeCtes(iters: Int, srcRel: String = "documents",
+                               prelude: String = ""): String = {
     val sb = new StringBuilder(
-      """WITH d0 AS (
+      s"""WITH $prelude d0 AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS c,
-        |         trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |         trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $srcRel)
         |  GROUP BY w)""".stripMargin)
     for (t <- 1 to iters) {
       val p = t - 1

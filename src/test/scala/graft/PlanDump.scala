@@ -62,7 +62,8 @@ object PlanDump {
     "t_substr_scrub",     // duplicated-span removal: gram-keyed gather + doc re-agg + scan rebuild
     "t_datacard",         // rollup report: fingerprint keeper exchange + ONE Expand agg pass
     "t_bpe_train",        // BPE training: persisted dict chain, explode+agg per iteration, fold apply
-    "t_bpe_encode"        // BPE encode: corpus explode + broadcast dict join + doc re-agg
+    "t_bpe_encode",       // BPE encode: corpus explode + broadcast dict join + doc re-agg
+    "pipe_tokenize_e2e"   // tokenize flagship: scrub -> train -> encode -> pack, one plan
   )
 
   def main(args: Array[String]): Unit = {

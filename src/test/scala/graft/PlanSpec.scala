@@ -385,6 +385,15 @@ class PlanSpec extends AnyFunSuite {
       "best-pair selection must be a bounded top-1, not a global sort:\n" + p.take(1500))
   }
 
+  test("pipe_tokenize_e2e: scrub -> train -> encode -> pack composes without cartesians") {
+    val p = finalPlan("pipe_tokenize_e2e")
+    assert(!p.contains("CartesianProduct") && !p.contains("rangepartitioning"),
+      "no cartesian / global sort anywhere in the tokenize flagship:\n" + p.take(1500))
+    assert(p.contains("InMemoryTableScan"),
+      "the kept corpus + dict chain must be materialized once, not replayed " +
+        "per consumer:\n" + p.take(1500))
+  }
+
   test("e_kmeans_train: Lloyd chain keeps every exchange centroid-sized") {
     val p = finalPlan("e_kmeans_train")
     // each iteration = broadcast centroid row in, K*dim-group

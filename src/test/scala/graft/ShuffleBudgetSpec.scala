@@ -164,6 +164,16 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assertBudget("d_delta_index_keep", shuffleCeiling = 1L << 20)
   }
 
+  test("pipe_tokenize_e2e: the tokenize flagship stays inside its sf0.01 budget") {
+    // exchanges: fingerprint-keyed dedup, the corpus word explode agg
+    // feeding the dict chain, the doc-keyed encode re-agg, the
+    // (lang, source) pack window — all keyed, none carrying text
+    // payloads beyond the dedup exchange
+    // measured 10 KiB over 2 exchanges at sf0.01 (AQE broadcasts the
+    // keeper join at these stats)
+    assertBudget("pipe_tokenize_e2e", shuffleCeiling = 1L << 20)
+  }
+
   test("e_rand_proj: the projected corpus never shuffles — query broadcast only") {
     // 16-plane JL projection + distances ride the scan stage; top-10
     // is TakeOrderedAndProject — zero shuffle by construction
