@@ -158,6 +158,24 @@ class ApproxSpec extends AnyFunSuite {
     assert(rows("ivf") == ((10L, true)), s"ivf arm: ${rows("ivf")}")
   }
 
+  test("g_hll_merge: union of per-group sketches == one global sketch (mergeability)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("user_id").cast("string").as("u"), col("event_type"))
+    val merged = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("u"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().head.getLong(0).toDouble
+    val whole = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("u"), lit(12))).as("est"))
+      .collect().head.getLong(0).toDouble
+    val exact = ev.agg(countDistinct(col("u"))).collect().head.getLong(0).toDouble
+    // the algebraic property the 100 TB rollup relies on: merging
+    // partial sketches loses nothing vs sketching the whole stream
+    assert(merged == whole, s"merge broke mergeability: $merged vs $whole")
+    assert(math.abs(merged - exact) <= exact * 0.05,
+      s"merged estimate $merged outside 5% of exact $exact")
+  }
+
   test("e_rand_proj: isotropic floor + planted-cluster recall pinned at sf0.01") {
     // e_rand_proj emits the top-10 by PROJECTED distance with the
     // exact 64-dim distance alongside; recall@10 vs the exact ranking
