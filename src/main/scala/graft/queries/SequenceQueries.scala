@@ -219,5 +219,54 @@ object SequenceQueries {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // W9 (extension): time-series GAP FILLING by linear interpolation
+    // — the sequence-completion alternative to dropping gapped windows
+    // (P5/W2 detect gaps; this REPAIRS them, the other standard
+    // treatment of a sparse frame cadence). Per user: densify the
+    // bucket grid (scan-stage sequence explode between the series
+    // bounds), then one user-keyed shuffle carries BOTH directional
+    // ignoreNulls window passes (nearest present neighbor on each
+    // side) and the lerp is scan work; exact-integer bucket means
+    // feed it, and the 1e-6 qround absorbs the last-ulp division.
+    // Edge buckets with only one neighbor stay unfilled (strict
+    // interpolation, not extrapolation).
+    Q("w9_interp_fill",
+      (s, d) => {
+        val ser = T(s, d, "events")
+          .select(col("user_id"), Sequences.tsBucket(col("ts"), Step).as("bkt"),
+            col("value"))
+          .groupBy(col("user_id"), col("bkt"))
+          .agg((sum(qlong(col("value"), 1e5)) / (lit(1e5) * count(lit(1)))).as("v"))
+        Sequences.interpFill(ser, "user_id", "bkt", "v")
+      },
+      Some(s"""WITH ser AS (
+              |  SELECT user_id, CAST(floor(epoch(ts) / $Step) AS BIGINT) AS bkt,
+              |    CAST(sum(CAST(floor(value * 100000 + 0.5e0) AS BIGINT)) AS BIGINT)
+              |      / (1e5 * count(*)) AS v
+              |  FROM events GROUP BY 1, 2),
+              |bounds AS (SELECT user_id, min(bkt) AS mnb, max(bkt) AS mxb FROM ser GROUP BY 1),
+              |grid AS (SELECT user_id, unnest(range(mnb, mxb + 1)) AS bkt FROM bounds),
+              |g AS (SELECT grid.user_id, grid.bkt, ser.v
+              |      FROM grid LEFT JOIN ser USING (user_id, bkt)),
+              |w AS (SELECT user_id, bkt, v,
+              |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bkt
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+              |    last_value(CASE WHEN v IS NOT NULL THEN bkt END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY bkt
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+              |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bkt
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+              |    first_value(CASE WHEN v IS NOT NULL THEN bkt END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY bkt
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+              |  FROM g)
+              |SELECT user_id, bkt,
+              |  (floor((CASE WHEN v IS NOT NULL THEN v
+              |      ELSE pv + (nv - pv) * (CAST(bkt - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+              |    END) * 1000000 + 0.5e0) / 1000000.0e0) AS value,
+              |  (v IS NULL) AS filled
+              |FROM w
+              |WHERE v IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)""".stripMargin)),
   )
 }

@@ -90,4 +90,18 @@ class SequencesSpec extends AnyFunSuite {
     assert(got == Map("a1" -> false, "a2" -> false, "a3" -> false,
       "a4" -> true, "a5" -> true, "b1" -> false), got)
   }
+
+  test("interpFill: gaps lerp between neighbors, edges stay strict, present rows pass") {
+    val ser = Seq(
+      ("a", 0L, 1.0), ("a", 3L, 4.0), ("a", 4L, 10.0),  // gap 1,2 -> 2.0, 3.0
+      ("b", 7L, 5.0)                                     // single point: no grid, no fills
+    ).toDF("k", "bkt", "v")
+    val out = Sequences.interpFill(ser, "k", "bkt", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(("a", 1L)) == ((2.0, true)) && out(("a", 2L)) == ((3.0, true)),
+      s"lerp wrong: $out")
+    assert(out(("a", 0L)) == ((1.0, false)) && out(("a", 4L)) == ((10.0, false)))
+    assert(out(("b", 7L)) == ((5.0, false)) && out.size == 6, s"rows: $out")
+  }
 }
