@@ -63,7 +63,9 @@ object PlanDump {
     "t_datacard",         // rollup report: fingerprint keeper exchange + ONE Expand agg pass
     "t_bpe_train",        // BPE training: persisted dict chain, explode+agg per iteration, fold apply
     "t_bpe_encode",       // BPE encode: corpus explode + broadcast dict join + doc re-agg
-    "pipe_tokenize_e2e"   // tokenize flagship: scrub -> train -> encode -> pack, one plan
+    "pipe_tokenize_e2e",  // tokenize flagship: scrub -> train -> encode -> pack, one plan
+    "w9_interp_fill",     // gap fill: grid densify + two RUNNING neighbor frames, no O(n^2) frame
+    "g_hll_merge"         // mergeable HLL rollup: per-group sketches unioned to one estimate
   )
 
   def main(args: Array[String]): Unit = {
