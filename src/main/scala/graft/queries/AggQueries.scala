@@ -301,5 +301,55 @@ object AggQueries {
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_qty
              |FROM (SELECT l_orderkey % 16 AS i, l_partkey % 16 AS j, l_quantity FROM lineitem)
              |GROUP BY 1, 2""".stripMargin)),
+
+    // A9 (extension): per-key z-score OUTLIER flags — the sensor-QC /
+    // quality-filtering staple. Moments run in exact integer space
+    // per key (the a5 convention: reassociation-proof), broadcast
+    // nothing — the per-key stats rejoin on the SAME key the flag
+    // pass groups by, so the whole query rides two exchanges of one
+    // key. The |z| > 3 boundary compares the 1e-6-snapped |z| on
+    // both engines (a last-ulp sqrt difference cannot flip a flag);
+    // zero-variance keys flag nothing (nullif guards the division).
+    Q("a9_zscore_outliers",
+      (s, d) => {
+        val ev = T(s, d, "events").select(col("user_id"), col("value"))
+        val st = ev.groupBy(col("user_id")).agg(
+          count(lit(1)).as("n"),
+          sum(qlong(col("value"), 1e5)).as("s1"),
+          sum(qlong(col("value"), 1e5) * qlong(col("value"), 1e5)).as("s2"))
+          .where(col("n") >= 2)
+          .select(col("user_id"), col("n"),
+            (col("s1").cast("double") / (lit(1e5) * col("n"))).as("mean"),
+            sqrt(nullif(
+              col("s2").cast("double") / (lit(1e10) * col("n")) -
+                (col("s1").cast("double") / (lit(1e5) * col("n"))) *
+                (col("s1").cast("double") / (lit(1e5) * col("n"))), lit(0.0))).as("sd"))
+        ev.join(st, Seq("user_id"))
+          .select(col("user_id"), col("n"), col("mean"), col("sd"),
+            coalesce(qround(abs((col("value") - col("mean")) / col("sd")), 6) > 3.0,
+              lit(false)).as("_out"))
+          .groupBy(col("user_id"))
+          .agg(first(col("n")).as("n_events"),
+            qround(first(col("mean")), 6).as("mean_value"),
+            sum(col("_out").cast("long")).as("n_outliers"))
+      },
+      Some("""WITH st AS (
+             |  SELECT user_id, count(*) AS n,
+             |    CAST(sum(CAST(floor(value * 100000 + 0.5e0) AS BIGINT)) AS BIGINT) AS s1,
+             |    CAST(sum(CAST(floor(value * 100000 + 0.5e0) AS BIGINT)
+             |           * CAST(floor(value * 100000 + 0.5e0) AS BIGINT)) AS BIGINT) AS s2
+             |  FROM events GROUP BY 1 HAVING count(*) >= 2),
+             |s2t AS (SELECT user_id, n,
+             |    CAST(s1 AS DOUBLE) / (1e5 * n) AS mean,
+             |    sqrt(nullif(CAST(s2 AS DOUBLE) / (1e10 * n)
+             |      - (CAST(s1 AS DOUBLE) / (1e5 * n)) * (CAST(s1 AS DOUBLE) / (1e5 * n)), 0e0)) AS sd
+             |  FROM st)
+             |SELECT e.user_id, any_value(t.n) AS n_events,
+             |  (floor(any_value(t.mean) * 1000000 + 0.5e0) / 1000000.0e0) AS mean_value,
+             |  CAST(sum(CASE WHEN coalesce(
+             |      (floor(abs((e.value - t.mean) / t.sd) * 1000000 + 0.5e0) / 1000000.0e0) > 3.0e0,
+             |      FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM events e JOIN s2t t ON t.user_id = e.user_id
+             |GROUP BY e.user_id""".stripMargin)),
   )
 }

@@ -200,6 +200,37 @@ object SequenceQueries {
              |          FROM events)))
              |GROUP BY user_id, session_id""".stripMargin)),
 
+    // W7 via Spark's BUILT-IN session_window — the native operator
+    // behind streaming sessionization, graded on its batch
+    // degeneration (w7_sessionize grades the manual lag+cumsum form;
+    // this pins the built-in against an independent SQL spec).
+    // Boundary semantics differ from w7 BY CONTRACT: session_window
+    // closes at last_ts + gap EXCLUSIVE, so an event exactly gap
+    // seconds after the last starts a NEW session (diff >= gap; the
+    // manual form splits only on diff > gap) — the oracle encodes
+    // the built-in's own rule.
+    Q("w7b_session_window",
+      (s, d) => T(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "7200 seconds").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("s_start"),
+          col("sw.end").as("s_end"), col("n_events")),
+      Some("""SELECT user_id, min(ts) AS s_start,
+             |  max(ts) + INTERVAL 7200 SECOND AS s_end,
+             |  count(*) AS n_events
+             |FROM (
+             |  SELECT user_id, ts,
+             |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM (
+             |    SELECT user_id, ts, event_id,
+             |      CASE WHEN prev_ts IS NULL
+             |             OR epoch_us(ts) - epoch_us(prev_ts) >= 7200000000 THEN 1 ELSE 0 END AS is_new
+             |    FROM (SELECT user_id, ts, event_id,
+             |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |          FROM events)))
+             |GROUP BY user_id, session_id""".stripMargin)),
+
     // W8: moving average over a bounded row frame — the time-series
     // smoothing staple. The frame sum runs in quantized BIGINT space:
     // engines may accumulate sliding windows differently (segment

@@ -31,7 +31,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "d_delta_index_keep", "d_delta_index_appended", "e_sq8_adc",
     "d_containment_pairs", "j9_interval_join",
     "t_bpe_train", "t_bpe_encode", "t_substr_scrub", "t_datacard",
-    "e_rand_proj", "t_source_overlap", "pipe_tokenize_e2e", "w9_interp_fill")
+    "e_rand_proj", "t_source_overlap", "pipe_tokenize_e2e", "w9_interp_fill", "w7b_session_window", "a9_zscore_outliers")
 
   private def rows(name: String): Set[Seq[Any]] = {
     val q = SparkEntry.allQueries.find(_.name == name).get
