@@ -56,7 +56,7 @@ object ScaleBench {
     // output-bound only through the duplicated-span mass)
     "e_rand_proj", "e_rand_proj_planted", "t_substr_scrub", "t_datacard",
     "t_bpe_train", "t_bpe_encode", "t_bpe_encode_indexed", "t_source_overlap",
-    "pipe_tokenize_e2e")
+    "pipe_tokenize_e2e", "d_fuzzy_pairs")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

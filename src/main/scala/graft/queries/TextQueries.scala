@@ -885,6 +885,38 @@ object TextQueries {
     // larger id, keep-list by anti-join. The threshold compares the
     // identical integer-count division on both engines (n_inter /
     // (n_a + n_b - n_inter) — IEEE-exact same shape), so the boundary
+    // EDIT-DISTANCE rescoring of LSH candidates — the typo/OCR-noise
+    // axis of near-duplication (character-level, where Jaccard works
+    // on shingle sets and containment on subset structure): exact
+    // Levenshtein computed ONLY over the band-confined candidate
+    // pairs (never all-pairs — O(len_a * len_b) per pair is exactly
+    // the cost you must confine at corpus scale), both engines
+    // implementing the same classic DP so the integer distances
+    // hash-match. Output keeps candidates within distance 40 (~a few
+    // edited words at this doc length); doc_a < doc_b by the pair
+    // generator's construction.
+    Q("d_fuzzy_pairs",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), 3, Seeds,
+          keepShort = false)
+        val pairs = Dedup.lshCandidateIdPairs(Dedup.lshBands(sig, Seeds, Bands), Bands).result
+        pairs
+          .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+          .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+          .where(col("edit_dist") <= 40)
+      },
+      Some(s"""$sigCte,
+              |pairs AS (SELECT DISTINCT doc_a, doc_b FROM ($pairsSql))
+              |SELECT p.doc_a, p.doc_b,
+              |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+              |FROM pairs p
+              |JOIN documents da ON da.doc_id = p.doc_a
+              |JOIN documents db ON db.doc_id = p.doc_b
+              |WHERE levenshtein(da.text, db.text) <= 40""".stripMargin)),
+
     // cannot flip. This is the rescore stage pipe_scrub_e2e's comment
     // defers to, graded standalone.
     Q("d_rescored_keep",

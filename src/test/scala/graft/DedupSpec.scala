@@ -347,6 +347,20 @@ class DedupSpec extends AnyFunSuite {
       s"uncapped: $uncapped")
   }
 
+  test("fuzzy rescore: exact dup at distance 0, near-dup at the word-edit cost, unrelated absent") {
+    val sig = Dedup.minhashSignature(docs, $"text", $"doc_id", 3, 4, keepShort = false)
+    val pairs = Dedup.lshCandidateIdPairs(Dedup.lshBands(sig, 4, 4), 4).result
+    val scored = pairs
+      .join(docs.select($"doc_id".as("doc_a"), $"text".as("ta")), Seq("doc_a"))
+      .join(docs.select($"doc_id".as("doc_b"), $"text".as("tb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", levenshtein($"ta", $"tb").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(scored.get((1L, 2L)).contains(0), s"exact dup: $scored")
+    // 'lazy' -> 'sleepy': levenshtein("lazy","sleepy") = 4 edits in context
+    assert(scored.get((1L, 3L)).exists(d => d > 0 && d <= 6), s"near-dup: $scored")
+    assert(!scored.keySet.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated paired: $scored")
+  }
+
   test("DedupIndex.deltaKeep: loud contract on a missing/half-built store") {
     import graft.ops.DedupIndex
     val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-miss").toString
