@@ -890,11 +890,17 @@ object TextQueries {
     // on shingle sets and containment on subset structure): exact
     // Levenshtein computed ONLY over the band-confined candidate
     // pairs (never all-pairs — O(len_a * len_b) per pair is exactly
-    // the cost you must confine at corpus scale), both engines
-    // implementing the same classic DP so the integer distances
-    // hash-match. Output keeps candidates within distance 40 (~a few
-    // edited words at this doc length); doc_a < doc_b by the pair
-    // generator's construction.
+    // the cost you must confine at corpus scale), and the per-pair DP
+    // itself is BOUNDED twice: the exact |len_a - len_b| <= 40
+    // prefilter (edit distance >= the length gap, so nothing is
+    // lost) skips the DP entirely on length-mismatched candidates,
+    // and Spark's threshold form levenshtein(a, b, k) early-exits the
+    // band DP at O(k * len) instead of O(len^2) — measured 33.7 s ->
+    // 0.6 s at sf0.1 (the full-DP form would dominate the whole
+    // bench). The oracle states the same semantics with DuckDB's
+    // unbounded levenshtein under the identical WHERE. Output keeps
+    // candidates within distance 40 (~a few edited words at this doc
+    // length); doc_a < doc_b by the pair generator's construction.
     Q("d_fuzzy_pairs",
       (s, d) => {
         val docs = T(s, d, "documents")
@@ -904,9 +910,10 @@ object TextQueries {
         pairs
           .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
           .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+          .where(abs(length(col("ta")) - length(col("tb"))) <= 40)
           .select(col("doc_a"), col("doc_b"),
-            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
-          .where(col("edit_dist") <= 40)
+            levenshtein(col("ta"), col("tb"), 40).cast("long").as("edit_dist"))
+          .where(col("edit_dist") =!= -1L)
       },
       Some(s"""$sigCte,
               |pairs AS (SELECT DISTINCT doc_a, doc_b FROM ($pairsSql))
@@ -915,7 +922,8 @@ object TextQueries {
               |FROM pairs p
               |JOIN documents da ON da.doc_id = p.doc_a
               |JOIN documents db ON db.doc_id = p.doc_b
-              |WHERE levenshtein(da.text, db.text) <= 40""".stripMargin)),
+              |WHERE abs(length(da.text) - length(db.text)) <= 40
+              |  AND levenshtein(da.text, db.text) <= 40""".stripMargin)),
 
     // cannot flip. This is the rescore stage pipe_scrub_e2e's comment
     // defers to, graded standalone.
