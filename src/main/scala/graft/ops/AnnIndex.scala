@@ -157,6 +157,13 @@ object AnnIndex {
     * off its leftover marker after the data flip-flops. The marker is
     * written only after `work` completes: a crash restarts from an
     * empty dir. */
+  /** Public marker-lifecycle entry for OTHER persisted artifacts
+    * (e.g. the per-group sketch store): run `work` exactly once per
+    * (dir, fingerprint) with the same crash-self-heal / stale-marker
+    * clearing semantics as the index builds. */
+  def oncePerSketchStore(spark: SparkSession, dir: String, fp: String)(work: => Unit): Unit =
+    oncePerFingerprint(spark, dir, "sketches", fp)(work)
+
   private[ops] def oncePerFingerprint(spark: SparkSession, dir: String,
                                       kind: String, fp: String,
                                       version: Int = BuildVersion)(work: => Unit): Unit =

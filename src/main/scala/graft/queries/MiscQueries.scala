@@ -490,6 +490,40 @@ object MiscQueries {
       Some("""SELECT count(DISTINCT user_id) AS n_exact, TRUE AS within_bound
              |FROM events""".stripMargin)),
 
+    // the SKETCH STORE — g_hll_merge's serving shape, the fourth
+    // persisted artifact after the ANN index, the dedup store, and
+    // the BPE dict: per-event_type HLL sketches materialize ONCE per
+    // corpus fingerprint (the shared marker lifecycle), and every
+    // later distinct-count rollup reads KILOBYTES of sketches instead
+    // of scanning the corpus — the pre-aggregated-cube contract for
+    // the one aggregate (count distinct) that plain cubes cannot
+    // roll up. Query: merge a FILTERED subset of stored sketches
+    // (event types 'click'+'view') and bound-check against the exact
+    // subset distinct — subset selection is what the per-group store
+    // layout exists for.
+    Q("g_hll_indexed",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-hll-${math.abs(d.hashCode)}"
+        graft.ops.AnnIndex.oncePerSketchStore(s, dir,
+          graft.ops.AnnIndex.tableFingerprint(s, s"$d/events.parquet")) {
+          ev.groupBy(col("event_type"))
+            .agg(hll_sketch_agg(col("user_id").cast("string"), lit(12)).as("sk"))
+            .write.mode("overwrite").parquet(s"$dir/sketches")
+        }
+        val est = s.read.parquet(s"$dir/sketches")
+          .where(col("event_type").isin("click", "view"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"))
+        ev.where(col("event_type").isin("click", "view"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+          .crossJoin(broadcast(est))
+          .select(col("n_exact"),
+            (abs(col("_est") - col("n_exact").cast("double")) <=
+              col("n_exact").cast("double") * lit(0.05)).as("within_bound"))
+      },
+      Some("""SELECT count(DISTINCT user_id) AS n_exact, TRUE AS within_bound
+             |FROM events WHERE event_type IN ('click', 'view')""".stripMargin)),
+
     // approx_percentile (Greenwald-Khanna sketch): same contract — the
     // sketch value stays out of the hash; the graded row checks the
     // sketch against GK's actual guarantee, which is RANK error (1/
