@@ -65,7 +65,8 @@ object PlanDump {
     "t_bpe_encode",       // BPE encode: corpus explode + broadcast dict join + doc re-agg
     "pipe_tokenize_e2e",  // tokenize flagship: scrub -> train -> encode -> pack, one plan
     "w9_interp_fill",     // gap fill: grid densify + two RUNNING neighbor frames, no O(n^2) frame
-    "g_hll_merge"         // mergeable HLL rollup: per-group sketches unioned to one estimate
+    "g_hll_merge",        // mergeable HLL rollup: per-group sketches unioned to one estimate
+    "d_fuzzy_pairs"       // threshold Levenshtein over band-confined candidates only
   )
 
   def main(args: Array[String]): Unit = {
