@@ -109,6 +109,21 @@ object RelationalQueries {
              |UNION ALL
              |SELECT s_suppkey, s_name, 'supplier' FROM supplier""".stripMargin)),
 
+    // SO4: set DIFFERENCE — customers with no OPEN order (EXCEPT
+    // semantics via Dataset.except, which plans as a left-anti join
+    // over the distinct key sets, never a full sort; non-empty at
+    // every test scale — the generator gives every customer orders,
+    // but not every customer an 'O'-status one). Completes the
+    // set-op family: distinct (SO1), intersect (SO2), union (SO3),
+    // except.
+    Q("so4_except",
+      (s, d) => T(s, d, "customer").select(col("c_custkey").as("custkey"))
+        .except(T(s, d, "orders").where(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey"))),
+      Some("""SELECT c_custkey AS custkey FROM customer
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
+
     // J1: static-dim broadcast equi-join (datasets.py:151-162).
     // region/nation broadcast: the customer side never shuffles.
     Q("j1_broadcast_dim",
