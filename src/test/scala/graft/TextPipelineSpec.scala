@@ -205,6 +205,29 @@ class TextPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Bpe.mergeStep: an exhausted dictionary is a no-op, not an empty frame") {
+    import graft.ops.Bpe
+    // every word a single symbol -> no adjacent pair anywhere: best
+    // must be EMPTY and the dict must pass through unchanged (the
+    // left broadcast join keeps rows; an inner form would silently
+    // empty the corpus dictionary)
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val (best, d1) = Bpe.mergeStep(Bpe.wordDict(docs, $"text"))
+    assert(best.collect().isEmpty, "no pair exists to merge")
+    val seqs = d1.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(seqs == Map("a" -> "a", "b" -> "b"), s"dict mutated: $seqs")
+  }
+
+  test("Bpe/substrScrub: loud contracts on nonsense parameters") {
+    import graft.ops.{Bpe, Dedup}
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Bpe.train(docs, $"text", iters = 0))
+    intercept[IllegalArgumentException](
+      Dedup.substrScrub(docs, $"text", $"doc_id", k = 5, minDocs = 1))
+    intercept[IllegalArgumentException](
+      Dedup.substrScrub(docs, $"text", $"doc_id", k = 0, minDocs = 2))
+  }
+
   test("weightedSample: inclusion tracks weight (extreme-weight fixture)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
