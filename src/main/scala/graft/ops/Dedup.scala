@@ -477,8 +477,10 @@ object Dedup {
   }
 
   /** [[substrScrub]] result plus the observable over-cap gram frame
-    * (s, n_occ) — the skew report, [[LshCandidates]]' droppedBuckets
-    * convention. */
+    * (s, n_occ_floor) — the skew report, [[LshCandidates]]'
+    * droppedBuckets convention. `n_occ_floor` is the CAP value (the
+    * bounded buffer's size), a lower bound on the gram's true
+    * occurrence count, which is unknown once the buffer overflows. */
   final case class ScrubResult(result: DataFrame, droppedGrams: DataFrame)
 
   /** Exact duplicated-span REMOVAL — the rewrite counterpart of

@@ -504,7 +504,7 @@ object MiscQueries {
     Q("g_hll_indexed",
       (s, d) => {
         val ev = T(s, d, "events")
-        val dir = s"${sys.props("java.io.tmpdir")}/graft-hll-${math.abs(d.hashCode)}"
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-hll-${storeKey(d)}"
         graft.ops.AnnIndex.oncePerSketchStore(s, dir,
           graft.ops.AnnIndex.tableFingerprint(s, s"$d/events.parquet")) {
           ev.groupBy(col("event_type"))

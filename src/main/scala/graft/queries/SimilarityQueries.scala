@@ -679,7 +679,7 @@ object SimilarityQueries {
       (s, d) => {
         val emb = T(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
-        val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${math.abs(d.hashCode)}"
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${storeKey(d)}"
         // Build-once/search-many: the first call over a corpus pays
         // the encode; every later call (bench repeats, repeated user
         // queries) is fingerprint-checked and pays SEARCH only — the
@@ -713,7 +713,7 @@ object SimilarityQueries {
         // construction, so base derives the same centroids/codebook
         // as the full corpus would
         val isDelta = col("vec_id") % 10 === 7 && col("vec_id") > PqKs
-        val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-app-${math.abs(d.hashCode)}"
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-app-${storeKey(d)}"
         graft.ops.AnnIndex.buildAppendIfAbsent(s,
           corpus.where(!isDelta), corpus.where(isDelta), dir, IvfK, P,
           fingerprint = Some(graft.ops.AnnIndex.tableFingerprint(s, s"$d/embeddings.parquet")))
@@ -734,7 +734,7 @@ object SimilarityQueries {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
         val c2 = graft.ops.Pq.ivfLloydStep(emb,
           graft.ops.Pq.ivfLloydStep(emb, ivfCellsRow(emb)))
-        val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-tr-${math.abs(d.hashCode)}"
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-tr-${storeKey(d)}"
         graft.ops.AnnIndex.buildIfAbsent(s, emb.where(col("vec_id") =!= 0), dir, IvfK, P,
           cells = Some(c2),
           fingerprint = Some(graft.ops.AnnIndex.tableFingerprint(s, s"$d/embeddings.parquet")))

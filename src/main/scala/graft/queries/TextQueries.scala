@@ -677,6 +677,16 @@ object TextQueries {
       (s, d) => graft.ops.Bpe.train(T(s, d, "documents"), col("text"), iters = 3),
       Some(bpeSql(3))),
 
+    // the batched-merge variant: corpus pass -> bounded dict ->
+    // driver-side merge loop (ONE job for all iterations — the
+    // production shape for a 30k-merge vocab, where per-merge Spark
+    // jobs are pure scheduling overhead). Same greedy spec, same
+    // DuckDB oracle as t_bpe_train: the two training paths must emit
+    // the identical merge table.
+    Q("t_bpe_train_local",
+      (s, d) => graft.ops.Bpe.trainLocal(T(s, d, "documents"), col("text"), iters = 3),
+      Some(bpeSql(3))),
+
     // the ENCODE half of tokenization: per-doc word + BPE token
     // counts against the 3-merge trained dict — corpus streams
     // through a scan-stage explode + ONE broadcast join against the
@@ -705,7 +715,7 @@ object TextQueries {
     Q("t_bpe_encode_indexed",
       (s, d) => {
         val docs = T(s, d, "documents")
-        val dir = s"${sys.props("java.io.tmpdir")}/graft-bpedict-${math.abs(d.hashCode)}"
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-bpedict-${storeKey(d)}"
         graft.ops.Bpe.buildDictIfAbsent(s, docs, col("text"), dir, iters = 3,
           fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
         graft.ops.Bpe.encodeIndexed(s, docs, col("text"), col("doc_id"), dir)
@@ -716,6 +726,63 @@ object TextQueries {
               |    AS n_bpe_tokens
               |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
               |LEFT JOIN d3 ON d3.w = t.w
+              |GROUP BY doc_id""".stripMargin)),
+
+    // the tokenizer's REAL deliverable: per-doc token-ID SEQUENCES
+    // (array<int>), not counts — what a training pipeline feeds the
+    // model. Ids come from the symbol vocabulary (alphabet + one new
+    // symbol per merge: merge-table-sized, ALWAYS broadcastable even
+    // when the word dict is not — the word dict is a segmentation
+    // cache over it); unseen words fall back to char segmentation,
+    // out-of-alphabet chars to -1 (UNK). Plan: two scan-stage
+    // posexplodes + the size-gated dict join + a broadcast vocab
+    // join, then ONE doc-keyed exchange of int triples — the
+    // output's own volume, the floor for ordered-sequence delivery.
+    // The oracle replays ids (row_number over the distinct d3
+    // symbols) and re-assembles with an ordered list_agg.
+    Q("t_bpe_encode_ids",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val trained = graft.ops.Bpe.trainedDictFull(docs, col("text"), iters = 3)
+        graft.ops.Bpe.encodeIds(docs, col("text"), col("doc_id"), trained.result)
+      },
+      Some(s"""${bpeCtes(3)},
+              |voc AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INTEGER) AS tok_id
+              |        FROM (SELECT DISTINCT unnest(string_split(seq, ' ')) AS tok FROM d3)),
+              |wrd AS (SELECT doc_id, wpos, tk[wpos+1] AS w
+              |        FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS wpos
+              |              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
+              |sg AS (SELECT wrd.doc_id, wrd.wpos,
+              |         coalesce(string_split(d3.seq, ' '), string_split(wrd.w, '')) AS a
+              |        FROM wrd LEFT JOIN d3 ON d3.w = wrd.w),
+              |tkq AS (SELECT doc_id, wpos, tpos, a[tpos+1] AS tok
+              |        FROM (SELECT doc_id, wpos, a, unnest(range(0, len(a))) AS tpos FROM sg))
+              |SELECT doc_id, list(coalesce(voc.tok_id, -1) ORDER BY wpos, tpos) AS token_ids
+              |FROM tkq LEFT JOIN voc ON voc.tok = tkq.tok
+              |GROUP BY doc_id""".stripMargin)),
+
+    // encode against a frequency-PRUNED dict (top-20 words by count
+    // desc, word asc) — the scale-safe serving shape: the raw word
+    // dict of a web corpus has an unbounded hapax tail (billions of
+    // rows — past any broadcast budget), but unseen words already
+    // fall back to char segmentation (training's iteration-0 floor),
+    // so a top-N dict is semantically coherent and broadcastable.
+    // Hash-graded vs the oracle's identically-pruned dict: pruning
+    // changes ONLY pruned-word rows, proven by the d3-vs-dp twin.
+    Q("t_bpe_encode_pruned",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val trained = graft.ops.Bpe.trainedDictFull(docs, col("text"), iters = 3)
+        graft.ops.Bpe.encode(docs, col("text"), col("doc_id"),
+          graft.ops.Bpe.pruneDict(trained.result, 20))
+      },
+      Some(s"""${bpeCtes(3)},
+              |dp AS (SELECT * FROM d3 ORDER BY c DESC, w ASC LIMIT 20)
+              |SELECT doc_id, count(*) AS n_words,
+              |  CAST(sum(coalesce(len(string_split(dp.seq, ' ')), length(t.w))) AS BIGINT)
+              |    AS n_bpe_tokens
+              |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+              |LEFT JOIN dp ON dp.w = t.w
               |GROUP BY doc_id""".stripMargin)),
 
     // within-doc repetition (Gopher-style quality rule): fraction of
@@ -1028,7 +1095,7 @@ object TextQueries {
         val docs = T(s, d, "documents")
         val corpus = docs.where(col("doc_id") % 10 =!= 7)
         val delta = docs.where(col("doc_id") % 10 === 7)
-        val dir = s"${sys.props("java.io.tmpdir")}/graft-dedupidx-${math.abs(d.hashCode)}"
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-dedupidx-${storeKey(d)}"
         graft.ops.DedupIndex.buildIfAbsent(s, corpus, dir, col("text"), col("doc_id"),
           fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
         graft.ops.DedupIndex.deltaKeep(s, delta, dir, col("text"), col("doc_id"))
@@ -1071,7 +1138,7 @@ object TextQueries {
         val corpus = docs.where(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 8)
         val day1 = docs.where(col("doc_id") % 10 === 8)
         val day2 = docs.where(col("doc_id") % 10 === 7)
-        val dir = s"${sys.props("java.io.tmpdir")}/graft-dedupidx-app-${math.abs(d.hashCode)}"
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-dedupidx-app-${storeKey(d)}"
         graft.ops.DedupIndex.buildAppendIfAbsent(s, corpus, day1, dir,
           col("text"), col("doc_id"),
           fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))

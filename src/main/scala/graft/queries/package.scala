@@ -28,6 +28,14 @@ package object queries {
   def T(spark: SparkSession, sfDir: String, name: String): DataFrame =
     graft.sources.Tables.load(spark, sfDir, name)
 
+  /** Store-directory key for a dataset path. md5 of the FULL path —
+    * not `String.hashCode`, whose 32-bit space lets two dataset paths
+    * share a store dir (fingerprint-mismatch rebuild thrash on every
+    * alternation) and whose `abs(Int.MinValue)` is negative. */
+  def storeKey(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+
   /** Quantize `x*k` to BIGINT as `floor(x*k + 0.5)` — round-half-up
     * WITHOUT Spark's `round()`, whose double path goes through
     * `BigDecimal.valueOf` (a `Double.toString` + allocation per row;

@@ -149,6 +149,75 @@ class TextPipelineSpec extends AnyFunSuite {
       s"encode row: $row")
   }
 
+  test("Bpe.trainLocal: merge table identical to the distributed chain") {
+    import graft.ops.Bpe
+    val docs = Seq((1L, "aaaa aaaa banana"), (2L, "banana spark zz zz zz")).toDF("doc_id", "text")
+    val dist = Bpe.train(docs, $"text", iters = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val loc = Bpe.trainLocal(docs, $"text", iters = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(dist == loc, s"\ndist=$dist\n loc=$loc")
+    // pruning below the full dict is the caller's trade, not an error:
+    // top-1 dict (zz, c=3) trains only on zz's chars
+    val pruned = Bpe.trainLocal(docs, $"text", iters = 1, maxWords = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(pruned == Seq((1L, "z z", 3L)), s"pruned: $pruned")
+    intercept[IllegalArgumentException](Bpe.trainLocal(docs, $"text", iters = 0))
+  }
+
+  test("Bpe.encodeIds: ordered token-id sequences, char fallback, -1 UNK") {
+    import graft.ops.Bpe
+    val train = Seq((1L, "aaaa aaaa banana")).toDF("doc_id", "text")
+    val trained = (1 to 3).foldLeft(Bpe.wordDict(train, $"text"))((dd, _) => Bpe.mergeStep(dd)._2)
+    // vocab = distinct d3 symbols {aaaa, b, an, a} numbered in symbol
+    // order: a=1, aaaa=2, an=3, b=4
+    val voc = Bpe.vocab(trained).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(voc == Map("a" -> 1, "aaaa" -> 2, "an" -> 3, "b" -> 4), s"vocab: $voc")
+    // aaaa -> [2]; banana -> b an an a -> [4,3,3,1]; spark (unseen) ->
+    // chars s p a r k with only 'a' in the alphabet -> [-1,-1,1,-1,-1]
+    val enc = Seq((7L, "aaaa banana spark")).toDF("doc_id", "text")
+    val row = Bpe.encodeIds(enc, $"text", $"doc_id", trained).collect().head
+    assert(row.getLong(0) == 7L, s"row: $row")
+    assert(row.getSeq[Int](1) == Seq(2, 4, 3, 3, 1, -1, -1, 1, -1, -1), s"ids: $row")
+  }
+
+  test("Bpe.encode: over-budget dict takes the shuffle-hash path, not broadcast") {
+    import graft.ops.Bpe
+    val docs = Seq((1L, "aaaa banana"), (2L, "banana spark")).toDF("doc_id", "text")
+    val trained = (1 to 2).foldLeft(Bpe.wordDict(docs, $"text"))((dd, _) => Bpe.mergeStep(dd)._2)
+    val viaBroadcast = Bpe.encode(docs, $"text", $"doc_id", trained)
+    val viaShuffle = Bpe.encode(docs, $"text", $"doc_id", trained, maxBroadcastRows = 0L)
+    // contract: the gated form must not plan a broadcast join anywhere
+    // (an over-budget dict would otherwise OOM the executors); results
+    // are identical either way
+    viaShuffle.collect()
+    val plan = viaShuffle.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), s"broadcast leaked into gated plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle-hash dict join:\n$plan")
+    assert(viaShuffle.collect().map(_.toSeq).toSet == viaBroadcast.collect().map(_.toSeq).toSet)
+    // encodeIds under the same gate: the vocab join stays broadcast
+    // (alphabet+merges-sized — always safe) but the DICT join must not
+    val ids = Bpe.encodeIds(docs, $"text", $"doc_id", trained, maxBroadcastRows = 0L)
+    val idsDefault = Bpe.encodeIds(docs, $"text", $"doc_id", trained)
+    assert(ids.collect().map(_.toSeq).toSet == idsDefault.collect().map(_.toSeq).toSet)
+  }
+
+  test("Bpe.pruneDict: kept words unchanged, pruned words fall to char floor") {
+    import graft.ops.Bpe
+    val train = Seq((1L, "aaaa aaaa banana")).toDF("doc_id", "text")
+    val trained = (1 to 3).foldLeft(Bpe.wordDict(train, $"text"))((dd, _) => Bpe.mergeStep(dd)._2)
+    // counts: aaaa c=2, banana c=1 -> top-1 keeps aaaa only
+    val pruned = Bpe.pruneDict(trained, 1)
+    assert(pruned.collect().map(_.getString(0)).toSeq == Seq("aaaa"))
+    val enc = Seq((7L, "aaaa banana")).toDF("doc_id", "text")
+    val full = Bpe.encode(enc, $"text", $"doc_id", trained).collect().head
+    val cut = Bpe.encode(enc, $"text", $"doc_id", pruned).collect().head
+    // kept word aaaa contributes 1 token in both; banana goes from 4
+    // merged subwords to its 6-char fallback — only the pruned word moved
+    assert(full.getLong(2) == 5L && cut.getLong(2) == 7L, s"full=$full cut=$cut")
+    intercept[IllegalArgumentException](Bpe.pruneDict(trained, 0))
+  }
+
   test("Bpe persisted dict: build-once marker semantics + encode parity") {
     import graft.ops.Bpe
     val docs = Seq((1L, "aaaa aaaa banana"), (2L, "banana spark")).toDF("doc_id", "text")
