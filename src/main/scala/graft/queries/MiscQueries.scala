@@ -313,6 +313,40 @@ object MiscQueries {
              |    / 100.0e0 AS kept_val
              |FROM f GROUP BY user_id""".stripMargin)),
 
+    // ST5 batch twin (the j9 convention — same function, batch
+    // frames): per-event anomaly flags against RUNNING per-key
+    // moments, ST1's incremental stats composed with a9's z-rule.
+    // Each event is judged against the strict (ts, event_id)-prefix
+    // of its key — the flag a live pipeline could have emitted at
+    // that moment, never retracted. The streaming twin
+    // (Streaming.anomalyFlagsStream, 3-longs-per-key state) is
+    // row-identical under event-time-ordered arrival, FoldStreamSpec.
+    // Moments in exact integer space (a9's reassociation-proof
+    // shape); z compared on the 1e-6 snap; var <= 0 -> no flag.
+    Q("st5_anomaly_flags",
+      (s, d) => Streaming.anomalyFlags(
+        T(s, d, "events").select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", "ts", "event_id", "value"),
+      Some("""WITH q AS (SELECT user_id, ts, event_id, value,
+             |    CAST(floor(value * 100000 + 0.5e0) AS BIGINT) AS qv FROM events),
+             |r AS (SELECT user_id, event_id, value,
+             |    CAST(count(*) OVER w AS BIGINT) AS n_prior,
+             |    CAST(sum(qv) OVER w AS BIGINT) AS s1,
+             |    CAST(sum(qv * qv) OVER w AS BIGINT) AS s2
+             |  FROM q
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, event_id, n_prior,
+             |  coalesce(n_prior >= 2 AND
+             |    (floor(abs((value - CAST(s1 AS DOUBLE) / (1e5 * n_prior)) /
+             |       (CASE WHEN CAST(s2 AS DOUBLE) / (1e10 * n_prior)
+             |           - (CAST(s1 AS DOUBLE) / (1e5 * n_prior)) * (CAST(s1 AS DOUBLE) / (1e5 * n_prior)) > 0e0
+             |         THEN sqrt(CAST(s2 AS DOUBLE) / (1e10 * n_prior)
+             |           - (CAST(s1 AS DOUBLE) / (1e5 * n_prior)) * (CAST(s1 AS DOUBLE) / (1e5 * n_prior)))
+             |         END)) * 1000000 + 0.5e0) / 1000000.0e0) > 3.0e0,
+             |    FALSE) AS is_anomaly
+             |FROM r""".stripMargin)),
+
     // ST4 batch twin: stream-stream interval join (view→click
     // attribution within 30 min). The identical plan runs on two
     // watermarked streams (FoldStreamSpec asserts equivalence); here
@@ -523,6 +557,45 @@ object MiscQueries {
       },
       Some("""SELECT count(DISTINCT user_id) AS n_exact, TRUE AS within_bound
              |FROM events WHERE event_type IN ('click', 'view')""".stripMargin)),
+
+    // HIERARCHY ROLLUP over the sketch store — the pre-aggregated-
+    // cube contract that justifies persisting sketches at all: the
+    // finest grain (lang, source) materializes ONCE per corpus
+    // fingerprint, and every coarser level — per-lang, whole-corpus —
+    // is a ROLLUP of sketch UNIONS over that store: kilobytes read,
+    // ZERO corpus scan, for the one aggregate (count distinct) a
+    // plain pre-aggregated cube cannot roll up. Distinct entity =
+    // md5(text), "unique document versions per slice" (dedup-aware).
+    // Grading follows the sketch-family contract: the estimate stays
+    // out of the hash; every hierarchy row carries the exact subset
+    // distinct (this grading side does scan the corpus — the serving
+    // claim is about the estimate side only) plus within_bound vs
+    // the lgK=12 error budget; the oracle asserts literal TRUE via
+    // the identical GROUP BY ROLLUP. Null-safe join keys because
+    // rollup subtotal rows carry NULL group keys on both sides.
+    Q("g_hll_cube",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-hllcube-${storeKey(d)}"
+        graft.ops.AnnIndex.oncePerSketchStore(s, dir,
+          graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet")) {
+          docs.groupBy(col("lang"), col("source"))
+            .agg(hll_sketch_agg(md5(col("text")), lit(12)).as("sk"))
+            .write.mode("overwrite").parquet(s"$dir/sketches")
+        }
+        val est = s.read.parquet(s"$dir/sketches")
+          .rollup(col("lang"), col("source"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"))
+          .select(col("lang").as("_l"), col("source").as("_s"), col("_est"))
+        docs.rollup(col("lang"), col("source"))
+          .agg(countDistinct(md5(col("text"))).as("n_exact"))
+          .join(broadcast(est), col("lang") <=> col("_l") && col("source") <=> col("_s"))
+          .select(col("lang"), col("source"), col("n_exact"),
+            (abs(col("_est") - col("n_exact").cast("double")) <=
+              col("n_exact").cast("double") * lit(0.05)).as("within_bound"))
+      },
+      Some("""SELECT lang, source, count(DISTINCT md5(text)) AS n_exact, TRUE AS within_bound
+             |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin)),
 
     // approx_percentile (Greenwald-Khanna sketch): same contract — the
     // sketch value stays out of the hash; the graded row checks the

@@ -143,6 +143,86 @@ object Streaming {
       }.toDF(key, "s_start_ms", "s_end_ms", "n_events")
   }
 
+  /** ST5 (extension): per-event anomaly flags against RUNNING per-key
+    * moments — ST1's incremental stats composed with a9's z-rule, the
+    * production QC shape: every event is judged against the moments of
+    * the events that PRECEDED it (strict prefix in (ts, eventId)
+    * order), so the flag an event gets is fixed the moment it is
+    * processed and never retracted — exactly what a live pipeline can
+    * promise. This batch form IS the semantics (the j9 convention):
+    * the streaming twin [[anomalyFlagsStream]] produces identical rows
+    * whenever arrival order matches event-time order, spec-asserted.
+    *
+    * Numerics follow a9: moments accumulate in exact integer space
+    * (1e-5-quantized values — running-window sums reassociate freely
+    * without drift), the z threshold compares the 1e-6-snapped |z|,
+    * and a non-positive variance yields no flag. An event needs at
+    * least `minPrior` predecessors to be judged (a 1-event history is
+    * not a distribution). */
+  def anomalyFlags(events: DataFrame, key: String, ts: String, eventId: String,
+                   value: String, z: Double = 3.0, minPrior: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(eventId))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val qv = floor(col(value) * lit(1e5) + lit(0.5)).cast("long")
+    val mean = col("_s1").cast("double") / (lit(1e5) * col("n_prior"))
+    val vr = col("_s2").cast("double") / (lit(1e10) * col("n_prior")) - mean * mean
+    val sd = when(vr > 0, sqrt(vr))
+    events.select(col(key), col(ts), col(eventId), col(value))
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("_s1", sum(qv).over(w))
+      .withColumn("_s2", sum(qv * qv).over(w))
+      .select(col(key), col(eventId), col("n_prior"),
+        coalesce(
+          col("n_prior") >= minPrior &&
+            (floor(abs((col(value) - mean) / sd) * lit(1e6) + lit(0.5)) / lit(1e6)) > z,
+          lit(false)).as("is_anomaly"))
+  }
+
+  /** The streaming twin of [[anomalyFlags]]: per-key running moments
+    * as `flatMapGroupsWithState` state — THREE longs per key (count
+    * and two exact quantized power sums), O(keys) forever, never
+    * O(events); the state is the per-key profile itself, which is the
+    * product, so it has no natural expiry (add an event-time timeout
+    * upstream if the key space churns). Within a micro-batch rows
+    * sort by (ts, eventId); each event is flagged against the state
+    * BEFORE it, then folded in — identical arithmetic to the batch
+    * form, so outputs are row-identical whenever events arrive in
+    * event-time order (FoldStreamSpec). Late arrivals are judged
+    * against the moments at processing time — flags already emitted
+    * never retract (the append-mode contract). */
+  def anomalyFlagsStream(events: DataFrame, key: String, ts: String,
+                         eventId: String, value: String, watermark: String,
+                         z: Double = 3.0, minPrior: Long = 2L): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events.withWatermark(ts, watermark)
+      .select(col(key).cast("long"), col(ts), col(eventId).cast("long"),
+        col(value).cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (n, s1, s2) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = it.toArray.sortBy(r => (r._2.getTime, r._3)).map { r =>
+            val flag = n >= minPrior && {
+              val mean = s1.toDouble / (1e5 * n)
+              val vr = s2.toDouble / (1e10 * n) - mean * mean
+              vr > 0 &&
+                math.floor(math.abs((r._4 - mean) / math.sqrt(vr)) * 1e6 + 0.5) / 1e6 > z
+            }
+            val nPrior = n
+            val qv = math.floor(r._4 * 1e5 + 0.5).toLong
+            n += 1; s1 += qv; s2 += qv * qv
+            (k, r._3, nPrior, flag)
+          }
+          state.update((n, s1, s2))
+          out.iterator
+      }.toDF(key, eventId, "n_prior", "is_anomaly")
+  }
+
   /** ST4: stream-stream correlation join — pair each right-side event
     * with the same-key left-side events it follows within
     * `maxLagSeconds` (view→click attribution, impression→conversion,

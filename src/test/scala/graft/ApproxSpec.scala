@@ -176,6 +176,42 @@ class ApproxSpec extends AnyFunSuite {
       s"merged estimate $merged outside 5% of exact $exact")
   }
 
+  test("g_hll_cube: rollup of STORED sketches == rebuild from the corpus at every level") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("source"), md5(col("text")).as("h"))
+    // finest-grain sketches through a parquet round-trip, then rolled
+    // up — vs the same rollup over the in-memory sketches: persisting
+    // the store must lose NOTHING (byte-exact sketch serialization).
+    // NOTE deliberately not pinned: union-of-parts == direct
+    // whole-corpus sketch. That holds only per HLL's error bound, not
+    // bitwise (sparse->dense promotion differs by build path; observed
+    // 500 vs 501 at the corpus root here) — the store's contract is
+    // exact fidelity to the sketches it persisted plus the error
+    // bound vs exact, which is what g_hll_cube grades.
+    val grain = docs.groupBy(col("lang"), col("source"))
+      .agg(hll_sketch_agg(col("h"), lit(12)).as("sk"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hllcube-spec").toString
+    grain.write.mode("overwrite").parquet(dir)
+    def rollupOf(g: org.apache.spark.sql.DataFrame) =
+      g.rollup(col("lang"), col("source"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2)).toMap
+    val fromStore = rollupOf(spark.read.parquet(dir))
+    val inMemory = rollupOf(grain)
+    assert(fromStore == inMemory,
+      s"parquet round-trip changed sketch rollup at ${
+        fromStore.keySet.union(inMemory.keySet).filter(k => fromStore.get(k) != inMemory.get(k))}")
+    // and every hierarchy level honors the lgK=12 error budget vs exact
+    val exact = docs.rollup(col("lang"), col("source"))
+      .agg(countDistinct(col("h")).as("n"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2)).toMap
+    assert(fromStore.keySet == exact.keySet && fromStore.contains((None, None)))
+    for ((k, est) <- fromStore)
+      assert(math.abs(est.toDouble - exact(k)) <= exact(k) * 0.05,
+        s"$k: estimate $est outside 5% of exact ${exact(k)}")
+  }
+
   test("e_rand_proj: isotropic floor + planted-cluster recall pinned at sf0.01") {
     // e_rand_proj emits the top-10 by PROJECTED distance with the
     // exact 64-dim distance alongside; recall@10 vs the exact ranking

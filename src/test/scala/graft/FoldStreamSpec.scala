@@ -105,6 +105,38 @@ class FoldStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST5: streaming anomaly flags == batch prefix flags across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)] // (user, sec, event_id, value)
+    val sdf = mem.toDF().toDF("user_id", "sec", "event_id", "value")
+      .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    val out = Streaming.anomalyFlagsStream(sdf, "user_id", "ts", "event_id", "value",
+      watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("st5_out")
+      .outputMode("append").start()
+    // key 1: stable values then a spike (must flag); key 2: too little
+    // history for its spike to be judged (n_prior < 2 -> false)
+    val feed1 = Seq((1L, 10L, 1L, 5.0), (1L, 20L, 2L, 5.2), (1L, 30L, 3L, 4.8),
+      (2L, 10L, 4L, 1.0))
+    val feed2 = Seq((1L, 40L, 5L, 50.0), (1L, 50L, 6L, 5.1), (2L, 20L, 7L, 99.0))
+    try {
+      mem.addData(feed1: _*); q.processAllAvailable()
+      mem.addData(feed2: _*); q.processAllAvailable()
+      val streamed = spark.table("st5_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+      val batch = Streaming.anomalyFlags(
+        (feed1 ++ feed2).toDF("user_id", "sec", "event_id", "value")
+          .withColumn("ts", timestamp_seconds($"sec")).drop("sec"),
+        "user_id", "ts", "event_id", "value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+      assert(streamed == batch, s"\nstream=$streamed\n batch=$batch")
+      // the spike IS flagged, its stable successor is not, and key 2's
+      // spike is unjudged (1 predecessor < minPrior)
+      assert(streamed((1L, 5L))._2 && !streamed((1L, 6L))._2 && !streamed((2L, 7L))._2)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate fingerprints collapse across micro-batches, state watermark-bounded") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
