@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer TRAINING in
+  * DICTIONARY SPACE — the other half of the subword family next to
+  * [[Bpe]]: instead of greedy merges, a probabilistic piece model
+  * p(piece) refined by hard-EM (Viterbi) rounds.
+  *
+  * Shape (the only one that survives 100 TB, same argument as BPE):
+  * the corpus is touched ONCE, collapsing to the word-frequency
+  * dictionary; everything after — seed-piece extraction, Viterbi
+  * segmentation, count re-estimation — is vocabulary-sized work with
+  * the piece model broadcast into every join. No EM round ever
+  * shuffles anything proportional to the corpus.
+  *
+  * Determinism contract (what makes this hash-gradable against a
+  * DuckDB twin): piece costs are INTEGER — `floor(-ln(p)*1e6 + 0.5)`
+  * — so Viterbi compares exact integer sums; the last-ulp ln
+  * divergence between engines is absorbed by the snap (the repo's
+  * transcendental convention). DP ties break on the total order
+  * (cost ASC, piece-count ASC, segmentation ASC) — integers and
+  * ASCII-binary strings, engine-identical.
+  *
+  * Word length is bounded (`maxWordLen`) and so is piece length
+  * (`maxPieceLen`): the DP unrolls to `maxWordLen` layers, each a
+  * union of at most `maxPieceLen` predecessor extensions — which is
+  * exactly the bounded-length unrolled DP the oracle replays as
+  * CTEs. Over-long words fail loudly (a silent truncation would
+  * desynchronize the twins).
+  */
+object Unigram {
+
+  /** Seed piece table: every substring of length <= `maxPieceLen` of
+    * every dict word, with frequency = word count summed over every
+    * occurrence position (single chars are always present — the
+    * coverage floor that guarantees Viterbi can segment any word). */
+  def seedPieces(dict: DataFrame, maxPieceLen: Int): DataFrame =
+    dict
+      .select(col("c"), col("w"),
+        explode(sequence(lit(1), length(col("w")))).as("st"))
+      .select(col("c"), col("w"), col("st"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - col("st") + 1))).as("ln"))
+      .select(col("c"), col("w").substr(col("st"), col("ln")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+
+  /** Integer Viterbi costs from a (piece, cnt) table:
+    * `floor(-ln(cnt/total)*1e6 + 0.5)` — the 1e-6 log-space snap that
+    * makes both engines' DP arithmetic exact. One piece-table-sized
+    * fold for the total, broadcast back in. */
+  def costs(pieces: DataFrame): DataFrame = {
+    val tot = pieces.agg(sum(col("cnt")).cast("double").as("_tot"))
+    pieces.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        floor(-log(col("cnt").cast("double") / col("_tot")) * lit(1e6) + lit(0.5))
+          .cast("long").as("cost"))
+  }
+
+  /** Viterbi segmentation of every dict word under an integer cost
+    * table: returns (w, c, cost, np, seg) — the min-cost segmentation
+    * with the deterministic (cost, np, seg) tie-break.
+    *
+    * The DP runs as `maxWordLen` LAYERS: layer i holds each word's
+    * best segmentation of its first i chars, built from layers
+    * i-maxPieceLen..i-1 by extending with the piece w[j+1..i] (one
+    * broadcast join against the cost table per layer, argmin via
+    * min(struct(...)) — lexicographic struct order IS the tie-break).
+    * Every frame is dictionary-sized. Layers are EAGERLY
+    * localCheckpoint-ed, not persist-ed: each layer is read by up to
+    * `maxPieceLen` later layers, so the LOGICAL plan grows
+    * ~maxPieceLen^maxWordLen without lineage truncation (persist
+    * caches data but keeps the full analyzed tree — Catalyst analysis
+    * of the ~4^8-node plan measured minutes-stuck before this; the
+    * checkpoint truncates each layer to a LogicalRDD leaf). The
+    * checkpointed RDDs are vocab-sized and released by the
+    * ContextCleaner once unreferenced. */
+  def viterbiFull(dict: DataFrame, pieceCosts: DataFrame,
+                  maxPieceLen: Int, maxWordLen: Int): Dedup.CachedFrame = {
+    val bc = broadcast(pieceCosts.select(col("piece"), col("cost").as("_pc")))
+    var layers = Vector(
+      dict.select(col("w"), col("c"), lit(0L).as("cost"), lit(0).as("np"),
+        lit("").as("seg")))
+    for (i <- 1 to maxWordLen) {
+      val cands = (math.max(0, i - maxPieceLen) until i).map { j =>
+        layers(j).where(length(col("w")) >= i)
+          .select(col("w"), col("c"), col("cost"), col("np"), col("seg"),
+            col("w").substr(lit(j + 1), lit(i - j)).as("pc"))
+      }.reduce(_ unionAll _)
+      val best = cands.join(bc, col("pc") === col("piece"))
+        .select(col("w"), col("c"),
+          (col("cost") + col("_pc")).as("cost"), (col("np") + 1).as("np"),
+          when(col("seg") === "", col("pc"))
+            .otherwise(concat(col("seg"), lit(" "), col("pc"))).as("seg"))
+        .groupBy(col("w"))
+        .agg(first(col("c")).as("c"),
+          min(struct(col("cost"), col("np"), col("seg"))).as("b"))
+        .select(col("w"), col("c"), col("b.cost").as("cost"),
+          col("b.np").as("np"), col("b.seg").as("seg"))
+        .localCheckpoint()
+      layers :+= best
+    }
+    val result = (1 to maxWordLen).map(i =>
+      layers(i).where(length(col("w")) === i)).reduce(_ unionAll _)
+    Dedup.CachedFrame(result, Seq.empty)
+  }
+
+  /** One hard-EM round: Viterbi-segment the dict under the current
+    * cost table, then re-count pieces over the segmentations
+    * (frequency-weighted). Pieces unused by every Viterbi path drop
+    * out — the SentencePiece pruning analog; coverage is preserved
+    * because each word's own best path survives into the next
+    * round's table. */
+  def emCounts(dict: DataFrame, pieceCosts: DataFrame,
+               maxPieceLen: Int, maxWordLen: Int): Dedup.CachedFrame = {
+    val vit = viterbiFull(dict, pieceCosts, maxPieceLen, maxWordLen)
+    val cnts = vit.result
+      .select(col("c"), explode(split(col("seg"), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+    Dedup.CachedFrame(cnts, vit.caches)
+  }
+
+  /** `rounds` hard-EM rounds from the raw corpus; returns the final
+    * piece model (piece, cnt, prob6) with prob6 the 1e-6-snapped
+    * relative frequency. Caches caller-owned. */
+  def trainFull(docs: DataFrame, textCol: Column, rounds: Int,
+                maxPieceLen: Int = 4, maxWordLen: Int = 8): Dedup.CachedFrame = {
+    require(rounds >= 1, s"rounds >= 1, got $rounds")
+    val dict = boundedDict(docs, textCol, maxWordLen)
+    val caches = Seq.newBuilder[DataFrame]
+    caches += dict
+    var cnts = seedPieces(dict, maxPieceLen)
+    for (_ <- 1 to rounds) {
+      val r = emCounts(dict, costs(cnts), maxPieceLen, maxWordLen)
+      cnts = r.result.persist()
+      caches ++= r.caches
+      caches += cnts
+    }
+    val tot = cnts.agg(sum(col("cnt")).cast("double").as("_tot"))
+    val model = cnts.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        (floor(col("cnt").cast("double") / col("_tot") * lit(1e6) + lit(0.5))
+          .cast("double") / lit(1e6)).as("prob6"))
+    Dedup.CachedFrame(model, caches.result())
+  }
+
+  /** The per-word Viterbi segmentation under the model after
+    * `rounds` EM rounds: (w, c, seg) — what the trained tokenizer
+    * DOES to each word (round r's segmentation is the one that
+    * produced round r's counts). */
+  def segmentFull(docs: DataFrame, textCol: Column, rounds: Int,
+                  maxPieceLen: Int = 4, maxWordLen: Int = 8): Dedup.CachedFrame = {
+    require(rounds >= 1, s"rounds >= 1, got $rounds")
+    val dict = boundedDict(docs, textCol, maxWordLen)
+    val caches = Seq.newBuilder[DataFrame]
+    caches += dict
+    var cnts = seedPieces(dict, maxPieceLen)
+    for (_ <- 1 until rounds) {
+      val r = emCounts(dict, costs(cnts), maxPieceLen, maxWordLen)
+      cnts = r.result.persist()
+      caches ++= r.caches
+      caches += cnts
+    }
+    val vit = viterbiFull(dict, costs(cnts), maxPieceLen, maxWordLen)
+    caches ++= vit.caches
+    Dedup.CachedFrame(
+      vit.result.select(col("w"), col("c"), col("seg")), caches.result())
+  }
+
+  /** The word dict, with a LOUD bound check: the DP covers exactly
+    * `maxWordLen` layers, so a longer word would silently vanish from
+    * the output otherwise. The check is one dict-sized max at
+    * plan-construction time (the encode-gate convention — noise next
+    * to the training it guards; at a real corpus scale pre-split
+    * over-long words upstream, the standard tokenizer practice). */
+  private def boundedDict(docs: DataFrame, textCol: Column,
+                          maxWordLen: Int): DataFrame = {
+    val dict = Bpe.wordDict(docs, textCol).select(col("w"), col("c")).persist()
+    val mx = dict.agg(coalesce(max(length(col("w"))), lit(0)).as("m"))
+      .head.getInt(0)
+    require(mx <= maxWordLen,
+      s"Unigram: max word length $mx exceeds maxWordLen=$maxWordLen")
+    dict
+  }
+}

@@ -123,6 +123,57 @@ object TextQueries {
     sb.toString
   }
 
+  /** DuckDB twin of [[graft.ops.Unigram]]: word dict (ud) -> seed
+    * substring pieces (un0) -> integer -ln(p) costs (uc{r}) -> a
+    * `maxWord`-layer UNROLLED Viterbi DP per round (r{r}b0..b{maxWord}
+    * — the bounded-length DP CTE convention: layer i extends layers
+    * i-maxPiece..i-1 with the piece w[j+1..i], argmin by the same
+    * (cost, np, seg) total order as Spark's min(struct)) -> per-round
+    * Viterbi segmentations (uv{r}) and re-counts (un{r}). */
+  private def unigramCtes(rounds: Int, maxPiece: Int = 4, maxWord: Int = 8): String = {
+    val sb = new StringBuilder(
+      """WITH ud AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+        |us1 AS MATERIALIZED (SELECT c, w, unnest(range(1, length(w)+1)) AS st FROM ud),""".stripMargin)
+    sb ++= s"""
+      |us2 AS MATERIALIZED (SELECT c, w, st,
+      |        unnest(range(1, least($maxPiece, length(w)-st+1)+1)) AS ln FROM us1),
+      |un0 AS MATERIALIZED (SELECT substring(w, st, ln) AS piece, CAST(sum(c) AS BIGINT) AS cnt
+      |        FROM us2 GROUP BY 1)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |uc${r - 1} AS MATERIALIZED (SELECT piece, CAST(floor(-ln(CAST(cnt AS DOUBLE) /
+        |    (SELECT CAST(sum(cnt) AS DOUBLE) FROM un${r - 1})) * 1000000 + 0.5e0) AS BIGINT) AS cost
+        |  FROM un${r - 1}),
+        |r${r}b0 AS MATERIALIZED (SELECT w, c, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS seg FROM ud)""".stripMargin
+      for (i <- 1 to maxWord) {
+        val branches = (math.max(0, i - maxPiece) until i).map { j =>
+          s"SELECT w, c, cost, np, seg, substring(w, ${j + 1}, ${i - j}) AS pc " +
+            s"FROM r${r}b$j WHERE length(w) >= $i"
+        }.mkString("\n          UNION ALL ")
+        sb ++= s""",
+          |r${r}b$i AS MATERIALIZED (SELECT w, c, cost, np, seg FROM (
+          |    SELECT w, c, cost, np, seg,
+          |           row_number() OVER (PARTITION BY w ORDER BY cost, np, seg) AS rn
+          |    FROM (SELECT b.w, b.c, b.cost + p.cost AS cost, b.np + 1 AS np,
+          |            CASE WHEN b.seg = '' THEN b.pc ELSE b.seg || ' ' || b.pc END AS seg
+          |          FROM (
+          |          ${branches}) b
+          |          JOIN uc${r - 1} p ON p.piece = b.pc))
+          |  WHERE rn = 1)""".stripMargin
+      }
+      val vitUnion = (1 to maxWord)
+        .map(i => s"SELECT w, c, seg FROM r${r}b$i WHERE length(w) = $i")
+        .mkString("\n  UNION ALL ")
+      sb ++= s""",
+        |uv$r AS MATERIALIZED ($vitUnion),
+        |un$r AS MATERIALIZED (SELECT piece, CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM (SELECT c, unnest(string_split(seg, ' ')) AS piece FROM uv$r) GROUP BY 1)""".stripMargin
+    }
+    sb.toString
+  }
+
   private val gram5 =
     "list_transform(range(0, len(tk) - 4),\n" +
     "         i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5]))"
@@ -686,6 +737,36 @@ object TextQueries {
     Q("t_bpe_train_local",
       (s, d) => graft.ops.Bpe.trainLocal(T(s, d, "documents"), col("text"), iters = 3),
       Some(bpeSql(3))),
+
+    // unigram-LM (SentencePiece-style) tokenizer training — the
+    // probabilistic other half of the subword family: seed pieces =
+    // all substrings <= 4 chars frequency-weighted over the word
+    // dict, then 2 hard-EM rounds of Viterbi segmentation + count
+    // re-estimation, all in DICTIONARY space (the corpus is touched
+    // once for the word dict; every DP layer is a vocab-sized frame
+    // with the piece model broadcast in). Determinism: integer
+    // 1e-6-snapped -ln(p) costs (the transcendental convention) and
+    // the (cost, np, seg) tie-break — both engine-exact. Graded
+    // output = the final piece model; the oracle unrolls the SAME
+    // 8-layer DP per round as CTEs (the kmeansCtes convention).
+    Q("t_unigram_train",
+      (s, d) => graft.ops.Unigram.trainFull(T(s, d, "documents"), col("text"),
+        rounds = 2).result,
+      Some(s"""${unigramCtes(2)}
+              |SELECT piece, cnt,
+              |  floor(CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM un2)
+              |    * 1000000 + 0.5e0) / 1000000.0e0 AS prob6
+              |FROM un2""".stripMargin)),
+
+    // the trained unigram tokenizer's ACTION: per-word Viterbi
+    // segmentation under the round-2 model (the segmentation that
+    // produced the graded counts) — what [[t_unigram_train]]'s model
+    // DOES to each dictionary word.
+    Q("t_unigram_segment",
+      (s, d) => graft.ops.Unigram.segmentFull(T(s, d, "documents"), col("text"),
+        rounds = 2).result,
+      Some(s"""${unigramCtes(2)}
+              |SELECT w, c, seg FROM uv2""".stripMargin)),
 
     // the ENCODE half of tokenization: per-doc word + BPE token
     // counts against the 3-merge trained dict — corpus streams

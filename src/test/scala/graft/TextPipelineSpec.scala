@@ -149,6 +149,34 @@ class TextPipelineSpec extends AnyFunSuite {
       s"encode row: $row")
   }
 
+  test("Unigram: Viterbi segmentations cover words exactly; model is a distribution") {
+    import graft.ops.Unigram
+    val docs = Seq((1L, "abab abab ab cd"), (2L, "abab dcba")).toDF("doc_id", "text")
+    val seg = Unigram.segmentFull(docs, $"text", rounds = 2).result.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // every word appears once, and its segmentation concatenates back
+    // to the word (the DP's cover invariant)
+    assert(seg.map(_._1).sorted.toSeq == Seq("ab", "abab", "cd", "dcba"))
+    for ((w, _, sg) <- seg) assert(sg.split(" ").mkString == w, s"$w -> '$sg'")
+    // the frequent 'abab' must not fall apart into single chars: its
+    // substrings dominate the seed counts, so Viterbi keeps a
+    // multi-char piece (np < length)
+    val abab = seg.find(_._1 == "abab").get._3
+    assert(abab.split(" ").length < 4, s"abab segmented as '$abab'")
+    val model = Unigram.trainFull(docs, $"text", rounds = 2).result.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // pieces are exactly those used by some Viterbi path, probs sum to
+    // ~1 (each snapped to 1e-6), every count positive
+    val used = seg.flatMap(_._3.split(" ")).toSet
+    assert(model.map(_._1).toSet == used, s"model pieces vs used: ${model.map(_._1).toSet} vs $used")
+    assert(model.forall(_._2 > 0))
+    assert(math.abs(model.map(_._3).sum - 1.0) < 1e-4, s"prob mass ${model.map(_._3).sum}")
+    // over-long words fail loudly, not silently truncated
+    val long = Seq((1L, "abcdefghi ab")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Unigram.trainFull(long, $"text", rounds = 1))
+    intercept[IllegalArgumentException](Unigram.trainFull(docs, $"text", rounds = 0))
+  }
+
   test("Bpe.trainLocal: merge table identical to the distributed chain") {
     import graft.ops.Bpe
     val docs = Seq((1L, "aaaa aaaa banana"), (2L, "banana spark zz zz zz")).toDF("doc_id", "text")
