@@ -56,7 +56,20 @@ object ScaleBench {
     // output-bound only through the duplicated-span mass)
     "e_rand_proj", "e_rand_proj_planted", "t_substr_scrub", "t_datacard",
     "t_bpe_train", "t_bpe_encode", "t_bpe_encode_indexed", "t_source_overlap",
-    "pipe_tokenize_e2e", "d_fuzzy_pairs")
+    "pipe_tokenize_e2e", "d_fuzzy_pairs",
+    // round-13 additions: token-id emission (doc-keyed int-triple
+    // exchange — expect linear in token volume), pruned-dict encode
+    // (same shape as t_bpe_encode), batched local training (corpus
+    // pass + driver loop — expect the wordDict slope), unigram EM
+    // (dictionary-space after the corpus pass — expect the wordDict
+    // slope, like t_bpe_train's 1.3), the sketch-store cube (store
+    // build on first run, then rollup over kilobytes + the exact
+    // grading scan), and the prefix-moment anomaly flags (ONE key
+    // shuffle + per-key ordered windows over events; events scale by
+    // KEY COUNT in ScaleGen, so per-key state is constant)
+    "t_bpe_encode_ids", "t_bpe_encode_pruned", "t_bpe_train_local",
+    "t_unigram_train", "g_hll_indexed", "g_hll_cube", "w9_interp_fill",
+    "st5_anomaly_flags")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

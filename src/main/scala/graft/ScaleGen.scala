@@ -16,37 +16,60 @@ import org.apache.spark.sql.functions._
   *    pseudo-random ±1 mask keyed on (c, component). Sign-flip masks
   *    preserve norms exactly and make cross-copy cosines ≈ 0, so ANN
   *    bucket occupancy and near-dup counts scale ~N, not N².
+  *  - events: copy c offsets user_id and event_id — the KEY SPACE
+  *    scales N× while every user's own event-time sequence (window
+  *    structure, gaps, per-key moments) is preserved verbatim, which
+  *    is how a real N×-larger event lake grows (more users, not
+  *    longer histories).
   *
-  * Usage: sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /root/repo/scaledata/x10 10"
+  * Usage: sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /root/repo/scaledata/x10 10 [tables]"
+  * `tables` (optional, comma list ⊆ documents,embeddings,events;
+  * default documents,embeddings) limits which tables are (re)written.
   * Dev/ops tool — not on any query path.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    val Array(baseDir, outDir, nStr) = args
+    val (baseDir, outDir, nStr) = (args(0), args(1), args(2))
     val n = nStr.toInt
+    val tables: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else Set("documents", "embeddings")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config(graft.sources.Tables.conf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = sources.Tables.load(spark, baseDir, "documents")
-    val emb = sources.Tables.load(spark, baseDir, "embeddings")
     val off = 10000000L
-    val docsN = (0 until n).map { c =>
-      val txt = if (c == 0) col("text") else concat(lit(s"c$c "), col("text"))
-      docs.select((col("doc_id") + lit(c * off)).as("doc_id"), txt.as("text"),
-        col("lang"), col("source"), length(txt).cast("long").as("n_chars"))
-    }.reduce(_ unionAll _)
-    val embN = (0 until n).map { c =>
-      val vec = if (c == 0) col("embedding")
-        else transform(col("embedding"),
-          (x, i) => x * (pmod(hash(i, lit(c)), lit(2)) * lit(2) - lit(1)).cast("float"))
-      emb.select((col("vec_id") + lit(c * off)).as("vec_id"), vec.as("embedding"), col("label"))
-    }.reduce(_ unionAll _)
-    docsN.repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    embN.repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    println(s"[scalegen] wrote ${n}x corpus to $outDir")
+    if (tables("documents")) {
+      val docs = sources.Tables.load(spark, baseDir, "documents")
+      val docsN = (0 until n).map { c =>
+        val txt = if (c == 0) col("text") else concat(lit(s"c$c "), col("text"))
+        docs.select((col("doc_id") + lit(c * off)).as("doc_id"), txt.as("text"),
+          col("lang"), col("source"), length(txt).cast("long").as("n_chars"))
+      }.reduce(_ unionAll _)
+      docsN.repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+    if (tables("embeddings")) {
+      val emb = sources.Tables.load(spark, baseDir, "embeddings")
+      val embN = (0 until n).map { c =>
+        val vec = if (c == 0) col("embedding")
+          else transform(col("embedding"),
+            (x, i) => x * (pmod(hash(i, lit(c)), lit(2)) * lit(2) - lit(1)).cast("float"))
+        emb.select((col("vec_id") + lit(c * off)).as("vec_id"), vec.as("embedding"), col("label"))
+      }.reduce(_ unionAll _)
+      embN.repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+    if (tables("events")) {
+      val ev = sources.Tables.load(spark, baseDir, "events")
+      val evN = (0 until n).map { c =>
+        ev.select((col("event_id") + lit(c * off)).as("event_id"), col("ts"),
+          (col("user_id") + lit(c * off)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionAll _)
+      evN.repartition(8).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
+    println(s"[scalegen] wrote ${n}x ${tables.mkString(",")} to $outDir")
     spark.stop()
   }
 }

@@ -62,47 +62,54 @@ object Unigram {
     * table: returns (w, c, cost, np, seg) — the min-cost segmentation
     * with the deterministic (cost, np, seg) tie-break.
     *
-    * The DP runs as `maxWordLen` LAYERS: layer i holds each word's
-    * best segmentation of its first i chars, built from layers
-    * i-maxPieceLen..i-1 by extending with the piece w[j+1..i] (one
-    * broadcast join against the cost table per layer, argmin via
-    * min(struct(...)) — lexicographic struct order IS the tie-break).
-    * Every frame is dictionary-sized. Layers are EAGERLY
-    * localCheckpoint-ed, not persist-ed: each layer is read by up to
-    * `maxPieceLen` later layers, so the LOGICAL plan grows
-    * ~maxPieceLen^maxWordLen without lineage truncation (persist
-    * caches data but keeps the full analyzed tree — Catalyst analysis
-    * of the ~4^8-node plan measured minutes-stuck before this; the
-    * checkpoint truncates each layer to a LogicalRDD leaf). The
-    * checkpointed RDDs are vocab-sized and released by the
-    * ContextCleaner once unreferenced. */
+    * The WHOLE DP runs per word in the SCAN STAGE: each word gathers
+    * its substrings' costs into a (start*16+len) -> cost map (one
+    * broadcast join against the piece table + one dict-keyed re-agg),
+    * then an `aggregate` fold over positions 1..len(w) extends the
+    * best-prefix array — candidates from the up-to-`maxPieceLen`
+    * predecessors, argmin via array_min over structs (lexicographic
+    * struct order IS the (cost, np, seg) tie-break; a position with
+    * no reachable predecessor or no known piece filters to an empty
+    * candidate list and stays NULL, exactly the inner-join absence in
+    * the oracle's layered CTEs). ONE job, no iteration barriers — an
+    * earlier layered-DataFrame form of the same spec paid 16
+    * checkpoint jobs (~7 s at sf0.1, pure scheduling overhead) and,
+    * unchecked, a ~maxPieceLen^maxWordLen analyzed-plan blowup. */
   def viterbiFull(dict: DataFrame, pieceCosts: DataFrame,
                   maxPieceLen: Int, maxWordLen: Int): Dedup.CachedFrame = {
     val bc = broadcast(pieceCosts.select(col("piece"), col("cost").as("_pc")))
-    var layers = Vector(
-      dict.select(col("w"), col("c"), lit(0L).as("cost"), lit(0).as("np"),
-        lit("").as("seg")))
-    for (i <- 1 to maxWordLen) {
-      val cands = (math.max(0, i - maxPieceLen) until i).map { j =>
-        layers(j).where(length(col("w")) >= i)
-          .select(col("w"), col("c"), col("cost"), col("np"), col("seg"),
-            col("w").substr(lit(j + 1), lit(i - j)).as("pc"))
-      }.reduce(_ unionAll _)
-      val best = cands.join(bc, col("pc") === col("piece"))
-        .select(col("w"), col("c"),
-          (col("cost") + col("_pc")).as("cost"), (col("np") + 1).as("np"),
-          when(col("seg") === "", col("pc"))
-            .otherwise(concat(col("seg"), lit(" "), col("pc"))).as("seg"))
-        .groupBy(col("w"))
-        .agg(first(col("c")).as("c"),
-          min(struct(col("cost"), col("np"), col("seg"))).as("b"))
-        .select(col("w"), col("c"), col("b.cost").as("cost"),
-          col("b.np").as("np"), col("b.seg").as("seg"))
-        .localCheckpoint()
-      layers :+= best
-    }
-    val result = (1 to maxWordLen).map(i =>
-      layers(i).where(length(col("w")) === i)).reduce(_ unionAll _)
+    val wmap = dict
+      .select(col("w"), col("c"),
+        explode(sequence(lit(1), length(col("w")))).as("st"))
+      .select(col("w"), col("c"), col("st"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - col("st") + 1))).as("ln"))
+      .join(bc, col("w").substr(col("st"), col("ln")) === col("piece"))
+      .groupBy(col("w"))
+      .agg(first(col("c")).as("c"),
+        map_from_entries(collect_list(struct(
+          (col("st") * lit(16) + col("ln")).cast("int").as("k"),
+          col("_pc").as("v")))).as("pm"))
+    val dp = aggregate(
+      sequence(lit(1), length(col("w"))),
+      array(struct(lit(0L).as("cost"), lit(0).as("np"), lit("").as("seg"))),
+      (acc, i) => concat(acc, array(array_min(filter(
+        transform(sequence(greatest(i - lit(maxPieceLen), lit(0)), i - lit(1)), j => {
+          val bj = element_at(acc, j + 1)
+          val pcost = element_at(col("pm"), ((j + 1) * lit(16) + (i - j)).cast("int"))
+          val pc = col("w").substr(j + 1, i - j)
+          struct(
+            (bj.getField("cost") + pcost).as("cost"),
+            (bj.getField("np") + lit(1)).as("np"),
+            when(bj.getField("seg") === lit(""), pc)
+              .otherwise(concat(bj.getField("seg"), lit(" "), pc)).as("seg"))
+        }),
+        cnd => cnd.getField("cost").isNotNull)))))
+    val result = wmap
+      .select(col("w"), col("c"),
+        element_at(dp, length(col("w")) + 1).as("b"))
+      .select(col("w"), col("c"), col("b.cost").as("cost"),
+        col("b.np").as("np"), col("b.seg").as("seg"))
     Dedup.CachedFrame(result, Seq.empty)
   }
 
