@@ -72,6 +72,21 @@ object SimilarityQueries {
   private val SamplePerCell = 3
   private val SampleSeed = 12
 
+  /** OPQ-lite rotation panel (Ge et al. 2013's idea — rotate before
+    * product-quantizing so subspaces decorrelate — with DETERMINISTIC
+    * candidate rotations instead of the SVD solve, which no SQL twin
+    * could replay): R_t = sign-flip ∘ stride permutation, both
+    * orthogonal, signs from the md5 [[vectors.hyperplaneSigns]]
+    * machinery and strides odd (coprime with 64 → bijective). Arm 0
+    * is the identity — the plain-PQ baseline every lift is measured
+    * against. Selection = argmin total quantization error, the OPQ
+    * objective. */
+  private val OpqStrides = Seq(1, 5, 9, 21)
+  private[graft] def opqPerm(t: Int): Seq[Int] =
+    (0 until Dim).map(i => (i * OpqStrides(t)) % Dim + 1)
+  private[graft] def opqSigns(t: Int): Seq[Double] =
+    if (t == 0) Seq.fill(Dim)(1.0) else vectors.hyperplaneSigns(3, Dim)(t - 1)
+
   /** Binary-quantization constants: 16 sign bits, Hamming shortlist
     * radius 5. On an uncorrelated corpus the pairwise code distance
     * is Binomial(16, 1/2) (mean 8), so radius 5 keeps ~1% — measured
@@ -862,6 +877,63 @@ object SimilarityQueries {
               |  (SELECT count(*) FROM ap WHERE vec_id IN (SELECT vec_id FROM ex)) AS hits_trained,
               |  TRUE AS within_bound""".stripMargin)),
 
+    // OPQ-lite: a 4-arm ROTATION PANEL before PQ — arm 0 = identity
+    // (plain PQ), arms 1-3 = deterministic orthogonal rotations
+    // (md5-sign flip ∘ odd-stride permutation); each arm re-derives
+    // its codebook IN ROTATED SPACE (the OPQ point), and the graded
+    // output carries every arm's exact integer quantization error,
+    // its ADC recall@10 vs the exact (rotation-invariant) top-10,
+    // and the argmin-by-(qerr, t) selection — the full panel is
+    // hash-graded, so the selection rule itself is pinned, not just
+    // the winner. Plan shape per arm: rotation is a scan-stage array
+    // permute (zero corpus exchange), codebook folds to one broadcast
+    // row, encode/ADC ride the native kernel, errors fold map-side —
+    // 4 arms = 4 corpus scans, embarrassingly parallel at 100 TB.
+    Q("e_opq_rotations",
+      (s, d) => {
+        def ids(c: Column): Column = transform(c, x => x.getField("vec_id"))
+        val e0 = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve0"))
+        val arms = (0 until 4).map { t =>
+          val permLit = array(opqPerm(t).map(lit): _*)
+          val sgnLit = array(opqSigns(t).map(lit): _*)
+          val rot = e0.select(col("vec_id"),
+            transform(sequence(lit(1), lit(Dim)), i =>
+              element_at(col("ve0"), element_at(permLit, i)) *
+                element_at(sgnLit, i)).as("ve"))
+          val cb = pqCodebookRow(rot)
+          val qRow = rot.where(col("vec_id") === 0).select(col("ve").as("qv"))
+          val hits = pqScoredQ(rot.crossJoin(broadcast(qRow)), cb)
+            .agg(
+              call_function("graft_bottom_k",
+                struct(col("ad2"), col("vec_id")), lit(10)).as("ap"),
+              call_function("graft_bottom_k",
+                struct(col("ed2"), col("vec_id")), lit(10)).as("ex"))
+            .select(size(array_intersect(ids(col("ap")), ids(col("ex"))))
+              .cast("long").as("hits"))
+          val qerr = graft.ops.Pq.encoded(
+              rot.where(col("vec_id") =!= 0), cb, P, extra = Seq("ve"))
+            .crossJoin(broadcast(cb))
+            .select(qlong(
+              aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, m) =>
+                acc + qround(graft.ops.Pq.d2(
+                  pqSubvec(col("ve"), m),
+                  graft.ops.Pq.cw(col("cbs"), m,
+                    element_at(col("codes"), m + 1), P)), 6)),
+              1e6).as("rq6"))
+            .agg(sum(col("rq6")).as("qerr_q6"))
+          hits.crossJoin(broadcast(qerr))
+            .select(lit(t.toLong).as("t"), col("qerr_q6"), col("hits"))
+        }
+        val union = arms.reduce(_ unionAll _)
+        val best = union.agg(min(struct(col("qerr_q6"), col("t"))).as("b"))
+        union.crossJoin(broadcast(best))
+          .select(col("t"), col("qerr_q6"), col("hits"),
+            (col("qerr_q6") === col("b.qerr_q6") && col("t") === col("b.t"))
+              .as("is_best"))
+      },
+      Some(opqSql)),
+
     // FULL-VECTOR k-means to (fixed-point) convergence — the coarse-
     // quantizer training e_ivf_train's single re-mean points at: two
     // chained Lloyd iterations ([[graft.ops.Pq.ivfLloydStep]] twice —
@@ -1317,6 +1389,68 @@ object SimilarityQueries {
        |       JOIN e ev ON ev.vec_id = c.vec_id
        |       CROSS JOIN qf
        |       GROUP BY c.vec_id)""".stripMargin)
+    sb.toString
+  }
+
+  /** DuckDB twin of the [[OpqStrides]] rotation panel: per arm t, the
+    * rotated corpus (list permute × sign literals), its own rotated-
+    * space codebook + encode (the [[pqEncodeCtes]] shapes, suffixed),
+    * the exact integer quantization error (sum of per-vector
+    * 1e6-quantized reconstruction errors — the argmin's own d2q), ADC
+    * and exact top-10s, and recall hits; arms union and the
+    * (qerr, t)-argmin marks is_best. */
+  private def opqSql: String = {
+    val sb = new StringBuilder(
+      "WITH e0r AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve0 FROM embeddings),\n" +
+      s"ms AS (SELECT unnest(range(0, $PqM)) AS m)")
+    for (t <- 0 until 4) {
+      val perm = opqPerm(t).mkString("[", ",", "]")
+      val sgn = opqSigns(t).map(x => if (x > 0) "1e0" else "-1e0").mkString("[", ",", "]")
+      sb ++= s""",
+        |e$t AS (SELECT vec_id,
+        |        list_transform(range(1, ${Dim + 1}), i -> ve0[($perm)[i]] * ($sgn)[i]) AS ve
+        |      FROM e0r),
+        |cb$t AS (SELECT ms.m, e.vec_id AS cid,
+        |         list_transform(range(1, ${PqSub + 1}), i -> e.ve[ms.m * $PqSub + i]) AS cv
+        |       FROM e$t e, ms WHERE e.vec_id BETWEEN 1 AND $PqKs),
+        |sub$t AS (SELECT e.vec_id, ms.m,
+        |          list_transform(range(1, ${PqSub + 1}), i -> e.ve[ms.m * $PqSub + i]) AS sv
+        |        FROM e$t e, ms WHERE e.vec_id <> 0),
+        |codes$t AS (SELECT vec_id, m, cid, d2q FROM (
+        |    SELECT sub$t.vec_id, sub$t.m, cb$t.cid,
+        |      ${qroundSql(d2S(s"sub$t.sv", s"cb$t.cv", PqSub), 6)} AS d2q,
+        |      row_number() OVER (PARTITION BY sub$t.vec_id, sub$t.m
+        |        ORDER BY ${qroundSql(d2S(s"sub$t.sv", s"cb$t.cv", PqSub), 6)} ASC, cb$t.cid ASC) AS rn
+        |    FROM sub$t JOIN cb$t ON sub$t.m = cb$t.m) WHERE rn = 1),
+        |qe$t AS (SELECT CAST(sum(rq6) AS BIGINT) AS qerr FROM (
+        |    SELECT CAST(floor(sum(d2q) * 1000000 + 0.5e0) AS BIGINT) AS rq6
+        |    FROM codes$t GROUP BY vec_id)),
+        |q$t AS (SELECT ms.m,
+        |        list_transform(range(1, ${PqSub + 1}), i -> e.ve[ms.m * $PqSub + i]) AS qv
+        |      FROM e$t e, ms WHERE e.vec_id = 0),
+        |qf$t AS (SELECT ve AS qve FROM e$t WHERE vec_id = 0),
+        |ad$t AS (SELECT c.vec_id,
+        |         ${qroundSql(s"sum(${qroundSql(d2S(s"q$t.qv", s"cb$t.cv", PqSub), 6)})", 6)} AS ad2,
+        |         any_value(${qroundSql(d2S("ev.ve", s"qf$t.qve", Dim), 6)}) AS ed2
+        |       FROM codes$t c
+        |       JOIN cb$t ON cb$t.m = c.m AND cb$t.cid = c.cid
+        |       JOIN q$t ON q$t.m = c.m
+        |       JOIN e$t ev ON ev.vec_id = c.vec_id
+        |       CROSS JOIN qf$t
+        |       GROUP BY c.vec_id),
+        |ex$t AS (SELECT vec_id FROM ad$t ORDER BY ed2 ASC, vec_id ASC LIMIT 10),
+        |ap$t AS (SELECT vec_id FROM ad$t ORDER BY ad2 ASC, vec_id ASC LIMIT 10),
+        |h$t AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM ap$t
+        |       WHERE vec_id IN (SELECT vec_id FROM ex$t))""".stripMargin
+    }
+    sb ++= s""",
+      |arms AS (${(0 until 4).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS t, (SELECT qerr FROM qe$t) AS qerr_q6, (SELECT hits FROM h$t) AS hits")
+        .mkString("\n  UNION ALL ")})
+      |SELECT t, qerr_q6, hits,
+      |  (qerr_q6 = (SELECT min(qerr_q6) FROM arms)
+      |   AND t = (SELECT t FROM arms ORDER BY qerr_q6 ASC, t ASC LIMIT 1)) AS is_best
+      |FROM arms""".stripMargin
     sb.toString
   }
 

@@ -212,6 +212,57 @@ class ApproxSpec extends AnyFunSuite {
         s"$k: estimate $est outside 5% of exact ${exact(k)}")
   }
 
+  test("e_opq_rotations: panel selects by the OPQ objective; exact ranking is rotation-invariant") {
+    import org.apache.spark.sql.functions._
+    def rows(sf: String) = SparkEntry.allQueries.find(_.name == "e_opq_rotations").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sortBy(_._1)
+    val r01 = rows("/root/testdata/sf0.01")
+    assert(r01.length == 4 && r01.count(_._4) == 1, s"one winner: ${r01.toSeq}")
+    val best = r01.filter(_._4).head
+    assert(best._2 == r01.map(_._2).min, s"is_best must be the qerr argmin: ${r01.toSeq}")
+    assert(r01.forall(r => r._3 >= 0 && r._3 <= 10))
+    // measured behavior pinned, both directions honest: at sf0.001 a
+    // ROTATION wins (arm 3's quantization error beats identity —
+    // the panel can find a better basis), at sf0.01 the IDENTITY is
+    // correctly retained (no candidate improves the objective, so
+    // plain PQ survives the panel — selection never degrades qerr)
+    val r001 = rows("/root/testdata/sf0.001")
+    assert(r001.filter(_._4).head._1 == 3L, s"sf0.001 winner: ${r001.toSeq}")
+    assert(best._1 == 0L, s"sf0.01 winner: ${r01.toSeq}")
+    // rotations are orthogonal: the EXACT top-10 (by full-vector d2)
+    // must be the same id set in every arm's rotated space
+    val e0 = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val exact = e0.crossJoin(broadcast(
+        e0.where(col("vec_id") === 0).select(col("ve").as("qv"))))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        aggregate(zip_with(col("ve"), col("qv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, v) => a + v).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    // arm hits are measured against per-arm rotated-space exact lists;
+    // if rotation broke distances, hits would be vs a DIFFERENT set —
+    // spot-check rotation 3 reproduces the unrotated exact top-10
+    val perm = queries.SimilarityQueries.opqPerm(3)
+    val sgn = queries.SimilarityQueries.opqSigns(3)
+    val permLit = array(perm.map(lit): _*)
+    val sgnLit = array(sgn.map(lit): _*)
+    val rot = e0.select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)), i =>
+        element_at(col("ve"), element_at(permLit, i)) * element_at(sgnLit, i)).as("ve"))
+    val t3 = rot.crossJoin(broadcast(
+        rot.where(col("vec_id") === 0).select(col("ve").as("qv"))))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        aggregate(zip_with(col("ve"), col("qv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, v) => a + v).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(t3 == exact, s"rotation must preserve the exact ranking: $t3 vs $exact")
+  }
+
   test("e_rand_proj: isotropic floor + planted-cluster recall pinned at sf0.01") {
     // e_rand_proj emits the top-10 by PROJECTED distance with the
     // exact 64-dim distance alongside; recall@10 vs the exact ranking

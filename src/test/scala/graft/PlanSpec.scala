@@ -461,6 +461,39 @@ class PlanSpec extends AnyFunSuite {
       "the draw must not plan a window:\n" + p.take(1500))
   }
 
+  test("t_bpe_encode_ids: one doc-keyed re-agg; dict/vocab joins never sort-merge") {
+    val p = finalPlan("t_bpe_encode_ids")
+    // the deliverable is per-doc ordered id sequences, so ONE doc-keyed
+    // exchange is the floor (training's own dict-space exchanges — the
+    // word-dict corpus pass, the per-iteration pair aggs — are keyed on
+    // w/pair and vocab-bounded); the exchange PAYLOAD (int triples,
+    // never text) is byte-budgeted in ShuffleBudgetSpec
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length == 1,
+      "exactly one doc-keyed exchange:\n" +
+        p.linesIterator.filter(_.contains("Exchange hash")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      "dict + vocab joins must hash-join (broadcast under budget):\n" + p.take(1500))
+    assert(!p.contains("rangepartitioning"), "nothing here may global-sort")
+  }
+
+  test("st5_anomaly_flags: prefix moments ride ONE key exchange, running frames only") {
+    val p = finalPlan("st5_anomaly_flags")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "one user_id exchange feeds all three running windows:\n" + p.take(1500))
+    assert(!p.contains("unboundedfollowing"),
+      "prefix moments must be running frames:\n" + p.take(1500))
+  }
+
+  test("g_hll_cube: the estimate side reads the sketch STORE, never re-scans the corpus") {
+    val p = finalPlan("g_hll_cube")
+    // two corpus file scans max: the exact-grading rollup (+ the
+    // store build on first run is outside this plan); the estimate
+    // subplan reads the kilobyte sketch parquet
+    val scans = p.linesIterator.filter(l => l.contains("FileScan") && l.contains("documents")).size
+    assert(scans == 1, s"estimate side must read sketches, not documents ($scans doc scans):\n" + p.take(1500))
+    assert(p.contains("sketches"), "sketch store scan missing:\n" + p.take(1500))
+  }
+
   test("e_ivfpq_indexed: persisted-index search scans ONLY the probe-cell partitions") {
     val p = finalPlan("e_ivfpq_indexed")
     // the serving contract: the probe list is collected as a literal,

@@ -174,6 +174,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assertBudget("pipe_tokenize_e2e", shuffleCeiling = 1L << 20)
   }
 
+  test("t_bpe_encode_ids: the id-sequence exchange carries int triples, never text") {
+    // exchanges: the word-dict corpus pass + per-iteration pair aggs
+    // (vocab-bounded strings) and the ONE doc-keyed re-agg whose rows
+    // are (doc_id, wpos, tpos, tok_id) ints — the output's own volume.
+    // A text/token-string payload regression would blow this ceiling
+    // ~10x (the corpus is ~2.7 MB of text at sf0.01)
+    assertBudget("t_bpe_encode_ids", shuffleCeiling = 3L << 20)
+  }
+
   test("e_rand_proj: the projected corpus never shuffles — query broadcast only") {
     // 16-plane JL projection + distances ride the scan stage; top-10
     // is TakeOrderedAndProject — zero shuffle by construction
