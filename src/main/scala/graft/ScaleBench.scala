@@ -69,7 +69,12 @@ object ScaleBench {
     // KEY COUNT in ScaleGen, so per-key state is constant)
     "t_bpe_encode_ids", "t_bpe_encode_pruned", "t_bpe_train_local",
     "t_unigram_train", "g_hll_indexed", "g_hll_cube", "w9_interp_fill",
-    "st5_anomaly_flags")
+    "st5_anomaly_flags",
+    // per-doc Viterbi segmentation is a dict join + scan-stage DP
+    // (expect linear in word volume); the OPQ panel is 4 rotation
+    // arms x (scan-stage rotate + one-row codebook fold + native ADC)
+    // — expect ~linear in corpus, 4x the single-arm constant
+    "t_unigram_segment", "e_opq_rotations")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
