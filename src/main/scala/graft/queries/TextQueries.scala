@@ -123,6 +123,71 @@ object TextQueries {
     sb.toString
   }
 
+  /** The id-emission chain over d{iters} (no WITH prefix — splice
+    * after [[bpeCtes]]): voc = dense tok→id numbering of the final
+    * segmentation symbols, tkq = one row per (doc, word pos, symbol
+    * pos) with its symbol string. Shared by t_bpe_encode_ids (ordered
+    * list_agg of ids), t_bpe_decode (ordered string_agg of symbols),
+    * and t_pack_ids (flatten of per-doc id lists) — one definition,
+    * so a numbering or fallback change cannot desynchronize the
+    * graded id surface. */
+  private def idsCtes(iters: Int): String =
+    s"""voc AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INTEGER) AS tok_id
+       |        FROM (SELECT DISTINCT unnest(string_split(seq, ' ')) AS tok FROM d$iters)),
+       |wrd AS (SELECT doc_id, wpos, tk[wpos+1] AS w
+       |        FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS wpos
+       |              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
+       |sg AS (SELECT wrd.doc_id, wrd.wpos,
+       |         coalesce(string_split(d$iters.seq, ' '), string_split(wrd.w, '')) AS a
+       |        FROM wrd LEFT JOIN d$iters ON d$iters.w = wrd.w),
+       |tkq AS (SELECT doc_id, wpos, tpos, a[tpos+1] AS tok
+       |        FROM (SELECT doc_id, wpos, a, unnest(range(0, len(a))) AS tpos FROM sg))""".stripMargin
+
+  /** DuckDB twin of [[graft.ops.Logistic.train]]: feature CTE (the
+    * [[qualitySql]] components as x, the 0.6-thresholded score as y),
+    * then per GD step an unrolled (gradient-sums, new-weights,
+    * accuracy) CTE triple replaying the same snapped arithmetic —
+    * integer 1e-6 gradient sums, 1e-6-snapped sigmoid and weights. */
+  private def logitSql(steps: Int, lr: String = "2e0"): String = {
+    val x1 = "least(CAST(length(text) AS DOUBLE) / 500e0, 1e0)"
+    val x2 = "least((CAST(len(list_filter(string_split(text, ' '), " +
+      "x -> list_contains(['the','a','of','and','in','to','is','on','for','with'], x))) AS DOUBLE)" +
+      " / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5e0, 1e0)"
+    val tl = "(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)" +
+      " / CAST(len(string_split(text, ' ')) AS DOUBLE))"
+    val x3 = s"CASE WHEN $tl >= 3e0 AND $tl <= 10e0 THEN 1e0 ELSE 0e0 END"
+    def sig(wRel: String): String = {
+      val dot = qroundSql(
+        (1 to 4).map(j => s"x[$j] * $wRel.w[$j]").mkString(" + "), 6)
+      qroundSql(s"1e0 / (1e0 + exp(-($dot)))", 6)
+    }
+    val sb = new StringBuilder(
+      s"""WITH feat AS (SELECT doc_id,
+         |    CASE WHEN ($qualitySql) >= 0.6e0 THEN 1e0 ELSE 0e0 END AS y,
+         |    [1e0, $x1, $x2, $x3] AS x FROM documents),
+         |w0 AS (SELECT [0e0, 0e0, 0e0, 0e0] AS w)""".stripMargin)
+    for (t <- 1 to steps) {
+      val p = t - 1
+      val gsums = (0 until 4).map(j =>
+        s"CAST(sum(${qlongSql(s"(y - ${sig(s"w$p")}) * x[${j + 1}]", "1000000")}) AS BIGINT) AS g$j")
+        .mkString(",\n         ")
+      val wnew = (0 until 4).map(j =>
+        qroundSql(s"w$p.w[${j + 1}] + $lr * CAST(g$j AS DOUBLE) / (1000000e0 * CAST(n AS DOUBLE))", 6))
+        .mkString(",\n         ")
+      sb ++=
+        s""",
+           |g$t AS (SELECT $gsums,
+           |         CAST(count(*) AS BIGINT) AS n FROM feat, w$p),
+           |w$t AS (SELECT [$wnew] AS w FROM g$t, w$p),
+           |a$t AS (SELECT ${qroundSql(s"avg(CASE WHEN (${sig(s"w$t")} >= 0.5e0) = (y = 1e0) THEN 1e0 ELSE 0e0 END)", 6)} AS acc
+           |       FROM feat, w$t)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (" + (1 to steps).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS step, w[1] AS w0, w[2] AS w1, w[3] AS w2, w[4] AS w3, acc FROM w$t, a$t")
+      .mkString(" UNION ALL ") + ")"
+    sb.toString
+  }
+
   /** DuckDB twin of [[graft.ops.Unigram]]: word dict (ud) -> seed
     * substring pieces (un0) -> integer -ln(p) costs (uc{r}) -> a
     * `maxWord`-layer UNROLLED Viterbi DP per round (r{r}b0..b{maxWord}
@@ -828,16 +893,7 @@ object TextQueries {
         graft.ops.Bpe.encodeIds(docs, col("text"), col("doc_id"), trained.result)
       },
       Some(s"""${bpeCtes(3)},
-              |voc AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INTEGER) AS tok_id
-              |        FROM (SELECT DISTINCT unnest(string_split(seq, ' ')) AS tok FROM d3)),
-              |wrd AS (SELECT doc_id, wpos, tk[wpos+1] AS w
-              |        FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS wpos
-              |              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
-              |sg AS (SELECT wrd.doc_id, wrd.wpos,
-              |         coalesce(string_split(d3.seq, ' '), string_split(wrd.w, '')) AS a
-              |        FROM wrd LEFT JOIN d3 ON d3.w = wrd.w),
-              |tkq AS (SELECT doc_id, wpos, tpos, a[tpos+1] AS tok
-              |        FROM (SELECT doc_id, wpos, a, unnest(range(0, len(a))) AS tpos FROM sg))
+              |${idsCtes(3)}
               |SELECT doc_id, list(coalesce(voc.tok_id, -1) ORDER BY wpos, tpos) AS token_ids
               |FROM tkq LEFT JOIN voc ON voc.tok = tkq.tok
               |GROUP BY doc_id""".stripMargin)),
@@ -865,6 +921,90 @@ object TextQueries {
               |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
               |LEFT JOIN dp ON dp.w = t.w
               |GROUP BY doc_id""".stripMargin)),
+
+    // DECODE — the round-trip witness for the id surface: ids map
+    // back through the vocab (folded to ONE broadcast row; decode is
+    // a pure scan-stage array transform + concat) and must
+    // reconstruct the space-stripped document exactly wherever no
+    // UNK was emitted. The decoded string itself is hash-graded, not
+    // just the boolean — a numbering or ordering bug shows up as a
+    // string diff, not a silent true.
+    Q("t_bpe_decode",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val trained = graft.ops.Bpe.trainedDictFull(docs, col("text"), iters = 3)
+        val ids = graft.ops.Bpe.encodeIds(docs, col("text"), col("doc_id"),
+          trained.result)
+        graft.ops.Bpe.decodeIds(ids, trained.result)
+          .join(docs.select(col("doc_id"),
+            regexp_replace(col("text"), " ", "").as("stripped")), Seq("doc_id"))
+          .select(col("doc_id"), col("decoded"), col("n_unk"),
+            (col("decoded") === col("stripped")).as("roundtrip"))
+      },
+      Some(s"""${bpeCtes(3)},
+              |${idsCtes(3)},
+              |dec AS (SELECT tkq.doc_id,
+              |          string_agg(CASE WHEN voc.tok_id IS NULL THEN chr(65533)
+              |                          ELSE tkq.tok END, '' ORDER BY wpos, tpos) AS decoded,
+              |          CAST(count(*) FILTER (WHERE voc.tok_id IS NULL) AS BIGINT) AS n_unk
+              |        FROM tkq LEFT JOIN voc ON voc.tok = tkq.tok GROUP BY tkq.doc_id)
+              |SELECT dec.doc_id, dec.decoded, dec.n_unk,
+              |  (dec.decoded = regexp_replace(d.text, ' ', '', 'g')) AS roundtrip
+              |FROM dec JOIN documents d ON d.doc_id = dec.doc_id""".stripMargin)),
+
+    // PACKED TRAINING ROWS — the pipeline's last operator and its
+    // literal deliverable: contiguous token-id runs under the
+    // t_pack_sequences assignment rule (greedy by cumulative count
+    // within (lang, source), docs never split), each pack carrying
+    // its concatenated ids in document order. ONE (lang,source)
+    // exchange feeds both the running-count window and the pack
+    // re-agg; the packed arrays are the output's own volume.
+    Q("t_pack_ids",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val trained = graft.ops.Bpe.trainedDictFull(docs, col("text"), iters = 3)
+        val ids = graft.ops.Bpe.encodeIds(docs, col("text"), col("doc_id"),
+          trained.result)
+        graft.ops.Bpe.packIds(ids,
+          docs.select(col("doc_id"), col("lang"), col("source")), PackBudget)
+      },
+      Some(s"""${bpeCtes(3)},
+              |${idsCtes(3)},
+              |enc AS (SELECT doc_id, list(coalesce(voc.tok_id, -1) ORDER BY wpos, tpos) AS token_ids
+              |        FROM tkq LEFT JOIN voc ON voc.tok = tkq.tok GROUP BY doc_id),
+              |pk AS (SELECT d.lang, d.source, e.doc_id, e.token_ids,
+              |         CAST(len(e.token_ids) AS BIGINT) AS n_tokens,
+              |         sum(CAST(len(e.token_ids) AS BIGINT)) OVER (
+              |           PARTITION BY d.lang, d.source ORDER BY e.doc_id
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |       FROM enc e JOIN documents d ON d.doc_id = e.doc_id)
+              |SELECT lang, source, CAST((cum - 1) // $PackBudget AS BIGINT) AS pack_id,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              |  flatten(list(token_ids ORDER BY doc_id)) AS token_ids
+              |FROM pk GROUP BY lang, source, pack_id""".stripMargin)),
+
+    // model-based quality filtering (ops/Logistic): 6 full-batch GD
+    // steps distilling the 0.6-thresholded heuristic quality rule
+    // into a 4-weight logistic model over the rule's own features.
+    // The TRAJECTORY is graded — per-step weights AND post-step
+    // training accuracy — so both the learning dynamics and the
+    // serving effect are pinned, not just a terminal state. Every
+    // step is one map-side-combined aggregate folding to a p-long
+    // gradient row broadcast back in: nothing corpus-sized shuffles.
+    Q("t_quality_classifier",
+      (s, d) => {
+        val feat = T(s, d, "documents").select(col("doc_id"),
+          when(text.qualityScore(col("text")) >= 0.6, 1.0).otherwise(0.0).as("y"),
+          array(lit(1.0),
+            least(length(col("text")).cast("double") / lit(500.0), lit(1.0)),
+            least(text.stopwordRatio(col("text")) * lit(5.0), lit(1.0)),
+            when(text.meanTokenLen(col("text")).between(3.0, 10.0), lit(1.0))
+              .otherwise(lit(0.0))).as("x"))
+          .persist()
+        graft.ops.Logistic.train(feat, p = 4, steps = 6, lr = 2.0)
+      },
+      Some(logitSql(6))),
 
     // within-doc repetition (Gopher-style quality rule): fraction of
     // repeated 2-grams = 1 - distinct/total. One doc-keyed shuffle;

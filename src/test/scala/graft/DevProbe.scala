@@ -4,10 +4,16 @@ package graft
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
-    for (d <- Seq("/root/repo/scaledata/x10", "/root/repo/scaledata/x100")) {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.allQueries.find(_.name == "d_lsh_pairs").get.fn(spark, d).count()
-      println(f"[probe] $d d_lsh_pairs rows=$n t=${(System.nanoTime()-t0)/1e9}%.1f")
+    for (n <- Seq("t_pack_ids", "t_quality_classifier", "t_bpe_decode")) {
+      val df = SparkEntry.allQueries.find(_.name == n).get
+        .fn(spark, "/root/testdata/sf0.01")
+      df.write.format("noop").mode("overwrite").save()
+      println(s"==== $n ====")
+      println(df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("Join") ||
+          l.contains("Window") || l.contains("Sort") || l.contains("FileScan"))
+        .mkString("\n"))
+      spark.catalog.clearCache()
     }
   }
 }

@@ -476,6 +476,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), "nothing here may global-sort")
   }
 
+  test("t_pack_ids: window and pack agg share ONE shard exchange; no global sort") {
+    val p = finalPlan("t_pack_ids")
+    // the (lang, source) exchange feeds BOTH the running-count window
+    // and the pack re-agg — Catalyst must reuse the partitioning, so
+    // exactly one distinct shard exchange may exist (plan_id-counted:
+    // the plan STRING repeats reused subtrees)
+    val shardEx = "Exchange hashpartitioning\\(lang[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(shardEx.size == 1,
+      s"expected ONE distinct (lang,source) exchange, got $shardEx:\n" +
+        p.linesIterator.filter(_.contains("Exchange hash")).mkString("\n"))
+    assert(!p.contains("rangepartitioning"),
+      "packing must never global-sort:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "the meta join must hash-join at this size:\n" + p.take(1500))
+  }
+
   test("st5_anomaly_flags: prefix moments ride ONE key exchange, running frames only") {
     val p = finalPlan("st5_anomaly_flags")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,

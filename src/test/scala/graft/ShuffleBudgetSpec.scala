@@ -183,6 +183,14 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assertBudget("t_bpe_encode_ids", shuffleCeiling = 3L << 20)
   }
 
+  test("t_pack_ids: pack exchanges carry id payloads, never corpus text") {
+    // exchanges: the training chain's dict/pair aggs, the id re-agg
+    // (int triples), and the (lang,source) shard exchange whose rows
+    // are (doc_id, token_ids) — the output's own volume. A text
+    // payload regression would blow this ~10x
+    assertBudget("t_pack_ids", shuffleCeiling = 6L << 20)
+  }
+
   test("e_rand_proj: the projected corpus never shuffles — query broadcast only") {
     // 16-plane JL projection + distances ride the scan stage; top-10
     // is TakeOrderedAndProject — zero shuffle by construction

@@ -351,4 +351,91 @@ class TextPipelineSpec extends AnyFunSuite {
       .fn(spark, d).collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(a == b && a.length == 20, "draw must be deterministic across runs")
   }
+
+  test("Bpe.decodeIds: round-trips encodeIds modulo spaces; UNK decodes to U+FFFD") {
+    import graft.ops.Bpe
+    val train = Seq((1L, "aaaa aaaa banana")).toDF("doc_id", "text")
+    val trained = (1 to 3).foldLeft(Bpe.wordDict(train, $"text"))((dd, _) => Bpe.mergeStep(dd)._2)
+    // "aaaa banana spark": aaaa->[2], banana->[4,3,3,1], spark (unseen,
+    // chars s/p/r/k outside the alphabet) -> [-1,-1,1,-1,-1]; decode
+    // reverses each id and replaces UNK with U+FFFD
+    val enc = Seq((7L, "aaaa banana spark")).toDF("doc_id", "text")
+    val row = Bpe.decodeIds(
+      Bpe.encodeIds(enc, $"text", $"doc_id", trained), trained).collect().head
+    assert(row.getAs[Long]("doc_id") == 7L)
+    assert(row.getAs[String]("decoded") == "aaaabanana��a��", s"decoded: $row")
+    assert(row.getAs[Long]("n_unk") == 4L, s"n_unk: $row")
+    // a fully in-vocabulary doc round-trips exactly (modulo spaces)
+    val clean = Seq((8L, "banana aaaa banana")).toDF("doc_id", "text")
+    val r2 = Bpe.decodeIds(
+      Bpe.encodeIds(clean, $"text", $"doc_id", trained), trained).collect().head
+    assert(r2.getAs[String]("decoded") == "bananaaaaabanana" && r2.getAs[Long]("n_unk") == 0L)
+  }
+
+  test("Bpe.packIds: greedy assignment by cumulative count, ids concatenate in doc order") {
+    import graft.ops.Bpe
+    // 4 docs of 3/3/3/3 chars in one (lang, source) shard, budget 5:
+    // cum = 3,6,9,12 -> pack_id = (cum-1) div 5 = 0,1,1,2
+    val docs = Seq(
+      (1L, "abc"), (2L, "bca"), (3L, "cab"), (4L, "aaa")).toDF("doc_id", "text")
+    val dict = Bpe.wordDict(docs, $"text") // no merges: chars are the vocab
+    val ids = Bpe.encodeIds(docs, $"text", $"doc_id", dict)
+    val meta = docs.select($"doc_id", lit("xx").as("lang"), lit("s1").as("source"))
+    val packs = Bpe.packIds(ids, meta, budget = 5)
+      .collect().sortBy(_.getAs[Long]("pack_id"))
+    assert(packs.map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("total_tokens"))).toSeq ==
+      Seq((0L, 1L, 3L), (1L, 2L, 6L), (2L, 1L, 3L)), packs.toSeq.toString)
+    // vocab over d0 symbols {a,b,c} -> a=1,b=2,c=3; pack 1 = docs 2,3
+    // in doc order: bca cab -> [2,3,1, 3,1,2]
+    assert(packs(1).getSeq[Int](packs(1).fieldIndex("token_ids")) ==
+      Seq(2, 3, 1, 3, 1, 2), packs(1).toString)
+    // conservation on the real corpus: packs partition the docs and
+    // carry exactly their tokens (arrays concatenate, nothing drops)
+    val d = "/root/testdata/sf0.001"
+    val real = SparkEntry.allQueries.find(_.name == "t_pack_ids").get.fn(spark, d)
+      .select($"n_docs", $"total_tokens", size($"token_ids").cast("long").as("sz"))
+      .collect()
+    assert(real.forall(r => r.getAs[Long]("total_tokens") == r.getAs[Long]("sz")),
+      "packed array length must equal the counted token total")
+    val nDocs = real.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == 500L, s"packs must partition the 500 docs, got $nDocs")
+  }
+
+  test("Logistic.train: distillation learns (acc beats majority), in 2 jobs per step") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    val fn = SparkEntry.allQueries.find(_.name == "t_quality_classifier").get.fn
+    spark.sparkContext.addSparkListener(listener)
+    val rows = try {
+      val df = fn(spark, "/root/testdata/sf0.01")
+      val out = df.collect().sortBy(_.getAs[Long]("step"))
+      Thread.sleep(2000) // listener bus is async; let starts drain
+      out
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // 2 aggregates per GD step (gradient fold + accuracy pass), AQE
+    // charging 2 jobs each (stage materialization + final), + the
+    // feature-cache materialization and the local-frame collect = 26
+    // measured; the first-cut chained-frame form re-executed upstream
+    // aggregates combinatorially (246 single-partition exchanges for
+    // 6 steps) — this pin is the regression guard on the
+    // 2-corpus-passes-per-step contract
+    assert(jobs.get() <= 30, s"${jobs.get()} jobs for 6 GD steps — lineage re-execution is back")
+    val accs = rows.map(_.getAs[Double]("acc")).toSeq
+    val base = {
+      val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      val y = docs.select(
+        when(graft.functions.text.qualityScore($"text") >= 0.6, 1.0).otherwise(0.0).as("y"))
+        .agg(avg($"y")).collect().head.getDouble(0)
+      math.max(y, 1.0 - y)
+    }
+    assert(accs.last >= 0.8 && accs.last > base,
+      s"final acc ${accs.last} must clear the majority baseline $base")
+    // monotone non-decreasing once past the first update
+    assert(accs.sliding(2).drop(1).forall(p => p(1) >= p(0) - 1e-9),
+      s"accuracy trajectory regressed: $accs")
+  }
 }
