@@ -66,7 +66,10 @@ object PlanDump {
     "pipe_tokenize_e2e",  // tokenize flagship: scrub -> train -> encode -> pack, one plan
     "w9_interp_fill",     // gap fill: grid densify + two RUNNING neighbor frames, no O(n^2) frame
     "g_hll_merge",        // mergeable HLL rollup: per-group sketches unioned to one estimate
-    "d_fuzzy_pairs"       // threshold Levenshtein over band-confined candidates only
+    "d_fuzzy_pairs",      // threshold Levenshtein over band-confined candidates only
+    "t_bpe_encode_ids",   // token-id emission: size-gated dict join + ONE doc-keyed int-triple exchange
+    "t_pack_ids",         // id packing: one (lang,source) exchange shared by window + pack agg
+    "t_bpe_decode"        // id decode: one-row vocab broadcast + scan-stage transform
   )
 
   def main(args: Array[String]): Unit = {
