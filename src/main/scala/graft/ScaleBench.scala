@@ -80,7 +80,12 @@ object ScaleBench {
     // (lang,source) shard exchange of the output's own id volume;
     // the classifier is 12 bounded aggregates over cached features —
     // expect ~linear in corpus with a small constant
-    "t_bpe_decode", "t_pack_ids", "t_quality_classifier")
+    "t_bpe_decode", "t_pack_ids", "t_quality_classifier",
+    // unigram id emission shares the encode_ids exchange shape
+    // (expect its slope); the filter's serving frame is scan-stage
+    // (expect the classifier's aggregate-pass slope — training
+    // dominates, 6 gradient passes over the cached features)
+    "t_unigram_encode_ids", "t_quality_filter")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

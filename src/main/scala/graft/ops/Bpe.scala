@@ -260,7 +260,7 @@ object Bpe {
     * one count over the dict — vocab-sized work in-plan (and pure
     * footer metadata for a persisted dict), noise next to the encode
     * it guards. */
-  private def segJoin(words: DataFrame, seg: DataFrame,
+  private[ops] def segJoin(words: DataFrame, seg: DataFrame,
                       maxBroadcastRows: Long): DataFrame = {
     val rhs =
       if (seg.count() <= maxBroadcastRows) broadcast(seg)
@@ -296,15 +296,28 @@ object Bpe {
     * any operator that must deliver per-doc ordered sequences. */
   def encodeIds(docs: DataFrame, textCol: Column, idCol: Column,
                 dict: DataFrame,
-                maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
+                maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame =
+    idsFromSeg(docs, textCol, idCol,
+      dict.select(col("w"), split(col("seq"), " ").as("toks")),
+      vocab(dict), maxBroadcastRows)
+
+  /** The id-emission core shared by BPE [[encodeIds]] and
+    * [[Unigram.encodeIds]]: words posexplode -> size-gated join
+    * against a (w, toks array<string>) segmentation cache (unseen
+    * words fall back to char segmentation) -> symbol posexplode ->
+    * always-broadcast (tok, tok_id) vocab join (unknown symbols ->
+    * -1 = UNK) -> ONE doc-keyed exchange of (wpos, tpos, tok_id)
+    * int triples re-agged to the ordered per-doc id array. */
+  private[ops] def idsFromSeg(docs: DataFrame, textCol: Column, idCol: Column,
+                              segToks: DataFrame, voc: DataFrame,
+                              maxBroadcastRows: Long): DataFrame = {
     val words = docs.select(idCol.as("doc_id"),
       posexplode(split(textCol, " ")).as(Seq("wpos", "w")))
-    val seg = dict.select(col("w"), split(col("seq"), " ").as("toks"))
-    val toks = segJoin(words, seg, maxBroadcastRows)
+    val toks = segJoin(words, segToks, maxBroadcastRows)
       .select(col("doc_id"), col("wpos"),
         posexplode(coalesce(col("toks"), split(col("w"), "")))
           .as(Seq("tpos", "tok")))
-    toks.join(broadcast(vocab(dict)), Seq("tok"), "left")
+    toks.join(broadcast(voc), Seq("tok"), "left")
       .groupBy(col("doc_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("wpos"), col("tpos"),

@@ -75,15 +75,7 @@ object Logistic {
     var w = Array.fill(p)(0.0)
     val traj = Seq.newBuilder[Row]
     for (t <- 1 to steps) {
-      val s = sigma(col("x"), w.toSeq)
-      val gRow = feat.agg(
-        sum(qlong((col("y") - s) * element_at(col("x"), 1), 1e6)).as("g0"),
-        ((1 until p).map(j =>
-          sum(qlong((col("y") - s) * element_at(col("x"), j + 1), 1e6)).as(s"g$j")) :+
-          count(lit(1)).as("n")): _*).collect().head
-      val n = gRow.getLong(p)
-      w = Array.tabulate(p)(j =>
-        q6(w(j) + lr * gRow.getLong(j).toDouble / (1e6 * n.toDouble)))
+      w = gradStep(feat, w, p, lr)
       val acc = feat.agg(qround(avg(
           when((sigma(col("x"), w.toSeq) >= 0.5) === (col("y") === 1.0), 1.0)
             .otherwise(0.0)), 6).as("acc"))
@@ -96,6 +88,36 @@ object Logistic {
         StructField("acc", DoubleType, nullable = false))
     spark.createDataFrame(
       spark.sparkContext.parallelize(traj.result(), 1), schema)
+  }
+
+  /** One full-batch GD step from `w`: the map-side-combined gradient
+    * aggregate (p quantized sums + n, ONE bounded row) and the
+    * driver-side snapped weight update — shared by [[train]] (which
+    * adds the per-step accuracy pass) and [[trainWeights]]. */
+  private def gradStep(feat: DataFrame, w: Array[Double], p: Int,
+                       lr: Double): Array[Double] = {
+    val s = sigma(col("x"), w.toSeq)
+    val gRow = feat.agg(
+      sum(qlong((col("y") - s) * element_at(col("x"), 1), 1e6)).as("g0"),
+      ((1 until p).map(j =>
+        sum(qlong((col("y") - s) * element_at(col("x"), j + 1), 1e6)).as(s"g$j")) :+
+        count(lit(1)).as("n")): _*).collect().head
+    val n = gRow.getLong(p)
+    Array.tabulate(p)(j =>
+      q6(w(j) + lr * gRow.getLong(j).toDouble / (1e6 * n.toDouble)))
+  }
+
+  /** Final weights only — the serving trainer: the identical snapped
+    * GD chain as [[train]] minus the per-step accuracy passes
+    * (`steps` corpus passes instead of 2·steps). Weights depend only
+    * on the gradient sums, so the two paths are bit-identical. */
+  def trainWeights(feat: DataFrame, p: Int, steps: Int,
+                   lr: Double): Seq[Double] = {
+    require(p >= 1 && p <= 16, s"1 <= p <= 16, got $p")
+    require(steps >= 1, s"steps >= 1, got $steps")
+    var w = Array.fill(p)(0.0)
+    for (_ <- 1 to steps) w = gradStep(feat, w, p, lr)
+    w.toSeq
   }
 
   /** Score + filter with trained weights (the serving half): emits

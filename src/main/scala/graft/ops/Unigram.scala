@@ -175,6 +175,31 @@ object Unigram {
       vit.result.select(col("w"), col("c"), col("seg")), caches.result())
   }
 
+  /** ENCODE to token-id SEQUENCES under a trained unigram model —
+    * id-surface parity with [[Bpe.encodeIds]]: one row per doc with
+    * `token_ids array<int>`. `segs` is the (w, c, seg) Viterbi
+    * segmentation cache from [[segmentFull]]; the vocabulary is its
+    * distinct pieces densely numbered in piece order (exactly the
+    * final model's pieces — round r's segmentation produces round
+    * r's counts, so the sets coincide). The piece vocab is
+    * model-sized (bounded by alphabet^maxPieceLen, ~30k for a real
+    * SentencePiece model) — always broadcastable; the word-dict
+    * segmentation cache goes through the same size-gated join as
+    * BPE encode (broadcast under budget, shuffle-hash over it).
+    * Same-corpus words are all in the dict by construction; unseen
+    * words (serving on new docs) fall back to char segmentation
+    * with out-of-model chars -> -1 = UNK, the [[Bpe]] floor. */
+  def encodeIds(docs: DataFrame, textCol: Column, idCol: Column,
+                segs: DataFrame,
+                maxBroadcastRows: Long = Bpe.DefaultMaxBroadcastRows): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val voc = segs.select(explode(split(col("seg"), " ")).as("tok")).distinct()
+      .withColumn("tok_id", row_number().over(Window.orderBy(col("tok"))))
+    Bpe.idsFromSeg(docs, textCol, idCol,
+      segs.select(col("w"), split(col("seg"), " ").as("toks")),
+      voc, maxBroadcastRows)
+  }
+
   /** The word dict, with a LOUD bound check: the DP covers exactly
     * `maxWordLen` layers, so a longer word would silently vanish from
     * the output otherwise. The check is one dict-sized max at

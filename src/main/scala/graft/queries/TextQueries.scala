@@ -148,7 +148,16 @@ object TextQueries {
     * then per GD step an unrolled (gradient-sums, new-weights,
     * accuracy) CTE triple replaying the same snapped arithmetic —
     * integer 1e-6 gradient sums, 1e-6-snapped sigmoid and weights. */
-  private def logitSql(steps: Int, lr: String = "2e0"): String = {
+  /** Snapped sigmoid under the weight row of CTE `wRel` — the SQL
+    * twin of Logistic.sigma, shared by the trajectory and filter
+    * oracles. */
+  private def logitSigSql(wRel: String): String = {
+    val dot = qroundSql(
+      (1 to 4).map(j => s"x[$j] * $wRel.w[$j]").mkString(" + "), 6)
+    qroundSql(s"1e0 / (1e0 + exp(-($dot)))", 6)
+  }
+
+  private def logitCtes(steps: Int, lr: String = "2e0"): String = {
     val x1 = "least(CAST(length(text) AS DOUBLE) / 500e0, 1e0)"
     val x2 = "least((CAST(len(list_filter(string_split(text, ' '), " +
       "x -> list_contains(['the','a','of','and','in','to','is','on','for','with'], x))) AS DOUBLE)" +
@@ -156,11 +165,7 @@ object TextQueries {
     val tl = "(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)" +
       " / CAST(len(string_split(text, ' ')) AS DOUBLE))"
     val x3 = s"CASE WHEN $tl >= 3e0 AND $tl <= 10e0 THEN 1e0 ELSE 0e0 END"
-    def sig(wRel: String): String = {
-      val dot = qroundSql(
-        (1 to 4).map(j => s"x[$j] * $wRel.w[$j]").mkString(" + "), 6)
-      qroundSql(s"1e0 / (1e0 + exp(-($dot)))", 6)
-    }
+    def sig(wRel: String): String = logitSigSql(wRel)
     val sb = new StringBuilder(
       s"""WITH feat AS (SELECT doc_id,
          |    CASE WHEN ($qualitySql) >= 0.6e0 THEN 1e0 ELSE 0e0 END AS y,
@@ -182,11 +187,26 @@ object TextQueries {
            |a$t AS (SELECT ${qroundSql(s"avg(CASE WHEN (${sig(s"w$t")} >= 0.5e0) = (y = 1e0) THEN 1e0 ELSE 0e0 END)", 6)} AS acc
            |       FROM feat, w$t)""".stripMargin
     }
-    sb ++= "\nSELECT * FROM (" + (1 to steps).map(t =>
-      s"SELECT CAST($t AS BIGINT) AS step, w[1] AS w0, w[2] AS w1, w[3] AS w2, w[4] AS w3, acc FROM w$t, a$t")
-      .mkString(" UNION ALL ") + ")"
     sb.toString
   }
+
+  /** The distillation feature frame shared by t_quality_classifier
+    * and t_quality_filter: label = the 0.6-thresholded heuristic
+    * quality rule, x = (bias, capped length, capped stopword ratio,
+    * mean-token-length band) — the rule's own components. */
+  private def qualityFeat(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      when(text.qualityScore(col("text")) >= 0.6, 1.0).otherwise(0.0).as("y"),
+      array(lit(1.0),
+        least(length(col("text")).cast("double") / lit(500.0), lit(1.0)),
+        least(text.stopwordRatio(col("text")) * lit(5.0), lit(1.0)),
+        when(text.meanTokenLen(col("text")).between(3.0, 10.0), lit(1.0))
+          .otherwise(lit(0.0))).as("x"))
+
+  private def logitSql(steps: Int, lr: String = "2e0"): String =
+    logitCtes(steps, lr) + "\nSELECT * FROM (" + (1 to steps).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS step, w[1] AS w0, w[2] AS w1, w[3] AS w2, w[4] AS w3, acc FROM w$t, a$t")
+      .mkString(" UNION ALL ") + ")"
 
   /** DuckDB twin of [[graft.ops.Unigram]]: word dict (ud) -> seed
     * substring pieces (un0) -> integer -ln(p) costs (uc{r}) -> a
@@ -833,6 +853,36 @@ object TextQueries {
       Some(s"""${unigramCtes(2)}
               |SELECT w, c, seg FROM uv2""".stripMargin)),
 
+    // unigram token-ID emission — id-surface parity with
+    // t_bpe_encode_ids for the subword family's other half: per-doc
+    // `token_ids array<int>` under the round-2 model's Viterbi
+    // segmentations, ids dense in piece order. Spark derives the
+    // vocabulary from the segmentation cache's distinct pieces; the
+    // oracle numbers un2's pieces — the two sets coincide by the
+    // EM invariant (round r's segmentation produces round r's
+    // counts), so a drift between model and segmentation surfaces
+    // as a hash mismatch here.
+    Q("t_unigram_encode_ids",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val segs = graft.ops.Unigram.segmentFull(docs, col("text"), rounds = 2)
+        graft.ops.Unigram.encodeIds(docs, col("text"), col("doc_id"), segs.result)
+      },
+      Some(s"""${unigramCtes(2)},
+              |uvoc AS (SELECT piece AS tok, CAST(row_number() OVER (ORDER BY piece) AS INTEGER) AS tok_id
+              |         FROM un2),
+              |uwrd AS (SELECT doc_id, wpos, tk[wpos+1] AS w
+              |         FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS wpos
+              |               FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
+              |usg AS (SELECT uwrd.doc_id, uwrd.wpos,
+              |          coalesce(string_split(uv2.seg, ' '), string_split(uwrd.w, '')) AS a
+              |        FROM uwrd LEFT JOIN uv2 ON uv2.w = uwrd.w),
+              |utk AS (SELECT doc_id, wpos, tpos, a[tpos+1] AS tok
+              |        FROM (SELECT doc_id, wpos, a, unnest(range(0, len(a))) AS tpos FROM usg))
+              |SELECT doc_id, list(coalesce(uvoc.tok_id, -1) ORDER BY wpos, tpos) AS token_ids
+              |FROM utk LEFT JOIN uvoc ON uvoc.tok = utk.tok
+              |GROUP BY doc_id""".stripMargin)),
+
     // the ENCODE half of tokenization: per-doc word + BPE token
     // counts against the 3-merge trained dict — corpus streams
     // through a scan-stage explode + ONE broadcast join against the
@@ -994,17 +1044,28 @@ object TextQueries {
     // gradient row broadcast back in: nothing corpus-sized shuffles.
     Q("t_quality_classifier",
       (s, d) => {
-        val feat = T(s, d, "documents").select(col("doc_id"),
-          when(text.qualityScore(col("text")) >= 0.6, 1.0).otherwise(0.0).as("y"),
-          array(lit(1.0),
-            least(length(col("text")).cast("double") / lit(500.0), lit(1.0)),
-            least(text.stopwordRatio(col("text")) * lit(5.0), lit(1.0)),
-            when(text.meanTokenLen(col("text")).between(3.0, 10.0), lit(1.0))
-              .otherwise(lit(0.0))).as("x"))
-          .persist()
+        val feat = qualityFeat(T(s, d, "documents")).persist()
         graft.ops.Logistic.train(feat, p = 4, steps = 6, lr = 2.0)
       },
       Some(logitSql(6))),
+
+    // the SERVING half of the model-based filter: train the same
+    // 6-step distillation (gradient passes only — weights are
+    // bit-identical to the graded trajectory, proven by sharing
+    // Logistic.gradStep), then score + filter the corpus with the
+    // final weights folded into the scan stage as literals: the keep
+    // decision rides the feature scan, ZERO exchanges. The kept set
+    // AND each doc's p_good are hash-graded, so a weight, snap, or
+    // threshold divergence shows as a row diff, not a silent count.
+    Q("t_quality_filter",
+      (s, d) => {
+        val feat = qualityFeat(T(s, d, "documents")).persist()
+        val w = graft.ops.Logistic.trainWeights(feat, p = 4, steps = 6, lr = 2.0)
+        graft.ops.Logistic.keep(feat, w, threshold = 0.5)
+      },
+      Some(s"""${logitCtes(6)}
+              |SELECT doc_id, ${logitSigSql("w6")} AS p_good
+              |FROM feat, w6 WHERE ${logitSigSql("w6")} >= 0.5e0""".stripMargin)),
 
     // within-doc repetition (Gopher-style quality rule): fraction of
     // repeated 2-grams = 1 - distinct/total. One doc-keyed shuffle;

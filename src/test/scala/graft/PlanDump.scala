@@ -69,7 +69,9 @@ object PlanDump {
     "d_fuzzy_pairs",      // threshold Levenshtein over band-confined candidates only
     "t_bpe_encode_ids",   // token-id emission: size-gated dict join + ONE doc-keyed int-triple exchange
     "t_pack_ids",         // id packing: one (lang,source) exchange shared by window + pack agg
-    "t_bpe_decode"        // id decode: one-row vocab broadcast + scan-stage transform
+    "t_bpe_decode",       // id decode: one-row vocab broadcast + scan-stage transform
+    "t_unigram_encode_ids", // unigram id emission: the encode_ids exchange shape
+    "t_quality_filter"    // serving filter: scan-stage literals, zero exchanges
   )
 
   def main(args: Array[String]): Unit = {

@@ -461,6 +461,31 @@ class PlanSpec extends AnyFunSuite {
       "the draw must not plan a window:\n" + p.take(1500))
   }
 
+  test("t_unigram_encode_ids: one doc-keyed re-agg; seg/vocab joins never sort-merge") {
+    val p = finalPlan("t_unigram_encode_ids")
+    // same contract as t_bpe_encode_ids: the per-doc ordered id
+    // delivery is the ONE doc-keyed exchange; the unigram training
+    // chain's own exchanges are dictionary-space (keyed on w/piece)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length == 1,
+      "exactly one doc-keyed exchange:\n" +
+        p.linesIterator.filter(_.contains("Exchange hash")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      "seg + vocab joins must hash-join (broadcast under budget):\n" + p.take(1500))
+    assert(!p.contains("rangepartitioning"), "nothing here may global-sort")
+  }
+
+  test("t_quality_filter: serving scores ride the scan — ZERO exchanges") {
+    val p = finalPlan("t_quality_filter")
+    // training runs at plan-construction (driver-held p=4 weights,
+    // the ridge convention); the SERVING frame is feat.where(sigma)
+    // with the weights folded in as literals — scan + filter +
+    // project, nothing else
+    assert(!p.contains("Exchange"),
+      "the filter must not shuffle — weights are scan-stage literals:\n" +
+        p.take(1500))
+    assert(!p.contains("Sort"), "no sort in the serving path:\n" + p.take(1500))
+  }
+
   test("t_bpe_encode_ids: one doc-keyed re-agg; dict/vocab joins never sort-merge") {
     val p = finalPlan("t_bpe_encode_ids")
     // the deliverable is per-doc ordered id sequences, so ONE doc-keyed

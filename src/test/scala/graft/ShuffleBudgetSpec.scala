@@ -183,6 +183,22 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assertBudget("t_bpe_encode_ids", shuffleCeiling = 3L << 20)
   }
 
+  test("t_unigram_encode_ids: the id exchange carries int triples, never text") {
+    // exchanges: the corpus word-dict pass + dictionary-space piece
+    // aggs (EM rounds), then the ONE doc-keyed re-agg of
+    // (doc_id, wpos, tpos, tok_id) ints — the t_bpe_encode_ids
+    // contract for the unigram half
+    assertBudget("t_unigram_encode_ids", shuffleCeiling = 3L << 20)
+  }
+
+  test("t_quality_filter: serving shuffles NOTHING") {
+    // training collects p=4 gradient rows driver-side at plan
+    // construction; the served frame is scan+filter+project with
+    // literal weights — zero exchanges by contract (PlanSpec pins
+    // the shape; this pins the bytes)
+    assertBudget("t_quality_filter", shuffleCeiling = 1L, minShuffleNodes = 0)
+  }
+
   test("t_pack_ids: pack exchanges carry id payloads, never corpus text") {
     // exchanges: the training chain's dict/pair aggs, the id re-agg
     // (int triples), and the (lang,source) shard exchange whose rows
