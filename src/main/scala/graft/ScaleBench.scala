@@ -85,7 +85,14 @@ object ScaleBench {
     // (expect its slope); the filter's serving frame is scan-stage
     // (expect the classifier's aggregate-pass slope — training
     // dominates, 6 gradient passes over the cached features)
-    "t_unigram_encode_ids", "t_quality_filter")
+    "t_unigram_encode_ids", "t_quality_filter",
+    // the persisted twins: first run builds the store (fingerprint
+    // marker skips after), min-time slope measures steady-state
+    // serving — the e_ivfpq_indexed convention
+    "t_unigram_encode_indexed", "t_quality_filter_indexed",
+    // decode rides the id producer + a one-row vocab broadcast
+    // (expect the unigram encode slope)
+    "t_unigram_decode")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

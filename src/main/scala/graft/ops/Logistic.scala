@@ -120,6 +120,37 @@ object Logistic {
     w.toSeq
   }
 
+  /** Persist the trained weight vector exactly ONCE per corpus
+    * fingerprint (the shared [[AnnIndex.oncePerFingerprint]] marker
+    * lifecycle): the quality model's serving artifact — p doubles in
+    * a one-row parquet, the smallest store in the serving family.
+    * At 100 TB the 2·steps training passes run once per corpus
+    * version; every later filter job reads one row and folds the
+    * weights into its scan stage. */
+  def buildWeightsIfAbsent(spark: org.apache.spark.sql.SparkSession,
+                           feat: DataFrame, p: Int, steps: Int, lr: Double,
+                           dir: String, fingerprint: String): Unit =
+    AnnIndex.oncePerFingerprint(spark, dir, s"logit_p${p}_s$steps", fingerprint) {
+      val w = trainWeights(feat, p, steps, lr)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(w)), 1),
+        StructType(Seq(StructField("w",
+          org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false),
+          nullable = false))))
+        .write.mode("overwrite").parquet(s"$dir/weights")
+    }
+
+  /** The stored weight vector — one bounded row, the ridge-collect
+    * convention's sanctioned driver read. */
+  def storedWeights(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Double] =
+    spark.read.parquet(s"$dir/weights").head.getSeq[Double](0)
+
+  /** [[keep]] under the persisted model — the serving path: one-row
+    * store read, then the zero-exchange literal-weight filter. */
+  def keepIndexed(spark: org.apache.spark.sql.SparkSession, feat: DataFrame,
+                  dir: String, threshold: Double = 0.5): DataFrame =
+    keep(feat, storedWeights(spark, dir), threshold)
+
   /** Score + filter with trained weights (the serving half): emits
     * docs whose predicted quality probability clears `threshold`.
     * Weights are literals folded into the scan stage; the filter

@@ -191,14 +191,57 @@ object Unigram {
     * with out-of-model chars -> -1 = UNK, the [[Bpe]] floor. */
   def encodeIds(docs: DataFrame, textCol: Column, idCol: Column,
                 segs: DataFrame,
-                maxBroadcastRows: Long = Bpe.DefaultMaxBroadcastRows): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val voc = segs.select(explode(split(col("seg"), " ")).as("tok")).distinct()
-      .withColumn("tok_id", row_number().over(Window.orderBy(col("tok"))))
+                maxBroadcastRows: Long = Bpe.DefaultMaxBroadcastRows): DataFrame =
     Bpe.idsFromSeg(docs, textCol, idCol,
       segs.select(col("w"), split(col("seg"), " ").as("toks")),
-      voc, maxBroadcastRows)
+      pieceVocab(segs), maxBroadcastRows)
+
+  /** The (tok, tok_id) piece vocabulary of a segmentation cache:
+    * its distinct pieces densely numbered in piece order —
+    * model-sized (bounded by alphabet^maxPieceLen), always
+    * broadcastable; the one-partition ordering window is over that
+    * bounded frame (the [[Bpe.vocab]] scale class). */
+  private def pieceVocab(segs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    segs.select(explode(split(col("seg"), " ")).as("tok")).distinct()
+      .withColumn("tok_id", row_number().over(Window.orderBy(col("tok"))))
   }
+
+  /** DECODE unigram token-id sequences back to text — the
+    * round-trip witness for [[encodeIds]], via the shared
+    * [[Bpe.decodeWithVocab]] core (one-row vocab broadcast +
+    * scan-stage transform). Unlike BPE, a unigram model always
+    * covers its own corpus (single-char pieces are the coverage
+    * floor), so same-corpus decode reconstructs every
+    * space-stripped doc with zero UNKs — graded, not assumed. */
+  def decodeIds(ids: DataFrame, segs: DataFrame): DataFrame =
+    Bpe.decodeWithVocab(ids, pieceVocab(segs))
+
+  /** Persist the round-`rounds` segmentation cache exactly ONCE per
+    * corpus fingerprint (the shared [[AnnIndex.oncePerFingerprint]]
+    * marker lifecycle — the serving contract of the ANN index, dedup
+    * store, BPE dict, and sketch store): the unigram tokenizer's
+    * trained artifact. Training runs once per corpus version; every
+    * later encode reads the word-dict-sized parquet and joins it
+    * through the same size gate as BPE serving. Crash self-heal and
+    * stale-marker clearing come with the lifecycle. */
+  def buildModelIfAbsent(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                         textCol: Column, dir: String, rounds: Int,
+                         fingerprint: String, maxPieceLen: Int = 4,
+                         maxWordLen: Int = 8): Unit =
+    AnnIndex.oncePerFingerprint(spark, dir, s"unigram_r$rounds", fingerprint) {
+      val segs = segmentFull(docs, textCol, rounds, maxPieceLen, maxWordLen)
+      segs.result.write.mode("overwrite").parquet(s"$dir/segs")
+      segs.unpersistAll()
+    }
+
+  /** [[encodeIds]] against the persisted segmentation cache — the
+    * serving path. Missing/half-built stores fail loudly at plan
+    * time (the parquet read refuses an absent path). */
+  def encodeIdsIndexed(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                       textCol: Column, idCol: Column, dir: String,
+                       maxBroadcastRows: Long = Bpe.DefaultMaxBroadcastRows): DataFrame =
+    encodeIds(docs, textCol, idCol, spark.read.parquet(s"$dir/segs"), maxBroadcastRows)
 
   /** The word dict, with a LOUD bound check: the DP covers exactly
     * `maxWordLen` layers, so a longer word would silently vanish from

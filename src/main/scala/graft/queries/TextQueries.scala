@@ -190,6 +190,30 @@ object TextQueries {
     sb.toString
   }
 
+  /** The unigram id-emission oracle shared by t_unigram_encode_ids
+    * and t_unigram_encode_indexed (persisted == in-plan by
+    * construction, so one SQL twin grades both): vocab = un2's
+    * pieces densely numbered, per-doc word/piece posexplodes joined
+    * to uv2's segmentations, ordered list_agg of ids. */
+  private def unigramIdsCtes: String =
+    s"""${unigramCtes(2)},
+       |uvoc AS (SELECT piece AS tok, CAST(row_number() OVER (ORDER BY piece) AS INTEGER) AS tok_id
+       |         FROM un2),
+       |uwrd AS (SELECT doc_id, wpos, tk[wpos+1] AS w
+       |         FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS wpos
+       |               FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
+       |usg AS (SELECT uwrd.doc_id, uwrd.wpos,
+       |          coalesce(string_split(uv2.seg, ' '), string_split(uwrd.w, '')) AS a
+       |        FROM uwrd LEFT JOIN uv2 ON uv2.w = uwrd.w),
+       |utk AS (SELECT doc_id, wpos, tpos, a[tpos+1] AS tok
+       |        FROM (SELECT doc_id, wpos, a, unnest(range(0, len(a))) AS tpos FROM usg))""".stripMargin
+
+  private def unigramIdsSql: String =
+    s"""$unigramIdsCtes
+       |SELECT doc_id, list(coalesce(uvoc.tok_id, -1) ORDER BY wpos, tpos) AS token_ids
+       |FROM utk LEFT JOIN uvoc ON uvoc.tok = utk.tok
+       |GROUP BY doc_id""".stripMargin
+
   /** The distillation feature frame shared by t_quality_classifier
     * and t_quality_filter: label = the 0.6-thresholded heuristic
     * quality rule, x = (bias, capped length, capped stopword ratio,
@@ -868,20 +892,7 @@ object TextQueries {
         val segs = graft.ops.Unigram.segmentFull(docs, col("text"), rounds = 2)
         graft.ops.Unigram.encodeIds(docs, col("text"), col("doc_id"), segs.result)
       },
-      Some(s"""${unigramCtes(2)},
-              |uvoc AS (SELECT piece AS tok, CAST(row_number() OVER (ORDER BY piece) AS INTEGER) AS tok_id
-              |         FROM un2),
-              |uwrd AS (SELECT doc_id, wpos, tk[wpos+1] AS w
-              |         FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS wpos
-              |               FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
-              |usg AS (SELECT uwrd.doc_id, uwrd.wpos,
-              |          coalesce(string_split(uv2.seg, ' '), string_split(uwrd.w, '')) AS a
-              |        FROM uwrd LEFT JOIN uv2 ON uv2.w = uwrd.w),
-              |utk AS (SELECT doc_id, wpos, tpos, a[tpos+1] AS tok
-              |        FROM (SELECT doc_id, wpos, a, unnest(range(0, len(a))) AS tpos FROM usg))
-              |SELECT doc_id, list(coalesce(uvoc.tok_id, -1) ORDER BY wpos, tpos) AS token_ids
-              |FROM utk LEFT JOIN uvoc ON uvoc.tok = utk.tok
-              |GROUP BY doc_id""".stripMargin)),
+      Some(unigramIdsSql)),
 
     // the ENCODE half of tokenization: per-doc word + BPE token
     // counts against the 3-merge trained dict — corpus streams
@@ -1049,6 +1060,51 @@ object TextQueries {
       },
       Some(logitSql(6))),
 
+    // unigram DECODE — the round-trip witness for the unigram id
+    // surface (the t_bpe_decode convention, shared decode core).
+    // Unigram's coverage floor (single-char pieces always survive
+    // in the model their own word's path feeds) means same-corpus
+    // decode must reconstruct EVERY space-stripped doc with zero
+    // UNKs — the roundtrip column grades that claim per doc rather
+    // than asserting it.
+    Q("t_unigram_decode",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val segs = graft.ops.Unigram.segmentFull(docs, col("text"), rounds = 2)
+        val ids = graft.ops.Unigram.encodeIds(docs, col("text"), col("doc_id"),
+          segs.result)
+        graft.ops.Unigram.decodeIds(ids, segs.result)
+          .join(docs.select(col("doc_id"),
+            regexp_replace(col("text"), " ", "").as("stripped")), Seq("doc_id"))
+          .select(col("doc_id"), col("decoded"), col("n_unk"),
+            (col("decoded") === col("stripped")).as("roundtrip"))
+      },
+      Some(s"""$unigramIdsCtes,
+              |udec AS (SELECT utk.doc_id,
+              |           string_agg(CASE WHEN uvoc.tok_id IS NULL THEN chr(65533)
+              |                           ELSE utk.tok END, '' ORDER BY wpos, tpos) AS decoded,
+              |           CAST(count(*) FILTER (WHERE uvoc.tok_id IS NULL) AS BIGINT) AS n_unk
+              |         FROM utk LEFT JOIN uvoc ON uvoc.tok = utk.tok GROUP BY utk.doc_id)
+              |SELECT udec.doc_id, udec.decoded, udec.n_unk,
+              |  (udec.decoded = regexp_replace(d.text, ' ', '', 'g')) AS roundtrip
+              |FROM udec JOIN documents d ON d.doc_id = udec.doc_id""".stripMargin)),
+
+    // unigram encode against the PERSISTED segmentation cache — the
+    // serving shape (build-once per corpus fingerprint via the shared
+    // marker lifecycle; the store completes the serving family: ANN
+    // index, dedup store, BPE dict, sketch store, unigram model).
+    // Same oracle as t_unigram_encode_ids: persisted == in-plan,
+    // hash-graded.
+    Q("t_unigram_encode_indexed",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-unigram-${storeKey(d)}"
+        graft.ops.Unigram.buildModelIfAbsent(s, docs, col("text"), dir, rounds = 2,
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
+        graft.ops.Unigram.encodeIdsIndexed(s, docs, col("text"), col("doc_id"), dir)
+      },
+      Some(unigramIdsSql)),
+
     // the SERVING half of the model-based filter: train the same
     // 6-step distillation (gradient passes only — weights are
     // bit-identical to the graded trajectory, proven by sharing
@@ -1062,6 +1118,24 @@ object TextQueries {
         val feat = qualityFeat(T(s, d, "documents")).persist()
         val w = graft.ops.Logistic.trainWeights(feat, p = 4, steps = 6, lr = 2.0)
         graft.ops.Logistic.keep(feat, w, threshold = 0.5)
+      },
+      Some(s"""${logitCtes(6)}
+              |SELECT doc_id, ${logitSigSql("w6")} AS p_good
+              |FROM feat, w6 WHERE ${logitSigSql("w6")} >= 0.5e0""".stripMargin)),
+
+    // filtering under the PERSISTED quality model — the smallest
+    // member of the serving family: the weight vector (p doubles,
+    // one parquet row) builds once per corpus fingerprint; every
+    // filter job reads ONE row and folds the weights into its scan.
+    // Same oracle as t_quality_filter: persisted == in-plan.
+    Q("t_quality_filter_indexed",
+      (s, d) => {
+        val feat = qualityFeat(T(s, d, "documents")).persist()
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-logit-${storeKey(d)}"
+        graft.ops.Logistic.buildWeightsIfAbsent(s, feat, p = 4, steps = 6,
+          lr = 2.0, dir = dir,
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
+        graft.ops.Logistic.keepIndexed(s, feat, dir, threshold = 0.5)
       },
       Some(s"""${logitCtes(6)}
               |SELECT doc_id, ${logitSigSql("w6")} AS p_good

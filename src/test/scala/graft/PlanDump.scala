@@ -71,7 +71,9 @@ object PlanDump {
     "t_pack_ids",         // id packing: one (lang,source) exchange shared by window + pack agg
     "t_bpe_decode",       // id decode: one-row vocab broadcast + scan-stage transform
     "t_unigram_encode_ids", // unigram id emission: the encode_ids exchange shape
-    "t_quality_filter"    // serving filter: scan-stage literals, zero exchanges
+    "t_quality_filter",   // serving filter: scan-stage literals, zero exchanges
+    "t_unigram_encode_indexed", // persisted-model serving twin
+    "t_quality_filter_indexed"  // persisted-weights serving twin
   )
 
   def main(args: Array[String]): Unit = {

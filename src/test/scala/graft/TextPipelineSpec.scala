@@ -274,6 +274,60 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(rebuilt.toSeq == Seq((3L, 1L, 4L)), s"rebuild: ${rebuilt.toSeq}")
   }
 
+  test("Unigram persisted model: build-once marker semantics + encodeIds parity") {
+    import graft.ops.Unigram
+    val docs = Seq((1L, "abab abab cd"), (2L, "cd ab")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-unigram").toString
+    Unigram.buildModelIfAbsent(spark, docs, $"text", dir, rounds = 2,
+      fingerprint = "fp1")
+    val segs = Unigram.segmentFull(docs, $"text", rounds = 2)
+    val persisted = Unigram.encodeIdsIndexed(spark, docs, $"text", $"doc_id", dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    val inPlan = Unigram.encodeIds(docs, $"text", $"doc_id", segs.result)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    segs.unpersistAll()
+    assert(persisted == inPlan, s"persisted != in-plan: $persisted vs $inPlan")
+    // same fingerprint: marker skips the rebuild even for another corpus
+    val other = Seq((9L, "zz zz")).toDF("doc_id", "text")
+    Unigram.buildModelIfAbsent(spark, other, $"text", dir, rounds = 2,
+      fingerprint = "fp1")
+    val again = Unigram.encodeIdsIndexed(spark, docs, $"text", $"doc_id", dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(again == persisted, "same fingerprint must be a no-op")
+    // moved fingerprint: rebuild — the old corpus's words are gone, so
+    // encode of 'abab' now char-falls-back with out-of-model chars -> -1
+    Unigram.buildModelIfAbsent(spark, other, $"text", dir, rounds = 2,
+      fingerprint = "fp2")
+    val rebuilt = Unigram.encodeIdsIndexed(spark,
+        Seq((3L, "abab")).toDF("doc_id", "text"), $"text", $"doc_id", dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(rebuilt.length == 1 && rebuilt.head._2.forall(_ == -1),
+      s"rebuilt model must not know the old corpus: ${rebuilt.toSeq}")
+  }
+
+  test("Logistic persisted weights: build-once marker + keepIndexed parity") {
+    import graft.ops.Logistic
+    val feat = Seq(
+      (1L, 1.0, Seq(1.0, 0.9, 0.8, 1.0)), (2L, 0.0, Seq(1.0, 0.1, 0.0, 0.0)),
+      (3L, 1.0, Seq(1.0, 0.7, 0.9, 1.0)), (4L, 0.0, Seq(1.0, 0.2, 0.1, 0.0)))
+      .toDF("doc_id", "y", "x").persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft-logit").toString
+    Logistic.buildWeightsIfAbsent(spark, feat, p = 4, steps = 3, lr = 2.0,
+      dir = dir, fingerprint = "fp1")
+    val w = Logistic.trainWeights(feat, p = 4, steps = 3, lr = 2.0)
+    assert(Logistic.storedWeights(spark, dir) == w,
+      "stored weights must equal the in-plan training chain's")
+    val persisted = Logistic.keepIndexed(spark, feat, dir)
+      .collect().map(_.getLong(0)).toSet
+    val inPlan = Logistic.keep(feat, w).collect().map(_.getLong(0)).toSet
+    assert(persisted == inPlan, s"persisted != in-plan: $persisted vs $inPlan")
+    // same fingerprint: no rebuild even when handed different features
+    Logistic.buildWeightsIfAbsent(spark, feat.limit(1), p = 4, steps = 3,
+      lr = 2.0, dir = dir, fingerprint = "fp1")
+    assert(Logistic.storedWeights(spark, dir) == w, "marker must skip rebuild")
+    feat.unpersist()
+  }
+
   test("Bpe.encodeStream: streamed doc feed == batch encode over the persisted dict") {
     import graft.ops.Bpe
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -299,6 +353,36 @@ class TextPipelineSpec extends AnyFunSuite {
           $"text", $"doc_id", dir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == batch, s"\n got=$got\nbatch=$batch")
+    } finally q.stop()
+  }
+
+  test("Bpe.encodeIdsStream: streamed id arrays == batch encodeIds per doc") {
+    import graft.ops.Bpe
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val train = Seq((1L, "aaaa aaaa banana"), (2L, "banana spark")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpeidstream").toString
+    Bpe.buildDictIfAbsent(spark, train, $"text", dir, iters = 2, fingerprint = "s1")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)] // (doc_id, text, sec)
+    val stream = mem.toDF().toDF("doc_id", "text", "sec")
+      .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    val out = Bpe.encodeIdsStream(spark, stream, $"text", $"doc_id", $"ts", dir)
+    val q = out.writeStream.format("memory").queryName("bpe_idstream_out")
+      .outputMode("append").start()
+    try {
+      // 'unseen' char-falls-back; 'Q' is out-of-alphabet -> -1 UNK
+      mem.addData((10L, "aaaa banana unseen Q", 4L), (11L, "banana banana", 6L))
+      q.processAllAvailable()
+      mem.addData((12L, "late", 100L)) // watermark closes [0,10)
+      q.processAllAvailable()
+      val got = spark.table("bpe_idstream_out")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+      val batch = Bpe.encodeIdsIndexed(spark,
+          Seq((10L, "aaaa banana unseen Q"), (11L, "banana banana")).toDF("doc_id", "text"),
+          $"text", $"doc_id", dir)
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+      assert(got == batch, s"\n got=$got\nbatch=$batch")
+      assert(got.exists(_._2.contains(-1)), "the UNK id must appear")
     } finally q.stop()
   }
 
