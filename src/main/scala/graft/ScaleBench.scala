@@ -92,7 +92,11 @@ object ScaleBench {
     "t_unigram_encode_indexed", "t_quality_filter_indexed",
     // decode rides the id producer + a one-row vocab broadcast
     // (expect the unigram encode slope)
-    "t_unigram_decode")
+    "t_unigram_decode",
+    // the id flagship: model gate (scan-stage) + dedup exchange +
+    // dict chain + id triples + pack shard — expect the
+    // pipe_tokenize_e2e slope plus the id-volume constant
+    "pipe_ids_e2e")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

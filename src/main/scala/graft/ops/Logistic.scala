@@ -151,6 +151,13 @@ object Logistic {
                   dir: String, threshold: Double = 0.5): DataFrame =
     keep(feat, storedWeights(spark, dir), threshold)
 
+  /** The snapped quality probability of feature array `x` under
+    * literal weights `w` — the public scoring column, for pipelines
+    * that filter a frame carrying more than (doc_id, x) (e.g. the
+    * ids flagship keeps text/lang/source through the gate). Same
+    * expression [[keep]] filters on. */
+  def score(x: Column, w: Seq[Double]): Column = sigma(x, w)
+
   /** Score + filter with trained weights (the serving half): emits
     * docs whose predicted quality probability clears `threshold`.
     * Weights are literals folded into the scan stage; the filter

@@ -229,5 +229,71 @@ object PipelineQueries {
            |SELECT doc_id, lang, source, n_bpe_tokens,
            |  CAST((cum - 1) // 1024 AS BIGINT) AS pack_id FROM c""".stripMargin
       }),
+
+    // FLAGSHIP 5 — the round-13 id pipeline: raw corpus -> MODEL
+    // -based quality gate (the 6-step distilled logistic filter,
+    // weights trained in the same invocation and folded into the
+    // scan as literals) -> exact dedup (min-id keeper) -> BPE
+    // training on the curated corpus (2 merge iterations) -> token-
+    // ID encoding -> id PACKING into fixed-budget training rows.
+    // This is pipe_tokenize_e2e's successor with the two upgrades a
+    // real pipeline ships: a learned filter instead of the heuristic
+    // floor, and actual token-id arrays instead of counts — the
+    // packs' token_ids are literally what a loader feeds a trainer.
+    // Every stage is graded solo (t_quality_filter, t_exact_dedup,
+    // t_bpe_train, t_bpe_encode_ids, t_pack_ids); this pins the
+    // composition as ONE plan. Scale shape: the gate rides the scan
+    // (zero exchanges — weights are driver-held literals), dedup is
+    // one fingerprint-keyed exchange, the dict chain is dictionary-
+    // space, ids cross the wire once as int triples, and the pack
+    // shard exchange carries the output's own volume.
+    Q("pipe_ids_e2e",
+      (s, d) => {
+        val docs = graft.sources.Tables.load(s, d, "documents")
+        val feat = TextQueries.qualityFeat(docs).persist()
+        val w = graft.ops.Logistic.trainWeights(feat, p = 4, steps = 6, lr = 2.0)
+        val scored = docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+            graft.functions.text.fingerprint(col("text")).as("fp"))
+          .where(graft.ops.Logistic.score(TextQueries.qualityX, w) >= 0.5)
+        val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+        val kept = scored.join(keep, Seq("fp"))
+          .where(col("doc_id") === col("keeper"))
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+          .persist() // feeds the dict chain, the id encode, and the pack
+        val dict = graft.ops.Bpe.trainedDictFull(kept, col("text"), iters = 2)
+        val ids = graft.ops.Bpe.encodeIds(kept, col("text"), col("doc_id"), dict.result)
+        graft.ops.Bpe.packIds(ids,
+          kept.select(col("doc_id"), col("lang"), col("source")),
+          TextQueries.PackBudget)
+      },
+      Some {
+        val sig = TextQueries.logitSigSql("w6")
+        val prelude =
+          s"""${TextQueries.logitBody(6)},
+             |qk AS (SELECT d.doc_id, d.text, d.lang, d.source
+             |  FROM documents d JOIN feat f ON f.doc_id = d.doc_id, w6
+             |  WHERE $sig >= 0.5e0),
+             |sc2 AS (SELECT doc_id, text, lang, source,
+             |    CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+             |  FROM (SELECT *, ${TextQueries.normSql} AS norm FROM qk)),
+             |kept AS (SELECT doc_id, text, lang, source FROM (
+             |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM sc2)
+             |  WHERE doc_id = keeper),""".stripMargin
+        s"""${TextQueries.bpeCtes(2, srcRel = "kept", prelude = prelude)},
+           |${TextQueries.idsCtes(2, srcRel = "kept")},
+           |encl AS (SELECT doc_id, list(coalesce(voc.tok_id, -1) ORDER BY wpos, tpos) AS token_ids
+           |         FROM tkq LEFT JOIN voc ON voc.tok = tkq.tok GROUP BY doc_id),
+           |pk AS (SELECT k.lang, k.source, e.doc_id, e.token_ids,
+           |         CAST(len(e.token_ids) AS BIGINT) AS n_tokens,
+           |         sum(CAST(len(e.token_ids) AS BIGINT)) OVER (
+           |           PARTITION BY k.lang, k.source ORDER BY e.doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |       FROM encl e JOIN kept k ON k.doc_id = e.doc_id)
+           |SELECT lang, source, CAST((cum - 1) // ${TextQueries.PackBudget} AS BIGINT) AS pack_id,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |  flatten(list(token_ids ORDER BY doc_id)) AS token_ids
+           |FROM pk GROUP BY lang, source, pack_id""".stripMargin
+      }),
   )
 }

@@ -21,7 +21,7 @@ object TextQueries {
   // chunking / packing parameters (t_chunk_split, t_pack_sequences)
   private val ChunkSize = 500 // chars per chunk
   private val ChunkStride = 400 // 100-char overlap between neighbors
-  private val PackBudget = 1024 // tokens per training pack
+  private[queries] val PackBudget = 1024 // tokens per training pack
   private val WSampleK = 20 // weighted-sample draw size (non-trivial at sf0.001's 50 docs)
 
   // ---- shared oracle SQL fragments ----
@@ -131,12 +131,12 @@ object TextQueries {
     * and t_pack_ids (flatten of per-doc id lists) — one definition,
     * so a numbering or fallback change cannot desynchronize the
     * graded id surface. */
-  private def idsCtes(iters: Int): String =
+  private[queries] def idsCtes(iters: Int, srcRel: String = "documents"): String =
     s"""voc AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INTEGER) AS tok_id
        |        FROM (SELECT DISTINCT unnest(string_split(seq, ' ')) AS tok FROM d$iters)),
        |wrd AS (SELECT doc_id, wpos, tk[wpos+1] AS w
        |        FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS wpos
-       |              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
+       |              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM $srcRel))),
        |sg AS (SELECT wrd.doc_id, wrd.wpos,
        |         coalesce(string_split(d$iters.seq, ' '), string_split(wrd.w, '')) AS a
        |        FROM wrd LEFT JOIN d$iters ON d$iters.w = wrd.w),
@@ -151,13 +151,13 @@ object TextQueries {
   /** Snapped sigmoid under the weight row of CTE `wRel` — the SQL
     * twin of Logistic.sigma, shared by the trajectory and filter
     * oracles. */
-  private def logitSigSql(wRel: String): String = {
+  private[queries] def logitSigSql(wRel: String): String = {
     val dot = qroundSql(
       (1 to 4).map(j => s"x[$j] * $wRel.w[$j]").mkString(" + "), 6)
     qroundSql(s"1e0 / (1e0 + exp(-($dot)))", 6)
   }
 
-  private def logitCtes(steps: Int, lr: String = "2e0"): String = {
+  private[queries] def logitBody(steps: Int, lr: String = "2e0"): String = {
     val x1 = "least(CAST(length(text) AS DOUBLE) / 500e0, 1e0)"
     val x2 = "least((CAST(len(list_filter(string_split(text, ' '), " +
       "x -> list_contains(['the','a','of','and','in','to','is','on','for','with'], x))) AS DOUBLE)" +
@@ -167,7 +167,7 @@ object TextQueries {
     val x3 = s"CASE WHEN $tl >= 3e0 AND $tl <= 10e0 THEN 1e0 ELSE 0e0 END"
     def sig(wRel: String): String = logitSigSql(wRel)
     val sb = new StringBuilder(
-      s"""WITH feat AS (SELECT doc_id,
+      s"""feat AS (SELECT doc_id,
          |    CASE WHEN ($qualitySql) >= 0.6e0 THEN 1e0 ELSE 0e0 END AS y,
          |    [1e0, $x1, $x2, $x3] AS x FROM documents),
          |w0 AS (SELECT [0e0, 0e0, 0e0, 0e0] AS w)""".stripMargin)
@@ -214,18 +214,24 @@ object TextQueries {
        |FROM utk LEFT JOIN uvoc ON uvoc.tok = utk.tok
        |GROUP BY doc_id""".stripMargin
 
+  private[queries] def logitCtes(steps: Int, lr: String = "2e0"): String =
+    "WITH " + logitBody(steps, lr)
+
   /** The distillation feature frame shared by t_quality_classifier
     * and t_quality_filter: label = the 0.6-thresholded heuristic
     * quality rule, x = (bias, capped length, capped stopword ratio,
     * mean-token-length band) — the rule's own components. */
-  private def qualityFeat(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[queries] def qualityX: org.apache.spark.sql.Column =
+    array(lit(1.0),
+      least(length(col("text")).cast("double") / lit(500.0), lit(1.0)),
+      least(text.stopwordRatio(col("text")) * lit(5.0), lit(1.0)),
+      when(text.meanTokenLen(col("text")).between(3.0, 10.0), lit(1.0))
+        .otherwise(lit(0.0)))
+
+  private[queries] def qualityFeat(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"),
       when(text.qualityScore(col("text")) >= 0.6, 1.0).otherwise(0.0).as("y"),
-      array(lit(1.0),
-        least(length(col("text")).cast("double") / lit(500.0), lit(1.0)),
-        least(text.stopwordRatio(col("text")) * lit(5.0), lit(1.0)),
-        when(text.meanTokenLen(col("text")).between(3.0, 10.0), lit(1.0))
-          .otherwise(lit(0.0))).as("x"))
+      qualityX.as("x"))
 
   private def logitSql(steps: Int, lr: String = "2e0"): String =
     logitCtes(steps, lr) + "\nSELECT * FROM (" + (1 to steps).map(t =>

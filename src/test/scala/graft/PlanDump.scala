@@ -73,7 +73,8 @@ object PlanDump {
     "t_unigram_encode_ids", // unigram id emission: the encode_ids exchange shape
     "t_quality_filter",   // serving filter: scan-stage literals, zero exchanges
     "t_unigram_encode_indexed", // persisted-model serving twin
-    "t_quality_filter_indexed"  // persisted-weights serving twin
+    "t_quality_filter_indexed", // persisted-weights serving twin
+    "pipe_ids_e2e"        // id flagship: gate->dedup->train->ids->pack, one plan
   )
 
   def main(args: Array[String]): Unit = {

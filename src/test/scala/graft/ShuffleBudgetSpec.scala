@@ -183,6 +183,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assertBudget("t_bpe_encode_ids", shuffleCeiling = 3L << 20)
   }
 
+  test("pipe_ids_e2e: the id flagship's exchanges stay id-sized") {
+    // exchanges: ONE fingerprint-keyed dedup exchange (the only text
+    // payload), the dict chain's dictionary-space aggs, the doc-keyed
+    // id re-agg (int triples), and the (lang,source) pack shard —
+    // the output's own volume. The model gate adds ZERO exchanges
+    // (driver-held literal weights)
+    assertBudget("pipe_ids_e2e", shuffleCeiling = 8L << 20)
+  }
+
   test("t_unigram_encode_ids: the id exchange carries int triples, never text") {
     // exchanges: the corpus word-dict pass + dictionary-space piece
     // aggs (EM rounds), then the ONE doc-keyed re-agg of
