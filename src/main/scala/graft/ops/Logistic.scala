@@ -54,9 +54,21 @@ object Logistic {
 
   /** Snapped sigmoid of a snapped logit under literal weights `w`
     * over features `x` (array<double>, element 1 = the 1.0 bias). */
-  private def sigma(x: Column, w: Seq[Double]): Column = {
-    val z = qround(w.zipWithIndex.map { case (wj, j) =>
-      element_at(x, j + 1) * lit(wj) }.reduce(_ + _), 6)
+  private def sigma(x: Column, w: Seq[Double]): Column =
+    sigmaCols(w.indices.map(j => element_at(x, j + 1)), w)
+
+  /** [[sigma]] over the feature COLUMNS directly — for callers whose
+    * features are inline expressions rather than a stored array
+    * column. Semantically identical (element_at(array(e1..ep), j+1)
+    * is e_j), but it never constructs the array: wrapping inline
+    * CaseWhen features in CreateArray and indexing them back put
+    * ElementAt's null-branch across a codegen function-split
+    * boundary (Janino: "isNull_N is not an rvalue"), knocking the
+    * whole gate predicate into interpreted mode. Plain arithmetic
+    * stays inside whole-stage codegen. */
+  private def sigmaCols(xs: Seq[Column], w: Seq[Double]): Column = {
+    val z = qround(xs.zip(w).map { case (xj, wj) => xj * lit(wj) }
+      .reduce(_ + _), 6)
     qround(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
 
@@ -157,6 +169,11 @@ object Logistic {
     * ids flagship keeps text/lang/source through the gate). Same
     * expression [[keep]] filters on. */
   def score(x: Column, w: Seq[Double]): Column = sigma(x, w)
+
+  /** [[score]] over inline feature expressions (no array
+    * construction — see [[sigmaCols]] for why that matters inside a
+    * big gate predicate). `xs(0)` is the 1.0 bias. */
+  def scoreCols(xs: Seq[Column], w: Seq[Double]): Column = sigmaCols(xs, w)
 
   /** Score + filter with trained weights (the serving half): emits
     * docs whose predicted quality probability clears `threshold`.

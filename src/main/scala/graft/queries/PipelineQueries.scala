@@ -254,7 +254,11 @@ object PipelineQueries {
         val w = graft.ops.Logistic.trainWeights(feat, p = 4, steps = 6, lr = 2.0)
         val scored = docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
             graft.functions.text.fingerprint(col("text")).as("fp"))
-          .where(graft.ops.Logistic.score(TextQueries.qualityX, w) >= 0.5)
+          // scoreCols, not score(qualityX): the array-then-index form
+          // breaks codegen function-splitting inside this large gate
+          // predicate (interpreted fallback); inline columns stay in
+          // whole-stage codegen (see Logistic.sigmaCols)
+          .where(graft.ops.Logistic.scoreCols(TextQueries.qualityXs, w) >= 0.5)
         val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
         val kept = scored.join(keep, Seq("fp"))
           .where(col("doc_id") === col("keeper"))

@@ -221,12 +221,15 @@ object TextQueries {
     * and t_quality_filter: label = the 0.6-thresholded heuristic
     * quality rule, x = (bias, capped length, capped stopword ratio,
     * mean-token-length band) — the rule's own components. */
-  private[queries] def qualityX: org.apache.spark.sql.Column =
-    array(lit(1.0),
+  private[queries] def qualityXs: Seq[org.apache.spark.sql.Column] =
+    Seq(lit(1.0),
       least(length(col("text")).cast("double") / lit(500.0), lit(1.0)),
       least(text.stopwordRatio(col("text")) * lit(5.0), lit(1.0)),
       when(text.meanTokenLen(col("text")).between(3.0, 10.0), lit(1.0))
         .otherwise(lit(0.0)))
+
+  private[queries] def qualityX: org.apache.spark.sql.Column =
+    array(qualityXs: _*)
 
   private[queries] def qualityFeat(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"),
