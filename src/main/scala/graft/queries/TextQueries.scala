@@ -221,7 +221,9 @@ object TextQueries {
     * and t_quality_filter: label = the 0.6-thresholded heuristic
     * quality rule, x = (bias, capped length, capped stopword ratio,
     * mean-token-length band) — the rule's own components. */
-  private[queries] def qualityXs: Seq[org.apache.spark.sql.Column] =
+  // private[graft] (not [queries]): TextPipelineSpec pins this exact
+  // column set compiling under CODEGEN_ONLY
+  private[graft] def qualityXs: Seq[org.apache.spark.sql.Column] =
     Seq(lit(1.0),
       least(length(col("text")).cast("double") / lit(500.0), lit(1.0)),
       least(text.stopwordRatio(col("text")) * lit(5.0), lit(1.0)),

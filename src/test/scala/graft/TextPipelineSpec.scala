@@ -522,4 +522,34 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(accs.sliding(2).drop(1).forall(p => p(1) >= p(0) - 1e-9),
       s"accuracy trajectory regressed: $accs")
   }
+
+  test("ids-flagship gate predicate compiles under CODEGEN_ONLY (no interpreted fallback)") {
+    // Regression pin on the round-13 codegen fix: score(qualityX, w)
+    // wrapped the inline CaseWhen features in CreateArray and
+    // element_at-ed them back; at gate-predicate size Spark's codegen
+    // function split put ElementAt's null branch out of scope (Janino
+    // "isNull_N is not an rvalue") and the WHOLE predicate silently
+    // ran interpreted. scoreCols scores the feature columns directly.
+    // CODEGEN_ONLY turns any such fallback into a hard error, so this
+    // test fails loudly if the broken shape ever returns.
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      val w = Seq(-1.0, 0.8, 0.9, 0.7)
+      val gated = docs
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          graft.functions.text.fingerprint(col("text")).as("fp"))
+        .where(graft.ops.Logistic.scoreCols(
+          graft.queries.TextQueries.qualityXs, w) >= 0.5)
+      assert(gated.count() > 0, "gate must keep some docs at sf0.001")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
