@@ -266,9 +266,12 @@ object PipelineQueries {
           .persist() // feeds the dict chain, the id encode, and the pack
         val dict = graft.ops.Bpe.trainedDictFull(kept, col("text"), iters = 2)
         val ids = graft.ops.Bpe.encodeIds(kept, col("text"), col("doc_id"), dict.result)
-        graft.ops.Bpe.packIds(ids,
+        // token_ids graded as its space-joined string form (the
+        // idsAsString convention — the driver's oracle harness cannot
+        // sort array<int> cells); packIds itself keeps the real array
+        TextQueries.idsAsString(graft.ops.Bpe.packIds(ids,
           kept.select(col("doc_id"), col("lang"), col("source")),
-          TextQueries.PackBudget)
+          TextQueries.PackBudget))
       },
       Some {
         val sig = TextQueries.logitSigSql("w6")
@@ -296,7 +299,7 @@ object PipelineQueries {
            |SELECT lang, source, CAST((cum - 1) // ${TextQueries.PackBudget} AS BIGINT) AS pack_id,
            |  CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           |  flatten(list(token_ids ORDER BY doc_id)) AS token_ids
+           |  array_to_string(flatten(list(token_ids ORDER BY doc_id)), ' ') AS token_ids
            |FROM pk GROUP BY lang, source, pack_id""".stripMargin
       }),
   )

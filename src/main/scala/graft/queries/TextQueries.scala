@@ -143,6 +143,17 @@ object TextQueries {
        |tkq AS (SELECT doc_id, wpos, tpos, a[tpos+1] AS tok
        |        FROM (SELECT doc_id, wpos, a, unnest(range(0, len(a))) AS tpos FROM sg))""".stripMargin
 
+  /** GRADED surface for token-id columns: the driver's pandas oracle
+    * harness cannot sort `array<int>` cells (unhashable ndarray), so
+    * every graded id query projects `token_ids` to its space-joined
+    * string form — the w1_sequence_vector convention. The library
+    * APIs ([[graft.ops.Bpe.encodeIds]], [[graft.ops.Bpe.packIds]],
+    * [[graft.ops.Unigram.encodeIds]]) keep returning real arrays for
+    * callers; only the registry projection stringifies. Oracle twins
+    * use string_agg / array_to_string with the same ordering. */
+  private[queries] def idsAsString(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("token_ids", concat_ws(" ", col("token_ids").cast("array<string>")))
+
   /** DuckDB twin of [[graft.ops.Logistic.train]]: feature CTE (the
     * [[qualitySql]] components as x, the 0.6-thresholded score as y),
     * then per GD step an unrolled (gradient-sums, new-weights,
@@ -210,7 +221,9 @@ object TextQueries {
 
   private def unigramIdsSql: String =
     s"""$unigramIdsCtes
-       |SELECT doc_id, list(coalesce(uvoc.tok_id, -1) ORDER BY wpos, tpos) AS token_ids
+       |SELECT doc_id,
+       |  string_agg(CAST(coalesce(uvoc.tok_id, -1) AS VARCHAR), ' ' ORDER BY wpos, tpos)
+       |    AS token_ids
        |FROM utk LEFT JOIN uvoc ON uvoc.tok = utk.tok
        |GROUP BY doc_id""".stripMargin
 
@@ -901,7 +914,8 @@ object TextQueries {
       (s, d) => {
         val docs = T(s, d, "documents")
         val segs = graft.ops.Unigram.segmentFull(docs, col("text"), rounds = 2)
-        graft.ops.Unigram.encodeIds(docs, col("text"), col("doc_id"), segs.result)
+        idsAsString(
+          graft.ops.Unigram.encodeIds(docs, col("text"), col("doc_id"), segs.result))
       },
       Some(unigramIdsSql)),
 
@@ -962,11 +976,14 @@ object TextQueries {
       (s, d) => {
         val docs = T(s, d, "documents")
         val trained = graft.ops.Bpe.trainedDictFull(docs, col("text"), iters = 3)
-        graft.ops.Bpe.encodeIds(docs, col("text"), col("doc_id"), trained.result)
+        idsAsString(
+          graft.ops.Bpe.encodeIds(docs, col("text"), col("doc_id"), trained.result))
       },
       Some(s"""${bpeCtes(3)},
               |${idsCtes(3)}
-              |SELECT doc_id, list(coalesce(voc.tok_id, -1) ORDER BY wpos, tpos) AS token_ids
+              |SELECT doc_id,
+              |  string_agg(CAST(coalesce(voc.tok_id, -1) AS VARCHAR), ' ' ORDER BY wpos, tpos)
+              |    AS token_ids
               |FROM tkq LEFT JOIN voc ON voc.tok = tkq.tok
               |GROUP BY doc_id""".stripMargin)),
 
@@ -1037,8 +1054,8 @@ object TextQueries {
         val trained = graft.ops.Bpe.trainedDictFull(docs, col("text"), iters = 3)
         val ids = graft.ops.Bpe.encodeIds(docs, col("text"), col("doc_id"),
           trained.result)
-        graft.ops.Bpe.packIds(ids,
-          docs.select(col("doc_id"), col("lang"), col("source")), PackBudget)
+        idsAsString(graft.ops.Bpe.packIds(ids,
+          docs.select(col("doc_id"), col("lang"), col("source")), PackBudget))
       },
       Some(s"""${bpeCtes(3)},
               |${idsCtes(3)},
@@ -1053,7 +1070,7 @@ object TextQueries {
               |SELECT lang, source, CAST((cum - 1) // $PackBudget AS BIGINT) AS pack_id,
               |  CAST(count(*) AS BIGINT) AS n_docs,
               |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-              |  flatten(list(token_ids ORDER BY doc_id)) AS token_ids
+              |  array_to_string(flatten(list(token_ids ORDER BY doc_id)), ' ') AS token_ids
               |FROM pk GROUP BY lang, source, pack_id""".stripMargin)),
 
     // model-based quality filtering (ops/Logistic): 6 full-batch GD
@@ -1112,7 +1129,8 @@ object TextQueries {
         val dir = s"${sys.props("java.io.tmpdir")}/graft-unigram-${storeKey(d)}"
         graft.ops.Unigram.buildModelIfAbsent(s, docs, col("text"), dir, rounds = 2,
           fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
-        graft.ops.Unigram.encodeIdsIndexed(s, docs, col("text"), col("doc_id"), dir)
+        idsAsString(
+          graft.ops.Unigram.encodeIdsIndexed(s, docs, col("text"), col("doc_id"), dir))
       },
       Some(unigramIdsSql)),
 

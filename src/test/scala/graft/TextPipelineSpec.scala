@@ -475,10 +475,13 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(packs(1).getSeq[Int](packs(1).fieldIndex("token_ids")) ==
       Seq(2, 3, 1, 3, 1, 2), packs(1).toString)
     // conservation on the real corpus: packs partition the docs and
-    // carry exactly their tokens (arrays concatenate, nothing drops)
+    // carry exactly their tokens (arrays concatenate, nothing drops).
+    // The GRADED query projects token_ids to its space-joined string
+    // (idsAsString) — count ids by splitting that surface back.
     val d = "/root/testdata/sf0.001"
     val real = SparkEntry.allQueries.find(_.name == "t_pack_ids").get.fn(spark, d)
-      .select($"n_docs", $"total_tokens", size($"token_ids").cast("long").as("sz"))
+      .select($"n_docs", $"total_tokens",
+        size(split($"token_ids", " ")).cast("long").as("sz"))
       .collect()
     assert(real.forall(r => r.getAs[Long]("total_tokens") == r.getAs[Long]("sz")),
       "packed array length must equal the counted token total")

@@ -85,6 +85,22 @@ def main():
             print(f"FAIL {name}: exec error: {str(e).splitlines()[0][:160]}")
             n_fail += 1
             continue
+        # DRIVER-FAITHFUL gate: the driver canonicalizes with
+        # pandas.DataFrame.sort_values over ALL columns, which raises
+        # "unhashable type: numpy.ndarray" on array/map/struct cells.
+        # This mirror previously str()-sorted everything and so passed
+        # queries the driver errors on (the r13/r14 id-surface gap).
+        # Reject complex output columns up front — a graded query must
+        # project them to a string surface (idsAsString convention).
+        complex_cols = [c for c, t in zip(spark_rel.columns, spark_rel.types)
+                        if any(k in str(t).upper()
+                               for k in ("[]", "LIST", "MAP", "STRUCT"))]
+        if complex_cols:
+            print(f"FAIL {name}: array/map/struct output columns "
+                  f"{complex_cols} are unsortable at the driver gate — "
+                  f"grade a string projection instead")
+            n_fail += 1
+            continue
         sc, sr = canon(srows, scols)
         dc, dr = canon(drows, dcols)
         if sc != dc:
