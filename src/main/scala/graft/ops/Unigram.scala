@@ -38,6 +38,11 @@ object Unigram {
     * coverage floor that guarantees Viterbi can segment any word). */
   def seedPieces(dict: DataFrame, maxPieceLen: Int): DataFrame =
     dict
+      // empty words (consecutive delimiters upstream) must drop HERE:
+      // Spark's sequence(1, 0) steps DOWN to [1, 0] where the oracle's
+      // range(1, 0) is empty — an empty w would seed phantom pieces
+      // and desynchronize the twins
+      .where(length(col("w")) >= 1)
       .select(col("c"), col("w"),
         explode(sequence(lit(1), length(col("w")))).as("st"))
       .select(col("c"), col("w"), col("st"),
@@ -77,6 +82,9 @@ object Unigram {
     * unchecked, a ~maxPieceLen^maxWordLen analyzed-plan blowup. */
   def viterbiFull(dict: DataFrame, pieceCosts: DataFrame,
                   maxPieceLen: Int, maxWordLen: Int): Dedup.CachedFrame = {
+    // the per-word cost map packs its key as start*16+len: len > 16
+    // would alias (start+1, len-16) and silently corrupt the DP
+    require(maxPieceLen <= 16, s"maxPieceLen <= 16 (key packing), got $maxPieceLen")
     val bc = broadcast(pieceCosts.select(col("piece"), col("cost").as("_pc")))
     val wmap = dict
       .select(col("w"), col("c"),
@@ -158,6 +166,24 @@ object Unigram {
     * produced round r's counts). */
   def segmentFull(docs: DataFrame, textCol: Column, rounds: Int,
                   maxPieceLen: Int = 4, maxWordLen: Int = 8): Dedup.CachedFrame = {
+    val (dict, cnts, cs) = refinedCounts(docs, textCol, rounds, maxPieceLen, maxWordLen)
+    val caches = Seq.newBuilder[DataFrame]
+    caches ++= cs
+    val vit = viterbiFull(dict, costs(cnts), maxPieceLen, maxWordLen)
+    caches ++= vit.caches
+    Dedup.CachedFrame(
+      vit.result.select(col("w"), col("c"), col("seg")), caches.result())
+  }
+
+  /** The piece-count table whose costs produce round-`rounds`'s
+    * segmentation (round r segments under the counts after r-1 EM
+    * re-estimations — the EM invariant [[segmentFull]] grades), plus
+    * the bounded dict and the cache handles. The factored core shared
+    * by [[segmentFull]] and [[exportModelIfAbsent]], so the exported
+    * model and the in-plan segmentation cannot drift. */
+  private def refinedCounts(docs: DataFrame, textCol: Column, rounds: Int,
+                            maxPieceLen: Int, maxWordLen: Int)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     require(rounds >= 1, s"rounds >= 1, got $rounds")
     val dict = boundedDict(docs, textCol, maxWordLen)
     val caches = Seq.newBuilder[DataFrame]
@@ -169,10 +195,70 @@ object Unigram {
       caches ++= r.caches
       caches += cnts
     }
-    val vit = viterbiFull(dict, costs(cnts), maxPieceLen, maxWordLen)
-    caches ++= vit.caches
-    Dedup.CachedFrame(
-      vit.result.select(col("w"), col("c"), col("seg")), caches.result())
+    (dict, cnts, caches.result())
+  }
+
+  /** EXPORT the unigram model as piece/count rows — the
+    * SentencePiece-style text vocabulary (one `piece<TAB>count` line,
+    * piece order). Counts, not float probs: [[costs]] derives the
+    * integer Viterbi costs from exact LONG counts, so an
+    * export→import round-trip is bit-identical where a float prob
+    * would re-quantize. Model-sized driver write (the bounded-collect
+    * shape); deterministic order, so re-export is byte-identical.
+    * Tab/newline inside a piece cannot ride a line format — loud
+    * failure, never a corrupt artifact. */
+  def exportPieces(spark: org.apache.spark.sql.SparkSession,
+                   pieces: DataFrame, path: String): Unit = {
+    val rows = pieces.select(col("piece"), col("cnt")).orderBy(col("piece"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { case (p, _) =>
+      require(!p.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"piece contains tab/newline — not representable in the TSV artifact: ${p.take(40)}") }
+    Bpe.writeText(spark, path,
+      rows.map { case (p, c) => s"$p\t$c" }.mkString("", "\n", "\n"))
+  }
+
+  /** One-per-corpus-fingerprint model export: the counts behind
+    * round-`rounds`'s segmentation, written as the TSV artifact. */
+  def exportModelIfAbsent(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                          textCol: Column, dir: String, rounds: Int,
+                          fingerprint: String, maxPieceLen: Int = 4,
+                          maxWordLen: Int = 8): Unit =
+    AnnIndex.oncePerFingerprint(spark, dir, s"unigramart_r$rounds", fingerprint) {
+      val (_, cnts, caches) = refinedCounts(docs, textCol, rounds, maxPieceLen, maxWordLen)
+      exportPieces(spark, cnts, s"$dir/unigram_pieces.tsv")
+      caches.foreach(_.unpersist(false))
+    }
+
+  /** IMPORT the TSV piece/count artifact back to the (piece, cnt)
+    * frame [[costs]] consumes. Model-sized driver parse. */
+  def importPieces(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    Bpe.readText(spark, path).split("\n").toSeq
+      .filter(_.nonEmpty)
+      .map { l =>
+        val i = l.lastIndexOf('\t')
+        require(i > 0, s"malformed piece line: ${l.take(40)}")
+        (l.substring(0, i), l.substring(i + 1).toLong)
+      }.toDF("piece", "cnt")
+  }
+
+  /** [[encodeIds]] from the EXPORTED model — the interchange
+    * round-trip: import the piece counts, re-derive the integer
+    * costs, Viterbi-segment the corpus dict under them, and emit ids
+    * through the same [[Bpe.idsFromSeg]] path. Row-identical to
+    * direct [[encodeIds]] under the chain that exported the model
+    * (hash-graded); cache handles follow the segmentFull convention
+    * (session-owned, cleared between queries). */
+  def encodeIdsFromArtifacts(spark: org.apache.spark.sql.SparkSession,
+                             docs: DataFrame, textCol: Column, idCol: Column,
+                             dir: String, maxPieceLen: Int = 4, maxWordLen: Int = 8,
+                             maxBroadcastRows: Long = Bpe.DefaultMaxBroadcastRows): DataFrame = {
+    val pieces = importPieces(spark, s"$dir/unigram_pieces.tsv")
+    val dict = boundedDict(docs, textCol, maxWordLen)
+    val vit = viterbiFull(dict, costs(pieces), maxPieceLen, maxWordLen)
+    encodeIds(docs, textCol, idCol,
+      vit.result.select(col("w"), col("c"), col("seg")), maxBroadcastRows)
   }
 
   /** ENCODE to token-id SEQUENCES under a trained unigram model —
@@ -191,10 +277,11 @@ object Unigram {
     * with out-of-model chars -> -1 = UNK, the [[Bpe]] floor. */
   def encodeIds(docs: DataFrame, textCol: Column, idCol: Column,
                 segs: DataFrame,
-                maxBroadcastRows: Long = Bpe.DefaultMaxBroadcastRows): DataFrame =
+                maxBroadcastRows: Long = Bpe.DefaultMaxBroadcastRows,
+                knownSegRows: Option[Long] = None): DataFrame =
     Bpe.idsFromSeg(docs, textCol, idCol,
       segs.select(col("w"), split(col("seg"), " ").as("toks")),
-      pieceVocab(segs), maxBroadcastRows)
+      pieceVocab(segs), maxBroadcastRows, knownSegRows)
 
   /** The (tok, tok_id) piece vocabulary of a segmentation cache:
     * its distinct pieces densely numbered in piece order —
@@ -241,7 +328,8 @@ object Unigram {
   def encodeIdsIndexed(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
                        textCol: Column, idCol: Column, dir: String,
                        maxBroadcastRows: Long = Bpe.DefaultMaxBroadcastRows): DataFrame =
-    encodeIds(docs, textCol, idCol, spark.read.parquet(s"$dir/segs"), maxBroadcastRows)
+    encodeIds(docs, textCol, idCol, spark.read.parquet(s"$dir/segs"), maxBroadcastRows,
+      knownSegRows = Some(Bpe.parquetRowCount(spark, s"$dir/segs")))
 
   /** The word dict, with a LOUD bound check: the DP covers exactly
     * `maxWordLen` layers, so a longer word would silently vanish from
@@ -251,7 +339,12 @@ object Unigram {
     * over-long words upstream, the standard tokenizer practice). */
   private def boundedDict(docs: DataFrame, textCol: Column,
                           maxWordLen: Int): DataFrame = {
-    val dict = Bpe.wordDict(docs, textCol).select(col("w"), col("c")).persist()
+    // empty words (consecutive delimiters) drop here too: every DP
+    // stage unrolls sequence(1, len(w)) which steps DOWN for len=0
+    // (the seedPieces guard's rationale); encode's char-segmentation
+    // fallback covers them, identically to an unseen word
+    val dict = Bpe.wordDict(docs, textCol).select(col("w"), col("c"))
+      .where(length(col("w")) >= 1).persist()
     val mx = dict.agg(coalesce(max(length(col("w"))), lit(0)).as("m"))
       .head.getInt(0)
     require(mx <= maxWordLen,

@@ -583,13 +583,19 @@ object MiscQueries {
             .agg(hll_sketch_agg(md5(col("text")), lit(12)).as("sk"))
             .write.mode("overwrite").parquet(s"$dir/sketches")
         }
+        // grouping_id() in the join keys: a NULL data key (a doc with
+        // lang NULL) and a rollup SUBTOTAL both carry NULL in the
+        // group column — only the grouping bits tell them apart, so
+        // the null-safe key equality alone would cross-match them
         val est = s.read.parquet(s"$dir/sketches")
           .rollup(col("lang"), col("source"))
-          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"))
-          .select(col("lang").as("_l"), col("source").as("_s"), col("_est"))
+          .agg(grouping_id().as("_g"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"))
+          .select(col("lang").as("_l"), col("source").as("_s"), col("_g"), col("_est"))
         docs.rollup(col("lang"), col("source"))
-          .agg(countDistinct(md5(col("text"))).as("n_exact"))
-          .join(broadcast(est), col("lang") <=> col("_l") && col("source") <=> col("_s"))
+          .agg(grouping_id().as("_g2"), countDistinct(md5(col("text"))).as("n_exact"))
+          .join(broadcast(est), col("lang") <=> col("_l") &&
+            col("source") <=> col("_s") && col("_g2") === col("_g"))
           .select(col("lang"), col("source"), col("n_exact"),
             (abs(col("_est") - col("n_exact").cast("double")) <=
               col("n_exact").cast("double") * lit(0.05)).as("within_bound"))

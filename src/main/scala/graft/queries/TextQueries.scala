@@ -154,6 +154,20 @@ object TextQueries {
   private[queries] def idsAsString(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.withColumn("token_ids", concat_ws(" ", col("token_ids").cast("array<string>")))
 
+  /** The BPE id-emission oracle shared by t_bpe_encode_ids and
+    * t_bpe_export_roundtrip (artifact round-trip == direct encode by
+    * contract, so one SQL twin grades both): dense voc numbering over
+    * the final dict's symbols, ordered string_agg of ids (the graded
+    * string surface — see [[idsAsString]]). */
+  private def bpeIdsSql(iters: Int): String =
+    s"""${bpeCtes(iters)},
+       |${idsCtes(iters)}
+       |SELECT doc_id,
+       |  string_agg(CAST(coalesce(voc.tok_id, -1) AS VARCHAR), ' ' ORDER BY wpos, tpos)
+       |    AS token_ids
+       |FROM tkq LEFT JOIN voc ON voc.tok = tkq.tok
+       |GROUP BY doc_id""".stripMargin
+
   /** DuckDB twin of [[graft.ops.Logistic.train]]: feature CTE (the
     * [[qualitySql]] components as x, the 0.6-thresholded score as y),
     * then per GD step an unrolled (gradient-sums, new-weights,
@@ -979,13 +993,28 @@ object TextQueries {
         idsAsString(
           graft.ops.Bpe.encodeIds(docs, col("text"), col("doc_id"), trained.result))
       },
-      Some(s"""${bpeCtes(3)},
-              |${idsCtes(3)}
-              |SELECT doc_id,
-              |  string_agg(CAST(coalesce(voc.tok_id, -1) AS VARCHAR), ' ' ORDER BY wpos, tpos)
-              |    AS token_ids
-              |FROM tkq LEFT JOIN voc ON voc.tok = tkq.tok
-              |GROUP BY doc_id""".stripMargin)),
+      Some(bpeIdsSql(3))),
+
+    // tokenizer-artifact INTERCHANGE, graded end to end: train →
+    // export merges.txt + vocab.json (the format every public BPE
+    // stack reads) → import → replay the merges per word in the scan
+    // stage → emit ids. The oracle is t_bpe_encode_ids's, verbatim —
+    // export→import→encode must be row-identical to direct encode,
+    // so a drift in the artifact writer, the JSON escaping, or the
+    // merge replay surfaces as a hash mismatch, not a silent
+    // vocabulary skew. Export runs once per corpus fingerprint (the
+    // persisted-store lifecycle); encode pays one word-dict distinct
+    // plus scan-stage merge folds.
+    Q("t_bpe_export_roundtrip",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-bpeart-${storeKey(d)}"
+        graft.ops.Bpe.exportArtifactsIfAbsent(s, docs, col("text"), dir, iters = 3,
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
+        idsAsString(graft.ops.Bpe.encodeIdsFromArtifacts(
+          s, docs, col("text"), col("doc_id"), dir))
+      },
+      Some(bpeIdsSql(3))),
 
     // encode against a frequency-PRUNED dict (top-20 words by count
     // desc, word asc) — the scale-safe serving shape: the raw word
@@ -1073,6 +1102,86 @@ object TextQueries {
               |  array_to_string(flatten(list(token_ids ORDER BY doc_id)), ' ') AS token_ids
               |FROM pk GROUP BY lang, source, pack_id""".stripMargin)),
 
+    // BEST-FIT-DECREASING packing vs greedy, metrics-graded: per
+    // (lang, source) shard, pack count + pad waste + budget overflow
+    // under both packers on the same ids and the same $PackBudget
+    // budget. Greedy hits the minimum pack count by letting packs
+    // straddle the budget (overflow > 0 — truncation at training
+    // time); BFD never overflows (single over-budget docs aside) and
+    // the waste it pays for that is pinned here, not argued. The
+    // oracle replays the BFD fold as a recursive CTE (sort n DESC,
+    // doc ASC; least-remaining-that-fits, lowest index on ties) —
+    // the assignment spec itself is hash-graded.
+    Q("t_pack_ids_bfd",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val trained = graft.ops.Bpe.trainedDictFull(docs, col("text"), iters = 3)
+        val ids = graft.ops.Bpe.encodeIds(docs, col("text"), col("doc_id"),
+          trained.result).persist()
+        val meta = docs.select(col("doc_id"), col("lang"), col("source"))
+        def m(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.groupBy(col("lang"), col("source")).agg(
+            count(lit(1)).as(s"n_packs_$tag"),
+            sum(greatest(lit(PackBudget.toLong) - col("total_tokens"), lit(0L)))
+              .as(s"waste_$tag"),
+            sum(greatest(col("total_tokens") - lit(PackBudget.toLong), lit(0L)))
+              .as(s"overflow_$tag"))
+        m(graft.ops.Bpe.packIds(ids, meta, PackBudget), "greedy")
+          .join(m(graft.ops.Bpe.packIdsBfd(ids, meta, PackBudget), "bfd"),
+            Seq("lang", "source"))
+      },
+      Some(s"""${bpeCtes(3).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+              |${idsCtes(3)},
+              |encn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tkq GROUP BY doc_id),
+              |pd AS (SELECT d.lang, d.source, e.doc_id, e.n
+              |       FROM encn e JOIN documents d ON d.doc_id = e.doc_id),
+              |gr AS (SELECT lang, source, CAST((cum - 1) // $PackBudget AS BIGINT) AS pack_id,
+              |         CAST(sum(n) AS BIGINT) AS total
+              |       FROM (SELECT lang, source, doc_id, n,
+              |               sum(n) OVER (PARTITION BY lang, source ORDER BY doc_id
+              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |             FROM pd)
+              |       GROUP BY 1, 2, 3),
+              |gm AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_packs_greedy,
+              |         CAST(sum(greatest($PackBudget - total, 0)) AS BIGINT) AS waste_greedy,
+              |         CAST(sum(greatest(total - $PackBudget, 0)) AS BIGINT) AS overflow_greedy
+              |       FROM gr GROUP BY 1, 2),
+              |dsrt AS (SELECT lang, source, doc_id, n,
+              |           CAST(row_number() OVER (PARTITION BY lang, source
+              |             ORDER BY n DESC, doc_id) AS INTEGER) AS rn
+              |         FROM pd),
+              |rec AS (
+              |  SELECT lang, source, 0 AS rn,
+              |         CAST([] AS BIGINT[]) AS bins, CAST([] AS INTEGER[]) AS packs
+              |  FROM (SELECT DISTINCT lang, source FROM dsrt)
+              |  UNION ALL
+              |  SELECT r.lang, r.source, r.rn + 1,
+              |    CASE WHEN fit IS NULL
+              |         THEN list_append(r.bins, greatest($PackBudget - d.n, 0))
+              |         ELSE list_concat(list_concat(r.bins[1:fit-1], [r.bins[fit] - d.n]),
+              |                          r.bins[fit+1:len(r.bins)]) END AS bins,
+              |    list_append(r.packs, CAST(coalesce(fit, len(r.bins) + 1) AS INTEGER) - 1) AS packs
+              |  FROM (SELECT r0.*,
+              |          list_position(r0.bins, list_min([b FOR b IN r0.bins IF b >= d0.n])) AS fit
+              |        FROM rec r0 JOIN dsrt d0 ON d0.lang = r0.lang AND d0.source = r0.source
+              |                                 AND d0.rn = r0.rn + 1) r
+              |  JOIN dsrt d ON d.lang = r.lang AND d.source = r.source AND d.rn = r.rn + 1),
+              |fin AS (SELECT r.* FROM rec r
+              |        JOIN (SELECT lang, source, max(rn) AS mx FROM dsrt GROUP BY 1, 2) m
+              |          ON m.lang = r.lang AND m.source = r.source AND m.mx = r.rn),
+              |br AS (SELECT a.lang, a.source, a.pack_id, CAST(sum(a.n) AS BIGINT) AS total
+              |       FROM (SELECT f.lang, f.source, d.doc_id, d.n,
+              |               CAST(f.packs[d.rn] AS BIGINT) AS pack_id
+              |             FROM fin f JOIN dsrt d ON d.lang = f.lang AND d.source = f.source) a
+              |       GROUP BY 1, 2, 3),
+              |bm AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_packs_bfd,
+              |         CAST(sum(greatest($PackBudget - total, 0)) AS BIGINT) AS waste_bfd,
+              |         CAST(sum(greatest(total - $PackBudget, 0)) AS BIGINT) AS overflow_bfd
+              |       FROM br GROUP BY 1, 2)
+              |SELECT lang, source, n_packs_greedy, waste_greedy, overflow_greedy,
+              |       n_packs_bfd, waste_bfd, overflow_bfd
+              |FROM gm JOIN bm USING (lang, source)""".stripMargin)),
+
     // model-based quality filtering (ops/Logistic): 6 full-batch GD
     // steps distilling the 0.6-thresholded heuristic quality rule
     // into a 4-weight logistic model over the rule's own features.
@@ -1131,6 +1240,24 @@ object TextQueries {
           fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
         idsAsString(
           graft.ops.Unigram.encodeIdsIndexed(s, docs, col("text"), col("doc_id"), dir))
+      },
+      Some(unigramIdsSql)),
+
+    // unigram-artifact INTERCHANGE, graded end to end — the subword
+    // family's other half of t_bpe_export_roundtrip: train → export
+    // the piece/count rows as the SentencePiece-style TSV vocabulary
+    // → import → re-derive the integer Viterbi costs → segment →
+    // emit ids. Counts (exact longs), not float probs, so the
+    // round-trip is bit-identical; the oracle is unigramIdsSql
+    // verbatim — artifact encode must equal direct encode.
+    Q("t_unigram_export_roundtrip",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-uniart-${storeKey(d)}"
+        graft.ops.Unigram.exportModelIfAbsent(s, docs, col("text"), dir, rounds = 2,
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
+        idsAsString(graft.ops.Unigram.encodeIdsFromArtifacts(
+          s, docs, col("text"), col("doc_id"), dir))
       },
       Some(unigramIdsSql)),
 

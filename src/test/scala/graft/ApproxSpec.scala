@@ -212,6 +212,48 @@ class ApproxSpec extends AnyFunSuite {
         s"$k: estimate $est outside 5% of exact ${exact(k)}")
   }
 
+  test("g_hll_cube join keys: a NULL data key never matches a rollup subtotal") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // lang NULL in the DATA: its detail row and the all-langs
+    // subtotal both show lang=NULL after rollup — only grouping_id
+    // separates them. Without it in the join keys the null-safe
+    // equality cross-matches the two and the detail row inherits the
+    // subtotal's (larger) estimate.
+    val docs = Seq(
+      (null.asInstanceOf[String], "web", "t1"), (null.asInstanceOf[String], "web", "t2"),
+      ("en", "web", "t3"), ("en", "web", "t4"), ("en", "web", "t5"),
+      ("de", "book", "t6")
+    ).toDF("lang", "source", "text")
+    val grain = docs.groupBy($"lang", $"source")
+      .agg(hll_sketch_agg(md5($"text"), lit(12)).as("sk"))
+    val est = grain.rollup($"lang", $"source")
+      .agg(grouping_id().as("_g"),
+        hll_sketch_estimate(hll_union_agg($"sk")).as("_est"))
+      .select($"lang".as("_l"), $"source".as("_s"), $"_g", $"_est")
+    val got = docs.rollup($"lang", $"source")
+      .agg(grouping_id().as("_g2"), countDistinct(md5($"text")).as("n_exact"))
+      .join(broadcast(est), $"lang" <=> $"_l" && $"source" <=> $"_s" && $"_g2" === $"_g")
+      .select($"lang", $"source", $"_g2", $"n_exact", $"_est")
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4).toDouble)).toMap
+    // every rollup level matched exactly once: 3 detail + 3 lang
+    // subtotals + 1 grand total, no cross-matches inflating the count
+    assert(got.size == 7, s"expected 7 uniquely-matched rollup rows, got: $got")
+    // the NULL-lang DETAIL row (g=0) and lang-NULL SUBTOTAL (g=1)
+    // keep their own 2-doc estimates, not the 6-doc grand total
+    // (g=3) they would inherit from a cross-match
+    val (dExact, dEst) = got((None, Some("web"), 0L))
+    assert(dExact == 2L && math.abs(dEst - 2.0) < 0.2,
+      s"NULL-lang detail row must keep its own estimate: exact=$dExact est=$dEst")
+    val (sExact, sEst) = got((None, None, 1L))
+    assert(sExact == 2L && math.abs(sEst - 2.0) < 0.2,
+      s"NULL-lang subtotal: exact=$sExact est=$sEst")
+    val (gExact, gEst) = got((None, None, 3L))
+    assert(gExact == 6L && math.abs(gEst - 6.0) < 0.5, s"root: $gExact/$gEst")
+  }
+
   test("e_opq_rotations: panel selects by the OPQ objective; exact ranking is rotation-invariant") {
     import org.apache.spark.sql.functions._
     def rows(sf: String) = SparkEntry.allQueries.find(_.name == "e_opq_rotations").get

@@ -555,4 +555,138 @@ class TextPipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("BPE artifact interchange: export is byte-stable, import encodes identically") {
+    import graft.ops.Bpe
+    // corpus with JSON-hostile symbols (quote, backslash) so the
+    // vocab.json escaping path is exercised, not just ASCII words
+    val docs = Seq(
+      (1L, """ab ab "q" c\d ab"""),
+      (2L, """c\d c\d "q" ab x"""),
+      (3L, "ab x x ab ab c\\d")
+    ).toDF("doc_id", "text")
+    val (merges, dictCf) = Bpe.trainedWithMergesFull(docs, $"text", iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("bpeart").toString
+    Bpe.exportArtifacts(spark, merges, dictCf.result, dir)
+    val m1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/merges.txt"))
+    val v1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/vocab.json"))
+    Bpe.exportArtifacts(spark, merges, dictCf.result, dir) // re-export over the same files
+    assert(java.util.Arrays.equals(m1,
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/merges.txt"))),
+      "merges.txt must be byte-stable across exports")
+    assert(java.util.Arrays.equals(v1,
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/vocab.json"))),
+      "vocab.json must be byte-stable across exports")
+    // parity: artifact encode == direct encode, row for row
+    val direct = Bpe.encodeIds(docs, $"text", $"doc_id", dictCf.result)
+      .select($"doc_id", concat_ws(" ", $"token_ids".cast("array<string>")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaArt = Bpe.encodeIdsFromArtifacts(spark, docs, $"text", $"doc_id", dir)
+      .select($"doc_id", concat_ws(" ", $"token_ids".cast("array<string>")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaArt == direct, s"artifact round-trip must equal direct encode:\n$viaArt\n$direct")
+    // the imported vocab is the exported numbering, escapes intact
+    val voc = Bpe.importVocab(spark, s"$dir/vocab.json")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val fromDict = Bpe.vocab(dictCf.result)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(voc == fromDict, "imported vocab.json must reproduce vocab(dict) exactly")
+    assert(voc.keys.exists(_.contains("\"")) && voc.keys.exists(_.contains("\\")),
+      "fixture must actually exercise the JSON escape path")
+    dictCf.unpersistAll()
+  }
+
+  test("unigram artifact interchange: TSV export byte-stable, import encodes identically") {
+    import graft.ops.Unigram
+    val docs = Seq((1L, "abab ab ba"), (2L, "ba abab abab"), (3L, "ab ab ba")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("uniart").toString
+    Unigram.exportModelIfAbsent(spark, docs, $"text", dir, rounds = 2, fingerprint = "fx")
+    val t1 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/unigram_pieces.tsv"))
+    // corrupt the artifact; the fresh-fingerprint rebuild must replace it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/unigram_pieces.tsv"), "corrupt".getBytes)
+    Unigram.exportModelIfAbsent(spark, docs, $"text", dir, rounds = 2, fingerprint = "fy")
+    assert(java.util.Arrays.equals(t1, java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/unigram_pieces.tsv"))),
+      "unigram_pieces.tsv must be byte-stable across exports")
+    val segs = Unigram.segmentFull(docs, $"text", rounds = 2)
+    val direct = Unigram.encodeIds(docs, $"text", $"doc_id", segs.result)
+      .select($"doc_id", concat_ws(" ", $"token_ids".cast("array<string>")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaArt = Unigram.encodeIdsFromArtifacts(spark, docs, $"text", $"doc_id", dir)
+      .select($"doc_id", concat_ws(" ", $"token_ids".cast("array<string>")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaArt == direct, s"artifact round-trip must equal direct encode:\n$viaArt\n$direct")
+    segs.unpersistAll()
+  }
+
+  test("packIdsBfd: best-fit-decreasing assignment, budget respected, tokens conserved") {
+    import graft.ops.Bpe
+    // hand-checked fixture (doc -> n_tokens): en/web {1:700, 2:400,
+    // 3:300, 4:300, 5:200, 6:1200}, de/book {7:512, 8:512, 9:10}.
+    // BFD at 1024: en/web -> pack0={6} (oversized, alone), pack1={1,3}
+    // =1000, pack2={2,4,5}=900; de/book -> pack0={7,8}=1024, pack1={9}
+    val ids = Seq(
+      (1L, 700), (2L, 400), (3L, 300), (4L, 300), (5L, 200), (6L, 1200),
+      (7L, 512), (8L, 512), (9L, 10)
+    ).toDF("doc_id", "n").select($"doc_id",
+      sequence(lit(1), $"n").as("token_ids")) // content is irrelevant to assignment
+    val meta = Seq(
+      (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),
+      (4L, "en", "web"), (5L, "en", "web"), (6L, "en", "web"),
+      (7L, "de", "book"), (8L, "de", "book"), (9L, "de", "book")
+    ).toDF("doc_id", "lang", "source")
+    val packs = Bpe.packIdsBfd(ids, meta, 1024)
+      .select($"lang", $"source", $"pack_id", $"n_docs", $"total_tokens")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(packs == Map(
+      ("en", "web", 0L) -> (1L, 1200L), ("en", "web", 1L) -> (2L, 1000L),
+      ("en", "web", 2L) -> (3L, 900L),
+      ("de", "book", 0L) -> (2L, 1024L), ("de", "book", 1L) -> (1L, 10L)),
+      packs.toString)
+    // real corpus: budget never exceeded except single-doc packs;
+    // tokens conserved (every doc's ids land in exactly one pack)
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, d, "documents")
+    val trained = Bpe.trainedDictFull(docs, $"text", iters = 3)
+    val rids = Bpe.encodeIds(docs, $"text", $"doc_id", trained.result).persist()
+    val rp = Bpe.packIdsBfd(rids,
+      docs.select($"doc_id", $"lang", $"source"), 1024)
+      .select($"n_docs", $"total_tokens", size($"token_ids").cast("long").as("sz"))
+      .collect()
+    assert(rp.forall(r => r.getAs[Long]("total_tokens") == r.getAs[Long]("sz")),
+      "packed array length must equal the counted token total")
+    assert(rp.forall(r => r.getAs[Long]("total_tokens") <= 1024L ||
+      r.getAs[Long]("n_docs") == 1L),
+      "only single-doc packs may exceed the budget")
+    assert(rp.map(_.getAs[Long]("n_docs")).sum == 500L, "packs must partition the docs")
+    val directTotal = rids.agg(sum(size($"token_ids"))).collect()(0).getLong(0)
+    assert(rp.map(_.getAs[Long]("total_tokens")).sum == directTotal,
+      "token conservation across the doc-keyed join")
+    rids.unpersist()
+    trained.unpersistAll()
+  }
+
+  test("unigram degenerate inputs: empty words drop; maxPieceLen>16 refuses") {
+    import graft.ops.Unigram
+    // consecutive spaces make an empty word in the split — Spark's
+    // sequence(1,0) counts DOWN where DuckDB's range(1,0) is empty,
+    // so the dict must drop it before any DP unroll (the seedPieces
+    // guard); the segmentation output then simply has no "" row
+    val docs = Seq((1L, "ab  ab ba"), (2L, "ba  ab")).toDF("doc_id", "text")
+    val segs = Unigram.segmentFull(docs, $"text", rounds = 2)
+    val words = segs.result.select($"w").collect().map(_.getString(0)).toSet
+    assert(!words.contains(""), s"empty word must not reach the DP: $words")
+    assert(words == Set("ab", "ba"), words.toString)
+    segs.unpersistAll()
+    val dict = Seq(("abc", 2L)).toDF("w", "c")
+    val err = intercept[IllegalArgumentException] {
+      Unigram.viterbiFull(dict, Seq(("a", 1L, 1L)).toDF("piece", "cnt", "cost"),
+        maxPieceLen = 17, maxWordLen = 8)
+    }
+    assert(err.getMessage.contains("key packing"))
+  }
 }
