@@ -49,4 +49,71 @@ object Sketches {
         est.between(col("exact_cnt"),
           col("exact_cnt") + ceil(col("_n") * lit(eps)).cast("long")).as("within_bound"))
   }
+
+  /** Ingest ONE batch into a persisted HLL sketch store: the batch
+    * collapses to per-`keys` sketches (one map-side-combined
+    * aggregate — the batch's own volume, then ~KB per group) APPENDED
+    * as new store rows. No read-modify-write: HLL union is
+    * associative and commutative, so the estimate side merges all of
+    * a group's rows with `hll_union_agg` at read time and a month of
+    * appends needs no compaction for correctness (re-sketch into a
+    * fresh dir when file counts matter — the
+    * [[DedupIndex.compact]] discipline). */
+  def ingestBatch(batch: DataFrame, dir: String, keys: Seq[String],
+                  itemCol: Column, lgK: Int = 12): Unit =
+    batch.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(itemCol, lit(lgK)).as("sk"))
+      .write.mode("append").parquet(s"$dir/sketches")
+
+  /** STREAMING sketch-store maintenance — the [[DedupIndex
+    * .ingestStream]] convention carried to the approx family: each
+    * micro-batch [[ingestBatch]]es under a checkpoint-namespaced
+    * per-batch marker, so a batch replayed after a crash between the
+    * append and the checkpoint commit cannot double its sketches
+    * into the store (idempotent by marker, exactly like the dedup
+    * store's ingest). Emissions equal sequential [[ingestBatch]]
+    * calls over the same batch sequence — spec-pinned. */
+  def ingestStream(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                   dir: String, keys: Seq[String], itemCol: Column,
+                   checkpoint: String, lgK: Int = 12)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchOnce(spark, batch, dir, keys, itemCol, checkpoint, batchId, lgK)
+        ()
+      }
+      .start()
+
+  /** The marker-guarded micro-batch body of [[ingestStream]]: append
+    * the batch's sketches unless this (checkpoint, batchId) already
+    * did — a batch REPLAYED after a crash between the append and the
+    * checkpoint commit is a no-op. Returns whether the append ran. */
+  def ingestBatchOnce(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                      dir: String, keys: Seq[String], itemCol: Column,
+                      checkpoint: String, batchId: Long, lgK: Int = 12): Boolean = {
+    val ckptTag = java.lang.Integer.toHexString(checkpoint.hashCode)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$dir/_ingested_${ckptTag}_batch_$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val run = !fs.exists(marker) && !batch.isEmpty
+    if (run) {
+      ingestBatch(batch, dir, keys, itemCol, lgK)
+      fs.create(marker, true).close()
+    }
+    run
+  }
+
+  /** Distinct-count estimates over an ingested store, one row per
+    * rollup level of `keys`: reads ONLY the group-sized sketch rows
+    * (never the corpus), merging each group's appended sketches with
+    * `hll_union_agg`. `grouping_id` rides along so callers joining
+    * against exact rollups can tell NULL data keys from subtotal
+    * rows (the g_hll_cube contract). */
+  def estimateStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    keys: Seq[String]): DataFrame =
+    spark.read.parquet(s"$dir/sketches")
+      .rollup(keys.map(col): _*)
+      .agg(grouping_id().as("gid"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
 }

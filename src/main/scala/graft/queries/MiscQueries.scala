@@ -603,6 +603,41 @@ object MiscQueries {
       Some("""SELECT lang, source, count(DISTINCT md5(text)) AS n_exact, TRUE AS within_bound
              |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin)),
 
+    // the INGESTED store: the corpus arrives as three batches
+    // (doc_id mod 3 — a deterministic stand-in for arrival order)
+    // appended by Sketches.ingestBatch, the batch core of
+    // ingestStream (stream == sequential-batch parity is spec-pinned
+    // with a real MemoryStream + checkpoint markers in ApproxSpec).
+    // Graded exactly like g_hll_cube: every rollup level of the
+    // union-merged APPENDED sketches must sit inside the lgK=12
+    // bound vs exact — so batch-split ingestion provably loses
+    // nothing vs the one-shot build. grouping_id keys the join (the
+    // NULL-vs-subtotal contract).
+    Q("g_hll_ingested",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-hllingest-${storeKey(d)}"
+        graft.ops.AnnIndex.oncePerSketchStore(s, dir,
+          graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet")) {
+          for (b <- 0 to 2)
+            graft.ops.Sketches.ingestBatch(
+              docs.where(pmod(col("doc_id"), lit(3)) === b),
+              dir, Seq("lang", "source"), md5(col("text")))
+        }
+        val est = graft.ops.Sketches.estimateStore(s, dir, Seq("lang", "source"))
+          .select(col("lang").as("_l"), col("source").as("_s"),
+            col("gid").as("_g"), col("est").as("_est"))
+        docs.rollup(col("lang"), col("source"))
+          .agg(grouping_id().as("_g2"), countDistinct(md5(col("text"))).as("n_exact"))
+          .join(broadcast(est), col("lang") <=> col("_l") &&
+            col("source") <=> col("_s") && col("_g2") === col("_g"))
+          .select(col("lang"), col("source"), col("n_exact"),
+            (abs(col("_est") - col("n_exact").cast("double")) <=
+              col("n_exact").cast("double") * lit(0.05)).as("within_bound"))
+      },
+      Some("""SELECT lang, source, count(DISTINCT md5(text)) AS n_exact, TRUE AS within_bound
+             |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin)),
+
     // approx_percentile (Greenwald-Khanna sketch): same contract — the
     // sketch value stays out of the hash; the graded row checks the
     // sketch against GK's actual guarantee, which is RANK error (1/

@@ -212,6 +212,86 @@ class ApproxSpec extends AnyFunSuite {
         s"$k: estimate $est outside 5% of exact ${exact(k)}")
   }
 
+  test("Sketches.ingestStream == sequential ingestBatch; replayed batches are idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val batches = docs.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = s"${sys.props("java.io.tmpdir")}/graft-hll-ingest-spec"
+    val (batchDir, streamDir, ckpt) = (s"$base/batch", s"$base/stream", s"$base/ckpt")
+    Seq(base).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+
+    // sequential-batch twin: three ingestBatch calls
+    for (b <- batches)
+      graft.ops.Sketches.ingestBatch(
+        b.toDF("doc_id", "lang", "source", "h"), batchDir,
+        Seq("lang", "source"), col("h"))
+
+    // the stream: same three batches through ingestStream
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = graft.ops.Sketches.ingestStream(spark,
+      mem.toDF().toDF("doc_id", "lang", "source", "h"),
+      streamDir, Seq("lang", "source"), col("h"), ckpt)
+    try {
+      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    def estimates(dir: String) =
+      graft.ops.Sketches.estimateStore(spark, dir, Seq("lang", "source"))
+        .collect()
+        .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2)) ->
+          r.getLong(3)).toMap
+    val fromStream = estimates(streamDir)
+    val fromBatch = estimates(batchDir)
+    assert(fromStream.keySet == fromBatch.keySet,
+      "both stores must cover the same rollup levels")
+    // DETAIL rows (g=0) must match exactly — same batch slices, same
+    // groups. Wide-fanin union levels (the corpus root merges ~300
+    // sketch rows) are NOT pinned bitwise: HLL's serialized form
+    // depends on partial-merge order (physical partitioning differs
+    // between a MemoryStream batch and a parallelized one), the same
+    // representation caveat the g_hll_cube spec documents. Every
+    // level instead honors the lgK=12 bound vs exact, both stores.
+    val detailKeys = fromStream.keySet.filter(_._3 == 0L)
+    assert(detailKeys.nonEmpty &&
+      detailKeys.forall(k => fromStream(k) == fromBatch(k)),
+      s"detail-group estimates must match: ${
+        detailKeys.filter(k => fromStream(k) != fromBatch(k))}")
+    val exactMap = docs.groupBy(d => (Option(d._2), Option(d._3)))
+      .map { case (k, v) => k -> v.map(_._4).distinct.size }
+    val exactRoot = docs.map(_._4).distinct.length
+    def exactOf(k: (Option[String], Option[String], Long)): Int = k._3 match {
+      case 0L => exactMap((k._1, k._2))
+      case 1L => docs.filter(d => Option(d._2) == k._1).map(_._4).distinct.length
+      case _ => exactRoot
+    }
+    for (m <- Seq(fromStream, fromBatch); (k, est) <- m) {
+      val ex = exactOf(k)
+      assert(math.abs(est.toDouble - ex) <= math.max(1.0, ex * 0.05),
+        s"$k: estimate $est outside 5% of exact $ex")
+    }
+
+    // idempotency: a batch REPLAYED with its original batchId (crash
+    // between the append and the checkpoint commit) is a no-op — the
+    // per-batch marker already exists
+    val before = spark.read.parquet(s"$streamDir/sketches").count()
+    val ckptTag = java.lang.Integer.toHexString(ckpt.hashCode)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$streamDir/_ingested_${ckptTag}_batch_0")),
+      "per-batch marker must exist after ingest")
+    val ran = graft.ops.Sketches.ingestBatchOnce(spark,
+      batches(0).toDF("doc_id", "lang", "source", "h"),
+      streamDir, Seq("lang", "source"), col("h"), ckpt, batchId = 0)
+    assert(!ran, "replayed (checkpoint, batchId) must be skipped")
+    val after = spark.read.parquet(s"$streamDir/sketches").count()
+    assert(after == before,
+      s"replay must not re-append (rows $before -> $after)")
+  }
+
   test("g_hll_cube join keys: a NULL data key never matches a rollup subtotal") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
