@@ -233,4 +233,168 @@ object Pq {
         coalesce(col("cv"), col("pcv")).as("cv")).as("e"))
       .agg(sort_array(collect_list(col("e"))).as("cbs"))
   }
+
+  /** OPQ ALTERNATING REFINEMENT (the non-parametric OPQ of Ge et al.,
+    * CVPR 2013 §IV): from an initial orthogonal rotation `r0` (the
+    * e_opq_rotations panel winner), alternate the two exact argmin
+    * sub-steps of the shared objective f(R, C, codes) =
+    * Σ ||R·x − C(codes(x))||²:
+    *
+    *  1. codebook update in rotated space — [[lloydStep]]: codes =
+    *     per-subspace argmin (exact given R, C), then codewords
+    *     re-mean (exact given codes);
+    *  2. rotation update — orthogonal Procrustes: R = U·Vᵀ from the
+    *     SVD of M = Σ x̂·xᵀ, the exact argmin over orthogonal R
+    *     given (codes, C).
+    *
+    * Every sub-step minimizes the SAME f exactly at its coordinate,
+    * so f is monotone non-increasing across rounds (up to the 1e-6
+    * snap the repo's determinism contract quantizes by — the graded
+    * booleans allow one q6 unit per corpus row of slack).
+    *
+    * Scale shape per round: rotation + encode ride the scan stage
+    * (R and the codebook broadcast); the correlation matrix M folds
+    * through ONE dim-group map-side-combined aggregate of integer-
+    * snapped sums (dim rows × dim cols — model-sized, corpus-
+    * independent, the sanctioned bounded collect); the SVD is a
+    * driver-side dim×dim one-sided Jacobi. Nothing corpus-sized ever
+    * shuffles, and the per-round driver state is one dim×dim matrix.
+    *
+    * Returns (refined R, final folded codebook, qerr_q6 per round —
+    * element 0 is the incoming (r0, seed-codebook) baseline measured
+    * with the e_opq_rotations formula). */
+  def opqRefine(emb: DataFrame, r0: Array[Array[Double]], p: Params,
+                rounds: Int): (Array[Array[Double]], DataFrame, Seq[Long]) = {
+    require(rounds >= 1, s"rounds >= 1, got $rounds")
+    require(r0.length == p.dim && r0.forall(_.length == p.dim),
+      s"r0 must be ${p.dim}x${p.dim}")
+    val corpus = emb.where(col("vec_id") =!= 0)
+    def qerrOf(rot: DataFrame, cb: DataFrame): Long =
+      encoded(rot, cb, p, extra = Seq("ve"))
+        .crossJoin(broadcast(cb))
+        .select(qlong(
+          aggregate(sequence(lit(0), lit(p.m - 1)), lit(0.0), (acc, m) =>
+            acc + qround(d2(subvec(col("ve"), m, p),
+              cw(col("cbs"), m, element_at(col("codes"), m + 1), p)), 6)),
+          1e6).as("rq6"))
+        .agg(sum(col("rq6"))).head.getLong(0)
+    var r = r0
+    var rot = rotatedBy(corpus, r, p).persist()
+    var cb = codebookRow(rot, p)
+    val traj = Seq.newBuilder[Long]
+    traj += qerrOf(rot, cb)
+    for (_ <- 1 to rounds) {
+      // step 1: codes + codewords in the CURRENT rotated space
+      cb = lloydStep(rot, cb, p)
+      // step 2: M = Σ x̂ xᵀ (x = the ORIGINAL vector), integer-snapped
+      // sums so parallel reassociation cannot perturb the SVD input
+      val mRows = encoded(rotatedBy(corpus, r, p, keepOrig = true), cb, p,
+          extra = Seq("xo"))
+        .crossJoin(broadcast(cb))
+        .select(col("xo"), posexplode(
+          flatten(transform(sequence(lit(0), lit(p.m - 1)), m =>
+            cw(col("cbs"), m, element_at(col("codes"), m + 1), p))))
+          .as(Seq("i", "xh")))
+        .groupBy(col("i"))
+        .agg(array((0 until p.dim).map(j =>
+          sum(qlong(col("xh") * element_at(col("xo"), j + 1), 1e6))): _*).as("mr"))
+        .collect()
+      val m = Array.ofDim[Double](p.dim, p.dim)
+      for (row <- mRows; i = row.getInt(0); j <- 0 until p.dim)
+        m(i)(j) = row.getSeq[Long](1)(j) / 1e6
+      r = procrustes(m)
+      rot.unpersist()
+      rot = rotatedBy(corpus, r, p).persist()
+      traj += qerrOf(rot, cb)
+    }
+    rot.unpersist()
+    (r, cb, traj.result())
+  }
+
+  /** Scan-stage dense rotation y = R·x over the (vec_id, ve) frame —
+    * R rides as a flattened literal (dim² doubles, broadcast with the
+    * plan). `keepOrig` carries the unrotated vector along as `xo`
+    * (the Procrustes step needs both sides). At a production dim a
+    * native matvec expression would replace the HOF fold; the shape
+    * — per-row work, zero exchanges — is already the scale-correct
+    * one. */
+  private[graft] def rotatedBy(emb: DataFrame, r: Array[Array[Double]], p: Params,
+                             keepOrig: Boolean = false): DataFrame = {
+    val rflat = array(r.flatten.toIndexedSeq.map(lit(_)): _*)
+    val rotExpr = transform(sequence(lit(0), lit(p.dim - 1)), i =>
+      aggregate(sequence(lit(0), lit(p.dim - 1)), lit(0.0), (acc, j) =>
+        acc + element_at(rflat, (i * p.dim + j + 1).cast("int")) *
+          element_at(col("ve"), j + 1)))
+    if (keepOrig)
+      emb.select(col("vec_id"), col("ve").as("xo"), rotExpr.as("ve"))
+    else
+      emb.select(col("vec_id"), rotExpr.as("ve"))
+  }
+
+  /** Orthogonal Procrustes solution R = U·Vᵀ for M = U·Σ·Vᵀ — the
+    * rotation maximizing tr(Rᵀ·M), i.e. minimizing Σ||R·x − x̂||² for
+    * M = Σ x̂·xᵀ. SVD by ONE-SIDED JACOBI on the columns of M
+    * (deterministic fixed sweep order; dim×dim driver work, ~ms at
+    * dim 64). Zero singular directions (rank-deficient M — every
+    * choice is equally optimal there) complete deterministically by
+    * Gram-Schmidt over the standard basis. */
+  private[graft] def procrustes(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = m.length
+    val a = Array.tabulate(n, n)((i, j) => m(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var rotating = true
+    var sweeps = 0
+    while (rotating && sweeps < 64) {
+      rotating = false
+      sweeps += 1
+      for (pc <- 0 until n - 1; qc <- pc + 1 until n) {
+        var app = 0.0; var aqq = 0.0; var apq = 0.0
+        var i = 0
+        while (i < n) {
+          app += a(i)(pc) * a(i)(pc); aqq += a(i)(qc) * a(i)(qc)
+          apq += a(i)(pc) * a(i)(qc); i += 1
+        }
+        if (math.abs(apq) > 1e-14 * math.sqrt(app * aqq) + Double.MinPositiveValue) {
+          rotating = true
+          val tau = (aqq - app) / (2.0 * apq)
+          val t = math.signum(tau) / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+          val c = 1.0 / math.sqrt(1.0 + t * t)
+          val s = c * t
+          i = 0
+          while (i < n) {
+            val x = a(i)(pc); val y = a(i)(qc)
+            a(i)(pc) = c * x - s * y; a(i)(qc) = s * x + c * y
+            val vx = v(i)(pc); val vy = v(i)(qc)
+            v(i)(pc) = c * vx - s * vy; v(i)(qc) = s * vx + c * vy
+            i += 1
+          }
+        }
+      }
+    }
+    // U = column-normalized a; rank-deficient columns complete by
+    // Gram-Schmidt against the already-fixed columns
+    val u = Array.ofDim[Double](n, n)
+    val sig = Array.tabulate(n)(j => math.sqrt((0 until n).map(i => a(i)(j) * a(i)(j)).sum))
+    for (j <- 0 until n if sig(j) > 1e-12; i <- 0 until n) u(i)(j) = a(i)(j) / sig(j)
+    for (j <- 0 until n if sig(j) <= 1e-12) {
+      var eb = 0
+      var done = false
+      while (!done && eb < n) {
+        val cand = Array.tabulate(n)(i => if (i == eb) 1.0 else 0.0)
+        for (k <- 0 until n if k != j && (sig(k) > 1e-12 || k < j)) {
+          val d = (0 until n).map(i => cand(i) * u(i)(k)).sum
+          for (i <- 0 until n) cand(i) -= d * u(i)(k)
+        }
+        val nrm = math.sqrt(cand.map(x => x * x).sum)
+        if (nrm > 1e-6) {
+          for (i <- 0 until n) u(i)(j) = cand(i) / nrm
+          done = true
+        }
+        eb += 1
+      }
+      require(done, "procrustes: could not complete an orthonormal basis")
+    }
+    // R = U Vᵀ
+    Array.tabulate(n, n)((i, j) => (0 until n).map(k => u(i)(k) * v(j)(k)).sum)
+  }
 }

@@ -934,6 +934,63 @@ object SimilarityQueries {
       },
       Some(opqSql)),
 
+    // OPQ ALTERNATING REFINEMENT over the panel winner — the full
+    // non-parametric OPQ the 4-arm panel approximates: starting from
+    // the argmin-by-(qerr, t) rotation above, alternate Lloyd
+    // codebook updates in rotated space with orthogonal-Procrustes
+    // rotation updates (Pq.opqRefine — driver-side dim×dim Jacobi
+    // SVD of the integer-snapped correlation matrix; every sub-step
+    // is the exact argmin of the shared objective, so quantization
+    // error is monotone non-increasing round over round, within one
+    // q6 unit per corpus row of snap slack). The refined-R doubles
+    // are engine-specific (an SVD has no DuckDB twin), so — the
+    // sketch-grading contract — the VALUES stay out of the hash and
+    // the graded row carries the booleans the math guarantees:
+    // per-round improvement and the orthogonality of the refined R.
+    // The exact qerr trajectory and its strict decrease are pinned
+    // numerically in ApproxSpec.
+    Q("e_opq_refined",
+      (s, d) => {
+        val e0 = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        def armQerr(t: Int): Long = {
+          val permLit = array(opqPerm(t).map(lit): _*)
+          val sgnLit = array(opqSigns(t).map(lit): _*)
+          val rot = e0.select(col("vec_id"),
+            transform(sequence(lit(1), lit(Dim)), i =>
+              element_at(col("ve"), element_at(permLit, i)) *
+                element_at(sgnLit, i)).as("ve"))
+          val cb = pqCodebookRow(rot)
+          graft.ops.Pq.encoded(
+              rot.where(col("vec_id") =!= 0), cb, P, extra = Seq("ve"))
+            .crossJoin(broadcast(cb))
+            .select(qlong(
+              aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, m) =>
+                acc + qround(graft.ops.Pq.d2(
+                  pqSubvec(col("ve"), m),
+                  graft.ops.Pq.cw(col("cbs"), m,
+                    element_at(col("codes"), m + 1), P)), 6)),
+              1e6).as("rq6"))
+            .agg(sum(col("rq6"))).head.getLong(0)
+        }
+        val tWin = (0 until 4).map(t => (armQerr(t), t)).min._2
+        val r0 = Array.tabulate(Dim, Dim)((i, j) =>
+          if (opqPerm(tWin)(i) - 1 == j) opqSigns(tWin)(i) else 0.0)
+        val (rf, _, traj) = graft.ops.Pq.opqRefine(e0, r0, P, rounds = 2)
+        val orth = (0 until Dim).forall(i => (0 until Dim).forall { j =>
+          val dot = (0 until Dim).map(k => rf(i)(k) * rf(j)(k)).sum
+          math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9
+        })
+        val nRows = e0.where(col("vec_id") =!= 0).count()
+        import s.implicits._
+        traj.zipWithIndex.map { case (q, r) =>
+          (r.toLong, r == 0 || q <= traj(r - 1) + nRows, orth)
+        }.toDF("round", "improved", "orthogonal")
+      },
+      Some("""SELECT * FROM (VALUES (CAST(0 AS BIGINT), TRUE, TRUE),
+             |  (CAST(1 AS BIGINT), TRUE, TRUE), (CAST(2 AS BIGINT), TRUE, TRUE))
+             |  t(round, improved, orthogonal)""".stripMargin)),
+
     // FULL-VECTOR k-means to (fixed-point) convergence — the coarse-
     // quantizer training e_ivf_train's single re-mean points at: two
     // chained Lloyd iterations ([[graft.ops.Pq.ivfLloydStep]] twice —

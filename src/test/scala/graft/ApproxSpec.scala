@@ -212,6 +212,61 @@ class ApproxSpec extends AnyFunSuite {
         s"$k: estimate $est outside 5% of exact ${exact(k)}")
   }
 
+  test("opqRefine: qerr trajectory pinned, strictly decreasing; refined R orthogonal") {
+    import org.apache.spark.sql.functions._
+    // identity start isolates the refinement itself from the panel's
+    // pre-rotation; every quantity below is integer-snapped (M and
+    // the qerr sums are BIGINT folds, the Jacobi SVD is a fixed
+    // deterministic sweep), so the trajectory is exact, not a bound —
+    // a silent change to the assignment, re-mean, or Procrustes step
+    // moves a pinned number
+    val p = graft.ops.Pq.Params(64, 8, 16)
+    val id64 = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    def run(sf: String) = {
+      val e0 = sources.Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+      graft.ops.Pq.opqRefine(e0, id64, p, rounds = 2)
+    }
+    val (rf, _, traj) = run(sfDir)
+    assert(traj == Seq(374492199L, 273185505L, 252501416L),
+      s"sf0.001 qerr trajectory drifted: $traj")
+    assert(traj(1) < traj(0) && traj(2) < traj(1), "strict per-round decrease")
+    val orthErr = (0 until 64).flatMap(i => (0 until 64).map { j =>
+      math.abs((0 until 64).map(k => rf(i)(k) * rf(j)(k)).sum -
+        (if (i == j) 1.0 else 0.0))
+    }).max
+    assert(orthErr < 1e-12, s"refined R must stay orthogonal: $orthErr")
+    val (_, _, traj01) = run("/root/testdata/sf0.01")
+    assert(traj01 == Seq(377682817L, 274768253L, 252691303L),
+      s"sf0.01 qerr trajectory drifted: $traj01")
+    // ~33% quantization-error reduction in two rounds — the measured
+    // lift the graded e_opq_refined booleans summarize
+    assert(traj(2).toDouble / traj(0) < 0.70 && traj01(2).toDouble / traj01(0) < 0.70)
+  }
+
+  test("procrustes: recovers a planted rotation exactly") {
+    // M = R* (x-basis correlation of a perfectly-quantized corpus
+    // rotated by R*): procrustes(M) must return R* itself
+    val rng = new scala.util.Random(7)
+    // random orthogonal R* via Gram-Schmidt of a random matrix
+    val raw = Array.fill(8, 8)(rng.nextGaussian())
+    val rStar = Array.ofDim[Double](8, 8)
+    for (i <- 0 until 8) {
+      val v = raw(i).clone()
+      for (k <- 0 until i) {
+        val d = (0 until 8).map(j => v(j) * rStar(k)(j)).sum
+        for (j <- 0 until 8) v(j) -= d * rStar(k)(j)
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      for (j <- 0 until 8) rStar(i)(j) = v(j) / n
+    }
+    // M = Σ x̂ xᵀ with x̂ = R* x over a spanning x set == R* (x = eᵢ)
+    val got = graft.ops.Pq.procrustes(rStar.map(_.clone()))
+    val err = (0 until 8).flatMap(i => (0 until 8).map(j =>
+      math.abs(got(i)(j) - rStar(i)(j)))).max
+    assert(err < 1e-10, s"planted rotation not recovered: max err $err")
+  }
+
   test("Sketches.ingestStream == sequential ingestBatch; replayed batches are idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
