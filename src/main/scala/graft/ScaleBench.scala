@@ -96,7 +96,18 @@ object ScaleBench {
     // the id flagship: model gate (scan-stage) + dedup exchange +
     // dict chain + id triples + pack shard — expect the
     // pipe_tokenize_e2e slope plus the id-volume constant
-    "pipe_ids_e2e")
+    "pipe_ids_e2e",
+    // round-15 additions: the artifact round-trips re-encode through
+    // the same id path (expect the encode_ids slope; the export side
+    // is model-sized and marker-skipped after the first run); BFD
+    // packing adds the (n,doc) assignment fold + a doc-keyed join to
+    // the greedy shape (expect the t_pack_ids slope); the ingested
+    // sketch store builds once (marker) then rolls up kilobytes —
+    // the g_hll_cube shape; OPQ refinement is 2 rounds of (scan-stage
+    // rotate + Lloyd + dim-group correlation agg) — expect ~linear
+    // in corpus with the rotation-HOF constant
+    "t_bpe_export_roundtrip", "t_unigram_export_roundtrip",
+    "t_pack_ids_bfd", "g_hll_ingested", "e_opq_refined")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

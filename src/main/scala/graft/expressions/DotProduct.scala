@@ -210,6 +210,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_bottom_k(expr, k) takes a value and a literal k")
         BottomK(children.head, children(1)).toAggregateExpression()
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_matvec"),
+      new ExpressionInfo(classOf[MatVecExpr].getName, "graft_matvec"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_matvec(rflat, x) takes two arrays")
+        MatVecExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bfd_assign"),
+      new ExpressionInfo(classOf[BfdAssignExpr].getName, "graft_bfd_assign"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_bfd_assign(ds, budget) takes a sorted doc array and a literal budget")
+        BfdAssignExpr(children.head, children(1))
+      }))
     // Spark's OWN bloom sketch pair (the expressions behind AQE runtime
     // filters), surfaced by name: they are internal-only in the stock
     // registry, but they are exactly the right machinery for exact

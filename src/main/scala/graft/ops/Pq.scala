@@ -314,12 +314,26 @@ object Pq {
   /** Scan-stage dense rotation y = R·x over the (vec_id, ve) frame —
     * R rides as a flattened literal (dim² doubles, broadcast with the
     * plan). `keepOrig` carries the unrotated vector along as `xo`
-    * (the Procrustes step needs both sides). At a production dim a
-    * native matvec expression would replace the HOF fold; the shape
-    * — per-row work, zero exchanges — is already the scale-correct
-    * one. */
+    * (the Procrustes step needs both sides). Native kernel
+    * (graft.expressions.MatVecExpr): the HOF fold interprets dim²
+    * expression nodes PER ROW per scan — ~50 of the OPQ refinement's
+    * 54 s at sf0.1 before the kernel; bit-identical to
+    * [[rotatedByHof]] (both accumulate j left-to-right), asserted in
+    * PqExprSpec. */
   private[graft] def rotatedBy(emb: DataFrame, r: Array[Array[Double]], p: Params,
                              keepOrig: Boolean = false): DataFrame = {
+    val rflat = array(r.flatten.toIndexedSeq.map(lit(_)): _*)
+    val rotExpr = call_function("graft_matvec", rflat, col("ve"))
+    if (keepOrig)
+      emb.select(col("vec_id"), col("ve").as("xo"), rotExpr.as("ve"))
+    else
+      emb.select(col("vec_id"), rotExpr.as("ve"))
+  }
+
+  /** The composable HOF twin of [[rotatedBy]] — the cross-check
+    * reference for the native matvec kernel. */
+  private[graft] def rotatedByHof(emb: DataFrame, r: Array[Array[Double]], p: Params,
+                                  keepOrig: Boolean = false): DataFrame = {
     val rflat = array(r.flatten.toIndexedSeq.map(lit(_)): _*)
     val rotExpr = transform(sequence(lit(0), lit(p.dim - 1)), i =>
       aggregate(sequence(lit(0), lit(p.dim - 1)), lit(0.0), (acc, j) =>

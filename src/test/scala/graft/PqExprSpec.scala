@@ -62,4 +62,39 @@ class PqExprSpec extends AnyFunSuite {
       .orderBy("vec_id").collect().map(_.toSeq).toSeq
     assert(enc == scored)
   }
+
+  test("graft_matvec == HOF rotation, bit-for-bit on real embeddings") {
+    // a dense (non-permutation) orthogonal-ish matrix so every
+    // multiply-add path is exercised; both forms accumulate j
+    // left-to-right, so equality is BIT equality, not tolerance
+    val rng = new scala.util.Random(13)
+    val r = Array.fill(64, 64)(rng.nextGaussian() / 8.0)
+    val native = Pq.rotatedBy(emb, r, P).orderBy("vec_id")
+      .collect().map(row => row.getLong(0) -> row.getSeq[Double](1)).toSeq
+    val hof = Pq.rotatedByHof(emb, r, P).orderBy("vec_id")
+      .collect().map(row => row.getLong(0) -> row.getSeq[Double](1)).toSeq
+    assert(native.length == 500 && native == hof)
+    // keepOrig carries the unrotated vector unchanged
+    val both = Pq.rotatedBy(emb, r, P, keepOrig = true).orderBy("vec_id")
+    assert(both.columns.toSeq == Seq("vec_id", "xo", "ve"))
+  }
+
+  test("graft_bfd_assign: hand-checked fixture + oversized/empty edges") {
+    import spark.implicits._
+    // en/web fixture from TextPipelineSpec, as the raw kernel call:
+    // sorted (negn, doc_id, n): d6=1200 oversized -> bin0 closes;
+    // best-fit then packs {1,3} and {2,4,5}
+    val got = Seq(Seq((-1200L, 6L, 1200L), (-700L, 1L, 700L), (-400L, 2L, 400L),
+        (-300L, 3L, 300L), (-300L, 4L, 300L), (-200L, 5L, 200L)))
+      .toDF("ds")
+      .select(explode(call_function("graft_bfd_assign", col("ds"), lit(1024L))).as("a"))
+      .select(col("a.doc_id"), col("a.pack_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(6L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 2L), got.toString)
+    // empty shard -> empty assignment, not null
+    val empty = Seq(Seq.empty[(Long, Long, Long)]).toDF("ds")
+      .select(size(call_function("graft_bfd_assign", col("ds"), lit(1024L))).as("n"))
+      .collect()(0).getInt(0)
+    assert(empty == 0)
+  }
 }
