@@ -107,7 +107,12 @@ object ScaleBench {
     // rotate + Lloyd + dim-group correlation agg) — expect ~linear
     // in corpus with the rotation-HOF constant
     "t_bpe_export_roundtrip", "t_unigram_export_roundtrip",
-    "t_pack_ids_bfd", "g_hll_ingested", "e_opq_refined")
+    "t_pack_ids_bfd", "g_hll_ingested", "e_opq_refined",
+    // batched training collects the bounded dict per batch and applies
+    // merges as one scan-stage fold — expect the t_bpe_train slope;
+    // foreign-vocab ingest is the artifact replay without training —
+    // expect the export_roundtrip's encode-side slope
+    "t_bpe_train_batched", "t_bpe_foreign_vocab")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -185,19 +185,32 @@ object Bpe {
                  maxWords: Int = 1000000): DataFrame = {
     require(iters >= 1, s"iters >= 1, got $iters")
     val spark = docs.sparkSession
-    var words: Array[(Array[String], Long)] =
+    val words: Array[(Array[String], Long)] =
       pruneDict(wordDict(docs, textCol), maxWords).collect()
         .map(r => (r.getAs[String]("seq").split(" "), r.getAs[Long]("c")))
+    import spark.implicits._
+    localLearnMerges(words, iters, startIt = 0)._2.toDF("it", "pair", "cnt")
+  }
+
+  /** The in-memory merge loop shared by [[trainLocal]] and
+    * [[trainBatched]]: learn up to `n` merges over `words` (pure
+    * per-word array work, the [[mergeStep]] greedy spec; tie-break
+    * count DESC then pair ASC in UTF-8 byte order — UTF8String's
+    * comparison, which differs from String.compareTo above the BMP).
+    * Returns the merged words and the (it, pair, cnt) rows numbered
+    * from `startIt + 1`. */
+  private def localLearnMerges(words0: Array[(Array[String], Long)], n: Int,
+                               startIt: Long)
+      : (Array[(Array[String], Long)], Seq[(Long, String, Long)]) = {
+    var words = words0
     val merges = Seq.newBuilder[(Long, String, Long)]
-    for (t <- 1 to iters) {
+    for (t <- 1 to n) {
       val cnts = scala.collection.mutable.HashMap.empty[String, Long]
       for ((a, c) <- words; i <- 0 until a.length - 1)
-        cnts.updateWith(a(i) + " " + a(i + 1))(n => Some(n.getOrElse(0L) + c))
+        cnts.updateWith(a(i) + " " + a(i + 1))(x => Some(x.getOrElse(0L) + c))
       if (cnts.nonEmpty) {
-        // UTF-8 byte order for the ASC tie-break — UTF8String's order,
-        // which differs from String.compareTo above the BMP
-        val (bp, bc) = cnts.minBy { case (p, n) =>
-          (-n, p.getBytes("UTF-8").map(b => (b & 0xff).toChar).mkString) }
+        val (bp, bc) = cnts.minBy { case (p, x) =>
+          (-x, p.getBytes("UTF-8").map(b => (b & 0xff).toChar).mkString) }
         val Array(x, y) = bp.split(" ", 2)
         words = words.map { case (a, c) =>
           val b = Array.newBuilder[String]
@@ -208,11 +221,59 @@ object Bpe {
           }
           (b.result(), c)
         }
-        merges += ((t.toLong, bp, bc))
+        merges += ((startIt + t, bp, bc))
       }
     }
+    (words, merges.result())
+  }
+
+  /** BATCHED merge training — the middle path between [[trainFull]]
+    * (one Spark job per merge: 30k scheduling round-trips for a
+    * production vocabulary) and [[trainLocal]] (everything in the
+    * driver: correct only while the pruned dict IS the dict): per
+    * round, collect the [[pruneDict]]-bounded dict, learn `batch`
+    * merges in memory ([[localLearnMerges]] — the same greedy spec),
+    * then apply the WHOLE batch to the full distributed dictionary as
+    * ONE scan-stage fold ([[foldMerge]] chained over the literal pair
+    * list — the merges.txt replay machinery). iters=30k, batch=1k →
+    * 30 dict jobs + 30 bounded collects instead of 30k jobs, and the
+    * full dict — including the pruned tail — stays merged on the
+    * cluster, so encode never sees a stale segmentation.
+    *
+    * Learned pairs and counts are row-identical to [[trainFull]]
+    * whenever pruning keeps every word with a mergeable pair
+    * (spec-asserted, hash-graded vs the same oracle); like
+    * [[trainLocal]], a pruned-away tail can perturb counts — pick
+    * `maxWords` at the broadcast-budget scale, where the tail is
+    * hapaxes that cannot win a frequency argmax anyway. Caches
+    * caller-owned (CachedFrame), merge table in `result`. */
+  def trainBatched(docs: DataFrame, textCol: Column, iters: Int, batch: Int,
+                   maxWords: Int = 1000000): Dedup.CachedFrame = {
+    require(iters >= 1, s"iters >= 1, got $iters")
+    require(batch >= 1, s"batch >= 1, got $batch")
+    val spark = docs.sparkSession
+    var dict = wordDict(docs, textCol).persist()
+    val caches = Seq.newBuilder[DataFrame]
+    caches += dict
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    var t = 0L
+    while (t < iters) {
+      val n = math.min(batch.toLong, iters - t).toInt
+      val words = pruneDict(dict, maxWords).collect()
+        .map(r => (r.getAs[String]("seq").split(" "), r.getAs[Long]("c")))
+      val (_, learned) = localLearnMerges(words, n, startIt = t)
+      merges ++= learned
+      if (learned.nonEmpty) {
+        val lp = array(learned.map(m => lit(m._2)): _*)
+        dict = dict.select(col("w"), col("c"),
+          concat_ws(" ", aggregate(lp, split(col("seq"), " "),
+            (acc, bp) => foldMerge(acc, bp))).as("seq")).persist()
+        caches += dict
+      }
+      t += n
+    }
     import spark.implicits._
-    merges.result().toDF("it", "pair", "cnt")
+    Dedup.CachedFrame(merges.result().toDF("it", "pair", "cnt"), caches.result())
   }
 
   /** The fully-trained dictionary after `iters` merges, with every
@@ -371,7 +432,7 @@ object Bpe {
     sb.toString
   }
 
-  private[ops] def writeText(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def writeText(spark: org.apache.spark.sql.SparkSession,
                              path: String, content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -379,7 +440,7 @@ object Bpe {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private[ops] def readText(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readText(spark: org.apache.spark.sql.SparkSession,
                             path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

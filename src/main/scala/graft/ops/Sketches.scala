@@ -104,6 +104,40 @@ object Sketches {
     run
   }
 
+  /** Store COMPACTION: every ingested batch appends a file set, and a
+    * month of micro-batches turns the store scan into thousands of
+    * small-file opens. Unlike the dedup store's row-preserving
+    * rewrite, sketches MERGE: each group's appended rows union to ONE
+    * row (`hll_union_agg` — kilobytes per group), so compaction also
+    * bounds the store's ROW count at the group count. Same swap
+    * discipline as [[DedupIndex.compact]]: rewrite into a fresh dir,
+    * two renames, a crash inside the window self-heals on the next
+    * call. Estimates before == after up to HLL's representation
+    * caveat (union order — spec-pinned per group). Batch markers
+    * survive compaction (they live beside `sketches/`), so replayed
+    * batches stay no-ops. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              keys: Seq[String]): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/sketches")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_old")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cur) && fs.exists(old))
+      require(fs.rename(old, cur), s"compact: could not recover $old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(cur.toString)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .write.parquet(tmp.toString)
+    require(fs.rename(cur, old), s"compact: could not retire $cur")
+    if (!fs.rename(tmp, cur)) {
+      fs.rename(old, cur)
+      throw new IllegalStateException(
+        s"compact: could not promote $tmp; original store restored")
+    }
+    fs.delete(old, true)
+  }
+
   /** Distinct-count estimates over an ingested store, one row per
     * rollup level of `keys`: reads ONLY the group-sized sketch rows
     * (never the corpus), merging each group's appended sketches with

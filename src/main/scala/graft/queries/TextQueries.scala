@@ -168,6 +168,80 @@ object TextQueries {
        |FROM tkq LEFT JOIN voc ON voc.tok = tkq.tok
        |GROUP BY doc_id""".stripMargin
 
+  /** The hand-written FOREIGN tokenizer fixture (t_bpe_foreign_vocab):
+    * a 3-merge chain that composes ('a n' → 's c' → 'sc an', so
+    * 'scan' collapses only if the order is honored) and a vocab with
+    * NON-dense, non-symbol-ordered ids; 'y' is deliberately absent so
+    * UNK (-1) grades too. */
+  private val ForeignMerges = Seq("a n", "s c", "sc an")
+  private val ForeignVocab: Seq[(String, Int)] = Seq(
+    "a" -> 1, "b" -> 2, "c" -> 3, "d" -> 4, "e" -> 5, "f" -> 6, "g" -> 8,
+    "h" -> 9, "i" -> 10, "j" -> 11, "k" -> 12, "l" -> 13, "m" -> 14,
+    "n" -> 15, "o" -> 16, "p" -> 17, "q" -> 18, "r" -> 19, "s" -> 20,
+    "t" -> 21, "u" -> 22, "v" -> 23, "w" -> 24, "x" -> 25, "z" -> 27,
+    "an" -> 7, "sc" -> 42, "scan" -> 100)
+  private[graft] val ForeignMergesTxt: String =
+    ("#version: 0.2" +: ForeignMerges).mkString("", "\n", "\n")
+  private[graft] val ForeignVocabJson: String =
+    ForeignVocab.map { case (t, i) => s""""$t": $i""" }.mkString("{", ", ", "}\n")
+
+  /** The bpeCtes APPLY machinery with a FIXED pair per iteration
+    * instead of the learned argmax — the oracle twin of
+    * [[graft.ops.Bpe.segmentWithMerges]]'s replay. */
+  private def applyPairCtes(pairs: Seq[String]): String = {
+    val sb = new StringBuilder(
+      s"""WITH d0 AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c,
+         |         trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w)""".stripMargin)
+    for ((pr, idx) <- pairs.zipWithIndex) {
+      val t = idx + 1
+      sb ++=
+        s""",
+           |sy$t AS (SELECT w, c, a, unnest(range(0, len(a))) AS i
+           |        FROM (SELECT w, c, string_split(seq, ' ') AS a FROM d$idx)),
+           |mt$t AS (SELECT w, i FROM sy$t
+           |        WHERE i < len(a) - 1 AND a[i+1] || ' ' || a[i+2] = '$pr'),
+           |mp$t AS (SELECT w, i FROM (
+           |          SELECT w, i, row_number() OVER (PARTITION BY w, rid ORDER BY i) AS rn
+           |          FROM (SELECT w, i,
+           |                  i - row_number() OVER (PARTITION BY w ORDER BY i) AS rid
+           |                FROM mt$t)) WHERE rn % 2 = 1),
+           |tk$t AS (SELECT s.w, s.c, s.i,
+           |          CASE WHEN mp.i IS NOT NULL THEN s.a[s.i+1] || s.a[s.i+2]
+           |               ELSE s.a[s.i+1] END AS tok,
+           |          CASE WHEN mpprev.i IS NOT NULL THEN 0 ELSE 1 END AS keep
+           |        FROM sy$t s
+           |        LEFT JOIN mp$t mp ON mp.w = s.w AND mp.i = s.i
+           |        LEFT JOIN mp$t mpprev ON mpprev.w = s.w AND mpprev.i = s.i - 1),
+           |d$t AS (SELECT w, any_value(c) AS c, string_agg(tok, ' ' ORDER BY i) AS seq
+           |       FROM tk$t WHERE keep = 1 GROUP BY w)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def foreignVocabSql: String = {
+    val n = ForeignMerges.length
+    val vocVals = ForeignVocab.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    s"""${applyPairCtes(ForeignMerges)},
+       |voc AS (SELECT tok, CAST(tok_id AS INTEGER) AS tok_id
+       |        FROM (VALUES $vocVals) v(tok, tok_id)),
+       |wrd AS (SELECT doc_id, wpos, tk[wpos+1] AS w
+       |        FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS wpos
+       |              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
+       |sg AS (SELECT wrd.doc_id, wrd.wpos,
+       |         coalesce(string_split(d$n.seq, ' '), string_split(wrd.w, '')) AS a
+       |        FROM wrd LEFT JOIN d$n ON d$n.w = wrd.w),
+       |tkq AS (SELECT doc_id, wpos, tpos, a[tpos+1] AS tok
+       |        FROM (SELECT doc_id, wpos, a, unnest(range(0, len(a))) AS tpos FROM sg))
+       |SELECT doc_id,
+       |  string_agg(CAST(coalesce(voc.tok_id, -1) AS VARCHAR), ' ' ORDER BY wpos, tpos)
+       |    AS token_ids
+       |FROM tkq LEFT JOIN voc ON voc.tok = tkq.tok
+       |GROUP BY doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.ops.Logistic.train]]: feature CTE (the
     * [[qualitySql]] components as x, the 0.6-thresholded score as y),
     * then per GD step an unrolled (gradient-sums, new-weights,
@@ -884,6 +958,41 @@ object TextQueries {
     Q("t_bpe_train_local",
       (s, d) => graft.ops.Bpe.trainLocal(T(s, d, "documents"), col("text"), iters = 3),
       Some(bpeSql(3))),
+
+    // BATCHED merge training — the third training path (per-merge
+    // distributed / all-driver local / batched hybrid): 3 iterations
+    // learned 2-per-collect (2 driver round-trips instead of 3 dict
+    // jobs), each batch applied to the FULL distributed dict as one
+    // scan-stage foldMerge chain. Same greedy spec, same oracle as
+    // t_bpe_train/t_bpe_train_local: all three paths must emit the
+    // identical merge table.
+    Q("t_bpe_train_batched",
+      (s, d) => graft.ops.Bpe.trainBatched(T(s, d, "documents"), col("text"),
+        iters = 3, batch = 2).result,
+      Some(bpeSql(3))),
+
+    // FOREIGN-artifact ingest, hash-graded end to end: a hand-written
+    // HuggingFace-style merges.txt + vocab.json (ids deliberately
+    // NON-dense and NOT in symbol order — the numbering is the
+    // artifact's, never re-derived; 'y' deliberately absent so the
+    // UNK path grades too) drives the same import + scan-stage merge
+    // replay as t_bpe_export_roundtrip. The oracle replays the SAME
+    // fixed merge list through the bpeCtes apply machinery and reads
+    // ids from a literal VALUES vocab — a real SQL twin, so a drift
+    // in merge order handling, JSON parsing, or the -1 fallback is a
+    // hash mismatch. The merge chain ('a n' -> 's c' -> 'sc an')
+    // composes: 'scan' tokenizes to the single foreign id 100 only
+    // if all three fire in order.
+    Q("t_bpe_foreign_vocab",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-bpeforeign"
+        graft.ops.Bpe.writeText(s, s"$dir/merges.txt", ForeignMergesTxt)
+        graft.ops.Bpe.writeText(s, s"$dir/vocab.json", ForeignVocabJson)
+        idsAsString(graft.ops.Bpe.encodeIdsFromArtifacts(
+          s, docs, col("text"), col("doc_id"), dir))
+      },
+      Some(foreignVocabSql)),
 
     // unigram-LM (SentencePiece-style) tokenizer training — the
     // probabilistic other half of the subword family: seed pieces =

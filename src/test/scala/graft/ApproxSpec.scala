@@ -345,6 +345,23 @@ class ApproxSpec extends AnyFunSuite {
     val after = spark.read.parquet(s"$streamDir/sketches").count()
     assert(after == before,
       s"replay must not re-append (rows $before -> $after)")
+
+    // COMPACT: per-group rows collapse to one; estimates survive at
+    // every group (union of a group's batch sketches is the same set
+    // either way — per-group, not the wide-fanin caveat)
+    val groups = spark.read.parquet(s"$streamDir/sketches")
+      .select($"lang", $"source").distinct().count()
+    graft.ops.Sketches.compact(spark, streamDir, Seq("lang", "source"))
+    val rowsAfter = spark.read.parquet(s"$streamDir/sketches").count()
+    assert(rowsAfter == groups,
+      s"compacted store must hold one row per group ($rowsAfter vs $groups)")
+    val compacted = estimates(streamDir)
+    assert(compacted.filter(_._1._3 == 0L) == fromStream.filter(_._1._3 == 0L),
+      "per-group estimates must survive compaction")
+    // and a replayed batch stays a no-op after compaction too
+    assert(!graft.ops.Sketches.ingestBatchOnce(spark,
+      batches(1).toDF("doc_id", "lang", "source", "h"),
+      streamDir, Seq("lang", "source"), col("h"), ckpt, batchId = 1))
   }
 
   test("g_hll_cube join keys: a NULL data key never matches a rollup subtotal") {

@@ -74,7 +74,11 @@ object PlanDump {
     "t_quality_filter",   // serving filter: scan-stage literals, zero exchanges
     "t_unigram_encode_indexed", // persisted-model serving twin
     "t_quality_filter_indexed", // persisted-weights serving twin
-    "pipe_ids_e2e"        // id flagship: gate->dedup->train->ids->pack, one plan
+    "pipe_ids_e2e",       // id flagship: gate->dedup->train->ids->pack, one plan
+    "t_bpe_export_roundtrip", // artifact import: scan-stage merge replay + the encode_ids shape
+    "t_pack_ids_bfd",     // BFD packing: (n,doc) assignment fold (native kernel) + doc-keyed id join
+    "g_hll_ingested",     // ingested sketch store: rollup over appended KB-sized sketch rows
+    "e_opq_refined"       // OPQ refinement: native matvec rotate + Lloyd + dim-group correlation agg
   )
 
   def main(args: Array[String]): Unit = {

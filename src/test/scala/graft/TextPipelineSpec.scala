@@ -670,6 +670,40 @@ class TextPipelineSpec extends AnyFunSuite {
     trained.unpersistAll()
   }
 
+  test("trainBatched == trainFull merge-for-merge; batch boundaries don't matter") {
+    import graft.ops.Bpe
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val full = Bpe.trainFull(docs, $"text", iters = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("it").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val ref = rows(full.result)
+    for (b <- Seq(1, 2, 3, 4)) {
+      val got = Bpe.trainBatched(docs, $"text", iters = 4, batch = b)
+      assert(rows(got.result) == ref, s"batch=$b diverged from the per-merge chain")
+      got.unpersistAll()
+    }
+    full.unpersistAll()
+  }
+
+  test("foreign vocab: the merge chain composes and the artifact's ids are honored") {
+    import graft.ops.Bpe
+    val docs = Seq((1L, "scan key"), (2L, "an scan scan")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpeforeign-spec").toString
+    Bpe.writeText(spark, s"$dir/merges.txt",
+      graft.queries.TextQueries.ForeignMergesTxt)
+    Bpe.writeText(spark, s"$dir/vocab.json",
+      graft.queries.TextQueries.ForeignVocabJson)
+    val got = Bpe.encodeIdsFromArtifacts(spark, docs, $"text", $"doc_id", dir)
+      .select($"doc_id", concat_ws(" ", $"token_ids".cast("array<string>")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'scan': a n fires (s c an), then s c (sc an), then sc an (scan)
+    // -> foreign id 100. 'key': k e y with y ABSENT from the vocab ->
+    // 12 5 -1. 'an' -> 7.
+    assert(got(1L) == "100 12 5 -1", got.toString)
+    assert(got(2L) == "7 100 100", got.toString)
+  }
+
   test("unigram degenerate inputs: empty words drop; maxPieceLen>16 refuses") {
     import graft.ops.Unigram
     // consecutive spaces make an empty word in the split — Spark's
