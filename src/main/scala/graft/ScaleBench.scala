@@ -112,7 +112,11 @@ object ScaleBench {
     // merges as one scan-stage fold — expect the t_bpe_train slope;
     // foreign-vocab ingest is the artifact replay without training —
     // expect the export_roundtrip's encode-side slope
-    "t_bpe_train_batched", "t_bpe_foreign_vocab")
+    "t_bpe_train_batched", "t_bpe_foreign_vocab",
+    // rotated serving: store builds once (marker), min-time measures
+    // the partition-pruned probe scan + one query matvec — expect the
+    // e_ivfpq_indexed flat slope
+    "e_opq_indexed")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -62,6 +62,66 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** [[build]] in an OPQ-ROTATED space: corpus vectors rotate by the
+    * orthogonal `r` (scan-stage graft_matvec — zero exchanges added)
+    * before the standard IVFADC build, and `r` persists as a one-row
+    * `rot` table beside meta. Rotation preserves L2 exactly, so the
+    * exact neighbor set is unchanged — what improves is the PQ
+    * approximation (codewords live in the refined basis, lower
+    * quantization error → better ADC ranking). Serve through
+    * [[searchRotated]]/[[appendRotated]], which read `rot` and
+    * rotate queries/deltas the same way. */
+  def buildRotated(emb: DataFrame, dir: String, r: Array[Array[Double]],
+                   k: Int = 8, p: Pq.Params = Pq.Params(),
+                   cells: Option[DataFrame] = None): Unit = {
+    require(r.length == p.dim && r.forall(_.length == p.dim),
+      s"rotation must be ${p.dim}x${p.dim}")
+    build(Pq.rotatedBy(emb, r, p), dir, k, p, cells)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq(r.flatten.toSeq).toDF("rflat")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/rot")
+  }
+
+  /** [[search]] against a rotated index: the query rotates through
+    * the persisted `rot` row (broadcast, scan-stage matvec) and the
+    * standard probe/ADC path runs in the rotated space. Exact ranks
+    * are rotation-invariant, so results compare directly with an
+    * unrotated index's. */
+  def searchRotated(spark: SparkSession, dir: String, q: DataFrame,
+                    nprobe: Int = 1, limit: Int = 10,
+                    p: Pq.Params = Pq.Params()): DataFrame = {
+    val rot = spark.read.parquet(s"$dir/rot")
+    val qr = q.crossJoin(broadcast(rot))
+      .select(call_function("graft_matvec", col("rflat"), col("qv")).as("qv"))
+    search(spark, dir, qr, nprobe, limit, p)
+  }
+
+  /** Build the ROTATED index exactly once per corpus fingerprint —
+    * the [[buildIfAbsent]] lifecycle with the rotation computed
+    * lazily (`mkR` by-name: the OPQ panel + refinement chain runs
+    * only when the store actually builds; every later serve pays
+    * zero training cost). */
+  def buildRotatedIfAbsent(spark: SparkSession, emb: DataFrame, dir: String,
+                           fingerprint: String, k: Int = 8,
+                           p: Pq.Params = Pq.Params())
+                          (mkR: => Array[Array[Double]]): Unit =
+    oncePerFingerprint(spark, dir, s"opqivfpq_k$k", fingerprint) {
+      buildRotated(emb, dir, mkR, k, p)
+    }
+
+  /** [[append]] for a rotated index: the delta rotates through the
+    * persisted `rot` row before encoding against the frozen
+    * quantizers — appended == built-in-one-shot still holds. */
+  def appendRotated(spark: SparkSession, newEmb: DataFrame, dir: String,
+                    p: Pq.Params = Pq.Params()): Unit = {
+    val rot = spark.read.parquet(s"$dir/rot")
+    val rotated = newEmb.crossJoin(broadcast(rot))
+      .select(col("vec_id"),
+        call_function("graft_matvec", col("rflat"), col("ve")).as("ve"))
+    append(spark, rotated, dir, p)
+  }
+
   /** INCREMENTAL maintenance: PQ-encode `newEmb` (vec_id, ve) against
     * the index's PERSISTED centroids and codebook — both read from
     * the one-row meta table, nothing re-derived — and append the

@@ -953,30 +953,7 @@ object SimilarityQueries {
       (s, d) => {
         val e0 = T(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
-        def armQerr(t: Int): Long = {
-          val permLit = array(opqPerm(t).map(lit): _*)
-          val sgnLit = array(opqSigns(t).map(lit): _*)
-          val rot = e0.select(col("vec_id"),
-            transform(sequence(lit(1), lit(Dim)), i =>
-              element_at(col("ve"), element_at(permLit, i)) *
-                element_at(sgnLit, i)).as("ve"))
-          val cb = pqCodebookRow(rot)
-          graft.ops.Pq.encoded(
-              rot.where(col("vec_id") =!= 0), cb, P, extra = Seq("ve"))
-            .crossJoin(broadcast(cb))
-            .select(qlong(
-              aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, m) =>
-                acc + qround(graft.ops.Pq.d2(
-                  pqSubvec(col("ve"), m),
-                  graft.ops.Pq.cw(col("cbs"), m,
-                    element_at(col("codes"), m + 1), P)), 6)),
-              1e6).as("rq6"))
-            .agg(sum(col("rq6"))).head.getLong(0)
-        }
-        val tWin = (0 until 4).map(t => (armQerr(t), t)).min._2
-        val r0 = Array.tabulate(Dim, Dim)((i, j) =>
-          if (opqPerm(tWin)(i) - 1 == j) opqSigns(tWin)(i) else 0.0)
-        val (rf, _, traj) = graft.ops.Pq.opqRefine(e0, r0, P, rounds = 2)
+        val (rf, _, traj) = graft.ops.Pq.opqRefine(e0, opqWinnerR0(e0), P, rounds = 2)
         val orth = (0 until Dim).forall(i => (0 until Dim).forall { j =>
           val dot = (0 until Dim).map(k => rf(i)(k) * rf(j)(k)).sum
           math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9
@@ -990,6 +967,48 @@ object SimilarityQueries {
       Some("""SELECT * FROM (VALUES (CAST(0 AS BIGINT), TRUE, TRUE),
              |  (CAST(1 AS BIGINT), TRUE, TRUE), (CAST(2 AS BIGINT), TRUE, TRUE))
              |  t(round, improved, orthogonal)""".stripMargin)),
+
+    // OPQ-refined SERVING: the refined rotation threaded into the
+    // persisted IVFADC index end to end — rotate at build (corpus)
+    // and at query (through the stored `rot` row), standard probe +
+    // ADC in the rotated space. Rotation is orthogonal, so the EXACT
+    // neighbor set is invariant — only the PQ approximation changes
+    // (codewords in the refined basis). Build runs once per corpus
+    // fingerprint (panel argmin + 1 refinement round + index build
+    // under the marker); steady-state cost is searchRotated's
+    // partition-pruned probe scan plus one 64-dim matvec on the
+    // query. The hit count has no DuckDB twin (the rotation is an
+    // SVD product), so — the sketch contract — values stay out of
+    // the hash and the graded row asserts the recall floor; exact
+    // hit values are pinned in ApproxSpec.
+    Q("e_opq_indexed",
+      (s, d) => {
+        val e0 = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val corpus = e0.where(col("vec_id") =!= 0)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-opqivf-${storeKey(d)}"
+        graft.ops.AnnIndex.buildRotatedIfAbsent(s, corpus, dir,
+          graft.ops.AnnIndex.tableFingerprint(s, s"$d/embeddings.parquet"),
+          k = 8, p = P) {
+          graft.ops.Pq.opqRefine(e0, opqWinnerR0(e0), P, rounds = 1)._1
+        }
+        val q1 = e0.where(col("vec_id") === 0).select(col("ve").as("qv"))
+        val got = graft.ops.AnnIndex.searchRotated(s, dir, q1,
+          nprobe = 2, limit = 10, p = P)
+          .agg(collect_list(col("vec_id")).as("ap"))
+        val ex = corpus.crossJoin(broadcast(q1))
+          .select(col("vec_id"), qround(graft.ops.Pq.d2(col("ve"), col("qv")), 6).as("ed2"))
+          .agg(call_function("graft_bottom_k",
+            struct(col("ed2"), col("vec_id")), lit(10)).as("ex"))
+        got.crossJoin(broadcast(ex))
+          .select(lit("opq_ivfpq").as("method"), lit(10).as("k"),
+            size(array_intersect(col("ap"),
+              transform(col("ex"), x => x.getField("vec_id"))))
+              .cast("long").as("hits"))
+          .select(col("method"), col("k"),
+            (col("hits") >= PqRecallBound).as("within_bound"))
+      },
+      Some("SELECT 'opq_ivfpq' AS method, 10 AS k, TRUE AS within_bound")),
 
     // FULL-VECTOR k-means to (fixed-point) convergence — the coarse-
     // quantizer training e_ivf_train's single re-mean points at: two
@@ -1160,6 +1179,38 @@ object SimilarityQueries {
     * definitions (the SQL side shares [[pqEncodeCtes]] for the same
     * reason). */
   private val P = graft.ops.Pq.Params(Dim, PqM, PqKs)
+
+  /** The e_opq_rotations panel argmin as a rotation MATRIX — the
+    * shared starting point of e_opq_refined and e_opq_indexed: per
+    * arm, the seed-codebook quantization error in rotated space
+    * (the panel's own qerr formula); winner by (qerr, t); the
+    * winner's permutation+sign rotation as dim×dim. Four bounded
+    * driver folds — the a4 ridge collect class. */
+  private def opqWinnerR0(e0: org.apache.spark.sql.DataFrame): Array[Array[Double]] = {
+    def armQerr(t: Int): Long = {
+      val permLit = array(opqPerm(t).map(lit): _*)
+      val sgnLit = array(opqSigns(t).map(lit): _*)
+      val rot = e0.select(col("vec_id"),
+        transform(sequence(lit(1), lit(Dim)), i =>
+          element_at(col("ve"), element_at(permLit, i)) *
+            element_at(sgnLit, i)).as("ve"))
+      val cb = pqCodebookRow(rot)
+      graft.ops.Pq.encoded(
+          rot.where(col("vec_id") =!= 0), cb, P, extra = Seq("ve"))
+        .crossJoin(broadcast(cb))
+        .select(qlong(
+          aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, m) =>
+            acc + qround(graft.ops.Pq.d2(
+              pqSubvec(col("ve"), m),
+              graft.ops.Pq.cw(col("cbs"), m,
+                element_at(col("codes"), m + 1), P)), 6)),
+          1e6).as("rq6"))
+        .agg(sum(col("rq6"))).head.getLong(0)
+    }
+    val tWin = (0 until 4).map(t => (armQerr(t), t)).min._2
+    Array.tabulate(Dim, Dim)((i, j) =>
+      if (opqPerm(tWin)(i) - 1 == j) opqSigns(tWin)(i) else 0.0)
+  }
 
   /** Squared L2 as the SAME left-to-right fold DuckDB's list_sum
     * runs, so quantization sees bit-identical inputs on both sides —

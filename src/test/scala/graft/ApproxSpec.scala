@@ -244,6 +244,79 @@ class ApproxSpec extends AnyFunSuite {
     assert(traj(2).toDouble / traj(0) < 0.70 && traj01(2).toDouble / traj01(0) < 0.70)
   }
 
+  test("e_opq_indexed: rotated serving — recall floor + measured hits pinned, both SFs") {
+    import org.apache.spark.sql.functions._
+    // the graded row asserts the recall FLOOR; the exact hit counts
+    // live here, measured and pinned in BOTH directions like the
+    // isotropic e_ann_recall pins: on a random (isotropic) corpus a
+    // single query's PQ recall@10 is noise under ANY basis at this
+    // code size — OPQ's benefit metric is the GLOBAL quantization
+    // error (pinned at -33% in the opqRefine test), which the
+    // rotated index serves. nprobe=2: sf0.001 opq 1 vs plain 3;
+    // sf0.01 2 vs 2 — the rotation also moves the coarse cell
+    // geometry, so probe-limited recall can go either way.
+    def hitsOf(sf: String): Long = {
+      val row = SparkEntry.allQueries.find(_.name == "e_opq_indexed").get
+        .fn(spark, sf).collect()(0)
+      assert(row.getBoolean(row.fieldIndex("within_bound")),
+        s"recall floor must hold at $sf")
+      val e0 = sources.Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+      val q1 = e0.where(col("vec_id") === 0).select(col("ve").as("qv"))
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-opqivf-${graft.queries.storeKey(sf)}"
+      val got = graft.ops.AnnIndex.searchRotated(spark, dir, q1, nprobe = 2, limit = 10)
+        .collect().map(_.getLong(0)).toSet
+      val ex = e0.where(col("vec_id") =!= 0).crossJoin(broadcast(q1))
+        .select(col("vec_id"),
+          aggregate(zip_with(col("ve"), col("qv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, v) => a + v).as("d2"))
+        .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      spark.catalog.clearCache()
+      got.intersect(ex).size.toLong
+    }
+    assert(hitsOf(sfDir) == 1L, "sf0.001 rotated-index hits drifted")
+    assert(hitsOf("/root/testdata/sf0.01") == 2L, "sf0.01 rotated-index hits drifted")
+  }
+
+  test("rotated index: appendRotated == buildRotated in one shot (frozen quantizers)") {
+    import org.apache.spark.sql.functions._
+    // the e_ivfpq_appended contract carried to the rotated space: an
+    // index built over half the corpus and appendRotated the rest
+    // must search bit-identically to one built over everything —
+    // quantizers AND rotation frozen at build time. The quantizer
+    // seeds (vec_ids 1..k / 1..ks) must be in the BASE half.
+    val e0 = sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val corpus = e0.where(col("vec_id") =!= 0)
+    val q1 = e0.where(col("vec_id") === 0).select(col("ve").as("qv"))
+    val rng = new scala.util.Random(5)
+    val raw = Array.fill(64, 64)(rng.nextGaussian())
+    val r = Array.ofDim[Double](64, 64)
+    for (i <- 0 until 64) {
+      val v = raw(i).clone()
+      for (k <- 0 until i) {
+        val dd = (0 until 64).map(j => v(j) * r(k)(j)).sum
+        for (j <- 0 until 64) v(j) -= dd * r(k)(j)
+      }
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      for (j <- 0 until 64) r(i)(j) = v(j) / nn
+    }
+    val base = s"${sys.props("java.io.tmpdir")}/graft-opq-append-spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    graft.ops.AnnIndex.buildRotated(corpus, s"$base/full", r)
+    graft.ops.AnnIndex.buildRotated(corpus.where(col("vec_id") <= 250), s"$base/half", r)
+    graft.ops.AnnIndex.appendRotated(spark, corpus.where(col("vec_id") > 250), s"$base/half")
+    def top(dir: String) = graft.ops.AnnIndex.searchRotated(spark, dir, q1,
+        nprobe = 2, limit = 10)
+      .select(col("vec_id"), col("ad2"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val (full, appended) = (top(s"$base/full"), top(s"$base/half"))
+    assert(full.nonEmpty && full == appended,
+      s"appended rotated index must equal the one-shot build:\n$full\n$appended")
+  }
+
   test("procrustes: recovers a planted rotation exactly") {
     // M = R* (x-basis correlation of a perfectly-quantized corpus
     // rotated by R*): procrustes(M) must return R* itself

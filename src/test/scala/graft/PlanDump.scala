@@ -78,7 +78,8 @@ object PlanDump {
     "t_bpe_export_roundtrip", // artifact import: scan-stage merge replay + the encode_ids shape
     "t_pack_ids_bfd",     // BFD packing: (n,doc) assignment fold (native kernel) + doc-keyed id join
     "g_hll_ingested",     // ingested sketch store: rollup over appended KB-sized sketch rows
-    "e_opq_refined"       // OPQ refinement: native matvec rotate + Lloyd + dim-group correlation agg
+    "e_opq_refined",      // OPQ refinement: native matvec rotate + Lloyd + dim-group correlation agg
+    "e_opq_indexed"       // rotated serving: stored rot row + partition-pruned probe scan
   )
 
   def main(args: Array[String]): Unit = {
