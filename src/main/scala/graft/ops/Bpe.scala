@@ -468,7 +468,7 @@ object Bpe {
     * are a handful of part files; at a real deployment the store's
     * writer could stamp a one-row meta file instead, but footers
     * need no write-side contract. */
-  private[ops] def parquetRowCount(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def parquetRowCount(spark: org.apache.spark.sql.SparkSession,
                                    path: String): Long = {
     val hconf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)

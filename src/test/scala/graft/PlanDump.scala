@@ -94,9 +94,17 @@ object PlanDump {
       val q = SparkEntry.allQueries.find(_.name == name).get
       val df = q.fn(spark, d)
       df.write.format("noop").mode("overwrite").save() // finalize AQE
-      val plan = df.queryExecution.explainString(
+      val full = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      sb.append(s"## $name\n\n```\n").append(plan.trim).append("\n```\n\n")
+      // cap per-plan text: queries carrying model literals (the OPQ
+      // rotation is 4096 doubles) print them verbatim in explain —
+      // thousands of lines of constants with zero plan information
+      val lines = full.trim.linesIterator.toSeq
+      val plan = if (lines.length <= 400) lines.mkString("\n")
+        else (lines.take(400) :+
+          s"... [${lines.length - 400} lines truncated — literal-heavy plan]")
+          .mkString("\n")
+      sb.append(s"## $name\n\n```\n").append(plan).append("\n```\n\n")
       spark.catalog.clearCache()
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)

@@ -670,6 +670,41 @@ class TextPipelineSpec extends AnyFunSuite {
     trained.unpersistAll()
   }
 
+  test("footer gate contract: persisted-dict encodes plan with ZERO gate jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import graft.ops.Bpe
+    val docs = Seq((1L, "ab ab ba"), (2L, "ba ab")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpegate").toString
+    Bpe.buildDictIfAbsent(spark, docs, $"text", dir, iters = 2, fingerprint = "g1")
+    // footer metadata agrees with the real count
+    val viaFooter = Bpe.parquetRowCount(spark, s"$dir/dict")
+    assert(viaFooter == spark.read.parquet(s"$dir/dict").count(),
+      "footer row count must equal the scan count")
+    val jobSites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobSites.add(js.stageInfos.map(_.name).mkString("; "))
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // PLAN CONSTRUCTION of both serving encodes: the broadcast gate
+      // reads parquet footers on the driver — no COUNT job may start.
+      // (Datasource resolution may run footer-reading "parquet at"
+      // jobs; those are metadata-sized and not the gate count this
+      // test pins. The in-plan path keeps its one cache-hit count by
+      // design.)
+      val e1 = Bpe.encodeIndexed(spark, docs, $"text", $"doc_id", dir)
+      val e2 = Bpe.encodeIdsIndexed(spark, docs, $"text", $"doc_id", dir)
+      Thread.sleep(1500) // listener bus is async
+      val sites = jobSites.toArray.map(_.toString).toSeq
+      assert(!sites.exists(_.contains("count at")),
+        s"persisted-dict encode planning must not run a gate count, saw: $sites")
+      // and the plans still execute correctly
+      assert(e1.count() == 2 && e2.count() == 2)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("trainBatched == trainFull merge-for-merge; batch boundaries don't matter") {
     import graft.ops.Bpe
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
