@@ -116,7 +116,12 @@ object ScaleBench {
     // rotated serving: store builds once (marker), min-time measures
     // the partition-pruned probe scan + one query matvec — expect the
     // e_ivfpq_indexed flat slope
-    "e_opq_indexed")
+    "e_opq_indexed",
+    // foreign unigram ingest = model import + one Viterbi pass over
+    // the word dict + the id path (expect the unigram segment slope);
+    // planted OPQ = corpus synthesis + identity-start refinement +
+    // two scored arms (expect ~linear, the e_opq_refined class)
+    "t_unigram_foreign_vocab", "e_opq_recall_planted")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -555,6 +555,63 @@ object SimilarityQueries {
            |  TRUE AS within_bound""".stripMargin
       }),
 
+    // OPQ on the PLANTED corpus — the recall measurement the
+    // isotropic e_opq_indexed pins cannot make: with real cluster
+    // structure (the e_pq_recall_planted synthesis) the top-10 is
+    // meaningful, so PQ-vs-OPQ recall actually discriminates. Two
+    // arms over the SAME planted corpus: seed-codebook PQ (the
+    // oracle-replayed hits_pq — identical to e_pq_recall_planted's
+    // number by construction) and OPQ refined from IDENTITY (one
+    // alternation round — the pure refinement effect, no panel
+    // pre-rotation), scored with the refinement's own Lloyd-trained
+    // codebook in the refined basis. The OPQ hit count has no SQL
+    // twin (SVD), so it stays out of the hash; the graded boolean
+    // asserts OPQ meets the same planted recall floor, and the exact
+    // per-SF values are pinned in ApproxSpec.
+    Q("e_opq_recall_planted",
+      (s, d) => {
+        val C = 16
+        val base = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val ctr = base.where(col("vec_id").between(1, C))
+          .select(col("vec_id").as("center_id"), col("ve").as("cve"))
+        val planted = base.join(broadcast(ctr),
+            col("center_id") === col("vec_id") % C + 1)
+          .select(col("vec_id"),
+            zip_with(col("cve"), col("ve"), (c, e) => c + lit(0.15) * e).as("ve"))
+          .persist() // feeds the identity arm, the refinement, and the rotated arm
+        def clusterHits(scored: org.apache.spark.sql.DataFrame, as: String) =
+          scored.agg(call_function("graft_bottom_k",
+              struct(col("ad2"), col("vec_id")), lit(10)).as("ap"))
+            .select(size(filter(transform(col("ap"), x => x.getField("vec_id")),
+              id => id % C === 0)).cast("long").as(as))
+        val hitsPq = clusterHits(pqScoredOn(planted), "hits_pq")
+        val id64 = Array.tabulate(Dim, Dim)((i, j) => if (i == j) 1.0 else 0.0)
+        val (r, cb, _) = graft.ops.Pq.opqRefine(planted, id64, P, rounds = 1)
+        val rotAll = graft.ops.Pq.rotatedBy(planted, r, P)
+        val qRot = rotAll.where(col("vec_id") === 0).select(col("ve").as("qv"))
+        val hitsOpq = clusterHits(
+          graft.ops.Pq.scoredQ(rotAll.crossJoin(broadcast(qRot)), cb, P), "hits_opq")
+        hitsPq.crossJoin(broadcast(hitsOpq))
+          .select(lit("opq_pq_cluster").as("method"), lit(10).as("k"),
+            col("hits_pq"),
+            (col("hits_opq") >= PqPlantedBound).as("within_bound"))
+      },
+      Some {
+        val plantedE =
+          s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+             |ctr AS (SELECT vec_id AS center_id, ve AS cve FROM e0 WHERE vec_id BETWEEN 1 AND 16),
+             |e AS (SELECT e0.vec_id,
+             |        list_transform(range(1, ${Dim + 1}),
+             |          i -> ctr.cve[i] + 0.15e0 * e0.ve[i]) AS ve
+             |      FROM e0 JOIN ctr ON ctr.center_id = e0.vec_id % 16 + 1)""".stripMargin
+        s"""${pqSqlCtes(plantedE)},
+           |ap AS (SELECT vec_id FROM ad ORDER BY ad2 ASC, vec_id ASC LIMIT 10)
+           |SELECT 'opq_pq_cluster' AS method, 10 AS k,
+           |  (SELECT count(*) FROM ap WHERE vec_id % 16 = 0) AS hits_pq,
+           |  TRUE AS within_bound""".stripMargin
+      }),
+
     // BINARY quantization + Hamming-shortlist + exact rerank — the
     // third compression point alongside PQ (e_pq_adc) and IVFADC:
     // each vector compresses to a 16-bit sign code (one hyperplane

@@ -242,6 +242,45 @@ object TextQueries {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** The hand-written FOREIGN unigram model (t_unigram_foreign_vocab):
+    * full a-z single-char coverage (the SentencePiece floor) plus
+    * multi-char pieces with high counts, so the Viterbi genuinely
+    * prefers them ('scan' must segment as the one piece, not chars).
+    * Pieces <= 4 chars — the engine's maxPieceLen default. */
+  private val ForeignPieces: Seq[(String, Long)] =
+    ('a' to 'z').map(c => c.toString -> 1L) ++ Seq(
+      "scan" -> 500L, "an" -> 300L, "in" -> 300L, "er" -> 250L,
+      "ta" -> 200L, "me" -> 200L, "rge" -> 150L, "jo" -> 120L,
+      "or" -> 120L, "der" -> 100L)
+  private[graft] val ForeignPiecesTsv: String =
+    ForeignPieces.sortBy(_._1).map { case (p, c) => s"$p\t$c" }
+      .mkString("", "\n", "\n")
+
+  private def foreignUnigramSql: String = {
+    val vals = ForeignPieces.sortBy(_._1)
+      .map { case (p, c) => s"('$p', CAST($c AS BIGINT))" }.mkString(", ")
+    s"""WITH ud AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+       |un0 AS MATERIALIZED (SELECT * FROM (VALUES $vals) v(piece, cnt))
+       |${unigramDpCtes(1)},
+       |uvoc AS (SELECT piece AS tok, CAST(row_number() OVER (ORDER BY piece) AS INTEGER) AS tok_id
+       |         FROM (SELECT DISTINCT unnest(string_split(seg, ' ')) AS piece FROM uv1)),
+       |uwrd AS (SELECT doc_id, wpos, tk[wpos+1] AS w
+       |         FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS wpos
+       |               FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
+       |usg AS (SELECT uwrd.doc_id, uwrd.wpos,
+       |          coalesce(string_split(uv1.seg, ' '), string_split(uwrd.w, '')) AS a
+       |        FROM uwrd LEFT JOIN uv1 ON uv1.w = uwrd.w),
+       |utk AS (SELECT doc_id, wpos, tpos, a[tpos+1] AS tok
+       |        FROM (SELECT doc_id, wpos, a, unnest(range(0, len(a))) AS tpos FROM usg))
+       |SELECT doc_id,
+       |  string_agg(CAST(coalesce(uvoc.tok_id, -1) AS VARCHAR), ' ' ORDER BY wpos, tpos)
+       |    AS token_ids
+       |FROM utk LEFT JOIN uvoc ON uvoc.tok = utk.tok
+       |GROUP BY doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.ops.Logistic.train]]: feature CTE (the
     * [[qualitySql]] components as x, the 0.6-thresholded score as y),
     * then per GD step an unrolled (gradient-sums, new-weights,
@@ -362,36 +401,46 @@ object TextQueries {
       |        unnest(range(1, least($maxPiece, length(w)-st+1)+1)) AS ln FROM us1),
       |un0 AS MATERIALIZED (SELECT substring(w, st, ln) AS piece, CAST(sum(c) AS BIGINT) AS cnt
       |        FROM us2 GROUP BY 1)""".stripMargin
-    for (r <- 1 to rounds) {
+    for (r <- 1 to rounds) sb ++= unigramDpCtes(r, maxPiece, maxWord)
+    sb.toString
+  }
+
+  /** One Viterbi DP round over `ud` under model `un{r-1}` — the
+    * layered bounded-length unrolling (factored so a FOREIGN literal
+    * piece table can drive the same DP in t_unigram_foreign_vocab).
+    * Emits `uc{r-1}` (costs), `r{r}b0..maxWord` (DP layers), `uv{r}`
+    * (segmentations), `un{r}` (re-estimated counts); starts with a
+    * comma — splice after the model CTE. */
+  private def unigramDpCtes(r: Int, maxPiece: Int = 4, maxWord: Int = 8): String = {
+    val sb = new StringBuilder
+    sb ++= s""",
+      |uc${r - 1} AS MATERIALIZED (SELECT piece, CAST(floor(-ln(CAST(cnt AS DOUBLE) /
+      |    (SELECT CAST(sum(cnt) AS DOUBLE) FROM un${r - 1})) * 1000000 + 0.5e0) AS BIGINT) AS cost
+      |  FROM un${r - 1}),
+      |r${r}b0 AS MATERIALIZED (SELECT w, c, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS seg FROM ud)""".stripMargin
+    for (i <- 1 to maxWord) {
+      val branches = (math.max(0, i - maxPiece) until i).map { j =>
+        s"SELECT w, c, cost, np, seg, substring(w, ${j + 1}, ${i - j}) AS pc " +
+          s"FROM r${r}b$j WHERE length(w) >= $i"
+      }.mkString("\n          UNION ALL ")
       sb ++= s""",
-        |uc${r - 1} AS MATERIALIZED (SELECT piece, CAST(floor(-ln(CAST(cnt AS DOUBLE) /
-        |    (SELECT CAST(sum(cnt) AS DOUBLE) FROM un${r - 1})) * 1000000 + 0.5e0) AS BIGINT) AS cost
-        |  FROM un${r - 1}),
-        |r${r}b0 AS MATERIALIZED (SELECT w, c, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS seg FROM ud)""".stripMargin
-      for (i <- 1 to maxWord) {
-        val branches = (math.max(0, i - maxPiece) until i).map { j =>
-          s"SELECT w, c, cost, np, seg, substring(w, ${j + 1}, ${i - j}) AS pc " +
-            s"FROM r${r}b$j WHERE length(w) >= $i"
-        }.mkString("\n          UNION ALL ")
-        sb ++= s""",
-          |r${r}b$i AS MATERIALIZED (SELECT w, c, cost, np, seg FROM (
-          |    SELECT w, c, cost, np, seg,
-          |           row_number() OVER (PARTITION BY w ORDER BY cost, np, seg) AS rn
-          |    FROM (SELECT b.w, b.c, b.cost + p.cost AS cost, b.np + 1 AS np,
-          |            CASE WHEN b.seg = '' THEN b.pc ELSE b.seg || ' ' || b.pc END AS seg
-          |          FROM (
-          |          ${branches}) b
-          |          JOIN uc${r - 1} p ON p.piece = b.pc))
-          |  WHERE rn = 1)""".stripMargin
-      }
-      val vitUnion = (1 to maxWord)
-        .map(i => s"SELECT w, c, seg FROM r${r}b$i WHERE length(w) = $i")
-        .mkString("\n  UNION ALL ")
-      sb ++= s""",
-        |uv$r AS MATERIALIZED ($vitUnion),
-        |un$r AS MATERIALIZED (SELECT piece, CAST(sum(c) AS BIGINT) AS cnt
-        |  FROM (SELECT c, unnest(string_split(seg, ' ')) AS piece FROM uv$r) GROUP BY 1)""".stripMargin
+        |r${r}b$i AS MATERIALIZED (SELECT w, c, cost, np, seg FROM (
+        |    SELECT w, c, cost, np, seg,
+        |           row_number() OVER (PARTITION BY w ORDER BY cost, np, seg) AS rn
+        |    FROM (SELECT b.w, b.c, b.cost + p.cost AS cost, b.np + 1 AS np,
+        |            CASE WHEN b.seg = '' THEN b.pc ELSE b.seg || ' ' || b.pc END AS seg
+        |          FROM (
+        |          ${branches}) b
+        |          JOIN uc${r - 1} p ON p.piece = b.pc))
+        |  WHERE rn = 1)""".stripMargin
     }
+    val vitUnion = (1 to maxWord)
+      .map(i => s"SELECT w, c, seg FROM r${r}b$i WHERE length(w) = $i")
+      .mkString("\n  UNION ALL ")
+    sb ++= s""",
+      |uv$r AS MATERIALIZED ($vitUnion),
+      |un$r AS MATERIALIZED (SELECT piece, CAST(sum(c) AS BIGINT) AS cnt
+      |  FROM (SELECT c, unnest(string_split(seg, ' ')) AS piece FROM uv$r) GROUP BY 1)""".stripMargin
     sb.toString
   }
 
@@ -1290,6 +1339,26 @@ object TextQueries {
               |SELECT lang, source, n_packs_greedy, waste_greedy, overflow_greedy,
               |       n_packs_bfd, waste_bfd, overflow_bfd
               |FROM gm JOIN bm USING (lang, source)""".stripMargin)),
+
+    // FOREIGN unigram-model ingest, hash-graded — the subword
+    // family's twin of t_bpe_foreign_vocab: a hand-written
+    // SentencePiece-style piece/count TSV (full a-z floor + weighted
+    // multi-char pieces) drives the same import → integer costs →
+    // Viterbi → ids path as the export round-trip. The oracle runs
+    // the SAME bounded-length DP (the unigramDpCtes layer, factored
+    // from the training oracle) over a literal VALUES model — a real
+    // SQL twin: a drift in the TSV parse, the cost snap, the DP
+    // tie-break, or the segmentation-derived vocab numbering is a
+    // hash mismatch.
+    Q("t_unigram_foreign_vocab",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-uniforeign"
+        graft.ops.Bpe.writeText(s, s"$dir/unigram_pieces.tsv", ForeignPiecesTsv)
+        idsAsString(graft.ops.Unigram.encodeIdsFromArtifacts(
+          s, docs, col("text"), col("doc_id"), dir))
+      },
+      Some(foreignUnigramSql)),
 
     // model-based quality filtering (ops/Logistic): 6 full-batch GD
     // steps distilling the 0.6-thresholded heuristic quality rule

@@ -79,7 +79,8 @@ object PlanDump {
     "t_pack_ids_bfd",     // BFD packing: (n,doc) assignment fold (native kernel) + doc-keyed id join
     "g_hll_ingested",     // ingested sketch store: rollup over appended KB-sized sketch rows
     "e_opq_refined",      // OPQ refinement: native matvec rotate + Lloyd + dim-group correlation agg
-    "e_opq_indexed"       // rotated serving: stored rot row + partition-pruned probe scan
+    "e_opq_indexed",      // rotated serving: stored rot row + partition-pruned probe scan
+    "t_unigram_foreign_vocab" // foreign model ingest: literal costs + scan-stage Viterbi + id path
   )
 
   def main(args: Array[String]): Unit = {

@@ -739,6 +739,32 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(2L) == "7 100 100", got.toString)
   }
 
+  test("foreign unigram model: weighted pieces beat char paths; ids are segmentation-derived") {
+    import graft.ops.{Bpe, Unigram}
+    val docs = Seq((1L, "scan order"), (2L, "an scan")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("uniforeign-spec").toString
+    Bpe.writeText(spark, s"$dir/unigram_pieces.tsv",
+      graft.queries.TextQueries.ForeignPiecesTsv)
+    val ids = Unigram.encodeIdsFromArtifacts(spark, docs, $"text", $"doc_id", dir)
+    // segmentation check through the import path directly
+    val pieces = Unigram.importPieces(spark, s"$dir/unigram_pieces.tsv")
+    val vit = Unigram.viterbiFull(
+      Bpe.wordDict(docs, $"text").select($"w", $"c"),
+      Unigram.costs(pieces), maxPieceLen = 4, maxWordLen = 8)
+    val seg = vit.result.select($"w", $"seg").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(seg("scan") == "scan", s"weighted piece must win: $seg")
+    assert(seg("an") == "an", seg.toString)
+    assert(seg("order") == "or der", s"or+der beats chars: $seg")
+    // the id surface is dense over the SEGMENTATION pieces
+    val got = ids.select($"doc_id",
+      concat_ws(" ", $"token_ids".cast("array<string>")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // distinct segmentation pieces sorted: an, der, or, scan -> 1..4
+    assert(got(1L) == "4 3 2" && got(2L) == "1 4", got.toString)
+    vit.unpersistAll()
+  }
+
   test("unigram degenerate inputs: empty words drop; maxPieceLen>16 refuses") {
     import graft.ops.Unigram
     // consecutive spaces make an empty word in the split — Spark's
