@@ -100,7 +100,15 @@ object Unigram {
           col("_pc").as("v")))).as("pm"))
     val dp = aggregate(
       sequence(lit(1), length(col("w"))),
-      array(struct(lit(0L).as("cost"), lit(0).as("np"), lit("").as("seg"))),
+      // the zero's ELEMENT TYPE must declare containsNull=true: the
+      // fold inserts a NULL struct at every unreachable position
+      // (array_min over an empty candidate list — a word the model
+      // cannot cover, e.g. digits under an a-z foreign model), and
+      // codegen trusts the declared type — with the struct literal's
+      // containsNull=false it skips null checks and NPEs at the
+      // first uncoverable word (found by the x10 foreign-model run)
+      array(struct(lit(0L).as("cost"), lit(0).as("np"), lit("").as("seg")))
+        .cast("array<struct<cost:bigint,np:int,seg:string>>"),
       (acc, i) => concat(acc, array(array_min(filter(
         transform(sequence(greatest(i - lit(maxPieceLen), lit(0)), i - lit(1)), j => {
           val bj = element_at(acc, j + 1)
@@ -116,6 +124,10 @@ object Unigram {
     val result = wmap
       .select(col("w"), col("c"),
         element_at(dp, length(col("w")) + 1).as("b"))
+      // a word with NO full path (null final DP state) drops here —
+      // the oracle's inner-join absence; encode's char-segmentation
+      // fallback covers it downstream, identically to an unseen word
+      .where(col("b").isNotNull)
       .select(col("w"), col("c"), col("b.cost").as("cost"),
         col("b.np").as("np"), col("b.seg").as("seg"))
     Dedup.CachedFrame(result, Seq.empty)

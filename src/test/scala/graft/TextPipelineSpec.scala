@@ -765,6 +765,29 @@ class TextPipelineSpec extends AnyFunSuite {
     vit.unpersistAll()
   }
 
+  test("foreign unigram: uncoverable words (chars outside the model) fall back, never NPE") {
+    import graft.ops.{Bpe, Unigram}
+    // regression pin for the containsNull fix in viterbiFull's DP
+    // zero: 'copy7x'/'123' have no path under an a-z model — the DP
+    // holds NULL structs at unreachable positions, which crashed
+    // codegen when the fold zero declared containsNull=false (found
+    // by the x10 copy-salt corpus). Uncoverable words drop from the
+    // segmentation (the oracle's inner-join absence) and encode falls
+    // back to char segmentation with segmentation-vocab lookups.
+    val docs = Seq((1L, "scan copy7x order"), (2L, "an 123 scan")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("unifv-npe").toString
+    Bpe.writeText(spark, s"$dir/unigram_pieces.tsv",
+      graft.queries.TextQueries.ForeignPiecesTsv)
+    val got = Unigram.encodeIdsFromArtifacts(spark, docs, $"text", $"doc_id", dir)
+      .select($"doc_id", concat_ws(" ", $"token_ids".cast("array<string>")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // segmentation vocab over covered words {scan, or der, an}:
+    // an=1, der=2, or=3, scan=4; uncoverable words emit one -1 per
+    // char (chars are not segmentation pieces here)
+    assert(got(1L) == "4 -1 -1 -1 -1 -1 -1 3 2", got.toString)
+    assert(got(2L) == "1 -1 -1 -1 4", got.toString)
+  }
+
   test("unigram degenerate inputs: empty words drop; maxPieceLen>16 refuses") {
     import graft.ops.Unigram
     // consecutive spaces make an empty word in the split — Spark's
