@@ -121,7 +121,10 @@ object ScaleBench {
     // the word dict + the id path (expect the unigram segment slope);
     // planted OPQ = corpus synthesis + identity-start refinement +
     // two scored arms (expect ~linear, the e_opq_refined class)
-    "t_unigram_foreign_vocab", "e_opq_recall_planted")
+    "t_unigram_foreign_vocab", "e_opq_recall_planted",
+    // BFD pack rows = the metrics query plus the doc-keyed id join +
+    // pack content agg — expect the t_pack_ids output-bound slope
+    "t_pack_bfd_rows")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

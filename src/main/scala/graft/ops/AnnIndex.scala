@@ -385,6 +385,25 @@ object AnnIndex {
     * the cells its queries touch via the join itself. At 100 TB you
     * bucket the codes table by cell so the join co-locates, or batch
     * queries by probe cell upstream. */
+  /** [[searchStream]] against a ROTATED index: each streaming query
+    * rotates through the persisted one-row `rot` table on the way in
+    * — a STATELESS stream-static broadcast join plus one scan-stage
+    * matvec, then the standard probe/ADC/window path. Emissions are
+    * bit-identical to batch [[searchRotated]] per query (the
+    * searchStream parity contract carries over unchanged). */
+  def searchRotatedStream(spark: SparkSession, queries: DataFrame, dir: String,
+                          nprobe: Int = 1, limit: Int = 10,
+                          p: Pq.Params = Pq.Params(),
+                          delay: String = "10 seconds",
+                          windowLen: String = "10 seconds"): DataFrame = {
+    val rot = spark.read.parquet(s"$dir/rot").withColumn("_r1", lit(1))
+    val rotated = queries.withColumn("_r1", lit(1))
+      .join(broadcast(rot), "_r1")
+      .withColumn("qv", call_function("graft_matvec", col("rflat"), col("qv")))
+      .drop("rflat", "_r1")
+    searchStream(spark, rotated, dir, nprobe, limit, p, delay, windowLen)
+  }
+
   def searchStream(spark: SparkSession, queries: DataFrame, dir: String,
                    nprobe: Int = 1, limit: Int = 10,
                    p: Pq.Params = Pq.Params(),

@@ -1360,6 +1360,62 @@ object TextQueries {
       },
       Some(foreignUnigramSql)),
 
+    // the BFD packs THEMSELVES, content-hash-graded — t_pack_ids_bfd
+    // pins the metrics (pack count / waste / overflow); this row pins
+    // the literal deliverable: every pack's concatenated id run under
+    // the BFD assignment, as the graded string surface. The oracle
+    // composes the recursive BFD replay with the id-emission CTEs:
+    // assignment -> per-doc ids -> doc-ordered flatten per pack —
+    // so the assignment AND the content it routes are both hashed.
+    Q("t_pack_bfd_rows",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val trained = graft.ops.Bpe.trainedDictFull(docs, col("text"), iters = 3)
+        val ids = graft.ops.Bpe.encodeIds(docs, col("text"), col("doc_id"),
+          trained.result)
+        idsAsString(graft.ops.Bpe.packIdsBfd(ids,
+          docs.select(col("doc_id"), col("lang"), col("source")), PackBudget))
+      },
+      Some(s"""${bpeCtes(3).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+              |${idsCtes(3)},
+              |encl AS (SELECT doc_id, list(coalesce(voc.tok_id, -1) ORDER BY wpos, tpos) AS token_ids
+              |         FROM tkq LEFT JOIN voc ON voc.tok = tkq.tok GROUP BY doc_id),
+              |pd AS (SELECT d.lang, d.source, e.doc_id,
+              |         CAST(len(e.token_ids) AS BIGINT) AS n
+              |       FROM encl e JOIN documents d ON d.doc_id = e.doc_id),
+              |dsrt AS (SELECT lang, source, doc_id, n,
+              |           CAST(row_number() OVER (PARTITION BY lang, source
+              |             ORDER BY n DESC, doc_id) AS INTEGER) AS rn
+              |         FROM pd),
+              |rec AS (
+              |  SELECT lang, source, 0 AS rn,
+              |         CAST([] AS BIGINT[]) AS bins, CAST([] AS INTEGER[]) AS packs
+              |  FROM (SELECT DISTINCT lang, source FROM dsrt)
+              |  UNION ALL
+              |  SELECT r.lang, r.source, r.rn + 1,
+              |    CASE WHEN fit IS NULL
+              |         THEN list_append(r.bins, greatest($PackBudget - d.n, 0))
+              |         ELSE list_concat(list_concat(r.bins[1:fit-1], [r.bins[fit] - d.n]),
+              |                          r.bins[fit+1:len(r.bins)]) END AS bins,
+              |    list_append(r.packs, CAST(coalesce(fit, len(r.bins) + 1) AS INTEGER) - 1) AS packs
+              |  FROM (SELECT r0.*,
+              |          list_position(r0.bins, list_min([b FOR b IN r0.bins IF b >= d0.n])) AS fit
+              |        FROM rec r0 JOIN dsrt d0 ON d0.lang = r0.lang AND d0.source = r0.source
+              |                                 AND d0.rn = r0.rn + 1) r
+              |  JOIN dsrt d ON d.lang = r.lang AND d.source = r.source AND d.rn = r.rn + 1),
+              |fin AS (SELECT r.* FROM rec r
+              |        JOIN (SELECT lang, source, max(rn) AS mx FROM dsrt GROUP BY 1, 2) m
+              |          ON m.lang = r.lang AND m.source = r.source AND m.mx = r.rn),
+              |asg AS (SELECT f.lang, f.source, d.doc_id, d.n,
+              |          CAST(f.packs[d.rn] AS BIGINT) AS pack_id
+              |        FROM fin f JOIN dsrt d ON d.lang = f.lang AND d.source = f.source)
+              |SELECT a.lang, a.source, a.pack_id,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(a.n) AS BIGINT) AS total_tokens,
+              |  array_to_string(flatten(list(e.token_ids ORDER BY a.doc_id)), ' ') AS token_ids
+              |FROM asg a JOIN encl e ON e.doc_id = a.doc_id
+              |GROUP BY 1, 2, 3""".stripMargin)),
+
     // model-based quality filtering (ops/Logistic): 6 full-batch GD
     // steps distilling the 0.6-thresholded heuristic quality rule
     // into a 4-weight logistic model over the rule's own features.
