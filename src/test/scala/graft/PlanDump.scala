@@ -80,7 +80,8 @@ object PlanDump {
     "g_hll_ingested",     // ingested sketch store: rollup over appended KB-sized sketch rows
     "e_opq_refined",      // OPQ refinement: native matvec rotate + Lloyd + dim-group correlation agg
     "e_opq_indexed",      // rotated serving: stored rot row + partition-pruned probe scan
-    "t_unigram_foreign_vocab" // foreign model ingest: literal costs + scan-stage Viterbi + id path
+    "t_unigram_foreign_vocab", // foreign model ingest: literal costs + scan-stage Viterbi + id path
+    "t_pack_bfd_rows"     // content-graded BFD packs: native assignment fold + doc-keyed id join
   )
 
   def main(args: Array[String]): Unit = {

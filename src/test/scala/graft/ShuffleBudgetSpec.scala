@@ -231,4 +231,36 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // (measured 1 MiB over 2 exchanges at sf0.01)
     assertBudget("t_substr_scrub", shuffleCeiling = 4L << 20)
   }
+
+  test("t_pack_ids_bfd: the assignment exchange carries (n, doc) int pairs, never ids") {
+    // exchanges: the training chain's dict aggs, the id re-agg, the
+    // (lang,source) shard agg whose rows are (negn, doc_id, n_tokens)
+    // int triples — the ASSIGNMENT problem's size, not the data's —
+    // plus the doc-keyed join routing ids into packs (the output's
+    // own volume, the t_pack_ids class)
+    assertBudget("t_pack_ids_bfd", shuffleCeiling = 8L << 20)
+  }
+
+  test("t_pack_bfd_rows: pack content rides the doc-keyed join at output volume") {
+    assertBudget("t_pack_bfd_rows", shuffleCeiling = 8L << 20)
+  }
+
+  test("t_bpe_export_roundtrip: the replay encode shuffles the word dict, never text") {
+    // exchanges: ONE corpus word-dict distinct (the replay input) and
+    // the doc-keyed id re-agg (int triples); the merge replay itself
+    // is scan-stage — zero joins. Export is marker-skipped on the
+    // repeat run this spec measures... the FIRST run in a fresh
+    // session may include the training chain's dict aggs, so the
+    // ceiling allows them
+    assertBudget("t_bpe_export_roundtrip", shuffleCeiling = 6L << 20)
+  }
+
+  // e_opq_refined gets no budget row: its returned frame is the
+  // driver-assembled boolean table — the refinement's exchanges run
+  // in their own jobs at query-construction time, invisible to this
+  // executed-plan probe. Its model-sized-exchange claim is covered
+  // structurally instead: every shuffle in opqRefine is a groupBy
+  // over <= m*ks*sub or dim groups (source-visible), and the pinned
+  // deterministic qerr trajectories in ApproxSpec would move if the
+  // integer-snapped aggregation paths changed.
 }
