@@ -31,7 +31,17 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "d_delta_index_keep", "d_delta_index_appended", "e_sq8_adc",
     "d_containment_pairs", "j9_interval_join",
     "t_bpe_train", "t_bpe_encode", "t_substr_scrub", "t_datacard",
-    "e_rand_proj", "t_source_overlap", "pipe_tokenize_e2e", "w9_interp_fill", "w7b_session_window", "a9_zscore_outliers")
+    "e_rand_proj", "t_source_overlap", "pipe_tokenize_e2e", "w9_interp_fill", "w7b_session_window", "a9_zscore_outliers",
+    // round-15 additions: the id string surfaces are ordered
+    // collect_list folds (array_sort inside the agg is the
+    // invariance mechanism), BFD assignment sorts (n DESC, doc ASC)
+    // before its fold, the artifact round-trips replay a fixed merge
+    // list per word, the batched trainer must resolve pair-count
+    // ties identically at any partitioning, and the foreign unigram
+    // DP breaks ties on the (cost, np, seg) total order
+    "t_bpe_encode_ids", "t_pack_ids", "t_pack_ids_bfd", "t_pack_bfd_rows",
+    "t_bpe_export_roundtrip", "t_bpe_train_batched", "t_bpe_foreign_vocab",
+    "t_unigram_foreign_vocab", "pipe_ids_e2e")
 
   private def rows(name: String): Set[Seq[Any]] = {
     val q = SparkEntry.allQueries.find(_.name == name).get
