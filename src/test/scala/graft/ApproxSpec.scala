@@ -481,6 +481,35 @@ class ApproxSpec extends AnyFunSuite {
       streamDir, Seq("lang", "source"), col("h"), ckpt, batchId = 1))
   }
 
+  test("sketch store: two checkpoints interleaved with compact lose nothing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the cross-checkpoint seam: feeds A and B (distinct checkpoints)
+    // append batches around a compact — markers are namespaced by
+    // checkpoint so neither swallows the other's batch ids, and
+    // compaction's union-merge must preserve every feed's content
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-hll-xckpt"
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def batch(rows: (String, String)*) = rows.toSeq.toDF("lang", "h")
+    val a0 = batch(("en", "h1"), ("en", "h2"), ("de", "h3"))
+    val b0 = batch(("en", "h4"), ("fr", "h5"))
+    val a1 = batch(("de", "h6"), ("fr", "h7"))
+    assert(graft.ops.Sketches.ingestBatchOnce(spark, a0, dir, Seq("lang"), $"h", "ckA", 0))
+    assert(graft.ops.Sketches.ingestBatchOnce(spark, b0, dir, Seq("lang"), $"h", "ckB", 0))
+    graft.ops.Sketches.compact(spark, dir, Seq("lang"))
+    assert(graft.ops.Sketches.ingestBatchOnce(spark, a1, dir, Seq("lang"), $"h", "ckA", 1))
+    // same batchId 0 under EITHER checkpoint replays as a no-op even
+    // after compaction rewrote the files
+    assert(!graft.ops.Sketches.ingestBatchOnce(spark, a0, dir, Seq("lang"), $"h", "ckA", 0))
+    assert(!graft.ops.Sketches.ingestBatchOnce(spark, b0, dir, Seq("lang"), $"h", "ckB", 0))
+    val est = graft.ops.Sketches.estimateStore(spark, dir, Seq("lang"))
+      .where(col("gid") === 0).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(est == Map("en" -> 3L, "de" -> 2L, "fr" -> 2L),
+      s"every feed's items must survive the interleave: $est")
+  }
+
   test("g_hll_cube join keys: a NULL data key never matches a rollup subtotal") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
