@@ -135,6 +135,7 @@ object Bench {
         // per-query failures)
         try fn(spark, preDir.getAbsolutePath).write.format("noop").mode("overwrite").save()
         catch { case scala.util.control.NonFatal(_) => () }
+        Caches.releaseAll()
         spark.catalog.clearCache()
       }
     // stamped into both JSON artifacts so a reader of BENCH_r{N} knows
@@ -182,9 +183,12 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           -1.0
         }
-        // queries may persist() reused subplans; drop them so caches
-        // never accumulate across the 70+ query run (each repeat
-        // re-materializes its own persists — no cross-run reuse)
+        // queries register their reused-subplan persists with
+        // graft.Caches (harness-owned lifecycle); release them, then
+        // clearCache as the backstop so caches never accumulate across
+        // the 70+ query run (each repeat re-materializes its own
+        // persists — no cross-run reuse)
+        Caches.releaseAll()
         spark.catalog.clearCache()
         dt
       }

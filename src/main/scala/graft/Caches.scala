@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped ownership registry for persists created INSIDE a
+  * graded query or library call whose result outlives the call (the
+  * query returns a lazy plan; the action runs in the harness). The
+  * frame cannot unpersist itself before the caller's action, and a
+  * leaked corpus-sized cache is real memory pressure at scale — LRU
+  * eviction is a backstop, not a lifecycle. So: creators register
+  * here ([[owned]]), and whoever runs the action releases everything
+  * afterwards ([[releaseAll]] — Bench and Verify call it after every
+  * query's sink write; specs call it per case).
+  *
+  * This is the registry form of the `Dedup.CachedFrame` convention
+  * for call shapes that cannot return a handle (a `Q` registry entry
+  * returns a bare DataFrame by contract).
+  */
+object Caches {
+  private val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for harness-owned
+    * release. Returns `df` for chaining. */
+  def owned(df: DataFrame,
+            level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    df.persist(level)
+    frames.add(df)
+    df
+  }
+
+  /** Register an ALREADY-persisted frame for harness-owned release
+    * (the seam for library code that decides persistence itself). */
+  def register(df: DataFrame): DataFrame = { frames.add(df); df }
+
+  /** Unpersist every registered frame and empty the registry. Safe to
+    * call repeatedly; unpersisting a dropped frame is a no-op. */
+  def releaseAll(blocking: Boolean = false): Unit = {
+    var f = frames.poll()
+    while (f != null) { f.unpersist(blocking); f = frames.poll() }
+  }
+}

@@ -37,7 +37,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries may persist() reused subplans; drop them between queries
+      // queries register reused-subplan persists with graft.Caches;
+      // release them, then clearCache as the backstop
+      Caches.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -55,7 +55,13 @@ case class MatVecExpr(rflat: Expression, x: Expression)
     val ra = r.asInstanceOf[ArrayData]
     val va = v.asInstanceOf[ArrayData]
     val n = va.numElements()
-    if (ra.numElements() != n.toLong * n) return null
+    // fail LOUDLY on a mis-dimensioned rotation (e.g. a query vector
+    // of the wrong dim through searchRotated): a silent NULL here
+    // yields empty search results instead of an error, contrary to
+    // the repo's fail-loudly convention for half-built stores
+    if (ra.numElements() != n.toLong * n)
+      throw new IllegalArgumentException(
+        s"graft_matvec: len(rflat)=${ra.numElements()} != len(x)^2 for len(x)=$n")
     val xs = va.toDoubleArray()
     val out = new Array[Double](n)
     var i = 0

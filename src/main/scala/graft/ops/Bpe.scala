@@ -369,11 +369,18 @@ object Bpe {
       dictCf.unpersistAll()
     }
 
-  /** IMPORT merges.txt: the ordered pair list (header/blank lines
-    * skipped). Model-sized driver state. */
-  def importMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
-    readText(spark, path).split("\n").toSeq
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+  /** IMPORT merges.txt: the ordered pair list. ONLY the leading
+    * '#version' header line is skipped (plus blank lines — a pair is
+    * never empty): a learned pair whose first symbol begins with '#'
+    * (any corpus containing '#' tokens) is real merge data, and a
+    * permissive drop-all-comment-lines filter would silently skip it,
+    * breaking the export→import round-trip with segmentation drift
+    * instead of a loud failure. Model-sized driver state. */
+  def importMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    val lines = readText(spark, path).split("\n").toSeq
+    val body = if (lines.headOption.exists(_.startsWith("#version"))) lines.tail else lines
+    body.filter(_.nonEmpty)
+  }
 
   /** IMPORT vocab.json to the (tok, tok_id) frame [[idsFromSeg]]
     * joins — parsed by Spark's own from_json (MapType), no
@@ -497,7 +504,8 @@ object Bpe {
     * without it an arbitrary caller's dict plan computes twice; the
     * training chain's CachedFrame dicts and persisted stores skip
     * this — their re-evaluation is a cache hit / footer-counted).
-    * The persist is dict-sized, MEMORY_AND_DISK, and LRU-evictable. */
+    * The persist is dict-sized, MEMORY_AND_DISK, and registered with
+    * [[graft.Caches]] for harness-owned release after the action. */
   private[ops] def segJoin(words: DataFrame, seg: DataFrame,
                       maxBroadcastRows: Long,
                       knownRows: Option[Long] = None): DataFrame = {
@@ -515,8 +523,12 @@ object Bpe {
         case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
         case _ => false
       }
+      // dict-sized, MEMORY_AND_DISK; registered with graft.Caches so
+      // the harness releases it after the consuming action — repeated
+      // encode calls with in-plan segmentations must not accumulate
+      // session-lifetime cached frames behind LRU eviction
       if (!cached && !scanCheap)
-        seg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.Caches.owned(seg)
       seg.count()
     }
     val rhs =
@@ -645,6 +657,11 @@ object Bpe {
           x => x.getField("token_ids"))).as("token_ids"))
   }
 
+  /** Default [[packIdsBfd]] assignment-group bound: 4096 docs of
+    * (negn, doc_id, n_tokens) triples is a ~100 KB aggregation
+    * buffer — bounded regardless of corpus size or shard skew. */
+  val DefaultBfdShardCap: Int = 4096
+
   /** PACK token-id sequences by BEST-FIT DECREASING — the production
     * packing shape next to [[packIds]]'s greedy-by-doc-order: within
     * each (lang, source) shard, docs sort by token count DESC
@@ -657,19 +674,42 @@ object Bpe {
     * rows therefore never truncate; the pad waste is what the graded
     * metrics pin against greedy.
     *
+    * BOUNDED PER-SHARD STATE (`shardCap`): BFD is a sequential
+    * per-shard fold, but folding an UNBOUNDED shard means one
+    * aggregation buffer holding every doc of the shard — a skewed
+    * shard (one dominant lang/source, billions of docs at 100 TB)
+    * OOMs the executor. So the assignment sub-shards first: docs
+    * take a deterministic sub-shard key `ss = (rank-1) div shardCap`
+    * computed on the SAME (n_tokens DESC, doc_id ASC) order the fold
+    * itself uses (a sort-based window — spillable), BFD runs within
+    * each ≤`shardCap`-doc sub-shard, and pack ids globalize as
+    * `ss * shardCap + local` (collision-free: a sub-shard of k ≤
+    * shardCap docs opens ≤ k packs). When a shard fits one sub-shard
+    * the result is EXACTLY global BFD (ss = 0, ids unchanged) —
+    * spec-pinned parity; above the cap each sub-shard packs its own
+    * size class (the order is n DESC, so sub-shards are contiguous
+    * size ranges), costing a small, graded waste delta vs global BFD
+    * in exchange for O(shardCap) state.
+    *
     * Plan shape: the ASSIGNMENT runs over (n_tokens, doc_id) pairs
-    * only — ONE shard-keyed exchange of int pairs; the token arrays
+    * only — ONE shard-keyed exchange of int pairs (the rank window
+    * and the sub-shard agg share its partitioning: hash(lang,source)
+    * satisfies the (lang,source,ss) clustering); the token arrays
     * never enter the fold. Fold state is the open-pack capacity
-    * array (≤ shard_tokens/budget + oversized docs) plus the
-    * assignment pairs — the assignment problem's own size, not the
-    * data's. Ids then join the assignment on doc_id and re-agg per
-    * pack: the output's own volume, [[packIds]]'s floor plus the
-    * doc-keyed join. Within a pack, ids concatenate in doc_id order
-    * (the packIds convention). */
-  def packIdsBfd(ids: DataFrame, docMeta: DataFrame, budget: Int): DataFrame = {
+    * array plus ≤ `shardCap` assignment triples — bounded. Ids then
+    * join the assignment on doc_id and re-agg per pack: the output's
+    * own volume, [[packIds]]'s floor plus the doc-keyed join. Within
+    * a pack, ids concatenate in doc_id order (the packIds
+    * convention). */
+  def packIdsBfd(ids: DataFrame, docMeta: DataFrame, budget: Int,
+                 shardCap: Int = DefaultBfdShardCap): DataFrame = {
     require(budget >= 1, s"budget >= 1, got $budget")
+    require(shardCap >= 1, s"shardCap >= 1, got $shardCap")
+    import org.apache.spark.sql.expressions.Window
     val sized = ids.join(docMeta, Seq("doc_id"))
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
     // the assignment fold runs in the native kernel
     // (graft.expressions.BfdAssignExpr): a Catalyst `aggregate` fold
     // COPIES its growing accumulator array once per element, turning
@@ -677,14 +717,16 @@ object Bpe {
     // slope 27 at x10 before the kernel, 1.5-ish after
     val asg = sized
       .select(col("lang"), col("source"), col("doc_id"), col("n_tokens"))
-      .groupBy(col("lang"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("ss", expr(s"CAST((rk - 1) DIV $shardCap AS BIGINT)"))
+      .groupBy(col("lang"), col("source"), col("ss"))
       .agg(array_sort(collect_list(struct(
         (-col("n_tokens")).as("negn"), col("doc_id"), col("n_tokens")))).as("ds"))
-      .select(col("lang"), col("source"),
+      .select(col("lang"), col("source"), col("ss"),
         explode(call_function("graft_bfd_assign",
           col("ds"), lit(budget.toLong))).as("a"))
-      .select(col("lang"), col("source"),
-        col("a.doc_id").as("doc_id"), col("a.pack_id").as("pack_id"))
+      .select(col("lang"), col("source"), col("a.doc_id").as("doc_id"),
+        (col("ss") * lit(shardCap.toLong) + col("a.pack_id")).as("pack_id"))
     ids.join(asg, Seq("doc_id"))
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
       .groupBy(col("lang"), col("source"), col("pack_id"))

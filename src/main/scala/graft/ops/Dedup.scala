@@ -46,12 +46,23 @@ object Dedup {
     *                       frames — unpersist after the action. */
   final case class LshCandidates(pairs: DataFrame, droppedBuckets: DataFrame,
                                  caches: Seq[DataFrame]) {
+    // harness-owned backstop: graded queries return bare plans and
+    // cannot unpersist after their action; registering here lets
+    // Bench/Verify release every training-chain cache per query.
+    // Caller-owned unpersistAll stays the primary lifecycle
+    // (double-unpersist is a no-op).
+    caches.foreach(graft.Caches.register)
     def unpersistAll(blocking: Boolean = false): Unit =
       caches.foreach(_.unpersist(blocking))
   }
 
-  /** A result plus the persisted subplans it is built on. */
+  /** A result plus the persisted subplans it is built on. Caches are
+    * ALSO registered with [[graft.Caches]] at construction — the
+    * harness-owned release backstop for call shapes that cannot hold
+    * the handle (a `Q` registry entry returns a bare DataFrame);
+    * diligent callers still [[unpersistAll]] as early as they can. */
   final case class CachedFrame(result: DataFrame, caches: Seq[DataFrame]) {
+    caches.foreach(graft.Caches.register)
     def unpersistAll(blocking: Boolean = false): Unit =
       caches.foreach(_.unpersist(blocking))
   }

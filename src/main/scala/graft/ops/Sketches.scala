@@ -60,10 +60,31 @@ object Sketches {
     * fresh dir when file counts matter — the
     * [[DedupIndex.compact]] discipline). */
   def ingestBatch(batch: DataFrame, dir: String, keys: Seq[String],
-                  itemCol: Column, lgK: Int = 12): Unit =
+                  itemCol: Column, lgK: Int = 12): Unit = {
+    requireNotCompacting(batch.sparkSession, dir)
     batch.groupBy(keys.map(col): _*)
       .agg(hll_sketch_agg(itemCol, lit(lgK)).as("sk"))
       .write.mode("append").parquet(s"$dir/sketches")
+  }
+
+  /** Writer-exclusion gate: refuse to append while [[compact]] holds
+    * the store (its snapshot-read → rename window would retire rows
+    * appended after the snapshot with `old` — permanently, since the
+    * batch's idempotency marker persists and makes the replay a
+    * no-op). Failing loudly here keeps the batch UN-marked, so the
+    * stream's restart replays it cleanly once the compaction is done.
+    * A marker left by a crashed compact keeps ingest refused until
+    * the next [[compact]] call self-heals the store (the conservative
+    * side of the race). */
+  private def requireNotCompacting(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker))
+      throw new IllegalStateException(
+        s"sketch store $dir is compacting ($marker present); " +
+          "retry the ingest after compaction completes")
+  }
 
   /** STREAMING sketch-store maintenance — the [[DedupIndex
     * .ingestStream]] convention carried to the approx family: each
@@ -115,27 +136,39 @@ object Sketches {
     * call. Estimates before == after up to HLL's representation
     * caveat (union order — spec-pinned per group). Batch markers
     * survive compaction (they live beside `sketches/`), so replayed
-    * batches stay no-ops. */
+    * batches stay no-ops. A `_compacting` exclusion marker is held
+    * for the duration; [[ingestBatch]] refuses to append under it
+    * (see [[requireNotCompacting]]). */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               keys: Seq[String]): Unit = {
     val cur = new org.apache.hadoop.fs.Path(s"$dir/sketches")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_tmp")
     val old = new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_old")
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(cur) && fs.exists(old))
-      require(fs.rename(old, cur), s"compact: could not recover $old")
-    fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(cur.toString)
-      .groupBy(keys.map(col): _*)
-      .agg(hll_union_agg(col("sk")).as("sk"))
-      .write.parquet(tmp.toString)
-    require(fs.rename(cur, old), s"compact: could not retire $cur")
-    if (!fs.rename(tmp, cur)) {
-      fs.rename(old, cur)
-      throw new IllegalStateException(
-        s"compact: could not promote $tmp; original store restored")
-    }
-    fs.delete(old, true)
+    // writer exclusion: ingestBatch refuses to append while this
+    // marker is up, closing the snapshot-read → rename window in
+    // which a concurrent append's rows would be silently retired
+    // (the batch marker would persist, so its replay could never
+    // restore them). A stale marker from a crashed compact is ours
+    // to clear — this call rebuilds the store it guarded.
+    fs.create(marker, true).close()
+    try {
+      if (!fs.exists(cur) && fs.exists(old))
+        require(fs.rename(old, cur), s"compact: could not recover $old")
+      fs.delete(tmp, true); fs.delete(old, true)
+      spark.read.parquet(cur.toString)
+        .groupBy(keys.map(col): _*)
+        .agg(hll_union_agg(col("sk")).as("sk"))
+        .write.parquet(tmp.toString)
+      require(fs.rename(cur, old), s"compact: could not retire $cur")
+      if (!fs.rename(tmp, cur)) {
+        fs.rename(old, cur)
+        throw new IllegalStateException(
+          s"compact: could not promote $tmp; original store restored")
+      }
+      fs.delete(old, true)
+    } finally fs.delete(marker, false)
   }
 
   /** Distinct-count estimates over an ingested store, one row per

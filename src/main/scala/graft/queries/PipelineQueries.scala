@@ -192,10 +192,12 @@ object PipelineQueries {
             graft.functions.text.fingerprint(col("text")).as("fp"))
           .where(col("q") >= 0.5)
         val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
-        val kept = scored.join(keep, Seq("fp"))
+        // feeds the dict chain, the encode, and the pack; harness-owned
+        // release (graft.Caches) — the query returns a lazy plan, so
+        // the persist's lifecycle belongs to whoever runs the action
+        val kept = graft.Caches.owned(scored.join(keep, Seq("fp"))
           .where(col("doc_id") === col("keeper"))
-          .select(col("doc_id"), col("text"), col("lang"), col("source"))
-          .persist() // feeds the dict chain, the encode, and the pack
+          .select(col("doc_id"), col("text"), col("lang"), col("source")))
         val dict = graft.ops.Bpe.trainedDictFull(kept, col("text"), iters = 2)
         val enc = graft.ops.Bpe.encode(kept, col("text"), col("doc_id"), dict.result)
         val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
@@ -250,7 +252,7 @@ object PipelineQueries {
     Q("pipe_ids_e2e",
       (s, d) => {
         val docs = graft.sources.Tables.load(s, d, "documents")
-        val feat = TextQueries.qualityFeat(docs).persist()
+        val feat = graft.Caches.owned(TextQueries.qualityFeat(docs))
         val w = graft.ops.Logistic.trainWeights(feat, p = 4, steps = 6, lr = 2.0)
         val scored = docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
             graft.functions.text.fingerprint(col("text")).as("fp"))
@@ -260,10 +262,11 @@ object PipelineQueries {
           // whole-stage codegen (see Logistic.sigmaCols)
           .where(graft.ops.Logistic.scoreCols(TextQueries.qualityXs, w) >= 0.5)
         val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
-        val kept = scored.join(keep, Seq("fp"))
+        // feeds the dict chain, the id encode, and the pack —
+        // harness-owned release (graft.Caches)
+        val kept = graft.Caches.owned(scored.join(keep, Seq("fp"))
           .where(col("doc_id") === col("keeper"))
-          .select(col("doc_id"), col("text"), col("lang"), col("source"))
-          .persist() // feeds the dict chain, the id encode, and the pack
+          .select(col("doc_id"), col("text"), col("lang"), col("source")))
         val dict = graft.ops.Bpe.trainedDictFull(kept, col("text"), iters = 2)
         val ids = graft.ops.Bpe.encodeIds(kept, col("text"), col("doc_id"), dict.result)
         // token_ids graded as its space-joined string form (the

@@ -575,11 +575,12 @@ object SimilarityQueries {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
         val ctr = base.where(col("vec_id").between(1, C))
           .select(col("vec_id").as("center_id"), col("ve").as("cve"))
-        val planted = base.join(broadcast(ctr),
+        // feeds the identity arm, the refinement, and the rotated arm —
+        // harness-owned release (graft.Caches)
+        val planted = graft.Caches.owned(base.join(broadcast(ctr),
             col("center_id") === col("vec_id") % C + 1)
           .select(col("vec_id"),
-            zip_with(col("cve"), col("ve"), (c, e) => c + lit(0.15) * e).as("ve"))
-          .persist() // feeds the identity arm, the refinement, and the rotated arm
+            zip_with(col("cve"), col("ve"), (c, e) => c + lit(0.15) * e).as("ve")))
         def clusterHits(scored: org.apache.spark.sql.DataFrame, as: String) =
           scored.agg(call_function("graft_bottom_k",
               struct(col("ad2"), col("vec_id")), lit(10)).as("ap"))

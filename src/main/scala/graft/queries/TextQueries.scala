@@ -1274,8 +1274,8 @@ object TextQueries {
       (s, d) => {
         val docs = T(s, d, "documents")
         val trained = graft.ops.Bpe.trainedDictFull(docs, col("text"), iters = 3)
-        val ids = graft.ops.Bpe.encodeIds(docs, col("text"), col("doc_id"),
-          trained.result).persist()
+        val ids = graft.Caches.owned(graft.ops.Bpe.encodeIds(docs, col("text"),
+          col("doc_id"), trained.result))
         val meta = docs.select(col("doc_id"), col("lang"), col("source"))
         def m(df: org.apache.spark.sql.DataFrame, tag: String) =
           df.groupBy(col("lang"), col("source")).agg(
@@ -1426,7 +1426,7 @@ object TextQueries {
     // gradient row broadcast back in: nothing corpus-sized shuffles.
     Q("t_quality_classifier",
       (s, d) => {
-        val feat = qualityFeat(T(s, d, "documents")).persist()
+        val feat = graft.Caches.owned(qualityFeat(T(s, d, "documents")))
         graft.ops.Logistic.train(feat, p = 4, steps = 6, lr = 2.0)
       },
       Some(logitSql(6))),
@@ -1505,7 +1505,7 @@ object TextQueries {
     // threshold divergence shows as a row diff, not a silent count.
     Q("t_quality_filter",
       (s, d) => {
-        val feat = qualityFeat(T(s, d, "documents")).persist()
+        val feat = graft.Caches.owned(qualityFeat(T(s, d, "documents")))
         val w = graft.ops.Logistic.trainWeights(feat, p = 4, steps = 6, lr = 2.0)
         graft.ops.Logistic.keep(feat, w, threshold = 0.5)
       },
@@ -1520,7 +1520,7 @@ object TextQueries {
     // Same oracle as t_quality_filter: persisted == in-plan.
     Q("t_quality_filter_indexed",
       (s, d) => {
-        val feat = qualityFeat(T(s, d, "documents")).persist()
+        val feat = graft.Caches.owned(qualityFeat(T(s, d, "documents")))
         val dir = s"${sys.props("java.io.tmpdir")}/graft-logit-${storeKey(d)}"
         graft.ops.Logistic.buildWeightsIfAbsent(s, feat, p = 4, steps = 6,
           lr = 2.0, dir = dir,

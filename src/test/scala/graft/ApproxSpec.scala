@@ -510,6 +510,44 @@ class ApproxSpec extends AnyFunSuite {
       s"every feed's items must survive the interleave: $est")
   }
 
+  test("sketch store: ingest is refused while a compact holds the store") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the round-15 advice race: a batch appended inside compact's
+    // snapshot-read → rename window is retired with `old` while its
+    // idempotency marker persists — the replay is a no-op and the
+    // batch's sketches are permanently lost. The `_compacting`
+    // exclusion marker turns that silent loss into a loud refusal
+    // that leaves the batch UN-marked (a later retry ingests it).
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-hll-excl"
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def batch(rows: (String, String)*) = rows.toSeq.toDF("lang", "h")
+    assert(graft.ops.Sketches.ingestBatchOnce(spark,
+      batch(("en", "h1"), ("de", "h2")), dir, Seq("lang"), $"h", "ckX", 0))
+    // simulate a compact in flight (crashed or concurrent): marker up
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    fs.create(marker, true).close()
+    val e = intercept[IllegalStateException] {
+      graft.ops.Sketches.ingestBatchOnce(spark,
+        batch(("fr", "h3")), dir, Seq("lang"), $"h", "ckX", 1)
+    }
+    assert(e.getMessage.contains("compacting"), e.getMessage)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_ingested_${
+      java.lang.Integer.toHexString("ckX".hashCode)}_batch_1")),
+      "a refused batch must stay un-marked so its replay ingests cleanly")
+    // compact itself clears the marker (it owns the store it guarded),
+    // after which the replayed batch ingests
+    graft.ops.Sketches.compact(spark, dir, Seq("lang"))
+    assert(!fs.exists(marker), "compact must release the exclusion marker")
+    assert(graft.ops.Sketches.ingestBatchOnce(spark,
+      batch(("fr", "h3")), dir, Seq("lang"), $"h", "ckX", 1))
+    val est = graft.ops.Sketches.estimateStore(spark, dir, Seq("lang"))
+      .where(col("gid") === 0).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(est == Map("en" -> 1L, "de" -> 1L, "fr" -> 1L), est.toString)
+  }
+
   test("g_hll_cube join keys: a NULL data key never matches a rollup subtotal") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -79,6 +79,28 @@ class PqExprSpec extends AnyFunSuite {
     assert(both.columns.toSeq == Seq("vec_id", "xo", "ve"))
   }
 
+  test("graft_matvec fails LOUDLY on a mis-dimensioned rotation") {
+    import spark.implicits._
+    // round-15 advice: a silent NULL on len(rflat) != len(x)^2 turns a
+    // wrong-dim query vector into empty search results; the contract
+    // is a thrown error (null stays reserved for null INPUTS)
+    val e = intercept[Exception] {
+      Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("rflat", "x")
+        .select(call_function("graft_matvec", col("rflat"), col("x")))
+        .collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("graft_matvec"), rootMsg(e))
+    // null inputs still yield null, not an error
+    val nulls = Seq((null.asInstanceOf[Seq[Double]], Seq(1.0, 2.0)))
+      .toDF("rflat", "x")
+      .select(call_function("graft_matvec", col("rflat"), col("x")).as("y"))
+      .collect()
+    assert(nulls.length == 1 && nulls(0).isNullAt(0))
+  }
+
   test("graft_bfd_assign: hand-checked fixture + oversized/empty edges") {
     import spark.implicits._
     // en/web fixture from TextPipelineSpec, as the raw kernel call:

@@ -596,6 +596,37 @@ class TextPipelineSpec extends AnyFunSuite {
     dictCf.unpersistAll()
   }
 
+  test("merges.txt round-trips pairs whose first symbol starts with '#'") {
+    import graft.ops.Bpe
+    // a corpus of '#'-led tokens trains merges like "# t" — real merge
+    // data that a drop-all-comment-lines import filter would silently
+    // skip (round-15 advice): only the leading '#version' header may
+    // be dropped
+    val docs = Seq(
+      (1L, "#tag #tag #tag word"),
+      (2L, "#tag #top word #tag"),
+      (3L, "#top #tag word")
+    ).toDF("doc_id", "text")
+    val (merges, dictCf) = Bpe.trainedWithMergesFull(docs, $"text", iters = 3)
+    val trained = merges.orderBy($"it").select($"pair")
+      .collect().map(_.getString(0)).toSeq
+    assert(trained.exists(_.startsWith("#")),
+      s"fixture must actually train a '#'-leading pair: $trained")
+    val dir = java.nio.file.Files.createTempDirectory("bpehash").toString
+    Bpe.exportArtifacts(spark, merges, dictCf.result, dir)
+    assert(Bpe.importMerges(spark, s"$dir/merges.txt") == trained,
+      "import must keep '#'-leading pairs and drop only the header")
+    val direct = Bpe.encodeIds(docs, $"text", $"doc_id", dictCf.result)
+      .select($"doc_id", concat_ws(" ", $"token_ids".cast("array<string>")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaArt = Bpe.encodeIdsFromArtifacts(spark, docs, $"text", $"doc_id", dir)
+      .select($"doc_id", concat_ws(" ", $"token_ids".cast("array<string>")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaArt == direct,
+      s"artifact encode must equal direct encode under '#' pairs:\n$viaArt\n$direct")
+    dictCf.unpersistAll()
+  }
+
   test("unigram artifact interchange: TSV export byte-stable, import encodes identically") {
     import graft.ops.Unigram
     val docs = Seq((1L, "abab ab ba"), (2L, "ba abab abab"), (3L, "ab ab ba")).toDF("doc_id", "text")
