@@ -215,7 +215,7 @@ object PipelineQueries {
              |  FROM (SELECT doc_id, text, lang, source, ${TextQueries.normSql} AS norm,
              |          ${TextQueries.qualitySql} AS q FROM documents)
              |  WHERE q >= 0.5e0),
-             |kept AS (SELECT doc_id, text, lang, source FROM (
+             |kept AS MATERIALIZED (SELECT doc_id, text, lang, source FROM (
              |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM scored)
              |  WHERE doc_id = keeper),""".stripMargin
         s"""${TextQueries.bpeCtes(2, srcRel = "kept", prelude = prelude)},
@@ -286,7 +286,7 @@ object PipelineQueries {
              |sc2 AS (SELECT doc_id, text, lang, source,
              |    CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
              |  FROM (SELECT *, ${TextQueries.normSql} AS norm FROM qk)),
-             |kept AS (SELECT doc_id, text, lang, source FROM (
+             |kept AS MATERIALIZED (SELECT doc_id, text, lang, source FROM (
              |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM sc2)
              |  WHERE doc_id = keeper),""".stripMargin
         s"""${TextQueries.bpeCtes(2, srcRel = "kept", prelude = prelude)},

@@ -1512,8 +1512,13 @@ object SimilarityQueries {
     * exact semantics), re-assigns after each step, and ends in an
     * `ad` CTE (vec_id, ad2, ed2) computed against the FINAL codebook
     * — the trained twin of [[pqSqlCtes]]. */
-  private def pqTrainedCtes(iters: Int): String = {
+  private def pqTrainedCtes(iters: Int, trainCte: Option[String] = None): String = {
     val sb = new StringBuilder(pqEncodeCtes())
+    trainCte.foreach(ts => sb.append(s",\n$ts"))
+    // when a training CTE `ts(vec_id)` is supplied, the per-iteration
+    // MEANS aggregate over training members only (the sample-train →
+    // full-encode convention); assignment/encode stay corpus-wide
+    val tj = if (trainCte.isDefined) " JOIN ts ON ts.vec_id = c.vec_id" else ""
     var prevCodes = "codes"
     var prevCb = "cb"
     for (it <- 1 to iters) {
@@ -1521,7 +1526,7 @@ object SimilarityQueries {
          |mn$it AS (SELECT c.m, c.cid, i - 1 AS pos,
          |    CAST(sum(CAST(floor(s.sv[i] * 1000000 + 0.5e0) AS BIGINT)) AS BIGINT)
          |      / (1e6 * count(*)) AS c_mean
-         |  FROM $prevCodes c JOIN sub s ON s.vec_id = c.vec_id AND s.m = c.m,
+         |  FROM $prevCodes c$tj JOIN sub s ON s.vec_id = c.vec_id AND s.m = c.m,
          |       range(1, ${PqSub + 1}) t(i)
          |  GROUP BY c.m, c.cid, i - 1),
          |cbl$it AS (SELECT m, cid, list(c_mean ORDER BY pos) AS cv FROM mn$it GROUP BY m, cid),

@@ -518,6 +518,23 @@ class PlanSpec extends AnyFunSuite {
       "the meta join must hash-join at this size:\n" + p.take(1500))
   }
 
+  test("t_pack_bfd_rows: bounded-state assignment — rank window and sub-shard agg share the shard exchange") {
+    val p = finalPlan("t_pack_bfd_rows")
+    // hash(lang, source) satisfies the (lang, source, ss) clustering,
+    // so the row_number window and the capped collect_list agg must
+    // run on ONE shard exchange — the sub-sharding is free, not a
+    // second shuffle; and the agg buffer is <= shardCap triples by
+    // construction (the round-15 `weak`: an UNBOUNDED per-shard
+    // collect_list OOMs on a skewed shard at 100 TB)
+    val shardEx = "Exchange hashpartitioning\\(lang[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(shardEx.size == 1,
+      s"expected ONE distinct (lang,source) exchange, got $shardEx:\n" +
+        p.linesIterator.filter(_.contains("Exchange hash")).mkString("\n"))
+    assert(!p.contains("rangepartitioning"),
+      "BFD packing must never global-sort:\n" + p.take(1500))
+  }
+
   test("st5_anomaly_flags: prefix moments ride ONE key exchange, running frames only") {
     val p = finalPlan("st5_anomaly_flags")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,

@@ -701,6 +701,65 @@ class TextPipelineSpec extends AnyFunSuite {
     trained.unpersistAll()
   }
 
+  test("packIdsBfd shardCap: parity below the cap, bounded sub-shards above it") {
+    import graft.ops.Bpe
+    // same fixture as above; en/web n-DESC order: 6(1200), 1(700),
+    // 2(400), 3(300), 4(300), 5(200)
+    val ids = Seq(
+      (1L, 700), (2L, 400), (3L, 300), (4L, 300), (5L, 200), (6L, 1200),
+      (7L, 512), (8L, 512), (9L, 10)
+    ).toDF("doc_id", "n").select($"doc_id",
+      sequence(lit(1), $"n").as("token_ids"))
+    val meta = Seq(
+      (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),
+      (4L, "en", "web"), (5L, "en", "web"), (6L, "en", "web"),
+      (7L, "de", "book"), (8L, "de", "book"), (9L, "de", "book")
+    ).toDF("doc_id", "lang", "source")
+    def packsOf(cap: Int) = Bpe.packIdsBfd(ids, meta, 1024, shardCap = cap)
+      .select($"lang", $"source", $"pack_id", $"n_docs", $"total_tokens")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // cap >= every shard (6 docs max): EXACT global-BFD parity,
+    // including pack ids — ss = 0 everywhere
+    assert(packsOf(6) == packsOf(Int.MaxValue), "parity below the cap must be exact")
+    assert(packsOf(4096) == packsOf(Int.MaxValue), "default cap >= shard -> global BFD")
+    // cap 3 splits en/web into sub-shards {6,1,2} / {3,4,5} on the
+    // n DESC, doc ASC order; hand-checked: ss0 -> {6} (oversized,
+    // closes), {1}, {2}; ss1 -> {3,4,5}=800 as global pack id
+    // 1*3+0=3. de/book (3 docs) fits one sub-shard -> unchanged.
+    val capped = packsOf(3)
+    assert(capped == Map(
+      ("en", "web", 0L) -> (1L, 1200L), ("en", "web", 1L) -> (1L, 700L),
+      ("en", "web", 2L) -> (1L, 400L), ("en", "web", 3L) -> (3L, 800L),
+      ("de", "book", 0L) -> (2L, 1024L), ("de", "book", 1L) -> (1L, 10L)),
+      capped.toString)
+    // budget contract survives sub-sharding: never exceeded except
+    // single-doc packs; and the bounded-state waste delta vs global
+    // BFD is the documented price, not a silent regression — pin it
+    def waste(m: Map[(String, String, Long), (Long, Long)]) =
+      m.values.map { case (_, tot) => math.max(1024L - tot, 0L) }.sum
+    assert(waste(capped) == 2186L && waste(packsOf(Int.MaxValue)) == 1162L,
+      s"pinned waste: capped ${waste(capped)} vs global ${waste(packsOf(Int.MaxValue))}")
+    // real corpus: sub-sharded packing still partitions the docs and
+    // conserves tokens (the t_pack_bfd_rows configuration)
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, d, "documents")
+    val trained = Bpe.trainedDictFull(docs, $"text", iters = 3)
+    val rids = Bpe.encodeIds(docs, $"text", $"doc_id", trained.result).persist()
+    val rp = Bpe.packIdsBfd(rids,
+      docs.select($"doc_id", $"lang", $"source"), 1024, shardCap = 4)
+      .select($"n_docs", $"total_tokens", size($"token_ids").cast("long").as("sz"))
+      .collect()
+    assert(rp.map(_.getAs[Long]("n_docs")).sum == 500L,
+      "sub-sharded packs must partition the docs")
+    assert(rp.forall(r => r.getAs[Long]("total_tokens") == r.getAs[Long]("sz")))
+    assert(rp.forall(r => r.getAs[Long]("total_tokens") <= 1024L ||
+      r.getAs[Long]("n_docs") == 1L))
+    rids.unpersist()
+    trained.unpersistAll()
+  }
+
   test("footer gate contract: persisted-dict encodes plan with ZERO gate jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     import graft.ops.Bpe
