@@ -124,7 +124,12 @@ object ScaleBench {
     "t_unigram_foreign_vocab", "e_opq_recall_planted",
     // BFD pack rows = the metrics query plus the doc-keyed id join +
     // pack content agg — expect the t_pack_ids output-bound slope
-    "t_pack_bfd_rows")
+    "t_pack_bfd_rows",
+    // round-16: sample-train → full-encode — ONE corpus scan draws
+    // the bounded sample, Lloyd folds the cached sample, the frozen
+    // codebook scores the corpus; expect the e_pq_adc scan slope
+    // (training cost flat in corpus size — that is the claim)
+    "e_pq_train_sampled")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -199,6 +199,48 @@ object Pq {
           c => c.cast("int")))
       .select((Seq(col("vec_id"), col("codes")) ++ extra.map(col)): _*)
 
+  /** [[lloydStep]] that ALSO carries the quantization error of its
+    * INPUT pair: the returned one-row frame has `cbs` (the UPDATED
+    * codebook — identical to [[lloydStep]]'s, the added aggregates
+    * touch separate columns) plus `qerr_q6` = Σ_rows qlong(Σ_m
+    * qround(d2(sub_m, cw(codes_m)), 6), 1e6) under the INCOMING
+    * (emb, cbRow) — the e_opq_rotations qerr formula, riding the
+    * SAME corpus scan the assignment already pays instead of a
+    * dedicated pass (the dupClusters observe-on-the-pass convention;
+    * here the metric flows as data through the existing fold). The
+    * per-row reconstruction error comes from the native kernel's own
+    * `ad2` with the vector as its own query (qd2 == d2 then), so the
+    * snap chain is bit-identical to the standalone formula. Each
+    * row's rq6 is counted once — attached at its (m=0, pos=0)
+    * exploded twin. */
+  private[graft] def lloydStepQerr(emb: DataFrame, cbRow: DataFrame, p: Params): DataFrame = {
+    val scored = emb.crossJoin(broadcast(cbRow))
+      .withColumn("_ps", call_function("graft_pq_score",
+        col("ve"), col("ve"), col("cbs"), lit(p.m), lit(p.ks)))
+      .select(col("ve"),
+        transform(split(col("_ps.code"), ","), c => c.cast("int")).as("codes"),
+        qlong(col("_ps.ad2"), 1e6).as("rq6"))
+    val means = scored
+      .select(col("ve"), col("rq6"), posexplode(col("codes")).as(Seq("m", "cid")))
+      .select(col("m"), col("cid"),
+        when(col("m") === 0, col("rq6")).otherwise(lit(0L)).as("rq6"),
+        posexplode(subvec(col("ve"), col("m"), p)).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("cid"), col("pos"))
+      .agg((sum(qlong(col("v"), 1e6)) / (lit(1e6) * count(lit(1)))).as("c_mean"),
+        sum(when(col("pos") === 0, col("rq6")).otherwise(lit(0L))).as("qe"))
+      .groupBy(col("m"), col("cid"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c_mean")))),
+        e => e.getField("c_mean")).as("cv"),
+        sum(col("qe")).as("qe"))
+    val prev = cbRow.select(explode(col("cbs")).as("e"))
+      .select(col("e.m").as("m"), col("e.cid").as("cid"), col("e.cv").as("pcv"))
+    prev.join(means, Seq("m", "cid"), "left")
+      .select(struct(col("m"), col("cid"),
+        coalesce(col("cv"), col("pcv")).as("cv")).as("e"), col("qe"))
+      .agg(sort_array(collect_list(col("e"))).as("cbs"),
+        sum(coalesce(col("qe"), lit(0L))).as("qerr_q6"))
+  }
+
   /** One Lloyd iteration over the PQ codebook: assign every corpus
     * subvector to its nearest codeword (the SAME quantized argmin the
     * encode uses), re-estimate each codeword as the per-dimension
@@ -268,24 +310,24 @@ object Pq {
     require(rounds >= 1, s"rounds >= 1, got $rounds")
     require(r0.length == p.dim && r0.forall(_.length == p.dim),
       s"r0 must be ${p.dim}x${p.dim}")
+    val spark = emb.sparkSession
     val corpus = emb.where(col("vec_id") =!= 0)
-    def qerrOf(rot: DataFrame, cb: DataFrame): Long =
-      encoded(rot, cb, p, extra = Seq("ve"))
-        .crossJoin(broadcast(cb))
-        .select(qlong(
-          aggregate(sequence(lit(0), lit(p.m - 1)), lit(0.0), (acc, m) =>
-            acc + qround(d2(subvec(col("ve"), m, p),
-              cw(col("cbs"), m, element_at(col("codes"), m + 1), p)), 6)),
-          1e6).as("rq6"))
-        .agg(sum(col("rq6"))).head.getLong(0)
     var r = r0
     var rot = rotatedBy(corpus, r, p).persist()
     var cb = codebookRow(rot, p)
     val traj = Seq.newBuilder[Long]
-    traj += qerrOf(rot, cb)
     for (_ <- 1 to rounds) {
-      // step 1: codes + codewords in the CURRENT rotated space
-      cb = lloydStep(rot, cb, p)
+      // step 1: codes + codewords in the CURRENT rotated space. The
+      // Lloyd pass CARRIES the incoming pair's qerr (lloydStepQerr) —
+      // entry t-1 of the trajectory rides the scan round t already
+      // pays, instead of a dedicated rounds+1-scan side-channel; and
+      // the one-row result COLLECTS here, so every downstream
+      // consumer (the correlation pass, the next round, the caller)
+      // broadcasts a local literal instead of re-running the Lloyd
+      // scan per reference (it ran 3x per round before).
+      val stepped = lloydStepQerr(rot, cb, p).collect()(0)
+      traj += stepped.getAs[Long]("qerr_q6")
+      cb = localCbRow(spark, stepped)
       // step 2: M = Σ x̂ xᵀ (x = the ORIGINAL vector), integer-snapped
       // sums so parallel reassociation cannot perturb the SVD input
       val mRows = encoded(rotatedBy(corpus, r, p, keepOrig = true), cb, p,
@@ -305,10 +347,29 @@ object Pq {
       r = procrustes(m)
       rot.unpersist()
       rot = rotatedBy(corpus, r, p).persist()
-      traj += qerrOf(rot, cb)
     }
+    // the terminal (refined R, final codebook) error — the one entry
+    // with no later pass to ride; native scoredQ with the vector as
+    // its own query (ad2 == the reconstruction error, same snaps)
+    traj += scoredQ(rot.withColumn("qv", col("ve")), cb, p)
+      .agg(sum(qlong(col("ad2"), 1e6))).head.getLong(0)
     rot.unpersist()
     (r, cb, traj.result())
+  }
+
+  /** Rebuild a collected one-row codebook as a LOCAL one-row frame —
+    * downstream plans broadcast the literal instead of re-running the
+    * aggregation that produced it (model-sized driver state, the
+    * ridge-solve convention). Values pass through untouched, so the
+    * localized row is bit-identical to the plan it came from. */
+  private def localCbRow(spark: org.apache.spark.sql.SparkSession,
+                         stepped: org.apache.spark.sql.Row): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(stepped.schema("cbs")))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(stepped.getAs[Any]("cbs"))),
+      schema)
   }
 
   /** Scan-stage dense rotation y = R·x over the (vec_id, ve) frame —

@@ -66,6 +66,11 @@ object SimilarityQueries {
   private val PqKs = 16
   private val PqRecallBound = 1
   private val PqPlantedBound = 7
+  // sample-train → full-encode (e_pq_train_sampled): 10x the
+  // per-subspace codeword count — the bounded training-set size a
+  // quantizer needs, corpus-size-independent
+  private val PqSampleN = 160
+  private val PqSampleSeed = "pqs"
 
   /** Cluster-balanced sampling: draws per cluster + the seed salt of
     * the md5 draw key (the w4/n12 seeded-determinism convention). */
@@ -933,6 +938,75 @@ object SimilarityQueries {
               |SELECT 'pq_adc_trained' AS method, 10 AS k,
               |  (SELECT count(*) FROM ap0 WHERE vec_id IN (SELECT vec_id FROM ex)) AS hits_untrained,
               |  (SELECT count(*) FROM ap WHERE vec_id IN (SELECT vec_id FROM ex)) AS hits_trained,
+              |  TRUE AS within_bound""".stripMargin)),
+
+    // SAMPLE-train → full-encode — the quantizer-training convention
+    // a 100 TB deployment actually runs (the reference's own
+    // fit-on-subset discipline: weather4cast/main.py:125-133 fits the
+    // ensemble on the validation slice and applies it to everything):
+    // a SEEDED deterministic sample of the corpus (bounded
+    // graft_bottom_k over a md5 key — never a corpus sort) is
+    // persisted once, BOTH Lloyd iterations re-estimate codewords
+    // from the sample alone (training cost tracks the sample, not the
+    // corpus — x-SF slope-measured), and the frozen sampled-trained
+    // codebook encodes/scores the FULL corpus through the same
+    // scoredQ path. Recall columns carry the untrained seed codebook
+    // arm next to the sampled-trained arm; the sampled-vs-FULL-
+    // trained delta is pinned per SF in ApproxSpec (full-corpus
+    // training is the thing this convention exists to avoid, so it
+    // stays out of the graded plan).
+    Q("e_pq_train_sampled",
+      (s, d) => {
+        def ids(c: Column): Column = transform(c, x => x.getField("vec_id"))
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val corpus = emb.where(col("vec_id") =!= 0)
+        val sids = corpus
+          .agg(call_function("graft_bottom_k",
+            struct(md5(concat(lit(s"$PqSampleSeed:"), col("vec_id").cast("string"))).as("h"),
+              col("vec_id").as("vec_id")),
+            lit(PqSampleN)).as("_top"))
+          .select(explode(col("_top")).as("_t"))
+          .select(col("_t.vec_id").as("vec_id"))
+        // ONE corpus scan materializes the sample; Lloyd iterations
+        // then fold the cached sample-sized frame (harness-owned)
+        val sample = graft.Caches.owned(corpus.join(broadcast(sids), Seq("vec_id")))
+        val cb0 = pqCodebookRow(emb)
+        val cb2s = graft.ops.Pq.lloydStep(sample,
+          graft.ops.Pq.lloydStep(sample, cb0, P), P)
+        val qRow = emb.where(col("vec_id") === 0).select(col("ve").as("qv"))
+        val embQ = emb.crossJoin(broadcast(qRow))
+        val arm0 = pqScoredQ(embQ, cb0)
+          .agg(
+            call_function("graft_bottom_k",
+              struct(col("ad2"), col("vec_id")), lit(10)).as("ap0"),
+            call_function("graft_bottom_k",
+              struct(col("ed2"), col("vec_id")), lit(10)).as("ex"))
+        val armS = pqScoredQ(embQ, cb2s)
+          .agg(call_function("graft_bottom_k",
+            struct(col("ad2"), col("vec_id")), lit(10)).as("aps"))
+        armS.crossJoin(broadcast(arm0))
+          .select(lit("pq_adc_train_sampled").as("method"), lit(10).as("k"),
+            lit(PqSampleN.toLong).as("n_train"),
+            size(array_intersect(ids(col("ap0")), ids(col("ex"))))
+              .cast("long").as("hits_untrained"),
+            size(array_intersect(ids(col("aps")), ids(col("ex"))))
+              .cast("long").as("hits_sampled"))
+          .withColumn("within_bound", col("hits_sampled") >= PqRecallBound)
+      },
+      Some(s"""${pqTrainedCtes(2, trainCte = Some(
+                s"""ts AS (SELECT vec_id FROM (
+                   |    SELECT vec_id, row_number() OVER (
+                   |      ORDER BY md5(concat('$PqSampleSeed:', CAST(vec_id AS VARCHAR))), vec_id) AS rn
+                   |    FROM e WHERE vec_id <> 0)
+                   |  WHERE rn <= $PqSampleN)""".stripMargin))},
+              |ex AS (SELECT vec_id FROM ad ORDER BY ed2 ASC, vec_id ASC LIMIT 10),
+              |ap0 AS (SELECT vec_id FROM ad0 ORDER BY ad2 ASC, vec_id ASC LIMIT 10),
+              |aps AS (SELECT vec_id FROM ad ORDER BY ad2 ASC, vec_id ASC LIMIT 10)
+              |SELECT 'pq_adc_train_sampled' AS method, 10 AS k,
+              |  CAST($PqSampleN AS BIGINT) AS n_train,
+              |  (SELECT count(*) FROM ap0 WHERE vec_id IN (SELECT vec_id FROM ex)) AS hits_untrained,
+              |  (SELECT count(*) FROM aps WHERE vec_id IN (SELECT vec_id FROM ex)) AS hits_sampled,
               |  TRUE AS within_bound""".stripMargin)),
 
     // OPQ-lite: a 4-arm ROTATION PANEL before PQ — arm 0 = identity

@@ -736,6 +736,32 @@ class ApproxSpec extends AnyFunSuite {
       s"trained-recall row moved: $row")
   }
 
+  test("e_pq_train_sampled: sample-trained recall equals full-corpus-trained, both SFs") {
+    // the sample-train → full-encode convention's whole claim: a
+    // seeded 160-vector sample trains a codebook whose full-corpus
+    // ADC recall matches training on EVERYTHING — pinned against
+    // e_pq_adc_trained's numbers (sf0.001: 2, sf0.01: 2, sf0.1: 1 in
+    // the slope runs), so the delta is measured, not argued. Training
+    // cost tracks the sample (one corpus scan to draw it), which is
+    // the point at 100 TB.
+    for ((sf, expUntrained, expSampled) <- Seq(
+        ("/root/testdata/sf0.001", 2L, 2L), ("/root/testdata/sf0.01", 1L, 2L))) {
+      val row = SparkEntry.allQueries.find(_.name == "e_pq_train_sampled").get
+        .fn(spark, sf).collect().head
+      graft.Caches.releaseAll()
+      assert(row.getAs[Long]("hits_untrained") == expUntrained &&
+        row.getAs[Long]("hits_sampled") == expSampled &&
+        row.getAs[Boolean]("within_bound"),
+        s"sampled-recall row moved at $sf: $row")
+      // equality with the full-corpus-trained arm, same SF
+      val full = SparkEntry.allQueries.find(_.name == "e_pq_adc_trained").get
+        .fn(spark, sf).collect().head
+      assert(full.getAs[Long]("hits_trained") == expSampled,
+        s"sampled ($expSampled) vs full-trained " +
+          s"(${full.getAs[Long]("hits_trained")}) recall diverged at $sf")
+    }
+  }
+
   test("AnnIndex: persisted-index search equals the in-plan IVFADC at nprobe=2") {
     // the serving-path contract, stronger than the shared oracle: the
     // index is built ONCE (codes + meta on disk), yet multi-probe
