@@ -2,8 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -21,102 +21,38 @@ import org.apache.spark.sql.types._
   *    x10 where the algorithm itself is O(n·bins).
   *
   * Both run the identical arithmetic/tie-break spec as their HOF
-  * twins (spec-asserted), as one tight JVM loop per row.
-  */
-object OpsKernels
+  * twins (spec-asserted), as one tight JVM loop per row. The loops
+  * live here as static kernels so the generated code (doGenCode —
+  * full whole-stage-codegen participation, no interpreted-call
+  * wrapper per row) and the interpreted path (eval) share one body. */
+object OpsKernels {
 
-/** `graft_matvec(rflat, x)` → array<double>: y_i = Σ_j
-  * rflat[i*n + j] · x_j for n = len(x); requires len(rflat) == n².
-  * The flattened matrix usually arrives as a plan literal (a
-  * broadcast-with-the-plan model artifact — the OPQ rotation). */
-case class MatVecExpr(rflat: Expression, x: Expression)
-  extends Expression with CodegenFallback {
-
-  override def children: Seq[Expression] = Seq(rflat, x)
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(rflat = c(0), x = c(1))
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    (rflat.dataType, x.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        "graft_matvec(rflat, x) needs two array<double> arguments")
-    }
-
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullable: Boolean = true
-  override def prettyName: String = "graft_matvec"
-
-  override def eval(input: InternalRow): Any = {
-    val r = rflat.eval(input)
-    val v = x.eval(input)
-    if (r == null || v == null) return null
-    val ra = r.asInstanceOf[ArrayData]
-    val va = v.asInstanceOf[ArrayData]
-    val n = va.numElements()
-    // fail LOUDLY on a mis-dimensioned rotation (e.g. a query vector
-    // of the wrong dim through searchRotated): a silent NULL here
-    // yields empty search results instead of an error, contrary to
-    // the repo's fail-loudly convention for half-built stores
-    if (ra.numElements() != n.toLong * n)
+  /** y_i = Σ_j rflat[i·n + j] · x_j, n = len(x); requires
+    * len(rflat) == n² — a mis-dimensioned rotation throws (a silent
+    * NULL here yields empty search results downstream, contrary to
+    * the fail-loudly convention for half-built stores). */
+  def matvec(r: ArrayData, v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    if (r.numElements() != n.toLong * n)
       throw new IllegalArgumentException(
-        s"graft_matvec: len(rflat)=${ra.numElements()} != len(x)^2 for len(x)=$n")
-    val xs = va.toDoubleArray()
+        s"graft_matvec: len(rflat)=${r.numElements()} != len(x)^2 for len(x)=$n")
+    val xs = v.toDoubleArray()
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {
       var acc = 0.0
       val base = i * n
       var j = 0
-      while (j < n) { acc += ra.getDouble(base + j) * xs(j); j += 1 }
+      while (j < n) { acc += r.getDouble(base + j) * xs(j); j += 1 }
       out(i) = acc
       i += 1
     }
     new GenericArrayData(out)
   }
-}
 
-/** `graft_bfd_assign(ds, budget)` →
-  * array<struct<doc_id: bigint, pack_id: bigint>> — best-fit-
-  * decreasing bin assignment over a PRE-SORTED
-  * array<struct<negn, doc_id, n_tokens>> (the caller sorts by
-  * (-n_tokens, doc_id), i.e. count DESC / doc ASC): each doc goes to
-  * the open bin with the LEAST remaining capacity that still fits
-  * (lowest bin index on ties); no fit opens a new bin with capacity
-  * max(budget - n, 0) — an over-budget doc takes a bin alone and
-  * closes it. One JVM loop, O(docs × bins) with mutable bin state —
-  * the shape the immutable Catalyst fold cannot express without
-  * quadratic accumulator copies. */
-case class BfdAssignExpr(ds: Expression, budget: Expression)
-  extends Expression with CodegenFallback {
-
-  override def children: Seq[Expression] = Seq(ds, budget)
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(ds = c(0), budget = c(1))
-
-  override def checkInputDataTypes(): TypeCheckResult = ds.dataType match {
-    case ArrayType(st: StructType, _) if st.length == 3 &&
-        st.fields.forall(_.dataType == LongType) && budget.foldable &&
-        budget.dataType == LongType =>
-      TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      "graft_bfd_assign(ds, budget) needs array<struct<negn:bigint,doc_id:bigint," +
-        "n_tokens:bigint>> and a literal bigint budget")
-  }
-
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("doc_id", LongType), StructField("pack_id", LongType))),
-    containsNull = false)
-  override def nullable: Boolean = true
-  override def prettyName: String = "graft_bfd_assign"
-
-  override def eval(input: InternalRow): Any = {
-    val d = ds.eval(input)
-    val b = budget.eval(input)
-    if (d == null || b == null) return null
-    val da = d.asInstanceOf[ArrayData]
-    val bud = b.asInstanceOf[Long]
+  /** Best-fit-decreasing assignment over PRE-SORTED (negn, doc_id,
+    * n_tokens) triples — see [[BfdAssignExpr]] for the spec. */
+  def bfdAssign(da: ArrayData, bud: Long): ArrayData = {
     val n = da.numElements()
     val bins = new java.util.ArrayList[Long]()
     val out = new Array[Any](n)
@@ -143,4 +79,78 @@ case class BfdAssignExpr(ds: Expression, budget: Expression)
     }
     new GenericArrayData(out)
   }
+}
+
+/** `graft_matvec(rflat, x)` → array<double>: y_i = Σ_j
+  * rflat[i*n + j] · x_j for n = len(x); requires len(rflat) == n²
+  * (throws otherwise — null only for null INPUTS). The flattened
+  * matrix usually arrives as a plan literal (a broadcast-with-the-
+  * plan model artifact — the OPQ rotation). */
+case class MatVecExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_matvec(rflat, x) needs two array<double> arguments")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_matvec"
+
+  override def nullSafeEval(r: Any, v: Any): Any =
+    OpsKernels.matvec(r.asInstanceOf[ArrayData], v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.OpsKernels.matvec($a, $b);")
+}
+
+/** `graft_bfd_assign(ds, budget)` →
+  * array<struct<doc_id: bigint, pack_id: bigint>> — best-fit-
+  * decreasing bin assignment over a PRE-SORTED
+  * array<struct<negn, doc_id, n_tokens>> (the caller sorts by
+  * (-n_tokens, doc_id), i.e. count DESC / doc ASC): each doc goes to
+  * the open bin with the LEAST remaining capacity that still fits
+  * (lowest bin index on ties); no fit opens a new bin with capacity
+  * max(budget - n, 0) — an over-budget doc takes a bin alone and
+  * closes it. One JVM loop, O(docs × bins) with mutable bin state —
+  * the shape the immutable Catalyst fold cannot express without
+  * quadratic accumulator copies. */
+case class BfdAssignExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(st: StructType, _) if st.length == 3 &&
+        st.fields.forall(_.dataType == LongType) && right.foldable &&
+        right.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_bfd_assign(ds, budget) needs array<struct<negn:bigint,doc_id:bigint," +
+        "n_tokens:bigint>> and a literal bigint budget")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_id", LongType), StructField("pack_id", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bfd_assign"
+
+  override def nullSafeEval(d: Any, b: Any): Any =
+    OpsKernels.bfdAssign(d.asInstanceOf[ArrayData], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.OpsKernels.bfdAssign($a, $b);")
 }

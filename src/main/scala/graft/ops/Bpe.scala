@@ -640,13 +640,21 @@ object Bpe {
     * partitioning, no second shuffle of the ids); the window is a
     * RUNNING frame. Pack size bounds the agg state: collect_list
     * holds ≤ budget+longest-doc ids per pack row. */
-  def packIds(ids: DataFrame, docMeta: DataFrame, budget: Int): DataFrame = {
+  def packIds(ids: DataFrame, docMeta: DataFrame, budget: Int): DataFrame =
+    packIdsSized(ids.join(docMeta, Seq("doc_id"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long")), budget)
+
+  /** [[packIds]] over a PRE-SIZED frame (doc_id, token_ids, lang,
+    * source, n_tokens) — the seam for callers that already hold the
+    * joined frame (e.g. a cached deterministic slice feeding several
+    * packers: re-joining two projections of the same cache per packer
+    * is wasted work Catalyst cannot eliminate). */
+  private[graft] def packIdsSized(sized: DataFrame, budget: Int): DataFrame = {
     require(budget >= 1, s"budget >= 1, got $budget")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ids.join(docMeta, Seq("doc_id"))
-      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+    sized
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("pack_id", expr(s"CAST((cum - 1) DIV $budget AS BIGINT)"))
       .groupBy(col("lang"), col("source"), col("pack_id"))
@@ -702,12 +710,17 @@ object Bpe {
     * a pack, ids concatenate in doc_id order (the packIds
     * convention). */
   def packIdsBfd(ids: DataFrame, docMeta: DataFrame, budget: Int,
-                 shardCap: Int = DefaultBfdShardCap): DataFrame = {
+                 shardCap: Int = DefaultBfdShardCap): DataFrame =
+    packIdsBfdSized(ids.join(docMeta, Seq("doc_id"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long")),
+      budget, shardCap)
+
+  /** [[packIdsBfd]] over a PRE-SIZED frame — see [[packIdsSized]]. */
+  private[graft] def packIdsBfdSized(sized: DataFrame, budget: Int,
+                                     shardCap: Int): DataFrame = {
     require(budget >= 1, s"budget >= 1, got $budget")
     require(shardCap >= 1, s"shardCap >= 1, got $shardCap")
     import org.apache.spark.sql.expressions.Window
-    val sized = ids.join(docMeta, Seq("doc_id"))
-      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
     val w = Window.partitionBy(col("lang"), col("source"))
       .orderBy(col("n_tokens").desc, col("doc_id"))
     // the assignment fold runs in the native kernel
@@ -727,8 +740,8 @@ object Bpe {
           col("ds"), lit(budget.toLong))).as("a"))
       .select(col("lang"), col("source"), col("a.doc_id").as("doc_id"),
         (col("ss") * lit(shardCap.toLong) + col("a.pack_id")).as("pack_id"))
-    ids.join(asg, Seq("doc_id"))
-      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+    sized.select(col("doc_id"), col("token_ids"), col("n_tokens"))
+      .join(asg, Seq("doc_id"))
       .groupBy(col("lang"), col("source"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),

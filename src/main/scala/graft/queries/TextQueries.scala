@@ -1304,9 +1304,8 @@ object TextQueries {
           .withColumn("n_tokens", size(col("token_ids")).cast("long"))
           .withColumn("slrk", row_number().over(w))
           .where(col("slrk") <= BfdSliceRank)
-          .select(col("doc_id"), col("token_ids"), col("lang"), col("source")))
-        val sIds = sliced.select(col("doc_id"), col("token_ids"))
-        val sMeta = sliced.select(col("doc_id"), col("lang"), col("source"))
+          .select(col("doc_id"), col("token_ids"), col("lang"), col("source"),
+            col("n_tokens")))
         def m(df: org.apache.spark.sql.DataFrame, tag: String) =
           df.groupBy(col("lang"), col("source")).agg(
             count(lit(1)).as(s"n_packs_$tag"),
@@ -1314,10 +1313,10 @@ object TextQueries {
               .as(s"waste_$tag"),
             sum(greatest(col("total_tokens") - lit(PackBudget.toLong), lit(0L)))
               .as(s"overflow_$tag"))
-        m(graft.ops.Bpe.packIds(sIds, sMeta, PackBudget), "greedy")
-          .join(m(graft.ops.Bpe.packIdsBfd(sIds, sMeta, PackBudget,
+        m(graft.ops.Bpe.packIdsSized(sliced, PackBudget), "greedy")
+          .join(m(graft.ops.Bpe.packIdsBfdSized(sliced, PackBudget,
             shardCap = Int.MaxValue), "bfd"), Seq("lang", "source"))
-          .join(m(graft.ops.Bpe.packIdsBfd(sIds, sMeta, PackBudget,
+          .join(m(graft.ops.Bpe.packIdsBfdSized(sliced, PackBudget,
             shardCap = BfdDemoCap), "bfdc"), Seq("lang", "source"))
       },
       Some(s"""${bpeCtes(3).replaceFirst("^WITH ", "WITH RECURSIVE ")},

@@ -79,6 +79,32 @@ class PqExprSpec extends AnyFunSuite {
     assert(both.columns.toSeq == Seq("vec_id", "xo", "ve"))
   }
 
+  test("graft_matvec / graft_bfd_assign compile under CODEGEN_ONLY (full codegen, no fallback)") {
+    // round-15 polish item: both kernels were CodegenFallback — every
+    // row paid the interpreted-call wrapper around the tight JVM
+    // loop. They now doGenCode into a static-kernel call; this pin
+    // turns any regression back to fallback into a hard error.
+    import spark.implicits._
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val id2 = Seq(1.0, 0.0, 0.0, 1.0)
+      val mv = Seq((id2, Seq(3.0, 4.0))).toDF("rflat", "x")
+        .select(call_function("graft_matvec", col("rflat"), col("x")).as("y"))
+        .collect()(0).getSeq[Double](0)
+      assert(mv == Seq(3.0, 4.0))
+      val bfd = Seq(Seq((-5L, 1L, 5L), (-3L, 2L, 3L))).toDF("ds")
+        .select(explode(call_function("graft_bfd_assign", col("ds"), lit(8L))).as("a"))
+        .select(col("a.doc_id"), col("a.pack_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bfd == Map(1L -> 0L, 2L -> 0L), bfd.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("graft_matvec fails LOUDLY on a mis-dimensioned rotation") {
     import spark.implicits._
     // round-15 advice: a silent NULL on len(rflat) != len(x)^2 turns a
