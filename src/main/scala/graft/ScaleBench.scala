@@ -129,7 +129,10 @@ object ScaleBench {
     // the bounded sample, Lloyd folds the cached sample, the frozen
     // codebook scores the corpus; expect the e_pq_adc scan slope
     // (training cost flat in corpus size — that is the claim)
-    "e_pq_train_sampled")
+    "e_pq_train_sampled",
+    // FLAC encode+decode is per-row scan-stage work (expect ~linear
+    // in row count — the m_audio_meta class with a codec constant)
+    "m_flac_frames")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -758,6 +758,56 @@ object MiscQueries {
              |  TRUE AS pcm
              |FROM documents""".stripMargin)),
 
+    // COMPRESSED audio decode end-to-end, the m_audio_meta twin for
+    // the format a real audio corpus actually ships: each row encodes
+    // a doc_id-derived PCM signal as a spec-conformant FLAC stream
+    // (ops.Flac.pack — multi-frame, FIXED-predictor subframes, Rice
+    // residuals) and decodes it back through the full pure-JVM spec
+    // walk (sync + CRC-8/CRC-16 verified per frame). Graded output is
+    // the decoded stream's exact metadata + sample sums; the oracle
+    // recomputes them from the closed-form signal — so the hash pins
+    // the ENTIRE compress→decompress round-trip (prediction, Rice,
+    // framing), not header arithmetic. FLAC is lossless: bit-exact by
+    // construction. blockSize=32 forces multiple frames per stream
+    // (UTF-8 frame numbers > 0, short tail frames); odd ids are
+    // stereo (interleaved subframes). Scan-stage mapPartitions, zero
+    // shuffles.
+    Q("m_flac_frames",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val ch = (id % 2 + 1).toInt
+              val nPerCh = (id % 97 + 1).toInt
+              val rate = ((id % 4 + 1) * 8000).toInt
+              val vals = Array.tabulate(nPerCh * ch)(j =>
+                (((id * 13 + j * 17) % 4001) - 2000).toInt)
+              val a = graft.ops.Flac.decode(
+                graft.ops.Flac.pack(rate, ch, 16, vals, blockSize = 32))
+              var sum = 0L; var sq = 0L
+              a.samples.foreach { v => sum += v; sq += v.toLong * v }
+              (id, a.sampleRate, a.channels, a.bits, a.nSamplesPerCh,
+                a.nFrames, sum, sq)
+            }
+          }.toDF("doc_id", "sample_rate", "channels", "bits", "n_samples",
+            "n_frames", "pcm_sum", "pcm_sq")
+      },
+      Some("""WITH js AS (SELECT unnest(range(0, 194)) AS j),
+             |px AS (SELECT d.doc_id,
+             |         (d.doc_id * 13 + js.j * 17) % 4001 - 2000 AS v
+             |       FROM documents d, js
+             |       WHERE js.j < (d.doc_id % 97 + 1) * (d.doc_id % 2 + 1))
+             |SELECT doc_id,
+             |  CAST((doc_id % 4 + 1) * 8000 AS INT) AS sample_rate,
+             |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+             |  16 AS bits,
+             |  CAST(doc_id % 97 + 1 AS BIGINT) AS n_samples,
+             |  CAST((doc_id % 97 + 1 + 31) // 32 AS INT) AS n_frames,
+             |  CAST(sum(v) AS BIGINT) AS pcm_sum,
+             |  CAST(sum(v * v) AS BIGINT) AS pcm_sq
+             |FROM px GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin)),
+
     // image header metadata through the REAL parser — packPngHeader
     // writes the spec's signature+IHDR layout (header-only fixture),
     // the decode dispatch takes the real PNG branch (not the stub),
