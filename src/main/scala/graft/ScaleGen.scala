@@ -22,25 +22,29 @@ import org.apache.spark.sql.functions._
   *    is how a real N×-larger event lake grows (more users, not
   *    longer histories).
   *
-  * Usage: sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /root/repo/scaledata/x10 10 [tables]"
+  * Usage: sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /root/repo/scaledata/x10 10 [tables] [idOffset]"
   * `tables` (optional, comma list ⊆ documents,embeddings,events;
   * default documents,embeddings) limits which tables are (re)written.
-  * Dev/ops tool — not on any query path.
+  * `idOffset` (optional, default 10000000) is the per-copy id stride —
+  * CHAINING decades (x1000 = ScaleGen over the x100 output with n=10)
+  * needs a stride above the input's max id (e.g. 1000000000), or the
+  * copies' id ranges collide. Dev/ops tool — not on any query path.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val (baseDir, outDir, nStr) = (args(0), args(1), args(2))
     val n = nStr.toInt
     val tables: Set[String] =
-      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      if (args.length > 3 && args(3).nonEmpty) args(3).split(",").map(_.trim).toSet
       else Set("documents", "embeddings")
+    val offArg: Option[Long] = if (args.length > 4) Some(args(4).toLong) else None
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config(graft.sources.Tables.conf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val off = 10000000L
+    val off = offArg.getOrElse(10000000L)
     if (tables("documents")) {
       val docs = sources.Tables.load(spark, baseDir, "documents")
       val docsN = (0 until n).map { c =>

@@ -437,9 +437,11 @@ object Dedup {
     // bloom aggregate (an eager action) and the lazy exact-confirm
     // semi-join — without the persist the bench slice is scanned,
     // split and deduped twice
-    val benchSh = shingleRows(docs.where(benchPred), textCol, idCol, shingleK)
-      .select(col("s")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // harness-owned release (graft.Caches): the frame also feeds the
+    // returned lazy plan's broadcast semi-join, so no early unpersist
+    val benchSh = graft.Caches.owned(
+      shingleRows(docs.where(benchPred), textCol, idCol, shingleK)
+        .select(col("s")).distinct())
     val bf = benchSh
       .agg(call_function("graft_bloom_agg",
         xxhash64(col("s")), lit(estItems), lit(numBits)).as("bf"))

@@ -1679,8 +1679,8 @@ object TextQueries {
         // the signature pipeline (explode -> md5 -> 16-vote groupBy)
         // feeds BOTH sides of the adjacent-id self-join — materialize
         // once (the S3 decode-cache pattern, as in Dedup.jaccard)
-        val sh = Dedup.simhash(T(s, d, "documents"), col("text"), col("doc_id"), 16)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sh = graft.Caches.owned(
+          Dedup.simhash(T(s, d, "documents"), col("text"), col("doc_id"), 16))
         val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
         val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
         a.join(b, col("doc_b") === col("doc_a") + 1)
