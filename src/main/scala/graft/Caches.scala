@@ -20,12 +20,19 @@ import org.apache.spark.storage.StorageLevel
 object Caches {
   private val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist `df` (MEMORY_AND_DISK) and register it for harness-owned
-    * release. Returns `df` for chaining. */
+  /** Persist `df` (MEMORY_AND_DISK), register it for harness-owned
+    * release, and MATERIALIZE it before returning. Eager by design:
+    * every owned frame exists to feed MULTIPLE downstream consumers,
+    * and when those consumers are concurrent plan subtrees (join
+    * children, broadcast builds), their stages race to compute the
+    * unbuilt cache's partitions — duplicate work and the BlockManager
+    * 'Block already exists' WARN, load-dependent and flaky. The
+    * count() serializes the one build the plan pays anyway. */
   def owned(df: DataFrame,
             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     df.persist(level)
     frames.add(df)
+    df.count()
     df
   }
 

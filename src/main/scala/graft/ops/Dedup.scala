@@ -50,8 +50,15 @@ object Dedup {
     // cannot unpersist after their action; registering here lets
     // Bench/Verify release every training-chain cache per query.
     // Caller-owned unpersistAll stays the primary lifecycle
-    // (double-unpersist is a no-op).
-    caches.foreach(graft.Caches.register)
+    // (double-unpersist is a no-op). Registration also MATERIALIZES
+    // every cache, oldest-first: a persisted frame exists to feed
+    // multiple consumers, and concurrent plan subtrees otherwise race
+    // to compute the unbuilt cache's partitions (duplicate work,
+    // load-dependent BlockManager 'already exists' WARNs — a tail-
+    // only count was measured insufficient under full-run load). The
+    // builds are work the first action pays anyway, serialized; the
+    // per-generation count jobs are cache-hit scans after the first.
+    caches.foreach { c => graft.Caches.register(c); c.count() }
     def unpersistAll(blocking: Boolean = false): Unit =
       caches.foreach(_.unpersist(blocking))
   }
@@ -59,10 +66,12 @@ object Dedup {
   /** A result plus the persisted subplans it is built on. Caches are
     * ALSO registered with [[graft.Caches]] at construction — the
     * harness-owned release backstop for call shapes that cannot hold
-    * the handle (a `Q` registry entry returns a bare DataFrame);
+    * the handle (a `Q` registry entry returns a bare DataFrame) —
+    * and MATERIALIZED oldest-first (see [[LshCandidates]]: lazy
+    * caches make concurrent consumers race on unbuilt blocks);
     * diligent callers still [[unpersistAll]] as early as they can. */
   final case class CachedFrame(result: DataFrame, caches: Seq[DataFrame]) {
-    caches.foreach(graft.Caches.register)
+    caches.foreach { c => graft.Caches.register(c); c.count() }
     def unpersistAll(blocking: Boolean = false): Unit =
       caches.foreach(_.unpersist(blocking))
   }

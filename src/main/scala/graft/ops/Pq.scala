@@ -314,6 +314,8 @@ object Pq {
     val corpus = emb.where(col("vec_id") =!= 0)
     var r = r0
     var rot = rotatedBy(corpus, r, p).persist()
+    rot.count() // serialize the cache build: the Lloyd collect's join
+    // children (prev x means) would otherwise race on unbuilt blocks
     var cb = codebookRow(rot, p)
     val traj = Seq.newBuilder[Long]
     for (_ <- 1 to rounds) {
@@ -347,6 +349,7 @@ object Pq {
       r = procrustes(m)
       rot.unpersist()
       rot = rotatedBy(corpus, r, p).persist()
+      rot.count()
     }
     // the terminal (refined R, final codebook) error — the one entry
     // with no later pass to ride; native scoredQ with the vector as

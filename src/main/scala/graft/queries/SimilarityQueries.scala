@@ -968,8 +968,10 @@ object SimilarityQueries {
             lit(PqSampleN)).as("_top"))
           .select(explode(col("_top")).as("_t"))
           .select(col("_t.vec_id").as("vec_id"))
-        // ONE corpus scan materializes the sample; Lloyd iterations
-        // then fold the cached sample-sized frame (harness-owned)
+        // ONE corpus scan materializes the sample (Caches.owned is
+        // eager — the two scoring arms' broadcast subtrees build
+        // concurrently and would otherwise race on the unbuilt cache);
+        // Lloyd iterations then fold the cached sample-sized frame
         val sample = graft.Caches.owned(corpus.join(broadcast(sids), Seq("vec_id")))
         val cb0 = pqCodebookRow(emb)
         val cb2s = graft.ops.Pq.lloydStep(sample,
