@@ -30,10 +30,18 @@ object Caches {
     * count() serializes the one build the plan pays anyway. */
   def owned(df: DataFrame,
             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    ownedCount(df, level)
+    df
+  }
+
+  /** As [[owned]], returning the materializing count — for callers
+    * that need the row count anyway (a second `df.count()` after
+    * [[owned]] is a whole redundant cache-hit Spark job). */
+  def ownedCount(df: DataFrame,
+                 level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Long = {
     df.persist(level)
     frames.add(df)
     df.count()
-    df
   }
 
   /** Register an ALREADY-persisted frame for harness-owned release

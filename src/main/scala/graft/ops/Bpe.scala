@@ -527,9 +527,8 @@ object Bpe {
       // the harness releases it after the consuming action — repeated
       // encode calls with in-plan segmentations must not accumulate
       // session-lifetime cached frames behind LRU eviction
-      if (!cached && !scanCheap)
-        graft.Caches.owned(seg)
-      seg.count()
+      if (!cached && !scanCheap) graft.Caches.ownedCount(seg)
+      else seg.count()
     }
     val rhs =
       if (n <= maxBroadcastRows) broadcast(seg)

@@ -275,11 +275,15 @@ object Flac {
     var first = true
     var rate = 0; var channels = 0; var bits = 0; var total = 0L
     while (!last) {
+      require(pos + 4 <= bytes.length,
+        s"FLAC: truncated metadata block header at byte $pos")
       val h = bytes(pos) & 0xff
       last = (h & 0x80) != 0
       val typ = h & 0x7f
       val len = ((bytes(pos + 1) & 0xff) << 16) | ((bytes(pos + 2) & 0xff) << 8) |
         (bytes(pos + 3) & 0xff)
+      require(pos + 4 + len <= bytes.length,
+        s"FLAC: metadata block (type $typ, length $len) at byte $pos overruns the stream")
       if (first) {
         require(typ == 0, s"FLAC: first metadata block is type $typ, not STREAMINFO")
         require(len == 34, s"FLAC: STREAMINFO length $len != 34")
@@ -339,6 +343,8 @@ object Flac {
       require(r.atByteBoundary, "FLAC: frame header not byte-aligned before CRC-8")
       val want8 = crc8(bytes, frameStart, r.pos)
       require(r.readBits(8).toInt == want8, "FLAC: frame header CRC-8 mismatch")
+      require(chAsgn <= 10,
+        s"FLAC: reserved channel-assignment code $chAsgn (RFC 9639 allows 0-10)")
       val nCh = if (chAsgn < 8) chAsgn + 1 else 2
       require(nCh == channels,
         s"FLAC: frame channel count $nCh != STREAMINFO $channels")

@@ -194,4 +194,29 @@ class FlacSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](Flac.decode(nosync))
     assert(e2.getMessage.contains("sync"), e2.getMessage)
   }
+
+  test("reserved channel-assignment codes 11-15 fail loudly (RFC 9639)") {
+    // valid header + CRC-8 with chAsgn=11: the reserved-code check is
+    // what fires, not a CRC or subframe error
+    val b = wrapStream(8000, 2, 16, 4, chAsgn = 11, bs = 4) { f =>
+      f.bits(0, 32) // never reached
+    }
+    val e = intercept[IllegalArgumentException](Flac.decode(b))
+    assert(e.getMessage.contains("channel-assignment"), e.getMessage)
+  }
+
+  test("truncated/overrunning metadata blocks fail with a FLAC-context message") {
+    val good = Flac.pack(8000, 1, 16, Array.tabulate(20)(i => i - 10), 16)
+    // keep fLaC + STREAMINFO but clear its last-block flag, then
+    // append a bogus block header claiming 1000 bytes that aren't there
+    val si = good.take(4 + 4 + 34)
+    si(4) = (si(4) & 0x7f).toByte
+    val overrun = si ++ Array[Byte]((0x80 | 4).toByte, 0x00, 0x03, 0xE8.toByte)
+    val e = intercept[IllegalArgumentException](Flac.decode(overrun))
+    assert(e.getMessage.contains("overruns"), e.getMessage)
+    // cut inside the 4-byte metadata block header itself
+    val shortHdr = si ++ Array[Byte]((0x80 | 4).toByte, 0x00)
+    val e2 = intercept[IllegalArgumentException](Flac.decode(shortHdr))
+    assert(e2.getMessage.contains("truncated metadata"), e2.getMessage)
+  }
 }
