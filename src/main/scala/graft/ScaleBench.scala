@@ -132,7 +132,18 @@ object ScaleBench {
     "e_pq_train_sampled",
     // FLAC encode+decode is per-row scan-stage work (expect ~linear
     // in row count — the m_audio_meta class with a codec constant)
-    "m_flac_frames")
+    "m_flac_frames",
+    // round-17: the crawl-batch-sized probe (delta = 1% of the lake
+    // vs d_delta_index_keep's 10%) — with the store built on the
+    // first run and marker-skipped after, the min-time pair pins that
+    // steady-state deltaKeep cost tracks the DELTA plus a columnar
+    // store-scan floor, not the store's bucket contents (the capped
+    // gather bounds per-bucket work at DeltaProbeCap)
+    "d_delta_index_small",
+    // line-level boilerplate dedup: one line-keyed bounded exchange +
+    // doc re-agg + scan-stage rebuild — expect the t_substr_scrub
+    // slope at line (not gram) volume
+    "t_line_dedup")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -505,6 +505,82 @@ object Dedup {
     * occurrence count, which is unknown once the buffer overflows. */
   final case class ScrubResult(result: DataFrame, droppedGrams: DataFrame)
 
+  /** [[lineDedup]]'s result plus its operational side-channel.
+    *
+    * @param result    (doc_id, n_lines, n_cut, clean_text)
+    * @param megaLines the lines whose occurrence count exceeded
+    *                  `maxOcc` — NOT a recall loss (unlike
+    *                  [[substrScrubFull]]'s droppedGrams, these are
+    *                  still cut exactly, via the broadcast route);
+    *                  surfaced because a fat mega-line set is the
+    *                  boilerplate signature worth monitoring. The
+    *                  frames share subplans and persist nothing. */
+  final case class LineDedupResult(result: DataFrame, megaLines: DataFrame)
+
+  /** Corpus-wide duplicated-LINE removal — CCNet-style boilerplate
+    * scrubbing (nav bars, cookie banners, footers): any line (a
+    * `sep`-separated segment, `sep` taken literally) that appears in
+    * MORE THAN ONE distinct document is boilerplate, and every
+    * occurrence of it is cut from every document; clean docs pass
+    * through unchanged, so the output is the full rewritten corpus
+    * (doc_id, n_lines, n_cut, clean_text). The cross-doc test is
+    * exact at any density, so the result is independent of `maxOcc`
+    * (reference analog: systematic fill-value masking as
+    * noise-removal before training, weather4cast/datasets.py:61-71 —
+    * here the "fill pattern" is discovered from the corpus itself).
+    *
+    * Scale shape — [[substrScrub]]'s machinery at line granularity:
+    * ONE line-keyed exchange with BOUNDED aggregate state — a
+    * `graft_bottom_k` gather of at most `maxOcc + 1` (doc_id, i)
+    * occurrences plus min/max doc_id (the exact >= 2-distinct-docs
+    * witness that stays correct when the gather is truncated).
+    * Normal duplicated lines explode their gathered occurrences back
+    * (no join); lines denser than `maxOcc` — few by construction:
+    * they occur > maxOcc times EACH — take a broadcast semi-join
+    * second pass over the scan-stage line rows, so a mega-line never
+    * materializes an unbounded occurrence array anywhere. Per-doc
+    * cut-position state is document-sized. */
+  def lineDedup(docs: DataFrame, textCol: Column, idCol: Column,
+                sep: String = "\n", maxOcc: Int = 10000): DataFrame =
+    lineDedupFull(docs, textCol, idCol, sep, maxOcc).result
+
+  /** As [[lineDedup]], additionally returning the over-dense lines. */
+  def lineDedupFull(docs: DataFrame, textCol: Column, idCol: Column,
+                    sep: String = "\n", maxOcc: Int = 10000): LineDedupResult = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    require(maxOcc >= 1, s"maxOcc >= 1, got $maxOcc")
+    val lines = docs.select(idCol.as("doc_id"),
+      split(textCol, java.util.regex.Pattern.quote(sep)).as("ls"))
+    val pos = lines.select(col("doc_id"), posexplode(col("ls")).as(Seq("i", "line")))
+    val gathered = pos.groupBy(col("line"))
+      .agg(call_function("graft_bottom_k",
+          struct(col("doc_id"), col("i")), lit(maxOcc + 1)).as("occ"),
+        min(col("doc_id")).as("_d0"), max(col("doc_id")).as("_d1"))
+    // exact cross-doc witness: >= 2 distinct docs iff min < max —
+    // valid even when the gather truncated at maxOcc + 1
+    val crossDoc = col("_d0") < col("_d1")
+    val mega = gathered.where(size(col("occ")) === maxOcc + 1)
+      .select(col("line"), crossDoc.as("cross_doc"))
+    val dupHits = gathered.where(size(col("occ")) <= maxOcc && crossDoc)
+      .select(explode(col("occ")).as("o"))
+      .select(col("o.doc_id").as("doc_id"), col("o.i").as("i"))
+    val megaHits = pos.join(
+        broadcast(mega.where(col("cross_doc")).select(col("line"))),
+        Seq("line"), "left_semi")
+      .select(col("doc_id"), col("i"))
+    val cov = dupHits.unionAll(megaHits)
+      .groupBy(col("doc_id")).agg(collect_set(col("i")).as("cl"))
+    val result = lines.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        when(col("cl").isNull, lit(0L))
+          .otherwise(size(col("cl")).cast("long")).as("n_cut"),
+        concat_ws(sep, filter(col("ls"),
+          (_, ix) => !coalesce(array_contains(col("cl"), ix), lit(false))))
+          .as("clean_text"))
+    LineDedupResult(result, mega.select(col("line")))
+  }
+
   /** Exact duplicated-span REMOVAL — the rewrite counterpart of
     * [[substrDupPairs]] (Lee et al. 2021 apply exact substring dedup
     * by CUTTING the duplicated span, not dropping the document): any

@@ -60,8 +60,8 @@ object DedupIndex {
   /** The exploded band layout shared by [[build]] (store side) and
     * [[deltaKeep]] (probe side): one row per (doc, band) carrying the
     * band bucket key and the full signature. */
-  private def bandRows(docs: DataFrame, textCol: Column, idCol: Column,
-                       shingleK: Int, seeds: Int, bands: Int): DataFrame = {
+  private[graft] def bandRows(docs: DataFrame, textCol: Column, idCol: Column,
+                              shingleK: Int, seeds: Int, bands: Int): DataFrame = {
     val banded = Dedup.lshBands(
       Dedup.minhashSignature(docs, textCol, idCol, shingleK, seeds, keepShort = false),
       seeds, bands)
@@ -126,10 +126,16 @@ object DedupIndex {
   def buildAppendIfAbsent(spark: SparkSession, corpus: DataFrame, delta: DataFrame,
                           dir: String, textCol: Column, idCol: Column,
                           shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
-                          matchMin: Int = 3, fingerprint: String): Unit =
-    AnnIndex.oncePerFingerprint(spark, dir, "dedup_app", fingerprint, BuildVersion) {
+                          matchMin: Int = 3, maxBucket: Int = Int.MaxValue,
+                          fingerprint: String): Unit =
+    // matchMin/maxBucket shape WHICH delta rows the store absorbed, so
+    // they are part of the store's identity: changing either must
+    // rebuild, not silently reuse a store keyed only by the data
+    AnnIndex.oncePerFingerprint(spark, dir, "dedup_app",
+      s"$fingerprint|mm=$matchMin|cap=$maxBucket", BuildVersion) {
       build(corpus, dir, textCol, idCol, shingleK, seeds, bands)
-      append(deltaKeep(spark, delta, dir, textCol, idCol, shingleK, seeds, bands, matchMin),
+      append(deltaKeep(spark, delta, dir, textCol, idCol, shingleK, seeds, bands,
+          matchMin, maxBucket),
         dir, textCol, idCol, shingleK, seeds, bands)
     }
 
@@ -150,7 +156,7 @@ object DedupIndex {
                    textCol: Column, idCol: Column,
                    checkpoint: String,
                    shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
-                   matchMin: Int = 3)
+                   matchMin: Int = 3, maxBucket: Int = Int.MaxValue)
                   (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val ckptTag = java.lang.Integer.toHexString(checkpoint.hashCode)
     docs.writeStream
@@ -163,7 +169,7 @@ object DedupIndex {
           // the batch is read twice (keep + append) and the kept frame
           // feeds both the sink and the store — persist once
           val kept = deltaKeep(spark, batch, dir, textCol, idCol,
-            shingleK, seeds, bands, matchMin).persist()
+            shingleK, seeds, bands, matchMin, maxBucket).persist()
           try {
             sink(kept, batchId)
             append(kept, dir, textCol, idCol, shingleK, seeds, bands)
@@ -208,6 +214,21 @@ object DedupIndex {
       fs.delete(old, true)
     }
 
+  /** [[deltaKeep]]'s result plus its operational side-channel (the
+    * [[Dedup.LshCandidates]] convention).
+    *
+    * @param kept           the delta rows not already in the corpus
+    * @param droppedBuckets (band_idx, band_key, n_docs) for every
+    *                       delta-touched STORE bucket the `maxBucket`
+    *                       density cap truncated — empty when the cap
+    *                       never engaged. n_docs is the bucket's full
+    *                       stored membership; n_docs - maxBucket rows
+    *                       were excluded from near-dup candidacy in
+    *                       that band. The two frames share subplans
+    *                       and persist nothing; consume kept first or
+    *                       accept a recompute. */
+  final case class DeltaKeep(kept: DataFrame, droppedBuckets: DataFrame)
+
   /** Documents of `delta` that are NOT already in the indexed corpus:
     * drops exact duplicates (fingerprint present in `fp`) and near
     * duplicates (>= `matchMin` of `seeds` MinHash components agree
@@ -224,13 +245,44 @@ object DedupIndex {
     *     broadcast back as the second anti-join.
     * Within-batch duplicates are NOT dropped here — that is the
     * scrub pipeline's job (pipe_scrub_e2e); this op answers only
-    * "is it new w.r.t. the corpus", so the two compose. */
+    * "is it new w.r.t. the corpus", so the two compose.
+    *
+    * `maxBucket` — STORE-bucket density control (the
+    * [[Dedup.lshCandidatePairs]] maxBucket doctrine applied to the
+    * probe). Uncapped, a pathological store bucket (boilerplate
+    * fingerprints, empty docs) with B members meets a delta bucket
+    * with b probes as B*b candidate evaluations — the one measured
+    * superlinear path in the x1000 scale run. With a finite cap, the
+    * delta-touched slice of the store is gathered per bucket by a
+    * bounded `graft_bottom_k` (smallest doc_ids first — deterministic,
+    * oracle-replayable as row_number() <= cap): partial aggregation
+    * folds even a million-member bucket into O(maxBucket) state
+    * map-side, so the one added exchange carries at most
+    * touched_buckets x maxBucket rows and candidate volume is bounded
+    * by |deltaBands| x maxBucket regardless of store skew. Recall
+    * notes: (a) a stored doc beyond the cap in EVERY shared band is
+    * invisible to the near probe — with rows-per-band = 1 a
+    * >= matchMin agreement shares >= matchMin bands, so it must be
+    * over-cap in all of them; (b) the pathological identical-content
+    * mega-bucket is backstopped by the exact-`fp` probe, which the
+    * cap never touches. Truncations are observable via
+    * [[deltaKeepFull]].droppedBuckets. */
   def deltaKeep(spark: SparkSession, delta: DataFrame, dir: String,
                 textCol: Column, idCol: Column,
                 shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
-                matchMin: Int = 3): DataFrame = {
+                matchMin: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame =
+    deltaKeepFull(spark, delta, dir, textCol, idCol,
+      shingleK, seeds, bands, matchMin, maxBucket).kept
+
+  /** As [[deltaKeep]], additionally returning the dropped-bucket
+    * side-channel — see [[DeltaKeep]]. */
+  def deltaKeepFull(spark: SparkSession, delta: DataFrame, dir: String,
+                    textCol: Column, idCol: Column,
+                    shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
+                    matchMin: Int = 3, maxBucket: Int = Int.MaxValue): DeltaKeep = {
     require(matchMin >= 1 && matchMin <= seeds,
       s"matchMin must be in [1, seeds=$seeds], got $matchMin")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     // loud store contract (the AnnIndex.search convention): a missing
     // table means no/half-built store — a bare [PATH_NOT_FOUND] from
     // the lazy scan would surface later and point at parquet, not at
@@ -251,11 +303,38 @@ object DedupIndex {
     val agreement = (0 until seeds)
       .map(i => when(col(s"m_$i") === col(s"d_m_$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val nearIds = bandStore.join(broadcast(deltaBands), Seq("band_idx", "band_key"))
+    val (probeStore, dropped) =
+      if (maxBucket == Int.MaxValue)
+        (bandStore, spark.emptyDataFrame
+          .select(lit(0).as("band_idx"), lit("").as("band_key"), lit(0L).as("n_docs"))
+          .where(lit(false)))
+      else {
+        // delta-touched store slice only (scan-stage broadcast semi
+        // join), then ONE bounded exchange: graft_bottom_k holds the
+        // maxBucket smallest (doc_id, signature) structs per bucket
+        val touched = bandStore.join(
+          broadcast(deltaBands.select(col("band_idx"), col("band_key")).distinct()),
+          Seq("band_idx", "band_key"), "left_semi")
+        val capped = touched.groupBy(col("band_idx"), col("band_key"))
+          .agg(call_function("graft_bottom_k",
+              struct(col("doc_id") +: (0 until seeds).map(i => col(s"m_$i")): _*),
+              lit(maxBucket)).as("_kept"),
+            count(lit(1)).as("n_docs"))
+        val rows = capped.select(col("band_idx"), col("band_key"),
+            explode(col("_kept")).as("_r"))
+          .select(col("band_idx") +: col("band_key") +:
+            col("_r.doc_id").as("doc_id") +:
+            (0 until seeds).map(i => col(s"_r.m_$i").as(s"m_$i")): _*)
+        (rows, capped.where(col("n_docs") > maxBucket)
+          .select(col("band_idx"), col("band_key"), col("n_docs")))
+      }
+    val nearIds = probeStore.join(broadcast(deltaBands), Seq("band_idx", "band_key"))
       .where(agreement >= matchMin)
       .select(col("delta_id").as("_near_id")).distinct()
-    delta
-      .join(broadcast(matchedFp), text.fingerprint(textCol) === matchedFp("fp"), "left_anti")
-      .join(broadcast(nearIds), idCol === nearIds("_near_id"), "left_anti")
+    DeltaKeep(
+      delta
+        .join(broadcast(matchedFp), text.fingerprint(textCol) === matchedFp("fp"), "left_anti")
+        .join(broadcast(nearIds), idCol === nearIds("_near_id"), "left_anti"),
+      dropped)
   }
 }

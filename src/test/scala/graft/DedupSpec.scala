@@ -361,6 +361,52 @@ class DedupSpec extends AnyFunSuite {
     assert(!scored.keySet.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated paired: $scored")
   }
 
+  test("lineDedup: cross-doc boilerplate lines cut everywhere, unique lines survive") {
+    val nav = "home products about contact"
+    val cookie = "we use cookies accept or decline"
+    val ld = Seq(
+      (1L, s"$nav\nunique article one body text\n$cookie"),
+      (2L, s"$nav\nanother completely different story\n$cookie"),
+      (3L, s"$nav\nthird page content here\nrepeated inside\nrepeated inside"),
+      (4L, "standalone doc with no shared lines at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(ld, $"text", $"doc_id", sep = "\n")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // nav + cookie cut from docs 1-2; nav cut from 3; 4 untouched
+    assert(out(1L) == ((3L, 2L, "unique article one body text")), out(1L).toString)
+    assert(out(2L) == ((3L, 2L, "another completely different story")), out(2L).toString)
+    // doc 3's intra-doc repeat is NOT cross-doc — it survives (both copies)
+    assert(out(3L) == ((4L, 1L,
+      "third page content here\nrepeated inside\nrepeated inside")), out(3L).toString)
+    assert(out(4L) == ((1L, 0L, "standalone doc with no shared lines at all")), out(4L).toString)
+  }
+
+  test("lineDedup maxOcc: the broadcast mega-line route is exact (cap-independent result)") {
+    // one boilerplate line in 30 docs (over any small cap), one
+    // normal dup in 2 docs, one line repeated 40x inside a SINGLE doc
+    // (over-cap but NOT cross-doc: must survive)
+    val mega = "subscribe to our newsletter today"
+    val ld = ((1L to 30L).map(i => (i, s"$mega\nbody text number $i")) ++
+      Seq((31L, "shared pair line\nown text a"),
+          (32L, "shared pair line\nown text b"),
+          (33L, (1 to 40).map(_ => "intra doc repeat").mkString("\n"))))
+      .toDF("doc_id", "text")
+    val full = Dedup.lineDedupFull(ld, $"text", $"doc_id", sep = "\n", maxOcc = 3)
+    val capped = full.result.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    val uncapped = Dedup.lineDedup(ld, $"text", $"doc_id", sep = "\n")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(capped == uncapped, "mega route changed the cut — it must be exact")
+    assert(capped(1L) == ((1L, "body text number 1")), capped(1L).toString)
+    assert(capped(31L) == ((1L, "own text a")), capped(31L).toString)
+    // the single-doc mega repeat is over-cap but not cross-doc: kept whole
+    assert(capped(33L)._1 == 0L, capped(33L).toString)
+    // observability: both over-cap lines surface (cross-doc or not)
+    val megas = full.megaLines.collect().map(_.getString(0)).toSet
+    assert(megas == Set(mega, "intra doc repeat"), megas.toString)
+  }
+
   test("DedupIndex.deltaKeep: loud contract on a missing/half-built store") {
     import graft.ops.DedupIndex
     val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-miss").toString
@@ -416,6 +462,73 @@ class DedupSpec extends AnyFunSuite {
         dir2, $"text", $"doc_id")
       .select($"doc_id").collect().map(_.getLong(0)).toSeq
     assert(kept2 == Seq(202L), s"kept2: $kept2")
+  }
+
+  test("DedupIndex.deltaKeep maxBucket: mega-bucket probes are density-capped, observably") {
+    import graft.ops.DedupIndex
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-cap").toString
+    // planted mega-bucket: 10 store docs sharing a long base text with
+    // one unique trailing word each — near-identical shingle sets, so
+    // the band-key minima all come from the shared shingles and every
+    // doc lands in the SAME bucket in every band (boilerplate shape)
+    val mega = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val store = (1L to 10L).map(i => (i, s"$mega unique$i")).toDF("doc_id", "text")
+    DedupIndex.build(store, dir, $"text", $"doc_id")
+    // precondition: the planted bucket really is mega (>= 10 members)
+    val bucketMax = spark.read.parquet(s"$dir/bands")
+      .groupBy($"band_idx", $"band_key").count().agg(max($"count")).collect()(0).getLong(0)
+    assert(bucketMax == 10L, s"fixture did not plant a mega bucket: max=$bucketMax")
+
+    val delta = Seq(
+      (101L, s"$mega unique101"), // near-dup of the whole bucket
+      (102L, "entirely different words about watermark state stores and streaming sinks"),
+      (103L, s"$mega unique10")   // EXACT dup of the over-cap store doc 10
+    ).toDF("doc_id", "text")
+
+    val cap = 3
+    val r = DedupIndex.deltaKeepFull(spark, delta, dir, $"text", $"doc_id", maxBucket = cap)
+    // drops are observable: every truncated bucket reported with its full size
+    val drops = r.droppedBuckets.collect()
+    assert(drops.nonEmpty, "cap engaged but droppedBuckets is empty")
+    assert(drops.forall(_.getAs[Long]("n_docs") == 10L), drops.mkString(","))
+    // near-dup caught through the capped survivors; fresh doc kept; and
+    // the exact dup of an OVER-CAP member (invisible to the near probe)
+    // is still dropped by the fp probe — the cap's backstop
+    val kept = r.kept.select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(102L), s"kept: $kept")
+
+    // capped semantics == an independent window replay (row_number per
+    // bucket over doc_id, <= cap) of the same store + predicate
+    def replayKeep(cp: Int): Seq[Long] = {
+      val fpStore = spark.read.parquet(s"$dir/fp")
+      val w = Window.partitionBy($"band_idx", $"band_key").orderBy($"doc_id")
+      val capped = spark.read.parquet(s"$dir/bands")
+        .withColumn("rk", row_number().over(w)).where($"rk" <= cp).drop("rk")
+      val dBands = DedupIndex.bandRows(delta, $"text", $"doc_id", 3, 4, 4)
+        .select($"band_idx" +: $"band_key" +: $"doc_id".as("delta_id") +:
+          (0 until 4).map(i => col(s"m_$i").as(s"d_m_$i")): _*)
+      val agreement = (0 until 4)
+        .map(i => when(col(s"m_$i") === col(s"d_m_$i"), 1).otherwise(0)).reduce(_ + _)
+      val near = capped.join(dBands, Seq("band_idx", "band_key"))
+        .where(agreement >= 3).select($"delta_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val dupFp = delta.select($"doc_id",
+          graft.functions.text.fingerprint($"text").as("f"))
+        .join(fpStore, $"f" === $"fp", "left_semi")
+        .collect().map(_.getLong(0)).toSet
+      delta.select($"doc_id").collect().map(_.getLong(0))
+        .filterNot(near).filterNot(dupFp).sorted.toSeq
+    }
+    assert(replayKeep(cap) == kept, "capped gather diverges from the window replay")
+    // cap >= bucket size: bit-identical to the uncapped probe
+    val uncapped = DedupIndex.deltaKeep(spark, delta, dir, $"text", $"doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val wide = DedupIndex.deltaKeep(spark, delta, dir, $"text", $"doc_id", maxBucket = 100)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(wide == uncapped, s"wide cap diverged: $wide vs $uncapped")
+    assert(replayKeep(100) == uncapped, "replay at wide cap diverges from uncapped")
   }
 
   test("DedupIndex.append: kept-delta ingest equals a one-shot build over corpus + kept") {

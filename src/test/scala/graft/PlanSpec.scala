@@ -435,15 +435,19 @@ class PlanSpec extends AnyFunSuite {
   test("d_delta_index_keep: the dedup store is scanned, never shuffled") {
     val p = finalPlan("d_delta_index_keep")
     // both probes broadcast the DELTA side onto a plain store scan;
-    // the only hash exchanges are the two delta-bounded distincts
-    // (fingerprints, near ids) — at 100 TB those are crawl-batch-
-    // sized while the store is lake-sized
+    // the only hash exchanges are delta-bounded: the two distincts
+    // (fingerprints, near ids) plus the density cap's two (bucket-key
+    // distinct + the graft_bottom_k bucket gather, whose partial
+    // state is O(cap) per touched bucket) — at 100 TB all four are
+    // crawl-batch-sized while the store is lake-sized
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "store probes must stay broadcast hash joins:\n" + p.take(1500))
     assert(!p.contains("rangepartitioning"),
       "no global sort anywhere in delta dedup:\n" + p.take(1500))
     val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(nEx <= 2, s"only the two delta-sized distincts may shuffle ($nEx):\n" + p.take(1500))
+    assert(nEx <= 4, s"only the four delta-bounded exchanges may shuffle ($nEx):\n" + p.take(1500))
+    assert(p.contains("graft_bottom_k"),
+      "the density cap's bounded gather must be in the plan:\n" + p.take(1500))
     // the near-dup agreement filter rides the band-bucket join
     // condition — candidates die in the scan stage, not a later filter
     assert("BroadcastHashJoin \\[band_idx".r.findFirstIn(p).isDefined,

@@ -158,9 +158,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assertBudget("e_sq8_adc", shuffleCeiling = 256L << 10, minShuffleNodes = 0)
   }
 
-  test("d_delta_index_keep: only the two delta-bounded distincts shuffle — the store never does") {
-    // delta fingerprints + near ids (both crawl-batch-sized); the
-    // fp/bands store sides stream through broadcast hash joins
+  test("d_delta_index_keep: only delta-bounded exchanges shuffle — the store never does") {
+    // delta fingerprints, delta bucket keys, near ids (all
+    // crawl-batch-sized) plus the density-capped bucket gather, whose
+    // graft_bottom_k partials are O(cap) per (touched bucket,
+    // partition) — the fp/bands store scans stream through broadcast
+    // hash joins and never exchange full buckets
     assertBudget("d_delta_index_keep", shuffleCeiling = 1L << 20)
   }
 
