@@ -143,7 +143,11 @@ object ScaleBench {
     // line-level boilerplate dedup: one line-keyed bounded exchange +
     // doc re-agg + scan-stage rebuild — expect the t_substr_scrub
     // slope at line (not gram) volume
-    "t_line_dedup")
+    "t_line_dedup",
+    // HTML extraction is a zero-exchange scan-stage kernel (expect
+    // ~linear in byte volume); the html flagship = extraction fused
+    // under the scrub chain (expect the pipe_scrub_e2e slope)
+    "t_html_extract", "pipe_scrub_html_e2e")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

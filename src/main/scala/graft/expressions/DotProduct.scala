@@ -182,6 +182,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NormalizeText(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_html_extract"),
+      new ExpressionInfo(classOf[HtmlExtract].getName, "graft_html_extract"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_html_extract(s) takes one string argument")
+        HtmlExtract(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_char_ngrams"),
       new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
       (children: Seq[Expression]) => {

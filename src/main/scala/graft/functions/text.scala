@@ -36,6 +36,39 @@ object text {
   def normalizeComposed(t: Column): Column =
     trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** HTML → text extraction (script/style/comment blocks dropped with
+    * content, tags stripped to a space, entities decoded, whitespace
+    * collapsed) — the crawl front door. Native one-pass expression
+    * ([[graft.expressions.HtmlExtract]]); [[htmlExtractComposed]] is
+    * the regex-chain twin the oracle replays and ScalarsSpec pins
+    * this equal to. */
+  def htmlExtract(t: Column): Column = call_function("graft_html_extract", t)
+
+  /** Composed-builtins form of [[htmlExtract]] for the NAMED-entity
+    * subset (numeric entities need the kernel; spec-tested there):
+    * 4 regex passes + 6 replaces — the oracle shape, never the hot
+    * path. Unterminated constructs drop to end-of-input on both
+    * forms (the `|$` arms), so the twins agree on malformed markup. */
+  def htmlExtractComposed(t: Column): Column = {
+    // script/style/comment AND the generic tag in ONE leftmost-first
+    // alternation pass — separate global passes disagree with the
+    // kernel's single left-to-right scan on pathological inputs (a
+    // <script> literal inside a <style> block; a <script> opener
+    // inside an unclosed generic tag's interior); leftmost-first
+    // alternation with the generic arm LAST replays the scan order
+    // exactly, in Java regex and RE2 alike
+    val noTags = regexp_replace(t,
+      "(?is)(<script\\b[^>]*(>.*?(</script\\s*>|$)|$)" +
+        "|<style\\b[^>]*(>.*?(</style\\s*>|$)|$)" +
+        "|<!--.*?(-->|$)" +
+        "|<[^>]*(>|$))", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(from), to) }
+    trim(regexp_replace(ent, "[ \\t\\n\\r\\f]+", " "))
+  }
+
   /** PII redaction for training-data scrubbing: emails then phone-like
     * digit runs replaced by typed placeholder tokens. Patterns stay in
     * the regex subset Java and RE2 (DuckDB) evaluate identically, so

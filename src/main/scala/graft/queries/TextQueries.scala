@@ -824,64 +824,42 @@ object TextQueries {
     // d_jaccard_pairs grades that op; the pure-band policy here keeps
     // the composed oracle deterministic.)
     Q("pipe_scrub_e2e",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = T(s, d, "documents")
-        val base = docs.where(col("doc_id") % 50 =!= 0 &&
-          text.nTokens(col("text")) >= 5)
-        val w = Window.partitionBy(text.fingerprint(col("text")))
-        val ex = base.withColumn("_keep", min(col("doc_id")).over(w))
-          .where(col("doc_id") === col("_keep")).drop("_keep")
-        // `ex` and `near` each feed two consumers below, so their
-        // post-shuffle window/anti-join work executes twice in this
-        // one plan (ReuseExchange only saves the work below identical
-        // exchanges). A RECORDED trade: persisting would collapse the
-        // advertised single-Catalyst-plan shape into multiple jobs,
-        // and the duplicated subtree is the cheap top of the pipeline
-        // (measured slope 1.6 at the 10x corpus, SCALE.md). Callers
-        // who want the materialized form compose the Dedup.*Full
-        // variants instead.
-        val sig = Dedup.minhashSignature(ex, col("text"), col("doc_id"),
-          shingleK = 3, seeds = Seeds, keepShort = false)
-        val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, Seeds, Bands), Seeds, Bands)
-        val dropNear = pairs.select(col("doc_b").as("doc_id")).distinct()
-        val near = ex.join(dropNear, Seq("doc_id"), "left_anti")
-        val benchSh = Dedup.shingleRows(docs.where(col("doc_id") % 50 === 0),
-          col("text"), col("doc_id"), 5).select(col("s")).distinct()
-        val contaminated = Dedup.shingleRows(near, col("text"), col("doc_id"), 5)
-          .join(broadcast(benchSh), Seq("s"), "left_semi")
-          .select(col("doc_id")).distinct()
-        near.join(contaminated, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), text.nTokens(col("text")).as("n_tokens"))
-      },
-      Some {
-        s"""WITH base AS (
-           |  SELECT doc_id, text FROM documents
-           |  WHERE doc_id % 50 <> 0 AND len(string_split(text, ' ')) >= 5),
-           |fp AS (SELECT doc_id, text,
-           |         CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fingerprint
-           |       FROM (SELECT doc_id, text, $normSql AS norm FROM base)),
-           |ex AS (SELECT doc_id, text FROM (
-           |         SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fingerprint) AS keeper
-           |         FROM fp)
-           |       WHERE doc_id = keeper),
-           |${sigCtes("ex")},
-           |drop_near AS (SELECT DISTINCT doc_b AS doc_id FROM (
-           |$pairsSql)),
-           |near AS (SELECT doc_id, text FROM ex
-           |         WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)),
-           |btoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-           |          WHERE doc_id % 50 = 0),
-           |bsh AS (SELECT DISTINCT unnest($gram5) AS s
-           |        FROM btoks WHERE len(tk) >= 5),
-           |ntoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM near),
-           |nsh AS (SELECT doc_id, unnest($gram5) AS s
-           |        FROM ntoks WHERE len(tk) >= 5),
-           |contaminated AS (SELECT DISTINCT doc_id FROM nsh
-           |                 WHERE s IN (SELECT s FROM bsh))
-           |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-           |FROM near WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
-      }),
+      (s, d) => scrubChain(T(s, d, "documents")),
+      Some(s"WITH ${scrubOracleBody("documents")}")),
+
+    // the scrub flagship with the CRAWL FRONT DOOR attached: every doc
+    // arrives as real markup (the deterministic HTML wrapper around
+    // documents.text — title/script/style/comment/nav/entities), the
+    // native graft_html_extract recovers the text IN THE SCAN STAGE,
+    // and the identical scrub chain (quality floor -> exact dedup ->
+    // LSH near-dup -> decontam) runs on the EXTRACTED text. The
+    // oracle replays the extraction as the same leftmost-first regex
+    // alternation + entity replaces (RE2 and Java agree — the
+    // ScalarsSpec fuzz pin), then the unchanged scrub chain — so a
+    // kernel bug anywhere in tag/entity handling breaks the hash
+    // through every downstream stage.
+    Q("pipe_scrub_html_e2e",
+      (s, d) => scrubChain(
+        T(s, d, "documents").select(col("doc_id"),
+          text.htmlExtract(htmlWrap(col("source"), col("text"), col("lang")))
+            .as("text"))),
+      Some(s"""WITH crawl AS (SELECT doc_id, $htmlExtractSql AS text FROM documents),
+              |${scrubOracleBody("crawl")}""".stripMargin)),
+
+    // the native extraction graded ALONE (the unit the flagship
+    // composes): each doc HTML-wrapped deterministically, extracted
+    // in the scan stage, the full clean text hash-graded against the
+    // DuckDB regex replay — script/style/comment content must vanish,
+    // tags must separate words, &amp;/&#169; must decode.
+    Q("t_html_extract",
+      (s, d) => T(s, d, "documents").select(col("doc_id"),
+        text.htmlExtract(htmlWrap(col("source"), col("text"), col("lang")))
+          .as("clean_text"))
+        .select(col("doc_id"), col("clean_text"),
+          length(col("clean_text")).cast("long").as("n_chars_clean")),
+      Some(s"""SELECT doc_id, $htmlExtractSql AS clean_text,
+              |  CAST(length($htmlExtractSql) AS BIGINT) AS n_chars_clean
+              |FROM documents""".stripMargin)),
 
     // exact substring duplication (Lee et al. 2021, stride form):
     // 40-char windows every 10 chars, one equi-join on window equality
@@ -2205,4 +2183,108 @@ object TextQueries {
          |WHERE df.fp NOT IN (SELECT fp FROM cf)
          |  AND dl.doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin
     })
+
+  /** The deterministic HTML wrapper the html-front-door rows grade
+    * against: title carries `source`, a script and style block and a
+    * comment must be DROPPED with content, the nav div and trailing
+    * paragraph carry entities (&amp; plus the numeric &#169;), and
+    * the doc's text rides in the main <p>. */
+  private def htmlWrap(source: org.apache.spark.sql.Column,
+                       body: org.apache.spark.sql.Column,
+                       lang: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("<html><head><title>"), source,
+      lit("</title><script type=\"text/javascript\">track(1 &lt; 2);</script>" +
+        "<style>.nav{display:none}</style></head><body><!-- chrome -->" +
+        "<div class=\"nav\">Home &amp; About</div><p>"),
+      body,
+      lit("</p><br/><p>lang: "), lang, lit(" &#169; 2024</p></body></html>"))
+
+  /** DuckDB twin of [[graft.functions.text.htmlExtractComposed]] over
+    * the [[htmlWrap]] construction (the html input built inline from
+    * source/text/lang). RE2 evaluates the identical leftmost-first
+    * alternation; entity replaces cover the set the wrapper can
+    * produce (incl. the numeric &#169; as an explicit literal ->
+    * chr(169)). */
+  private def htmlExtractSql: String = {
+    val wrap = "'<html><head><title>' || source || " +
+      "'</title><script type=\"text/javascript\">track(1 &lt; 2);</script>" +
+      "<style>.nav{display:none}</style></head><body><!-- chrome -->" +
+      "<div class=\"nav\">Home &amp; About</div><p>' || text || " +
+      "'</p><br/><p>lang: ' || lang || ' &#169; 2024</p></body></html>'"
+    val tagged = s"regexp_replace($wrap, " +
+      "'(?is)(<script\\b[^>]*(>.*?(</script\\s*>|$)|$)" +
+      "|<style\\b[^>]*(>.*?(</style\\s*>|$)|$)" +
+      "|<!--.*?(-->|$)" +
+      "|<[^>]*(>|$))', ' ', 'g')"
+    val ent = Seq("'&lt;', '<'", "'&gt;', '>'", "'&quot;', '\"'",
+        "'&apos;', chr(39)", "'&nbsp;', ' '", "'&#169;', chr(169)", "'&amp;', '&'")
+      .foldLeft(tagged)((c, pair) => s"replace($c, $pair)")
+    s"trim(regexp_replace($ent, '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+  }
+
+  /** The scrub flagship as a chain over any (doc_id, text) frame —
+    * shared by pipe_scrub_e2e (clean text) and pipe_scrub_html_e2e
+    * (extracted text). Quality floor -> exact dedup (min-id keeper)
+    * -> LSH near-dup removal -> 5-gram decontamination vs the
+    * held-out doc_id % 50 == 0 slice, ONE Catalyst plan. */
+  private def scrubChain(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.where(col("doc_id") % 50 =!= 0 &&
+      text.nTokens(col("text")) >= 5)
+    val w = Window.partitionBy(text.fingerprint(col("text")))
+    val ex = base.withColumn("_keep", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("_keep")).drop("_keep")
+    // `ex` and `near` each feed two consumers below, so their
+    // post-shuffle window/anti-join work executes twice in this
+    // one plan (ReuseExchange only saves the work below identical
+    // exchanges). A RECORDED trade: persisting would collapse the
+    // advertised single-Catalyst-plan shape into multiple jobs,
+    // and the duplicated subtree is the cheap top of the pipeline
+    // (measured slope 1.6 at the 10x corpus, SCALE.md). Callers
+    // who want the materialized form compose the Dedup.*Full
+    // variants instead.
+    val sig = Dedup.minhashSignature(ex, col("text"), col("doc_id"),
+      shingleK = 3, seeds = Seeds, keepShort = false)
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, Seeds, Bands), Seeds, Bands)
+    val dropNear = pairs.select(col("doc_b").as("doc_id")).distinct()
+    val near = ex.join(dropNear, Seq("doc_id"), "left_anti")
+    val benchSh = Dedup.shingleRows(docs.where(col("doc_id") % 50 === 0),
+      col("text"), col("doc_id"), 5).select(col("s")).distinct()
+    val contaminated = Dedup.shingleRows(near, col("text"), col("doc_id"), 5)
+      .join(broadcast(benchSh), Seq("s"), "left_semi")
+      .select(col("doc_id")).distinct()
+    near.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), text.nTokens(col("text")).as("n_tokens"))
+  }
+
+  /** The scrub flagship's oracle over any (doc_id, text) relation
+    * named `docsRel` — no WITH prefix; callers splice it after their
+    * own leading CTEs. */
+  private def scrubOracleBody(docsRel: String): String =
+    s"""base AS (
+       |  SELECT doc_id, text FROM $docsRel
+       |  WHERE doc_id % 50 <> 0 AND len(string_split(text, ' ')) >= 5),
+       |fp AS (SELECT doc_id, text,
+       |         CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fingerprint
+       |       FROM (SELECT doc_id, text, $normSql AS norm FROM base)),
+       |ex AS (SELECT doc_id, text FROM (
+       |         SELECT doc_id, text, min(doc_id) OVER (PARTITION BY fingerprint) AS keeper
+       |         FROM fp)
+       |       WHERE doc_id = keeper),
+       |${sigCtes("ex")},
+       |drop_near AS (SELECT DISTINCT doc_b AS doc_id FROM (
+       |$pairsSql)),
+       |near AS (SELECT doc_id, text FROM ex
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)),
+       |btoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $docsRel
+       |          WHERE doc_id % 50 = 0),
+       |bsh AS (SELECT DISTINCT unnest($gram5) AS s
+       |        FROM btoks WHERE len(tk) >= 5),
+       |ntoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM near),
+       |nsh AS (SELECT doc_id, unnest($gram5) AS s
+       |        FROM ntoks WHERE len(tk) >= 5),
+       |contaminated AS (SELECT DISTINCT doc_id FROM nsh
+       |                 WHERE s IN (SELECT s FROM bsh))
+       |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |FROM near WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
 }

@@ -99,6 +99,54 @@ class ScalarsSpec extends AnyFunSuite {
     assert(fpNew.except(fpOld).count() == 0 && fpOld.except(fpNew).count() == 0)
   }
 
+  test("graft_html_extract: one-pass kernel == regex-chain twin, edges + seeded fuzz") {
+    import graft.functions.text
+    val edges = Seq(
+      "<html><body><p>Hello <b>world</b></p></body></html>",
+      "<script>var x = '<p>not text</p>';</script>after",
+      "<SCRIPT type=\"text/js\">x<1 && y>2</SCRIPT>ok",
+      "<style>.a{color:red}</style>styled",
+      "<!-- a comment with <tags> inside -->visible",
+      "a &amp; b &lt;c&gt; &quot;d&quot; &apos;e&apos; f&nbsp;g",
+      "unterminated <script>never closed",
+      "unterminated <!-- comment",
+      "unterminated <div attr='x'",
+      "self-closing <br/> here",
+      "<scriptx>not a script tag</scriptx>kept",
+      "<style>a<script>b</style>c</script>",     // nesting: left-to-right scan order
+      "&amp;lt; stays literal once decoded",
+      "&bogus; unknown entity",
+      "&unclosed entity",
+      "  lots\t of\n whitespace\r\n  ",
+      "tag>no open", "", "plain text only",
+      "<p>a</p><p>b</p>",
+      "&#65;&#x42;c numeric handled by kernel only") // excluded from twin compare below
+    // twin agreement on everything without numeric entities
+    val df = edges.filterNot(_.contains("&#")).toDF("h")
+    val got = df.select(text.htmlExtract(col("h")).as("fast"),
+      text.htmlExtractComposed(col("h")).as("slow")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"mismatch: fast='${r.getString(0)}' slow='${r.getString(1)}'"))
+    // numeric entities: kernel-only semantics pinned directly
+    val num = Seq("&#65;&#x42;c &#x1F600; &#0; &#xZZ; &#999999999;").toDF("h")
+      .select(text.htmlExtract(col("h"))).collect()(0).getString(0)
+    assert(num == "ABc 😀 &#0; &#xZZ; &#999999999;", s"numeric: '$num'")
+    // seeded fuzz: random compositions of tags/blocks/entities/text —
+    // the kernel and the regex chain must agree on every sample
+    val rnd = new scala.util.Random(42)
+    val atoms = Vector("<p>", "</p>", "<div class='x'>", "</div>", "<script>",
+      "</script>", "<style>", "</style>", "<!--", "-->", "&amp;", "&lt;", "&gt;",
+      "&nbsp;", "&bogus;", "&", "<", ">", " ", "\n", "\t", "word", "a b",
+      "x<1", "1>0", "<br/>", "<ScRiPt>", "</SCRIPT >", "text")
+    val fuzz = (1 to 300).map(_ =>
+      (1 to (1 + rnd.nextInt(12))).map(_ => atoms(rnd.nextInt(atoms.length))).mkString)
+    val fgot = fuzz.toDF("h").select(col("h"),
+      text.htmlExtract(col("h")).as("fast"),
+      text.htmlExtractComposed(col("h")).as("slow")).collect()
+    fgot.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"fuzz mismatch on '${r.getString(0)}': fast='${r.getString(1)}' slow='${r.getString(2)}'"))
+  }
+
   test("graft_char_ngrams: one-pass gram list == composed substring twin, docs + edges") {
     // the composed form is what the DuckDB oracle runs for t_lm_score;
     // the native expression must match it element-for-element

@@ -211,6 +211,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assertBudget("t_quality_filter", shuffleCeiling = 1L, minShuffleNodes = 0)
   }
 
+  test("t_html_extract: extraction is pure scan-stage work — zero exchanges") {
+    // the crawl front door must never shuffle: wrap + kernel + length
+    // all ride the parquet scan's WholeStageCodegen span
+    assertBudget("t_html_extract", shuffleCeiling = 1L, minShuffleNodes = 0)
+  }
+
   test("t_pack_ids: pack exchanges carry id payloads, never corpus text") {
     // exchanges: the training chain's dict/pair aggs, the id re-agg
     // (int triples), and the (lang,source) shard exchange whose rows
