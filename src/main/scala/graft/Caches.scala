@@ -48,6 +48,24 @@ object Caches {
     * (the seam for library code that decides persistence itself). */
   def register(df: DataFrame): DataFrame = { frames.add(df); df }
 
+  /** Persist + register WITHOUT materializing — for call sites whose
+    * FIRST consumer is provably a single sequential action (a driver
+    * training loop's first aggregate, an eager one-row fold, a dict
+    * chain's materializing count): that action builds the cache
+    * serially, so the eager count() here would be a whole redundant
+    * pass. Only valid when no two concurrent plan subtrees can race
+    * to build the unbuilt cache — when consumers ARE concurrent
+    * (join/union arms of one action, e.g. t_pack_ids_bfd's grading
+    * arms, d_hamming_adjacent's self-join), use [[owned]]: the race
+    * duplicates the build and trips BlockManager 'Block already
+    * exists' WARNs under load (the r16 measurement). */
+  def ownedLazy(df: DataFrame,
+                level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    df.persist(level)
+    frames.add(df)
+    df
+  }
+
   /** Unpersist every registered frame and empty the registry. Safe to
     * call repeatedly; unpersisting a dropped frame is a no-op. */
   def releaseAll(blocking: Boolean = false): Unit = {

@@ -147,7 +147,11 @@ object ScaleBench {
     // HTML extraction is a zero-exchange scan-stage kernel (expect
     // ~linear in byte volume); the html flagship = extraction fused
     // under the scrub chain (expect the pipe_scrub_e2e slope)
-    "t_html_extract", "pipe_scrub_html_e2e")
+    "t_html_extract", "pipe_scrub_html_e2e",
+    // multiclass OvR training: 2 bounded aggregates per step over the
+    // planted-feature scan (expect the t_quality_classifier slope);
+    // serving folds literal weights into one scan pass
+    "t_lang_classifier", "t_lang_classify_served")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

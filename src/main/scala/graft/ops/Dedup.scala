@@ -448,7 +448,10 @@ object Dedup {
     // split and deduped twice
     // harness-owned release (graft.Caches): the frame also feeds the
     // returned lazy plan's broadcast semi-join, so no early unpersist
-    val benchSh = graft.Caches.owned(
+    // ownedLazy: the bloom .head() two lines down is the first
+    // consumer and builds the cache serially — an eager count here
+    // would scan the bench slice twice
+    val benchSh = graft.Caches.ownedLazy(
       shingleRows(docs.where(benchPred), textCol, idCol, shingleK)
         .select(col("s")).distinct())
     val bf = benchSh

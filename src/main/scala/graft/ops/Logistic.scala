@@ -183,4 +183,81 @@ object Logistic {
            threshold: Double = 0.5): DataFrame =
     feat.where(sigma(col("x"), w) >= threshold)
       .select(col("doc_id"), sigma(col("x"), w).as("p_good"))
+
+  // ---- multiclass (one-vs-rest) — the CCNet language-classifier
+  // shape: K independent logistic heads over shared features, every
+  // GD step ONE map-side-combined aggregate computing all K*p
+  // gradient sums (one corpus pass per step, not K), weights as
+  // K*p driver doubles between steps (the same ridge-collect
+  // convention and 1e-6 snapping discipline as the binary trainer,
+  // so the DuckDB oracle replays each head bit-for-bit).
+
+  /** One OvR GD step from `w` (classes x p): all gradient sums in one
+    * aggregate — class c's head sees label 1{y = c}. */
+  private def ovrGradStep(feat: DataFrame, w: Array[Array[Double]],
+                          p: Int, classes: Int, lr: Double): Array[Array[Double]] = {
+    val aggs = for (c <- 0 until classes; j <- 0 until p) yield {
+      val s = sigma(col("x"), w(c).toSeq)
+      val yc = when(col("y") === c.toDouble, 1.0).otherwise(0.0)
+      sum(qlong((yc - s) * element_at(col("x"), j + 1), 1e6)).as(s"g_${c}_$j")
+    }
+    val row = feat.agg(aggs.head, (aggs.tail :+ count(lit(1)).as("n")): _*)
+      .collect().head
+    val n = row.getLong(classes * p)
+    Array.tabulate(classes, p)((c, j) =>
+      q6(w(c)(j) + lr * row.getLong(c * p + j).toDouble / (1e6 * n.toDouble)))
+  }
+
+  /** Predicted class index under OvR weights: argmax of the K snapped
+    * per-head sigmoids, FIRST head wins ties (a stable CASE chain in
+    * class order — the langId argmax convention, engine-agnostic). */
+  def predictOvr(x: Column, w: Seq[Seq[Double]]): Column = {
+    val scores = w.map(wc => sigma(x, wc))
+    val best = scores.reduce((a, b) => greatest(a, b))
+    scores.zipWithIndex.foldRight(lit(-1)) { case ((s, c), acc) =>
+      when(s === best, lit(c)).otherwise(acc)
+    }
+  }
+
+  /** Train K one-vs-rest heads by `steps` full-batch GD steps over
+    * `feat` = (doc_id, y double in 0..classes-1, x array<double>,
+    * element 1 the 1.0 bias). Returns the TRAJECTORY: one row per
+    * step with every post-step weight (w{c}_{j}) and that step's
+    * argmax training accuracy — the graded evidence the multiclass
+    * distillation learns. 2*steps corpus passes total. */
+  def trainOvr(feat: DataFrame, p: Int, classes: Int, steps: Int,
+               lr: Double): DataFrame = {
+    require(p >= 1 && p <= 16, s"1 <= p <= 16, got $p")
+    require(classes >= 2 && classes <= 16, s"2 <= classes <= 16, got $classes")
+    require(steps >= 1, s"steps >= 1, got $steps")
+    val spark = feat.sparkSession
+    var w = Array.fill(classes, p)(0.0)
+    val traj = Seq.newBuilder[Row]
+    for (t <- 1 to steps) {
+      w = ovrGradStep(feat, w, p, classes, lr)
+      val acc = feat.agg(qround(avg(
+          when(predictOvr(col("x"), w.map(_.toSeq).toSeq) === col("y").cast("int"), 1.0)
+            .otherwise(0.0)), 6).as("acc"))
+        .collect().head.getDouble(0)
+      traj += Row.fromSeq(t.toLong +: w.flatten.toSeq :+ acc)
+    }
+    val schema = StructType(
+      StructField("step", LongType, nullable = false) +:
+        (for (c <- 0 until classes; j <- 0 until p)
+          yield StructField(s"w${c}_$j", DoubleType, nullable = false)) :+
+        StructField("acc", DoubleType, nullable = false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(traj.result(), 1), schema)
+  }
+
+  /** Final OvR weights only (the serving trainer) — the identical
+    * snapped chain minus the accuracy passes; bit-identical heads. */
+  def trainOvrWeights(feat: DataFrame, p: Int, classes: Int, steps: Int,
+                      lr: Double): Seq[Seq[Double]] = {
+    require(p >= 1 && p <= 16 && classes >= 2 && classes <= 16 && steps >= 1,
+      s"bad dims p=$p classes=$classes steps=$steps")
+    var w = Array.fill(classes, p)(0.0)
+    for (_ <- 1 to steps) w = ovrGradStep(feat, w, p, classes, lr)
+    w.map(_.toSeq).toSeq
+  }
 }

@@ -195,7 +195,9 @@ object PipelineQueries {
         // feeds the dict chain, the encode, and the pack; harness-owned
         // release (graft.Caches) — the query returns a lazy plan, so
         // the persist's lifecycle belongs to whoever runs the action
-        val kept = graft.Caches.owned(scored.join(keep, Seq("fp"))
+        // ownedLazy: trainedDictFull's first cache count() consumes
+        // kept serially before any concurrent subtree can race
+        val kept = graft.Caches.ownedLazy(scored.join(keep, Seq("fp"))
           .where(col("doc_id") === col("keeper"))
           .select(col("doc_id"), col("text"), col("lang"), col("source")))
         val dict = graft.ops.Bpe.trainedDictFull(kept, col("text"), iters = 2)
@@ -252,7 +254,9 @@ object PipelineQueries {
     Q("pipe_ids_e2e",
       (s, d) => {
         val docs = graft.sources.Tables.load(s, d, "documents")
-        val feat = graft.Caches.owned(TextQueries.qualityFeat(docs))
+        // ownedLazy: trainWeights' first gradient aggregate is the
+        // first consumer — a sequential driver loop, no build race
+        val feat = graft.Caches.ownedLazy(TextQueries.qualityFeat(docs))
         val w = graft.ops.Logistic.trainWeights(feat, p = 4, steps = 6, lr = 2.0)
         val scored = docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
             graft.functions.text.fingerprint(col("text")).as("fp"))
@@ -264,7 +268,9 @@ object PipelineQueries {
         val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
         // feeds the dict chain, the id encode, and the pack —
         // harness-owned release (graft.Caches)
-        val kept = graft.Caches.owned(scored.join(keep, Seq("fp"))
+        // ownedLazy: the dict chain's first count() is the serial
+        // first consumer (same as pipe_tokenize_e2e)
+        val kept = graft.Caches.ownedLazy(scored.join(keep, Seq("fp"))
           .where(col("doc_id") === col("keeper"))
           .select(col("doc_id"), col("text"), col("lang"), col("source")))
         val dict = graft.ops.Bpe.trainedDictFull(kept, col("text"), iters = 2)

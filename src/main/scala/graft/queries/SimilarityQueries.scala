@@ -582,7 +582,9 @@ object SimilarityQueries {
           .select(col("vec_id").as("center_id"), col("ve").as("cve"))
         // feeds the identity arm, the refinement, and the rotated arm —
         // harness-owned release (graft.Caches)
-        val planted = graft.Caches.owned(base.join(broadcast(ctr),
+        // ownedLazy: opqRefine's first Lloyd aggregate consumes
+        // planted serially before the two scored arms' shared action
+        val planted = graft.Caches.ownedLazy(base.join(broadcast(ctr),
             col("center_id") === col("vec_id") % C + 1)
           .select(col("vec_id"),
             zip_with(col("cve"), col("ve"), (c, e) => c + lit(0.15) * e).as("ve")))

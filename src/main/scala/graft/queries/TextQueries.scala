@@ -636,6 +636,42 @@ object TextQueries {
            |            FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)))""".stripMargin
       }),
 
+    // TRAINED multiclass language classifier (the CCNet lineage:
+    // fasttext-style lang-id is a trained linear model, not a
+    // heuristic) — one-vs-rest logistic heads over marker-ratio
+    // features, every GD step ONE aggregate computing all K*p
+    // gradient sums. The corpus's text is deliberately language-
+    // independent (t_lang_id's heuristic mostly sees English
+    // stopwords), so this row uses the PLANTED convention
+    // (e_ann_recall_planted): each doc gets its language's marker
+    // suffix appended in-plan, making the label learnable, and the
+    // graded 4-step trajectory (all 30 weights + argmax accuracy per
+    // step) must show the distillation converging — through the
+    // DuckDB replay of the identical snapped GD chain.
+    Q("t_lang_classifier",
+      (s, d) => graft.ops.Logistic.trainOvr(
+        langFeat(T(s, d, "documents")), p = 6, classes = 5,
+        steps = LangSteps, lr = 4.0),
+      Some(ovrTrajectorySql)),
+
+    // the serving half: heads trained by the identical snapped chain
+    // (weights bit-equal to the trajectory's final row by
+    // construction), predictions folded into the scan stage as
+    // literals — per-doc argmax lang + correctness, hash-graded.
+    Q("t_lang_classify_served",
+      (s, d) => {
+        val feat = langFeat(T(s, d, "documents"))
+        val w = graft.ops.Logistic.trainOvrWeights(feat, p = 6, classes = 5,
+          steps = LangSteps, lr = 4.0)
+        val pred = graft.ops.Logistic.predictOvr(col("x"), w)
+        val predLang = LangClasses.zipWithIndex.foldRight(lit("unk")) {
+          case ((l, c), acc) => when(pred === c, lit(l)).otherwise(acc) }
+        feat.select(col("doc_id"), col("y").cast("long").as("y"),
+          pred.cast("long").as("pred"), predLang.as("pred_lang"),
+          (pred === col("y").cast("int")).cast("long").as("correct"))
+      },
+      Some(ovrServedSql)),
+
     // corpus top terms: the wordcount staple over the BPE-ish
     // tokenizer (regex runs, not whitespace), deterministic tie-break
     Q("t_top_terms",
@@ -1526,7 +1562,9 @@ object TextQueries {
     // gradient row broadcast back in: nothing corpus-sized shuffles.
     Q("t_quality_classifier",
       (s, d) => {
-        val feat = graft.Caches.owned(qualityFeat(T(s, d, "documents")))
+        // ownedLazy: the training loop's first gradient aggregate
+        // builds the cache serially (no concurrent consumers)
+        val feat = graft.Caches.ownedLazy(qualityFeat(T(s, d, "documents")))
         graft.ops.Logistic.train(feat, p = 4, steps = 6, lr = 2.0)
       },
       Some(logitSql(6))),
@@ -1605,7 +1643,9 @@ object TextQueries {
     // threshold divergence shows as a row diff, not a silent count.
     Q("t_quality_filter",
       (s, d) => {
-        val feat = graft.Caches.owned(qualityFeat(T(s, d, "documents")))
+        // ownedLazy: the training loop's first gradient aggregate
+        // builds the cache serially (no concurrent consumers)
+        val feat = graft.Caches.ownedLazy(qualityFeat(T(s, d, "documents")))
         val w = graft.ops.Logistic.trainWeights(feat, p = 4, steps = 6, lr = 2.0)
         graft.ops.Logistic.keep(feat, w, threshold = 0.5)
       },
@@ -1620,7 +1660,9 @@ object TextQueries {
     // Same oracle as t_quality_filter: persisted == in-plan.
     Q("t_quality_filter_indexed",
       (s, d) => {
-        val feat = graft.Caches.owned(qualityFeat(T(s, d, "documents")))
+        // ownedLazy: the training loop's first gradient aggregate
+        // builds the cache serially (no concurrent consumers)
+        val feat = graft.Caches.ownedLazy(qualityFeat(T(s, d, "documents")))
         val dir = s"${sys.props("java.io.tmpdir")}/graft-logit-${storeKey(d)}"
         graft.ops.Logistic.buildWeightsIfAbsent(s, feat, p = 4, steps = 6,
           lr = 2.0, dir = dir,
@@ -2183,6 +2225,131 @@ object TextQueries {
          |WHERE df.fp NOT IN (SELECT fp FROM cf)
          |  AND dl.doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin
     })
+
+  // ---- trained language classifier (planted-marker corpus) ----
+
+  private[queries] lazy val LangClasses = Seq("en", "de", "es", "fr", "zh")
+  private lazy val LangSteps = 6
+  /** Marker vocabularies per class — the FEATURE definition. en's
+    * markers occur naturally in every doc (the corpus text is
+    * English-ish for all langs); the other classes' markers exist
+    * only where [[langSuffix]] plants them, so the planted corpus is
+    * linearly separable and the trajectory can show real learning. */
+  private lazy val LangMarkers = Seq(
+    "en" -> Seq("the", "of", "is", "a"),
+    "de" -> Seq("der", "und", "das"),
+    "es" -> Seq("el", "la", "y"),
+    "fr" -> Seq("le", "les", "et"),
+    "zh" -> Seq("你好", "世界"))
+  private lazy val LangSuffix = Seq(
+    "en" -> " the of is", "de" -> " der und das", "es" -> " el la y",
+    "fr" -> " le les et", "zh" -> " 你好 世界")
+
+  /** (doc_id, y = class index as double, x = [1, f_en..f_zh]) over
+    * the planted corpus; f_l = min(marker-ratio * 50, 1) — the ratio
+    * scale-up keeps early-step logits out of the flat sigmoid tail
+    * (the qualityXs scale-up convention; 50x saturates the planted-marker feature to ~1.0 for typical doc lengths). */
+  private def langFeat(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val suffix = LangSuffix.foldRight(lit(""): org.apache.spark.sql.Column) {
+      case ((l, sfx), acc) => when(col("lang") === l, lit(sfx)).otherwise(acc) }
+    val tk = split(concat(col("text"), suffix), " ")
+    val n = size(tk).cast("double")
+    val xs = lit(1.0) +: LangMarkers.map { case (_, ms) =>
+      least(size(filter(tk, t => t.isin(ms.map(lit): _*))).cast("double") / n * lit(50.0),
+        lit(1.0)) }
+    val y = LangClasses.zipWithIndex.foldRight(lit(-1.0): org.apache.spark.sql.Column) {
+      case ((l, c), acc) => when(col("lang") === l, lit(c.toDouble)).otherwise(acc) }
+    docs.select(col("doc_id"), y.as("y"), array(xs: _*).as("x"))
+  }
+
+  /** The OvR oracle CTE chain: planted features, w0 = zeros, then per
+    * step one 30-sum gradient CTE + the K weight-list updates + the
+    * argmax accuracy — the logitBody pattern at K = 5 heads. */
+  private def ovrBody(steps: Int, lr: String = "4e0"): String = {
+    val K = LangClasses.length
+    val P = 6
+    val suffix = LangSuffix.map { case (l, sfx) => s"WHEN '$l' THEN '$sfx'" }
+      .mkString(" ")
+    val feats = LangMarkers.map { case (_, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(",")
+      s"least((CAST(len(list_filter(tk2, x -> list_contains([$set], x))) AS DOUBLE)" +
+        s" / CAST(len(tk2) AS DOUBLE)) * 50e0, 1e0)"
+    }.mkString(",\n      ")
+    val yCase = LangClasses.zipWithIndex
+      .map { case (l, c) => s"WHEN '$l' THEN ${c}e0" }.mkString(" ")
+    def sig(wRel: String, c: Int): String = {
+      val dot = qroundSql((1 to P).map(j => s"x[$j] * $wRel.c$c[$j]").mkString(" + "), 6)
+      qroundSql(s"1e0 / (1e0 + exp(-($dot)))", 6)
+    }
+    val zeros = s"[${Seq.fill(P)("0e0").mkString(", ")}]"
+    val sb = new StringBuilder(
+      s"""feat AS MATERIALIZED (SELECT doc_id,
+         |    CASE lang $yCase END AS y,
+         |    [1e0,
+         |      $feats] AS x
+         |  FROM (SELECT doc_id, lang,
+         |          string_split(text || CASE lang $suffix END, ' ') AS tk2
+         |        FROM documents)),
+         |w0 AS (SELECT ${(0 until K).map(c => s"$zeros AS c$c").mkString(", ")})""".stripMargin)
+    for (t <- 1 to steps) {
+      val p = t - 1
+      val gsums = (for (c <- 0 until K; j <- 0 until P) yield
+        s"CAST(sum(${qlongSql(s"((CASE WHEN y = ${c}e0 THEN 1e0 ELSE 0e0 END) - ${sig(s"w$p", c)}) * x[${j + 1}]", "1000000")}) AS BIGINT) AS g_${c}_$j")
+        .mkString(",\n         ")
+      val wnews = (0 until K).map { c =>
+        val es = (0 until P).map(j =>
+          qroundSql(s"w$p.c$c[${j + 1}] + $lr * CAST(g_${c}_$j AS DOUBLE) / (1000000e0 * CAST(n AS DOUBLE))", 6))
+        s"[${es.mkString(", ")}] AS c$c"
+      }.mkString(",\n         ")
+      val sigs = (0 until K).map(c => s"${sig(s"w$t", c)} AS s$c").mkString(", ")
+      val best = s"greatest(${(0 until K).map(c => s"s$c").mkString(", ")})"
+      val predCase = (0 until K).map(c => s"WHEN s$c = best THEN $c").mkString(" ")
+      sb ++=
+        s""",
+           |g$t AS (SELECT $gsums,
+           |         CAST(count(*) AS BIGINT) AS n FROM feat, w$p),
+           |w$t AS (SELECT $wnews FROM g$t, w$p),
+           |s$t AS (SELECT y, $sigs FROM feat, w$t),
+           |a$t AS (SELECT ${qroundSql(s"avg(CASE WHEN (CASE $predCase END) = CAST(y AS INTEGER) THEN 1e0 ELSE 0e0 END)", 6)} AS acc
+           |       FROM (SELECT y, s0, s1, s2, s3, s4, $best AS best FROM s$t))""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def ovrTrajectorySql: String = {
+    val K = LangClasses.length
+    val P = 6
+    val cols = (for (c <- 0 until K; j <- 0 until P)
+      yield s"c$c[${j + 1}] AS w${c}_$j").mkString(", ")
+    "WITH " + ovrBody(LangSteps) + "\nSELECT * FROM (" +
+      (1 to LangSteps).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS step, $cols, acc FROM w$t, a$t")
+        .mkString(" UNION ALL ") + ")"
+  }
+
+  private def ovrServedSql: String = {
+    val K = LangClasses.length
+    def sig(c: Int): String = {
+      val dot = qroundSql((1 to 6).map(j => s"x[$j] * wf.c$c[$j]").mkString(" + "), 6)
+      qroundSql(s"1e0 / (1e0 + exp(-($dot)))", 6)
+    }
+    val sigs = (0 until K).map(c => s"${sig(c)} AS s$c").mkString(", ")
+    val best = s"greatest(${(0 until K).map(c => s"s$c").mkString(", ")})"
+    val predCase = (0 until K).map(c => s"WHEN s$c = best THEN $c").mkString(" ")
+    val langCase = LangClasses.zipWithIndex
+      .map { case (l, c) => s"WHEN $c THEN '$l'" }.mkString(" ")
+    "WITH " + ovrBody(LangSteps) +
+      s""",
+         |wf AS (SELECT * FROM w$LangSteps),
+         |sc AS (SELECT doc_id, y, $sigs FROM feat, wf),
+         |pr AS (SELECT doc_id, y,
+         |         (CASE $predCase END) AS pred
+         |       FROM (SELECT doc_id, y, s0, s1, s2, s3, s4, $best AS best FROM sc))
+         |SELECT doc_id, CAST(y AS BIGINT) AS y, CAST(pred AS BIGINT) AS pred,
+         |  (CASE pred $langCase ELSE 'unk' END) AS pred_lang,
+         |  (CASE WHEN pred = CAST(y AS INTEGER) THEN 1 ELSE 0 END)::BIGINT AS correct
+         |FROM pr""".stripMargin
+  }
 
   /** The deterministic HTML wrapper the html-front-door rows grade
     * against: title carries `source`, a script and style block and a

@@ -526,6 +526,25 @@ class TextPipelineSpec extends AnyFunSuite {
       s"accuracy trajectory regressed: $accs")
   }
 
+  test("Logistic.trainOvr: multiclass lang distillation converges; served == trajectory-final") {
+    val fn = SparkEntry.allQueries.find(_.name == "t_lang_classifier").get.fn
+    val rows = fn(spark, "/root/testdata/sf0.01").collect().sortBy(_.getAs[Long]("step"))
+    val accs = rows.map(_.getAs[Double]("acc")).toSeq
+    // planted markers make the corpus linearly separable: the OvR
+    // heads must reach perfect training accuracy, starting from the
+    // majority floor (en = 43.6% at sf0.01)
+    assert(accs.head < 0.6, s"step-1 accuracy $accs should start near the floor")
+    assert(accs.last == 1.0, s"final accuracy must hit 1.0 on separable data: $accs")
+    // serving parity: trainOvrWeights == the trajectory's final row
+    // (the identical snapped chain minus accuracy passes)
+    val served = SparkEntry.allQueries.find(_.name == "t_lang_classify_served").get
+      .fn(spark, "/root/testdata/sf0.01").collect()
+    assert(served.forall(_.getAs[Long]("correct") == 1L),
+      "served argmax must match every planted label at convergence")
+    val predLangs = served.map(_.getAs[String]("pred_lang")).toSet
+    assert(predLangs == Set("en", "de", "es", "fr", "zh"), predLangs.toString)
+  }
+
   test("ids-flagship gate predicate compiles under CODEGEN_ONLY (no interpreted fallback)") {
     // Regression pin on the round-13 codegen fix: score(qualityX, w)
     // wrapped the inline CaseWhen features in CreateArray and
