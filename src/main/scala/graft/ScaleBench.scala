@@ -151,7 +151,10 @@ object ScaleBench {
     // multiclass OvR training: 2 bounded aggregates per step over the
     // planted-feature scan (expect the t_quality_classifier slope);
     // serving folds literal weights into one scan pass
-    "t_lang_classifier", "t_lang_classify_served")
+    "t_lang_classifier", "t_lang_classify_served",
+    // MP3 frame walk is per-row scan-stage work (the m_flac_frames
+    // class with a header-walk constant)
+    "m_mp3_frames")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

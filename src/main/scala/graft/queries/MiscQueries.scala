@@ -808,6 +808,54 @@ object MiscQueries {
              |  CAST(sum(v * v) AS BIGINT) AS pcm_sq
              |FROM px GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin)),
 
+    // MP3 frame-level metadata through the REAL MPEG-1 Layer III
+    // header walker (ops/Mp3): per doc a seeded VBR frame sequence
+    // (bitrate + padding vary per frame) is packed — some streams
+    // with an ID3v2 prefix and/or an ID3v1 tail the walker must
+    // skip — then parsed back; frame counts, audio byte totals,
+    // padding counts, bitrate mass and duration are hash-graded
+    // against the closed-form frame-length arithmetic
+    // (144000*kbps/rate + pad). PCM decode stays a LOUD contract
+    // (Mp3.decodePcm — the H.264 fourcc convention), recorded in
+    // SURVEY; metadata is what a curation pipeline consumes.
+    Q("m_mp3_frames",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val sri = (id % 3).toInt
+              val ch = (id % 2 + 1).toInt
+              val n = (id % 23 + 1).toInt
+              val bidx = Seq.tabulate(n)(i => ((id * 7 + i * 3) % 14 + 1).toInt)
+              val pads = Seq.tabulate(n)(i => (id + i) % 2 == 0)
+              val a = graft.ops.Mp3.parse(graft.ops.Mp3.pack(sri, ch, bidx, pads,
+                seed = id, id3Size = if (id % 5 == 0) 64 else 0,
+                id3v1Tail = id % 7 == 0))
+              (id, a.sampleRate, a.channels, a.nFrames.toLong,
+                a.audioBytes, a.frames.count(_.padded).toLong,
+                a.frames.map(_.bitrateKbps.toLong).sum, a.durationMs)
+            }
+          }.toDF("doc_id", "sample_rate", "channels", "n_frames",
+            "audio_bytes", "n_padded", "kbps_sum", "duration_ms")
+      },
+      Some("""WITH js AS (SELECT unnest(range(0, 23)) AS j),
+             |fx AS (SELECT d.doc_id,
+             |         ([44100, 48000, 32000])[CAST(d.doc_id % 3 + 1 AS INT)] AS rate,
+             |         ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST((d.doc_id * 7 + js.j * 3) % 14 + 1 AS INT)] AS kbps,
+             |         CASE WHEN (d.doc_id + js.j) % 2 = 0 THEN 1 ELSE 0 END AS pad
+             |       FROM documents d, js
+             |       WHERE js.j < d.doc_id % 23 + 1)
+             |SELECT doc_id,
+             |  CAST(max(rate) AS INT) AS sample_rate,
+             |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+             |  CAST(count(*) AS BIGINT) AS n_frames,
+             |  CAST(sum(144000 * kbps // rate + pad) AS BIGINT) AS audio_bytes,
+             |  CAST(sum(pad) AS BIGINT) AS n_padded,
+             |  CAST(sum(kbps) AS BIGINT) AS kbps_sum,
+             |  CAST(count(*) * 1152 * 1000 // max(rate) AS BIGINT) AS duration_ms
+             |FROM fx GROUP BY doc_id""".stripMargin)),
+
     // image header metadata through the REAL parser — packPngHeader
     // writes the spec's signature+IHDR layout (header-only fixture),
     // the decode dispatch takes the real PNG branch (not the stub),
