@@ -649,8 +649,10 @@ object TextQueries {
     // step) must show the distillation converging — through the
     // DuckDB replay of the identical snapped GD chain.
     Q("t_lang_classifier",
+      // ownedLazy feat: 2*steps training passes re-consume it; the
+      // first gradient aggregate builds the cache serially
       (s, d) => graft.ops.Logistic.trainOvr(
-        langFeat(T(s, d, "documents")), p = 6, classes = 5,
+        graft.Caches.ownedLazy(langFeat(T(s, d, "documents"))), p = 6, classes = 5,
         steps = LangSteps, lr = 4.0),
       Some(ovrTrajectorySql)),
 
@@ -660,7 +662,7 @@ object TextQueries {
     // literals — per-doc argmax lang + correctness, hash-graded.
     Q("t_lang_classify_served",
       (s, d) => {
-        val feat = langFeat(T(s, d, "documents"))
+        val feat = graft.Caches.ownedLazy(langFeat(T(s, d, "documents")))
         val w = graft.ops.Logistic.trainOvrWeights(feat, p = 6, classes = 5,
           steps = LangSteps, lr = 4.0)
         val pred = graft.ops.Logistic.predictOvr(col("x"), w)

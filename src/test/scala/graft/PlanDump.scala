@@ -81,7 +81,12 @@ object PlanDump {
     "e_opq_refined",      // OPQ refinement: native matvec rotate + Lloyd + dim-group correlation agg
     "e_opq_indexed",      // rotated serving: stored rot row + partition-pruned probe scan
     "t_unigram_foreign_vocab", // foreign model ingest: literal costs + scan-stage Viterbi + id path
-    "t_pack_bfd_rows"     // content-graded BFD packs: native assignment fold + doc-keyed id join
+    "t_pack_bfd_rows",    // content-graded BFD packs: native assignment fold + doc-keyed id join
+    "t_line_dedup",       // line dedup: ONE bounded line-keyed gather + doc re-agg + scan rebuild
+    "t_html_extract",     // HTML extraction: zero-exchange scan-stage kernel
+    "pipe_scrub_html_e2e", // extraction fused under the scrub flagship, one plan
+    "t_lang_classifier",  // OvR training: 2 bounded aggregates per step over the cached feature scan
+    "m_mp3_frames"        // MP3 frame walk: per-row scan-stage pack->parse, zero shuffles
   )
 
   def main(args: Array[String]): Unit = {
