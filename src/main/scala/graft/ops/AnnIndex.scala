@@ -135,6 +135,15 @@ object AnnIndex {
     * write. */
   def append(spark: SparkSession, newEmb: DataFrame, dir: String,
              p: Pq.Params = Pq.Params()): Unit = {
+    // writer exclusion vs a concurrent [[compact]] (fast-fail side —
+    // the store-family convention): a refused batch stays un-marked
+    // and replays cleanly; one that slipped past the check has its
+    // files reconciled by CompactSwap, never retired.
+    val cm = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    val cfs = cm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(cm))
+      throw new IllegalStateException(
+        s"ANN index $dir is compacting ($cm present); retry the append after it completes")
     val meta = spark.read.parquet(s"$dir/meta")
     val assigned = Pq.ivfAssignedWith(newEmb, meta.select(col("cells")))
       .select(col("vec_id"), col("cell"),
@@ -273,30 +282,21 @@ object AnnIndex {
     * and the meta table is not rewritten. */
   def compact(spark: SparkSession, dir: String,
               maxRecordsPerFile: Long = 1L << 20): Unit = {
-    val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes_compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/codes_compact_old")
-    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recover a prior compact that died between its renames: the only
-    // copy of the data is `old` — restore it BEFORE the cleanup below
-    // would delete it
-    if (!fs.exists(codes) && fs.exists(old))
-      require(fs.rename(old, codes), s"compact: could not recover $old")
-    fs.delete(tmp, true); fs.delete(old, true)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
     // one shuffle by cell so each partition writes one run of files;
     // maxRecordsPerFile caps file size without a per-cell coalesce(1)
-    // driver loop (cells can be arbitrarily large at 100 TB)
-    spark.read.parquet(codes.toString)
-      .repartition(col("cell"))
-      .write.option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("cell").parquet(tmp.toString)
-    require(fs.rename(codes, old), s"compact: could not retire $codes")
-    if (!fs.rename(tmp, codes)) {
-      fs.rename(old, codes) // put the original back before failing
-      throw new IllegalStateException(
-        s"compact: could not promote $tmp; original codes restored")
-    }
-    fs.delete(old, true)
+    // driver loop (cells can be arbitrarily large at 100 TB).
+    // CompactSwap carries the cell=N partition layout through the
+    // manifest/basePath/reconcile protocol, so a concurrent append's
+    // files land in the right cell dir instead of being retired.
+    try CompactSwap.rewriteTable(spark,
+      new org.apache.hadoop.fs.Path(s"$dir/codes"),
+      df => df.repartition(col("cell")),
+      (df, tmp) => df.write.option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("cell").parquet(tmp))
+    finally fs.delete(marker, false)
   }
 
   /** [[build]] only when no CURRENT index for this corpus exists —

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The shared compaction discipline of the persisted stores (sketch
+  * store, dedup store): rewrite a parquet table dir through an
+  * explicit MANIFEST snapshot, swap it in with two renames, and
+  * RECONCILE any file a concurrent append landed after the snapshot
+  * listing — so a writer that slipped past a check-then-act exclusion
+  * gate can never have its rows silently retired (the round-16
+  * advice race, closed once here for every store).
+  *
+  * Protocol per table `cur`:
+  *  1. list `cur`'s data files; write the names to
+  *     `{cur}_compact_snapshot`;
+  *  2. rewrite EXACTLY those files (the caller's `rewrite` plan) into
+  *     `{cur}_compact_tmp`;
+  *  3. rename cur -> `{cur}_compact_old`, tmp -> cur; mark
+  *     `{cur}_compact_promoted`;
+  *  4. move every data file in old that is NOT in the manifest — a
+  *     concurrent append the snapshot missed — into the new cur
+  *     (unique part-file names make this collision-free, and both
+  *     stores' tables are row-preserving under extra files: the
+  *     sketch store merges rows at READ time, the dedup store is a
+  *     plain row set);
+  *  5. delete old, manifest, promoted marker.
+  *
+  * Crash recovery (run before a new rewrite): the persisted manifest
+  * + promoted marker disambiguate every state —
+  *  - promoted: old's manifest files are merged-already (delete),
+  *    the rest are orphan appends (reconcile into cur);
+  *  - not promoted: nothing was published — restore every retired
+  *    file into cur (which may already hold files an append committed
+  *    into a recreated dir) and drop tmp.
+  * An append whose commit straddles the retire rename fails loudly on
+  * its own (its _temporary dir moves out from under the committer),
+  * leaving the batch un-marked for a clean replay.
+  */
+object CompactSwap {
+
+  /** Data files under `p` RECURSIVELY as (status, path relative to
+    * `p`) — partitioned tables keep their `key=value/part-…` layout
+    * through the manifest and the reconcile moves. Hidden dirs/files
+    * (`_temporary`, markers, `.crc`) are skipped at every level. */
+  private def dataFiles(fs: FileSystem, p: Path): Seq[(FileStatus, String)] = {
+    def walk(d: Path, prefix: String): Seq[(FileStatus, String)] =
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).toSeq.flatMap { f =>
+        val n = f.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (f.isFile) Seq((f, prefix + n))
+        else walk(f.getPath, prefix + n + "/")
+      }
+    walk(p, "")
+  }
+
+  /** Move `f` to `destRoot/rel`, creating parent dirs (partition
+    * subdirs) as needed. */
+  private def moveInto(fs: FileSystem, f: Path, destRoot: Path, rel: String): Unit = {
+    val dest = new Path(destRoot, rel)
+    fs.mkdirs(dest.getParent)
+    require(fs.rename(f, dest), s"compact: could not reconcile $f into $dest")
+  }
+
+  private def readManifest(fs: FileSystem, p: Path): Set[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+    finally in.close()
+  }
+
+  /** Recover a crashed swap of `cur`, then rewrite it through the
+    * snapshot/swap/reconcile protocol. `rewrite` maps the
+    * snapshot-file frame to the compacted frame; `write` persists it
+    * to the tmp path (owning format options like maxRecordsPerFile
+    * and partitionBy). Hive-partitioned tables are supported: the
+    * manifest carries paths relative to `cur`, the snapshot read uses
+    * `basePath` so partition columns survive reading explicit leaf
+    * files, and reconciled files keep their `key=value/` subpath.
+    * No-op when `cur` has no data files. The caller owns any
+    * store-level writer-exclusion marker. */
+  def rewriteTable(spark: SparkSession, cur: Path,
+                   rewrite: DataFrame => DataFrame,
+                   write: (DataFrame, String) => Unit): Unit = {
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(cur.getParent, cur.getName + "_compact_tmp")
+    val old = new Path(cur.getParent, cur.getName + "_compact_old")
+    val manifest = new Path(cur.getParent, cur.getName + "_compact_snapshot")
+    val promoted = new Path(cur.getParent, cur.getName + "_compact_promoted")
+    // ---- recovery of a prior crashed swap ----
+    if (fs.exists(manifest)) {
+      val snap = readManifest(fs, manifest)
+      if (fs.exists(promoted)) {
+        dataFiles(fs, old).foreach { case (f, rel) =>
+          if (snap(rel)) fs.delete(f.getPath, false)
+          else moveInto(fs, f.getPath, cur, rel)
+        }
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        dataFiles(fs, old).foreach { case (f, rel) => moveInto(fs, f.getPath, cur, rel) }
+        fs.delete(old, true)
+      }
+      fs.delete(tmp, true)
+      fs.delete(manifest, false); fs.delete(promoted, false)
+    } else {
+      // legacy crash shapes (pre-manifest): cur gone -> old is it
+      if (!fs.exists(cur) && fs.exists(old))
+        require(fs.rename(old, cur), s"compact: could not recover $old")
+      fs.delete(tmp, true); fs.delete(old, true)
+    }
+    // ---- the rewrite proper ----
+    val snapFiles = dataFiles(fs, cur)
+    if (snapFiles.nonEmpty) {
+      val out = fs.create(manifest, true)
+      try out.write(snapFiles.map(_._2).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      val snapNames = snapFiles.map(_._2).toSet
+      write(rewrite(spark.read.option("basePath", cur.toString)
+          .parquet(snapFiles.map(_._1.getPath.toString): _*)),
+        tmp.toString)
+      require(fs.rename(cur, old), s"compact: could not retire $cur")
+      if (!fs.rename(tmp, cur)) {
+        dataFiles(fs, old).foreach { case (f, rel) => moveInto(fs, f.getPath, cur, rel) }
+        fs.delete(old, true); fs.delete(manifest, false)
+        throw new IllegalStateException(
+          s"compact: could not promote $tmp; original $cur restored")
+      }
+      fs.create(promoted, true).close()
+      dataFiles(fs, old).filterNot(p => snapNames(p._2))
+        .foreach { case (f, rel) => moveInto(fs, f.getPath, cur, rel) }
+      fs.delete(old, true)
+      fs.delete(manifest, false); fs.delete(promoted, false)
+    }
+  }
+}

@@ -98,6 +98,17 @@ object DedupIndex {
     * two appends — the store is never rewritten. */
   def append(kept: DataFrame, dir: String, textCol: Column, idCol: Column,
              shingleK: Int = 3, seeds: Int = 4, bands: Int = 4): Unit = {
+    // writer exclusion vs a concurrent [[compact]] (fast-fail side —
+    // the Sketches.requireNotCompacting convention): failing here
+    // leaves the batch's idempotency marker unwritten, so the replay
+    // ingests cleanly after compaction. The correctness side (an
+    // append that passed this check before the marker went up) is
+    // CompactSwap's manifest+reconcile in [[compact]].
+    val cm = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    val cfs = cm.getFileSystem(kept.sparkSession.sparkContext.hadoopConfiguration)
+    if (cfs.exists(cm))
+      throw new IllegalStateException(
+        s"dedup store $dir is compacting ($cm present); retry the append after it completes")
     // `kept` normally comes from [[deltaKeep]], whose plan READS the
     // very tables written below — and the first write invalidates any
     // cached/unevaluated form of that plan (Spark recaches by path),
@@ -183,36 +194,29 @@ object DedupIndex {
   /** Store COMPACTION — the fourth verb (build → deltaKeep → append →
     * compact): every appended batch adds at least one file to each
     * table, and a month of crawl batches turns the store scan into
-    * thousands of small-file opens. Same swap discipline as
-    * [[AnnIndex.compact]]: rewrite into a fresh dir with
-    * `maxRecordsPerFile` bin-packing, two renames, crash inside the
-    * window self-heals on the next call. Both rewrites hash-
-    * repartition on the probe key (fp; (band_idx, band_key)) — one
-    * shuffle each, parallel at any store size (never a coalesce(1)),
-    * with `maxRecordsPerFile` capping file sizes. */
+    * thousands of small-file opens. Both tables rewrite through
+    * [[CompactSwap.rewriteTable]] (manifest snapshot, two-rename
+    * swap, late-append reconcile, crash recovery — the round-17
+    * discipline shared with the sketch store), hash-repartitioned on
+    * the probe key (fp; (band_idx, band_key)) — one shuffle each,
+    * parallel at any store size (never a coalesce(1)), with
+    * `maxRecordsPerFile` capping file sizes. A `_compacting` marker
+    * is held across BOTH table swaps; [[append]] refuses under it
+    * (fast-fail), and an append that slipped past the check has its
+    * files reconciled, never retired — both tables are plain row
+    * sets, so carried-over files are row-preserving. */
   def compact(spark: SparkSession, dir: String,
-              maxRecordsPerFile: Long = 1L << 20): Unit =
-    for (t <- Seq("fp", "bands")) {
-      val cur = new org.apache.hadoop.fs.Path(s"$dir/$t")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${t}_compact_tmp")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/${t}_compact_old")
-      val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(cur) && fs.exists(old))
-        require(fs.rename(old, cur), s"compact: could not recover $old")
-      fs.delete(tmp, true); fs.delete(old, true)
-      val df = spark.read.parquet(cur.toString)
-      val packed =
-        if (t == "bands") df.repartition(col("band_idx"), col("band_key"))
-        else df.repartition(col("fp"))
-      packed.write.option("maxRecordsPerFile", maxRecordsPerFile).parquet(tmp.toString)
-      require(fs.rename(cur, old), s"compact: could not retire $cur")
-      if (!fs.rename(tmp, cur)) {
-        fs.rename(old, cur)
-        throw new IllegalStateException(
-          s"compact: could not promote $tmp; original $t restored")
-      }
-      fs.delete(old, true)
-    }
+              maxRecordsPerFile: Long = 1L << 20): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+    try for (t <- Seq("fp", "bands"))
+      CompactSwap.rewriteTable(spark, new org.apache.hadoop.fs.Path(s"$dir/$t"),
+        df => if (t == "bands") df.repartition(col("band_idx"), col("band_key"))
+              else df.repartition(col("fp")),
+        (df, tmp) => df.write.option("maxRecordsPerFile", maxRecordsPerFile).parquet(tmp))
+    finally fs.delete(marker, false)
+  }
 
   /** [[deltaKeep]]'s result plus its operational side-channel (the
     * [[Dedup.LshCandidates]] convention).

@@ -145,102 +145,28 @@ object Sketches {
     *
     * The exclusion gate is check-then-act, so an append that passed
     * the check BEFORE the marker went up can still land files while
-    * the rewrite runs. Those rows are never lost: the rewrite reads
-    * an EXPLICIT file manifest (written to `_compact_snapshot` before
-    * any aggregation), and after promoting the compacted table every
-    * data file found in the retired dir that is NOT in the manifest —
-    * a concurrent append the snapshot missed — is MOVED into the new
-    * table before the retired dir is deleted. An append whose commit
-    * straddles the retire rename itself fails loudly (its temp dir
-    * moves out from under the committer), leaving the batch un-marked
-    * for a clean replay — so every concurrent-append ordering ends
-    * with the rows present exactly once or a loud retry.
-    * Crash recovery reads the persisted manifest + a `_compact_
-    * promoted` marker to tell merged-already files (delete) from
-    * orphan appends (reconcile) from an un-promoted rewrite (restore). */
+    * the rewrite runs. Those rows are never lost: the rewrite goes
+    * through [[CompactSwap.rewriteTable]] — explicit manifest
+    * snapshot, two-rename swap, post-promote reconcile of any file
+    * the snapshot missed, manifest+promoted-marker crash recovery —
+    * so every concurrent-append ordering ends with the rows present
+    * exactly once or a loud retry (an append whose commit straddles
+    * the retire rename fails loudly, leaving its batch un-marked). */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               keys: Seq[String]): Unit = {
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/sketches")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_old")
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
-    val manifest = new org.apache.hadoop.fs.Path(s"$dir/_compact_snapshot")
-    val promoted = new org.apache.hadoop.fs.Path(s"$dir/_compact_promoted")
-    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.filter { f =>
-        val n = f.getPath.getName
-        f.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-    def moveInto(f: org.apache.hadoop.fs.Path, destDir: org.apache.hadoop.fs.Path): Unit = {
-      fs.mkdirs(destDir)
-      require(fs.rename(f, new org.apache.hadoop.fs.Path(destDir, f.getName)),
-        s"compact: could not reconcile $f into $destDir")
-    }
-    // writer exclusion: ingestBatch refuses to append while this
-    // marker is up. A stale marker from a crashed compact is ours
-    // to clear — this call rebuilds the store it guarded.
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer exclusion (fast-fail side): ingestBatch refuses to
+    // append while this marker is up. A stale marker from a crashed
+    // compact is ours to clear — this call rebuilds the store it
+    // guarded. The correctness side (manifest snapshot + late-append
+    // reconcile + crash recovery) lives in [[CompactSwap]].
     fs.create(marker, true).close()
-    try {
-      if (fs.exists(manifest)) {
-        // a prior compact died mid-flight; the manifest says which
-        // files its rewrite covered
-        val snap = {
-          val in = fs.open(manifest)
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
-          finally in.close()
-        }
-        if (fs.exists(promoted)) {
-          // rewrite is live in cur; retired files in the manifest are
-          // merged-already, the rest are orphan concurrent appends
-          dataFiles(old).foreach { f =>
-            if (snap(f.getPath.getName)) fs.delete(f.getPath, false)
-            else moveInto(f.getPath, cur)
-          }
-          fs.delete(old, true)
-        } else if (fs.exists(old)) {
-          // died between retire and promote: nothing was published —
-          // restore EVERY retired file (cur may already hold files an
-          // append committed into a recreated dir; names are unique)
-          dataFiles(old).foreach(f => moveInto(f.getPath, cur))
-          fs.delete(old, true)
-        }
-        fs.delete(tmp, true)
-        fs.delete(manifest, false); fs.delete(promoted, false)
-      } else {
-        // legacy crash shapes (pre-manifest): cur gone -> old is it
-        if (!fs.exists(cur) && fs.exists(old))
-          require(fs.rename(old, cur), s"compact: could not recover $old")
-        fs.delete(tmp, true); fs.delete(old, true)
-      }
-      val snapFiles = dataFiles(cur)
-      if (snapFiles.nonEmpty) {
-        val out = fs.create(manifest, true)
-        try out.write(snapFiles.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
-        finally out.close()
-        val snapNames = snapFiles.map(_.getPath.getName).toSet
-        // aggregate EXACTLY the manifest files — a file appended after
-        // this listing is by definition not merged, and the reconcile
-        // below carries it over
-        spark.read.parquet(snapFiles.map(_.getPath.toString): _*)
-          .groupBy(keys.map(col): _*)
-          .agg(hll_union_agg(col("sk")).as("sk"))
-          .write.parquet(tmp.toString)
-        require(fs.rename(cur, old), s"compact: could not retire $cur")
-        if (!fs.rename(tmp, cur)) {
-          dataFiles(old).foreach(f => moveInto(f.getPath, cur))
-          fs.delete(old, true); fs.delete(manifest, false)
-          throw new IllegalStateException(
-            s"compact: could not promote $tmp; original store restored")
-        }
-        fs.create(promoted, true).close()
-        dataFiles(old).filterNot(f => snapNames(f.getPath.getName))
-          .foreach(f => moveInto(f.getPath, cur))
-        fs.delete(old, true)
-        fs.delete(manifest, false); fs.delete(promoted, false)
-      }
-    } finally fs.delete(marker, false)
+    try CompactSwap.rewriteTable(spark,
+      new org.apache.hadoop.fs.Path(s"$dir/sketches"),
+      df => df.groupBy(keys.map(col): _*).agg(hll_union_agg(col("sk")).as("sk")),
+      (df, tmp) => df.write.parquet(tmp))
+    finally fs.delete(marker, false)
   }
 
   /** Distinct-count estimates over an ingested store, one row per

@@ -581,14 +581,14 @@ class ApproxSpec extends AnyFunSuite {
     spark.read.parquet(snap.map(n => s"$old/$n"): _*)
       .groupBy(col("lang")).agg(expr("hll_union_agg(sk)").as("sk"))
       .write.mode("overwrite").parquet(cur.toString)
-    val mOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_compact_snapshot"), true)
+    val mOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_snapshot"), true)
     mOut.write(snap.mkString("\n").getBytes("UTF-8")); mOut.close()
-    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_compact_promoted"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_promoted"), true).close()
     // recovery + fresh compact: nothing lost, nothing doubled
     graft.ops.Sketches.compact(spark, dir, Seq("lang"))
     assert(!fs.exists(old) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_compact_snapshot")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_compact_promoted")))
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_snapshot")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_promoted")))
     val est = graft.ops.Sketches.estimateStore(spark, dir, Seq("lang"))
       .where(col("gid") === 0).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
@@ -614,7 +614,7 @@ class ApproxSpec extends AnyFunSuite {
     fs.mkdirs(old)
     names.foreach(n => require(fs.rename(
       new org.apache.hadoop.fs.Path(cur, n), new org.apache.hadoop.fs.Path(old, n))))
-    val mOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_compact_snapshot"), true)
+    val mOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_snapshot"), true)
     mOut.write(names.mkString("\n").getBytes("UTF-8")); mOut.close()
     assert(graft.ops.Sketches.ingestBatchOnce(spark,
       batch(("de", "h3")), dir, Seq("lang"), $"h", "ckS", 1))
@@ -919,6 +919,67 @@ class ApproxSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(recovered == full,
       s"crash recovery lost data:\n  got =$recovered\n  want=$full")
+  }
+
+  test("AnnIndex.compact: partitioned late appends reconcile into their cells; append refused under the marker") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val isDelta = col("vec_id") % 10 === 3 && col("vec_id") > 16
+    val q = emb.where(col("vec_id") === 0).select(col("ve").as("qv"))
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-reconcile"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    graft.ops.AnnIndex.build(corpus.where(!isDelta), dir)
+    def rels(root: String): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      val out = Set.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet"))
+          out += p.toString.stripPrefix(
+            fs.makeQualified(new org.apache.hadoop.fs.Path(root)).toString + "/")
+      }
+      out.result()
+    }
+    val snap = rels(s"$dir/codes")
+    graft.ops.AnnIndex.append(spark, corpus.where(isDelta), dir)
+    val truth = graft.ops.AnnIndex.search(spark, dir, q, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    // craft the crashed-after-promote state: EVERY file retired into
+    // old (cell=N layout preserved), the compacted form of only the
+    // SNAPSHOT files live in codes, manifest + promoted marker present
+    // — the appended delta's files exist only in old and only the
+    // reconcile can save them
+    val codesP = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val oldP = new org.apache.hadoop.fs.Path(s"$dir/codes_compact_old")
+    for (r <- rels(s"$dir/codes")) {
+      val dest = new org.apache.hadoop.fs.Path(oldP, r)
+      fs.mkdirs(dest.getParent)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(codesP, r), dest))
+    }
+    fs.delete(codesP, true)
+    spark.read.option("basePath", oldP.toString)
+      .parquet(snap.map(r => s"$oldP/$r").toSeq: _*)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(codesP.toString)
+    val mOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/codes_compact_snapshot"), true)
+    mOut.write(snap.mkString("\n").getBytes("UTF-8")); mOut.close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/codes_compact_promoted"), true).close()
+    graft.ops.AnnIndex.compact(spark, dir)
+    assert(!fs.exists(oldP) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_compact_snapshot")))
+    val recovered = graft.ops.AnnIndex.search(spark, dir, q, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(recovered == truth, "reconcile lost or doubled the late append")
+    // fast-fail side: append refuses while the marker is up
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    fs.create(marker, true).close()
+    val e = intercept[IllegalStateException](
+      graft.ops.AnnIndex.append(spark, corpus.where(isDelta), dir))
+    assert(e.getMessage.contains("compacting"), e.getMessage)
+    fs.delete(marker, false)
   }
 
   test("AnnIndex with TRAINED centroids: meta persists the quantizer, search follows") {

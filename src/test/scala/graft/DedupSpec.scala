@@ -531,6 +531,47 @@ class DedupSpec extends AnyFunSuite {
     assert(replayKeep(100) == uncapped, "replay at wide cap diverges from uncapped")
   }
 
+  test("DedupIndex.compact: late-append files reconciled; append refused under the marker") {
+    import graft.ops.DedupIndex
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-reconcile").toString
+    DedupIndex.build(docs, dir, $"text", $"doc_id")
+    def files(t: String): Set[String] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/$t")).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSet
+    val snap = files("bands")
+    // the "concurrent" append the snapshot missed
+    val late = Seq((301L, "wholly new content about reconciliation and snapshots"))
+      .toDF("doc_id", "text")
+    DedupIndex.append(late, dir, $"text", $"doc_id")
+    val truth = spark.read.parquet(s"$dir/bands").collect().map(_.toSeq).toSet
+    // craft crashed-after-promote on bands: everything retired to old,
+    // cur = compacted SNAPSHOT files only, manifest + promoted present
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/bands")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/bands_compact_old")
+    fs.mkdirs(old)
+    files("bands").foreach(n => assert(fs.rename(
+      new org.apache.hadoop.fs.Path(cur, n), new org.apache.hadoop.fs.Path(old, n))))
+    spark.read.parquet(snap.map(n => s"$old/$n").toSeq: _*)
+      .repartition(col("band_idx"), col("band_key"))
+      .write.mode("overwrite").parquet(cur.toString)
+    val mOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/bands_compact_snapshot"), true)
+    mOut.write(snap.mkString("\n").getBytes("UTF-8")); mOut.close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/bands_compact_promoted"), true).close()
+    DedupIndex.compact(spark, dir)
+    assert(!fs.exists(old))
+    val recovered = spark.read.parquet(s"$dir/bands").collect().map(_.toSeq).toSet
+    assert(recovered == truth, "reconcile lost or doubled the late append's band rows")
+    // fast-fail: append refuses while a compact holds the store
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    fs.create(marker, true).close()
+    val e = intercept[IllegalStateException](
+      DedupIndex.append(late, dir, $"text", $"doc_id"))
+    assert(e.getMessage.contains("compacting"), e.getMessage)
+    fs.delete(marker, false)
+  }
+
   test("DedupIndex.append: kept-delta ingest equals a one-shot build over corpus + kept") {
     import graft.ops.DedupIndex
     val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-append").toString
