@@ -154,7 +154,12 @@ object ScaleBench {
     "t_lang_classifier", "t_lang_classify_served",
     // MP3 frame walk is per-row scan-stage work (the m_flac_frames
     // class with a header-walk constant)
-    "m_mp3_frames")
+    "m_mp3_frames",
+    // serving stores: the OvR weight store builds on the first run
+    // (marker-skipped after; min-time = the literal-weights scan);
+    // the line store's probe is batch-bounded over a store scan —
+    // expect the d_delta_index_keep class
+    "t_lang_classify_indexed", "t_line_dedup_indexed")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

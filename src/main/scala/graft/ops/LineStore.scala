@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted LINE-frequency store — the serving shape of CCNet-style
+  * boilerplate removal ([[Dedup.lineDedup]] is the one-shot corpus
+  * form): a 100 TB lake's duplicated-line profile is computed once,
+  * and each arriving crawl batch is scrubbed against the STORE plus
+  * its own lines — corpus text never re-read, store never shuffled
+  * (the [[DedupIndex]] broadcast-the-delta doctrine).
+  *
+  * Store layout: `counts` = (line, n_docs) rows. Appends write
+  * PER-BATCH partials; readers sum per line at probe time (the
+  * sketch-store convention — no read-modify-write), and [[compact]]
+  * folds the partials through [[CompactSwap]].
+  *
+  * DISJOINT-BATCH CONTRACT (recorded): summed per-batch distinct-doc
+  * counts equal true distinct-doc counts only when batches carry
+  * disjoint doc populations — exactly what crawl batches are. A doc
+  * re-ingested across batches would double-count toward the
+  * >= minDocs cross-doc test; route re-crawls through the dedup
+  * store first ([[DedupIndex.deltaKeep]]), which is the pipeline
+  * order anyway (dedup, then boilerplate scrub).
+  */
+object LineStore {
+
+  val BuildVersion = 1
+
+  /** Per-line DISTINCT-doc counts of `docs` — per-doc line dedup is
+    * scan-stage array work (array_distinct before the explode), so
+    * the only exchange is ONE map-side-combined count keyed by line. */
+  private[graft] def lineCounts(docs: DataFrame, textCol: Column, idCol: Column,
+                                sep: String): DataFrame =
+    docs.select(idCol.as("doc_id"),
+        split(textCol, java.util.regex.Pattern.quote(sep)).as("ls"))
+      .select(explode(array_distinct(col("ls"))).as("line"))
+      .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
+
+  def build(docs: DataFrame, dir: String, textCol: Column, idCol: Column,
+            sep: String = "\n"): Unit =
+    lineCounts(docs, textCol, idCol, sep)
+      .write.mode("overwrite").parquet(s"$dir/counts")
+
+  /** [[build]] once per (dir, corpus fingerprint) — the shared marker
+    * lifecycle ([[AnnIndex.oncePerFingerprint]]). */
+  def buildIfAbsent(spark: SparkSession, docs: DataFrame, dir: String,
+                    textCol: Column, idCol: Column, sep: String = "\n",
+                    fingerprint: String): Unit =
+    AnnIndex.oncePerFingerprint(spark, dir, "linestore", fingerprint, BuildVersion) {
+      build(docs, dir, textCol, idCol, sep)
+    }
+
+  /** Fold a batch's line profile into the store: ONE batch-sized
+    * aggregate appended as new partial rows — the store is never
+    * rewritten (see the disjoint-batch contract above). */
+  def append(batch: DataFrame, dir: String, textCol: Column, idCol: Column,
+             sep: String = "\n"): Unit = {
+    val cm = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    val cfs = cm.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (cfs.exists(cm))
+      throw new IllegalStateException(
+        s"line store $dir is compacting ($cm present); retry the append after it completes")
+    lineCounts(batch, textCol, idCol, sep)
+      .write.mode("append").parquet(s"$dir/counts")
+  }
+
+  /** Merge per-batch partials to one row per line — the same
+    * [[CompactSwap]] protocol as every other store (manifest
+    * snapshot, late-append reconcile, crash recovery; `_compacting`
+    * fast-fail gate on [[append]]). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+    try CompactSwap.rewriteTable(spark,
+      new org.apache.hadoop.fs.Path(s"$dir/counts"),
+      df => df.groupBy(col("line")).agg(sum(col("n_docs")).as("n_docs")),
+      (df, tmp) => df.write.parquet(tmp))
+    finally fs.delete(marker, false)
+  }
+
+  /** Scrub a crawl batch against the store ∪ the batch itself: a line
+    * is boilerplate when its TOTAL distinct-doc count (stored partial
+    * sums + this batch's own) reaches `minDocs`; every occurrence is
+    * cut from every batch doc, clean docs pass through — the output
+    * is the rewritten batch (doc_id, n_lines, n_cut, clean_text),
+    * bit-equal to [[Dedup.lineDedup]] over corpus ∪ batch restricted
+    * to the batch's docs (spec-pinned).
+    *
+    * Scale shape — every exchange is batch-bounded: the batch's line
+    * profile is one batch-sized aggregate; the store is scanned once,
+    * semi-joined against the BROADCAST batch-line set, and only the
+    * surviving (batch-bounded) per-line sums come back; the dup-line
+    * set broadcasts onto the batch's position rows; the per-doc cut
+    * re-agg is doc-sized. */
+  def scrubDelta(spark: SparkSession, batch: DataFrame, dir: String,
+                 textCol: Column, idCol: Column, sep: String = "\n",
+                 minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs >= 2, got $minDocs")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/counts")),
+      s"no line store under $dir — run build/buildIfAbsent first " +
+        "(a half-built dir means a crashed build: buildIfAbsent self-heals it)")
+    val store = spark.read.parquet(s"$dir/counts")
+    val lines = batch.select(idCol.as("doc_id"),
+      split(textCol, java.util.regex.Pattern.quote(sep)).as("ls"))
+    val pos = lines.select(col("doc_id"), posexplode(col("ls")).as(Seq("i", "line")))
+    val batchCounts = lines.select(explode(array_distinct(col("ls"))).as("line"))
+      .groupBy(col("line")).agg(count(lit(1)).as("b_docs"))
+    val storedSums = store
+      .join(broadcast(batchCounts.select(col("line"))), Seq("line"), "left_semi")
+      .groupBy(col("line")).agg(sum(col("n_docs")).as("s_docs"))
+    val dup = batchCounts.join(storedSums, Seq("line"), "left")
+      .where(col("b_docs") + coalesce(col("s_docs"), lit(0L)) >= minDocs)
+      .select(col("line"))
+    val cov = pos.join(broadcast(dup), Seq("line"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("i")).as("cl"))
+    lines.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        when(col("cl").isNull, lit(0L))
+          .otherwise(size(col("cl")).cast("long")).as("n_cut"),
+        concat_ws(sep, filter(col("ls"),
+          (_, ix) => !coalesce(array_contains(col("cl"), ix), lit(false))))
+          .as("clean_text"))
+  }
+
+  /** Build-then-scrub exactly once per corpus fingerprint is not
+    * needed (scrub is read-only); STREAMING ingest is: each
+    * micro-batch scrubs against the store AS OF its batch start, the
+    * cleaned rows flow to `sink`, and the batch's line profile
+    * appends so later batches see it — checkpoint-namespaced batch
+    * markers make replays idempotent (the [[DedupIndex.ingestStream]]
+    * convention; same disjoint-batch contract). */
+  def scrubStream(spark: SparkSession, docs: DataFrame, dir: String,
+                  textCol: Column, idCol: Column, checkpoint: String,
+                  sep: String = "\n", minDocs: Int = 2)
+                 (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ckptTag = java.lang.Integer.toHexString(checkpoint.hashCode)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$dir/_scrubbed_${ckptTag}_batch_$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          // the scrub plan reads the very table append() writes — sever
+          // lineage first so the sink and the append see the same
+          // as-of-batch-start answer (the DedupIndex.append lesson)
+          val cleaned = scrubDelta(spark, batch, dir, textCol, idCol, sep, minDocs)
+            .localCheckpoint()
+          try {
+            sink(cleaned, batchId)
+            append(batch, dir, textCol, idCol, sep)
+          } finally cleaned.unpersist()
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
+  }
+}

@@ -260,4 +260,33 @@ object Logistic {
     for (_ <- 1 to steps) w = ovrGradStep(feat, w, p, classes, lr)
     w.map(_.toSeq).toSeq
   }
+
+  /** Persist the OvR weight MATRIX exactly once per corpus fingerprint
+    * (the [[buildWeightsIfAbsent]] convention at K heads): classes x p
+    * doubles as K (class, w) rows — still the smallest store in the
+    * serving family. Every later classify job reads K rows and folds
+    * the heads into its scan stage as literals. */
+  def buildOvrWeightsIfAbsent(spark: org.apache.spark.sql.SparkSession,
+                              feat: DataFrame, p: Int, classes: Int, steps: Int,
+                              lr: Double, dir: String, fingerprint: String): Unit =
+    AnnIndex.oncePerFingerprint(spark, dir,
+      s"ovr_p${p}_c${classes}_s$steps", fingerprint) {
+      val w = trainOvrWeights(feat, p, classes, steps, lr)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          w.zipWithIndex.map { case (wc, c) => Row(c, wc) }, 1),
+        StructType(Seq(
+          StructField("class", org.apache.spark.sql.types.IntegerType, nullable = false),
+          StructField("w",
+            org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false),
+            nullable = false))))
+        .write.mode("overwrite").parquet(s"$dir/weights")
+    }
+
+  /** The stored OvR matrix, class-ordered — K bounded rows, the
+    * ridge-collect convention's sanctioned driver read. */
+  def storedOvrWeights(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$dir/weights").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq).toSeq
 }

@@ -663,14 +663,25 @@ object TextQueries {
     Q("t_lang_classify_served",
       (s, d) => {
         val feat = graft.Caches.ownedLazy(langFeat(T(s, d, "documents")))
-        val w = graft.ops.Logistic.trainOvrWeights(feat, p = 6, classes = 5,
-          steps = LangSteps, lr = 4.0)
-        val pred = graft.ops.Logistic.predictOvr(col("x"), w)
-        val predLang = LangClasses.zipWithIndex.foldRight(lit("unk")) {
-          case ((l, c), acc) => when(pred === c, lit(l)).otherwise(acc) }
-        feat.select(col("doc_id"), col("y").cast("long").as("y"),
-          pred.cast("long").as("pred"), predLang.as("pred_lang"),
-          (pred === col("y").cast("int")).cast("long").as("correct"))
+        langServed(feat, graft.ops.Logistic.trainOvrWeights(feat, p = 6, classes = 5,
+          steps = LangSteps, lr = 4.0))
+      },
+      Some(ovrServedSql)),
+
+    // the PERSISTED model — the serving-store form (the
+    // buildWeightsIfAbsent convention at K heads): the OvR weight
+    // matrix trains once per corpus fingerprint, every later classify
+    // job reads K rows and folds the heads into its scan stage.
+    // Persisted == in-plan by construction, so the same oracle
+    // hash-grades both (the e_ivfpq_indexed convention).
+    Q("t_lang_classify_indexed",
+      (s, d) => {
+        val feat = graft.Caches.ownedLazy(langFeat(T(s, d, "documents")))
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-ovrw-${storeKey(d)}"
+        graft.ops.Logistic.buildOvrWeightsIfAbsent(s, feat, p = 6, classes = 5,
+          steps = LangSteps, lr = 4.0, dir = dir,
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
+        langServed(feat, graft.ops.Logistic.storedOvrWeights(s, dir))
       },
       Some(ovrServedSql)),
 
@@ -980,6 +991,48 @@ object TextQueries {
              |      p -> NOT coalesce(list_contains(c.cl, p), FALSE)),
              |    p -> l.ls[p + 1]), ' the '), '') AS clean_text
              |FROM ls l LEFT JOIN cov c ON c.doc_id = l.doc_id""".stripMargin)),
+
+    // the PERSISTED line store — boilerplate scrubbing's serving
+    // shape (what d_delta_index_keep is to dedup): the corpus's
+    // per-line distinct-doc profile materializes once per corpus
+    // fingerprint, and the crawl batch (doc_id % 10 == 7) scrubs
+    // against the STORE plus its own lines — corpus text never
+    // re-read, store scanned never shuffled, every exchange
+    // batch-bounded. A line is cut when stored + batch distinct-doc
+    // counts reach 2; the oracle replays exactly that.
+    Q("t_line_dedup_indexed",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val corpus = docs.where(col("doc_id") % 10 =!= 7)
+        val delta = docs.where(col("doc_id") % 10 === 7)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-linestore-${storeKey(d)}"
+        graft.ops.LineStore.buildIfAbsent(s, corpus, dir, col("text"), col("doc_id"),
+          sep = " the ",
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
+        graft.ops.LineStore.scrubDelta(s, delta, dir, col("text"), col("doc_id"),
+          sep = " the ")
+      },
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+             |delta AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+             |cls AS (SELECT doc_id, string_split(text, ' the ') AS ls FROM corpus),
+             |ccnt AS (SELECT line, count(*) AS s_docs FROM (
+             |           SELECT DISTINCT doc_id, unnest(ls) AS line FROM cls) GROUP BY line),
+             |dls AS (SELECT doc_id, string_split(text, ' the ') AS ls FROM delta),
+             |dpos AS (SELECT doc_id, i, ls[i+1] AS line
+             |         FROM (SELECT doc_id, ls, unnest(range(0, len(ls))) AS i FROM dls)),
+             |dcnt AS (SELECT line, count(*) AS b_docs FROM (
+             |           SELECT DISTINCT doc_id, unnest(ls) AS line FROM dls) GROUP BY line),
+             |dup AS (SELECT d.line FROM dcnt d LEFT JOIN ccnt c ON c.line = d.line
+             |        WHERE d.b_docs + coalesce(c.s_docs, 0) >= 2),
+             |cov AS (SELECT doc_id, list(DISTINCT i) AS cl
+             |        FROM dpos WHERE line IN (SELECT line FROM dup) GROUP BY doc_id)
+             |SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
+             |  CAST(coalesce(len(c.cl), 0) AS BIGINT) AS n_cut,
+             |  coalesce(array_to_string(list_transform(
+             |    list_filter(range(0, len(l.ls)),
+             |      p -> NOT coalesce(list_contains(c.cl, p), FALSE)),
+             |    p -> l.ls[p + 1]), ' the '), '') AS clean_text
+             |FROM dls l LEFT JOIN cov c ON c.doc_id = l.doc_id""".stripMargin)),
 
     // the DATA CARD: the per-(lang, source) corpus report a training
     // run ships with — doc/token counts, exact-duplicate mass, mean
@@ -2262,6 +2315,19 @@ object TextQueries {
     val y = LangClasses.zipWithIndex.foldRight(lit(-1.0): org.apache.spark.sql.Column) {
       case ((l, c), acc) => when(col("lang") === l, lit(c.toDouble)).otherwise(acc) }
     docs.select(col("doc_id"), y.as("y"), array(xs: _*).as("x"))
+  }
+
+  /** Per-doc argmax serving frame under literal OvR heads — shared by
+    * the in-plan (t_lang_classify_served) and persisted
+    * (t_lang_classify_indexed) rows, which must stay bit-identical. */
+  private def langServed(feat: org.apache.spark.sql.DataFrame,
+                         w: Seq[Seq[Double]]): org.apache.spark.sql.DataFrame = {
+    val pred = graft.ops.Logistic.predictOvr(col("x"), w)
+    val predLang = LangClasses.zipWithIndex.foldRight(lit("unk")) {
+      case ((l, c), acc) => when(pred === c, lit(l)).otherwise(acc) }
+    feat.select(col("doc_id"), col("y").cast("long").as("y"),
+      pred.cast("long").as("pred"), predLang.as("pred_lang"),
+      (pred === col("y").cast("int")).cast("long").as("correct"))
   }
 
   /** The OvR oracle CTE chain: planted features, w0 = zeros, then per

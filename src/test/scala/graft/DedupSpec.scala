@@ -531,6 +531,107 @@ class DedupSpec extends AnyFunSuite {
     assert(replayKeep(100) == uncapped, "replay at wide cap diverges from uncapped")
   }
 
+  test("LineStore: delta scrub == one-shot lineDedup over corpus ∪ batch, on the batch") {
+    import graft.ops.{Dedup, LineStore}
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-linestore-parity"
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val nav = "home products about contact"
+    val corpus = Seq(
+      (1L, s"$nav\nstory one body"),
+      (2L, s"$nav\nstory two body"),
+      (3L, "footer text here\nunrelated corpus doc"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, s"$nav\nfresh crawl content"),        // nav known to the store
+      (102L, "footer text here\nmore fresh words"), // 1 store + 1 batch doc = 2
+      (103L, "batch dup line\nalpha"),              // dup WITHIN the batch
+      (104L, "batch dup line\nbeta"),
+      (105L, "wholly unique document"))
+      .toDF("doc_id", "text")
+    LineStore.build(corpus, dir, $"text", $"doc_id")
+    val scrubbed = LineStore.scrubDelta(spark, batch, dir, $"text", $"doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // the stated contract: identical to the one-shot corpus-wide op
+    // over corpus ∪ batch, restricted to the batch's docs
+    val oneShot = Dedup.lineDedup(corpus.unionAll(batch), $"text", $"doc_id")
+      .where($"doc_id" >= 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(scrubbed == oneShot, s"scrub=$scrubbed\noneShot=$oneShot")
+    assert(scrubbed(101L) == ((1L, "fresh crawl content")), scrubbed(101L).toString)
+    assert(scrubbed(102L) == ((1L, "more fresh words")), scrubbed(102L).toString)
+    assert(scrubbed(103L) == ((1L, "alpha")), scrubbed(103L).toString)
+    assert(scrubbed(105L) == ((0L, "wholly unique document")), scrubbed(105L).toString)
+
+    // append day 1, scrub day 2 against the grown store, compact, re-ask
+    LineStore.append(batch, dir, $"text", $"doc_id")
+    val day2 = Seq((201L, "fresh crawl content\nnever seen line")).toDF("doc_id", "text")
+    // "fresh crawl content" now has 1 stored doc (101) + 1 batch doc = cut
+    val d2 = LineStore.scrubDelta(spark, day2, dir, $"text", $"doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(d2(201L) == ((1L, "never seen line")), d2(201L).toString)
+    LineStore.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/counts").groupBy($"line").count()
+      .where($"count" > 1).isEmpty, "compact must fold partials to one row per line")
+    val d2b = LineStore.scrubDelta(spark, day2, dir, $"text", $"doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(d2b == d2, "compaction changed scrub answers")
+    // fast-fail under the marker
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    fs.create(marker, true).close()
+    val e = intercept[IllegalStateException](
+      LineStore.append(day2, dir, $"text", $"doc_id"))
+    assert(e.getMessage.contains("compacting"), e.getMessage)
+    fs.delete(marker, false)
+  }
+
+  test("LineStore.scrubStream: micro-batches == sequential scrub+append; replay is a no-op") {
+    import graft.ops.LineStore
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-linestore-stream"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft-linestore-stream-ckpt"
+    val batchDir = s"${sys.props("java.io.tmpdir")}/graft-linestore-batch"
+    Seq(dir, ckpt, batchDir).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val corpus = Seq((1L, "shared line\ncorpus body")).toDF("doc_id", "text")
+    LineStore.build(corpus, dir, $"text", $"doc_id")
+    LineStore.build(corpus, batchDir, $"text", $"doc_id")
+    val b1 = Seq((101L, "shared line\nday one")).toDF("doc_id", "text")
+    val b2 = Seq((201L, "day one\nday two words")).toDF("doc_id", "text")
+    // sequential twin
+    val seq1 = LineStore.scrubDelta(spark, b1, batchDir, $"text", $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    LineStore.append(b1, batchDir, $"text", $"doc_id")
+    val seq2 = LineStore.scrubDelta(spark, b2, batchDir, $"text", $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    LineStore.append(b2, batchDir, $"text", $"doc_id")
+    // streaming form
+    val mem = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.Map[Long, Set[(Long, Long, String)]]()
+    val q = LineStore.scrubStream(spark,
+      mem.toDF().toDF("doc_id", "text"), dir, col("text"), col("doc_id"), ckpt) {
+      (cleaned, id) =>
+        emitted(id) = cleaned.collect()
+          .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    }
+    mem.addData((101L, "shared line\nday one")); q.processAllAvailable()
+    mem.addData((201L, "day one\nday two words")); q.processAllAvailable()
+    q.stop()
+    assert(emitted(0L) == seq1, s"batch 0: ${emitted(0L)} vs $seq1")
+    assert(emitted(1L) == seq2, s"batch 1: ${emitted(1L)} vs $seq2")
+    // "day one" was appended by batch 0, so batch 1's doc gets it cut
+    assert(seq2 == Set((201L, 1L, "day two words")), seq2.toString)
+    // replayed batch: marker makes the re-append a no-op
+    val before = spark.read.parquet(s"$dir/counts").count()
+    val ckptTag = java.lang.Integer.toHexString(ckpt.hashCode)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_scrubbed_${ckptTag}_batch_1")))
+    val after = spark.read.parquet(s"$dir/counts").count()
+    assert(after == before)
+  }
+
   test("DedupIndex.compact: late-append files reconciled; append refused under the marker") {
     import graft.ops.DedupIndex
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

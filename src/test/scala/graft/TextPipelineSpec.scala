@@ -545,6 +545,38 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(predLangs == Set("en", "de", "es", "fr", "zh"), predLangs.toString)
   }
 
+  test("OvR weight store: stored == trained, marker makes the rebuild a no-op") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-ovrw-spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // a tiny separable fixture: 2 classes, bias + one indicator
+    val feat = Seq(
+      (1L, 0.0, Seq(1.0, 0.0)), (2L, 0.0, Seq(1.0, 0.0)),
+      (3L, 1.0, Seq(1.0, 1.0)), (4L, 1.0, Seq(1.0, 1.0)))
+      .toDF("doc_id", "y", "x")
+    graft.ops.Logistic.buildOvrWeightsIfAbsent(spark, feat, p = 2, classes = 2,
+      steps = 3, lr = 4.0, dir = dir, fingerprint = "fx1")
+    val stored = graft.ops.Logistic.storedOvrWeights(spark, dir)
+    val trained = graft.ops.Logistic.trainOvrWeights(feat, p = 2, classes = 2,
+      steps = 3, lr = 4.0)
+    assert(stored == trained, s"stored $stored != trained $trained")
+    // marker no-op: rewrite the store with junk-free second call —
+    // the weights file's mtime must not change
+    val wFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/weights"))
+      .filter(_.isFile).map(f => f.getPath.getName -> f.getModificationTime).toMap
+    graft.ops.Logistic.buildOvrWeightsIfAbsent(spark, feat, p = 2, classes = 2,
+      steps = 3, lr = 4.0, dir = dir, fingerprint = "fx1")
+    val wFile2 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/weights"))
+      .filter(_.isFile).map(f => f.getPath.getName -> f.getModificationTime).toMap
+    assert(wFile == wFile2, "marker-matched rebuild must be a no-op")
+    // and the served predictions classify the fixture perfectly
+    val pred = feat.select(col("doc_id"),
+      graft.ops.Logistic.predictOvr(col("x"), stored).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pred == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1), pred.toString)
+  }
+
   test("ids-flagship gate predicate compiles under CODEGEN_ONLY (no interpreted fallback)") {
     // Regression pin on the round-13 codegen fix: score(qualityX, w)
     // wrapped the inline CaseWhen features in CreateArray and
