@@ -159,7 +159,11 @@ object ScaleBench {
     // (marker-skipped after; min-time = the literal-weights scan);
     // the line store's probe is batch-bounded over a store scan —
     // expect the d_delta_index_keep class
-    "t_lang_classify_indexed", "t_line_dedup_indexed")
+    "t_lang_classify_indexed", "t_line_dedup_indexed",
+    // the composed crawl front door: extraction (scan) + line dedup
+    // (one bounded exchange) + the scrub chain — expect the
+    // pipe_scrub_html_e2e slope plus the line stage's constant
+    "pipe_crawl_e2e")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -895,6 +895,34 @@ object TextQueries {
       Some(s"""WITH crawl AS (SELECT doc_id, $htmlExtractSql AS text FROM documents),
               |${scrubOracleBody("crawl")}""".stripMargin)),
 
+    // the FULL crawl front door as ONE Catalyst plan — every
+    // web-pipeline stage this engine grades, chained: markup →
+    // graft_html_extract (scan stage) → corpus-wide duplicated-LINE
+    // removal (Dedup.lineDedup over the extracted text: copy-group
+    // fragments and wrapper-merged edge fragments are cross-doc dups
+    // here, so the line stage genuinely rewrites most docs before
+    // the chain sees them) → quality floor → exact dedup → LSH
+    // near-dup → 5-gram decontam. The oracle splices extraction
+    // replay → lineDedupCtes → scrubOracleBody — three
+    // independently-graded fragments composed, so a regression in
+    // ANY stage hash-fails end to end. `crawl` and `cleaned`
+    // MATERIALIZED: every later stage re-references them (the DuckDB
+    // CTE-inlining cost model).
+    Q("pipe_crawl_e2e",
+      (s, d) => scrubChain(
+        Dedup.lineDedup(
+          T(s, d, "documents").select(col("doc_id"),
+            text.htmlExtract(htmlWrap(col("source"), col("text"), col("lang")))
+              .as("text")),
+          col("text"), col("doc_id"), sep = " the ", maxOcc = 4)
+          .select(col("doc_id"), col("clean_text").as("text"))),
+      Some(s"""WITH crawl AS MATERIALIZED (SELECT doc_id, $htmlExtractSql AS text FROM documents),
+              |${lineDedupCtes("crawl")},
+              |cleaned AS MATERIALIZED (
+              |  SELECT l.doc_id, $lineCleanSql AS text
+              |  FROM ls l LEFT JOIN cov c ON c.doc_id = l.doc_id),
+              |${scrubOracleBody("cleaned")}""".stripMargin)),
+
     // the native extraction graded ALONE (the unit the flagship
     // composes): each doc HTML-wrapped deterministically, extracted
     // in the scan stage, the full clean text hash-graded against the
@@ -977,20 +1005,11 @@ object TextQueries {
     Q("t_line_dedup",
       (s, d) => Dedup.lineDedup(T(s, d, "documents"),
         col("text"), col("doc_id"), sep = " the ", maxOcc = 4),
-      Some("""WITH ls AS (SELECT doc_id, string_split(text, ' the ') AS ls FROM documents),
-             |pos AS (SELECT doc_id, i, ls[i+1] AS line
-             |        FROM (SELECT doc_id, ls, unnest(range(0, len(ls))) AS i FROM ls)),
-             |dup AS (SELECT line FROM pos GROUP BY line
-             |        HAVING count(DISTINCT doc_id) >= 2),
-             |cov AS (SELECT doc_id, list(DISTINCT i) AS cl
-             |        FROM pos WHERE line IN (SELECT line FROM dup) GROUP BY doc_id)
-             |SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
-             |  CAST(coalesce(len(c.cl), 0) AS BIGINT) AS n_cut,
-             |  coalesce(array_to_string(list_transform(
-             |    list_filter(range(0, len(l.ls)),
-             |      p -> NOT coalesce(list_contains(c.cl, p), FALSE)),
-             |    p -> l.ls[p + 1]), ' the '), '') AS clean_text
-             |FROM ls l LEFT JOIN cov c ON c.doc_id = l.doc_id""".stripMargin)),
+      Some(s"""WITH ${lineDedupCtes("documents")}
+              |SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
+              |  CAST(coalesce(len(c.cl), 0) AS BIGINT) AS n_cut,
+              |  $lineCleanSql AS clean_text
+              |FROM ls l LEFT JOIN cov c ON c.doc_id = l.doc_id""".stripMargin)),
 
     // the PERSISTED line store — boilerplate scrubbing's serving
     // shape (what d_delta_index_keep is to dedup): the corpus's
@@ -2316,6 +2335,26 @@ object TextQueries {
       case ((l, c), acc) => when(col("lang") === l, lit(c.toDouble)).otherwise(acc) }
     docs.select(col("doc_id"), y.as("y"), array(xs: _*).as("x"))
   }
+
+  /** Corpus-wide line-dedup oracle CTEs over `srcRel` (ls/pos/dup/cov
+    * — the [[Dedup.lineDedup]] replay; minDocs = 2, cap-free because
+    * the cut is cap-independent). No WITH prefix. */
+  private def lineDedupCtes(srcRel: String): String =
+    s"""ls AS (SELECT doc_id, string_split(text, ' the ') AS ls FROM $srcRel),
+       |pos AS (SELECT doc_id, i, ls[i+1] AS line
+       |        FROM (SELECT doc_id, ls, unnest(range(0, len(ls))) AS i FROM ls)),
+       |dup AS (SELECT line FROM pos GROUP BY line
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT doc_id, list(DISTINCT i) AS cl
+       |        FROM pos WHERE line IN (SELECT line FROM dup) GROUP BY doc_id)""".stripMargin
+
+  /** The rebuilt clean text off `l`(ls) LEFT JOIN `c`(cl) — shared by
+    * every line-dedup oracle's final projection. */
+  private def lineCleanSql: String =
+    """coalesce(array_to_string(list_transform(
+      |    list_filter(range(0, len(l.ls)),
+      |      p -> NOT coalesce(list_contains(c.cl, p), FALSE)),
+      |    p -> l.ls[p + 1]), ' the '), '')""".stripMargin
 
   /** Per-doc argmax serving frame under literal OvR heads — shared by
     * the in-plan (t_lang_classify_served) and persisted

@@ -86,7 +86,9 @@ object PlanDump {
     "t_html_extract",     // HTML extraction: zero-exchange scan-stage kernel
     "pipe_scrub_html_e2e", // extraction fused under the scrub flagship, one plan
     "t_lang_classifier",  // OvR training: 2 bounded aggregates per step over the cached feature scan
-    "m_mp3_frames"        // MP3 frame walk: per-row scan-stage pack->parse, zero shuffles
+    "m_mp3_frames",       // MP3 frame walk: per-row scan-stage pack->parse, zero shuffles
+    "t_line_dedup_indexed", // line-store probe: batch-bounded exchanges over a broadcast-confined store scan
+    "pipe_crawl_e2e"      // the composed crawl front door: extract + line dedup + scrub, one plan
   )
 
   def main(args: Array[String]): Unit = {

@@ -211,6 +211,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assertBudget("t_quality_filter", shuffleCeiling = 1L, minShuffleNodes = 0)
   }
 
+  test("t_line_dedup_indexed: every exchange is batch-bounded — the line store never shuffles") {
+    // batch line profile + the semi-joined store sums + the per-doc
+    // cut re-agg; the store side streams through the broadcast
+    // semi-join in its scan stage
+    assertBudget("t_line_dedup_indexed", shuffleCeiling = 1L << 20)
+  }
+
   test("t_html_extract: extraction is pure scan-stage work — zero exchanges") {
     // the crawl front door must never shuffle: wrap + kernel + length
     // all ride the parquet scan's WholeStageCodegen span
