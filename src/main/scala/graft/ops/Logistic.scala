@@ -86,20 +86,47 @@ object Logistic {
     val spark = feat.sparkSession
     var w = Array.fill(p)(0.0)
     val traj = Seq.newBuilder[Row]
-    for (t <- 1 to steps) {
-      w = gradStep(feat, w, p, lr)
-      val acc = feat.agg(qround(avg(
-          when((sigma(col("x"), w.toSeq) >= 0.5) === (col("y") === 1.0), 1.0)
-            .otherwise(0.0)), 6).as("acc"))
-        .collect().head.getDouble(0)
-      traj += Row.fromSeq(t.toLong +: w.toSeq :+ acc)
+    // FUSED passes: step t's gradient (under w_{t-1}) and step t-1's
+    // post-step accuracy (under w_{t-1}) are aggregates over the same
+    // frame under the SAME weights, so they share one corpus pass —
+    // steps+1 passes total instead of 2*steps, bit-identical numbers
+    // (the oracle's CTE chain is unchanged; it never batched passes).
+    w = gradStep(feat, w, p, lr)
+    for (t <- 2 to steps) {
+      val (wNext, accPrev) = gradAccStep(feat, w, p, lr)
+      traj += Row.fromSeq((t - 1).toLong +: w.toSeq :+ accPrev)
+      w = wNext
     }
+    val accLast = feat.agg(qround(avg(
+        when((sigma(col("x"), w.toSeq) >= 0.5) === (col("y") === 1.0), 1.0)
+          .otherwise(0.0)), 6).as("acc"))
+      .collect().head.getDouble(0)
+    traj += Row.fromSeq(steps.toLong +: w.toSeq :+ accLast)
     val schema = StructType(
       StructField("step", LongType, nullable = false) +:
         (0 until p).map(j => StructField(s"w$j", DoubleType, nullable = false)) :+
         StructField("acc", DoubleType, nullable = false))
     spark.createDataFrame(
       spark.sparkContext.parallelize(traj.result(), 1), schema)
+  }
+
+  /** The fused pass: gradient sums AND the accuracy of the CURRENT
+    * weights in one aggregate — returns (updated weights, accuracy of
+    * `w` itself). */
+  private def gradAccStep(feat: DataFrame, w: Array[Double], p: Int,
+                          lr: Double): (Array[Double], Double) = {
+    val s = sigma(col("x"), w.toSeq)
+    val row = feat.agg(
+      sum(qlong((col("y") - s) * element_at(col("x"), 1), 1e6)).as("g0"),
+      ((1 until p).map(j =>
+        sum(qlong((col("y") - s) * element_at(col("x"), j + 1), 1e6)).as(s"g$j")) ++
+        Seq(count(lit(1)).as("n"),
+          qround(avg(when((s >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0)), 6)
+            .as("acc"))): _*).collect().head
+    val n = row.getLong(p)
+    val acc = row.getDouble(p + 1)
+    (Array.tabulate(p)(j =>
+      q6(w(j) + lr * row.getLong(j).toDouble / (1e6 * n.toDouble))), acc)
   }
 
   /** One full-batch GD step from `w`: the map-side-combined gradient
@@ -233,14 +260,27 @@ object Logistic {
     val spark = feat.sparkSession
     var w = Array.fill(classes, p)(0.0)
     val traj = Seq.newBuilder[Row]
-    for (t <- 1 to steps) {
-      w = ovrGradStep(feat, w, p, classes, lr)
-      val acc = feat.agg(qround(avg(
-          when(predictOvr(col("x"), w.map(_.toSeq).toSeq) === col("y").cast("int"), 1.0)
-            .otherwise(0.0)), 6).as("acc"))
-        .collect().head.getDouble(0)
-      traj += Row.fromSeq(t.toLong +: w.flatten.toSeq :+ acc)
+    def accOf(wc: Array[Array[Double]]): Column =
+      qround(avg(when(predictOvr(col("x"), wc.map(_.toSeq).toSeq) === col("y").cast("int"),
+        1.0).otherwise(0.0)), 6)
+    // FUSED passes (see [[train]]): step t's K*p gradient sums and
+    // step t-1's argmax accuracy both run under w_{t-1} — one corpus
+    // pass each, steps+1 total instead of 2*steps, bit-identical.
+    w = ovrGradStep(feat, w, p, classes, lr)
+    for (t <- 2 to steps) {
+      val aggs = (for (c <- 0 until classes; j <- 0 until p) yield {
+        val s = sigma(col("x"), w(c).toSeq)
+        val yc = when(col("y") === c.toDouble, 1.0).otherwise(0.0)
+        sum(qlong((yc - s) * element_at(col("x"), j + 1), 1e6)).as(s"g_${c}_$j")
+      }) ++ Seq(count(lit(1)).as("n"), accOf(w).as("acc"))
+      val row = feat.agg(aggs.head, aggs.tail: _*).collect().head
+      val n = row.getLong(classes * p)
+      traj += Row.fromSeq((t - 1).toLong +: w.flatten.toSeq :+ row.getDouble(classes * p + 1))
+      w = Array.tabulate(classes, p)((c, j) =>
+        q6(w(c)(j) + lr * row.getLong(c * p + j).toDouble / (1e6 * n.toDouble)))
     }
+    val accLast = feat.agg(accOf(w).as("acc")).collect().head.getDouble(0)
+    traj += Row.fromSeq(steps.toLong +: w.flatten.toSeq :+ accLast)
     val schema = StructType(
       StructField("step", LongType, nullable = false) +:
         (for (c <- 0 until classes; j <- 0 until p)

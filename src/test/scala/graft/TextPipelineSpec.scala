@@ -489,7 +489,7 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(nDocs == 500L, s"packs must partition the 500 docs, got $nDocs")
   }
 
-  test("Logistic.train: distillation learns (acc beats majority), in 2 jobs per step") {
+  test("Logistic.train: distillation learns (acc beats majority), in steps+1 fused passes") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
@@ -503,14 +503,14 @@ class TextPipelineSpec extends AnyFunSuite {
       Thread.sleep(2000) // listener bus is async; let starts drain
       out
     } finally spark.sparkContext.removeSparkListener(listener)
-    // 2 aggregates per GD step (gradient fold + accuracy pass), AQE
+    // steps+1 FUSED aggregates (round 17: step t's gradient and step
+    // t-1's accuracy share one pass under the same weights), AQE
     // charging 2 jobs each (stage materialization + final), + the
-    // feature-cache materialization and the local-frame collect = 26
-    // measured; the first-cut chained-frame form re-executed upstream
-    // aggregates combinatorially (246 single-partition exchanges for
-    // 6 steps) — this pin is the regression guard on the
-    // 2-corpus-passes-per-step contract
-    assert(jobs.get() <= 30, s"${jobs.get()} jobs for 6 GD steps — lineage re-execution is back")
+    // feature-cache materialization and the local-frame collect; the
+    // first-cut chained-frame form re-executed upstream aggregates
+    // combinatorially (246 single-partition exchanges for 6 steps) —
+    // this pin is the regression guard on the corpus-passes contract
+    assert(jobs.get() <= 20, s"${jobs.get()} jobs for 6 GD steps — lineage re-execution is back")
     val accs = rows.map(_.getAs[Double]("acc")).toSeq
     val base = {
       val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
