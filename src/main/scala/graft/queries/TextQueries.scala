@@ -1788,6 +1788,48 @@ object TextQueries {
               |SELECT doc_a, doc_b, (n_match / 4) AS jaccard_est FROM (
               |$pairsSql)""".stripMargin)),
 
+    // the OTHER band geometry: 8 seeds in 4 bands of TWO rows each —
+    // the precision knob production LSH actually turns (a candidate
+    // must agree on BOTH components of some band, so boilerplate-ish
+    // half-matches stop pairing; the 4x1 default above is the
+    // max-recall end). Grades that the engine's banding generalizes
+    // beyond rows-per-band=1: the signature scheme's second md5
+    // ("mh1:"-salted slices, components 4-7) and the two-component
+    // band keys both replay in SQL — band-key equality
+    // (md5(m_2b || m_2b+1)) is exactly pairwise component equality
+    // because the slices are fixed-width.
+    Q("d_lsh_pairs_r2",
+      (s, d) => {
+        val sig = Dedup.minhashSignature(T(s, d, "documents"), col("text"), col("doc_id"),
+          shingleK = 3, seeds = 8, keepShort = false)
+        Dedup.lshCandidatePairs(Dedup.lshBands(sig, 8, 4), 8, 4)
+      },
+      Some {
+        val mins = (0 until 8).map(s =>
+          s"list_min(list_transform(h${s / 4}, h -> substring(h, ${8 * (s % 4) + 1}, 8))) AS m_$s")
+          .mkString(",\n    ")
+        val nm = (0 until 8).map(i =>
+          s"(CASE WHEN a.m_$i = c.m_$i THEN 1 ELSE 0 END)").mkString(" + ")
+        val branches = (0 until 4).map(bn =>
+          s"""SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, CAST($nm AS DOUBLE) AS n_match
+             |FROM b8 a JOIN b8 c ON a.m_${2 * bn} = c.m_${2 * bn}
+             |  AND a.m_${2 * bn + 1} = c.m_${2 * bn + 1} AND a.doc_id < c.doc_id""".stripMargin)
+          .mkString("\nUNION\n")
+        s"""WITH toks8 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |sh8 AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN NULL
+           |         ELSE list_transform(range(0, len(tk) - 2),
+           |                i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])) END AS shl
+           |       FROM toks8),
+           |hx8 AS (SELECT doc_id, list_transform(shl, x -> md5(x)) AS h0,
+           |               list_transform(shl, x -> md5('mh1:' || x)) AS h1 FROM sh8),
+           |sig8 AS (SELECT doc_id,
+           |    $mins
+           |  FROM hx8),
+           |b8 AS (SELECT * FROM sig8 WHERE m_0 IS NOT NULL)
+           |SELECT doc_a, doc_b, (n_match / 8) AS jaccard_est FROM (
+           |$branches)""".stripMargin
+      }),
+
     // SimHash (16 bits from md5 hex digit votes)
     Q("d_simhash",
       (s, d) => Dedup.simhash(T(s, d, "documents"), col("text"), col("doc_id"), 16),

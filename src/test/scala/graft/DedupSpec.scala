@@ -361,6 +361,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!scored.keySet.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated paired: $scored")
   }
 
+  test("rows-per-band=2 banding: precision tightens (r2 pairs ⊆ 1-row pairs), dups survive") {
+    val sig = Dedup.minhashSignature(docs, $"text", $"doc_id", shingleK = 3, seeds = 8)
+    def pairsOf(bands: Int) =
+      Dedup.lshCandidatePairs(Dedup.lshBands(sig, 8, bands), 8, bands)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val r2 = pairsOf(4) // 4 bands x 2 rows
+    val r1 = pairsOf(8) // 8 bands x 1 row — the max-recall geometry
+    // agreeing on BOTH components of a band implies agreeing on each
+    // singly — the 2-row candidate set can only shrink
+    assert(r2.subsetOf(r1), s"r2 produced pairs r1 lacks: ${r2 -- r1}")
+    // the exact dup (full signature agreement) survives any geometry;
+    // the unrelated doc pairs with nothing under the tighter bands
+    assert(r2.contains((1L, 2L)), s"exact pair lost at rows-per-band=2: $r2")
+    assert(!r2.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $r2")
+  }
+
   test("lineDedup: cross-doc boilerplate lines cut everywhere, unique lines survive") {
     val nav = "home products about contact"
     val cookie = "we use cookies accept or decline"
