@@ -163,7 +163,10 @@ object ScaleBench {
     // the composed crawl front door: extraction (scan) + line dedup
     // (one bounded exchange) + the scrub chain — expect the
     // pipe_scrub_html_e2e slope plus the line stage's constant
-    "pipe_crawl_e2e")
+    "pipe_crawl_e2e",
+    // the 4x2 band geometry: same one-shuffle bucket gather as
+    // d_lsh_pairs with a second scan-stage md5 — expect its slope
+    "d_lsh_pairs_r2")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1805,9 +1805,6 @@ object TextQueries {
         Dedup.lshCandidatePairs(Dedup.lshBands(sig, 8, 4), 8, 4)
       },
       Some {
-        val mins = (0 until 8).map(s =>
-          s"list_min(list_transform(h${s / 4}, h -> substring(h, ${8 * (s % 4) + 1}, 8))) AS m_$s")
-          .mkString(",\n    ")
         val nm = (0 until 8).map(i =>
           s"(CASE WHEN a.m_$i = c.m_$i THEN 1 ELSE 0 END)").mkString(" + ")
         val branches = (0 until 4).map(bn =>
@@ -1815,17 +1812,7 @@ object TextQueries {
              |FROM b8 a JOIN b8 c ON a.m_${2 * bn} = c.m_${2 * bn}
              |  AND a.m_${2 * bn + 1} = c.m_${2 * bn + 1} AND a.doc_id < c.doc_id""".stripMargin)
           .mkString("\nUNION\n")
-        s"""WITH toks8 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-           |sh8 AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN NULL
-           |         ELSE list_transform(range(0, len(tk) - 2),
-           |                i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])) END AS shl
-           |       FROM toks8),
-           |hx8 AS (SELECT doc_id, list_transform(shl, x -> md5(x)) AS h0,
-           |               list_transform(shl, x -> md5('mh1:' || x)) AS h1 FROM sh8),
-           |sig8 AS (SELECT doc_id,
-           |    $mins
-           |  FROM hx8),
-           |b8 AS (SELECT * FROM sig8 WHERE m_0 IS NOT NULL)
+        s"""WITH ${sig8Ctes("documents")}
            |SELECT doc_a, doc_b, (n_match / 8) AS jaccard_est FROM (
            |$branches)""".stripMargin
       }),
@@ -2105,6 +2092,58 @@ object TextQueries {
     // pins the semantics at the driver gate.
     deltaIndexKeepQ("d_delta_index_small", mod = 100, tag = "-small"),
 
+    // the persisted store at the OTHER band geometry (8 seeds, 4
+    // bands of 2 rows — d_lsh_pairs_r2's precision knob carried to
+    // the serving store): near-dup = shares a TWO-component band
+    // bucket AND >= 5 of 8 components agree. matchMin = 5 = bands+1
+    // keeps the bucket confinement LOSSLESS by pigeonhole (5
+    // agreements across 4 two-slot bands must fill some band), so
+    // the oracle can replay the plain agreement predicate under the
+    // per-bucket density cap — which partitions by BOTH band
+    // components here, exactly like the store's md5(concat) band key
+    // (fixed-width slices make that bijective).
+    Q("d_delta_index_r2",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val corpus = docs.where(col("doc_id") % 10 =!= 7)
+        val delta = docs.where(col("doc_id") % 10 === 7)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-dedupidx-r2-${storeKey(d)}"
+        graft.ops.DedupIndex.buildIfAbsent(s, corpus, dir, col("text"), col("doc_id"),
+          shingleK = 3, seeds = 8, bands = 4,
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
+        graft.ops.DedupIndex.deltaKeep(s, delta, dir, col("text"), col("doc_id"),
+            shingleK = 3, seeds = 8, bands = 4, matchMin = 5, maxBucket = DeltaProbeCap)
+          .select(col("doc_id"), col("n_chars"))
+      },
+      Some {
+        val agree = (0 until 8).map(i =>
+          s"(CASE WHEN dd.m_$i = cc.m_$i THEN 1 ELSE 0 END)").mkString(" + ")
+        val rankedCtes = (0 until 4).map(bn =>
+          s"""rc$bn AS (SELECT * FROM (SELECT b8c.*,
+             |    row_number() OVER (PARTITION BY m_${2 * bn}, m_${2 * bn + 1} ORDER BY doc_id) AS rk
+             |  FROM b8c)
+             |  WHERE rk <= $DeltaProbeCap)""".stripMargin).mkString(",\n")
+        val candBranches = (0 until 4).map(bn =>
+          s"""SELECT dd.doc_id, $agree AS n_match
+             |    FROM b8d dd JOIN rc$bn cc ON dd.m_${2 * bn} = cc.m_${2 * bn}
+             |      AND dd.m_${2 * bn + 1} = cc.m_${2 * bn + 1}""".stripMargin)
+          .mkString("\nUNION\n")
+        s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+           |delta AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+           |cf AS (SELECT DISTINCT CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+           |       FROM (SELECT text, $normSql AS norm FROM corpus)),
+           |df AS (SELECT doc_id, CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+           |       FROM (SELECT doc_id, text, $normSql AS norm FROM delta)),
+           |${sig8Ctes("corpus", "c")},
+           |${sig8Ctes("delta", "d")},
+           |$rankedCtes,
+           |near AS (SELECT DISTINCT doc_id FROM ($candBranches) WHERE n_match >= 5)
+           |SELECT dl.doc_id, dl.n_chars
+           |FROM delta dl JOIN df ON df.doc_id = dl.doc_id
+           |WHERE df.fp NOT IN (SELECT fp FROM cf)
+           |  AND dl.doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin
+      }),
+
     // INCREMENTAL store maintenance, graded end to end: build the
     // dedup store over doc_id % 10 NOT IN (7,8), ingest the day-1
     // batch (% 10 == 8 — its kept sketches APPEND), then dedup the
@@ -2376,6 +2415,27 @@ object TextQueries {
     val y = LangClasses.zipWithIndex.foldRight(lit(-1.0): org.apache.spark.sql.Column) {
       case ((l, c), acc) => when(col("lang") === l, lit(c.toDouble)).otherwise(acc) }
     docs.select(col("doc_id"), y.as("y"), array(xs: _*).as("x"))
+  }
+
+  /** 8-seed signature CTE chain over `from` (the seeds>4 form of
+    * [[sigCtes]]: components 0-3 slice the unsalted md5, 4-7 the
+    * "mh1:"-salted one — Dedup.minhashSignature's slice scheme).
+    * `sfx` suffixes every CTE name so two instances compose. */
+  private def sig8Ctes(from: String, sfx: String = ""): String = {
+    val mins = (0 until 8).map(s =>
+      s"list_min(list_transform(h${s / 4}$sfx, h -> substring(h, ${8 * (s % 4) + 1}, 8))) AS m_$s")
+      .mkString(",\n    ")
+    s"""toks8$sfx AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $from),
+       |sh8$sfx AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN NULL
+       |         ELSE list_transform(range(0, len(tk) - 2),
+       |                i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3])) END AS shl
+       |       FROM toks8$sfx),
+       |hx8$sfx AS (SELECT doc_id, list_transform(shl, x -> md5(x)) AS h0$sfx,
+       |               list_transform(shl, x -> md5('mh1:' || x)) AS h1$sfx FROM sh8$sfx),
+       |sig8$sfx AS (SELECT doc_id,
+       |    $mins
+       |  FROM hx8$sfx),
+       |b8$sfx AS (SELECT * FROM sig8$sfx WHERE m_0 IS NOT NULL)""".stripMargin
   }
 
   /** Corpus-wide line-dedup oracle CTEs over `srcRel` (ls/pos/dup/cov
