@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STREAMING crawl front door — the continuous form of the
+  * pipe_crawl_e2e composition, with the corpus-wide stages backed by
+  * their serving stores instead of a corpus re-scan: every
+  * micro-batch of raw crawl documents
+  *
+  *   1. extracts text in the scan stage (`extract` — typically
+  *      graft_html_extract over the crawl's markup column),
+  *   2. scrubs boilerplate lines against the LINE STORE as of batch
+  *      start plus the batch's own lines ([[LineStore.scrubDelta]]),
+  *   3. drops exact + near duplicates against the DEDUP STORE
+  *      ([[DedupIndex.deltaKeep]], density-capped),
+  *   4. hands the kept, cleaned rows to `sink`,
+  *   5. and then both stores absorb the batch — the line store takes
+  *      the FULL extracted batch's line profile (boilerplate counting
+  *      must not depend on what dedup kept), the dedup store takes
+  *      only the KEPT docs' sketches (its contract).
+  *
+  * One checkpoint-namespaced marker per batch makes the whole
+  * sequence idempotent under replay (the [[DedupIndex.ingestStream]]
+  * convention); a kept-frame localCheckpoint severs the lineage the
+  * store appends would otherwise re-execute against half-updated
+  * tables (the documented [[DedupIndex.append]] bug class). Batches
+  * carry disjoint doc populations per the line store's recorded
+  * contract. Emissions == the sequential batch composition of the
+  * same ops (spec-pinned in DedupSpec).
+  */
+object CrawlStream {
+
+  def ingest(spark: SparkSession, docs: DataFrame,
+             lineDir: String, dedupDir: String, checkpoint: String,
+             extract: DataFrame => DataFrame,
+             idCol: String = "doc_id", sep: String = "\n",
+             shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
+             matchMin: Int = 3, maxBucket: Int = Int.MaxValue)
+            (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ckptTag = java.lang.Integer.toHexString(checkpoint.hashCode)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$lineDir/_crawled_${ckptTag}_batch_$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          // materialize the extraction once: it feeds the line scrub,
+          // the line-store append, and (through the scrub) the dedup
+          // probe — and severing lineage here also protects every
+          // downstream read from the store appends below
+          val extracted = extract(batch).localCheckpoint()
+          try {
+            val scrubbed = LineStore.scrubDelta(spark, extracted, lineDir,
+                col("text"), col(idCol), sep)
+              .select(col(idCol), col("clean_text").as("text"))
+            val kept = DedupIndex.deltaKeep(spark, scrubbed, dedupDir,
+              col("text"), col(idCol), shingleK, seeds, bands, matchMin, maxBucket)
+              .localCheckpoint()
+            try {
+              sink(kept, batchId)
+              LineStore.append(extracted, lineDir, col("text"), col(idCol), sep)
+              DedupIndex.append(kept, dedupDir, col("text"), col(idCol),
+                shingleK, seeds, bands)
+            } finally kept.unpersist()
+          } finally extracted.unpersist()
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
+  }
+}
