@@ -165,8 +165,9 @@ object ScaleBench {
     // pipe_scrub_html_e2e slope plus the line stage's constant
     "pipe_crawl_e2e",
     // the 4x2 band geometry: same one-shuffle bucket gather as
-    // d_lsh_pairs with a second scan-stage md5 — expect its slope
-    "d_lsh_pairs_r2")
+    // d_lsh_pairs with a second scan-stage md5 — expect its slope;
+    // the r2 store probe shares d_delta_index_keep's shape
+    "d_lsh_pairs_r2", "d_delta_index_r2")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   *      graft_html_extract over the crawl's markup column),
   *   2. scrubs boilerplate lines against the LINE STORE as of batch
   *      start plus the batch's own lines ([[LineStore.scrubDelta]]),
-  *   3. drops exact + near duplicates against the DEDUP STORE
+  *   3. applies the caller's `gate` to the scrubbed rows (a quality
+  *      floor — the scrub can gut a boilerplate-only doc to an empty
+  *      string that would otherwise sail through dedup, the failure
+  *      shape the parity spec pins; pass [[Logistic.keep]]-style
+  *      learned gates or a plain length floor; identity by default),
+  *   4. drops exact + near duplicates against the DEDUP STORE
   *      ([[DedupIndex.deltaKeep]], density-capped),
-  *   4. hands the kept, cleaned rows to `sink`,
-  *   5. and then both stores absorb the batch — the line store takes
+  *   5. hands the kept, cleaned rows to `sink`,
+  *   6. and then both stores absorb the batch — the line store takes
   *      the FULL extracted batch's line profile (boilerplate counting
   *      must not depend on what dedup kept), the dedup store takes
   *      only the KEPT docs' sketches (its contract).
@@ -34,6 +39,7 @@ object CrawlStream {
   def ingest(spark: SparkSession, docs: DataFrame,
              lineDir: String, dedupDir: String, checkpoint: String,
              extract: DataFrame => DataFrame,
+             gate: DataFrame => DataFrame = identity,
              idCol: String = "doc_id", sep: String = "\n",
              shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
              matchMin: Int = 3, maxBucket: Int = Int.MaxValue)
@@ -52,9 +58,9 @@ object CrawlStream {
           // downstream read from the store appends below
           val extracted = extract(batch).localCheckpoint()
           try {
-            val scrubbed = LineStore.scrubDelta(spark, extracted, lineDir,
+            val scrubbed = gate(LineStore.scrubDelta(spark, extracted, lineDir,
                 col("text"), col(idCol), sep)
-              .select(col(idCol), col("clean_text").as("text"))
+              .select(col(idCol), col("clean_text").as("text")))
             val kept = DedupIndex.deltaKeep(spark, scrubbed, dedupDir,
               col("text"), col(idCol), shingleK, seeds, bands, matchMin, maxBucket)
               .localCheckpoint()

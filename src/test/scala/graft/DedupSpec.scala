@@ -727,6 +727,38 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"${dirs("lineS")}/counts").count() == linesBefore)
   }
 
+  test("CrawlStream.ingest gate: the post-scrub quality floor drops gutted docs") {
+    import graft.ops.{CrawlStream, DedupIndex, LineStore}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, length}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = sys.props("java.io.tmpdir")
+    val (lineDir, dedupDir, ckpt) = (s"$tmp/graft-crawlgate-line",
+      s"$tmp/graft-crawlgate-dedup", s"$tmp/graft-crawlgate-ckpt")
+    Seq(lineDir, dedupDir, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val corpus = Seq((1L, "only line of corpus doc")).toDF("doc_id", "text")
+    LineStore.build(corpus, lineDir, $"text", $"doc_id")
+    DedupIndex.build(corpus, dedupDir, $"text", $"doc_id")
+    val mem = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = CrawlStream.ingest(spark, mem.toDF().toDF("doc_id", "raw"),
+      lineDir, dedupDir, ckpt,
+      extract = df => df.select(col("doc_id"), col("raw").as("text")),
+      gate = df => df.where(length(col("text")) >= 5)) { (kept, _) =>
+      emitted ++= kept.collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    // 101 duplicates the corpus doc's only line -> scrub guts it to
+    // "" -> the gate drops it BEFORE dedup/sink/append
+    mem.addData((101L, "only line of corpus doc"), (102L, "substantial fresh content"))
+    q.processAllAvailable(); q.stop()
+    assert(emitted.toSet == Set((102L, "substantial fresh content")), emitted.toString)
+    // and the gutted doc's (empty) fingerprint never entered the store
+    val fps = spark.read.parquet(s"$dedupDir/fp").count()
+    assert(fps == 2L, s"store fp rows: $fps (corpus 1 + kept 1)")
+  }
+
   test("DedupIndex.compact: late-append files reconciled; append refused under the marker") {
     import graft.ops.DedupIndex
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
