@@ -771,6 +771,125 @@ class DedupSpec extends AnyFunSuite {
     assert(fps == 2L, s"store fp rows: $fps (corpus 1 + kept 1)")
   }
 
+  test("CrawlStream.ingest gate: the LEARNED quality model (Logistic.keep) as stage 3.5") {
+    // the round-18 composition row: the stream's gate slot is not a
+    // length floor but the trained distillation model — the exact
+    // weights t_quality_filter grades, folded into the gated frame's
+    // scan as literals (Logistic.scoreCols — zero exchanges inside
+    // the gate). Trained here on the same sf0.001 corpus + feature
+    // recipe as the graded query, so the gate IS the served model.
+    import graft.ops.{CrawlStream, DedupIndex, LineStore, Logistic}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = sys.props("java.io.tmpdir")
+    val (lineDir, dedupDir, ckpt) = (s"$tmp/graft-crawllearn-line",
+      s"$tmp/graft-crawllearn-dedup", s"$tmp/graft-crawllearn-ckpt")
+    Seq(lineDir, dedupDir, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    // train the 4-weight distillation exactly as t_quality_filter does
+    val corpus = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val xs = graft.queries.TextQueries.qualityXs
+    val feat = corpus.select(col("doc_id"),
+      when(text.qualityScore(col("text")) >= 0.6, 1.0).otherwise(0.0).as("y"),
+      array(xs: _*).as("x"))
+    val w = Logistic.trainWeights(feat, p = 4, steps = 6, lr = 2.0)
+    // planted stream docs must straddle the 0.5 threshold under w —
+    // asserted on the model directly so a fixture/model drift fails
+    // HERE, not as a confusing stream diff below
+    val junk = "zq xv k"
+    // > 500 chars so the capped length feature saturates at 1.0 — the
+    // distilled model weights length heaviest, and the planted doc
+    // must clear the threshold under the TRAINED weights, not a toy
+    val good = ("the quick brown fox jumps over the lazy dog and then the dog " +
+      "sleeps in the warm sun for hours while the fox keeps running through the field ") * 4
+    val scores = Seq((101L, junk), (102L, good)).toDF("doc_id", "text")
+      .select(col("doc_id"), Logistic.score(array(xs: _*), w).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(101L) < 0.5, s"junk doc must score below threshold: $scores, w=$w")
+    assert(scores(102L) >= 0.5, s"good doc must clear threshold: $scores, w=$w")
+    val seed = Seq((1L, "corpus baseline story unrelated to the stream")).toDF("doc_id", "text")
+    LineStore.build(seed, lineDir, $"text", $"doc_id")
+    DedupIndex.build(seed, dedupDir, $"text", $"doc_id")
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.where(Logistic.scoreCols(xs, w) >= 0.5)
+    val mem = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = CrawlStream.ingest(spark, mem.toDF().toDF("doc_id", "raw"),
+      lineDir, dedupDir, ckpt,
+      extract = df => df.select(col("doc_id"), col("raw").as("text")),
+      gate = gate) { (kept, _) =>
+      emitted ++= kept.collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    mem.addData((101L, junk), (102L, good))
+    q.processAllAvailable(); q.stop()
+    assert(emitted.toSet == Set((102L, good)), emitted.toString)
+    // the gated-out doc's sketches never reached the store: seed + kept
+    val fps = spark.read.parquet(s"$dedupDir/fp").count()
+    assert(fps == 2L, s"store fp rows: $fps (seed 1 + kept 1)")
+  }
+
+  test("CrawlStream.ingest at the 8-seed 4x2 geometry: stream == sequential, near-dup dropped") {
+    // the other round-18 composition row: the d_delta_index_r2
+    // precision geometry (seeds=8, 4 bands of 2, matchMin=5=bands+1 —
+    // lossless bucket confinement by pigeonhole) carried into the
+    // STREAMING front door; the stream must equal the sequential
+    // composition of the same ops at the same geometry.
+    import graft.ops.{CrawlStream, DedupIndex, LineStore}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = sys.props("java.io.tmpdir")
+    val dirs = Seq("lineS", "dedupS", "lineB", "dedupB", "ckpt")
+      .map(n => n -> s"$tmp/graft-crawlr2-$n").toMap
+    dirs.values.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val story = "the quick brown fox jumps over the lazy dog again and " +
+      "again until dawn breaks over the quiet hills and the morning light returns " +
+      "to warm the sleeping valley where rivers run past ancient stones and tall " +
+      "grass bends beneath a gentle wind that carries distant birdsong across the " +
+      "meadow toward the old farmhouse standing alone at the edge of the forest"
+    val corpus = Seq((1L, story)).toDF("doc_id", "text")
+    for (k <- Seq("lineS", "lineB")) LineStore.build(corpus, dirs(k), $"text", $"doc_id")
+    for (k <- Seq("dedupS", "dedupB")) DedupIndex.build(corpus, dirs(k), $"text", $"doc_id",
+      shingleK = 3, seeds = 8, bands = 4)
+    // 101: one word changed late in the story — a near-dup that must
+    // agree on >= 5 of 8 components AND share a 2-slot band with the
+    // stored doc; 102: fresh content, must survive
+    val nearDup = story.replace("morning", "evening")
+    val fresh = "completely different words about spark catalyst tungsten shuffles and joins"
+    // sequential twin over the *B stores at the SAME geometry
+    def seqBatch(b: org.apache.spark.sql.DataFrame): Set[(Long, String)] = {
+      val scrubbed = LineStore.scrubDelta(spark, b, dirs("lineB"), $"text", $"doc_id")
+        .select($"doc_id", $"clean_text".as("text"))
+      val kept = DedupIndex.deltaKeep(spark, scrubbed, dirs("dedupB"),
+          $"text", $"doc_id", shingleK = 3, seeds = 8, bands = 4, matchMin = 5)
+        .localCheckpoint()
+      val out = kept.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      LineStore.append(b, dirs("lineB"), $"text", $"doc_id")
+      DedupIndex.append(kept, dirs("dedupB"), $"text", $"doc_id",
+        shingleK = 3, seeds = 8, bands = 4)
+      kept.unpersist()
+      out
+    }
+    val seq1 = seqBatch(Seq((101L, nearDup), (102L, fresh)).toDF("doc_id", "text"))
+    // the near-dup is CAUGHT at this geometry, the fresh doc survives
+    assert(seq1 == Set((102L, fresh)), s"r2 geometry must drop the near-dup: $seq1")
+    val mem = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.Map[Long, Set[(Long, String)]]()
+    val q = CrawlStream.ingest(spark, mem.toDF().toDF("doc_id", "raw"),
+      dirs("lineS"), dirs("dedupS"), dirs("ckpt"),
+      extract = df => df.select(col("doc_id"), col("raw").as("text")),
+      shingleK = 3, seeds = 8, bands = 4, matchMin = 5) { (kept, id) =>
+      emitted(id) = kept.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    mem.addData((101L, nearDup), (102L, fresh))
+    q.processAllAvailable(); q.stop()
+    assert(emitted(0L) == seq1, s"stream vs sequential at seeds=8: ${emitted(0L)} vs $seq1")
+    // the stores agree too: band tables carry the 8-component layout
+    val cols = spark.read.parquet(s"${dirs("dedupS")}/bands").columns.toSet
+    assert((0 until 8).forall(i => cols.contains(s"m_$i")), cols.toString)
+  }
+
   test("DedupIndex.compact: late-append files reconciled; append refused under the marker") {
     import graft.ops.DedupIndex
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
