@@ -309,7 +309,8 @@ object TextQueries {
     qroundSql(s"1e0 / (1e0 + exp(-($dot)))", 6)
   }
 
-  private[queries] def logitBody(steps: Int, lr: String = "2e0"): String = {
+  private[queries] def logitBody(steps: Int, lr: String = "2e0",
+                                 srcRel: String = "documents"): String = {
     val x1 = "least(CAST(length(text) AS DOUBLE) / 500e0, 1e0)"
     val x2 = "least((CAST(len(list_filter(string_split(text, ' '), " +
       "x -> list_contains(['the','a','of','and','in','to','is','on','for','with'], x))) AS DOUBLE)" +
@@ -325,7 +326,7 @@ object TextQueries {
     val sb = new StringBuilder(
       s"""feat AS MATERIALIZED (SELECT doc_id,
          |    CASE WHEN ($qualitySql) >= 0.6e0 THEN 1e0 ELSE 0e0 END AS y,
-         |    [1e0, $x1, $x2, $x3] AS x FROM documents),
+         |    [1e0, $x1, $x2, $x3] AS x FROM $srcRel),
          |w0 AS (SELECT [0e0, 0e0, 0e0, 0e0] AS w)""".stripMargin)
     for (t <- 1 to steps) {
       val p = t - 1
@@ -937,6 +938,44 @@ object TextQueries {
               |  SELECT l.doc_id, $lineCleanSql AS text
               |  FROM ls l LEFT JOIN cov c ON c.doc_id = l.doc_id),
               |${scrubOracleBody("cleaned")}""".stripMargin)),
+
+    // the crawl flagship with the LEARNED quality gate as stage 3.5 —
+    // the batch twin of CrawlStream's gate slot, graded end to end:
+    // extract → line dedup → TRAIN the 6-step quality distillation on
+    // the CLEANED text (the model a crawl pipeline actually fits —
+    // post-boilerplate features, not raw-markup features) → gate with
+    // the trained weights folded into the scan as literals
+    // (Logistic.scoreCols, zero exchanges in the gate) → the
+    // unchanged scrub chain on the survivors. The oracle splices
+    // FOUR independently-graded fragments (extraction replay, line
+    // CTEs, the logit trajectory re-pointed at `cleaned`, the scrub
+    // body over `gated`), so a drift in training arithmetic over
+    // crawl-shaped text — empty post-scrub docs included — breaks
+    // the hash through every downstream stage.
+    Q("pipe_crawl_learned_e2e",
+      (s, d) => {
+        val crawl = T(s, d, "documents").select(col("doc_id"),
+          text.htmlExtract(htmlWrap(col("source"), col("text"), col("lang")))
+            .as("text"))
+        // ownedLazy: training's first gradient pass builds each cache
+        // serially (no concurrent consumers until the final plan)
+        val cleaned = graft.Caches.ownedLazy(
+          Dedup.lineDedup(crawl, col("text"), col("doc_id"), sep = " the ", maxOcc = 4)
+            .select(col("doc_id"), col("clean_text").as("text")))
+        val feat = graft.Caches.ownedLazy(qualityFeat(cleaned))
+        val w = graft.ops.Logistic.trainWeights(feat, p = 4, steps = 6, lr = 2.0)
+        scrubChain(cleaned.where(graft.ops.Logistic.scoreCols(qualityXs, w) >= 0.5))
+      },
+      Some(s"""WITH crawl AS MATERIALIZED (SELECT doc_id, $htmlExtractSql AS text FROM documents),
+              |${lineDedupCtes("crawl")},
+              |cleaned AS MATERIALIZED (
+              |  SELECT l.doc_id, $lineCleanSql AS text
+              |  FROM ls l LEFT JOIN cov c ON c.doc_id = l.doc_id),
+              |${logitBody(6, srcRel = "cleaned")},
+              |gated AS MATERIALIZED (
+              |  SELECT f.doc_id, c.text FROM feat f, cleaned c, w6
+              |  WHERE c.doc_id = f.doc_id AND ${logitSigSql("w6")} >= 0.5e0),
+              |${scrubOracleBody("gated")}""".stripMargin)),
 
     // the native extraction graded ALONE (the unit the flagship
     // composes): each doc HTML-wrapped deterministically, extracted
