@@ -164,6 +164,10 @@ object ScaleBench {
     // (one bounded exchange) + the scrub chain — expect the
     // pipe_scrub_html_e2e slope plus the line stage's constant
     "pipe_crawl_e2e",
+    // + the learned quality gate fused in: training adds 6 bounded
+    // gradient aggregates over the cached cleaned-text features —
+    // expect the pipe_crawl_e2e slope plus a flat training constant
+    "pipe_crawl_learned_e2e",
     // the 4x2 band geometry: same one-shuffle bucket gather as
     // d_lsh_pairs with a second scan-stage md5 — expect its slope;
     // the r2 store probe shares d_delta_index_keep's shape
