@@ -22,13 +22,28 @@ import org.apache.spark.sql.functions._
   *    is how a real N×-larger event lake grows (more users, not
   *    longer histories).
   *
-  * Usage: sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /root/repo/scaledata/x10 10 [tables] [idOffset]"
+  * Usage: sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /root/repo/scaledata/x10 10 [tables] [idOffset] [mode]"
   * `tables` (optional, comma list ⊆ documents,embeddings,events;
   * default documents,embeddings) limits which tables are (re)written.
   * `idOffset` (optional, default 10000000) is the per-copy id stride —
   * CHAINING decades (x1000 = ScaleGen over the x100 output with n=10)
   * needs a stride above the input's max id (e.g. 1000000000), or the
   * copies' id ranges collide. Dev/ops tool — not on any query path.
+  *
+  * `mode` (optional, documents only): `copy` (default) is the salt
+  * scheme above; `crawl` models SITE growth instead of corpus
+  * copies — every content token gets a per-copy rename suffix while
+  * the 10 stopwords (incl. the ' the ' line separator) survive
+  * verbatim. Token renaming is a bijection per copy, so WITHIN-copy
+  * structure (shingle Jaccard between planted near-dups, duplicated-
+  * line profiles, stopword ratios — hence quality labels) is
+  * preserved exactly, while CROSS-copy shingles/lines share nothing:
+  * duplicated-line density and near-dup cluster sizes stay CONSTANT
+  * as the corpus grows N×, which is how a crawl actually scales (new
+  * sites bring their own boilerplate; they don't replicate existing
+  * documents). Use for scale runs of the line-dedup / learned-gate
+  * family, where copy-salting makes every fragment corpus-wide
+  * boilerplate and the measurement collapses to the gutted path.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -45,10 +60,23 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val off = offArg.getOrElse(10000000L)
+    val mode = if (args.length > 5 && args(5).nonEmpty) args(5) else "copy"
+    require(mode == "copy" || mode == "crawl", s"mode must be copy|crawl, got $mode")
+    // the stopword list the quality features count — kept verbatim in
+    // crawl mode so per-copy stopword ratios (and the labels they
+    // feed) match the base corpus exactly
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
     if (tables("documents")) {
       val docs = sources.Tables.load(spark, baseDir, "documents")
       val docsN = (0 until n).map { c =>
-        val txt = if (c == 0) col("text") else concat(lit(s"c$c "), col("text"))
+        val txt =
+          if (c == 0) col("text")
+          else if (mode == "crawl")
+            // bijective per-copy token rename: every word except the
+            // stopwords gains the copy suffix
+            regexp_replace(col("text"),
+              lit(s"\\b(?!(?:${stop.mkString("|")})\\b)([a-z0-9]+)\\b"), lit(s"$$1q$c"))
+          else concat(lit(s"c$c "), col("text"))
         docs.select((col("doc_id") + lit(c * off)).as("doc_id"), txt.as("text"),
           col("lang"), col("source"), length(txt).cast("long").as("n_chars"))
       }.reduce(_ unionAll _)
