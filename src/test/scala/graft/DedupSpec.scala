@@ -829,6 +829,58 @@ class DedupSpec extends AnyFunSuite {
     assert(fps == 2L, s"store fp rows: $fps (seed 1 + kept 1)")
   }
 
+  test("CrawlStream.ingest gate: PERSISTED quality weights — one store row read per batch") {
+    // the serving composition: the stream's gate reads the trained
+    // weight vector from the Logistic store (the
+    // t_quality_filter_indexed artifact) instead of retraining —
+    // storedWeights is read INSIDE the gate fn, so every micro-batch
+    // folds the current store row into its scan as literals, the
+    // keepIndexed shape. Store == in-session training is already
+    // pinned by TextPipelineSpec; here the STREAM behavior under the
+    // stored model is what's asserted.
+    import graft.ops.{CrawlStream, DedupIndex, LineStore, Logistic}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = sys.props("java.io.tmpdir")
+    val (lineDir, dedupDir, ckpt, wDir) = (s"$tmp/graft-crawlpw-line",
+      s"$tmp/graft-crawlpw-dedup", s"$tmp/graft-crawlpw-ckpt", s"$tmp/graft-crawlpw-w")
+    Seq(lineDir, dedupDir, ckpt, wDir).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val corpus = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val xs = graft.queries.TextQueries.qualityXs
+    val feat = corpus.select(col("doc_id"),
+      when(text.qualityScore(col("text")) >= 0.6, 1.0).otherwise(0.0).as("y"),
+      array(xs: _*).as("x"))
+    Logistic.buildWeightsIfAbsent(spark, feat, p = 4, steps = 6, lr = 2.0,
+      dir = wDir, fingerprint = "crawlpw-fixture")
+    val w = Logistic.storedWeights(spark, wDir)
+    assert(w == Logistic.trainWeights(feat, p = 4, steps = 6, lr = 2.0),
+      "stored weights must equal the in-session training")
+    val junk = "zq xv k"
+    val good = ("the quick brown fox jumps over the lazy dog and then the dog " +
+      "sleeps in the warm sun for hours while the fox keeps running through the field ") * 4
+    val seed = Seq((1L, "corpus baseline story unrelated to the stream")).toDF("doc_id", "text")
+    LineStore.build(seed, lineDir, $"text", $"doc_id")
+    DedupIndex.build(seed, dedupDir, $"text", $"doc_id")
+    val mem = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = CrawlStream.ingest(spark, mem.toDF().toDF("doc_id", "raw"),
+      lineDir, dedupDir, ckpt,
+      extract = df => df.select(col("doc_id"), col("raw").as("text")),
+      // the store row is read here, per batch — a weight refresh
+      // between batches would take effect without restarting the query
+      gate = df => df.where(Logistic.scoreCols(xs,
+        Logistic.storedWeights(spark, wDir)) >= 0.5)) { (kept, _) =>
+      emitted ++= kept.collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    mem.addData((101L, junk), (102L, good))
+    q.processAllAvailable(); q.stop()
+    assert(emitted.toSet == Set((102L, good)), emitted.toString)
+    val fps = spark.read.parquet(s"$dedupDir/fp").count()
+    assert(fps == 2L, s"store fp rows: $fps (seed 1 + kept 1)")
+  }
+
   test("CrawlStream.ingest at the 8-seed 4x2 geometry: stream == sequential, near-dup dropped") {
     // the other round-18 composition row: the d_delta_index_r2
     // precision geometry (seeds=8, 4 bands of 2, matchMin=5=bands+1 —
