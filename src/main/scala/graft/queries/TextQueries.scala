@@ -940,7 +940,12 @@ object TextQueries {
               |${scrubOracleBody("cleaned")}""".stripMargin)),
 
     // the crawl flagship with the LEARNED quality gate as stage 3.5 —
-    // the batch twin of CrawlStream's gate slot, graded end to end:
+    // the batch twin of CrawlStream's gate slot, graded end to end.
+    // Reference lineage: the validity gate AFTER cleaning
+    // (weather4cast/datasets.py:38-47 admits sequences only after
+    // per-frame validity is established on the PREPROCESSED data,
+    // datasets.py:59-71) — here the gate is likewise fit to and
+    // applied on the post-line-dedup text, not the raw markup:
     // extract → line dedup → TRAIN the 6-step quality distillation on
     // the CLEANED text (the model a crawl pipeline actually fits —
     // post-boilerplate features, not raw-markup features) → gate with
