@@ -88,7 +88,8 @@ object PlanDump {
     "t_lang_classifier",  // OvR training: 2 bounded aggregates per step over the cached feature scan
     "m_mp3_frames",       // MP3 frame walk: per-row scan-stage pack->parse, zero shuffles
     "t_line_dedup_indexed", // line-store probe: batch-bounded exchanges over a broadcast-confined store scan
-    "pipe_crawl_e2e"      // the composed crawl front door: extract + line dedup + scrub, one plan
+    "pipe_crawl_e2e",     // the composed crawl front door: extract + line dedup + scrub, one plan
+    "pipe_crawl_learned_e2e" // + the trained quality gate as scan-stage literals between line dedup and scrub
   )
 
   def main(args: Array[String]): Unit = {
