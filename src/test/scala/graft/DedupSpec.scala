@@ -398,6 +398,45 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, 0L, "standalone doc with no shared lines at all")), out(4L).toString)
   }
 
+  test("lineDedup: randomized parity with an in-memory brute force, all maxOcc routes") {
+    // 24 seeded trials over random corpora (shared boilerplate lines
+    // + per-doc unique lines, docs with repeats of their own lines),
+    // each checked against the reference semantics computed in plain
+    // Scala: a line is cut from EVERY position iff it occurs in >= 2
+    // distinct docs; survivors rejoin with sep; gutted docs become
+    // "". maxOcc cycles through {1, 2, 3, 10000} so both the bounded
+    // gather and the broadcast mega-line route (size > maxOcc) carry
+    // the same exact result — the cap is a routing knob, never a
+    // semantics knob.
+    val pool = Seq("nav bar", "cookie banner", "footer text", "alpha", "beta",
+      "gamma story line", "delta content", "epsilon words")
+    for (trial <- 0 until 24) {
+      val rnd = new scala.util.Random(4242 + trial)
+      val docsL = (0 until (3 + rnd.nextInt(5))).map { d =>
+        val n = 1 + rnd.nextInt(6)
+        val ls = (0 until n).map { _ =>
+          val base = pool(rnd.nextInt(pool.length))
+          if (rnd.nextBoolean()) base else s"$base u$d-${rnd.nextInt(3)}"
+        }
+        (d.toLong, ls)
+      }
+      val expected = {
+        val docsOf = docsL.flatMap { case (d, ls) => ls.map(l => (l, d)) }
+          .groupBy(_._1).map { case (l, occ) => l -> occ.map(_._2).distinct.size }
+        docsL.map { case (d, ls) =>
+          d -> ls.filter(l => docsOf(l) < 2).mkString("\n")
+        }.toMap
+      }
+      val df = docsL.map { case (d, ls) => (d, ls.mkString("\n")) }.toDF("doc_id", "text")
+      val maxOcc = Seq(1, 2, 3, 10000)(trial % 4)
+      val got = Dedup.lineDedup(df, $"text", $"doc_id", sep = "\n", maxOcc = maxOcc)
+        .select($"doc_id", $"clean_text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected,
+        s"trial $trial maxOcc $maxOcc:\n got $got\n exp $expected\n corpus $docsL")
+    }
+  }
+
   test("lineDedup maxOcc: the broadcast mega-line route is exact (cap-independent result)") {
     // one boilerplate line in 30 docs (over any small cap), one
     // normal dup in 2 docs, one line repeated 40x inside a SINGLE doc
