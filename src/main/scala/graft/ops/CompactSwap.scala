@@ -132,4 +132,46 @@ object CompactSwap {
       fs.delete(manifest, false); fs.delete(promoted, false)
     }
   }
+
+  /** EXACTLY-ONCE batch append into table dir `cur`: the frame is
+    * written to a sibling temp dir, then each part file is PUBLISHED
+    * under the deterministic name `b<tag>_<i>.parquet` — after first
+    * deleting any files already carrying the tag. A composite stream
+    * batch that crashed between its store appends and its idempotency
+    * marker therefore REPLAYS to the identical store state instead of
+    * double-appending (the torn-batch window the marker protocol
+    * alone leaves open). This matters most for ADDITIVE tables — the
+    * line store's per-batch count partials feed a `>= minDocs`
+    * threshold, so a doubled partial flips scrub decisions;
+    * union-idempotent (HLL) and row-set (dedup sketch) tables
+    * tolerate plain append-mode duplicates, but gain the same
+    * replay hygiene from this path.
+    *
+    * Recorded constraint: [[rewriteTable]] folds partials and drops
+    * their names, so a compaction run BETWEEN a torn append and its
+    * replay re-introduces that batch — compact only with no torn
+    * batches outstanding (for live streams the `_compacting` append
+    * gate already forces that quiescence). */
+  def appendExactlyOnce(df: DataFrame, cur: String, tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be filename-safe, got '$tag'")
+    val curP = new Path(cur)
+    val fs = curP.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val tmp = new Path(curP.getParent, s"_append_${curP.getName}_$tag")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(curP))
+      fs.listStatus(curP).toSeq
+        .filter(f => f.isFile && f.getPath.getName.startsWith(s"b${tag}_"))
+        .foreach(f => fs.delete(f.getPath, false))
+    else fs.mkdirs(curP)
+    val parts = fs.listStatus(tmp).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dest = new Path(curP, s"b${tag}_$i.parquet")
+      require(fs.rename(f.getPath, dest),
+        s"appendExactlyOnce: rename ${f.getPath} -> $dest failed")
+    }
+    fs.delete(tmp, true)
+  }
 }

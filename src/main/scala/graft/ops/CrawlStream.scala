@@ -25,14 +25,22 @@ import org.apache.spark.sql.functions._
   *      must not depend on what dedup kept), the dedup store takes
   *      only the KEPT docs' sketches (its contract).
   *
-  * One checkpoint-namespaced marker per batch makes the whole
-  * sequence idempotent under replay (the [[DedupIndex.ingestStream]]
-  * convention); a kept-frame localCheckpoint severs the lineage the
+  * One checkpoint-namespaced marker per batch makes a COMMITTED
+  * batch's replay a no-op (the [[DedupIndex.ingestStream]]
+  * convention), and the TORN window the marker alone leaves open — a
+  * crash after a store append but before the marker — is closed by
+  * tagged appends ([[CompactSwap.appendExactlyOnce]]): the replayed
+  * batch re-publishes each store's partial under the same
+  * deterministic file names instead of doubling it (the line store's
+  * additive counts would otherwise drift toward the scrub
+  * threshold). A kept-frame localCheckpoint severs the lineage the
   * store appends would otherwise re-execute against half-updated
   * tables (the documented [[DedupIndex.append]] bug class). Batches
   * carry disjoint doc populations per the line store's recorded
   * contract. Emissions == the sequential batch composition of the
-  * same ops (spec-pinned in DedupSpec).
+  * same ops (spec-pinned in DedupSpec). Replay delivery to `sink` is
+  * AT-LEAST-ONCE (a torn batch re-emits its kept rows); downstream
+  * sinks key on (checkpoint, batchId) if they need exactly-once.
   */
 object CrawlStream {
 
@@ -66,9 +74,16 @@ object CrawlStream {
               .localCheckpoint()
             try {
               sink(kept, batchId)
-              LineStore.append(extracted, lineDir, col("text"), col(idCol), sep)
+              // tagged appends: a replay after a crash anywhere in
+              // the append->marker window lands each store's partial
+              // exactly once (CompactSwap.appendExactlyOnce) — the
+              // line store's ADDITIVE counts would otherwise double
+              // toward the minDocs threshold
+              val tag = Some(s"${ckptTag}_b$batchId")
+              LineStore.append(extracted, lineDir, col("text"), col(idCol), sep,
+                tag = tag)
               DedupIndex.append(kept, dedupDir, col("text"), col(idCol),
-                shingleK, seeds, bands)
+                shingleK, seeds, bands, tag = tag)
             } finally kept.unpersist()
           } finally extracted.unpersist()
           fs.create(marker, true).close()

@@ -96,8 +96,16 @@ object DedupIndex {
     * the appended store is row-identical to a one-shot [[build]] over
     * corpus ∪ kept (spec-asserted). Cost: one delta-sized scan and
     * two appends — the store is never rewritten. */
+  /** `tag` (the streams pass `<ckptTag>_b<batchId>`) routes both table
+    * writes through [[CompactSwap.appendExactlyOnce]] so a replay
+    * after a crash in the append→marker window lands once. Unlike the
+    * line store, a plain-append replay here is DECISION-harmless
+    * (fp probes are semi/anti-joins and a doubled band row only
+    * duplicates a bucket member), but exactly-once keeps the fp
+    * table's stays-distinct invariant and the bucket caps honest. */
   def append(kept: DataFrame, dir: String, textCol: Column, idCol: Column,
-             shingleK: Int = 3, seeds: Int = 4, bands: Int = 4): Unit = {
+             shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
+             tag: Option[String] = None): Unit = {
     // writer exclusion vs a concurrent [[compact]] (fast-fail side —
     // the Sketches.requireNotCompacting convention): failing here
     // leaves the batch's idempotency marker unwritten, so the replay
@@ -120,10 +128,16 @@ object DedupIndex {
     // then read the delta-sized materialized rows, never the store.
     val k = kept.localCheckpoint()
     try {
-      k.select(text.fingerprint(textCol).as("fp")).distinct()
-        .write.mode("append").parquet(s"$dir/fp")
-      bandRows(k, textCol, idCol, shingleK, seeds, bands)
-        .write.mode("append").parquet(s"$dir/bands")
+      val fp = k.select(text.fingerprint(textCol).as("fp")).distinct()
+      val bands2 = bandRows(k, textCol, idCol, shingleK, seeds, bands)
+      tag match {
+        case Some(t) =>
+          CompactSwap.appendExactlyOnce(fp, s"$dir/fp", t)
+          CompactSwap.appendExactlyOnce(bands2, s"$dir/bands", t)
+        case None =>
+          fp.write.mode("append").parquet(s"$dir/fp")
+          bands2.write.mode("append").parquet(s"$dir/bands")
+      }
     } finally k.unpersist()
   }
 
@@ -183,7 +197,8 @@ object DedupIndex {
             shingleK, seeds, bands, matchMin, maxBucket).persist()
           try {
             sink(kept, batchId)
-            append(kept, dir, textCol, idCol, shingleK, seeds, bands)
+            append(kept, dir, textCol, idCol, shingleK, seeds, bands,
+              tag = Some(s"${ckptTag}_b$batchId"))
           } finally kept.unpersist()
           fs.create(marker, true).close()
         }

@@ -53,16 +53,28 @@ object LineStore {
 
   /** Fold a batch's line profile into the store: ONE batch-sized
     * aggregate appended as new partial rows — the store is never
-    * rewritten (see the disjoint-batch contract above). */
+    * rewritten (see the disjoint-batch contract above).
+    *
+    * `tag` (the streams pass `<ckptTag>_b<batchId>`) routes the write
+    * through [[CompactSwap.appendExactlyOnce]]: partials land under
+    * deterministic per-batch file names, so a batch replayed after a
+    * crash between this append and its idempotency marker lands
+    * EXACTLY once. This store is where that matters most — counts
+    * are ADDITIVE against the `>= minDocs` scrub threshold, so a
+    * plain append-mode replay would double a batch's partial and
+    * flip future scrub decisions. */
   def append(batch: DataFrame, dir: String, textCol: Column, idCol: Column,
-             sep: String = "\n"): Unit = {
+             sep: String = "\n", tag: Option[String] = None): Unit = {
     val cm = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
     val cfs = cm.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     if (cfs.exists(cm))
       throw new IllegalStateException(
         s"line store $dir is compacting ($cm present); retry the append after it completes")
-    lineCounts(batch, textCol, idCol, sep)
-      .write.mode("append").parquet(s"$dir/counts")
+    val partial = lineCounts(batch, textCol, idCol, sep)
+    tag match {
+      case Some(t) => CompactSwap.appendExactlyOnce(partial, s"$dir/counts", t)
+      case None => partial.write.mode("append").parquet(s"$dir/counts")
+    }
   }
 
   /** Merge per-batch partials to one row per line — the same
@@ -153,7 +165,10 @@ object LineStore {
             .localCheckpoint()
           try {
             sink(cleaned, batchId)
-            append(batch, dir, textCol, idCol, sep)
+            // tagged: a replay after a crash in the append->marker
+            // window lands the partial exactly once
+            append(batch, dir, textCol, idCol, sep,
+              tag = Some(s"${ckptTag}_b$batchId"))
           } finally cleaned.unpersist()
           fs.create(marker, true).close()
         }

@@ -122,6 +122,11 @@ object Sketches {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val run = !fs.exists(marker) && !batch.isEmpty
     if (run) {
+      // torn-window note: a crash between this append and the marker
+      // replays the append — harmless HERE because HLL rows are
+      // union-idempotent (a doubled sketch row merges to the same
+      // registers); additive stores route through
+      // CompactSwap.appendExactlyOnce instead (LineStore.append tag)
       ingestBatch(batch, dir, keys, itemCol, lgK)
       fs.create(marker, true).close()
     }

@@ -764,6 +764,13 @@ class DedupSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(
       s"${dirs("lineS")}/_crawled_${ckptTag}_batch_1")))
     assert(spark.read.parquet(s"${dirs("lineS")}/counts").count() == linesBefore)
+    // the stream's store appends went through the TAGGED exactly-once
+    // path: partials are published under deterministic batch names
+    for ((d, table) <- Seq(dirs("lineS") -> "counts", dirs("dedupS") -> "bands")) {
+      val tagged = fs.listStatus(new org.apache.hadoop.fs.Path(s"$d/$table"))
+        .map(_.getPath.getName).filter(_.startsWith(s"b${ckptTag}_b"))
+      assert(tagged.nonEmpty, s"$table missing tagged batch partials")
+    }
   }
 
   test("LineStore.scrubDelta: loud contract on a missing store") {
@@ -979,6 +986,49 @@ class DedupSpec extends AnyFunSuite {
     // the stores agree too: band tables carry the 8-component layout
     val cols = spark.read.parquet(s"${dirs("dedupS")}/bands").columns.toSet
     assert((0 until 8).forall(i => cols.contains(s"m_$i")), cols.toString)
+  }
+
+  test("tagged appends: a torn-batch replay lands each store partial exactly once") {
+    // the window the batch marker alone leaves open — crash AFTER a
+    // store append, BEFORE the marker — replays the whole batch
+    // body. With plain append mode the line store's additive partial
+    // doubles (counts drift toward the minDocs scrub threshold) and
+    // the dedup store's fp table loses its stays-distinct invariant.
+    // Tagged appends (CompactSwap.appendExactlyOnce) republish under
+    // the same deterministic file names: replay == one append.
+    import graft.ops.{DedupIndex, LineStore}
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val lineDir = java.nio.file.Files.createTempDirectory("graft-tornline").toString
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft-torndedup").toString
+    val corpus = Seq((1L, "seed doc line")).toDF("doc_id", "text")
+    LineStore.build(corpus, lineDir, $"text", $"doc_id")
+    DedupIndex.build(corpus, dedupDir, $"text", $"doc_id")
+    val batch = Seq((101L, "fresh crawl words\nunique trailing line")).toDF("doc_id", "text")
+    def lineState() = spark.read.parquet(s"$lineDir/counts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    def dedupState() = (
+      spark.read.parquet(s"$dedupDir/fp").collect().map(_.getString(0)).sorted.toSeq,
+      spark.read.parquet(s"$dedupDir/bands").count())
+    LineStore.append(batch, lineDir, $"text", $"doc_id", tag = Some("ckpt_b0"))
+    DedupIndex.append(batch, dedupDir, $"text", $"doc_id", tag = Some("ckpt_b0"))
+    val (line1, dedup1) = (lineState(), dedupState())
+    // the replay: the exact same batch body runs again
+    LineStore.append(batch, lineDir, $"text", $"doc_id", tag = Some("ckpt_b0"))
+    DedupIndex.append(batch, dedupDir, $"text", $"doc_id", tag = Some("ckpt_b0"))
+    assert(lineState() == line1, "line partial must not double under replay")
+    assert(dedupState() == dedup1, "dedup sketches must not double under replay")
+    // the published files carry the deterministic tag names
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$lineDir/counts"))
+      .map(_.getPath.getName).filter(_.startsWith("bckpt_b0_"))
+    assert(names.nonEmpty, "tagged partial files missing")
+    // ...and a SECOND batch under a different tag still accumulates
+    LineStore.append(Seq((201L, "unique trailing line")).toDF("doc_id", "text"),
+      lineDir, $"text", $"doc_id", tag = Some("ckpt_b1"))
+    val sums = spark.read.parquet(s"$lineDir/counts")
+      .groupBy($"line").agg(sum($"n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums("unique trailing line") == 2L, sums.toString)
+    assert(sums("fresh crawl words") == 1L, sums.toString)
   }
 
   test("DedupIndex.compact: late-append files reconciled; append refused under the marker") {
