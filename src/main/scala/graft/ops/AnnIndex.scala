@@ -134,7 +134,7 @@ object AnnIndex {
     * centroid-row argmin, scan-stage residual+encode, partitioned
     * write. */
   def append(spark: SparkSession, newEmb: DataFrame, dir: String,
-             p: Pq.Params = Pq.Params()): Unit = {
+             p: Pq.Params = Pq.Params(), tag: Option[String] = None): Unit = {
     // writer exclusion vs a concurrent [[compact]] (fast-fail side —
     // the store-family convention): a refused batch stays un-marked
     // and replays cleanly; one that slipped past the check has its
@@ -148,8 +148,16 @@ object AnnIndex {
     val assigned = Pq.ivfAssignedWith(newEmb, meta.select(col("cells")))
       .select(col("vec_id"), col("cell"),
         zip_with(col("ve"), col("cv"), (x, c) => x - c).as("ve"))
-    Pq.encoded(assigned, meta.select(col("cbs")), p, extra = Seq("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    val codes = Pq.encoded(assigned, meta.select(col("cbs")), p, extra = Seq("cell"))
+    tag match {
+      // tagged: a torn-batch replay republishes the same cell=*/b<tag>
+      // files instead of appending duplicate code rows — which WOULD
+      // change results (a doubled vec occupies two top-k slots)
+      case Some(t) => CompactSwap.appendExactlyOnce(codes, s"$dir/codes", t,
+        (d, tmp) => d.write.mode("overwrite").partitionBy("cell").parquet(tmp))
+      case None =>
+        codes.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    }
   }
 
   /** Streaming INGEST for the persisted index — the encode-on-arrival
@@ -159,11 +167,12 @@ object AnnIndex {
     * scans against the frozen quantizers. Each batch is guarded by a
     * batch-id marker: a RESTARTED batch (processed fully but the
     * checkpoint didn't advance — the common failure) is skipped
-    * instead of double-appended. The residual at-least-once window is
-    * a crash INSIDE an append (files written, marker not) — the same
-    * partial-append ambiguity [[buildAppendIfAbsent]] documents;
-    * production closes it by staging per-batch files and committing
-    * via rename. */
+    * instead of double-appended, and the residual window — a crash
+    * INSIDE or after an append with the marker unwritten — is closed
+    * by the TAGGED append ([[CompactSwap.appendExactlyOnce]]): the
+    * replay republishes the batch's per-cell files under the same
+    * deterministic names, so the codes table never carries a doubled
+    * batch. */
   def appendStream(spark: SparkSession, vectors: DataFrame, dir: String,
                    p: Pq.Params = Pq.Params(),
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -179,7 +188,7 @@ object AnnIndex {
           s"$dir/_appended_${ckptTag}_batch_$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker) && !batch.isEmpty) {
-          append(spark, batch, dir, p)
+          append(spark, batch, dir, p, tag = Some(s"${ckptTag}_b$batchId"))
           fs.create(marker, true).close()
         }
       }

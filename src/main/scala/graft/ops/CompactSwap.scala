@@ -152,23 +152,26 @@ object CompactSwap {
     * replay re-introduces that batch — compact only with no torn
     * batches outstanding (for live streams the `_compacting` append
     * gate already forces that quiescence). */
-  def appendExactlyOnce(df: DataFrame, cur: String, tag: String): Unit = {
+  def appendExactlyOnce(df: DataFrame, cur: String, tag: String,
+                        write: (DataFrame, String) => Unit =
+                          (d, p) => d.write.mode("overwrite").parquet(p)): Unit = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be filename-safe, got '$tag'")
     val curP = new Path(cur)
     val fs = curP.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val tmp = new Path(curP.getParent, s"_append_${curP.getName}_$tag")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    write(df, tmp.toString)
+    // replay cleanup: drop any files already published under this tag
+    // (recursive — hive-partitioned tables keep their key=value dirs)
     if (fs.exists(curP))
-      fs.listStatus(curP).toSeq
-        .filter(f => f.isFile && f.getPath.getName.startsWith(s"b${tag}_"))
-        .foreach(f => fs.delete(f.getPath, false))
+      dataFiles(fs, curP)
+        .filter(_._1.getPath.getName.startsWith(s"b${tag}_"))
+        .foreach(f => fs.delete(f._1.getPath, false))
     else fs.mkdirs(curP)
-    val parts = fs.listStatus(tmp).toSeq
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-        !f.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
-    parts.zipWithIndex.foreach { case (f, i) =>
-      val dest = new Path(curP, s"b${tag}_$i.parquet")
+    dataFiles(fs, tmp).sortBy(_._2).zipWithIndex.foreach { case ((f, rel), i) =>
+      val slash = rel.lastIndexOf('/')
+      val relDir = if (slash < 0) "" else rel.substring(0, slash + 1)
+      val dest = new Path(curP, s"${relDir}b${tag}_$i.parquet")
+      fs.mkdirs(dest.getParent)
       require(fs.rename(f.getPath, dest),
         s"appendExactlyOnce: rename ${f.getPath} -> $dest failed")
     }

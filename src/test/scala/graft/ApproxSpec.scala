@@ -921,6 +921,41 @@ class ApproxSpec extends AnyFunSuite {
       s"crash recovery lost data:\n  got =$recovered\n  want=$full")
   }
 
+  test("AnnIndex tagged append: a torn-batch replay never doubles a vector's code row") {
+    // the appendStream torn window: crash after append, marker
+    // unwritten -> the batch body replays. Plain append mode would
+    // land the delta's code rows TWICE, and a doubled vector occupies
+    // two top-k slots (decision-changing, unlike the dedup store's
+    // join-idempotent rows). The tagged path republishes the same
+    // cell=*/b<tag> files, so replay == one append.
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val isDelta = col("vec_id") % 10 === 3 && col("vec_id") > 16
+    val q = emb.where(col("vec_id") === 0).select(col("ve").as("qv"))
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-torntag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    graft.ops.AnnIndex.build(corpus.where(!isDelta), dir)
+    graft.ops.AnnIndex.append(spark, corpus.where(isDelta), dir, tag = Some("ck_b0"))
+    val once = graft.ops.AnnIndex.search(spark, dir, q, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    val rows1 = spark.read.parquet(s"$dir/codes").count()
+    // the replay
+    graft.ops.AnnIndex.append(spark, corpus.where(isDelta), dir, tag = Some("ck_b0"))
+    assert(spark.read.parquet(s"$dir/codes").count() == rows1,
+      "replayed tagged append doubled the codes table")
+    val twice = graft.ops.AnnIndex.search(spark, dir, q, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(twice == once, "replay changed search results")
+    // published names carry the tag inside their cell partitions
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/codes"), true)
+    var tagged = 0
+    while (it.hasNext) { if (it.next().getPath.getName.startsWith("bck_b0_")) tagged += 1 }
+    assert(tagged > 0, "tagged per-cell files missing")
+  }
+
   test("AnnIndex.compact: partitioned late appends reconcile into their cells; append refused under the marker") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
