@@ -136,37 +136,45 @@ object CompactSwap {
   /** EXACTLY-ONCE batch append into table dir `cur`: the frame is
     * written to a sibling temp dir, then each part file is PUBLISHED
     * under the deterministic name `b<tag>_<i>.parquet` — after first
-    * deleting any files already carrying the tag. A composite stream
-    * batch that crashed between its store appends and its idempotency
-    * marker therefore REPLAYS to the identical store state instead of
-    * double-appending (the torn-batch window the marker protocol
-    * alone leaves open). This matters most for ADDITIVE tables — the
-    * line store's per-batch count partials feed a `>= minDocs`
-    * threshold, so a doubled partial flips scrub decisions;
-    * union-idempotent (HLL) and row-set (dedup sketch) tables
-    * tolerate plain append-mode duplicates, but gain the same
-    * replay hygiene from this path.
+    * deleting any files already carrying exactly that tag. A
+    * composite stream batch that crashed between its store appends
+    * and its idempotency marker therefore REPLAYS to the identical
+    * store state instead of double-appending (the torn-batch window
+    * the marker protocol alone leaves open). This matters most for
+    * ADDITIVE tables — the line store's per-batch count partials feed
+    * a `>= minDocs` threshold, so a doubled partial flips scrub
+    * decisions; union-idempotent (HLL) and row-set tables tolerate
+    * plain append-mode duplicates, but gain the same replay hygiene.
     *
-    * Recorded constraint: [[rewriteTable]] folds partials and drops
-    * their names, so a compaction run BETWEEN a torn append and its
-    * replay re-introduces that batch — compact only with no torn
-    * batches outstanding (for live streams the `_compacting` append
-    * gate already forces that quiescence). */
+    * A `_published_<table>_<tag>` sidecar in the STORE dir (outside
+    * the table, so [[rewriteTable]] never touches it) records that
+    * the tag's files were fully published. When the sidecar exists
+    * but no tagged files remain, a compaction has FOLDED the batch
+    * into anonymous part files — the replay skips republishing
+    * instead of re-introducing the batch (the compact-between-crash-
+    * and-replay hazard). Publication states are otherwise
+    * self-healing: no sidecar + partial tagged files (a crash
+    * mid-publish) is cleaned and republished in full.
+    *
+    * Replay-recompute contract: callers whose batch COMPUTATION reads
+    * the very tables being appended must recompute against the store
+    * AS OF batch start — [[readExcludingTag]] — or the replay sees
+    * its own first attempt and derives a different frame (for the
+    * dedup store, an EMPTY one). The streams pass their batch tag to
+    * both sides. */
   def appendExactlyOnce(df: DataFrame, cur: String, tag: String,
                         write: (DataFrame, String) => Unit =
                           (d, p) => d.write.mode("overwrite").parquet(p)): Unit = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be filename-safe, got '$tag'")
     val curP = new Path(cur)
     val fs = curP.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val published = new Path(curP.getParent, s"_published_${curP.getName}_$tag")
+    val existing = taggedFiles(fs, curP, tag)
+    if (fs.exists(published) && existing.isEmpty) return // folded by a compact
     val tmp = new Path(curP.getParent, s"_append_${curP.getName}_$tag")
     write(df, tmp.toString)
-    // replay cleanup: drop any files already published under this tag
-    // (recursive — hive-partitioned tables keep their key=value dirs)
-    if (fs.exists(curP))
-      dataFiles(fs, curP)
-        .filter(_._1.getPath.getName.startsWith(s"b${tag}_"))
-        .foreach(f => fs.delete(f._1.getPath, false))
-    else fs.mkdirs(curP)
+    existing.foreach(f => fs.delete(f, false))
+    fs.mkdirs(curP)
     dataFiles(fs, tmp).sortBy(_._2).zipWithIndex.foreach { case ((f, rel), i) =>
       val slash = rel.lastIndexOf('/')
       val relDir = if (slash < 0) "" else rel.substring(0, slash + 1)
@@ -175,6 +183,43 @@ object CompactSwap {
       require(fs.rename(f.getPath, dest),
         s"appendExactlyOnce: rename ${f.getPath} -> $dest failed")
     }
+    fs.create(published, true).close()
     fs.delete(tmp, true)
+  }
+
+  /** The files `appendExactlyOnce(tag)` published into `cur` — exact
+    * `b<tag>_<digits>.parquet` matches only (tag `x` must never claim
+    * tag `x_y`'s files), found by two GLOBS (top level + one
+    * partition level) rather than a full recursive walk, so the
+    * per-batch cost tracks the tag's own files, not store lifetime. */
+  private def taggedFiles(fs: FileSystem, cur: Path, tag: String): Seq[Path] = {
+    if (!fs.exists(cur)) return Seq.empty
+    val re = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(s"b${tag}_") + "\\d+\\.parquet")
+    (Option(fs.globStatus(new Path(cur, s"b${tag}_*.parquet"))).getOrElse(Array.empty) ++
+      Option(fs.globStatus(new Path(cur, s"*/b${tag}_*.parquet"))).getOrElse(Array.empty))
+      .toSeq.filter(f => f.isFile && re.matcher(f.getPath.getName).matches())
+      .map(_.getPath)
+  }
+
+  /** Read parquet table `cur` EXCLUDING the files `tag` published —
+    * the store AS OF the tagged batch's start. The replay-recompute
+    * half of [[appendExactlyOnce]]: a replayed batch that probes the
+    * table it appends must see the pre-batch state or its recompute
+    * diverges from the first attempt. Flat (unpartitioned) tables
+    * only — every probe-side store table here is flat. Throws if
+    * exclusion empties the table: the store always holds its build
+    * files, so that means the caller excluded on a never-built dir. */
+  def readExcludingTag(spark: SparkSession, cur: String, tag: String): DataFrame = {
+    val curP = new Path(cur)
+    val fs = curP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val drop = taggedFiles(fs, curP, tag).map(_.getName).toSet
+    val files = fs.listStatus(curP).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".") && !drop(f.getPath.getName))
+      .map(_.getPath.toString)
+    require(files.nonEmpty,
+      s"readExcludingTag($tag): no files remain in $cur — the table has no build files")
+    spark.read.parquet(files: _*)
   }
 }

@@ -28,19 +28,25 @@ import org.apache.spark.sql.functions._
   * One checkpoint-namespaced marker per batch makes a COMMITTED
   * batch's replay a no-op (the [[DedupIndex.ingestStream]]
   * convention), and the TORN window the marker alone leaves open — a
-  * crash after a store append but before the marker — is closed by
-  * tagged appends ([[CompactSwap.appendExactlyOnce]]): the replayed
-  * batch re-publishes each store's partial under the same
-  * deterministic file names instead of doubling it (the line store's
-  * additive counts would otherwise drift toward the scrub
-  * threshold). A kept-frame localCheckpoint severs the lineage the
-  * store appends would otherwise re-execute against half-updated
-  * tables (the documented [[DedupIndex.append]] bug class). Batches
-  * carry disjoint doc populations per the line store's recorded
-  * contract. Emissions == the sequential batch composition of the
-  * same ops (spec-pinned in DedupSpec). Replay delivery to `sink` is
-  * AT-LEAST-ONCE (a torn batch re-emits its kept rows); downstream
-  * sinks key on (checkpoint, batchId) if they need exactly-once.
+  * crash after a store append but before the marker — is closed on
+  * BOTH sides: the replayed batch recomputes against each store AS
+  * OF batch start (`excludeTag` skips its own first-attempt files,
+  * so the kept set equals the first attempt's instead of
+  * self-matching to empty), and the tagged appends
+  * ([[CompactSwap.appendExactlyOnce]]) re-publish the identical
+  * partial under the same deterministic file names instead of
+  * doubling it (the line store's additive counts would otherwise
+  * drift toward the scrub threshold; a compaction that already
+  * folded the torn batch is detected via the published sidecar and
+  * the republish skipped). A kept-frame localCheckpoint severs the
+  * lineage the store appends would otherwise re-execute against
+  * half-updated tables (the documented [[DedupIndex.append]] bug
+  * class). Batches carry disjoint doc populations per the line
+  * store's recorded contract. Emissions == the sequential batch
+  * composition of the same ops (spec-pinned in DedupSpec). Replay
+  * delivery to `sink` is AT-LEAST-ONCE with BIT-IDENTICAL rows (the
+  * as-of-start recompute); downstream sinks key on (checkpoint,
+  * batchId) if they need exactly-once.
   */
 object CrawlStream {
 
@@ -65,12 +71,19 @@ object CrawlStream {
           // probe — and severing lineage here also protects every
           // downstream read from the store appends below
           val extracted = extract(batch).localCheckpoint()
+          val tag = s"${ckptTag}_b$batchId"
           try {
+            // excludeTag on BOTH probes: a torn-batch replay
+            // recomputes against each store as of batch start, so the
+            // replayed kept set equals the first attempt's instead of
+            // self-matching to empty (which the tagged re-append
+            // would then publish, erasing the batch)
             val scrubbed = gate(LineStore.scrubDelta(spark, extracted, lineDir,
-                col("text"), col(idCol), sep)
+                col("text"), col(idCol), sep, excludeTag = Some(tag))
               .select(col(idCol), col("clean_text").as("text")))
             val kept = DedupIndex.deltaKeep(spark, scrubbed, dedupDir,
-              col("text"), col(idCol), shingleK, seeds, bands, matchMin, maxBucket)
+              col("text"), col(idCol), shingleK, seeds, bands, matchMin, maxBucket,
+              excludeTag = Some(tag))
               .localCheckpoint()
             try {
               sink(kept, batchId)
@@ -79,11 +92,10 @@ object CrawlStream {
               // exactly once (CompactSwap.appendExactlyOnce) — the
               // line store's ADDITIVE counts would otherwise double
               // toward the minDocs threshold
-              val tag = Some(s"${ckptTag}_b$batchId")
               LineStore.append(extracted, lineDir, col("text"), col(idCol), sep,
-                tag = tag)
+                tag = Some(tag))
               DedupIndex.append(kept, dedupDir, col("text"), col(idCol),
-                shingleK, seeds, bands, tag = tag)
+                shingleK, seeds, bands, tag = Some(tag))
             } finally kept.unpersist()
           } finally extracted.unpersist()
           fs.create(marker, true).close()

@@ -191,14 +191,18 @@ object DedupIndex {
           s"$dir/_ingested_${ckptTag}_batch_$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker) && !batch.isEmpty) {
+          val tag = s"${ckptTag}_b$batchId"
           // the batch is read twice (keep + append) and the kept frame
-          // feeds both the sink and the store — persist once
+          // feeds both the sink and the store — persist once;
+          // excludeTag makes a torn-batch replay probe the store AS OF
+          // batch start instead of its own first-attempt sketches
           val kept = deltaKeep(spark, batch, dir, textCol, idCol,
-            shingleK, seeds, bands, matchMin, maxBucket).persist()
+            shingleK, seeds, bands, matchMin, maxBucket,
+            excludeTag = Some(tag)).persist()
           try {
             sink(kept, batchId)
             append(kept, dir, textCol, idCol, shingleK, seeds, bands,
-              tag = Some(s"${ckptTag}_b$batchId"))
+              tag = Some(tag))
           } finally kept.unpersist()
           fs.create(marker, true).close()
         }
@@ -289,16 +293,25 @@ object DedupIndex {
   def deltaKeep(spark: SparkSession, delta: DataFrame, dir: String,
                 textCol: Column, idCol: Column,
                 shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
-                matchMin: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame =
+                matchMin: Int = 3, maxBucket: Int = Int.MaxValue,
+                excludeTag: Option[String] = None): DataFrame =
     deltaKeepFull(spark, delta, dir, textCol, idCol,
-      shingleK, seeds, bands, matchMin, maxBucket).kept
+      shingleK, seeds, bands, matchMin, maxBucket, excludeTag).kept
 
   /** As [[deltaKeep]], additionally returning the dropped-bucket
     * side-channel — see [[DeltaKeep]]. */
+  /** `excludeTag`: probe the store AS OF a tagged batch's start by
+    * skipping that tag's published files ([[CompactSwap.readExcludingTag]])
+    * — the replay-recompute half of the torn-batch closure: without
+    * it, a replayed stream batch finds its OWN first-attempt
+    * fingerprints already stored, anti-joins its kept set to empty,
+    * and the tagged re-append would then ERASE the batch from the
+    * store. */
   def deltaKeepFull(spark: SparkSession, delta: DataFrame, dir: String,
                     textCol: Column, idCol: Column,
                     shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
-                    matchMin: Int = 3, maxBucket: Int = Int.MaxValue): DeltaKeep = {
+                    matchMin: Int = 3, maxBucket: Int = Int.MaxValue,
+                    excludeTag: Option[String] = None): DeltaKeep = {
     require(matchMin >= 1 && matchMin <= seeds,
       s"matchMin must be in [1, seeds=$seeds], got $matchMin")
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
@@ -312,8 +325,12 @@ object DedupIndex {
       require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$t")),
         s"no dedup store table '$t' under $dir — run build/buildIfAbsent first " +
           "(a half-built dir means a crashed build: buildIfAbsent self-heals it)")
-    val fpStore = spark.read.parquet(s"$dir/fp")
-    val bandStore = spark.read.parquet(s"$dir/bands")
+    def readTable(t: String) = excludeTag match {
+      case Some(tag) => CompactSwap.readExcludingTag(spark, s"$dir/$t", tag)
+      case None => spark.read.parquet(s"$dir/$t")
+    }
+    val fpStore = readTable("fp")
+    val bandStore = readTable("bands")
     val deltaFp = delta.select(text.fingerprint(textCol).as("fp")).distinct()
     val matchedFp = fpStore.join(broadcast(deltaFp), Seq("fp")).select(col("fp"))
     val deltaBands = bandRows(delta, textCol, idCol, shingleK, seeds, bands)

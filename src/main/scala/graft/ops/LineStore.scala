@@ -108,14 +108,21 @@ object LineStore {
     * re-agg is doc-sized. */
   def scrubDelta(spark: SparkSession, batch: DataFrame, dir: String,
                  textCol: Column, idCol: Column, sep: String = "\n",
-                 minDocs: Int = 2): DataFrame = {
+                 minDocs: Int = 2, excludeTag: Option[String] = None): DataFrame = {
     require(minDocs >= 2, s"minDocs >= 2, got $minDocs")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/counts")),
       s"no line store under $dir — run build/buildIfAbsent first " +
         "(a half-built dir means a crashed build: buildIfAbsent self-heals it)")
-    val store = spark.read.parquet(s"$dir/counts")
+    // excludeTag: the store AS OF a tagged batch's start — a replayed
+    // stream batch must not count its OWN first-attempt partial
+    // toward the threshold (it would scrub lines its first attempt
+    // kept, emitting different text than the committed attempt)
+    val store = excludeTag match {
+      case Some(tag) => CompactSwap.readExcludingTag(spark, s"$dir/counts", tag)
+      case None => spark.read.parquet(s"$dir/counts")
+    }
     val lines = batch.select(idCol.as("doc_id"),
       split(textCol, java.util.regex.Pattern.quote(sep)).as("ls"))
     val pos = lines.select(col("doc_id"), posexplode(col("ls")).as(Seq("i", "line")))
@@ -158,17 +165,20 @@ object LineStore {
           s"$dir/_scrubbed_${ckptTag}_batch_$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker) && !batch.isEmpty) {
+          val tag = s"${ckptTag}_b$batchId"
           // the scrub plan reads the very table append() writes — sever
           // lineage first so the sink and the append see the same
-          // as-of-batch-start answer (the DedupIndex.append lesson)
-          val cleaned = scrubDelta(spark, batch, dir, textCol, idCol, sep, minDocs)
+          // as-of-batch-start answer (the DedupIndex.append lesson);
+          // excludeTag makes a torn-batch REPLAY recompute against the
+          // same as-of-start store, not its own first attempt
+          val cleaned = scrubDelta(spark, batch, dir, textCol, idCol, sep, minDocs,
+              excludeTag = Some(tag))
             .localCheckpoint()
           try {
             sink(cleaned, batchId)
             // tagged: a replay after a crash in the append->marker
             // window lands the partial exactly once
-            append(batch, dir, textCol, idCol, sep,
-              tag = Some(s"${ckptTag}_b$batchId"))
+            append(batch, dir, textCol, idCol, sep, tag = Some(tag))
           } finally cleaned.unpersist()
           fs.create(marker, true).close()
         }

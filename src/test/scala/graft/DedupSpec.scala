@@ -990,12 +990,13 @@ class DedupSpec extends AnyFunSuite {
 
   test("tagged appends: a torn-batch replay lands each store partial exactly once") {
     // the window the batch marker alone leaves open — crash AFTER a
-    // store append, BEFORE the marker — replays the whole batch
-    // body. With plain append mode the line store's additive partial
-    // doubles (counts drift toward the minDocs scrub threshold) and
-    // the dedup store's fp table loses its stays-distinct invariant.
-    // Tagged appends (CompactSwap.appendExactlyOnce) republish under
-    // the same deterministic file names: replay == one append.
+    // store append, BEFORE the marker — replays the WHOLE batch body:
+    // recompute + append. The replay probes with excludeTag (the
+    // store as of batch start, skipping its own first-attempt files),
+    // so the recomputed kept/scrubbed frames are BIT-EQUAL to the
+    // first attempt's — without it the dedup replay self-matches its
+    // own fingerprints, derives kept = EMPTY, and the tagged
+    // re-append would ERASE the batch from the store.
     import graft.ops.{DedupIndex, LineStore}
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val lineDir = java.nio.file.Files.createTempDirectory("graft-tornline").toString
@@ -1009,17 +1010,34 @@ class DedupSpec extends AnyFunSuite {
     def dedupState() = (
       spark.read.parquet(s"$dedupDir/fp").collect().map(_.getString(0)).sorted.toSeq,
       spark.read.parquet(s"$dedupDir/bands").count())
-    LineStore.append(batch, lineDir, $"text", $"doc_id", tag = Some("ckpt_b0"))
-    DedupIndex.append(batch, dedupDir, $"text", $"doc_id", tag = Some("ckpt_b0"))
+    val tag = "ckpt_b0"
+    // ---- attempt 1 (the stream's batch body) ----
+    def batchBody(): (Seq[(Long, String)], Seq[(Long, String)]) = {
+      val scrubbed = LineStore.scrubDelta(spark, batch, lineDir, $"text", $"doc_id",
+          excludeTag = Some(tag))
+        .select($"doc_id", $"clean_text".as("text"))
+      val kept = DedupIndex.deltaKeep(spark, scrubbed, dedupDir, $"text", $"doc_id",
+        excludeTag = Some(tag)).localCheckpoint()
+      val out = (scrubbed.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted,
+        kept.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted)
+      LineStore.append(batch, lineDir, $"text", $"doc_id", tag = Some(tag))
+      DedupIndex.append(kept, dedupDir, $"text", $"doc_id", tag = Some(tag))
+      kept.unpersist()
+      out
+    }
+    val (scrub1, kept1) = batchBody()
+    assert(kept1.nonEmpty, "fixture: the batch doc must survive attempt 1")
     val (line1, dedup1) = (lineState(), dedupState())
-    // the replay: the exact same batch body runs again
-    LineStore.append(batch, lineDir, $"text", $"doc_id", tag = Some("ckpt_b0"))
-    DedupIndex.append(batch, dedupDir, $"text", $"doc_id", tag = Some("ckpt_b0"))
+    // ---- the torn replay: the exact same body runs again ----
+    val (scrub2, kept2) = batchBody()
+    assert(scrub2 == scrub1, "replayed scrub diverged from attempt 1")
+    assert(kept2 == kept1, "replayed kept set diverged from attempt 1 " +
+      "(empty here = the self-match bug: the replay saw its own fingerprints)")
     assert(lineState() == line1, "line partial must not double under replay")
     assert(dedupState() == dedup1, "dedup sketches must not double under replay")
     // the published files carry the deterministic tag names
     val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$lineDir/counts"))
-      .map(_.getPath.getName).filter(_.startsWith("bckpt_b0_"))
+      .map(_.getPath.getName).filter(_.startsWith(s"b${tag}_"))
     assert(names.nonEmpty, "tagged partial files missing")
     // ...and a SECOND batch under a different tag still accumulates
     LineStore.append(Seq((201L, "unique trailing line")).toDF("doc_id", "text"),
@@ -1029,6 +1047,50 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sums("unique trailing line") == 2L, sums.toString)
     assert(sums("fresh crawl words") == 1L, sums.toString)
+  }
+
+  test("tagged appends: a compaction that folded the torn batch is not re-introduced") {
+    // the third window: batch published (sidecar written), crash
+    // before the marker, store compacted while the stream is down
+    // (folding the tagged files into anonymous part files), THEN the
+    // stream restarts and replays. The published sidecar — outside
+    // the table dir, untouched by CompactSwap — tells the replay the
+    // batch is already in the store; republishing would double it.
+    import graft.ops.LineStore
+    val lineDir = java.nio.file.Files.createTempDirectory("graft-tornfold").toString
+    LineStore.build(Seq((1L, "seed doc line")).toDF("doc_id", "text"),
+      lineDir, $"text", $"doc_id")
+    val batch = Seq((101L, "folded batch line")).toDF("doc_id", "text")
+    LineStore.append(batch, lineDir, $"text", $"doc_id", tag = Some("ck_b7"))
+    LineStore.compact(spark, lineDir)   // folds bck_b7_* into part files
+    // the replay's append: must detect the fold and skip
+    LineStore.append(batch, lineDir, $"text", $"doc_id", tag = Some("ck_b7"))
+    val sums = spark.read.parquet(s"$lineDir/counts")
+      .groupBy($"line").agg(sum($"n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums("folded batch line") == 1L,
+      s"compact-folded batch was re-introduced by the replay: $sums")
+  }
+
+  test("tagged appends: tag 'x' never claims tag 'x_y'-published files") {
+    // '_' is a legal tag character, so deletes must match the exact
+    // b<tag>_<digits>.parquet shape, not the b<tag>_ prefix
+    import graft.ops.LineStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-tagprefix").toString
+    LineStore.build(Seq((1L, "seed doc line")).toDF("doc_id", "text"),
+      dir, $"text", $"doc_id")
+    LineStore.append(Seq((11L, "from x underscore y")).toDF("doc_id", "text"),
+      dir, $"text", $"doc_id", tag = Some("x_y"))
+    LineStore.append(Seq((12L, "from plain x")).toDF("doc_id", "text"),
+      dir, $"text", $"doc_id", tag = Some("x"))
+    // replay of tag "x" must leave tag "x_y"'s rows intact
+    LineStore.append(Seq((12L, "from plain x")).toDF("doc_id", "text"),
+      dir, $"text", $"doc_id", tag = Some("x"))
+    val lines = spark.read.parquet(s"$dir/counts")
+      .groupBy($"line").agg(sum($"n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lines("from x underscore y") == 1L, lines.toString)
+    assert(lines("from plain x") == 1L, lines.toString)
   }
 
   test("DedupIndex.compact: late-append files reconciled; append refused under the marker") {
