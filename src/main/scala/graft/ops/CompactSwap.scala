@@ -110,6 +110,23 @@ object CompactSwap {
     }
     // ---- the rewrite proper ----
     val snapFiles = dataFiles(fs, cur)
+    // refuse to fold a TORN tagged publish (b<tag> files whose
+    // `_published` sidecar is absent — a crashed appendExactlyOnce
+    // mid-publish): folding a partial batch would freeze the partial
+    // state as anonymous part files, and the stream's replay would
+    // then re-publish the batch IN FULL on top of it (the additive
+    // double-count this machinery exists to prevent). The remedy is
+    // to restart the ingest stream first — its replay completes the
+    // publish — then compact.
+    val tagRe = java.util.regex.Pattern.compile("b(.+)_\\d+\\.parquet")
+    val tornTags = snapFiles.map(_._2.split('/').last)
+      .flatMap { n => val m = tagRe.matcher(n); if (m.matches()) Some(m.group(1)) else None }
+      .distinct
+      .filterNot(t => fs.exists(new Path(cur.getParent, s"_published_${cur.getName}_$t")))
+    require(tornTags.isEmpty,
+      s"compact: table $cur holds tagged batch files with no _published sidecar " +
+        s"(tags: ${tornTags.mkString(", ")}) — a torn publish is outstanding; restart " +
+        "the ingest stream so its replay completes the publish, then compact")
     if (snapFiles.nonEmpty) {
       val out = fs.create(manifest, true)
       try out.write(snapFiles.map(_._2).mkString("\n").getBytes("UTF-8"))
@@ -173,6 +190,13 @@ object CompactSwap {
     if (fs.exists(published) && existing.isEmpty) return // folded by a compact
     val tmp = new Path(curP.getParent, s"_append_${curP.getName}_$tag")
     write(df, tmp.toString)
+    // ORDER IS LOAD-BEARING: drop the sidecar BEFORE touching the
+    // published files. sidecar-present + zero-tagged-files must mean
+    // exactly one thing — "a compact folded a complete publish" — so
+    // a crash between the deletes and the renames below (no sidecar,
+    // partial files) replays as a full republish, never as a
+    // misread fold-skip that would silently lose the batch.
+    fs.delete(published, false)
     existing.foreach(f => fs.delete(f, false))
     fs.mkdirs(curP)
     dataFiles(fs, tmp).sortBy(_._2).zipWithIndex.foreach { case ((f, rel), i) =>
@@ -186,6 +210,30 @@ object CompactSwap {
     fs.create(published, true).close()
     fs.delete(tmp, true)
   }
+
+  /** FINALIZE a committed batch's tagged publish: rename its
+    * `b<tag>_<i>` files to anonymous `pt<tag>_<i>` names, then drop
+    * the `_published` sidecar. Called by the streams AFTER the batch
+    * idempotency marker is written — a marked batch never replays,
+    * so from that point its tag is dead weight: without finalize the
+    * sidecars accumulate one zero-byte file per table per batch
+    * forever, and [[rewriteTable]]'s torn-publish refusal could not
+    * tell a committed batch (sidecar pruned) from a genuinely torn
+    * one. After finalize the tagged namespace holds ONLY in-flight
+    * batches. Rename-then-delete order matters: a crash mid-finalize
+    * leaves (tagged remainder + sidecar), which compact folds
+    * normally — sidecar-present means the publish was complete —
+    * at the cost of one lingering sidecar, bounded by crashes. */
+  def finalizeTagged(spark: SparkSession, tables: Seq[String], tag: String): Unit =
+    tables.foreach { t =>
+      val curP = new Path(t)
+      val fs = curP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      taggedFiles(fs, curP, tag).zipWithIndex.foreach { case (f, i) =>
+        require(fs.rename(f, new Path(f.getParent, s"pt${tag}_$i.parquet")),
+          s"finalizeTagged: rename $f failed")
+      }
+      fs.delete(new Path(curP.getParent, s"_published_${curP.getName}_$tag"), false)
+    }
 
   /** The files `appendExactlyOnce(tag)` published into `cur` — exact
     * `b<tag>_<digits>.parquet` matches only (tag `x` must never claim
@@ -211,6 +259,7 @@ object CompactSwap {
     * exclusion empties the table: the store always holds its build
     * files, so that means the caller excluded on a never-built dir. */
   def readExcludingTag(spark: SparkSession, cur: String, tag: String): DataFrame = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be filename-safe, got '$tag'")
     val curP = new Path(cur)
     val fs = curP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val drop = taggedFiles(fs, curP, tag).map(_.getName).toSet
@@ -219,7 +268,9 @@ object CompactSwap {
         !f.getPath.getName.startsWith(".") && !drop(f.getPath.getName))
       .map(_.getPath.toString)
     require(files.nonEmpty,
-      s"readExcludingTag($tag): no files remain in $cur — the table has no build files")
+      s"readExcludingTag($tag): excluding the tag leaves no data files in $cur — " +
+        "the store was never built (build always writes at least one part file); " +
+        "run build/buildIfAbsent before streaming against it")
     spark.read.parquet(files: _*)
   }
 }

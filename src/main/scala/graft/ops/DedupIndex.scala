@@ -205,6 +205,8 @@ object DedupIndex {
               tag = Some(tag))
           } finally kept.unpersist()
           fs.create(marker, true).close()
+          // marked = never replays; untag files + drop the sidecars
+          CompactSwap.finalizeTagged(spark, Seq(s"$dir/fp", s"$dir/bands"), tag)
         }
       }
       .start()
@@ -299,14 +301,13 @@ object DedupIndex {
       shingleK, seeds, bands, matchMin, maxBucket, excludeTag).kept
 
   /** As [[deltaKeep]], additionally returning the dropped-bucket
-    * side-channel — see [[DeltaKeep]]. */
-  /** `excludeTag`: probe the store AS OF a tagged batch's start by
-    * skipping that tag's published files ([[CompactSwap.readExcludingTag]])
-    * — the replay-recompute half of the torn-batch closure: without
-    * it, a replayed stream batch finds its OWN first-attempt
-    * fingerprints already stored, anti-joins its kept set to empty,
-    * and the tagged re-append would then ERASE the batch from the
-    * store. */
+    * side-channel — see [[DeltaKeep]]. `excludeTag`: probe the store
+    * AS OF a tagged batch's start by skipping that tag's published
+    * files ([[CompactSwap.readExcludingTag]]) — the replay-recompute
+    * half of the torn-batch closure: without it, a replayed stream
+    * batch finds its OWN first-attempt fingerprints already stored,
+    * anti-joins its kept set to empty, and the tagged re-append
+    * would then ERASE the batch from the store. */
   def deltaKeepFull(spark: SparkSession, delta: DataFrame, dir: String,
                     textCol: Column, idCol: Column,
                     shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,

@@ -765,11 +765,18 @@ class DedupSpec extends AnyFunSuite {
       s"${dirs("lineS")}/_crawled_${ckptTag}_batch_1")))
     assert(spark.read.parquet(s"${dirs("lineS")}/counts").count() == linesBefore)
     // the stream's store appends went through the TAGGED exactly-once
-    // path: partials are published under deterministic batch names
+    // path and each marked batch was FINALIZED: files carry the
+    // untagged pt-names, and no in-flight b-tags or sidecars remain
     for ((d, table) <- Seq(dirs("lineS") -> "counts", dirs("dedupS") -> "bands")) {
-      val tagged = fs.listStatus(new org.apache.hadoop.fs.Path(s"$d/$table"))
-        .map(_.getPath.getName).filter(_.startsWith(s"b${ckptTag}_b"))
-      assert(tagged.nonEmpty, s"$table missing tagged batch partials")
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$d/$table"))
+        .map(_.getPath.getName)
+      assert(names.exists(_.startsWith(s"pt${ckptTag}_b")),
+        s"$table missing finalized batch partials: ${names.mkString(",")}")
+      assert(!names.exists(_.startsWith(s"b${ckptTag}_b")),
+        s"$table still holds in-flight tagged files after the marker")
+      val sidecars = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .map(_.getPath.getName).filter(_.startsWith(s"_published_${table}_"))
+      assert(sidecars.isEmpty, s"unpruned sidecars: ${sidecars.mkString(",")}")
     }
   }
 
@@ -1070,6 +1077,35 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sums("folded batch line") == 1L,
       s"compact-folded batch was re-introduced by the replay: $sums")
+  }
+
+  test("compact refuses a torn tagged publish; the replay completes it and compact proceeds") {
+    // the sub-window between appendExactlyOnce's sidecar delete and
+    // its renames: tagged files without a sidecar = a publish in
+    // flight. Folding that partial state would freeze it anonymously
+    // and the replay would then re-publish ON TOP (the double-count).
+    // Compact must refuse loudly; the stream's replay re-publishes
+    // (sidecar restored), after which compact proceeds.
+    import graft.ops.LineStore
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tornrefuse").toString
+    LineStore.build(Seq((1L, "seed doc line")).toDF("doc_id", "text"),
+      dir, $"text", $"doc_id")
+    val batch = Seq((101L, "torn publish line")).toDF("doc_id", "text")
+    LineStore.append(batch, dir, $"text", $"doc_id", tag = Some("ck_b9"))
+    // simulate the torn state: sidecar gone, tagged files present
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_published_counts_ck_b9"), false)
+    val e = intercept[IllegalArgumentException](LineStore.compact(spark, dir))
+    assert(e.getMessage.contains("torn"), e.getMessage)
+    // no _compacting marker left behind by the refusal
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_compacting")))
+    // the replay completes the publish; compact then proceeds
+    LineStore.append(batch, dir, $"text", $"doc_id", tag = Some("ck_b9"))
+    LineStore.compact(spark, dir)
+    val sums = spark.read.parquet(s"$dir/counts")
+      .groupBy($"line").agg(sum($"n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums("torn publish line") == 1L, sums.toString)
   }
 
   test("tagged appends: tag 'x' never claims tag 'x_y'-published files") {
