@@ -188,11 +188,8 @@ object AnnIndex {
           s"$dir/_appended_${ckptTag}_batch_$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker) && !batch.isEmpty) {
-          val tag = s"${ckptTag}_b$batchId"
-          append(spark, batch, dir, p, tag = Some(tag))
+          append(spark, batch, dir, p, tag = Some(s"${ckptTag}_b$batchId"))
           fs.create(marker, true).close()
-          // marked = never replays; untag the batch's per-cell files
-          CompactSwap.finalizeTagged(spark, Seq(s"$dir/codes"), tag)
         }
       }
       .start()

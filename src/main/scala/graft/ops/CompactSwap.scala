@@ -110,23 +110,25 @@ object CompactSwap {
     }
     // ---- the rewrite proper ----
     val snapFiles = dataFiles(fs, cur)
-    // refuse to fold a TORN tagged publish (b<tag> files whose
-    // `_published` sidecar is absent — a crashed appendExactlyOnce
-    // mid-publish): folding a partial batch would freeze the partial
-    // state as anonymous part files, and the stream's replay would
-    // then re-publish the batch IN FULL on top of it (the additive
-    // double-count this machinery exists to prevent). The remedy is
-    // to restart the ingest stream first — its replay completes the
-    // publish — then compact.
-    val tagRe = java.util.regex.Pattern.compile("b(.+)_\\d+\\.parquet")
+    // refuse to fold a TORN or IN-FLIGHT tagged publish (gb- files
+    // whose `_published` sidecar is absent): folding a partial batch
+    // would freeze the partial state as anonymous part files, and the
+    // stream's replay would then re-publish the batch IN FULL on top
+    // of it (the additive double-count this machinery exists to
+    // prevent). Conservative by design: a live append that slipped
+    // past the `_compacting` fast-fail mid-publish also trips this —
+    // failing the (administrative, retryable) compact is strictly
+    // safer than folding a partial batch.
     val tornTags = snapFiles.map(_._2.split('/').last)
-      .flatMap { n => val m = tagRe.matcher(n); if (m.matches()) Some(m.group(1)) else None }
+      .flatMap { n => val m = TaggedName.matcher(n)
+        if (m.matches()) Some(m.group(1)) else None }
       .distinct
       .filterNot(t => fs.exists(new Path(cur.getParent, s"_published_${cur.getName}_$t")))
     require(tornTags.isEmpty,
       s"compact: table $cur holds tagged batch files with no _published sidecar " +
-        s"(tags: ${tornTags.mkString(", ")}) — a torn publish is outstanding; restart " +
-        "the ingest stream so its replay completes the publish, then compact")
+        s"(tags: ${tornTags.mkString(", ")}) — a tagged publish is torn or in flight. " +
+        "If the ingest stream is live, retry the compact in a moment; if it crashed, " +
+        "restart it so the replay completes the publish, then compact")
     if (snapFiles.nonEmpty) {
       val out = fs.create(manifest, true)
       try out.write(snapFiles.map(_._2).mkString("\n").getBytes("UTF-8"))
@@ -152,8 +154,8 @@ object CompactSwap {
 
   /** EXACTLY-ONCE batch append into table dir `cur`: the frame is
     * written to a sibling temp dir, then each part file is PUBLISHED
-    * under the deterministic name `b<tag>_<i>.parquet` — after first
-    * deleting any files already carrying exactly that tag. A
+    * under the deterministic name `gb-<tag>-<i>.parquet` — after
+    * first deleting any files already carrying exactly that tag. A
     * composite stream batch that crashed between its store appends
     * and its idempotency marker therefore REPLAYS to the identical
     * store state instead of double-appending (the torn-batch window
@@ -168,21 +170,41 @@ object CompactSwap {
     * the tag's files were fully published. When the sidecar exists
     * but no tagged files remain, a compaction has FOLDED the batch
     * into anonymous part files — the replay skips republishing
-    * instead of re-introducing the batch (the compact-between-crash-
-    * and-replay hazard). Publication states are otherwise
-    * self-healing: no sidecar + partial tagged files (a crash
-    * mid-publish) is cleaned and republished in full.
+    * instead of re-introducing the batch. [[rewriteTable]] refuses to
+    * fold a tag whose sidecar is ABSENT, so only complete publishes
+    * ever fold. Publication states are otherwise self-healing: no
+    * sidecar + partial tagged files (a crash mid-publish) is cleaned
+    * and republished in full.
+    *
+    * Tagged files and sidecars of COMMITTED batches are left in place
+    * — the same accumulation convention as the streams' batch marker
+    * files, folded (files) or carried (sidecars, zero-byte) by
+    * compaction. Deliberately no untag-on-commit step: renaming
+    * published files after the marker raced [[rewriteTable]]'s
+    * reconcile (a finalize between snapshot and reconcile made the
+    * renamed file look like a missed concurrent append and
+    * double-counted the batch).
     *
     * Replay-recompute contract: callers whose batch COMPUTATION reads
     * the very tables being appended must recompute against the store
     * AS OF batch start — [[readExcludingTag]] — or the replay sees
     * its own first attempt and derives a different frame (for the
     * dedup store, an EMPTY one). The streams pass their batch tag to
-    * both sides. */
+    * both sides.
+    *
+    * OPERATIONAL RULE (recorded, not closable by markers alone):
+    * between a stream crash and its restart, compacting its store can
+    * fold a COMPLETE-but-unmarked batch; the restart's replay then
+    * cannot reconstruct the as-of-start store (the folded files are
+    * anonymous), so its recompute — and hence its sink re-emission —
+    * can diverge from the first attempt even though the STORE stays
+    * correct (the sidecar skip prevents any re-append). Restart
+    * streams (draining their replays) before compacting their
+    * stores. */
   def appendExactlyOnce(df: DataFrame, cur: String, tag: String,
                         write: (DataFrame, String) => Unit =
                           (d, p) => d.write.mode("overwrite").parquet(p)): Unit = {
-    require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be filename-safe, got '$tag'")
+    require(tag.matches(TagCharset), s"tag must match $TagCharset, got '$tag'")
     val curP = new Path(cur)
     val fs = curP.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val published = new Path(curP.getParent, s"_published_${curP.getName}_$tag")
@@ -202,7 +224,7 @@ object CompactSwap {
     dataFiles(fs, tmp).sortBy(_._2).zipWithIndex.foreach { case ((f, rel), i) =>
       val slash = rel.lastIndexOf('/')
       val relDir = if (slash < 0) "" else rel.substring(0, slash + 1)
-      val dest = new Path(curP, s"${relDir}b${tag}_$i.parquet")
+      val dest = new Path(curP, s"${relDir}gb-$tag-$i.parquet")
       fs.mkdirs(dest.getParent)
       require(fs.rename(f.getPath, dest),
         s"appendExactlyOnce: rename ${f.getPath} -> $dest failed")
@@ -211,42 +233,28 @@ object CompactSwap {
     fs.delete(tmp, true)
   }
 
-  /** FINALIZE a committed batch's tagged publish: rename its
-    * `b<tag>_<i>` files to anonymous `pt<tag>_<i>` names, then drop
-    * the `_published` sidecar. Called by the streams AFTER the batch
-    * idempotency marker is written — a marked batch never replays,
-    * so from that point its tag is dead weight: without finalize the
-    * sidecars accumulate one zero-byte file per table per batch
-    * forever, and [[rewriteTable]]'s torn-publish refusal could not
-    * tell a committed batch (sidecar pruned) from a genuinely torn
-    * one. After finalize the tagged namespace holds ONLY in-flight
-    * batches. Rename-then-delete order matters: a crash mid-finalize
-    * leaves (tagged remainder + sidecar), which compact folds
-    * normally — sidecar-present means the publish was complete —
-    * at the cost of one lingering sidecar, bounded by crashes. */
-  def finalizeTagged(spark: SparkSession, tables: Seq[String], tag: String): Unit =
-    tables.foreach { t =>
-      val curP = new Path(t)
-      val fs = curP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      taggedFiles(fs, curP, tag).zipWithIndex.foreach { case (f, i) =>
-        require(fs.rename(f, new Path(f.getParent, s"pt${tag}_$i.parquet")),
-          s"finalizeTagged: rename $f failed")
-      }
-      fs.delete(new Path(curP.getParent, s"_published_${curP.getName}_$tag"), false)
-    }
+  /** The ONE place the published-name shape lives: `gb-<tag>-<i>
+    * .parquet`, with tags drawn from [[TagCharset]] (no '-', so the
+    * parse is unambiguous and foreign files named `part-…`/`b…_1`
+    * can never be mistaken for a tagged publish and wedge the
+    * [[rewriteTable]] torn check). */
+  private val TagCharset = "[A-Za-z0-9_]+"
+  private val TaggedName =
+    java.util.regex.Pattern.compile(s"gb-($TagCharset)-\\d+\\.parquet")
 
   /** The files `appendExactlyOnce(tag)` published into `cur` — exact
-    * `b<tag>_<digits>.parquet` matches only (tag `x` must never claim
-    * tag `x_y`'s files), found by two GLOBS (top level + one
+    * [[TaggedName]] matches for this tag only (tag `x` must never
+    * claim tag `x_y`'s files), found by two GLOBS (top level + one
     * partition level) rather than a full recursive walk, so the
     * per-batch cost tracks the tag's own files, not store lifetime. */
   private def taggedFiles(fs: FileSystem, cur: Path, tag: String): Seq[Path] = {
     if (!fs.exists(cur)) return Seq.empty
-    val re = java.util.regex.Pattern.compile(
-      java.util.regex.Pattern.quote(s"b${tag}_") + "\\d+\\.parquet")
-    (Option(fs.globStatus(new Path(cur, s"b${tag}_*.parquet"))).getOrElse(Array.empty) ++
-      Option(fs.globStatus(new Path(cur, s"*/b${tag}_*.parquet"))).getOrElse(Array.empty))
-      .toSeq.filter(f => f.isFile && re.matcher(f.getPath.getName).matches())
+    (Option(fs.globStatus(new Path(cur, s"gb-$tag-*.parquet"))).getOrElse(Array.empty) ++
+      Option(fs.globStatus(new Path(cur, s"*/gb-$tag-*.parquet"))).getOrElse(Array.empty))
+      .toSeq.filter { f =>
+        val m = TaggedName.matcher(f.getPath.getName)
+        f.isFile && m.matches() && m.group(1) == tag
+      }
       .map(_.getPath)
   }
 

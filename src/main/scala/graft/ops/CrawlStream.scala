@@ -44,14 +44,14 @@ import org.apache.spark.sql.functions._
   * class). Batches carry disjoint doc populations per the line
   * store's recorded contract. Emissions == the sequential batch
   * composition of the same ops (spec-pinned in DedupSpec). Replay
-  * delivery to `sink` is AT-LEAST-ONCE: re-emissions are
+  * delivery to `sink` is AT-LEAST-ONCE with re-emissions
   * bit-identical to the first attempt's rows (the as-of-start
-  * recompute) — except in the one fold path, where a compaction ran
-  * against a fully-published torn batch (compact refuses torn
-  * PARTIAL publishes, so only complete ones can fold); there the
-  * replay's recompute sees the folded rows, emits an empty frame,
-  * and skips the append via the sidecar — the store stays correct
-  * and the rows were already delivered by the first attempt.
+  * recompute), under the recorded operational rule on
+  * [[CompactSwap.appendExactlyOnce]]: do not compact a crashed
+  * stream's stores before restarting it — a compaction can fold a
+  * complete-but-unmarked batch, after which the replay's recompute
+  * (and hence its re-emission) can diverge even though the STORE
+  * stays correct (the sidecar skip prevents any re-append).
   * Downstream sinks key on (checkpoint, batchId) if they need
   * exactly-once.
   */
@@ -106,9 +106,6 @@ object CrawlStream {
             } finally kept.unpersist()
           } finally extracted.unpersist()
           fs.create(marker, true).close()
-          // marked = never replays; untag both stores' batch files
-          CompactSwap.finalizeTagged(spark,
-            Seq(s"$lineDir/counts", s"$dedupDir/fp", s"$dedupDir/bands"), tag)
         }
       }
       .start()

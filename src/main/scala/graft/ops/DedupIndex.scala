@@ -205,8 +205,6 @@ object DedupIndex {
               tag = Some(tag))
           } finally kept.unpersist()
           fs.create(marker, true).close()
-          // marked = never replays; untag files + drop the sidecars
-          CompactSwap.finalizeTagged(spark, Seq(s"$dir/fp", s"$dir/bands"), tag)
         }
       }
       .start()

@@ -181,9 +181,6 @@ object LineStore {
             append(batch, dir, textCol, idCol, sep, tag = Some(tag))
           } finally cleaned.unpersist()
           fs.create(marker, true).close()
-          // marked = never replays; untag the batch's files + drop
-          // its sidecar so the tagged namespace stays in-flight-only
-          CompactSwap.finalizeTagged(spark, Seq(s"$dir/counts"), tag)
         }
       }
       .start()

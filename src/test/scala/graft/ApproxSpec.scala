@@ -952,7 +952,7 @@ class ApproxSpec extends AnyFunSuite {
     // published names carry the tag inside their cell partitions
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/codes"), true)
     var tagged = 0
-    while (it.hasNext) { if (it.next().getPath.getName.startsWith("bck_b0_")) tagged += 1 }
+    while (it.hasNext) { if (it.next().getPath.getName.startsWith("gb-ck_b0-")) tagged += 1 }
     assert(tagged > 0, "tagged per-cell files missing")
   }
 

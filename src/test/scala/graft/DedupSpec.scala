@@ -765,18 +765,18 @@ class DedupSpec extends AnyFunSuite {
       s"${dirs("lineS")}/_crawled_${ckptTag}_batch_1")))
     assert(spark.read.parquet(s"${dirs("lineS")}/counts").count() == linesBefore)
     // the stream's store appends went through the TAGGED exactly-once
-    // path and each marked batch was FINALIZED: files carry the
-    // untagged pt-names, and no in-flight b-tags or sidecars remain
+    // path: partials published under deterministic gb- batch names,
+    // each with its _published sidecar (the marker-file accumulation
+    // convention — deliberately no untag-on-commit, see
+    // CompactSwap.appendExactlyOnce)
     for ((d, table) <- Seq(dirs("lineS") -> "counts", dirs("dedupS") -> "bands")) {
       val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$d/$table"))
         .map(_.getPath.getName)
-      assert(names.exists(_.startsWith(s"pt${ckptTag}_b")),
-        s"$table missing finalized batch partials: ${names.mkString(",")}")
-      assert(!names.exists(_.startsWith(s"b${ckptTag}_b")),
-        s"$table still holds in-flight tagged files after the marker")
+      assert(names.exists(_.startsWith(s"gb-${ckptTag}_b")),
+        s"$table missing tagged batch partials: ${names.mkString(",")}")
       val sidecars = fs.listStatus(new org.apache.hadoop.fs.Path(d))
         .map(_.getPath.getName).filter(_.startsWith(s"_published_${table}_"))
-      assert(sidecars.isEmpty, s"unpruned sidecars: ${sidecars.mkString(",")}")
+      assert(sidecars.nonEmpty, s"missing publish sidecars for $table")
     }
   }
 
@@ -1044,7 +1044,7 @@ class DedupSpec extends AnyFunSuite {
     assert(dedupState() == dedup1, "dedup sketches must not double under replay")
     // the published files carry the deterministic tag names
     val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$lineDir/counts"))
-      .map(_.getPath.getName).filter(_.startsWith(s"b${tag}_"))
+      .map(_.getPath.getName).filter(_.startsWith(s"gb-$tag-"))
     assert(names.nonEmpty, "tagged partial files missing")
     // ...and a SECOND batch under a different tag still accumulates
     LineStore.append(Seq((201L, "unique trailing line")).toDF("doc_id", "text"),
