@@ -37,7 +37,7 @@ object AnnIndex {
   /** Bump when the encode/assign/layout logic changes: the version
     * rides in the [[buildIfAbsent]] marker name, so a stale on-disk
     * index from older code is rebuilt rather than silently served. */
-  val BuildVersion = 1
+  val BuildVersion = 2
 
   /** Build & persist the IVFADC index for `emb` (vec_id, ve) under
     * `dir`. The caller owns corpus semantics (e.g. excluding a held-
@@ -150,7 +150,7 @@ object AnnIndex {
         zip_with(col("ve"), col("cv"), (x, c) => x - c).as("ve"))
     val codes = Pq.encoded(assigned, meta.select(col("cbs")), p, extra = Seq("cell"))
     tag match {
-      // tagged: a torn-batch replay republishes the same cell=*/b<tag>
+      // tagged: a torn-batch replay republishes the same cell=*/gb-tag
       // files instead of appending duplicate code rows — which WOULD
       // change results (a doubled vec occupies two top-k slots)
       case Some(t) => CompactSwap.appendExactlyOnce(codes, s"$dir/codes", t,

@@ -267,7 +267,7 @@ object CompactSwap {
     * exclusion empties the table: the store always holds its build
     * files, so that means the caller excluded on a never-built dir. */
   def readExcludingTag(spark: SparkSession, cur: String, tag: String): DataFrame = {
-    require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be filename-safe, got '$tag'")
+    require(tag.matches(TagCharset), s"tag must match $TagCharset, got '$tag'")
     val curP = new Path(cur)
     val fs = curP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val drop = taggedFiles(fs, curP, tag).map(_.getName).toSet

@@ -42,7 +42,7 @@ object DedupIndex {
     * so a persisted index built by older code is rebuilt, not
     * misread. Distinct marker kind from [[AnnIndex]], so the two
     * stores can share a parent dir without marker collisions. */
-  val BuildVersion = 1
+  val BuildVersion = 2
 
   /** Build & persist the dedup store for `docs` under `dir`. Two
     * corpus-sized sketch tables, no text retained:

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object LineStore {
 
-  val BuildVersion = 1
+  val BuildVersion = 2
 
   /** Per-line DISTINCT-doc counts of `docs` — per-doc line dedup is
     * scan-stage array work (array_distinct before the explode), so

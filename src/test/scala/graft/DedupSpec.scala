@@ -1069,7 +1069,7 @@ class DedupSpec extends AnyFunSuite {
       lineDir, $"text", $"doc_id")
     val batch = Seq((101L, "folded batch line")).toDF("doc_id", "text")
     LineStore.append(batch, lineDir, $"text", $"doc_id", tag = Some("ck_b7"))
-    LineStore.compact(spark, lineDir)   // folds bck_b7_* into part files
+    LineStore.compact(spark, lineDir)   // folds gb-ck_b7-* into part files
     // the replay's append: must detect the fold and skip
     LineStore.append(batch, lineDir, $"text", $"doc_id", tag = Some("ck_b7"))
     val sums = spark.read.parquet(s"$lineDir/counts")
@@ -1110,7 +1110,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("tagged appends: tag 'x' never claims tag 'x_y'-published files") {
     // '_' is a legal tag character, so deletes must match the exact
-    // b<tag>_<digits>.parquet shape, not the b<tag>_ prefix
+    // gb-<tag>-<digits>.parquet shape, not a bare prefix
     import graft.ops.LineStore
     val dir = java.nio.file.Files.createTempDirectory("graft-tagprefix").toString
     LineStore.build(Seq((1L, "seed doc line")).toDF("doc_id", "text"),
