@@ -195,6 +195,59 @@ object AnnIndex {
       .start()
   }
 
+  /** TAKEDOWN — the fifth index verb (build → search → append →
+    * compact → takedown): remove vectors from the index, the
+    * content-removal path (GDPR/DMCA erasure — the source documents
+    * of `vec_id`s leave the lake, so the index must stop serving
+    * them). Tombstone-cheap: `ids` (vec_id) append to a `tomb` side
+    * table; [[search]]/[[searchStream]] anti-join it (broadcast —
+    * takedown-sized by nature), and [[compact]] folds it physically
+    * into the codes table. Probe results are bit-identical to an
+    * index compacted first, and to one built without the vectors
+    * (the quantizers were trained WITH them — frozen-quantizer
+    * semantics, same as [[append]]'s; spec-pinned).
+    *
+    * RE-INGEST RULE (recorded): tombstones suppress by vec_id, so
+    * re-appending a taken-down id before a compact folds its
+    * tombstone would serve nothing for that id. Content-level
+    * erasure wants exactly that until the erasure is final; if the
+    * id genuinely returns (new consent), compact first. */
+  def takedown(spark: SparkSession, ids: DataFrame, dir: String,
+               tag: Option[String] = None): Unit = {
+    val cm = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    val cfs = cm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(cm))
+      throw new IllegalStateException(
+        s"ANN index $dir is compacting ($cm present); retry the takedown after it completes")
+    val t = ids.select(col("vec_id")).distinct()
+    tag match {
+      case Some(tg) => CompactSwap.appendExactlyOnce(t, s"$dir/tomb", tg)
+      case None => t.write.mode("append").parquet(s"$dir/tomb")
+    }
+  }
+
+  /** Build-then-takedown exactly once per corpus fingerprint — the
+    * graded erasure flow. The idempotency unit is the sequence; fold
+    * `removedIds`' definition into `fingerprint` (a changed slice
+    * must rebuild, not reuse). */
+  def buildTakedownIfAbsent(spark: SparkSession, emb: DataFrame, removedIds: DataFrame,
+                            dir: String, k: Int = 8, p: Pq.Params = Pq.Params(),
+                            fingerprint: String): Unit =
+    oncePerFingerprint(spark, dir, "built_td", fingerprint) {
+      build(emb, dir, k, p)
+      takedown(spark, removedIds, dir)
+    }
+
+  /** `codes` minus the tombstoned vec_ids ([[takedown]]) — the live
+    * view every search path serves. Broadcast anti-join; a no-op
+    * when no takedown ever ran (no `tomb` dir, zero probe cost). */
+  private def minusTombstones(spark: SparkSession, dir: String,
+                              codes: DataFrame): DataFrame =
+    // snapshotFlat handles the folded-empty dir (compact deletes the
+    // tombstone FILES, the dir stays)
+    CompactSwap.snapshotFlat(spark, s"$dir/tomb")._2
+      .fold(codes)(t => codes.join(broadcast(t), Seq("vec_id"), "left_anti"))
+
   /** O(#files) fingerprint of a parquet table path: folds every data
     * file's (name, length, mtime). The right invalidation key for
     * immutable-file lakes — a regenerated table changes lengths or
@@ -300,12 +353,22 @@ object AnnIndex {
     // CompactSwap carries the cell=N partition layout through the
     // manifest/basePath/reconcile protocol, so a concurrent append's
     // files land in the right cell dir instead of being retired.
-    try CompactSwap.rewriteTable(spark,
-      new org.apache.hadoop.fs.Path(s"$dir/codes"),
-      df => df.repartition(col("cell")),
-      (df, tmp) => df.write.option("maxRecordsPerFile", maxRecordsPerFile)
-        .partitionBy("cell").parquet(tmp))
-    finally fs.delete(marker, false)
+    // Takedown tombstones fold here (the DedupIndex.compact
+    // convention): codes rewrite MINUS the tombstone snapshot, then
+    // exactly the snapshotted tombstone files are deleted — late
+    // takedowns survive for the next compact, a crash between fold
+    // and delete re-folds idempotently.
+    val (tombFiles, tomb) = CompactSwap.snapshotFlat(spark, s"$dir/tomb")
+    try {
+      CompactSwap.rewriteTable(spark,
+        new org.apache.hadoop.fs.Path(s"$dir/codes"),
+        df => tomb.fold(df)(t =>
+            df.join(broadcast(t.distinct()), Seq("vec_id"), "left_anti"))
+          .repartition(col("cell")),
+        (df, tmp) => df.write.option("maxRecordsPerFile", maxRecordsPerFile)
+          .partitionBy("cell").parquet(tmp))
+      tombFiles.foreach(f => fs.delete(f, false))
+    } finally fs.delete(marker, false)
   }
 
   /** [[build]] only when no CURRENT index for this corpus exists —
@@ -363,8 +426,8 @@ object AnnIndex {
       s"search takes exactly ONE query row, got ${qRows.length} — " +
         "use searchStream for a stream of queries")
     val probes: Seq[Int] = qRows(0).getSeq[Int](0)
-    spark.read.parquet(s"$dir/codes")
-      .where(col("cell").isin(probes: _*))
+    minusTombstones(spark, dir,
+        spark.read.parquet(s"$dir/codes").where(col("cell").isin(probes: _*)))
       .crossJoin(broadcast(qRow.select(col("qtabs"))))
       .withColumn("tab", element_at(col("qtabs"), col("cell").cast("int")))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
@@ -436,7 +499,8 @@ object AnnIndex {
         element_at(col("cells"), col("cell").cast("int")).getField("cv"),
         (x, cv) => x - cv), p))
       .select(col("query_id"), col("ts"), col("cell"), col("tab"))
-    val scored = probed.join(spark.read.parquet(s"$dir/codes"), "cell")
+    val scored = probed.join(minusTombstones(spark, dir,
+        spark.read.parquet(s"$dir/codes")), "cell")
       .withColumn("ad2", adcOver(col("tab"), col("codes"), p))
     scored.withWatermark("ts", delay)
       .groupBy(col("query_id"), window(col("ts"), windowLen))

@@ -258,6 +258,26 @@ object CompactSwap {
       .map(_.getPath)
   }
 
+  /** Snapshot a FLAT side table's data files plus a frame reading
+    * exactly them — the tombstone-fold handshake of the stores'
+    * takedown verb: the caller anti-joins the frame into a
+    * main-table rewrite, then deletes exactly these files, so a
+    * tombstone appended DURING the fold survives for the next
+    * compact and a crash between fold and delete merely re-folds
+    * (anti-join deletion is idempotent). (Nil, None) when the table
+    * is absent or empty. */
+  def snapshotFlat(spark: SparkSession, dir: String): (Seq[Path], Option[DataFrame]) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (Seq.empty, None)
+    val files = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    if (files.isEmpty) (Seq.empty, None)
+    else (files, Some(spark.read.parquet(files.map(_.toString): _*)))
+  }
+
   /** Read parquet table `cur` EXCLUDING the files `tag` published —
     * the store AS OF the tagged batch's start. The replay-recompute
     * half of [[appendExactlyOnce]]: a replayed batch that probes the

@@ -141,6 +141,67 @@ object DedupIndex {
     } finally k.unpersist()
   }
 
+  /** TAKEDOWN — the fifth store verb (build → deltaKeep → append →
+    * compact → takedown): remove previously-ingested documents from
+    * the store's dedup identity, the content-removal path
+    * (GDPR/DMCA erasure) a production corpus store needs. Takedown
+    * is TOMBSTONE-cheap — two takedown-sized appends, the store
+    * tables untouched:
+    *
+    *  - `tomb_fp`:  the docs' normalized fingerprints. Semantics are
+    *    CONTENT-level: the fingerprint leaves the store's exact-dup
+    *    identity entirely, so a future crawl of the same content is
+    *    KEPT again (it is new w.r.t. the post-erasure lake). An
+    *    exact-dup copy of a taken-down doc that the caller leaves in
+    *    the lake is no longer represented — content removal means
+    *    removing every copy, which is the caller's lake-side job.
+    *  - `tomb_doc`: the docs' ids — their band/signature rows leave
+    *    the near-dup probe.
+    *
+    * [[deltaKeepFull]] anti-joins both tombstone tables at probe
+    * time (BEFORE the density cap gathers, so a tombstoned doc never
+    * occupies a capped bucket slot — probe results are bit-identical
+    * to a store compacted first, spec-pinned), and [[compact]] folds
+    * tombstones physically. Tombstones are broadcast on the probe
+    * path — takedown-sized by nature; compact regularly to keep them
+    * folded. Re-ingesting content after its takedown lands new fp /
+    * band rows that the OLD tombstones must not suppress — `tomb_fp`
+    * would: compact between the takedown and the re-ingest (the
+    * [[AnnIndex.takedown]] re-ingest rule, recorded there too). */
+  def takedown(docs: DataFrame, dir: String, textCol: Column, idCol: Column,
+               tag: Option[String] = None): Unit = {
+    val cm = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    val cfs = cm.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (cfs.exists(cm))
+      throw new IllegalStateException(
+        s"dedup store $dir is compacting ($cm present); retry the takedown after it completes")
+    val fp = docs.select(text.fingerprint(textCol).as("fp")).distinct()
+    val ids = docs.select(idCol.as("doc_id")).distinct()
+    tag match {
+      case Some(t) =>
+        CompactSwap.appendExactlyOnce(fp, s"$dir/tomb_fp", t)
+        CompactSwap.appendExactlyOnce(ids, s"$dir/tomb_doc", t)
+      case None =>
+        fp.write.mode("append").parquet(s"$dir/tomb_fp")
+        ids.write.mode("append").parquet(s"$dir/tomb_doc")
+    }
+  }
+
+  /** Build-then-takedown exactly once per corpus fingerprint — the
+    * graded erasure flow: build over `corpus`, tombstone `removed`
+    * (a subset of it). The idempotency unit is the whole sequence.
+    * `removed`'s identity shapes the store, so fold its definition
+    * into `fingerprint` (the buildAppendIfAbsent mm/cap convention) —
+    * a changed slice must rebuild, not reuse. */
+  def buildTakedownIfAbsent(spark: SparkSession, corpus: DataFrame, removed: DataFrame,
+                            dir: String, textCol: Column, idCol: Column,
+                            shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
+                            fingerprint: String): Unit =
+    AnnIndex.oncePerFingerprint(spark, dir, "dedup_td", fingerprint, BuildVersion) {
+      build(corpus, dir, textCol, idCol, shingleK, seeds, bands)
+      takedown(removed, dir, textCol, idCol)
+    }
+
   /** Build-then-ingest-one-batch exactly ONCE per corpus fingerprint —
     * the graded incremental-maintenance flow (the dedup twin of
     * [[AnnIndex.buildAppendIfAbsent]]): build over `corpus`, dedup
@@ -224,17 +285,37 @@ object DedupIndex {
     * (fast-fail), and an append that slipped past the check has its
     * files reconciled, never retired — both tables are plain row
     * sets, so carried-over files are row-preserving. */
+  /** Tombstones ([[takedown]]) fold here physically: each main table
+    * rewrites MINUS a snapshot of its tombstone table, and exactly
+    * the snapshotted tombstone files are deleted afterward — a
+    * takedown that lands DURING the compact survives for the next
+    * one, and a crash between the fold and the tombstone delete
+    * re-folds harmlessly (the anti-join is idempotent). A torn
+    * tombstone publish folds partially and completes on replay, also
+    * harmless for the same reason — tombstone effect is a row-set
+    * anti-join, not additive. */
   def compact(spark: SparkSession, dir: String,
               maxRecordsPerFile: Long = 1L << 20): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(marker, true).close()
-    try for (t <- Seq("fp", "bands"))
-      CompactSwap.rewriteTable(spark, new org.apache.hadoop.fs.Path(s"$dir/$t"),
-        df => if (t == "bands") df.repartition(col("band_idx"), col("band_key"))
-              else df.repartition(col("fp")),
-        (df, tmp) => df.write.option("maxRecordsPerFile", maxRecordsPerFile).parquet(tmp))
-    finally fs.delete(marker, false)
+    val (fpTombFiles, fpTomb) = CompactSwap.snapshotFlat(spark, s"$dir/tomb_fp")
+    val (docTombFiles, docTomb) = CompactSwap.snapshotFlat(spark, s"$dir/tomb_doc")
+    try {
+      for (t <- Seq("fp", "bands"))
+        CompactSwap.rewriteTable(spark, new org.apache.hadoop.fs.Path(s"$dir/$t"),
+          df => {
+            val live =
+              if (t == "bands") docTomb.fold(df)(td =>
+                df.join(broadcast(td.distinct()), Seq("doc_id"), "left_anti"))
+              else fpTomb.fold(df)(tf =>
+                df.join(broadcast(tf.distinct()), Seq("fp"), "left_anti"))
+            if (t == "bands") live.repartition(col("band_idx"), col("band_key"))
+            else live.repartition(col("fp"))
+          },
+          (df, tmp) => df.write.option("maxRecordsPerFile", maxRecordsPerFile).parquet(tmp))
+      (fpTombFiles ++ docTombFiles).foreach(f => fs.delete(f, false))
+    } finally fs.delete(marker, false)
   }
 
   /** [[deltaKeep]]'s result plus its operational side-channel (the
@@ -328,8 +409,22 @@ object DedupIndex {
       case Some(tag) => CompactSwap.readExcludingTag(spark, s"$dir/$t", tag)
       case None => spark.read.parquet(s"$dir/$t")
     }
-    val fpStore = readTable("fp")
-    val bandStore = readTable("bands")
+    // tombstones ([[takedown]]) anti-join the store scans before any
+    // other probe work — in particular before the density cap's
+    // bottom_k gather, so a tombstoned doc never occupies a capped
+    // bucket slot and the probe equals one against a compacted store.
+    // Tombs are read WITHOUT excludeTag: takedowns are not stream
+    // batches, so a batch tag can never mark tombstone files (and a
+    // tomb table legitimately empties, which readExcludingTag
+    // refuses for store tables).
+    // snapshotFlat handles the folded-empty dir (compact deletes the
+    // tombstone FILES, the dir stays) — a bare read there would fail
+    // schema inference
+    def tombOn(table: DataFrame, tombName: String, key: String): DataFrame =
+      CompactSwap.snapshotFlat(spark, s"$dir/$tombName")._2
+        .fold(table)(t => table.join(broadcast(t), Seq(key), "left_anti"))
+    val fpStore = tombOn(readTable("fp"), "tomb_fp", "fp")
+    val bandStore = tombOn(readTable("bands"), "tomb_doc", "doc_id")
     val deltaFp = delta.select(text.fingerprint(textCol).as("fp")).distinct()
     val matchedFp = fpStore.join(broadcast(deltaFp), Seq("fp")).select(col("fp"))
     val deltaBands = bandRows(delta, textCol, idCol, shingleK, seeds, bands)

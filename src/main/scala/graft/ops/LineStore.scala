@@ -77,17 +77,70 @@ object LineStore {
     }
   }
 
+  /** TAKEDOWN — the fifth store verb (build → scrub → append →
+    * compact → takedown): remove previously-ingested documents'
+    * line contributions, the content-removal path (GDPR/DMCA
+    * erasure) a production corpus store needs. Because the store is
+    * ADDITIVE with read-time summing, takedown is just an appended
+    * NEGATIVE partial: `-lineCounts(docs)` rows land like any batch
+    * partial, every probe's per-line sum subtracts them with ZERO
+    * probe-path changes, and [[compact]] folds them physically
+    * (lines whose total reaches 0 are dropped). Cost: one
+    * takedown-sized aggregate — the store is never rewritten.
+    *
+    * Contract (extends the disjoint-batch contract): each doc in
+    * `docs` must have been ingested exactly once (build or append)
+    * and not taken down before — a double takedown would drive
+    * counts negative and over-release lines other docs still carry.
+    * After takedown, a scrub probe behaves as if the docs were never
+    * ingested (spec-pinned against a store rebuilt without them). */
+  def takedown(docs: DataFrame, dir: String, textCol: Column, idCol: Column,
+               sep: String = "\n", tag: Option[String] = None): Unit = {
+    val cm = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    val cfs = cm.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (cfs.exists(cm))
+      throw new IllegalStateException(
+        s"line store $dir is compacting ($cm present); retry the takedown after it completes")
+    val negative = lineCounts(docs, textCol, idCol, sep)
+      .select(col("line"), (-col("n_docs")).as("n_docs"))
+    tag match {
+      case Some(t) => CompactSwap.appendExactlyOnce(negative, s"$dir/counts", t)
+      case None => negative.write.mode("append").parquet(s"$dir/counts")
+    }
+  }
+
+  /** Build-then-takedown exactly once per corpus fingerprint — the
+    * graded erasure flow (the store analog of
+    * [[DedupIndex.buildAppendIfAbsent]]): build over `docs`, then
+    * remove `removed`'s contributions. The idempotency unit is the
+    * whole sequence (a half-applied takedown is not detectable by
+    * inspection), so a missing marker restarts from an empty dir.
+    * Fold `removed`'s definition into `fingerprint` — the slice
+    * shapes the store, so a changed slice must rebuild. */
+  def buildTakedownIfAbsent(spark: SparkSession, docs: DataFrame, removed: DataFrame,
+                            dir: String, textCol: Column, idCol: Column,
+                            sep: String = "\n", fingerprint: String): Unit =
+    AnnIndex.oncePerFingerprint(spark, dir, "linestore_td", fingerprint, BuildVersion) {
+      build(docs, dir, textCol, idCol, sep)
+      takedown(removed, dir, textCol, idCol, sep)
+    }
+
   /** Merge per-batch partials to one row per line — the same
     * [[CompactSwap]] protocol as every other store (manifest
     * snapshot, late-append reconcile, crash recovery; `_compacting`
-    * fast-fail gate on [[append]]). */
+    * fast-fail gate on [[append]]). [[takedown]]'s negative partials
+    * fold here too: a line whose summed count reaches <= 0 (all
+    * contributing docs taken down) is physically dropped — 0 is
+    * identity for the `>= minDocs >= 2` scrub threshold, and under
+    * the single-takedown contract sums never go below 0. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(marker, true).close()
     try CompactSwap.rewriteTable(spark,
       new org.apache.hadoop.fs.Path(s"$dir/counts"),
-      df => df.groupBy(col("line")).agg(sum(col("n_docs")).as("n_docs")),
+      df => df.groupBy(col("line")).agg(sum(col("n_docs")).as("n_docs"))
+        .where(col("n_docs") > 0),
       (df, tmp) => df.write.parquet(tmp))
     finally fs.delete(marker, false)
   }

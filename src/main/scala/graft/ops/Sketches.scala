@@ -186,4 +186,22 @@ object Sketches {
       .rollup(keys.map(col): _*)
       .agg(grouping_id().as("gid"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+
+  /** TAKEDOWN is UNSUPPORTED for the sketch store, loudly (the
+    * H.264/MP3-PCM recorded-contract convention): HLL registers are
+    * a max-merge — union-idempotent, deletion-free — so removing one
+    * document's contribution from a merged sketch is
+    * information-theoretically impossible (its hashes may be the
+    * register maxima other docs share). The erasure path for
+    * sketches is REBUILD over the post-erasure corpus: drop the
+    * store dir and re-ingest, which [[ingestBatch]]'s idempotency
+    * markers make safe to replay. The row-level stores
+    * ([[DedupIndex.takedown]], [[AnnIndex.takedown]],
+    * [[LineStore.takedown]]) carry real takedown verbs; estimates
+    * merely BOUND post-erasure counts from above until the rebuild. */
+  def takedown(dir: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"sketch store $dir cannot take down rows: HLL union is irreversible " +
+        "(register max-merge) — rebuild the store over the post-erasure corpus " +
+        "instead (delete the store dir, re-ingest; batch markers make the replay safe)")
 }

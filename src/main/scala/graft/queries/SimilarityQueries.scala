@@ -803,6 +803,34 @@ object SimilarityQueries {
       },
       Some(ivfpqSql(nprobe = 1))),
 
+    // TAKEDOWN — the index's erasure verb graded end to end: build
+    // the persisted index, tombstone the vec_id % 7 == 3 slice
+    // (AnnIndex.takedown — one takedown-sized append, codes
+    // untouched), and search. The tombstoned vectors leave the
+    // top-10 as if never indexed, with the quantizers unchanged
+    // (they were trained WITH the erased vectors — the frozen-
+    // quantizer semantics every append already has, so erasure costs
+    // a tombstone, not a re-encode of the lake). The oracle is the
+    // standard IVFADC replay with the same slice filtered before the
+    // top-10; AnnSpec pins tombstone-probe == compacted-store
+    // parity separately.
+    Q("e_ann_takedown",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-td-${storeKey(d)}"
+        graft.ops.AnnIndex.buildTakedownIfAbsent(s,
+          emb.where(col("vec_id") =!= 0),
+          emb.where(col("vec_id") % 7 === 3).select(col("vec_id")),
+          dir, IvfK, P,
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(s,
+            s"$d/embeddings.parquet") + "|td=mod7eq3")
+        graft.ops.AnnIndex.search(s, dir,
+          emb.where(col("vec_id") === 0).select(col("ve").as("qv")),
+          nprobe = 1, limit = 10, p = P)
+      },
+      Some(ivfpqSql(nprobe = 1, excludePred = "vec_id % 7 <> 3"))),
+
     // the persisted x trained matrix cell: build the MATERIALIZED
     // index over k-means-trained centroids (meta carries the trained
     // quantizer) and search it — graded against the SAME composed
@@ -1466,11 +1494,11 @@ object SimilarityQueries {
 
   /** DuckDB twin of [[ivfpqTop10]] over the SEED coarse quantizer —
     * delegates to [[ivfpqSqlOver]] with the vec_id-1..K centroid CTE. */
-  private def ivfpqSql(nprobe: Int): String =
+  private def ivfpqSql(nprobe: Int, excludePred: String = ""): String =
     ivfpqSqlOver(
       s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
          |c0 AS (SELECT vec_id AS cell, ve AS cv FROM e0 WHERE vec_id BETWEEN 1 AND $IvfK)""".stripMargin,
-      "c0", nprobe)
+      "c0", nprobe, excludePred)
 
   /** DuckDB twin of [[ivfpqTop10]] over the TRAINED coarse quantizer:
     * the k-means chain ([[kmeansCtes]]) runs first, then the same
@@ -1484,7 +1512,10 @@ object SimilarityQueries {
     * query residuals (`qr`), and cell-confined ADC are identical for
     * seed and trained centroids — the same property the Spark side
     * gets from [[ivfpqTop10]]'s `cells` parameter. */
-  private def ivfpqSqlOver(chain: String, c: String, nprobe: Int): String = {
+  /** `excludePred` (e.g. a takedown slice) filters candidates BEFORE
+    * the top-10 — the DuckDB twin of the index tombstone anti-join. */
+  private def ivfpqSqlOver(chain: String, c: String, nprobe: Int,
+                           excludePred: String = ""): String = {
     val residualE =
       s"""$chain,
          |asn AS (SELECT vec_id, ve, cell, cv FROM (
@@ -1514,7 +1545,7 @@ object SimilarityQueries {
        |       WHERE asn.cell IN (SELECT cell FROM pb)
        |       GROUP BY c.vec_id, asn.cell)
        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, code, ad2 FROM ad
-       |ORDER BY ad2 ASC, vec_id ASC LIMIT 10""".stripMargin
+       |${if (excludePred.isEmpty) "" else s"WHERE $excludePred\n"}ORDER BY ad2 ASC, vec_id ASC LIMIT 10""".stripMargin
   }
 
   private def d2S(a: String, b: String, n: Int) =

@@ -1112,6 +1112,54 @@ object TextQueries {
              |    p -> l.ls[p + 1]), ' the '), '') AS clean_text
              |FROM dls l LEFT JOIN cov c ON c.doc_id = l.doc_id""".stripMargin)),
 
+    // TAKEDOWN for the line store — erasure in an ADDITIVE store is
+    // just an appended NEGATIVE partial (LineStore.takedown):
+    // -lineCounts(removed) rows land like any batch partial, the
+    // probe's read-time per-line sum subtracts them with zero
+    // probe-path changes, and compaction drops lines reaching 0.
+    // Graded consequence: a line that was cross-doc boilerplate only
+    // BECAUSE of erased docs falls back under the >= minDocs
+    // threshold and stops being scrubbed from arriving batches — the
+    // store serves exactly as if the erased docs were never
+    // ingested, which is what the oracle replays (corpus counts
+    // minus the removed slice).
+    Q("t_line_dedup_takedown",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val corpus = docs.where(col("doc_id") % 10 =!= 7)
+        val removed = docs.where(col("doc_id") % 10 === 3)
+        val delta = docs.where(col("doc_id") % 10 === 7)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-linestore-td-${storeKey(d)}"
+        graft.ops.LineStore.buildTakedownIfAbsent(s, corpus, removed, dir,
+          col("text"), col("doc_id"), sep = " the ",
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(s,
+            s"$d/documents.parquet") + "|td=3")
+        graft.ops.LineStore.scrubDelta(s, delta, dir, col("text"), col("doc_id"),
+          sep = " the ")
+      },
+      Some("""WITH corpus AS (SELECT * FROM documents
+             |                WHERE doc_id % 10 <> 7 AND doc_id % 10 <> 3),
+             |delta AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+             |cls AS (SELECT doc_id, string_split(text, ' the ') AS ls FROM corpus),
+             |ccnt AS (SELECT line, count(*) AS s_docs FROM (
+             |           SELECT DISTINCT doc_id, unnest(ls) AS line FROM cls) GROUP BY line),
+             |dls AS (SELECT doc_id, string_split(text, ' the ') AS ls FROM delta),
+             |dpos AS (SELECT doc_id, i, ls[i+1] AS line
+             |         FROM (SELECT doc_id, ls, unnest(range(0, len(ls))) AS i FROM dls)),
+             |dcnt AS (SELECT line, count(*) AS b_docs FROM (
+             |           SELECT DISTINCT doc_id, unnest(ls) AS line FROM dls) GROUP BY line),
+             |dup AS (SELECT d.line FROM dcnt d LEFT JOIN ccnt c ON c.line = d.line
+             |        WHERE d.b_docs + coalesce(c.s_docs, 0) >= 2),
+             |cov AS (SELECT doc_id, list(DISTINCT i) AS cl
+             |        FROM dpos WHERE line IN (SELECT line FROM dup) GROUP BY doc_id)
+             |SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
+             |  CAST(coalesce(len(c.cl), 0) AS BIGINT) AS n_cut,
+             |  coalesce(array_to_string(list_transform(
+             |    list_filter(range(0, len(l.ls)),
+             |      p -> NOT coalesce(list_contains(c.cl, p), FALSE)),
+             |    p -> l.ls[p + 1]), ' the '), '') AS clean_text
+             |FROM dls l LEFT JOIN cov c ON c.doc_id = l.doc_id""".stripMargin)),
+
     // the DATA CARD: the per-(lang, source) corpus report a training
     // run ships with — doc/token counts, exact-duplicate mass, mean
     // quality — with lang-level and corpus-level rollup rows from the
@@ -2150,6 +2198,70 @@ object TextQueries {
     // x1000 SCALE.md row pins the measured timing claim; this row
     // pins the semantics at the driver gate.
     deltaIndexKeepQ("d_delta_index_small", mod = 100, tag = "-small"),
+
+    // TAKEDOWN — the store's erasure verb graded end to end: build
+    // over the corpus, tombstone the doc_id % 10 IN (0, 5, 9) slice
+    // (DedupIndex.takedown: content-level fp tombstones + doc-level
+    // band tombstones, two takedown-sized appends, store untouched),
+    // then probe the same held-out delta. A delta doc whose ONLY
+    // dup/near-dup lived in the erased slice flips from dropped to
+    // KEPT — the post-erasure lake no longer contains its content,
+    // so re-crawling it is genuinely new. The oracle replays the
+    // tombstone semantics exactly: erased fingerprints leave the
+    // exact-dup identity, erased doc_ids leave the banded signature
+    // rows BEFORE the density-cap ranking (the probe anti-joins
+    // tombstones before the bottom_k gather, so a tombstoned doc
+    // never occupies a capped slot — bit-identical to probing a
+    // compacted store, which DedupSpec pins separately).
+    Q("d_delta_index_takedown",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val corpus = docs.where(col("doc_id") % 10 =!= 7)
+        val removed = docs.where((col("doc_id") % 10).isin(0, 5, 9))
+        val delta = docs.where(col("doc_id") % 10 === 7)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-dedupidx-td-${storeKey(d)}"
+        graft.ops.DedupIndex.buildTakedownIfAbsent(s, corpus, removed, dir,
+          col("text"), col("doc_id"),
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(s,
+            s"$d/documents.parquet") + "|td=0,5,9")
+        graft.ops.DedupIndex.deltaKeep(s, delta, dir, col("text"), col("doc_id"),
+            maxBucket = DeltaProbeCap)
+          .select(col("doc_id"), col("n_chars"))
+      },
+      Some {
+        val agree = (0 until Seeds).map(i =>
+          s"(CASE WHEN dd.m_$i = cc.m_$i THEN 1 ELSE 0 END)").mkString(" + ")
+        // blv = band rows surviving the doc-level tombstones; the
+        // density cap ranks the LIVE rows (post-compact parity)
+        val rankedCtes = (0 until Bands).map(bn =>
+          s"""rc$bn AS (SELECT * FROM (SELECT bc.*,
+             |    row_number() OVER (PARTITION BY m_$bn ORDER BY doc_id) AS rk
+             |  FROM (SELECT * FROM blv) bc)
+             |  WHERE rk <= $DeltaProbeCap)""".stripMargin).mkString(",\n")
+        val candBranches = (0 until Bands).map(bn =>
+          s"""SELECT dd.doc_id, $agree AS n_match
+             |    FROM bd dd JOIN rc$bn cc ON dd.m_$bn = cc.m_$bn""".stripMargin)
+          .mkString("\nUNION\n")
+        s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+           |removed AS (SELECT * FROM documents WHERE doc_id % 10 IN (0, 5, 9)),
+           |delta AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+           |cf AS (SELECT DISTINCT CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+           |       FROM (SELECT text, $normSql AS norm FROM corpus)),
+           |tf AS (SELECT DISTINCT CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+           |       FROM (SELECT text, $normSql AS norm FROM removed)),
+           |df AS (SELECT doc_id, CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+           |       FROM (SELECT doc_id, text, $normSql AS norm FROM delta)),
+           |${sigCtes("corpus", "c")},
+           |${sigCtes("delta", "d")},
+           |blv AS (SELECT * FROM bc
+           |        WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
+           |$rankedCtes,
+           |near AS (SELECT DISTINCT doc_id FROM ($candBranches) WHERE n_match >= 3)
+           |SELECT dl.doc_id, dl.n_chars
+           |FROM delta dl JOIN df ON df.doc_id = dl.doc_id
+           |WHERE df.fp NOT IN (SELECT fp FROM cf WHERE fp NOT IN (SELECT fp FROM tf))
+           |  AND dl.doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin
+      }),
 
     // the persisted store at the OTHER band geometry (8 seeds, 4
     // bands of 2 rows — d_lsh_pairs_r2's precision knob carried to
