@@ -856,6 +856,75 @@ object MiscQueries {
              |  CAST(count(*) * 1152 * 1000 // max(rate) AS BIGINT) AS duration_ms
              |FROM fx GROUP BY doc_id""".stripMargin)),
 
+    // WARC (ISO 28500) — the crawl lake's container format, graded
+    // through the REAL record codec (ops/Warc): per doc a
+    // deterministic WARC file is packed (warcinfo + an HTTP-wrapped
+    // response carrying the doc's text + doc_id%3 metadata records),
+    // every third doc additionally round-trips the .warc.gz framing
+    // (one gzip member PER RECORD, spec annex C), and the file is
+    // parsed back. The graded columns all come from the PARSED side
+    // — record count, HTTP status, the response record's
+    // Content-Length, the extracted entity-body text (== the
+    // original text iff every offset/CRLF/length in the framing is
+    // exact), target URI — so the hash pins the whole pack→parse→
+    // httpBody chain, not header arithmetic. Scan-stage
+    // mapPartitions, zero shuffles (the m_flac_frames convention);
+    // real-file reads via Warc.records are WarcSpec's job (binary
+    // container I/O, like .nc/.h5).
+    Q("m_warc_records",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, txt) =>
+              val date = "2026-01-01T00:00:00Z"
+              def rid(j: Long) = s"<urn:uuid:0000-$id-$j>"
+              val uri = s"http://example.com/doc/$id"
+              val body = txt.getBytes("UTF-8")
+              val recs =
+                (Seq("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> rid(0),
+                  "WARC-Date" -> date, "Content-Type" -> "application/warc-fields"),
+                  "software: graft\r\n".getBytes("UTF-8")) +:
+                (Seq("WARC-Type" -> "response", "WARC-Record-ID" -> rid(1),
+                  "WARC-Date" -> date, "WARC-Target-URI" -> uri,
+                  "Content-Type" -> "application/http;msgtype=response"),
+                  graft.ops.Warc.httpWrap(200, "text/plain", body)) +:
+                (0L until id % 3).map(j =>
+                  (Seq("WARC-Type" -> "metadata", "WARC-Record-ID" -> rid(2 + j),
+                    "WARC-Date" -> date, "WARC-Refers-To" -> rid(1)),
+                    s"extra: $j".getBytes("UTF-8")))
+              val gz = id % 3 == 0
+              val fileBytes =
+                if (gz) recs.toArray.flatMap(r =>
+                  graft.ops.Warc.gzipMember(graft.ops.Warc.pack(Seq(r))))
+                else graft.ops.Warc.pack(recs)
+              val parsed = graft.ops.Warc.parseAuto(fileBytes)
+              val resp = parsed.find(_.recordType == "response").get
+              val (status, pbody) = graft.ops.Warc.httpBody(resp.payload)
+              (id, parsed.length.toLong, gz, status.toLong,
+                resp.header("Content-Length").get.toLong,
+                pbody.length.toLong, resp.targetUri,
+                new String(pbody, "UTF-8"))
+            }
+          }.toDF("doc_id", "n_records", "gz", "status", "clen",
+            "body_len", "uri", "body_text")
+      },
+      // clen replays httpWrap's framing: 63 fixed header bytes
+      // ("HTTP/1.1 200 OK" 15 + "Content-Type: text/plain" 24 +
+      // "Content-Length: " 16 + four CRLFs 8) + the length's own
+      // digits + the UTF-8 body
+      Some("""SELECT doc_id,
+             |  CAST(2 + doc_id % 3 AS BIGINT) AS n_records,
+             |  doc_id % 3 = 0 AS gz,
+             |  CAST(200 AS BIGINT) AS status,
+             |  CAST(63 + length(CAST(octet_length(encode(text)) AS VARCHAR))
+             |       + octet_length(encode(text)) AS BIGINT) AS clen,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+             |  'http://example.com/doc/' || doc_id AS uri,
+             |  text AS body_text
+             |FROM documents""".stripMargin)),
+
     // image header metadata through the REAL parser — packPngHeader
     // writes the spec's signature+IHDR layout (header-only fixture),
     // the decode dispatch takes the real PNG branch (not the stub),

@@ -997,6 +997,47 @@ object TextQueries {
               |  CAST(length($htmlExtractSql) AS BIGINT) AS n_chars_clean
               |FROM documents""".stripMargin)),
 
+    // the FULL crawl container chain: each doc's deterministic HTML
+    // wrapper travels as a real WARC response record (ops/Warc pack →
+    // parseAuto → httpBody strips the HTTP message headers), and the
+    // native graft_html_extract runs on the RECOVERED markup. The
+    // oracle is t_html_extract's replay verbatim — the WARC+HTTP leg
+    // must be byte-exact or every extracted char shifts and the hash
+    // fails. This is the shape a Common-Crawl-style lake actually
+    // hands the pipeline: WARC frame → HTTP message → markup → text.
+    // Container leg is scan-stage mapPartitions (zero shuffles);
+    // extraction stays the codegen'd kernel.
+    Q("t_warc_html_extract",
+      (s, d) => {
+        import s.implicits._
+        val wrapped = T(s, d, "documents").select(col("doc_id"),
+          htmlWrap(col("source"), col("text"), col("lang")).as("html"))
+        val recovered = wrapped.as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, html) =>
+              val rec = (Seq("WARC-Type" -> "response",
+                "WARC-Record-ID" -> s"<urn:uuid:0000-$id-1>",
+                "WARC-Date" -> "2026-01-01T00:00:00Z",
+                "WARC-Target-URI" -> s"http://example.com/doc/$id",
+                "Content-Type" -> "application/http;msgtype=response"),
+                graft.ops.Warc.httpWrap(200, "text/html",
+                  html.getBytes("UTF-8")))
+              val fileBytes =
+                if (id % 3 == 0) graft.ops.Warc.gzipMember(graft.ops.Warc.pack(Seq(rec)))
+                else graft.ops.Warc.pack(Seq(rec))
+              val parsed = graft.ops.Warc.parseAuto(fileBytes).head
+              (id, new String(graft.ops.Warc.httpBody(parsed.payload)._2, "UTF-8"))
+            }
+          }.toDF("doc_id", "html")
+        recovered.select(col("doc_id"),
+          text.htmlExtract(col("html")).as("clean_text"))
+          .select(col("doc_id"), col("clean_text"),
+            length(col("clean_text")).cast("long").as("n_chars_clean"))
+      },
+      Some(s"""SELECT doc_id, $htmlExtractSql AS clean_text,
+              |  CAST(length($htmlExtractSql) AS BIGINT) AS n_chars_clean
+              |FROM documents""".stripMargin)),
+
     // exact substring duplication (Lee et al. 2021, stride form):
     // 40-char windows every 10 chars, one equi-join on window equality
     // — doc pairs sharing an aligned duplicated span, with the shared

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Warc
+
+/** WARC (ISO 28500) codec + source on crafted fixtures: round-trips,
+  * both on-disk framings (.warc plain, .warc.gz record-at-time
+  * members), the HTTP payload split, and the loud-error contract for
+  * every framing violation. Real-file reads (Warc.records) are
+  * verified here because DuckDB has no WARC reader — the .nc/.h5
+  * container convention. */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rec(i: Int, typ: String, payload: Array[Byte],
+                  extra: Seq[(String, String)] = Seq.empty) =
+    (Seq("WARC-Type" -> typ, "WARC-Record-ID" -> s"<urn:uuid:$i>",
+      "WARC-Date" -> "2026-01-01T00:00:00Z") ++ extra, payload)
+
+  test("pack/parse round-trip preserves order, headers, and exact payload bytes") {
+    val payloads = Seq(
+      Array[Byte](),                                  // empty payload is legal
+      "plain text".getBytes("UTF-8"),
+      Array.tabulate(257)(i => (i % 256).toByte))     // binary incl. CR/LF bytes
+    val bytes = Warc.pack(payloads.zipWithIndex.map { case (p, i) =>
+      rec(i, if (i == 1) "response" else "metadata", p,
+        if (i == 1) Seq("WARC-Target-URI" -> "http://x/y") else Seq.empty)
+    })
+    val rs = Warc.parse(bytes)
+    assert(rs.length == 3)
+    assert(rs.map(_.recordType) == Seq("metadata", "response", "metadata"))
+    assert(rs(1).targetUri == "http://x/y")
+    assert(rs(1).header("warc-record-id").contains("<urn:uuid:1>"), "case-insensitive lookup")
+    payloads.zip(rs).foreach { case (p, r) => assert(java.util.Arrays.equals(p, r.payload)) }
+    // Content-Length was computed by pack
+    assert(rs(2).header("Content-Length").contains("257"))
+  }
+
+  test("record-at-time gzip members concatenate and parseAuto handles both framings") {
+    val recs = (0 until 4).map(i => rec(i, "metadata", s"payload $i".getBytes("UTF-8")))
+    val plain = Warc.pack(recs)
+    val gz = recs.toArray.flatMap(r => Warc.gzipMember(Warc.pack(Seq(r))))
+    assert(Warc.parseAuto(plain).map(r => new String(r.payload, "UTF-8")) ==
+      Warc.parseAuto(gz).map(r => new String(r.payload, "UTF-8")))
+    // whole-file single-member gzip (the other framing in the wild)
+    assert(Warc.parseAuto(Warc.gzipMember(plain)).length == 4)
+  }
+
+  test("httpBody splits the HTTP message and parses the status; wrap is its inverse") {
+    val body = "<html>hi &amp; bye</html>".getBytes("UTF-8")
+    val (status, b) = Warc.httpBody(Warc.httpWrap(404, "text/html", body))
+    assert(status == 404 && java.util.Arrays.equals(b, body))
+    // a body containing CRLF CRLF still splits at the FIRST one
+    val tricky = "a\r\n\r\nb".getBytes("ISO-8859-1")
+    val (_, b2) = Warc.httpBody(Warc.httpWrap(200, "text/plain", tricky))
+    assert(java.util.Arrays.equals(b2, tricky))
+  }
+
+  test("loud contract: every framing violation names itself") {
+    val good = Warc.pack(Seq(rec(0, "metadata", "xyz".getBytes("UTF-8"))))
+    def boom(bytes: Array[Byte]) = intercept[IllegalArgumentException](Warc.parse(bytes))
+
+    // truncated mid-header
+    assert(boom(good.take(20)).getMessage.contains("WARC:"))
+    // version line is not WARC/
+    assert(boom("HTTP/1.1 200\r\n\r\n".getBytes("ISO-8859-1"))
+      .getMessage.contains("version line"))
+    // Content-Length disagrees with the payload (terminator check)
+    val lied = new String(good, "ISO-8859-1").replace("Content-Length: 3", "Content-Length: 2")
+    assert(boom(lied.getBytes("ISO-8859-1")).getMessage.contains("terminator"))
+    // payload runs off the buffer
+    assert(boom(good.dropRight(4)).getMessage.contains("runs off"))
+    // header without colon
+    val noColon = new String(good, "ISO-8859-1").replace("WARC-Type: metadata", "WARCTypemetadata")
+    assert(boom(noColon.getBytes("ISO-8859-1")).getMessage.contains("no colon"))
+
+    // pack-side contract
+    assert(intercept[IllegalArgumentException](
+      Warc.pack(Seq((Seq("WARC-Type" -> "metadata"), Array[Byte]()))))
+      .getMessage.contains("mandatory"))
+    assert(intercept[IllegalArgumentException](
+      Warc.pack(Seq((rec(0, "x", Array[Byte]())._1 :+ ("Content-Length" -> "9"), Array[Byte]()))))
+      .getMessage.contains("Content-Length"))
+    assert(intercept[IllegalArgumentException](
+      Warc.pack(Seq((rec(0, "x", Array[Byte]())._1 :+ ("Bad" -> "a\r\nb"), Array[Byte]()))))
+      .getMessage.contains("CR/LF"))
+
+    // http payload violations
+    assert(intercept[IllegalArgumentException](
+      Warc.httpBody("no split here".getBytes("ISO-8859-1")))
+      .getMessage.contains("no header/body split"))
+    assert(intercept[IllegalArgumentException](
+      Warc.httpBody("FTP/1.1 200\r\n\r\nx".getBytes("ISO-8859-1")))
+      .getMessage.contains("not HTTP"))
+    // gunzip on non-gzip
+    assert(intercept[IllegalArgumentException](Warc.gunzipAll("WARC/1.1".getBytes()))
+      .getMessage.contains("gzip"))
+  }
+
+  test("Warc.records: binaryFile source explodes real .warc and .warc.gz files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-src")
+    val a = Warc.pack(Seq(
+      rec(0, "warcinfo", "software: graft\r\n".getBytes("UTF-8")),
+      rec(1, "response", Warc.httpWrap(200, "text/html", "<p>one</p>".getBytes("UTF-8")),
+        Seq("WARC-Target-URI" -> "http://a/1"))))
+    val b = (0 until 2).toArray.flatMap(i => Warc.gzipMember(Warc.pack(Seq(
+      rec(10 + i, "response", Warc.httpWrap(200, "text/html", s"<p>b$i</p>".getBytes("UTF-8")),
+        Seq("WARC-Target-URI" -> s"http://b/$i"))))))
+    java.nio.file.Files.write(dir.resolve("a.warc"), a)
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), b)
+
+    val rows = Warc.records(spark, s"$dir/*")
+      .orderBy("file", "record_idx").collect()
+    assert(rows.length == 4)
+    val typesByFile = rows.groupBy(_.getAs[String]("file").split('/').last)
+      .view.mapValues(_.map(_.getAs[String]("warc_type")).toSeq).toMap
+    assert(typesByFile("a.warc") == Seq("warcinfo", "response"))
+    assert(typesByFile("b.warc.gz") == Seq("response", "response"))
+    // payload bytes survive the source intact; the downstream chain
+    // (httpBody -> html extract) gets exactly what was crawled
+    val resp = rows.filter(_.getAs[String]("warc_type") == "response")
+    val bodies = resp.map(r => new String(
+      Warc.httpBody(r.getAs[Array[Byte]]("payload"))._2, "UTF-8")).sorted.toSeq
+    assert(bodies == Seq("<p>b0</p>", "<p>b1</p>", "<p>one</p>"))
+    assert(resp.map(_.getAs[String]("target_uri")).sorted.toSeq ==
+      Seq("http://a/1", "http://b/0", "http://b/1"))
+  }
+}
