@@ -110,4 +110,39 @@ object CrawlStream {
       }
       .start()
   }
+
+  /** [[ingest]] fed straight from the crawl lake's CONTAINER files:
+    * watch `pathGlob` for arriving .warc/.warc.gz files
+    * ([[Warc.recordsStream]] — record explode in the scan stage, one
+    * task per file), keep the response records, strip each payload's
+    * HTTP message ([[Warc.httpBody]]), extract text from the markup
+    * with `toText` (the codegen'd graft_html_extract by default),
+    * and run the standard scrub → gate → dedup → sink → absorb chain
+    * with the WARC-Target-URI as the document id — the id a crawl
+    * actually has before any numbering. Everything downstream is
+    * [[ingest]] verbatim (same markers, tags, torn-window closure,
+    * at-least-once sink contract). */
+  def ingestWarc(spark: SparkSession, pathGlob: String,
+                 lineDir: String, dedupDir: String, checkpoint: String,
+                 toText: Column => Column = graft.functions.text.htmlExtract,
+                 gate: DataFrame => DataFrame = identity,
+                 sep: String = "\n",
+                 shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
+                 matchMin: Int = 3, maxBucket: Int = Int.MaxValue)
+                (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    ingest(spark,
+      Warc.recordsStream(spark, pathGlob).where(col("warc_type") === "response"),
+      lineDir, dedupDir, checkpoint,
+      extract = df => {
+        val s2 = df.sparkSession
+        import s2.implicits._
+        df.select(col("target_uri"), col("payload"))
+          .as[(String, Array[Byte])]
+          .mapPartitions(_.map { case (uri, payload) =>
+            (uri, new String(Warc.httpBody(payload)._2, "UTF-8"))
+          })
+          .toDF("doc_id", "markup")
+          .select(col("doc_id"), toText(col("markup")).as("text"))
+      },
+      gate, idCol = "doc_id", sep, shingleK, seeds, bands, matchMin, maxBucket)(sink)
 }

@@ -214,10 +214,25 @@ object Warc {
     * the archive parallelism unit; per-task memory is file-sized).
     * Downstream: `httpBody` + `graft_html_extract` turn response
     * rows into the scrub flagships' input. */
-  def records(spark: SparkSession, pathGlob: String): DataFrame = {
+  def records(spark: SparkSession, pathGlob: String): DataFrame =
+    explodeRecords(spark.read.format("binaryFile").load(pathGlob))
+
+  /** STREAMING twin of [[records]]: watch `pathGlob` for newly
+    * arriving .warc/.warc.gz files (the binaryFile source's fixed
+    * schema needs no user schema) and explode each file's records in
+    * the scan stage as it lands — the crawl lake's continuous front
+    * door, consumed by [[CrawlStream.ingestWarc]]. */
+  def recordsStream(spark: SparkSession, pathGlob: String): DataFrame =
+    // binaryFile's schema is FIXED by the format, but the streaming
+    // source API still demands it spelled out (no stream-time inference)
+    explodeRecords(spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(pathGlob))
+
+  private def explodeRecords(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
+    files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (path, bytes) =>

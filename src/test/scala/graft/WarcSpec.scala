@@ -97,6 +97,84 @@ class WarcSpec extends AnyFunSuite {
       .getMessage.contains("gzip"))
   }
 
+  test("CrawlStream.ingestWarc: container stream == sequential per-file composition") {
+    import graft.ops.{CrawlStream, DedupIndex, LineStore}
+    import org.apache.spark.sql.functions.{col, length, regexp_replace}
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = sys.props("java.io.tmpdir")
+    val dirs = Seq("in", "lineS", "dedupS", "lineB", "dedupB", "ckpt")
+      .map(n => n -> s"$tmp/graft-warcstream-$n").toMap
+    dirs.values.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dirs("in")))
+    def wrap(t: String) = s"<b>$t</b>"
+    val toText: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => regexp_replace(c, "</?b>", "")
+    val corpus = Seq(
+      ("c/1", "nav bar line\ncorpus story one"),
+      ("c/2", "nav bar line\ncorpus story two")).toDF("doc_id", "text")
+    for (k <- Seq("lineS", "lineB")) LineStore.build(corpus, dirs(k), $"text", $"doc_id")
+    for (k <- Seq("dedupS", "dedupB")) DedupIndex.build(corpus, dirs(k), $"text", $"doc_id")
+
+    def warcFile(docs: Seq[(String, String)]): Array[Byte] =
+      Warc.pack(docs.zipWithIndex.map { case ((uri, markup), i) =>
+        rec(i, "response", Warc.httpWrap(200, "text/html", markup.getBytes("UTF-8")),
+          Seq("WARC-Target-URI" -> uri))
+      })
+    // the standard post-scrub quality floor: a re-crawl shares every
+    // line with its stored original, so the line stage guts it to ""
+    // and the GATE drops it (the documented gutted-doc shape — the
+    // dedup store handles near-dups whose unique lines survive)
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.where(length(col("text")) > 0)
+    val fileA = warcFile(Seq(
+      ("u/101", wrap("nav bar line\nfresh day one")), // boilerplate cut, then kept
+      ("u/102", wrap("corpus story one")),            // re-crawl: gutted -> gated out
+      ("u/103", wrap("day one banner\nalpha"))))
+    val fileB = warcFile(Seq(
+      ("u/201", wrap("day one banner\nbeta")),        // banner seen in file A -> cut
+      ("u/202", wrap("fresh day one"))))              // re-crawl of 101's text: gated out
+
+    // sequential twin over the *B stores, straight from the bytes
+    def seqFile(bytes: Array[Byte]): Set[(String, String)] = {
+      val docs = Warc.parseAuto(bytes).filter(_.recordType == "response")
+        .map(r => (r.targetUri, new String(Warc.httpBody(r.payload)._2, "UTF-8")))
+        .toDF("doc_id", "markup")
+        .select(col("doc_id"), toText(col("markup")).as("text"))
+        .localCheckpoint()
+      val scrubbed = gate(LineStore.scrubDelta(spark, docs, dirs("lineB"), $"text", $"doc_id")
+        .select($"doc_id", $"clean_text".as("text")))
+      val kept = DedupIndex.deltaKeep(spark, scrubbed, dirs("dedupB"), $"text", $"doc_id")
+        .localCheckpoint()
+      val out = kept.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      LineStore.append(docs, dirs("lineB"), $"text", $"doc_id")
+      DedupIndex.append(kept, dirs("dedupB"), $"text", $"doc_id")
+      docs.unpersist(); kept.unpersist()
+      out
+    }
+    val seqA = seqFile(fileA)
+    val seqB = seqFile(fileB)
+    assert(seqA == Set(("u/101", "fresh day one"), ("u/103", "day one banner\nalpha")),
+      s"fixture drifted: $seqA")
+    assert(seqB == Set(("u/201", "beta")), s"fixture drifted: $seqB")
+
+    // streaming form: files land one at a time in the watched dir
+    val got = scala.collection.mutable.Map[Long, Set[(String, String)]]()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dirs("in"), "a.warc"), fileA)
+    val q = CrawlStream.ingestWarc(spark, dirs("in"), dirs("lineS"), dirs("dedupS"),
+      dirs("ckpt"), toText = toText, gate = gate) { (kept, id) =>
+      got(id) = kept.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.write(java.nio.file.Paths.get(dirs("in"), "b.warc.gz"),
+        Warc.gzipMember(fileB))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.values.toSet == Set(seqA, seqB),
+      s"stream emitted ${got.toMap}, sequential said A=$seqA B=$seqB")
+  }
+
   test("Warc.records: binaryFile source explodes real .warc and .warc.gz files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-src")
     val a = Warc.pack(Seq(
