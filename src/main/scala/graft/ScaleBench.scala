@@ -171,7 +171,18 @@ object ScaleBench {
     // the 4x2 band geometry: same one-shuffle bucket gather as
     // d_lsh_pairs with a second scan-stage md5 — expect its slope;
     // the r2 store probe shares d_delta_index_keep's shape
-    "d_lsh_pairs_r2", "d_delta_index_r2")
+    "d_lsh_pairs_r2", "d_delta_index_r2",
+    // takedown probes: each is its store's standard probe plus a
+    // broadcast tombstone anti-join (store built + tombstoned on the
+    // first run, marker-skipped after) — expect each base probe's
+    // slope; the graded tombstone slices scale WITH the lake here
+    // (worst case — real takedown sets are request-sized)
+    "d_delta_index_takedown", "t_line_dedup_takedown", "e_ann_takedown",
+    // WARC codec is per-row scan-stage pack→parse→httpBody work (the
+    // m_flac_frames class, byte-linear); the container+extract chain
+    // adds the html kernel on the recovered markup (the
+    // t_html_extract class)
+    "m_warc_records", "t_warc_html_extract")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

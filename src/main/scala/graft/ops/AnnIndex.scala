@@ -244,9 +244,14 @@ object AnnIndex {
   private def minusTombstones(spark: SparkSession, dir: String,
                               codes: DataFrame): DataFrame =
     // snapshotFlat handles the folded-empty dir (compact deletes the
-    // tombstone FILES, the dir stays)
+    // tombstone FILES, the dir stays). No broadcast hint: the planner
+    // broadcasts a request-sized tombstone table (statistics put it
+    // under the auto threshold — the normal case, scan-stage
+    // anti-join on the cell-confined candidates) and degrades to a
+    // shuffle for a huge unfolded backlog instead of OOMing a forced
+    // broadcast; a backlog is one compact away from free probes.
     CompactSwap.snapshotFlat(spark, s"$dir/tomb")._2
-      .fold(codes)(t => codes.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .fold(codes)(t => codes.join(t, Seq("vec_id"), "left_anti"))
 
   /** O(#files) fingerprint of a parquet table path: folds every data
     * file's (name, length, mtime). The right invalidation key for

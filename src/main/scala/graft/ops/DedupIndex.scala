@@ -417,34 +417,58 @@ object DedupIndex {
     // batches, so a batch tag can never mark tombstone files (and a
     // tomb table legitimately empties, which readExcludingTag
     // refuses for store tables).
-    // snapshotFlat handles the folded-empty dir (compact deletes the
-    // tombstone FILES, the dir stays) — a bare read there would fail
-    // schema inference
-    def tombOn(table: DataFrame, tombName: String, key: String): DataFrame =
-      CompactSwap.snapshotFlat(spark, s"$dir/$tombName")._2
-        .fold(table)(t => table.join(broadcast(t), Seq(key), "left_anti"))
-    val fpStore = tombOn(readTable("fp"), "tomb_fp", "fp")
-    val bandStore = tombOn(readTable("bands"), "tomb_doc", "doc_id")
+    // tombstones ([[takedown]]): snapshotFlat handles the
+    // folded-empty dir (compact deletes the tombstone FILES, the dir
+    // stays). Anti-joins are arranged so their LEFT side is always
+    // delta-bounded, and the tombstone side carries NO broadcast
+    // hint — the planner broadcasts a request-sized tombstone table
+    // (the normal case: statistics put it under the auto threshold,
+    // zero exchanges added) and degrades to a tombstone-table-sized
+    // shuffle for a huge unfolded backlog instead of OOMing the
+    // driver on a forced broadcast. Backlogs are a compact away from
+    // free probes (the fold doctrine).
+    val tombFp = CompactSwap.snapshotFlat(spark, s"$dir/tomb_fp")._2
+    val tombDoc = CompactSwap.snapshotFlat(spark, s"$dir/tomb_doc")._2
+    val fpStore = readTable("fp")
+    val bandStore0 = readTable("bands")
     val deltaFp = delta.select(text.fingerprint(textCol).as("fp")).distinct()
-    val matchedFp = fpStore.join(broadcast(deltaFp), Seq("fp")).select(col("fp"))
+    // fp tombstones confine to the DELTA's fingerprints first (one
+    // scan-stage broadcast semi join), so the anti-join is
+    // delta-bounded on both sides regardless of tombstone volume
+    val matchedFp0 = fpStore.join(broadcast(deltaFp), Seq("fp")).select(col("fp"))
+    val matchedFp = tombFp.fold(matchedFp0)(t => matchedFp0.join(
+      t.join(broadcast(deltaFp), Seq("fp"), "left_semi"), Seq("fp"), "left_anti"))
+    // doc tombstones apply to DELTA-CONFINED slices only (the
+    // touched-bucket slice below, or the joined candidates in the
+    // uncapped branch) — never to the raw store scan, which must stay
+    // shuffle-free; and BEFORE the density-cap gather, so a
+    // tombstoned doc never holds a cap slot (post-compact parity,
+    // TakedownSpec-pinned)
+    def liveDocs(slice: DataFrame): DataFrame =
+      tombDoc.fold(slice)(t => slice.join(t, Seq("doc_id"), "left_anti"))
     val deltaBands = bandRows(delta, textCol, idCol, shingleK, seeds, bands)
       .select(col("band_idx") +: col("band_key") +: col("doc_id").as("delta_id") +:
         (0 until seeds).map(i => col(s"m_$i").as(s"d_m_$i")): _*)
     val agreement = (0 until seeds)
       .map(i => when(col(s"m_$i") === col(s"d_m_$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val (probeStore, dropped) =
+    // uncapped: tombstones fold into the candidate set AFTER the
+    // broadcast band join (filter-then-join == join-then-filter on
+    // the store side of an equi join), so a pathological tombstone
+    // backlog shuffles delta-bounded candidates, never the store
+    val (probeStore, dropped, tombJoined) =
       if (maxBucket == Int.MaxValue)
-        (bandStore, spark.emptyDataFrame
+        (bandStore0, spark.emptyDataFrame
           .select(lit(0).as("band_idx"), lit("").as("band_key"), lit(0L).as("n_docs"))
-          .where(lit(false)))
+          .where(lit(false)), false)
       else {
         // delta-touched store slice only (scan-stage broadcast semi
         // join), then ONE bounded exchange: graft_bottom_k holds the
-        // maxBucket smallest (doc_id, signature) structs per bucket
-        val touched = bandStore.join(
+        // maxBucket smallest LIVE (doc_id, signature) structs per
+        // bucket — tombstones leave the slice first
+        val touched = liveDocs(bandStore0.join(
           broadcast(deltaBands.select(col("band_idx"), col("band_key")).distinct()),
-          Seq("band_idx", "band_key"), "left_semi")
+          Seq("band_idx", "band_key"), "left_semi"))
         val capped = touched.groupBy(col("band_idx"), col("band_key"))
           .agg(call_function("graft_bottom_k",
               struct(col("doc_id") +: (0 until seeds).map(i => col(s"m_$i")): _*),
@@ -456,9 +480,10 @@ object DedupIndex {
             col("_r.doc_id").as("doc_id") +:
             (0 until seeds).map(i => col(s"_r.m_$i").as(s"m_$i")): _*)
         (rows, capped.where(col("n_docs") > maxBucket)
-          .select(col("band_idx"), col("band_key"), col("n_docs")))
+          .select(col("band_idx"), col("band_key"), col("n_docs")), true)
       }
-    val nearIds = probeStore.join(broadcast(deltaBands), Seq("band_idx", "band_key"))
+    val joined = probeStore.join(broadcast(deltaBands), Seq("band_idx", "band_key"))
+    val nearIds = (if (tombJoined) joined else liveDocs(joined))
       .where(agreement >= matchMin)
       .select(col("delta_id").as("_near_id")).distinct()
     DeltaKeep(
