@@ -162,12 +162,20 @@ object DedupIndex {
     * time (BEFORE the density cap gathers, so a tombstoned doc never
     * occupies a capped bucket slot — probe results are bit-identical
     * to a store compacted first, spec-pinned), and [[compact]] folds
-    * tombstones physically. Tombstones are broadcast on the probe
-    * path — takedown-sized by nature; compact regularly to keep them
-    * folded. Re-ingesting content after its takedown lands new fp /
-    * band rows that the OLD tombstones must not suppress — `tomb_fp`
-    * would: compact between the takedown and the re-ingest (the
-    * [[AnnIndex.takedown]] re-ingest rule, recorded there too). */
+    * tombstones physically (fp tombstones fold BY VALUE, so they
+    * also sweep window re-appends of the erased fp — see below).
+    *
+    * RE-INGEST semantics (TakedownSpec-pinned): content re-crawled
+    * after its erasure is KEPT — correct, it is new w.r.t. the
+    * post-erasure lake — and for signature-bearing docs the window
+    * closes itself immediately: the kept copy's appended BAND rows
+    * catch every later copy through the near probe, tombstones or
+    * not. Only SHORT docs (below the shingle width — fp is their
+    * whole identity, and the value-keyed `tomb_fp` suppresses every
+    * re-append of that fp until folded) re-land per batch inside the
+    * window; compact + one more ingest closes it. Hence the
+    * operational rule: compact soon after takedowns when short-doc
+    * re-crawls matter. */
   def takedown(docs: DataFrame, dir: String, textCol: Column, idCol: Column,
                tag: Option[String] = None): Unit = {
     val cm = new org.apache.hadoop.fs.Path(s"$dir/_compacting")

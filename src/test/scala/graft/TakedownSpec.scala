@@ -83,6 +83,49 @@ class TakedownSpec extends AnyFunSuite {
     assert(rebuilt == tombstoned, s"rebuilt-without answers $rebuilt, tombstone $tombstoned")
   }
 
+  test("DedupIndex.takedown: re-ingest inside the tombstone window — near probe self-heals; short docs carry the recorded rule") {
+    // content-level fp tombstones suppress a fingerprint BY VALUE
+    // until a compact folds them, so a fp re-appended inside that
+    // window is suppressed too (and a compact sweeps it). For
+    // signature-bearing docs the window is harmless: the first
+    // re-crawl is kept (correct — the content IS new post-erasure)
+    // and its appended BAND rows catch every later copy through the
+    // near probe immediately. Only short docs (below the shingle
+    // width, fp-only identity) exhibit the window — the recorded
+    // compact-between-takedown-and-reingest rule exists for them.
+    val dir = tmp("graft-td-reingest")
+    val corpus = Seq((1L, base), (2L, "tiny doc")).toDF("doc_id", "text")
+    DedupIndex.build(corpus, dir, $"text", $"doc_id")
+    DedupIndex.takedown(corpus, dir, $"text", $"doc_id")
+    def keep(id: Long, text: String) = {
+      val kept = DedupIndex.deltaKeep(spark,
+        Seq((id, text)).toDF("doc_id", "text"), dir, $"text", $"doc_id")
+      val n = kept.count()
+      if (n > 0) DedupIndex.append(kept, dir, $"text", $"doc_id")
+      n
+    }
+    // signature-bearing content: kept once, then the near probe over
+    // the re-ingested copy's own band rows closes the window
+    assert(keep(101L, base) == 1L, "post-takedown re-crawl must be kept")
+    assert(keep(102L, base) == 0L,
+      "second re-crawl must drop via the first's appended signature")
+    // short content: fp is the only identity and it is
+    // tombstone-suppressed, so re-crawls keep landing — the window
+    // the recorded rule is about
+    assert(keep(201L, "tiny doc") == 1L, "post-takedown short re-crawl kept")
+    assert(keep(202L, "tiny doc") == 1L,
+      "short re-crawl kept AGAIN inside the window (the recorded rule)")
+    // compact folds the tombstones (sweeping the window re-appends of
+    // the erased fp by value); the NEXT kept copy's fp then serves
+    DedupIndex.compact(spark, dir)
+    assert(keep(203L, "tiny doc") == 1L,
+      "the compact swept the window fp — one more copy lands")
+    assert(keep(204L, "tiny doc") == 0L,
+      "post-compact append finally closes the short-doc window")
+    // and signature docs still dedup normally post-compact
+    assert(keep(103L, base) == 0L)
+  }
+
   test("DedupIndex.takedown: tombstoned docs never occupy capped bucket slots") {
     // the mega-bucket fixture (DedupSpec's cap test): 10 store docs in
     // ONE bucket per band. Erase the cap-visible low ids 1..3; with
