@@ -89,7 +89,11 @@ object PlanDump {
     "m_mp3_frames",       // MP3 frame walk: per-row scan-stage pack->parse, zero shuffles
     "t_line_dedup_indexed", // line-store probe: batch-bounded exchanges over a broadcast-confined store scan
     "pipe_crawl_e2e",     // the composed crawl front door: extract + line dedup + scrub, one plan
-    "pipe_crawl_learned_e2e" // + the trained quality gate as scan-stage literals between line dedup and scrub
+    "pipe_crawl_learned_e2e", // + the trained quality gate as scan-stage literals between line dedup and scrub
+    "d_delta_index_takedown", // erasure probe: tombstone anti-joins confined to delta-bounded slices
+    "e_ann_takedown",     // erased vectors leave the cell-pruned candidate scan via one anti-join
+    "m_warc_records",     // WARC codec: per-row scan-stage pack->parse->httpBody, zero shuffles
+    "t_warc_html_extract" // container chain: WARC leg (scan-stage) + the codegen'd extract kernel
   )
 
   def main(args: Array[String]): Unit = {
