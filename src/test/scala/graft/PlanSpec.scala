@@ -557,6 +557,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("sketches"), "sketch store scan missing:\n" + p.take(1500))
   }
 
+  test("e_ann_takedown: tombstone anti-join rides INSIDE the partition-pruned scan stage") {
+    val p = finalPlan("e_ann_takedown")
+    // erasure must not cost the serving plan anything structural: the
+    // cell pruning survives and the tombstone is a broadcast LeftAnti
+    // on the pruned candidates — zero shuffles, same as the plain index
+    val scan = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("codes")).getOrElse("")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined,
+      "cell pruning must survive the tombstone join:\n" + scan + "\n" + p.take(1200))
+    assert("BroadcastHashJoin \\[vec_id[^\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      "tombstones must anti-join broadcast on vec_id:\n" + p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("SortMergeJoin"),
+      "erasure search must stay zero-shuffle:\n" + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("d_delta_index_takedown: tombstones never shuffle the store") {
+    val p = finalPlan("d_delta_index_takedown")
+    // the d_delta_index_keep shape survives erasure: no sort-merge
+    // anywhere (both tombstone anti-joins land on delta-confined
+    // slices and broadcast at this size), and only the delta-bounded
+    // exchanges shuffle — the two probe distincts, the density cap's
+    // pair, plus the fp-tombstone leg's delta-restricted distinct
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "tombstone joins must not sort-merge at request size:\n" + p.take(1500))
+    assert(!p.contains("rangepartitioning"), p.take(1500))
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nEx <= 5, s"only delta-bounded exchanges may shuffle ($nEx):\n" + p.take(1500))
+    assert("BroadcastHashJoin \\[doc_id[^\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      "doc tombstones must anti-join broadcast on the delta-confined slice:\n" + p.take(1500))
+  }
+
+  test("m_warc_records: the container codec is scan-stage — zero exchanges") {
+    val p = finalPlan("m_warc_records")
+    assert(!p.contains("Exchange"),
+      "pack->parse->httpBody must ride the scan with no shuffle:\n" + p.take(1200))
+  }
+
   test("e_ivfpq_indexed: persisted-index search scans ONLY the probe-cell partitions") {
     val p = finalPlan("e_ivfpq_indexed")
     // the serving contract: the probe list is collected as a literal,
