@@ -182,7 +182,15 @@ object ScaleBench {
     // m_flac_frames class, byte-linear); the container+extract chain
     // adds the html kernel on the recovered markup (the
     // t_html_extract class)
-    "m_warc_records", "t_warc_html_extract")
+    "m_warc_records", "t_warc_html_extract",
+    // retrieval: BM25 confines corpus work to the query terms in the
+    // scan stage (expect ~linear in token volume with a small
+    // constant); hybrid adds the cosine top-k leg + a 40-row fusion
+    // (expect the e_cosine_topk slope); filtered search is the
+    // pruned-scan probe + one semi-join (expect e_ivfpq_indexed's
+    // flat slope — the allow-list here is lake-proportional by
+    // construction, the worst case)
+    "t_bm25_topk", "e_hybrid_rrf", "e_ann_filtered")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

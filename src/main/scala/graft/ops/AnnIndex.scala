@@ -404,9 +404,19 @@ object AnnIndex {
     * one-row meta frame — sanctioned, and what makes the partition
     * filter literal (STATIC pruning, visible as PartitionFilters in
     * the scan). */
+  /** `allow` — FILTERED search (the metadata-predicate serving shape:
+    * "top-k among docs matching lang='en'"): a (vec_id) frame
+    * semi-joined onto the pruned candidate scan, so only allowed
+    * vectors rank. Post-filtering semantics: the filter shrinks the
+    * probed cells' candidate pool rather than re-probing — at a
+    * selective filter raise `nprobe` to keep recall (the standard
+    * filtered-ANN trade, stated rather than hidden). Like the
+    * tombstone join, no broadcast hint: the planner broadcasts a
+    * small allow-list and degrades gracefully for a huge one. */
   def search(spark: SparkSession, dir: String, q: DataFrame,
              nprobe: Int = 1, limit: Int = 10,
-             p: Pq.Params = Pq.Params()): DataFrame = {
+             p: Pq.Params = Pq.Params(),
+             allow: Option[DataFrame] = None): DataFrame = {
     require(nprobe >= 1 && limit >= 1,
       s"search needs nprobe >= 1 and limit >= 1, got nprobe=$nprobe limit=$limit")
     val meta = spark.read.parquet(s"$dir/meta") // 1 row: (cells, cbs)
@@ -431,8 +441,10 @@ object AnnIndex {
       s"search takes exactly ONE query row, got ${qRows.length} — " +
         "use searchStream for a stream of queries")
     val probes: Seq[Int] = qRows(0).getSeq[Int](0)
-    minusTombstones(spark, dir,
-        spark.read.parquet(s"$dir/codes").where(col("cell").isin(probes: _*)))
+    val candidates = minusTombstones(spark, dir,
+      spark.read.parquet(s"$dir/codes").where(col("cell").isin(probes: _*)))
+    allow.fold(candidates)(a =>
+        candidates.join(a.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi"))
       .crossJoin(broadcast(qRow.select(col("qtabs"))))
       .withColumn("tab", element_at(col("qtabs"), col("cell").cast("int")))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),

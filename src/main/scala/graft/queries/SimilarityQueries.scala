@@ -222,6 +222,57 @@ object SimilarityQueries {
               |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings WHERE vec_id <> 0), q
               |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin)),
 
+    // HYBRID retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+    // of the lexical and vector halves over the SAME id space
+    // (embeddings are per-document here, as in a real RAG lake): BM25
+    // top-20 (t_bm25_topk's scoring, ops/Retrieval) fuses with the
+    // brute-force cosine top-20 (e_cosine_topk's scoring) by
+    // rrf = Σ 1/(60 + rank). Rank-based fusion needs no score
+    // calibration between the two systems — the production reason RRF
+    // is the default hybrid combiner. Scale shape: each leg is its
+    // own scalable top-k (TakeOrderedAndProject); ranking and fusion
+    // then run on two 20-row frames (the bounded-window convention —
+    // the unpartitioned row_number sees at most `limit` rows), so
+    // fusion cost never touches the lake.
+    Q("e_hybrid_rrf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bm = graft.ops.Retrieval.bm25Scores(T(s, d, "documents"),
+            col("text"), col("doc_id"), TextQueries.Bm25Terms)
+          .orderBy(col("score").desc, col("id").asc).limit(20)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("score").desc, col("id").asc)).cast("long"))
+        val emb = T(s, d, "embeddings")
+        val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val ct = emb.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= 0)
+          .select(col("vec_id").as("id"),
+            qround(vectors.cosine(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("id").asc).limit(20)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("cos").desc, col("id").asc)).cast("long"))
+        graft.ops.Retrieval.rrfFuse(bm, ct, 60)
+          .orderBy(col("rrf").desc, col("id").asc).limit(10)
+      },
+      Some(s"""WITH ${TextQueries.bm25Ctes("documents")},
+              |bmt AS (SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 20),
+              |bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank_a FROM bmt),
+              |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+              |ctt AS (SELECT vec_id AS id,
+              |          (floor((${cosSql("ve", "qv")}) * 1000000 + 0.5e0) / 1000000.0e0) AS cos
+              |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+              |              FROM embeddings WHERE vec_id <> 0), q
+              |        ORDER BY cos DESC, id LIMIT 20),
+              |ctr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rank_b FROM ctt)
+              |SELECT coalesce(a.id, b.id) AS id,
+              |  ${qroundSql(
+                   "coalesce(1e0 / (60 + a.rank_a), 0e0) + coalesce(1e0 / (60 + b.rank_b), 0e0)",
+                   6)} AS rrf,
+              |  CAST(coalesce(a.rank_a, 0) AS BIGINT) AS rank_a,
+              |  CAST(coalesce(b.rank_b, 0) AS BIGINT) AS rank_b
+              |FROM bmr a FULL OUTER JOIN ctr b ON a.id = b.id
+              |ORDER BY rrf DESC, id LIMIT 10""".stripMargin)),
+
     // LSH bucket histogram — validates the bucketing function itself
     Q("e_lsh_buckets",
       (s, d) => T(s, d, "embeddings")
@@ -830,6 +881,30 @@ object SimilarityQueries {
           nprobe = 1, limit = 10, p = P)
       },
       Some(ivfpqSql(nprobe = 1, excludePred = "vec_id % 7 <> 3"))),
+
+    // FILTERED search — the metadata-predicate serving shape every
+    // production vector store needs ("top-k among docs matching
+    // lang='en'"): an allow-list of vec_ids semi-joins onto the
+    // partition-pruned candidate scan, so only matching vectors rank.
+    // Post-filtering semantics (the filter shrinks the probed cells'
+    // pool; a selective filter wants a higher nprobe — stated on the
+    // API, not hidden); the allow-list join is planner-chosen like
+    // the tombstone join, so request-sized filters broadcast. The
+    // oracle is the standard IVFADC replay with the same predicate
+    // before the top-10.
+    Q("e_ann_filtered",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${storeKey(d)}"
+        graft.ops.AnnIndex.buildIfAbsent(s, emb.where(col("vec_id") =!= 0), dir, IvfK, P,
+          fingerprint = Some(graft.ops.AnnIndex.tableFingerprint(s, s"$d/embeddings.parquet")))
+        graft.ops.AnnIndex.search(s, dir,
+          emb.where(col("vec_id") === 0).select(col("ve").as("qv")),
+          nprobe = 1, limit = 10, p = P,
+          allow = Some(emb.where(col("vec_id") % 2 === 0).select(col("vec_id"))))
+      },
+      Some(ivfpqSql(nprobe = 1, excludePred = "vec_id % 2 = 0"))),
 
     // the persisted x trained matrix cell: build the MATERIALIZED
     // index over k-means-trained centroids (meta carries the trained

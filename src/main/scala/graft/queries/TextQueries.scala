@@ -82,6 +82,38 @@ object TextQueries {
   }
   private val sigCte = "WITH " + sigCtes("documents")
 
+  /** The fixed BM25 query-term set shared by t_bm25_topk and the
+    * hybrid fusion (mid-frequency corpus words, so idf discriminates). */
+  private[queries] val Bm25Terms = Seq("window", "merge", "hash")
+
+  /** DuckDB twin of [[graft.ops.Retrieval.bm25Scores]] over `from`
+    * (ends in `bm25` = (id, score)): identical expression shapes —
+    * qlong'd per-term idf, fixed association order, per-term scores
+    * quantized to 1e-6 then BIGINT-summed per doc — so the graded
+    * hash pins the scoring arithmetic end to end. No WITH prefix. */
+  private[queries] def bm25Ctes(from: String): String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""bdl AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $from),
+       |bst AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+       |          CAST(sum(len(tk)) AS DOUBLE) AS sumdl FROM bdl),
+       |bh AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS t
+       |       FROM bdl),
+       |bhq AS (SELECT * FROM bh WHERE t IN ($terms)),
+       |btf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf,
+       |          any_value(dl) AS dl FROM bhq GROUP BY doc_id, t),
+       |bidf AS (SELECT t, ${qlongSql(
+           "ln(1e0 + (nd - df + 0.5e0) / (df + 0.5e0))", "1000000")} AS idf_q
+       |         FROM (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |               FROM bhq GROUP BY t), bst),
+       |bper AS (SELECT btf.doc_id, ${qlongSql(
+           "(bidf.idf_q / 1e6) * (btf.tf * 2.2e0) " +
+           "/ (btf.tf + 1.2e0 * (0.25e0 + 0.75e0 * btf.dl * bst.nd / bst.sumdl))",
+           "1000000")} AS s_q
+       |        FROM btf JOIN bidf ON bidf.t = btf.t, bst),
+       |bm25 AS (SELECT doc_id AS id, CAST(sum(s_q) AS DOUBLE) / 1e6 AS score
+       |         FROM bper GROUP BY doc_id)""".stripMargin
+  }
+
   /** 5-gram list over a token-list column `tk` (the decontam shingle
     * form) — shared by every oracle that explodes 5-grams. */
   /** DuckDB twin of the chained [[graft.ops.Bpe]] merge iterations:
@@ -724,6 +756,22 @@ object TextQueries {
     // (ops/TopN.topNPerGroupAgg — the oracle is the naive
     // explode/groupBy/window form; the rewrites must emit identical
     // rows). ln snapped to the 1e-6 grid: Java vs libm last-ulp.
+    // Okapi BM25 over a fixed query-term set — the LEXICAL half of a
+    // retrieval stack (the vector half is e_cosine_topk; the fusion is
+    // e_hybrid_rrf). Scale shape per ops/Retrieval.bm25Scores: corpus
+    // work confines to the query's terms IN THE SCAN STAGE, the df/N
+    // stats are term-count-sized broadcasts, the one transcendental
+    // (idf's ln) is quantized per TERM, and per-term scores quantize
+    // to 1e-6 BEFORE the per-doc sum so the sum is exact-integer.
+    Q("t_bm25_topk",
+      (s, d) => graft.ops.Retrieval.bm25Scores(T(s, d, "documents"),
+          col("text"), col("doc_id"), Bm25Terms)
+        .select(col("id").as("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10),
+      Some(s"""WITH ${bm25Ctes("documents")}
+              |SELECT id AS doc_id, score FROM bm25
+              |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
     Q("t_tfidf_top",
       (s, d) => {
         val docs = T(s, d, "documents")
