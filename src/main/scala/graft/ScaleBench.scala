@@ -190,7 +190,13 @@ object ScaleBench {
     // pruned-scan probe + one semi-join (expect e_ivfpq_indexed's
     // flat slope — the allow-list here is lake-proportional by
     // construction, the worst case)
-    "t_bm25_topk", "e_hybrid_rrf", "e_ann_filtered")
+    "t_bm25_topk", "e_hybrid_rrf", "e_ann_filtered",
+    // SemDeDup: training shuffles centroid-sized, assignment
+    // scan-stage, the pair join's per-cluster work is (N/K)^2 at the
+    // graded K=8 — expect a visibly superlinear slope HERE by
+    // construction (fixed K while N grows 10x); the production knob
+    // is K ∝ N (recorded on the query)
+    "e_semdedup_keep")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

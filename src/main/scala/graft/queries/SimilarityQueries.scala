@@ -496,6 +496,48 @@ object SimilarityQueries {
               |SELECT vec_id FROM embeddings
               |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin)),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup
+    // the way the paper composes it: k-means-cluster the embeddings
+    // (the TRAINED two-Lloyd-iteration chain e_kmeans_train grades),
+    // then compare pairs only WITHIN a cluster and keep the min-id
+    // representative of every near-identical group. Differs from
+    // e_semantic_keep exactly where the paper differs from plain LSH
+    // dedup: candidates are semantic-cluster-confined (learned
+    // partitions), not hash-bucket-confined. Scale shape: training
+    // shuffles stay centroid-sized, assignment is the broadcast
+    // scan-stage argmin, and the pair join shuffles on `cell` with
+    // per-cluster work (N/K)^2 — the paper's knob is K ∝ N/c̄ so
+    // cluster sizes stay bounded (their LAION config is K=50k);
+    // the graded K=8 is the grading shape, and an over-dense cluster
+    // routes through the same maxBucket doctrine as LSH if needed.
+    // The oracle composes the k-means chain + assignment + quantized
+    // cosine verbatim, so the hash pins train→cluster→dedup end to
+    // end.
+    Q("e_semdedup_keep",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val c2 = graft.ops.Pq.ivfLloydStep(emb,
+          graft.ops.Pq.ivfLloydStep(emb, ivfCellsRow(emb)))
+        val assigned = graft.ops.Pq.ivfAssignedWith(emb, c2)
+          .select(col("cell"), col("vec_id"), col("ve"))
+        val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("ve").as("va"))
+        val b = assigned.select(col("cell"), col("vec_id").as("vec_b"), col("ve").as("vb"))
+        val drop = a.join(b, Seq("cell"))
+          .where(col("vec_a") < col("vec_b") &&
+            qround(vectors.cosine(col("va"), col("vb")), 6) >= 0.40)
+          .select(col("vec_b").as("vec_id")).distinct()
+        assigned.select(col("vec_id")).join(drop, Seq("vec_id"), "left_anti")
+      },
+      Some(s"""${kmeansCtes(2)},
+              |af AS (${kmeansAssignSql(2)}),
+              |sdropped AS (SELECT DISTINCT b.vec_id
+              |             FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |             WHERE (floor((${cosSql("a.ve", "b.ve")}) * 1000000 + 0.5e0)
+              |                    / 1000000.0e0) >= 0.40)
+              |SELECT vec_id FROM embeddings
+              |WHERE vec_id NOT IN (SELECT vec_id FROM sdropped)""".stripMargin)),
+
     // PRODUCT QUANTIZATION + asymmetric distance (Jégou et al. 2011):
     // the embedding-COMPRESSION path of a 100 TB vector store. The
     // 64-dim vector splits into M=8 subspaces of 8 dims; each
