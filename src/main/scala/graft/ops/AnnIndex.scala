@@ -200,12 +200,21 @@ object AnnIndex {
     * content-removal path (GDPR/DMCA erasure — the source documents
     * of `vec_id`s leave the lake, so the index must stop serving
     * them). Tombstone-cheap: `ids` (vec_id) append to a `tomb` side
-    * table; [[search]]/[[searchStream]] anti-join it (broadcast —
-    * takedown-sized by nature), and [[compact]] folds it physically
-    * into the codes table. Probe results are bit-identical to an
-    * index compacted first, and to one built without the vectors
-    * (the quantizers were trained WITH them — frozen-quantizer
-    * semantics, same as [[append]]'s; spec-pinned).
+    * table; [[search]]/[[searchStream]] anti-join it (planner-chosen
+    * join — takedown-sized backlogs broadcast), and [[compact]] folds
+    * it physically into the codes table. Probe results are
+    * bit-identical to an index compacted first, and to one built
+    * without the vectors (the quantizers were trained WITH them —
+    * frozen-quantizer semantics, same as [[append]]'s; spec-pinned).
+    * FRESHNESS: batch [[search]] reads the tombstone snapshot per
+    * call; [[searchStream]] — like every static side of a
+    * stream-static join — pins its file listings at stream START, so
+    * a takedown issued under a LIVE query stream serves only after a
+    * restart (the same as-of-start rule that stream already has for
+    * appends, and the reason [[compact]] must not run against live
+    * query streams — its file swaps invalidate their pinned
+    * listings; sequence compaction against query traffic, as the
+    * compact scaladoc records).
     *
     * RE-INGEST RULE (recorded): tombstones suppress by vec_id, so
     * re-appending a taken-down id before a compact folds its
@@ -365,10 +374,16 @@ object AnnIndex {
     // and delete re-folds idempotently.
     val (tombFiles, tomb) = CompactSwap.snapshotFlat(spark, s"$dir/tomb")
     try {
+      // no broadcast hint, no distinct: the fold is the ONE operation
+      // guaranteed to meet the largest accumulated tombstone backlog
+      // (a bulk-erasure wave), exactly where a forced broadcast would
+      // OOM the driver — the planner broadcasts small backlogs and
+      // degrades to a shuffle for huge ones (the probe-path rule);
+      // anti-join semantics need no dedup of the right side
       CompactSwap.rewriteTable(spark,
         new org.apache.hadoop.fs.Path(s"$dir/codes"),
         df => tomb.fold(df)(t =>
-            df.join(broadcast(t.distinct()), Seq("vec_id"), "left_anti"))
+            df.join(t, Seq("vec_id"), "left_anti"))
           .repartition(col("cell")),
         (df, tmp) => df.write.option("maxRecordsPerFile", maxRecordsPerFile)
           .partitionBy("cell").parquet(tmp))
@@ -443,8 +458,11 @@ object AnnIndex {
     val probes: Seq[Int] = qRows(0).getSeq[Int](0)
     val candidates = minusTombstones(spark, dir,
       spark.read.parquet(s"$dir/codes").where(col("cell").isin(probes: _*)))
+    // no distinct() on the allow-list: left_semi already has set
+    // semantics, and the extra HashAggregate+Exchange would be a
+    // corpus-sized shuffle exactly when the filter is large
     allow.fold(candidates)(a =>
-        candidates.join(a.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi"))
+        candidates.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi"))
       .crossJoin(broadcast(qRow.select(col("qtabs"))))
       .withColumn("tab", element_at(col("qtabs"), col("cell").cast("int")))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),

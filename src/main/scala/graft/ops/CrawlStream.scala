@@ -114,18 +114,29 @@ object CrawlStream {
   /** [[ingest]] fed straight from the crawl lake's CONTAINER files:
     * watch `pathGlob` for arriving .warc/.warc.gz files
     * ([[Warc.recordsStream]] — record explode in the scan stage, one
-    * task per file), keep the response records, strip each payload's
-    * HTTP message ([[Warc.httpBody]]), extract text from the markup
-    * with `toText` (the codegen'd graft_html_extract by default),
-    * and run the standard scrub → gate → dedup → sink → absorb chain
-    * with the WARC-Target-URI as the document id — the id a crawl
-    * actually has before any numbering. Everything downstream is
-    * [[ingest]] verbatim (same markers, tags, torn-window closure,
+    * task per file), keep the response records whose HTTP status
+    * passes `keepStatus` (2xx by default — 404/500 boilerplate and
+    * redirect stubs are not corpus documents), decode each entity
+    * body with ITS OWN declared charset ([[Warc.HttpResponse]] reads
+    * the Content-Type parameter; a large fraction of real crawls is
+    * not UTF-8, and hard-coding UTF-8 would mojibake text, line
+    * identity, and dedup fingerprints alike), extract text from the
+    * markup with `toText` (the codegen'd graft_html_extract by
+    * default), and run the standard scrub → gate → dedup → sink →
+    * absorb chain with the WARC-Target-URI as the document id — the
+    * id a crawl actually has before any numbering. NOTE the takedown
+    * interaction recorded on [[DedupIndex.takedown]]: URI ids are
+    * PAGE identities, so a post-erasure re-crawl reuses the erased
+    * id and stays tombstone-suppressed until a compact; fetch-unique
+    * ids (the record_id column) avoid that window if erasure and
+    * re-crawl must interleave. Everything downstream is [[ingest]]
+    * verbatim (same markers, tags, torn-window closure,
     * at-least-once sink contract). */
   def ingestWarc(spark: SparkSession, pathGlob: String,
                  lineDir: String, dedupDir: String, checkpoint: String,
                  toText: Column => Column = graft.functions.text.htmlExtract,
                  gate: DataFrame => DataFrame = identity,
+                 keepStatus: Int => Boolean = _ / 100 == 2,
                  sep: String = "\n",
                  shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
                  matchMin: Int = 3, maxBucket: Int = Int.MaxValue)
@@ -138,8 +149,9 @@ object CrawlStream {
         import s2.implicits._
         df.select(col("target_uri"), col("payload"))
           .as[(String, Array[Byte])]
-          .mapPartitions(_.map { case (uri, payload) =>
-            (uri, new String(Warc.httpBody(payload)._2, "UTF-8"))
+          .mapPartitions(_.flatMap { case (uri, payload) =>
+            val r = Warc.httpResponse(payload)
+            if (keepStatus(r.status)) Some((uri, r.bodyText)) else None
           })
           .toDF("doc_id", "markup")
           .select(col("doc_id"), toText(col("markup")).as("text"))

@@ -167,15 +167,25 @@ object DedupIndex {
     *
     * RE-INGEST semantics (TakedownSpec-pinned): content re-crawled
     * after its erasure is KEPT — correct, it is new w.r.t. the
-    * post-erasure lake — and for signature-bearing docs the window
-    * closes itself immediately: the kept copy's appended BAND rows
-    * catch every later copy through the near probe, tombstones or
-    * not. Only SHORT docs (below the shingle width — fp is their
-    * whole identity, and the value-keyed `tomb_fp` suppresses every
-    * re-append of that fp until folded) re-land per batch inside the
-    * window; compact + one more ingest closes it. Hence the
-    * operational rule: compact soon after takedowns when short-doc
-    * re-crawls matter. */
+    * post-erasure lake — and for signature-bearing docs re-ingested
+    * under a FRESH id the window closes itself immediately: the kept
+    * copy's appended BAND rows catch every later copy through the
+    * near probe, tombstones or not. Two recorded windows remain
+    * until a compact folds the tombstones:
+    *  - SHORT docs (below the shingle width — fp is their whole
+    *    identity, and the value-keyed `tomb_fp` suppresses every
+    *    re-append of that fp until folded) re-land per batch;
+    *  - SAME-ID re-ingest (an erased doc_id reused — page-identity
+    *    ids like [[CrawlStream.ingestWarc]]'s URIs do this): the
+    *    id-keyed `tomb_doc` suppresses the re-ingested copy's OWN
+    *    band rows too, so the near-probe self-heal does not apply
+    *    and later copies keep landing; the compact then sweeps those
+    *    same-id rows with the tombstone, and the NEXT kept copy's
+    *    append restores the identity — same closure shape as the
+    *    short-doc window, one compact + one ingest.
+    * Hence the operational rule: compact soon after takedowns when
+    * short-doc or reused-id re-crawls matter, or use fetch-unique
+    * ids. */
   def takedown(docs: DataFrame, dir: String, textCol: Column, idCol: Column,
                tag: Option[String] = None): Unit = {
     val cm = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
@@ -301,7 +311,20 @@ object DedupIndex {
     * re-folds harmlessly (the anti-join is idempotent). A torn
     * tombstone publish folds partially and completes on replay, also
     * harmless for the same reason — tombstone effect is a row-set
-    * anti-join, not additive. */
+    * anti-join, not additive.
+    *
+    * ERASURE-FINALITY RULE (recorded): an [[append]] that slipped
+    * past the `_compacting` fast-fail mid-compact has its files
+    * RECONCILED un-folded (CompactSwap's row-preservation guarantee
+    * — pre-takedown that was pure correctness), so if it re-published
+    * an fp this compact's snapshot was folding, that fp serves again
+    * with its tombstone consumed. The rows a slipped append carries
+    * are post-probe content (deltaKeep KEPT them — new arrivals
+    * w.r.t. the erasure), so the state is semantically consistent;
+    * but a caller who means "this content must be gone NOW" must
+    * either quiesce appends around the compact or re-issue the
+    * takedown after it — takedown is idempotent, and the re-issued
+    * tombstones cover any concurrently-ingested copy. */
   def compact(spark: SparkSession, dir: String,
               maxRecordsPerFile: Long = 1L << 20): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
@@ -313,11 +336,16 @@ object DedupIndex {
       for (t <- Seq("fp", "bands"))
         CompactSwap.rewriteTable(spark, new org.apache.hadoop.fs.Path(s"$dir/$t"),
           df => {
+            // no broadcast hint, no distinct (the probe-path rule,
+            // and the fold is where the LARGEST backlog lands): the
+            // planner broadcasts small tombstone tables and degrades
+            // to a shuffle for a bulk-erasure wave; anti-join
+            // semantics need no dedup of the right side
             val live =
               if (t == "bands") docTomb.fold(df)(td =>
-                df.join(broadcast(td.distinct()), Seq("doc_id"), "left_anti"))
+                df.join(td, Seq("doc_id"), "left_anti"))
               else fpTomb.fold(df)(tf =>
-                df.join(broadcast(tf.distinct()), Seq("fp"), "left_anti"))
+                df.join(tf, Seq("fp"), "left_anti"))
             if (t == "bands") live.repartition(col("band_idx"), col("band_key"))
             else live.repartition(col("fp"))
           },

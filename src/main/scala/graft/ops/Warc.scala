@@ -116,13 +116,17 @@ object Warc {
         case (k, v) if k.equalsIgnoreCase("Content-Length") => v
       }.getOrElse(throw new IllegalArgumentException(
         "WARC: record has no Content-Length header — unframeable"))
-      val n = try clen.toLong.toInt catch {
+      // bounds-check the LONG before narrowing: a 2^32+4 length must
+      // fail loudly, not truncate to 4 and silently re-frame the rest
+      // of the buffer as fake records
+      val nL = try clen.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"WARC: garbled Content-Length '$clen'")
       }
-      if (n < 0 || p + n + 4 > bytes.length)
+      if (nL < 0 || nL > (bytes.length - p - 4).toLong)
         throw new IllegalArgumentException(
-          s"WARC: payload of $n bytes at offset $p runs off the ${bytes.length}-byte buffer")
+          s"WARC: payload of $nL bytes at offset $p runs off the ${bytes.length}-byte buffer")
+      val n = nL.toInt
       val payload = java.util.Arrays.copyOfRange(bytes, p, p + n)
       p += n
       if (!(bytes(p) == '\r' && bytes(p + 1) == '\n' &&
@@ -145,18 +149,79 @@ object Warc {
     bo.toByteArray
   }
 
-  /** Decompress ALL gzip members of a .warc.gz (GZIPInputStream walks
-    * concatenated members), yielding the plain WARC byte stream for
-    * [[parse]]. Loud on a non-gzip prefix. */
+  /** Decompress ALL gzip members of a .warc.gz, yielding the plain
+    * WARC byte stream for [[parse]]. Spec-walked member loop
+    * (RFC 1952) rather than GZIPInputStream: the JDK stream treats an
+    * unreadable NEXT-member header as clean end-of-stream, so a bit
+    * flip in member 2's magic would silently drop every record after
+    * member 1 — here every member's header, deflate body, CRC-32 and
+    * ISIZE trailer must parse or the file fails loudly, and trailing
+    * garbage is an error, never an implicit EOF. */
   def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length < 2 || (bytes(0) & 0xFF) != 0x1F || (bytes(1) & 0xFF) != 0x8B)
       throw new IllegalArgumentException(
         "WARC: not a gzip stream (bad magic) — read .warc files with parse directly")
-    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
     val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    var pos = 0
+    def u8(i: Int): Int = {
+      if (i >= bytes.length) throw new IllegalArgumentException(
+        s"WARC: gzip member truncated at offset $i")
+      bytes(i) & 0xFF
+    }
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int): Long = (u16le(i).toLong | (u16le(i + 2).toLong << 16)) & 0xFFFFFFFFL
+    var member = 0
+    while (pos < bytes.length) {
+      val start = pos
+      if (u8(pos) != 0x1F || u8(pos + 1) != 0x8B)
+        throw new IllegalArgumentException(
+          s"WARC: gzip member $member at offset $pos has bad magic " +
+            f"${u8(pos)}%02x${u8(pos + 1)}%02x — corrupt member boundary, refusing to drop the tail")
+      if (u8(pos + 2) != 8)
+        throw new IllegalArgumentException(
+          s"WARC: gzip member $member uses compression method ${u8(pos + 2)} (only 8 = deflate exists)")
+      val flg = u8(pos + 3)
+      if ((flg & 0xE0) != 0)
+        throw new IllegalArgumentException(
+          s"WARC: gzip member $member sets reserved FLG bits ($flg)")
+      pos += 10 // magic, CM, FLG, MTIME(4), XFL, OS
+      if ((flg & 4) != 0) pos += 2 + u16le(pos)            // FEXTRA
+      for (bit <- Seq(8, 16) if (flg & bit) != 0) {        // FNAME, FCOMMENT
+        while (u8(pos) != 0) pos += 1
+        pos += 1
+      }
+      if ((flg & 2) != 0) pos += 2                         // FHCRC
+      if (pos >= bytes.length) throw new IllegalArgumentException(
+        s"WARC: gzip member $member header runs off the buffer")
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, pos, bytes.length - pos)
+      val crc = new java.util.zip.CRC32()
+      val buf = new Array[Byte](1 << 16)
+      var isize = 0L
+      try {
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"WARC: gzip member $member deflate stream is corrupt at input offset " +
+                  s"${pos + inf.getBytesRead.toInt}: ${e.getMessage}") }
+          if (n == 0 && inf.needsInput() && !inf.finished())
+            throw new IllegalArgumentException(
+              s"WARC: gzip member $member deflate stream truncated")
+          out.write(buf, 0, n); crc.update(buf, 0, n); isize += n
+        }
+        pos += inf.getBytesRead.toInt
+      } finally inf.end()
+      if (u32le(pos) != crc.getValue)
+        throw new IllegalArgumentException(
+          s"WARC: gzip member $member (offset $start) CRC-32 mismatch — corrupt payload")
+      if (u32le(pos + 4) != (isize & 0xFFFFFFFFL))
+        throw new IllegalArgumentException(
+          s"WARC: gzip member $member ISIZE ${u32le(pos + 4)} != decompressed length $isize")
+      pos += 8
+      member += 1
+    }
     out.toByteArray
   }
 
@@ -167,13 +232,38 @@ object Warc {
       parse(gunzipAll(bytes))
     else parse(bytes)
 
-  /** Split an application/http payload into (status-code, body): the
-    * extraction step between the WARC frame and the HTML text — a
-    * response record's payload is the full HTTP message (spec §6.3),
-    * so the crawl pipeline needs the entity body, not the headers.
-    * Loud when no header/body split exists or the status line is not
-    * HTTP-shaped. */
-  def httpBody(payload: Array[Byte]): (Int, Array[Byte]) = {
+  /** One parsed HTTP response message: status, raw header pairs
+    * (names case-preserved), entity body bytes. [[charset]] reads the
+    * Content-Type `charset=` parameter — absent means the HTTP
+    * default; an unsupported name fails loudly rather than mojibake
+    * the corpus. */
+  final case class HttpResponse(status: Int, headers: Seq[(String, String)],
+                                body: Array[Byte]) {
+    def header(name: String): Option[String] =
+      headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    def charset: java.nio.charset.Charset =
+      header("Content-Type")
+        .flatMap(_.split(';').map(_.trim).collectFirst {
+          case p if p.toLowerCase.startsWith("charset=") =>
+            p.substring(8).trim.stripPrefix("\"").stripSuffix("\"")
+        })
+        .map { name =>
+          try java.nio.charset.Charset.forName(name)
+          catch { case _: Exception => throw new IllegalArgumentException(
+            s"WARC: unsupported HTTP charset '$name' — decode would corrupt the text") }
+        }
+        .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+    def bodyText: String = new String(body, charset)
+  }
+
+  /** Parse an application/http payload — the extraction step between
+    * the WARC frame and the text: a response record's payload is the
+    * full HTTP message (spec §6.3), so the crawl pipeline needs the
+    * status (error pages are not corpus documents), the charset (a
+    * large fraction of real crawls is not UTF-8), and the entity
+    * body. Loud when no header/body split exists or the status line
+    * is not HTTP-shaped. */
+  def httpResponse(payload: Array[Byte]): HttpResponse = {
     var i = 0
     while (i + 3 < payload.length &&
         !(payload(i) == '\r' && payload(i + 1) == '\n' &&
@@ -182,7 +272,8 @@ object Warc {
       throw new IllegalArgumentException(
         "WARC: HTTP payload has no header/body split (CRLF CRLF) — not an HTTP message?")
     val head = new String(payload, 0, i, "ISO-8859-1")
-    val statusLine = head.takeWhile(c => c != '\r' && c != '\n')
+    val lines = head.split("\r\n")
+    val statusLine = lines.head
     val parts = statusLine.split(" ", 3)
     if (parts.length < 2 || !parts(0).startsWith("HTTP/"))
       throw new IllegalArgumentException(
@@ -191,7 +282,20 @@ object Warc {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"WARC: garbled HTTP status '${parts(1)}'")
     }
-    (status, java.util.Arrays.copyOfRange(payload, i + 4, payload.length))
+    val hdrs = lines.tail.toSeq.map { l =>
+      val c = l.indexOf(':')
+      if (c < 1) throw new IllegalArgumentException(
+        s"WARC: malformed HTTP header line '${l.take(64)}' (no colon)")
+      (l.substring(0, c).trim, l.substring(c + 1).trim)
+    }
+    HttpResponse(status, hdrs, java.util.Arrays.copyOfRange(payload, i + 4, payload.length))
+  }
+
+  /** The (status, body) slice of [[httpResponse]] — kept for callers
+    * that frame their own decode. */
+  def httpBody(payload: Array[Byte]): (Int, Array[Byte]) = {
+    val r = httpResponse(payload)
+    (r.status, r.body)
   }
 
   /** Wrap an entity body as a minimal deterministic HTTP/1.1 response

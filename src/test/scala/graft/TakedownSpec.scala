@@ -126,6 +126,34 @@ class TakedownSpec extends AnyFunSuite {
     assert(keep(103L, base) == 0L)
   }
 
+  test("DedupIndex.takedown: SAME-ID re-ingest stays suppressed until compact (recorded window)") {
+    // page-identity ids (ingestWarc's URIs) reuse the erased doc_id on
+    // a re-crawl: the id-keyed tomb_doc then suppresses the
+    // re-ingested copy's OWN band rows, so the near-probe self-heal
+    // does NOT apply — later copies keep landing until a compact
+    // sweeps the same-id rows with the tombstone, after which the
+    // next kept copy's append restores the identity (the recorded
+    // one-compact-one-ingest closure, same as the short-doc window).
+    val dir = tmp("graft-td-sameid")
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    DedupIndex.build(corpus, dir, $"text", $"doc_id")
+    DedupIndex.takedown(corpus, dir, $"text", $"doc_id")
+    def keep(id: Long) = {
+      val kept = DedupIndex.deltaKeep(spark,
+        Seq((id, base)).toDF("doc_id", "text"), dir, $"text", $"doc_id")
+      val n = kept.count()
+      if (n > 0) DedupIndex.append(kept, dir, $"text", $"doc_id")
+      n
+    }
+    assert(keep(1L) == 1L, "same-id re-crawl kept (content is new post-erasure)")
+    assert(keep(2L) == 1L,
+      "the window: the same-id copy's band rows are tombstone-suppressed, so a fresh-id copy lands too")
+    DedupIndex.compact(spark, dir)
+    // compact swept doc 1's re-ingested rows with its tombstone, but
+    // doc 2's fresh-id rows survived — identity restored through them
+    assert(keep(3L) == 0L, "post-compact the near probe serves again via the fresh-id copy")
+  }
+
   test("DedupIndex.takedown: tombstoned docs never occupy capped bucket slots") {
     // the mega-bucket fixture (DedupSpec's cap test): 10 store docs in
     // ONE bucket per band. Erase the cap-visible low ids 1..3; with
@@ -239,10 +267,11 @@ class TakedownSpec extends AnyFunSuite {
     assert(liveIds.size == 37 && !liveIds.exists(Set(5L, 7L, 9L)),
       s"codes not physically folded: ${liveIds.size} live")
 
-    // streaming serve sees the same liveness (static side of the
-    // stream-static join is the same minusTombstones view) — probe a
-    // SECOND erasure pre-compact through the batch path to pin the
-    // tombstone read is per-search, not cached at open
+    // batch search reads tombstones PER CALL — a fresh erasure is
+    // visible to the next search without any restart. (searchStream
+    // is different by stream-static semantics: its file listings pin
+    // at stream start, so a live query stream serves takedowns only
+    // after restart — the as-of-start rule recorded on takedown.)
     AnnIndex.takedown(spark, Seq(11L).toDF("vec_id"), dir)
     assert(!top(40).contains(11L), "fresh tombstone not visible to a new search")
   }

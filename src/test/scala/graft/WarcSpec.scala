@@ -97,6 +97,42 @@ class WarcSpec extends AnyFunSuite {
       .getMessage.contains("gzip"))
   }
 
+  test("loud contract: Content-Length overflow, corrupt gzip members, charset") {
+    val good = Warc.pack(Seq(rec(0, "metadata", "xyzw".getBytes("UTF-8"))))
+    // a 2^32+4 Content-Length must fail loudly, not truncate to 4 and
+    // re-frame the tail as fake records (record smuggling)
+    val smuggle = new String(good, "ISO-8859-1")
+      .replace("Content-Length: 4", "Content-Length: 4294967300")
+    val e = intercept[IllegalArgumentException](Warc.parse(smuggle.getBytes("ISO-8859-1")))
+    assert(e.getMessage.contains("runs off"), e.getMessage)
+
+    // member 2's magic corrupted: the whole file must fail, never
+    // silently shrink to member 1 (the GZIPInputStream EOF trap)
+    val recs = (0 until 2).map(i => rec(i, "metadata", s"payload $i".getBytes("UTF-8")))
+    val gz = recs.toArray.flatMap(r => Warc.gzipMember(Warc.pack(Seq(r))))
+    val m2 = Warc.gzipMember(Warc.pack(Seq(recs(0)))).length
+    val bad = gz.clone(); bad(m2) = 0x00 // member 2 magic byte 1
+    val e2 = intercept[IllegalArgumentException](Warc.gunzipAll(bad))
+    assert(e2.getMessage.contains("bad magic") && e2.getMessage.contains("member 1"), e2.getMessage)
+    // CRC flip inside member 2's trailer: loud, names the member
+    val bad2 = gz.clone(); bad2(gz.length - 6) = (bad2(gz.length - 6) ^ 0x01).toByte
+    val e3 = intercept[IllegalArgumentException](Warc.gunzipAll(bad2))
+    assert(e3.getMessage.contains("CRC-32") || e3.getMessage.contains("ISIZE"), e3.getMessage)
+    // intact members still concatenate
+    assert(Warc.parseAuto(gz).length == 2)
+
+    // charset: declared ISO-8859-1 bodies decode correctly…
+    val latin1Body = "café".getBytes("ISO-8859-1")
+    val r = Warc.httpResponse(Warc.httpWrap(200, "text/html; charset=ISO-8859-1", latin1Body))
+    assert(r.bodyText == "café" && r.status == 200)
+    // …absent charset defaults to UTF-8, unsupported is loud
+    assert(Warc.httpResponse(Warc.httpWrap(200, "text/plain", "hi".getBytes("UTF-8")))
+      .bodyText == "hi")
+    val e4 = intercept[IllegalArgumentException](
+      Warc.httpResponse(Warc.httpWrap(200, "text/html; charset=klingon-8", latin1Body)).bodyText)
+    assert(e4.getMessage.contains("charset"), e4.getMessage)
+  }
+
   test("CrawlStream.ingestWarc: container stream == sequential per-file composition") {
     import graft.ops.{CrawlStream, DedupIndex, LineStore}
     import org.apache.spark.sql.functions.{col, length, regexp_replace}
