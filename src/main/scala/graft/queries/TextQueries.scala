@@ -574,6 +574,48 @@ object TextQueries {
     // range sort; doc_id tie-break makes the decile assignment
     // deterministic on both engines (same IEEE quality doubles, same
     // SQL-standard ntile remainder distribution).
+    // LEAKAGE-FREE train/val split — the assignment step between
+    // curation and training: hashing the DOC id would let two exact
+    // duplicates straddle the split (the val set then "contains" the
+    // training data — the test-set-leakage failure decontamination
+    // exists to prevent, now at split granularity), so the split key
+    // is the content FINGERPRINT: every exact-dup group lands whole
+    // on one side, deterministically (seeded md5, first hex digit
+    // 0-3 → val ≈ 25%). Near-dup leakage is the scrub pipeline's job
+    // BEFORE the split (pipe_scrub_e2e order); this grades the
+    // co-assignment invariant itself — straddling_fps is computed
+    // from the data and must be 0. Scale shape: the split is a
+    // scan-stage hash; the audit aggregates are one (split, fp)
+    // exchange + a two-group fold.
+    Q("t_split_leakfree",
+      (s, d) => {
+        val per = T(s, d, "documents")
+          .select(col("doc_id"), text.fingerprint(col("text")).as("fp"))
+          .withColumn("split",
+            when(substring(md5(concat(lit("split42:"), col("fp"))), 1, 1)
+              .isin("0", "1", "2", "3"), lit("val")).otherwise(lit("train")))
+        val straddle = per.groupBy(col("fp"))
+          .agg(countDistinct(col("split")).as("ns"))
+          .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("straddling_fps"))
+        per.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_fps"))
+          .crossJoin(broadcast(straddle))
+      },
+      Some(s"""WITH per AS (
+              |  SELECT doc_id,
+              |    CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+              |  FROM (SELECT doc_id, text, $normSql AS norm FROM documents)),
+              |sp AS (SELECT doc_id, fp,
+              |         CASE WHEN substring(md5('split42:' || fp), 1, 1) IN ('0','1','2','3')
+              |              THEN 'val' ELSE 'train' END AS split
+              |       FROM per),
+              |str AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |          AS straddling_fps
+              |        FROM (SELECT fp, count(DISTINCT split) AS ns FROM sp GROUP BY fp))
+              |SELECT split, count(*) AS n_docs,
+              |  CAST(count(DISTINCT fp) AS BIGINT) AS n_fps, straddling_fps
+              |FROM sp, str GROUP BY split, straddling_fps""".stripMargin)),
+
     Q("t_curriculum",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

