@@ -194,12 +194,13 @@ object ScaleBench {
     // SemDeDup: training shuffles centroid-sized, assignment
     // scan-stage, the pair join's per-cluster work is (N/K)^2 at the
     // graded K=8 — expect a visibly superlinear slope HERE by
-    // construction (fixed K while N grows 10x); the production knob
-    // is K ∝ N (recorded on the query)
+    // construction (fixed K while N grows 10x); kept as the semantic
+    // fixture
     "e_semdedup_keep",
-    // the K ∝ N production arm (measurement-only special case in
-    // run(); not in the graded registry) — pins that scaling K with
-    // the corpus collapses the pair term back to linear
+    // the K ∝ N production shape, GRADED since r18 (K = N/c̄ from
+    // parquet footer counts, oracle self-scaling) — pins that scaling
+    // K with the corpus collapses the pair term back to linear; the
+    // K-linear assignment cost rides the early-exit argmin kernel
     "e_semdedup_kscaled")
 
   def main(args: Array[String]): Unit = {
@@ -246,29 +247,6 @@ object ScaleBench {
           graft.ops.Dedup.keepList(labels.get,
               graft.sources.Tables.load(spark, dir, "documents"))
             .select(col("doc_id"), col("n_chars"))
-        case "e_semdedup_kscaled" =>
-          // the production SemDeDup shape (measurement-only, not
-          // graded — the graded e_semdedup_keep fixes K=8 for oracle
-          // tractability): K ∝ N keeps cluster size ~constant, so the
-          // per-cluster (N/K)^2 pair term is N·c̄ — linear. K derives
-          // from the corpus's own parquet-metadata count (cheap),
-          // cluster size target c̄ ≈ 600.
-          import org.apache.spark.sql.functions._
-          val emb = graft.sources.Tables.load(spark, dir, "embeddings")
-            .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
-          val k = math.max(8, (emb.count() / 600L).toInt)
-          val c2 = graft.ops.Pq.ivfLloydStep(emb,
-            graft.ops.Pq.ivfLloydStep(emb, graft.ops.Pq.cellsRow(emb, k)))
-          val assigned = graft.ops.Pq.ivfAssignedWith(emb, c2)
-            .select(col("cell"), col("vec_id"), col("ve"))
-          val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("ve").as("va"))
-          val b = assigned.select(col("cell"), col("vec_id").as("vec_b"), col("ve").as("vb"))
-          val drop = a.join(b, Seq("cell"))
-            .where(col("vec_a") < col("vec_b") &&
-              graft.queries.qround(graft.functions.vectors.cosine(col("va"), col("vb")), 6)
-                >= 0.40)
-            .select(col("vec_b").as("vec_id")).distinct()
-          assigned.select(col("vec_id")).join(drop, Seq("vec_id"), "left_anti")
         case _ => SparkEntry.queries(n)(spark, dir)
       }
       family.map { n =>

@@ -207,8 +207,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_ivf_cell"),
       new ExpressionInfo(classOf[IvfCellExpr].getName, "graft_ivf_cell"),
       (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_ivf_cell(ve, cells) takes two arguments")
-        IvfCellExpr(children.head, children(1))
+        require(children.length == 2 || children.length == 3,
+          "graft_ivf_cell(ve, cells[, stable]) takes two or three arguments")
+        // third arg: literal TRUE asserts `cells` is task-immutable
+        // (a broadcast fold) → enables the flat-decode cache; the
+        // library layer (graft.ops.Pq) is the intended caller
+        val stable = children.length == 3 && {
+          val c = children(2)
+          require(c.foldable && c.dataType == org.apache.spark.sql.types.BooleanType,
+            "graft_ivf_cell stable flag must be a boolean literal")
+          c.eval() == true
+        }
+        IvfCellExpr(children.head, children(1), stable)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bottom_k"),

@@ -48,6 +48,31 @@ object PqKernel {
     acc
   }
 
+  /** [[d2]] with an early exit: stops accumulating once the partial
+    * sum exceeds `bound` (the returned value is then SOME prefix sum
+    * > bound, not the full distance). Exact-safe for argmin-by-
+    * (q6(d2), id) when bound = bestD + 1.5e-6: the partial is a lower
+    * bound on the final raw d2, and raw > bestD + 1.5e-6 forces
+    * q6(raw) >= bestD + 1e-6 > bestD even across the floor's FP
+    * wobble (|err| ~ 1e-10 at these magnitudes vs the 0.5e-6 slack),
+    * so a skipped candidate can neither win nor tie — and a candidate
+    * that COULD win never triggers the exit, so winners always carry
+    * their full fold-order sum. Turns the K-centroid scan from
+    * O(K·dim) to ~O(K + dim·survivors) per row — the term that
+    * dominates K ∝ N coarse assignment (e_semdedup_kscaled). */
+  @inline final def d2Bounded(a: ArrayData, ao: Int, b: ArrayData, bo: Int,
+                              len: Int, bound: Double): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < len) {
+      val d = a.getDouble(ao + i) - b.getDouble(bo + i)
+      acc = acc + d * d
+      if (acc > bound) return acc
+      i += 1
+    }
+    acc
+  }
+
   @inline final def anyNull(a: ArrayData): Boolean = {
     var i = 0
     val n = a.numElements()
@@ -159,8 +184,69 @@ case class PqScoreExpr(ve: Expression, qv: Expression, cbs: Expression,
   * (struct<cell:int, cv:array<double>>). `idx` is the 1-based array
   * position of the winner, so callers can element_at the matched
   * centroid without assuming cell ids are contiguous. */
-case class IvfCellExpr(ve: Expression, cells: Expression)
+case class IvfCellExpr(ve: Expression, cells: Expression,
+                       stableCache: Boolean = false)
   extends Expression with CodegenFallback {
+
+  // Per-task flat-decode cache for the (broadcast) centroid array:
+  // the struct-of-array ArrayData walk costs an object allocation +
+  // offset arithmetic per centroid per ROW, which dominates the
+  // argmin at large K. Tasks deserialize their own Expression tree,
+  // so this mutable state is task-confined (the same pattern Spark's
+  // stateful nondeterministic expressions use). The cache keys on
+  // the UnsafeArrayData's (baseObject, baseOffset, size) — stable
+  // for a broadcast row across a task's iteration — and holds ONE
+  // decoded arrays-per-offset map so both usage shapes hit:
+  // a constant cells column (one entry) and the hierarchical
+  // element_at(subcell_map, cell) shape (one entry per coarse cell,
+  // K_total*dim doubles in all — MBs at the 50k-cluster scale).
+  // The cache is OPT-IN (`stableCache`, set only by the graft.ops.Pq
+  // library layer where `cells` provably comes from its own
+  // crossJoin(broadcast(...)) fold): a STREAM-side cells column could
+  // legally reuse one codegen output buffer across rows — same
+  // (base, offset), new content — and a content-blind cache would go
+  // stale. Broadcast relation rows are materialized once and never
+  // mutated, which is the contract the flag asserts.
+  @transient private var cacheBase: AnyRef = null
+  @transient private var cacheByOffset: java.util.HashMap[java.lang.Long, (Array[Int], Array[Double])] = null
+  @transient private var veBuf: Array[Double] = null
+
+  /** Decode (cell ids, row-major centroid matrix); null iff any
+    * centroid is null/ragged/null-holed (the eval returns null then,
+    * matching the undecoded path). */
+  private def decode(ca: ArrayData, dim: Int): (Array[Int], Array[Double]) = {
+    val n = ca.numElements()
+    val ids = new Array[Int](n)
+    val flat = new Array[Double](n * dim)
+    var i = 0
+    while (i < n) {
+      if (ca.isNullAt(i)) return null
+      val c = ca.getStruct(i, 2)
+      if (c.isNullAt(0) || c.isNullAt(1)) return null
+      ids(i) = c.getInt(0)
+      val cv = c.getArray(1)
+      if (cv.numElements() != dim || PqKernel.anyNull(cv)) return null
+      var j = 0
+      while (j < dim) { flat(i * dim + j) = cv.getDouble(j); j += 1 }
+      i += 1
+    }
+    (ids, flat)
+  }
+
+  private def decoded(ca: ArrayData, dim: Int): (Array[Int], Array[Double]) = ca match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      val base = u.getBaseObject
+      if (!(base eq cacheBase)) {
+        cacheBase = base
+        cacheByOffset = new java.util.HashMap[java.lang.Long, (Array[Int], Array[Double])]()
+      }
+      val key = java.lang.Long.valueOf(u.getBaseOffset)
+      var hit = cacheByOffset.get(key)
+      if (hit != null && hit._2.length != hit._1.length * dim) hit = null // dim changed: bypass
+      if (hit == null) { hit = decode(u, dim); if (hit != null) cacheByOffset.put(key, hit) }
+      hit
+    case _ => decode(ca, dim)
+  }
 
   override def children: Seq[Expression] = Seq(ve, cells)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
@@ -194,19 +280,37 @@ case class IvfCellExpr(ve: Expression, cells: Expression)
     val ca = cs.asInstanceOf[ArrayData]
     val dim = va.numElements()
     if (PqKernel.anyNull(va)) return null
+    val dec = if (stableCache) decoded(ca, dim) else decode(ca, dim)
+    if (dec == null) return null
+    val (ids, flat) = dec
+    if (veBuf == null || veBuf.length != dim) veBuf = new Array[Double](dim)
+    var j = 0
+    while (j < dim) { veBuf(j) = va.getDouble(j); j += 1 }
     var bestD = Double.MaxValue
     var bestCell = Int.MaxValue
     var bestIdx = -1
+    val n = ids.length
     var i = 0
-    val n = ca.numElements()
     while (i < n) {
-      val c = ca.getStruct(i, 2)
-      val cell = c.getInt(0)
-      val cv = c.getArray(1)
-      if (cv.numElements() != dim || PqKernel.anyNull(cv)) return null
-      val d = PqKernel.q6(PqKernel.d2(va, 0, cv, 0, dim))
-      if (bestIdx < 0 || d < bestD || (d == bestD && cell < bestCell)) {
-        bestD = d; bestCell = cell; bestIdx = i
+      // left-to-right fold with the safe early-exit bound: a
+      // candidate whose raw PARTIAL sum exceeds bestD + 1.5e-6
+      // cannot quantize to <= bestD (see d2Bounded's margin note),
+      // so it can neither win nor tie — and any candidate that
+      // could win reaches t == dim with its full fold-order sum
+      val bound = if (bestIdx < 0) Double.PositiveInfinity else bestD + 1.5e-6
+      val base = i * dim
+      var acc = 0.0
+      var t = 0
+      while (t < dim && acc <= bound) {
+        val d0 = veBuf(t) - flat(base + t)
+        acc = acc + d0 * d0
+        t += 1
+      }
+      if (acc <= bound) {
+        val d = PqKernel.q6(acc)
+        if (bestIdx < 0 || d < bestD || (d == bestD && ids(i) < bestCell)) {
+          bestD = d; bestCell = ids(i); bestIdx = i
+        }
       }
       i += 1
     }

@@ -73,8 +73,11 @@ object Pq {
       // loop per row instead of a K-struct HOF tree — bit-identical
       // to [[ivfAssignedWithHof]], cross-checked in PqExprSpec. The
       // winner's array position rides in the struct, so the matched
-      // centroid lookup holds for ANY cell-id scheme.
-      .withColumn("_bc", call_function("graft_ivf_cell", col("ve"), col("cells")))
+      // centroid lookup holds for ANY cell-id scheme. The `true`
+      // flag enables the kernel's flat-decode cache — sound here
+      // because `cells` is THIS crossJoin's own broadcast fold
+      // (task-immutable bytes; see IvfCellExpr's cache contract).
+      .withColumn("_bc", call_function("graft_ivf_cell", col("ve"), col("cells"), lit(true)))
       .withColumn("cell", col("_bc.cell"))
       .withColumn("cv", element_at(col("cells"), col("_bc.idx")).getField("cv"))
       .drop("cells", "_bc")
@@ -121,6 +124,82 @@ object Pq {
       .select(struct(col("cell"),
         coalesce(col("cv"), col("pcv")).as("cv")).as("e"))
       .agg(sort_array(collect_list(col("e"))).as("cells"))
+  }
+
+  // ---- hierarchical (two-level) k-means --------------------------
+  //
+  // Large-K k-means cannot brute-force its assignment: with K ∝ N
+  // (the SemDeDup production shape — cluster size held ~constant)
+  // a flat argmin is Θ(N·K·d) = Θ(N²d/c̄), the same quadratic wall
+  // the pair term has at FIXED K, just moved into training. The
+  // standard production answer (what IVF libraries do to train
+  // 50k-centroid quantizers) is hierarchy: K1 = ⌈√K⌉ coarse cells,
+  // K2 = ⌈K/K1⌉ sub-cells within each, so a row's assignment costs
+  // O(K1 + K2) = O(√K) and the full chain is O(N·√K·d). The fine
+  // partition is DEFINED hierarchically (coarse argmin, then argmin
+  // over the own cell's sub-centroids) — deterministic, so a SQL
+  // oracle mirrors it with two chained row_number argmin CTEs.
+  //
+  // Plan shape: sub-seeds are a bounded graft_bottom_k per coarse
+  // cell (O(K2) partial state, map-side combined); the sub-quantizer
+  // folds to ONE row mapping cell → its sub-centroid array and
+  // broadcasts (K·d doubles total — MBs at K=50k); fine assignment
+  // is scan-stage `graft_ivf_cell(ve, element_at(map, cell))` — the
+  // kernel's flat-decode cache holds one decoded block per coarse
+  // cell per task. One sub-Lloyd re-mean is the same exact-integer
+  // K·d-group aggregate as [[ivfLloydStep]]. No shuffle ever carries
+  // the corpus beyond the re-mean's map-side-combined partials.
+
+  /** Sub-quantizer seeds: per coarse cell, the `k2` smallest-vec_id
+    * members (the deterministic convention — the per-cell twin of
+    * vec_ids 1..K), as (cell, sub 1..k2, scv). Input: the coarse
+    * [[ivfAssignedWith]] output (cell, vec_id, ve). */
+  def subSeeds(assigned: DataFrame, k2: Int): DataFrame =
+    assigned.groupBy(col("cell"))
+      .agg(call_function("graft_bottom_k",
+        struct(col("vec_id"), col("ve")), lit(k2)).as("ss"))
+      .select(col("cell"), posexplode(col("ss")).as(Seq("p", "e")))
+      .select(col("cell"), (col("p") + 1).cast("int").as("sub"),
+        col("e").getField("ve").as("scv"))
+
+  /** Folds (cell, sub, scv) sub-centroids into ONE broadcastable row:
+    * a map cell → sub-sorted array<struct<cell:=sub, cv>> (the struct
+    * field is named `cell` so [[ivfAssignedWith]]'s kernel reads it
+    * unchanged). */
+  def subCellsMap(seeds: DataFrame): DataFrame =
+    seeds.groupBy(col("cell"))
+      .agg(sort_array(collect_list(
+        struct(col("sub").as("cell"), col("scv").as("cv")))).as("arr"))
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("arr")))).as("subcells"))
+
+  /** Scan-stage fine assignment: adds `sub` to the coarse-assigned
+    * frame via the own cell's sub-centroid argmin ((q6(d2), sub)
+    * order — the oracle's row_number twin). `subMap` is ONE
+    * [[subCellsMap]] row. */
+  def fineAssigned(assigned: DataFrame, subMap: DataFrame): DataFrame =
+    assigned.crossJoin(broadcast(subMap))
+      .withColumn("_fc", call_function("graft_ivf_cell", col("ve"),
+        element_at(col("subcells"), col("cell")), lit(true)))
+      .withColumn("sub", col("_fc").getField("cell"))
+      .drop("subcells", "_fc")
+
+  /** One Lloyd iteration of the sub-quantizer: fine-assign, re-mean
+    * each (cell, sub) in exact integer space (1e-6-quantized BIGINT
+    * sums — both engines derive bit-identical centroids), empty
+    * sub-cells keep their seed. Returns the refined one-row map. */
+  def subLloydStep(assigned: DataFrame, seeds: DataFrame,
+                   subMap: DataFrame): DataFrame = {
+    val means = fineAssigned(assigned, subMap)
+      .select(col("cell"), col("sub"), posexplode(col("ve")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("sub"), col("pos"))
+      .agg((sum(qlong(col("v"), 1e6)) / (lit(1e6) * count(lit(1)))).as("c_mean"))
+      .groupBy(col("cell"), col("sub"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c_mean")))),
+        e => e.getField("c_mean")).as("cv"))
+    subCellsMap(
+      seeds.join(means, Seq("cell", "sub"), "left")
+        .select(col("cell"), col("sub"),
+          coalesce(col("cv"), col("scv")).as("scv")))
   }
 
   /** The folded PQ codebook: (m, cid) -> sub-dim codeword, ONE row
