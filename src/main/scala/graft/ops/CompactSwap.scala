@@ -265,7 +265,18 @@ object CompactSwap {
     * tombstone appended DURING the fold survives for the next
     * compact and a crash between fold and delete merely re-folds
     * (anti-join deletion is idempotent). (Nil, None) when the table
-    * is absent or empty. */
+    * is absent or empty.
+    *
+    * SEQUENCING (applies to BATCH probes, not only streams): the
+    * returned frame pins this exact file list, and a concurrent
+    * compact deletes exactly these files after folding — a probe
+    * planned just before that compact can fail mid-query with
+    * FileNotFoundException. The failure is loud and the retry reads
+    * the folded store, so correctness holds, but callers wanting no
+    * query-visible window must sequence probes around compact the
+    * same way the stream rule on takedown says — or move to the
+    * versioned-read path where the compact leaves pinned listings
+    * in place. */
   def snapshotFlat(spark: SparkSession, dir: String): (Seq[Path], Option[DataFrame]) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

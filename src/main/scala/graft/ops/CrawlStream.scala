@@ -147,11 +147,24 @@ object CrawlStream {
       extract = df => {
         val s2 = df.sparkSession
         import s2.implicits._
-        df.select(col("target_uri"), col("payload"))
-          .as[(String, Array[Byte])]
-          .mapPartitions(_.flatMap { case (uri, payload) =>
+        df.select(col("target_uri"), col("record_id"), col("payload"))
+          .as[(String, String, Array[Byte])]
+          .mapPartitions(_.flatMap { case (uri, recId, payload) =>
+            // doc identity: WARC-Target-URI, else the spec-mandatory
+            // WARC-Record-ID. A response record carrying NEITHER gets
+            // the loud failure, not a silent merge: the parse layer
+            // tolerates sloppy writers (targetUri defaults ""), but
+            // every URI-less record collapsing onto one "" doc_id in
+            // the line AND dedup stores would be an identity bug
+            // that grades clean and corrupts at the first real crawl
+            val docId =
+              if (uri.nonEmpty) uri
+              else if (recId.nonEmpty) recId
+              else throw new IllegalArgumentException(
+                "WARC: response record has neither WARC-Target-URI nor " +
+                  "WARC-Record-ID — no usable document identity")
             val r = Warc.httpResponse(payload)
-            if (keepStatus(r.status)) Some((uri, r.bodyText)) else None
+            if (keepStatus(r.status)) Some((docId, r.bodyText)) else None
           })
           .toDF("doc_id", "markup")
           .select(col("doc_id"), toText(col("markup")).as("text"))

@@ -129,10 +129,16 @@ object LineStore {
     * [[CompactSwap]] protocol as every other store (manifest
     * snapshot, late-append reconcile, crash recovery; `_compacting`
     * fast-fail gate on [[append]]). [[takedown]]'s negative partials
-    * fold here too: a line whose summed count reaches <= 0 (all
+    * fold here too: a line whose summed count reaches exactly 0 (all
     * contributing docs taken down) is physically dropped — 0 is
-    * identity for the `>= minDocs >= 2` scrub threshold, and under
-    * the single-takedown contract sums never go below 0. */
+    * identity for the `>= minDocs >= 2` scrub threshold. A sum
+    * BELOW 0 is a contract violation (a double takedown — easy to
+    * produce by retrying after a driver failure on the untagged
+    * path) and fails the compact LOUDLY: folding it away would
+    * over-release boilerplate lines other live docs still carry and
+    * simultaneously erase the only evidence, so the conservative
+    * move is to stop and make the operator reconcile (re-append the
+    * over-subtracted partials, or rebuild). */
   def compact(spark: SparkSession, dir: String): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -140,7 +146,14 @@ object LineStore {
     try CompactSwap.rewriteTable(spark,
       new org.apache.hadoop.fs.Path(s"$dir/counts"),
       df => df.groupBy(col("line")).agg(sum(col("n_docs")).as("n_docs"))
-        .where(col("n_docs") > 0),
+        // in-plan assertion, not a pre-scan: assert_true is NULL on
+        // success, so the coalesce keeps the filter shape while any
+        // negative sum aborts the rewrite BEFORE the swap renames
+        .where(coalesce(assert_true(col("n_docs") >= 0,
+            concat(lit("LineStore: line count went NEGATIVE during compact " +
+              "(double takedown? re-append the over-subtracted partials " +
+              "or rebuild) for line: "), col("line"))), lit(true)) &&
+          col("n_docs") > 0),
       (df, tmp) => df.write.parquet(tmp))
     finally fs.delete(marker, false)
   }

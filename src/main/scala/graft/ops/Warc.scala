@@ -31,9 +31,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: a WARC file is the parallelism unit (the archive
   * convention caps files at ~1 GB), so [[records]] reads via
   * binaryFile and explodes records per file in the SCAN stage
-  * (mapPartitions, zero shuffles) — per-task memory is file-sized,
-  * never corpus-sized, and 100 TB of crawl = ~100k files scanning in
-  * parallel.
+  * (mapPartitions, zero shuffles). Decode is STREAMING
+  * ([[recordIteratorAuto]]: member-by-member inflate feeding an
+  * incremental record parser), so per-task memory is the COMPRESSED
+  * file plus one record — a conventional ~1 GB .warc.gz routinely
+  * expands to 3-5 GB, past any flat byte[] — and 100 TB of crawl =
+  * ~100k files scanning in parallel.
   */
 object Warc {
 
@@ -79,29 +82,86 @@ object Warc {
 
   /** Parse one WARC file's bytes (plain, already-gunzipped) into
     * records. Loud on every framing violation; an empty file is an
-    * empty record list (a zero-record WARC is just zero bytes). */
-  def parse(bytes: Array[Byte]): Seq[Record] = {
-    val recs = Seq.newBuilder[Record]
-    var pos = 0
-    def line(from: Int): (String, Int) = {
-      var i = from
-      while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
-      if (i + 1 >= bytes.length)
-        throw new IllegalArgumentException(
-          s"WARC: header line at offset $from runs off the ${bytes.length}-byte buffer " +
-            "(truncated file?)")
-      (new String(bytes, from, i - from, "UTF-8"), i + 2)
+    * empty record list (a zero-record WARC is just zero bytes).
+    * Materializes all records — fixture/round-trip use; the
+    * production scan path is [[recordIterator]], which never holds
+    * more than one record. */
+  def parse(bytes: Array[Byte]): Seq[Record] =
+    recordIterator(new java.io.ByteArrayInputStream(bytes)).toVector
+
+  /** INCREMENTAL record reader over a plain WARC byte stream — the
+    * production decode shape: per-record memory is that record's
+    * Content-Length, never the file's. Composed with [[memberGunzip]]
+    * this is what lets a conventional ~1 GB .warc.gz that expands to
+    * 3-5 GB decode inside a task without ever allocating the
+    * decompressed file (the flat [[gunzipAll]]+[[parse]] pair caps at
+    * a 2 GiB byte[] and OOMs long before that). All framing errors
+    * stay loud with stream offsets (offsets are decompressed-stream
+    * positions, which for a plain .warc equal buffer offsets). */
+  def recordIterator(in: java.io.InputStream): Iterator[Record] = new Iterator[Record] {
+    private var offset = 0L
+    // -2 = no buffered probe; >= 0 = buffered byte; -1 = buffered EOF
+    private var lookahead: Int = -2
+
+    private def read1(): Int = {
+      val b = if (lookahead != -2) { val v = lookahead; lookahead = -2; v } else in.read()
+      if (b >= 0) offset += 1
+      b
     }
-    while (pos < bytes.length) {
-      val (version, p1) = line(pos)
+
+    private def readLine(context: String): String = {
+      val start = offset
+      val buf = new java.io.ByteArrayOutputStream(64)
+      var prev = -1
+      while (true) {
+        val b = read1()
+        if (b < 0)
+          throw new IllegalArgumentException(
+            s"WARC: $context line at offset $start runs off the stream (truncated file?)")
+        if (prev == '\r' && b == '\n') {
+          val arr = buf.toByteArray
+          return new String(arr, 0, arr.length - 1, "UTF-8")
+        }
+        buf.write(b)
+        prev = b
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    private def readN(n: Long, what: String): Array[Byte] = {
+      if (n > Int.MaxValue - 8)
+        throw new IllegalArgumentException(
+          s"WARC: payload of $n bytes at offset $offset runs off the JVM array bound " +
+            "(2 GiB) — record smuggling or corrupt Content-Length")
+      val out = new Array[Byte](n.toInt)
+      var got = 0
+      while (got < n) {
+        val b = read1()
+        if (b < 0)
+          throw new IllegalArgumentException(
+            s"WARC: $what of $n bytes at offset ${offset - got} runs off the stream")
+        out(got) = b.toByte
+        got += 1
+      }
+      out
+    }
+
+    override def hasNext: Boolean = {
+      if (lookahead == -2) lookahead = in.read()
+      lookahead >= 0
+    }
+
+    override def next(): Record = {
+      if (!hasNext) throw new NoSuchElementException("WARC: no more records")
+      val recStart = offset
+      val version = readLine("header")
       if (!version.startsWith("WARC/"))
         throw new IllegalArgumentException(
-          s"WARC: expected a WARC/x.y version line at offset $pos, got '${version.take(32)}'")
-      var p = p1
+          s"WARC: expected a WARC/x.y version line at offset $recStart, got '${version.take(32)}'")
       val hdrs = Seq.newBuilder[(String, String)]
       var open = true
       while (open) {
-        val (l, np) = line(p); p = np
+        val l = readLine("header")
         if (l.isEmpty) open = false
         else {
           val c = l.indexOf(':')
@@ -117,27 +177,33 @@ object Warc {
       }.getOrElse(throw new IllegalArgumentException(
         "WARC: record has no Content-Length header — unframeable"))
       // bounds-check the LONG before narrowing: a 2^32+4 length must
-      // fail loudly, not truncate to 4 and silently re-frame the rest
-      // of the buffer as fake records
+      // fail loudly (here: by running off the stream / the array
+      // bound), never truncate and silently re-frame what follows
       val nL = try clen.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"WARC: garbled Content-Length '$clen'")
       }
-      if (nL < 0 || nL > (bytes.length - p - 4).toLong)
+      if (nL < 0)
         throw new IllegalArgumentException(
-          s"WARC: payload of $nL bytes at offset $p runs off the ${bytes.length}-byte buffer")
-      val n = nL.toInt
-      val payload = java.util.Arrays.copyOfRange(bytes, p, p + n)
-      p += n
-      if (!(bytes(p) == '\r' && bytes(p + 1) == '\n' &&
-            bytes(p + 2) == '\r' && bytes(p + 3) == '\n'))
+          s"WARC: negative Content-Length $nL at offset $offset")
+      val payload = readN(nL, "payload")
+      val termAt = offset
+      val term = new Array[Int](4)
+      var i = 0
+      while (i < 4) {
+        term(i) = read1()
+        if (term(i) < 0)
+          throw new IllegalArgumentException(
+            s"WARC: payload of $nL bytes at offset $termAt runs off the stream " +
+              "(no room for the record terminator)")
+        i += 1
+      }
+      if (!(term(0) == '\r' && term(1) == '\n' && term(2) == '\r' && term(3) == '\n'))
         throw new IllegalArgumentException(
-          s"WARC: record terminator (CRLF CRLF) missing after payload at offset $p " +
+          s"WARC: record terminator (CRLF CRLF) missing after payload at offset $termAt " +
             "— Content-Length disagrees with the actual payload")
-      pos = p + 4
-      recs += Record(rec, payload)
+      Record(rec, payload)
     }
-    recs.result()
   }
 
   /** Gzip `bytes` as ONE member — callers gzip record-at-a-time and
@@ -149,30 +215,38 @@ object Warc {
     bo.toByteArray
   }
 
-  /** Decompress ALL gzip members of a .warc.gz, yielding the plain
-    * WARC byte stream for [[parse]]. Spec-walked member loop
+  /** Streaming multi-member gunzip: an InputStream yielding the
+    * concatenated decompressed bytes of every gzip member of a
+    * .warc.gz, validating as it goes. Spec-walked member loop
     * (RFC 1952) rather than GZIPInputStream: the JDK stream treats an
     * unreadable NEXT-member header as clean end-of-stream, so a bit
     * flip in member 2's magic would silently drop every record after
     * member 1 — here every member's header, deflate body, CRC-32 and
-    * ISIZE trailer must parse or the file fails loudly, and trailing
-    * garbage is an error, never an implicit EOF. */
-  def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    if (bytes.length < 2 || (bytes(0) & 0xFF) != 0x1F || (bytes(1) & 0xFF) != 0x8B)
-      throw new IllegalArgumentException(
-        "WARC: not a gzip stream (bad magic) — read .warc files with parse directly")
-    val out = new java.io.ByteArrayOutputStream()
-    var pos = 0
-    def u8(i: Int): Int = {
+    * ISIZE trailer must parse or the read fails loudly, and trailing
+    * garbage is an error, never an implicit EOF. Pull-based so the
+    * decompressed file is NEVER materialized: composed with
+    * [[recordIterator]], a conventional ~1 GB crawl .warc.gz that
+    * expands to 3-5 GB decodes with per-record memory (the flat
+    * [[gunzipAll]] would need a >2 GiB byte[] and die first). */
+  private final class MemberGunzip(bytes: Array[Byte]) extends java.io.InputStream {
+    private var pos = 0
+    private var member = 0
+    private var memberStart = 0
+    private var inf: java.util.zip.Inflater = null
+    private val crc = new java.util.zip.CRC32()
+    private var isize = 0L
+
+    private def u8(i: Int): Int = {
       if (i >= bytes.length) throw new IllegalArgumentException(
         s"WARC: gzip member truncated at offset $i")
       bytes(i) & 0xFF
     }
-    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
-    def u32le(i: Int): Long = (u16le(i).toLong | (u16le(i + 2).toLong << 16)) & 0xFFFFFFFFL
-    var member = 0
-    while (pos < bytes.length) {
-      val start = pos
+    private def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    private def u32le(i: Int): Long =
+      (u16le(i).toLong | (u16le(i + 2).toLong << 16)) & 0xFFFFFFFFL
+
+    private def startMember(): Unit = {
+      memberStart = pos
       if (u8(pos) != 0x1F || u8(pos + 1) != 0x8B)
         throw new IllegalArgumentException(
           s"WARC: gzip member $member at offset $pos has bad magic " +
@@ -193,44 +267,97 @@ object Warc {
       if ((flg & 2) != 0) pos += 2                         // FHCRC
       if (pos >= bytes.length) throw new IllegalArgumentException(
         s"WARC: gzip member $member header runs off the buffer")
-      val inf = new java.util.zip.Inflater(true)
+      inf = new java.util.zip.Inflater(true)
       inf.setInput(bytes, pos, bytes.length - pos)
-      val crc = new java.util.zip.CRC32()
-      val buf = new Array[Byte](1 << 16)
-      var isize = 0L
-      try {
-        while (!inf.finished()) {
-          val n =
-            try inf.inflate(buf)
-            catch { case e: java.util.zip.DataFormatException =>
-              throw new IllegalArgumentException(
-                s"WARC: gzip member $member deflate stream is corrupt at input offset " +
-                  s"${pos + inf.getBytesRead.toInt}: ${e.getMessage}") }
-          if (n == 0 && inf.needsInput() && !inf.finished())
-            throw new IllegalArgumentException(
-              s"WARC: gzip member $member deflate stream truncated")
-          out.write(buf, 0, n); crc.update(buf, 0, n); isize += n
-        }
-        pos += inf.getBytesRead.toInt
-      } finally inf.end()
+      crc.reset()
+      isize = 0L
+    }
+
+    private def finishMember(): Unit = {
+      pos += inf.getBytesRead.toInt
+      inf.end()
+      inf = null
       if (u32le(pos) != crc.getValue)
         throw new IllegalArgumentException(
-          s"WARC: gzip member $member (offset $start) CRC-32 mismatch — corrupt payload")
+          s"WARC: gzip member $member (offset $memberStart) CRC-32 mismatch — corrupt payload")
       if (u32le(pos + 4) != (isize & 0xFFFFFFFFL))
         throw new IllegalArgumentException(
           s"WARC: gzip member $member ISIZE ${u32le(pos + 4)} != decompressed length $isize")
       pos += 8
       member += 1
     }
+
+    override def read(): Int = {
+      val b = new Array[Byte](1)
+      if (read(b, 0, 1) < 0) -1 else b(0) & 0xFF
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (true) {
+        if (inf == null) {
+          if (pos >= bytes.length) return -1
+          startMember()
+        }
+        val n =
+          try inf.inflate(b, off, len)
+          catch { case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"WARC: gzip member $member deflate stream is corrupt at input offset " +
+                s"${pos + inf.getBytesRead.toInt}: ${e.getMessage}") }
+        if (n > 0) {
+          crc.update(b, off, n); isize += n
+          if (inf.finished()) finishMember() // validate eagerly: fail before the tail is consumed
+          return n
+        }
+        if (inf.finished()) finishMember()
+        else if (inf.needsInput())
+          throw new IllegalArgumentException(
+            s"WARC: gzip member $member deflate stream truncated")
+      }
+      -1 // unreachable
+    }
+
+    override def close(): Unit = if (inf != null) { inf.end(); inf = null }
+  }
+
+  /** The member-walking gunzip stream over `bytes` — loud framing
+    * checks, constant memory. Fails fast on a non-gzip prefix. */
+  def gunzipStream(bytes: Array[Byte]): java.io.InputStream = {
+    if (bytes.length < 2 || (bytes(0) & 0xFF) != 0x1F || (bytes(1) & 0xFF) != 0x8B)
+      throw new IllegalArgumentException(
+        "WARC: not a gzip stream (bad magic) — read .warc files with parse directly")
+    new MemberGunzip(bytes)
+  }
+
+  /** Decompress ALL gzip members into one flat byte[] — fixture and
+    * round-trip use only (a byte[] caps at 2 GiB; real crawl files
+    * expand past that, which is why the scan path composes
+    * [[gunzipStream]] with [[recordIterator]] instead). */
+  def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    val in = gunzipStream(bytes)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
     out.toByteArray
   }
 
   /** Parse a file that may be plain .warc or record-gzipped .warc.gz
-    * — the two on-disk framings one crawl lake mixes freely. */
+    * — the two on-disk framings one crawl lake mixes freely.
+    * Materializes the record list; the scan path uses
+    * [[recordIteratorAuto]]. */
   def parseAuto(bytes: Array[Byte]): Seq[Record] =
+    recordIteratorAuto(bytes).toVector
+
+  /** Streaming twin of [[parseAuto]]: records one at a time, with the
+    * gzip framing decompressed member-by-member — per-task memory is
+    * the COMPRESSED file (the binaryFile row) plus one record, never
+    * the decompressed file. */
+  def recordIteratorAuto(bytes: Array[Byte]): Iterator[Record] =
     if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B)
-      parse(gunzipAll(bytes))
-    else parse(bytes)
+      recordIterator(gunzipStream(bytes))
+    else recordIterator(new java.io.ByteArrayInputStream(bytes))
 
   /** One parsed HTTP response message: status, raw header pairs
     * (names case-preserved), entity body bytes. [[charset]] reads the
@@ -340,7 +467,10 @@ object Warc {
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (path, bytes) =>
-          parseAuto(bytes).iterator.zipWithIndex.map { case (r, i) =>
+          // streaming decode: one record in memory at a time, gzip
+          // members inflated on demand — a 1 GB .warc.gz expanding to
+          // 3-5 GB never allocates the decompressed file in the task
+          recordIteratorAuto(bytes).zipWithIndex.map { case (r, i) =>
             (path, i.toLong, r.recordType,
               r.header("WARC-Record-ID").getOrElse(""),
               r.targetUri,

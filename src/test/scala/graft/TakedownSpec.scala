@@ -222,6 +222,35 @@ class TakedownSpec extends AnyFunSuite {
     assert(rebuilt == 0L && rebuilt == cut(), "rebuilt-without diverged")
   }
 
+  test("LineStore.compact fails LOUDLY on a negative line sum (double takedown)") {
+    val dir = tmp("graft-td-line-neg")
+    val corpus = Seq(
+      (1L, "SHARED LINE\nalpha"),
+      (2L, "SHARED LINE\nbeta")).toDF("doc_id", "text")
+    LineStore.build(corpus, dir, $"text", $"doc_id")
+    // contract violation: the same doc taken down twice (the easy
+    // way: a caller retries after a driver failure on the untagged
+    // path). doc 1's own line folds to 1 - 1 - 1 = -1; the shared
+    // line folds to exactly 0 and would be silently over-released
+    // while doc 2 still carries it — the violation the loud compact
+    // surfaces instead of erasing.
+    LineStore.takedown(corpus.where($"doc_id" === 1), dir, $"text", $"doc_id")
+    LineStore.takedown(corpus.where($"doc_id" === 1), dir, $"text", $"doc_id")
+    val e = intercept[Exception](LineStore.compact(spark, dir))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("NEGATIVE") && m.contains("alpha")),
+      s"compact must name the violation and the line: ${msgs(e)}")
+    // the rewrite aborted BEFORE any swap: the store still answers
+    // (conservatively — negative partials suppress the line, which
+    // never over-scrubs) and a reconciling re-append heals it
+    LineStore.append(corpus.where($"doc_id" === 1), dir, $"text", $"doc_id")
+    LineStore.compact(spark, dir)
+    val lines = spark.read.parquet(s"$dir/counts").collect()
+      .map(r => (r.getAs[String]("line"), r.getAs[Long]("n_docs"))).toMap
+    assert(lines == Map("SHARED LINE" -> 1L, "beta" -> 1L), lines.toString)
+  }
+
   // ---------------------------------------------------------------
   // AnnIndex
   // ---------------------------------------------------------------

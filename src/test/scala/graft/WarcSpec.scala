@@ -211,6 +211,60 @@ class WarcSpec extends AnyFunSuite {
       s"stream emitted ${got.toMap}, sequential said A=$seqA B=$seqB")
   }
 
+  test("streaming decode: records spanning gzip member boundaries, one record in memory") {
+    // members concatenate to ONE logical WARC stream (spec annex C),
+    // so a writer that splits at arbitrary byte boundaries — records
+    // STRADDLING members — must still decode; this is what the
+    // incremental recordIterator-over-gunzipStream composition buys
+    // over per-member flat parses
+    val recs = (0 until 5).map(i =>
+      rec(i, "metadata", Array.tabulate(300 + i)(j => ((i * 31 + j) % 256).toByte)))
+    val plain = Warc.pack(recs)
+    val chopped = plain.grouped(97).toSeq.flatMap(ch => Warc.gzipMember(ch)).toArray
+    val rs = Warc.parseAuto(chopped)
+    assert(rs.length == 5)
+    recs.map(_._2).zip(rs).foreach { case (p, r) =>
+      assert(java.util.Arrays.equals(p, r.payload)) }
+    // the iterator is incremental: the first record is available
+    // without consuming the rest of the stream (a corrupt LATER
+    // member fails only when reached — loud, but lazily)
+    val tail = Warc.gzipMember(plain)
+    val corrupt = tail.clone(); corrupt(tail.length - 6) = (corrupt(tail.length - 6) ^ 0x7).toByte
+    val it = Warc.recordIteratorAuto(Warc.gzipMember(Warc.pack(Seq(recs.head))) ++ corrupt)
+    assert(java.util.Arrays.equals(it.next().payload, recs.head._2))
+    assert(intercept[IllegalArgumentException] { while (it.hasNext) it.next() }
+      .getMessage.contains("WARC:"))
+  }
+
+  test("ingestWarc doc identity: URI-less response falls back to WARC-Record-ID") {
+    import graft.ops.{CrawlStream, DedupIndex, LineStore}
+    import org.apache.spark.sql.functions.regexp_replace
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = sys.props("java.io.tmpdir")
+    val dirs = Seq("in", "line", "dedup", "ckpt")
+      .map(n => n -> s"$tmp/graft-warcid-$n").toMap
+    dirs.values.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dirs("in")))
+    val corpus = Seq(("c/1", "corpus text")).toDF("doc_id", "text")
+    LineStore.build(corpus, dirs("line"), $"text", $"doc_id")
+    DedupIndex.build(corpus, dirs("dedup"), $"text", $"doc_id")
+    // response with NO WARC-Target-URI: without the fallback every
+    // such record would collapse onto doc_id "" — a silent identity
+    // merge in both stores; the mandatory WARC-Record-ID is the
+    // fetch-unique identity a real crawl always carries
+    val bytes = Warc.pack(Seq(
+      rec(7, "response", Warc.httpWrap(200, "text/html", "<b>unique seven</b>".getBytes("UTF-8")))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dirs("in"), "x.warc"), bytes)
+    val got = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val q = CrawlStream.ingestWarc(spark, dirs("in"), dirs("line"), dirs("dedup"),
+      dirs("ckpt"), toText = c => regexp_replace(c, "</?b>", "")) { (kept, _) =>
+      got ++= kept.collect().map(r => (r.getString(0), r.getString(1)))
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toSet == Set(("<urn:uuid:7>", "unique seven")), got.toString)
+  }
+
   test("Warc.records: binaryFile source explodes real .warc and .warc.gz files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-src")
     val a = Warc.pack(Seq(
