@@ -191,6 +191,11 @@ object ScaleBench {
     // flat slope — the allow-list here is lake-proportional by
     // construction, the worst case)
     "t_bm25_topk", "e_hybrid_rrf", "e_ann_filtered",
+    // the RAG flagship: crawl curation (the pipe_crawl_e2e shape)
+    // feeding the hybrid serve (BM25 term-confined scan + allow-list
+    // filtered index probe + 40-row fusion) — expect the
+    // pipe_crawl_e2e slope plus the retrieval trio's flat constants
+    "pipe_rag_e2e",
     // SemDeDup: training shuffles centroid-sized, assignment
     // scan-stage, the pair join's per-cluster work is (N/K)^2 at the
     // graded K=8 — expect a visibly superlinear slope HERE by

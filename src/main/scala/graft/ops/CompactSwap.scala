@@ -123,7 +123,8 @@ object CompactSwap {
       .flatMap { n => val m = TaggedName.matcher(n)
         if (m.matches()) Some(m.group(1)) else None }
       .distinct
-      .filterNot(t => fs.exists(new Path(cur.getParent, s"_published_${cur.getName}_$t")))
+      .filterNot(t => fs.exists(new Path(cur.getParent,
+        s"_published_${baseTableName(cur.getName)}_$t")))
     require(tornTags.isEmpty,
       s"compact: table $cur holds tagged batch files with no _published sidecar " +
         s"(tags: ${tornTags.mkString(", ")}) — a tagged publish is torn or in flight. " +
@@ -207,7 +208,8 @@ object CompactSwap {
     require(tag.matches(TagCharset), s"tag must match $TagCharset, got '$tag'")
     val curP = new Path(cur)
     val fs = curP.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val published = new Path(curP.getParent, s"_published_${curP.getName}_$tag")
+    val published = new Path(curP.getParent,
+      s"_published_${baseTableName(curP.getName)}_$tag")
     val existing = taggedFiles(fs, curP, tag)
     if (fs.exists(published) && existing.isEmpty) return // folded by a compact
     val tmp = new Path(curP.getParent, s"_append_${curP.getName}_$tag")
@@ -231,6 +233,169 @@ object CompactSwap {
     }
     fs.create(published, true).close()
     fs.delete(tmp, true)
+  }
+
+  // ---- versioned tables: zero-window serving compaction ----------
+  //
+  // [[rewriteTable]]'s two-rename swap has a brief window where the
+  // table dir is absent, and it MOVES the files a live reader may
+  // have pinned (a stream-static join lists files at stream start; a
+  // batch probe at plan time) — both recorded as sequencing rules.
+  // The versioned layout closes both: the table lives at
+  // `<table>_v<N>`, a compact WRITES `<table>_v<N+1>` beside it and
+  // promotes it by creating ONE sentinel file ([[VersionSentinel]])
+  // inside — readers resolving before the create see v<N>, after it
+  // v<N+1>, never neither, and v<N>'s files are left UNTOUCHED so
+  // every pinned listing keeps reading. Old versions are retained
+  // (`keep`, default 1) and garbage-collected one compact later, so
+  // the stated contract is "a pinned reader/stream survives `keep`
+  // compacts"; a version number doubles as a REPRODUCIBLE read
+  // handle ([[readVersion]]: pin "the store as of compact N" for a
+  // training run) until GC takes it.
+  //
+  // Layout: version 0 is the legacy flat `<table>` dir every build
+  // writes; the first compact promotes to `<table>_v1`. The current
+  // version is DERIVED (max sentineled `_v<N>`, else flat), so
+  // promotion needs no atomic pointer rename — sentinel creation is
+  // the commit point, and a crash before it leaves an unsentineled
+  // dir the next compact purges. Late appends (in flight when the
+  // `_compacting` gate went up) are COPIED, not moved, into the new
+  // version before the sentinel: a crash mid-copy loses nothing
+  // (originals stay in v<N>), and v<N> stays byte-complete for
+  // pinned readers. Tag sidecars (`_published_<table>_<tag>`) use
+  // the BASE table name ([[baseTableName]]), so a replay after a
+  // promoting compact still detects its folded publish.
+
+  /** Sentinel marking a version dir complete — its creation IS the
+    * promotion. Underscore-prefixed so Spark's parquet reader skips
+    * it. */
+  val VersionSentinel = "_v_complete"
+
+  /** `<table>_v<N>` → `<table>` (sidecars and tag bookkeeping must
+    * not fork per version). Store table names must not themselves
+    * end in `_v<digits>`. */
+  private def baseTableName(name: String): String =
+    name.replaceAll("_v\\d+$", "")
+
+  private def versionDirName(table: String, v: Int): String =
+    if (v == 0) table else s"${table}_v$v"
+
+  /** Path of version `v` of `table` under store `dir` (0 = flat). */
+  def versionPath(dir: String, table: String, v: Int): Path =
+    new Path(dir, versionDirName(table, v))
+
+  /** All version numbers of `table` present under `dir` that are
+    * COMPLETE (sentineled, or the flat v0), ascending. */
+  private def completeVersions(fs: FileSystem, dir: String, table: String): Seq[Int] = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) return Seq.empty
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(table) + "_v(\\d+)")
+    val vs = fs.listStatus(d).toSeq.flatMap { st =>
+      val m = pat.matcher(st.getPath.getName)
+      if (st.isDirectory && m.matches() &&
+          fs.exists(new Path(st.getPath, VersionSentinel)))
+        Some(m.group(1).toInt)
+      else None
+    }
+    val flat = if (fs.exists(new Path(d, table))) Seq(0) else Seq.empty
+    (flat ++ vs).sorted
+  }
+
+  /** The current (highest complete) version of `table`, or None when
+    * the store was never built. */
+  def currentVersion(spark: SparkSession, dir: String, table: String): Option[Int] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    completeVersions(fs, dir, table).lastOption
+  }
+
+  /** Resolve the CURRENT path of `table` — what every reader and
+    * appender of a versioned store goes through. Falls back to the
+    * flat path for never-compacted (and never-built) stores, so
+    * build-then-read flows need no special casing. */
+  def currentTablePath(spark: SparkSession, dir: String, table: String): String = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versionPath(dir, table, completeVersions(fs, dir, table).lastOption.getOrElse(0))
+      .toString
+  }
+
+  /** Read a PINNED version — the reproducible-training handle: the
+    * rows of `table` exactly as compact `v` left them, byte-stable
+    * under any number of later appends/compacts until GC retires the
+    * version. Loud when `v` is gone (the keep policy) or never
+    * completed. */
+  def readVersion(spark: SparkSession, dir: String, table: String, v: Int): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(completeVersions(fs, dir, table).contains(v),
+      s"version $v of $table under $dir is not available — " +
+        s"present: ${completeVersions(fs, dir, table).mkString(", ")} " +
+        "(older versions are garbage-collected one compact after promotion; " +
+        "raise `keep` on compact for longer pinning)")
+    spark.read.parquet(versionPath(dir, table, v).toString)
+  }
+
+  /** Compact `table` under the VERSIONED protocol: purge crashed
+    * (unsentineled) version dirs, fold the current version's
+    * snapshot through `rewrite`/`write` into the next version dir,
+    * COPY late-append files across, promote via the sentinel, then
+    * GC versions older than `keep` behind the new current. The
+    * caller owns the `_compacting` writer gate and any side-table
+    * (tombstone) handshake. Same torn-tag refusal as
+    * [[rewriteTable]]. Returns the promoted version number. */
+  def compactVersioned(spark: SparkSession, dir: String, table: String,
+                       rewrite: DataFrame => DataFrame,
+                       write: (DataFrame, String) => Unit,
+                       keep: Int = 1): Int = {
+    require(keep >= 1, s"keep must be >= 1 (the zero-window property needs " +
+      s"the previous version retained), got $keep")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // purge crashed promotions: version dirs without a sentinel
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(table) + "_v(\\d+)")
+    if (fs.exists(new Path(dir)))
+      fs.listStatus(new Path(dir)).foreach { st =>
+        if (st.isDirectory && pat.matcher(st.getPath.getName).matches() &&
+            !fs.exists(new Path(st.getPath, VersionSentinel)))
+          fs.delete(st.getPath, true)
+      }
+    val curV = completeVersions(fs, dir, table).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"compactVersioned: no complete version of $table under $dir — build first"))
+    val cur = versionPath(dir, table, curV)
+    val snapFiles = dataFiles(fs, cur)
+    // refuse a torn/in-flight tagged publish (rewriteTable's rule)
+    val tornTags = snapFiles.map(_._2.split('/').last)
+      .flatMap { n => val m = TaggedName.matcher(n)
+        if (m.matches()) Some(m.group(1)) else None }
+      .distinct
+      .filterNot(t => fs.exists(new Path(dir, s"_published_${table}_$t")))
+    require(tornTags.isEmpty,
+      s"compact: table $cur holds tagged batch files with no _published sidecar " +
+        s"(tags: ${tornTags.mkString(", ")}) — a tagged publish is torn or in flight. " +
+        "If the ingest stream is live, retry the compact in a moment; if it crashed, " +
+        "restart it so the replay completes the publish, then compact")
+    val next = versionPath(dir, table, curV + 1)
+    if (snapFiles.nonEmpty)
+      write(rewrite(spark.read.option("basePath", cur.toString)
+          .parquet(snapFiles.map(_._1.getPath.toString): _*)),
+        next.toString)
+    else fs.mkdirs(next)
+    // late appends: in cur but not in the snapshot — COPY (not move):
+    // cur must stay byte-complete for pinned readers until GC
+    val snapNames = snapFiles.map(_._2).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    dataFiles(fs, cur).filterNot(p => snapNames(p._2)).foreach { case (f, rel) =>
+      val dest = new Path(next, rel)
+      fs.mkdirs(dest.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dest, false, conf)
+    }
+    // promotion: the sentinel create is the commit point
+    fs.create(new Path(next, VersionSentinel), true).close()
+    // GC: retain the `keep` versions behind the new current
+    completeVersions(fs, dir, table)
+      .filter(v => v <= curV + 1 - keep - 1)
+      .foreach(v => fs.delete(versionPath(dir, table, v), true))
+    curV + 1
   }
 
   /** The ONE place the published-name shape lives: `gb-<tag>-<i>

@@ -411,9 +411,12 @@ object DedupIndex {
                 textCol: Column, idCol: Column,
                 shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
                 matchMin: Int = 3, maxBucket: Int = Int.MaxValue,
-                excludeTag: Option[String] = None): DataFrame =
+                excludeTag: Option[String] = None,
+                maxBroadcastRows: Long = Bpe.DefaultMaxBroadcastRows,
+                knownDeltaRows: Option[Long] = None): DataFrame =
     deltaKeepFull(spark, delta, dir, textCol, idCol,
-      shingleK, seeds, bands, matchMin, maxBucket, excludeTag).kept
+      shingleK, seeds, bands, matchMin, maxBucket, excludeTag,
+      maxBroadcastRows, knownDeltaRows).kept
 
   /** As [[deltaKeep]], additionally returning the dropped-bucket
     * side-channel — see [[DeltaKeep]]. `excludeTag`: probe the store
@@ -427,10 +430,24 @@ object DedupIndex {
                     textCol: Column, idCol: Column,
                     shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
                     matchMin: Int = 3, maxBucket: Int = Int.MaxValue,
-                    excludeTag: Option[String] = None): DeltaKeep = {
+                    excludeTag: Option[String] = None,
+                    maxBroadcastRows: Long = Bpe.DefaultMaxBroadcastRows,
+                    knownDeltaRows: Option[Long] = None): DeltaKeep = {
     require(matchMin >= 1 && matchMin <= seeds,
       s"matchMin must be in [1, seeds=$seeds], got $matchMin")
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    // SELF-ENFORCING serving contract (the segJoin size-gate
+    // convention): deltas are crawl-batch-sized and broadcast for
+    // free — but a caller passing a LAKE-sized "delta" used to OOM
+    // the driver on the forced hints below. Gate every delta-derived
+    // broadcast on the delta's row count (callers who know it pass
+    // `knownDeltaRows` — stream batches, footer-counted tables — else
+    // ONE delta-sized count() pays for the guarantee): over budget,
+    // the hints drop away and the planner picks shuffle joins whose
+    // left sides are still delta-bounded by construction.
+    val deltaRows = knownDeltaRows.getOrElse(delta.count())
+    val bc: DataFrame => DataFrame =
+      if (deltaRows * bands.toLong <= maxBroadcastRows) broadcast else identity
     // loud store contract (the AnnIndex.search convention): a missing
     // table means no/half-built store — a bare [PATH_NOT_FOUND] from
     // the lazy scan would surface later and point at parquet, not at
@@ -471,9 +488,9 @@ object DedupIndex {
     // fp tombstones confine to the DELTA's fingerprints first (one
     // scan-stage broadcast semi join), so the anti-join is
     // delta-bounded on both sides regardless of tombstone volume
-    val matchedFp0 = fpStore.join(broadcast(deltaFp), Seq("fp")).select(col("fp"))
+    val matchedFp0 = fpStore.join(bc(deltaFp), Seq("fp")).select(col("fp"))
     val matchedFp = tombFp.fold(matchedFp0)(t => matchedFp0.join(
-      t.join(broadcast(deltaFp), Seq("fp"), "left_semi"), Seq("fp"), "left_anti"))
+      t.join(bc(deltaFp), Seq("fp"), "left_semi"), Seq("fp"), "left_anti"))
     // doc tombstones apply to DELTA-CONFINED slices only (the
     // touched-bucket slice below, or the joined candidates in the
     // uncapped branch) — never to the raw store scan, which must stay
@@ -503,7 +520,7 @@ object DedupIndex {
         // maxBucket smallest LIVE (doc_id, signature) structs per
         // bucket — tombstones leave the slice first
         val touched = liveDocs(bandStore0.join(
-          broadcast(deltaBands.select(col("band_idx"), col("band_key")).distinct()),
+          bc(deltaBands.select(col("band_idx"), col("band_key")).distinct()),
           Seq("band_idx", "band_key"), "left_semi"))
         val capped = touched.groupBy(col("band_idx"), col("band_key"))
           .agg(call_function("graft_bottom_k",
@@ -518,14 +535,14 @@ object DedupIndex {
         (rows, capped.where(col("n_docs") > maxBucket)
           .select(col("band_idx"), col("band_key"), col("n_docs")), true)
       }
-    val joined = probeStore.join(broadcast(deltaBands), Seq("band_idx", "band_key"))
+    val joined = probeStore.join(bc(deltaBands), Seq("band_idx", "band_key"))
     val nearIds = (if (tombJoined) joined else liveDocs(joined))
       .where(agreement >= matchMin)
       .select(col("delta_id").as("_near_id")).distinct()
     DeltaKeep(
       delta
-        .join(broadcast(matchedFp), text.fingerprint(textCol) === matchedFp("fp"), "left_anti")
-        .join(broadcast(nearIds), idCol === nearIds("_near_id"), "left_anti"),
+        .join(bc(matchedFp), text.fingerprint(textCol) === matchedFp("fp"), "left_anti")
+        .join(bc(nearIds), idCol === nearIds("_near_id"), "left_anti"),
       dropped)
   }
 }

@@ -56,7 +56,7 @@ object SimilarityQueries {
   /** Number of IVF cells (centroids = the embeddings of vec_ids
     * 1..K — deterministic, training-free; a real deployment would
     * k-means these but the pipeline shape is identical). */
-  private val IvfK = 8
+  private[queries] val IvfK = 8
 
   /** SemDeDup target mean cluster size for the K ∝ N graded shape
     * (e_semdedup_kscaled): K = max(8, N / c̄). 100 keeps per-cluster
@@ -1562,7 +1562,7 @@ object SimilarityQueries {
     * the graded queries provably run the SAME encode/assign/ADC
     * definitions (the SQL side shares [[pqEncodeCtes]] for the same
     * reason). */
-  private val P = graft.ops.Pq.Params(Dim, PqM, PqKs)
+  private[queries] val P = graft.ops.Pq.Params(Dim, PqM, PqKs)
 
   /** The e_opq_rotations panel argmin as a rotation MATRIX — the
     * shared starting point of e_opq_refined and e_opq_indexed: per
@@ -1714,11 +1714,14 @@ object SimilarityQueries {
 
   /** DuckDB twin of [[ivfpqTop10]] over the SEED coarse quantizer —
     * delegates to [[ivfpqSqlOver]] with the vec_id-1..K centroid CTE. */
+  /** The seed (vec_id 1..K) coarse-quantizer chain — `e0` + `c0`,
+    * shared by [[ivfpqSql]] and spliced by pipe_rag_e2e's oracle. */
+  private[queries] def ivfpqSeedChain: String =
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell, ve AS cv FROM e0 WHERE vec_id BETWEEN 1 AND $IvfK)""".stripMargin
+
   private def ivfpqSql(nprobe: Int, excludePred: String = ""): String =
-    ivfpqSqlOver(
-      s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         |c0 AS (SELECT vec_id AS cell, ve AS cv FROM e0 WHERE vec_id BETWEEN 1 AND $IvfK)""".stripMargin,
-      "c0", nprobe, excludePred)
+    ivfpqSqlOver(ivfpqSeedChain, "c0", nprobe, excludePred)
 
   /** DuckDB twin of [[ivfpqTop10]] over the TRAINED coarse quantizer:
     * the k-means chain ([[kmeansCtes]]) runs first, then the same
@@ -1735,7 +1738,16 @@ object SimilarityQueries {
   /** `excludePred` (e.g. a takedown slice) filters candidates BEFORE
     * the top-10 — the DuckDB twin of the index tombstone anti-join. */
   private def ivfpqSqlOver(chain: String, c: String, nprobe: Int,
-                           excludePred: String = ""): String = {
+                           excludePred: String = ""): String =
+    s"""${ivfpqCtes(chain, c, nprobe)}
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, code, ad2 FROM ad
+       |${if (excludePred.isEmpty) "" else s"WHERE $excludePred\n"}ORDER BY ad2 ASC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** The IVFADC CTE chain alone (ends in `ad` = (vec_id, cell, code,
+    * ad2), WITH prefix included) — the spliceable form for oracles
+    * that keep composing after the search (pipe_rag_e2e ranks and
+    * fuses the `ad` top-k with a lexical leg). */
+  private[queries] def ivfpqCtes(chain: String, c: String, nprobe: Int): String = {
     val residualE =
       s"""$chain,
          |asn AS (SELECT vec_id, ve, cell, cv FROM (
@@ -1763,9 +1775,7 @@ object SimilarityQueries {
        |       JOIN asn ON asn.vec_id = c.vec_id
        |       JOIN qr ON qr.cell = asn.cell AND qr.m = c.m
        |       WHERE asn.cell IN (SELECT cell FROM pb)
-       |       GROUP BY c.vec_id, asn.cell)
-       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, code, ad2 FROM ad
-       |${if (excludePred.isEmpty) "" else s"WHERE $excludePred\n"}ORDER BY ad2 ASC, vec_id ASC LIMIT 10""".stripMargin
+       |       GROUP BY c.vec_id, asn.cell)""".stripMargin
   }
 
   private def d2S(a: String, b: String, n: Int) =

@@ -1098,35 +1098,97 @@ object TextQueries {
     // Container leg is scan-stage mapPartitions (zero shuffles);
     // extraction stays the codegen'd kernel.
     Q("t_warc_html_extract",
-      (s, d) => {
-        import s.implicits._
-        val wrapped = T(s, d, "documents").select(col("doc_id"),
-          htmlWrap(col("source"), col("text"), col("lang")).as("html"))
-        val recovered = wrapped.as[(Long, String)]
-          .mapPartitions { it =>
-            it.map { case (id, html) =>
-              val rec = (Seq("WARC-Type" -> "response",
-                "WARC-Record-ID" -> s"<urn:uuid:0000-$id-1>",
-                "WARC-Date" -> "2026-01-01T00:00:00Z",
-                "WARC-Target-URI" -> s"http://example.com/doc/$id",
-                "Content-Type" -> "application/http;msgtype=response"),
-                graft.ops.Warc.httpWrap(200, "text/html",
-                  html.getBytes("UTF-8")))
-              val fileBytes =
-                if (id % 3 == 0) graft.ops.Warc.gzipMember(graft.ops.Warc.pack(Seq(rec)))
-                else graft.ops.Warc.pack(Seq(rec))
-              val parsed = graft.ops.Warc.parseAuto(fileBytes).head
-              (id, new String(graft.ops.Warc.httpBody(parsed.payload)._2, "UTF-8"))
-            }
-          }.toDF("doc_id", "html")
-        recovered.select(col("doc_id"),
-          text.htmlExtract(col("html")).as("clean_text"))
-          .select(col("doc_id"), col("clean_text"),
-            length(col("clean_text")).cast("long").as("n_chars_clean"))
-      },
+      (s, d) => warcRecoveredHtml(s, d).select(col("doc_id"),
+        text.htmlExtract(col("html")).as("clean_text"))
+        .select(col("doc_id"), col("clean_text"),
+          length(col("clean_text")).cast("long").as("n_chars_clean")),
       Some(s"""SELECT doc_id, $htmlExtractSql AS clean_text,
               |  CAST(length($htmlExtractSql) AS BIGINT) AS n_chars_clean
               |FROM documents""".stripMargin)),
+
+    // RAG FLAGSHIP — the retrieval stack the round-17 stages were
+    // built FOR, as ONE graded composition: the crawl lake's arrival
+    // bytes (WARC frame → HTTP message → markup) → graft_html_extract
+    // → cross-doc line dedup → the full scrub chain (quality floor →
+    // exact dedup → LSH near-dup → decontam) CURATES the corpus, and
+    // the hybrid retrieval serves over exactly the curated set: BM25
+    // top-20 on the curated TEXT, filtered ANN top-20 over the
+    // persisted IVFADC index with the curated ids as the allow-list
+    // (the metadata-predicate serving shape — retrieval must never
+    // surface a doc curation dropped), fused by reciprocal-rank
+    // (Cormack et al. 2009). Embedding GENERATION stays out of
+    // engine scope (no model here) — the embeddings table is the
+    // seam, ids shared with documents as in a real RAG lake.
+    //
+    // Scale shape, stage by stage: container+extract ride the scan;
+    // line dedup is one bounded line-keyed exchange; the scrub chain
+    // is the pipe_crawl_e2e shape (capped LSH, broadcast decontam);
+    // the ANN leg reads ONLY the probe cell's partitions of the
+    // build-once index (PartitionFilters) with the allow-list join
+    // planner-chosen; BM25 confines corpus work to the query terms
+    // in the scan stage; ranking/fusion touch two 20-row lists
+    // (bounded windows — PlanSpec whitelist). The oracle splices
+    // FIVE independently-graded fragments: extraction replay, line
+    // CTEs, the scrub-kept CTEs, the bm25 CTEs, and the IVFADC
+    // chain, so a drift in ANY stage hash-fails the fusion.
+    Q("pipe_rag_e2e",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val crawl = warcRecoveredHtml(s, d).select(col("doc_id"),
+          text.htmlExtract(col("html")).as("text"))
+        val cleaned = Dedup.lineDedup(crawl, col("text"), col("doc_id"),
+            sep = " the ", maxOcc = 4)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        // curated feeds the BM25 leg AND the ANN allow-list —
+        // concurrent subtrees of the final plan, so eager-owned
+        val curated = graft.Caches.owned(scrubKept(cleaned))
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        // the SAME build-once store e_ann_filtered serves from
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${storeKey(d)}"
+        graft.ops.AnnIndex.buildIfAbsent(s, emb.where(col("vec_id") =!= 0), dir,
+          SimilarityQueries.IvfK, SimilarityQueries.P,
+          fingerprint = Some(graft.ops.AnnIndex.tableFingerprint(s, s"$d/embeddings.parquet")))
+        val bm = graft.ops.Retrieval.bm25Scores(curated,
+            col("text"), col("doc_id"), Bm25Terms)
+          .orderBy(col("score").desc, col("id").asc).limit(20)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("score").desc, col("id").asc)).cast("long"))
+        val ann = graft.ops.AnnIndex.search(s, dir,
+            emb.where(col("vec_id") === 0).select(col("ve").as("qv")),
+            nprobe = 1, limit = 20, p = SimilarityQueries.P,
+            allow = Some(curated.select(col("doc_id").as("vec_id"))))
+          .select(col("vec_id").as("id"), col("ad2"))
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("ad2").asc, col("id").asc)).cast("long"))
+        graft.ops.Retrieval.rrfFuse(bm, ann, 60)
+          .orderBy(col("rrf").desc, col("id").asc).limit(10)
+      },
+      Some(s"""WITH crawl AS MATERIALIZED (SELECT doc_id, $htmlExtractSql AS text FROM documents),
+              |${lineDedupCtes("crawl")},
+              |cleaned AS MATERIALIZED (
+              |  SELECT l.doc_id, $lineCleanSql AS text
+              |  FROM ls l LEFT JOIN cov c ON c.doc_id = l.doc_id),
+              |${scrubKeptCtes("cleaned")},
+              |curated AS MATERIALIZED (SELECT doc_id, text FROM skept),
+              |${bm25Ctes("curated")},
+              |bmt AS (SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 20),
+              |bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank_a FROM bmt),
+              |${SimilarityQueries.ivfpqCtes(SimilarityQueries.ivfpqSeedChain, "c0", 1)
+                 .stripPrefix("WITH ")},
+              |annt AS (SELECT vec_id, ad2 FROM ad
+              |         WHERE vec_id IN (SELECT doc_id FROM curated)
+              |         ORDER BY ad2 ASC, vec_id ASC LIMIT 20),
+              |annr AS (SELECT vec_id AS id,
+              |           row_number() OVER (ORDER BY ad2 ASC, vec_id) AS rank_b FROM annt)
+              |SELECT coalesce(a.id, b.id) AS id,
+              |  ${qroundSql(
+                   "coalesce(1e0 / (60 + a.rank_a), 0e0) + coalesce(1e0 / (60 + b.rank_b), 0e0)",
+                   6)} AS rrf,
+              |  CAST(coalesce(a.rank_a, 0) AS BIGINT) AS rank_a,
+              |  CAST(coalesce(b.rank_b, 0) AS BIGINT) AS rank_b
+              |FROM bmr a FULL OUTER JOIN annr b ON a.id = b.id
+              |ORDER BY rrf DESC, id LIMIT 10""".stripMargin)),
 
     // exact substring duplication (Lee et al. 2021, stride form):
     // 40-char windows every 10 chars, one equi-join on window equality
@@ -2924,7 +2986,46 @@ object TextQueries {
     * -> LSH near-dup removal (density-capped, [[ScrubMaxBucket]]) ->
     * 5-gram decontamination vs the held-out doc_id % 50 == 0 slice,
     * ONE Catalyst plan. */
-  private def scrubChain(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** The WARC container leg shared by t_warc_html_extract and
+    * pipe_rag_e2e: each doc's deterministic HTML wrapper travels as a
+    * real WARC response record (ops/Warc pack → parseAuto → httpBody
+    * strips the HTTP message), framings mixed per id (plain vs
+    * record-gzipped, id % 3) — scan-stage mapPartitions, zero
+    * shuffles. Returns (doc_id, html) with the RECOVERED markup; the
+    * oracle side is byte-identity (the WARC+HTTP leg must round-trip
+    * exactly or every extracted char shifts). */
+  private def warcRecoveredHtml(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    T(s, d, "documents").select(col("doc_id"),
+        htmlWrap(col("source"), col("text"), col("lang")).as("html"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, html) =>
+          val rec = (Seq("WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"<urn:uuid:0000-$id-1>",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "WARC-Target-URI" -> s"http://example.com/doc/$id",
+            "Content-Type" -> "application/http;msgtype=response"),
+            graft.ops.Warc.httpWrap(200, "text/html",
+              html.getBytes("UTF-8")))
+          val fileBytes =
+            if (id % 3 == 0) graft.ops.Warc.gzipMember(graft.ops.Warc.pack(Seq(rec)))
+            else graft.ops.Warc.pack(Seq(rec))
+          val parsed = graft.ops.Warc.parseAuto(fileBytes).head
+          (id, new String(graft.ops.Warc.httpBody(parsed.payload)._2, "UTF-8"))
+        }
+      }.toDF("doc_id", "html")
+  }
+
+  private def scrubChain(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scrubKept(docs).select(col("doc_id"), text.nTokens(col("text")).as("n_tokens"))
+
+  /** The scrub chain's SURVIVORS with their text — the spliceable
+    * form for flagships that keep composing after curation
+    * (pipe_rag_e2e feeds these docs to the retrieval legs);
+    * [[scrubChain]] is its graded (doc_id, n_tokens) projection. */
+  private def scrubKept(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.where(col("doc_id") % 50 =!= 0 &&
       text.nTokens(col("text")) >= 5)
@@ -2952,13 +3053,21 @@ object TextQueries {
       .join(broadcast(benchSh), Seq("s"), "left_semi")
       .select(col("doc_id")).distinct()
     near.join(contaminated, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), text.nTokens(col("text")).as("n_tokens"))
+      .select(col("doc_id"), col("text"))
   }
 
   /** The scrub flagship's oracle over any (doc_id, text) relation
     * named `docsRel` — no WITH prefix; callers splice it after their
     * own leading CTEs. */
   private def scrubOracleBody(docsRel: String): String =
+    s"""${scrubKeptCtes(docsRel)}
+       |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |FROM skept""".stripMargin
+
+  /** The scrub chain as a CTE chain ending in `skept` = (doc_id,
+    * text) — the DuckDB twin of [[scrubKept]], spliceable by oracles
+    * that keep composing after curation (pipe_rag_e2e). */
+  private def scrubKeptCtes(docsRel: String): String =
     s"""base AS (
        |  SELECT doc_id, text FROM $docsRel
        |  WHERE doc_id % 50 <> 0 AND len(string_split(text, ' ')) >= 5),
@@ -2982,7 +3091,7 @@ object TextQueries {
        |nsh AS (SELECT doc_id, unnest($gram5) AS s
        |        FROM ntoks WHERE len(tk) >= 5),
        |contaminated AS (SELECT DISTINCT doc_id FROM nsh
-       |                 WHERE s IN (SELECT s FROM bsh))
-       |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |FROM near WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
+       |                 WHERE s IN (SELECT s FROM bsh)),
+       |skept AS (SELECT doc_id, text FROM near
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))""".stripMargin
 }

@@ -519,6 +519,39 @@ class DedupSpec extends AnyFunSuite {
     assert(kept2 == Seq(202L), s"kept2: $kept2")
   }
 
+  test("DedupIndex.deltaKeep: over-budget delta degrades to planner-chosen joins, same answer") {
+    import graft.ops.DedupIndex
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-gate").toString
+    val delta = Seq(
+      (101L, base),                                  // exact dup of corpus doc 1
+      (102L, base.replace("dawn", "noon")),          // near-dup of corpus doc 1
+      (103L, "entirely novel content streaming watermarks state stores and sinks forever")
+    ).toDF("doc_id", "text")
+    DedupIndex.build(docs, dir, $"text", $"doc_id")
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    // in budget (the serving contract): the delta-side hints are there
+    val hinted = DedupIndex.deltaKeep(spark, delta, dir, $"text", $"doc_id")
+    assert(hints(hinted) > 0, "delta within budget should carry broadcast hints")
+    // a "delta" over the broadcast budget (maxBroadcastRows = 0 makes
+    // ANY delta over-budget): every forced hint drops away — the exact
+    // failure mode that used to OOM the driver on a lake-sized delta
+    // now degrades to planner-chosen joins, left sides delta-bounded
+    val gated = DedupIndex.deltaKeep(spark, delta, dir, $"text", $"doc_id",
+      maxBroadcastRows = 0L)
+    assert(hints(gated) == 0, "over-budget delta must carry NO forced broadcast hints")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(gated) == Seq(103L) && ids(hinted) == ids(gated),
+      "gate must change the plan, never the answer")
+    // knownDeltaRows is the zero-jobs path (stream batches, footer
+    // counts): the gate honors it without counting
+    val known = DedupIndex.deltaKeep(spark, delta, dir, $"text", $"doc_id",
+      maxBroadcastRows = 0L, knownDeltaRows = Some(3L))
+    assert(hints(known) == 0 && ids(known) == Seq(103L))
+  }
+
   test("DedupIndex.deltaKeep maxBucket: mega-bucket probes are density-capped, observably") {
     import graft.ops.DedupIndex
     import org.apache.spark.sql.expressions.Window

@@ -609,4 +609,49 @@ class PlanSpec extends AnyFunSuite {
       "index search must stay zero-shuffle:\n" + p.take(1500))
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
+
+  test("bounded-window whitelist: unpartitioned windows only where the frame is provably bounded") {
+    // An unpartitioned WindowExec funnels EVERYTHING through one task
+    // — fine iff the frame is bounded upstream (a top-k list, a
+    // term-count-sized stat table), fatal on corpus-sized input at
+    // 100 TB. The documented bounded windows are whitelisted HERE so
+    // the set cannot grow silently: a new query (or an edit to an old
+    // one) that plans a global window outside this list fails the
+    // suite and must either partition the window or justify itself by
+    // joining the whitelist with a bounded-frame note at the query.
+    val allowed = Set(
+      // rank over the 100 rows surviving TakeOrderedAndProject
+      // (RelationalQueries o1 note)
+      "o1_sort_topk",
+      // fusion ranks over two 20-row top-k lists (Retrieval.rrfFuse)
+      "e_hybrid_rrf", "pipe_rag_e2e",
+      // tokenizer vocab id assignment: row_number over the VOCAB
+      // (symbol-alphabet-sized, ~30k in production — Bpe.vocab /
+      // Unigram.vocab scale note), inherited by every id-emitting
+      // query downstream of it
+      "t_bpe_encode_ids", "t_bpe_decode", "t_pack_ids", "t_pack_bfd_rows",
+      "pipe_ids_e2e", "t_unigram_encode_ids", "t_unigram_decode",
+      "t_unigram_encode_indexed", "t_unigram_export_roundtrip",
+      "t_unigram_foreign_vocab"
+    )
+    val offenders = SparkEntry.allQueries.flatMap { q =>
+      val unpart =
+        try {
+          val df = q.fn(spark, d)
+          df.queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+          }.size
+        } finally {
+          Caches.releaseAll()
+          spark.catalog.clearCache()
+        }
+      if (unpart > 0) Some(q.name) else None
+    }.toSet
+    assert(offenders.subsetOf(allowed),
+      s"NEW unpartitioned global window(s) in: ${(offenders -- allowed).toSeq.sorted}" +
+        " — partition the window or whitelist it with a bounded-frame justification")
+    assert(allowed.subsetOf(offenders),
+      s"stale whitelist entries (no longer plan a global window): ${(allowed -- offenders).toSeq.sorted}")
+  }
 }

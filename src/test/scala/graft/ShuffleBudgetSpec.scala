@@ -110,6 +110,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     assertBudget("d_rescored_keep", shuffleCeiling = 1L << 20) // measured ~10 KiB
   }
 
+  test("pipe_rag_e2e: curation + hybrid serve stays inside its sf0.01 budget") {
+    // the crawl-curation stages dominate (the pipe_scrub_e2e class);
+    // the retrieval legs add only term-stat partials, two top-20
+    // gathers, and the 40-row fusion — a corpus-volume exchange
+    // anywhere in the serve path (e.g. an allow-list distinct, a
+    // global sort instead of TakeOrdered) blows this ceiling
+    assertBudget("pipe_rag_e2e", shuffleCeiling = 8L << 20)
+  }
+
   // The similarity family is where a silent corpus-volume exchange
   // crept in before (the r11 IVF coarse-assign crossJoin+min_by, fixed
   // to the scan-stage broadcast-row argmin): a byte ceiling here would
