@@ -60,7 +60,39 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
     cellsRow.crossJoin(cb)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // build is the FRESH-STORE verb: overwrite semantics extend to
+    // any versioned codes generations a prior lifecycle left behind
+    // (compact promotes codes -> codes_v1 -> codes_v2 ...; see
+    // CompactSwap's versioned-table protocol) — without this purge a
+    // stale sentineled codes_v9 would outrank the fresh flat build
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.matches("codes_v\\d+"))
+          fs.delete(st.getPath, true)
+      }
   }
+
+  /** The CURRENT codes path — flat `codes` until the first compact,
+    * `codes_v<N>` after (the zero-window versioned layout; the
+    * version history IS the store's compact record — [[codesVersion]]
+    * reads it, [[readCodesVersion]] pins it). */
+  private def codesPath(spark: SparkSession, dir: String): String =
+    CompactSwap.currentTablePath(spark, dir, "codes")
+
+  /** The index's current codes version (0 = never compacted), None =
+    * never built — the reproducibility handle a training run records
+    * alongside its outputs. */
+  def codesVersion(spark: SparkSession, dir: String): Option[Int] =
+    CompactSwap.currentVersion(spark, dir, "codes")
+
+  /** The codes table exactly as compact `v` left it — byte-stable
+    * under later appends/compacts until the version GC retires it
+    * ([[CompactSwap.readVersion]]'s keep policy): "train against the
+    * store as of compact N", reproducibly. */
+  def readCodesVersion(spark: SparkSession, dir: String, v: Int): DataFrame =
+    CompactSwap.readVersion(spark, dir, "codes", v)
 
   /** [[build]] in an OPQ-ROTATED space: corpus vectors rotate by the
     * orthogonal `r` (scan-stage graft_matvec — zero exchanges added)
@@ -153,10 +185,10 @@ object AnnIndex {
       // tagged: a torn-batch replay republishes the same cell=*/gb-tag
       // files instead of appending duplicate code rows — which WOULD
       // change results (a doubled vec occupies two top-k slots)
-      case Some(t) => CompactSwap.appendExactlyOnce(codes, s"$dir/codes", t,
+      case Some(t) => CompactSwap.appendExactlyOnce(codes, codesPath(spark, dir), t,
         (d, tmp) => d.write.mode("overwrite").partitionBy("cell").parquet(tmp))
       case None =>
-        codes.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+        codes.write.mode("append").partitionBy("cell").parquet(codesPath(spark, dir))
     }
   }
 
@@ -209,12 +241,13 @@ object AnnIndex {
     * FRESHNESS: batch [[search]] reads the tombstone snapshot per
     * call; [[searchStream]] — like every static side of a
     * stream-static join — pins its file listings at stream START, so
-    * a takedown issued under a LIVE query stream serves only after a
-    * restart (the same as-of-start rule that stream already has for
-    * appends, and the reason [[compact]] must not run against live
-    * query streams — its file swaps invalidate their pinned
-    * listings; sequence compaction against query traffic, as the
-    * compact scaladoc records).
+    * a takedown issued under a LIVE windowed query stream serves
+    * only after a restart (the as-of-start contract; since the
+    * versioned compact, the pinned listing at least keeps WORKING
+    * across a compact instead of breaking). A serving loop that
+    * must reflect takedowns/appends/compacts immediately uses
+    * [[serveStream]] — its foreachBatch re-resolves the store every
+    * micro-batch (spec-pinned in VersionedStoreSpec).
     *
     * RE-INGEST RULE (recorded): tombstones suppress by vec_id, so
     * re-appending a taken-down id before a compact folds its
@@ -346,16 +379,21 @@ object AnnIndex {
     * file per touched cell, and a month of daily deltas turns each
     * probe-cell scan into hundreds of small-file opens. Rewrites the
     * codes table with `maxRecordsPerFile` bin-packing per cell
-    * partition into a fresh directory, then swaps it in with two
-    * renames. The swap is NOT atomic: a reader can observe a brief
-    * missing-`codes` window between the renames (sequence compaction
-    * against query traffic, or version the codes path in meta, for a
-    * zero-window serving system), and a crash inside the window
-    * strands the data in `codes_compact_old` — which the NEXT call
-    * self-heals (recovery rename below) before doing anything
-    * destructive; a failed promotion also restores the original in-
-    * process. Row content is untouched — parity is spec-asserted —
-    * and the meta table is not rewritten. */
+    * partition into the NEXT VERSION dir and promotes it with one
+    * sentinel create ([[CompactSwap.compactVersioned]]) — the
+    * ZERO-WINDOW serving property: a reader resolving during the
+    * compact sees the old or the new codes path, never neither, and
+    * the old version's files are left untouched, so a live
+    * [[searchStream]]'s pinned file listing (stream-static joins
+    * list files at stream start) keeps serving ACROSS the compact
+    * (spec-pinned in AnnStreamSpec). The previous version is GC'd
+    * one compact later — a stream may survive `keep` (default 1)
+    * compacts before needing a restart, and [[readCodesVersion]]
+    * pins any retained version for reproducible reads. Crash states
+    * self-heal: an unsentineled next-version dir is purged by the
+    * next call; late appends are COPIED across so no crash loses
+    * them. Row content is untouched — parity is spec-asserted — and
+    * the meta table is not rewritten. */
   def compact(spark: SparkSession, dir: String,
               maxRecordsPerFile: Long = 1L << 20): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
@@ -380,8 +418,7 @@ object AnnIndex {
       // OOM the driver — the planner broadcasts small backlogs and
       // degrades to a shuffle for huge ones (the probe-path rule);
       // anti-join semantics need no dedup of the right side
-      CompactSwap.rewriteTable(spark,
-        new org.apache.hadoop.fs.Path(s"$dir/codes"),
+      CompactSwap.compactVersioned(spark, dir, "codes",
         df => tomb.fold(df)(t =>
             df.join(t, Seq("vec_id"), "left_anti"))
           .repartition(col("cell")),
@@ -457,7 +494,7 @@ object AnnIndex {
         "use searchStream for a stream of queries")
     val probes: Seq[Int] = qRows(0).getSeq[Int](0)
     val candidates = minusTombstones(spark, dir,
-      spark.read.parquet(s"$dir/codes").where(col("cell").isin(probes: _*)))
+      spark.read.parquet(codesPath(spark, dir)).where(col("cell").isin(probes: _*)))
     // no distinct() on the allow-list: left_semi already has set
     // semantics, and the extra HashAggregate+Exchange would be a
     // corpus-sized shuffle exactly when the filter is large
@@ -535,7 +572,7 @@ object AnnIndex {
         (x, cv) => x - cv), p))
       .select(col("query_id"), col("ts"), col("cell"), col("tab"))
     val scored = probed.join(minusTombstones(spark, dir,
-        spark.read.parquet(s"$dir/codes")), "cell")
+        spark.read.parquet(codesPath(spark, dir))), "cell")
       .withColumn("ad2", adcOver(col("tab"), col("codes"), p))
     scored.withWatermark("ts", delay)
       .groupBy(col("query_id"), window(col("ts"), windowLen))
@@ -546,6 +583,76 @@ object AnnIndex {
       .select(col("query_id"), col("wstart"),
         (col("_pos") + 1).cast("long").as("rk"),
         col("_t.vec_id").as("vec_id"), col("_t.ad2").as("ad2"))
+  }
+
+  /** MULTI-QUERY batch search that resolves the store AT CALL TIME —
+    * fresh meta, fresh codes version, fresh tombstones. One call
+    * answers a whole (query_id, qv) frame: per query the nprobe
+    * nearest cells and their ADC tables are computed in the scan
+    * stage, the probed cells are collected as a LITERAL in-list
+    * (request-sized — one tiny job) so the codes scan is
+    * partition-pruned exactly like [[search]], and the per-query
+    * top-k is the bounded graft_bottom_k aggregate. Scoring
+    * arithmetic is shared with [[search]]/[[searchStream]]
+    * ([[tabFor]]/[[adcOver]]/[[minusTombstones]]), so the three
+    * paths cannot fork. */
+  def searchBatch(spark: SparkSession, queries: DataFrame, dir: String,
+                  nprobe: Int = 1, limit: Int = 10,
+                  p: Pq.Params = Pq.Params()): DataFrame = {
+    require(nprobe >= 1 && limit >= 1,
+      s"searchBatch needs nprobe >= 1 and limit >= 1, got nprobe=$nprobe limit=$limit")
+    val meta = spark.read.parquet(s"$dir/meta").withColumn("_one", lit(1))
+    val probed = queries.withColumn("_one", lit(1))
+      .join(broadcast(meta), "_one")
+      .withColumn("pl", slice(array_sort(transform(col("cells"), c =>
+        struct(qround(Pq.d2(col("qv"), c.getField("cv")), 6).as("d2"),
+          c.getField("cell").as("cell")))), 1, nprobe))
+      .select(col("query_id"), col("qv"), col("cells"), col("cbs"),
+        explode(transform(col("pl"), x => x.getField("cell"))).as("cell"))
+      .withColumn("tab", tabFor(zip_with(col("qv"),
+        element_at(col("cells"), col("cell").cast("int")).getField("cv"),
+        (x, cv) => x - cv), p))
+      .select(col("query_id"), col("cell"), col("tab"))
+      .localCheckpoint() // request-sized; evaluated once for the
+                         // probe-cell collect AND the join below
+    val probes = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (probes.isEmpty)
+      return probed.select(col("query_id"), lit(0L).as("rk"),
+        lit(0L).as("vec_id"), lit(0.0).as("ad2")).where(lit(false))
+    val candidates = minusTombstones(spark, dir,
+      spark.read.parquet(codesPath(spark, dir)).where(col("cell").isin(probes: _*)))
+    probed.join(candidates, "cell")
+      .withColumn("ad2", adcOver(col("tab"), col("codes"), p))
+      .groupBy(col("query_id"))
+      .agg(call_function("graft_bottom_k",
+        struct(col("ad2"), col("vec_id")), lit(limit)).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), (col("_pos") + 1).cast("long").as("rk"),
+        col("_t.vec_id").as("vec_id"), col("_t.ad2").as("ad2"))
+  }
+
+  /** FRESH-SERVING streaming search — the foreachBatch twin of
+    * [[searchStream]] that RE-RESOLVES the store every micro-batch
+    * ([[searchBatch]]): a takedown, append, or versioned compact
+    * landing after stream start is reflected in the NEXT batch's
+    * emissions, lifting the as-of-start restriction recorded on
+    * [[takedown]] (stream-static joins pin file listings at start).
+    * The price is per-batch meta/listing reads and the loss of
+    * event-time windowing — each query is answered once, in its
+    * arrival batch, which is the semantics a serving front end
+    * usually wants anyway. Keep [[searchStream]] when a pinned
+    * as-of-start view and windowed batching are the contract. */
+  def serveStream(spark: SparkSession, queries: DataFrame, dir: String,
+                  nprobe: Int = 1, limit: Int = 10,
+                  p: Pq.Params = Pq.Params(),
+                  checkpoint: Option[String] = None)
+                 (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = queries.writeStream.outputMode("append")
+    val w = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(searchBatch(spark, batch, dir, nprobe, limit, p), batchId)
+    }.start()
   }
 
   /** ADC distance of one code row against the flat distance table

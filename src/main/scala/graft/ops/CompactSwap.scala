@@ -267,8 +267,10 @@ object CompactSwap {
   // promoting compact still detects its folded publish.
 
   /** Sentinel marking a version dir complete — its creation IS the
-    * promotion. Underscore-prefixed so Spark's parquet reader skips
-    * it. */
+    * promotion, and its content is the version's data-file MANIFEST
+    * (the immutable set [[readVersion]] pins; later appends land in
+    * the dir but not in the manifest). Underscore-prefixed so
+    * Spark's parquet reader skips it. */
   val VersionSentinel = "_v_complete"
 
   /** `<table>_v<N>` → `<table>` (sidecars and tag bookkeeping must
@@ -322,8 +324,14 @@ object CompactSwap {
   /** Read a PINNED version — the reproducible-training handle: the
     * rows of `table` exactly as compact `v` left them, byte-stable
     * under any number of later appends/compacts until GC retires the
-    * version. Loud when `v` is gone (the keep policy) or never
-    * completed. */
+    * version. The CURRENT version dir is mutable (appends land in
+    * it), so the pin reads exactly the files the promotion's sentinel
+    * MANIFESTED — files are only ever added to a version dir, never
+    * rewritten, so the manifested set is immutable. v = 0 (the flat
+    * pre-compact layout, which has no manifest) pins the whole dir —
+    * immutable from the first promotion on, mutable before it (there
+    * is no compact state to pin yet). Loud when `v` is gone (the
+    * keep policy) or never completed. */
   def readVersion(spark: SparkSession, dir: String, table: String, v: Int): DataFrame = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(completeVersions(fs, dir, table).contains(v),
@@ -331,7 +339,15 @@ object CompactSwap {
         s"present: ${completeVersions(fs, dir, table).mkString(", ")} " +
         "(older versions are garbage-collected one compact after promotion; " +
         "raise `keep` on compact for longer pinning)")
-    spark.read.parquet(versionPath(dir, table, v).toString)
+    val vp = versionPath(dir, table, v)
+    if (v == 0) spark.read.parquet(vp.toString)
+    else {
+      val manifest = readManifest(fs, new Path(vp, VersionSentinel)).filter(_.nonEmpty)
+      require(manifest.nonEmpty,
+        s"version $v of $table under $dir manifested no data files — nothing to pin")
+      spark.read.option("basePath", vp.toString)
+        .parquet(manifest.toSeq.map(rel => new Path(vp, rel).toString): _*)
+    }
   }
 
   /** Compact `table` under the VERSIONED protocol: purge crashed
@@ -389,8 +405,12 @@ object CompactSwap {
       fs.mkdirs(dest.getParent)
       org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dest, false, conf)
     }
-    // promotion: the sentinel create is the commit point
-    fs.create(new Path(next, VersionSentinel), true).close()
+    // promotion: the sentinel create is the commit point; its CONTENT
+    // is the version's file manifest — the immutable set readVersion
+    // pins (later appends land in this dir but not in the manifest)
+    val sentinel = fs.create(new Path(next, VersionSentinel), true)
+    try sentinel.write(dataFiles(fs, next).map(_._2).mkString("\n").getBytes("UTF-8"))
+    finally sentinel.close()
     // GC: retain the `keep` versions behind the new current
     completeVersions(fs, dir, table)
       .filter(v => v <= curV + 1 - keep - 1)

@@ -55,7 +55,36 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$dir/fp")
     bandRows(docs, textCol, idCol, shingleK, seeds, bands)
       .write.mode("overwrite").parquet(s"$dir/bands")
+    // fresh-store verb: purge versioned generations of a prior
+    // lifecycle (compact promotes fp -> fp_v1 -> ...; AnnIndex.build
+    // convention) so a stale sentineled version can't outrank this
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.matches("(fp|bands)_v\\d+"))
+          fs.delete(st.getPath, true)
+      }
   }
+
+  /** CURRENT path of store table `t` (fp | bands) — flat until the
+    * first compact, `<t>_v<N>` after ([[CompactSwap]]'s zero-window
+    * versioned protocol). */
+  private def tablePath(spark: SparkSession, dir: String, t: String): String =
+    CompactSwap.currentTablePath(spark, dir, t)
+
+  /** The store's current compact version per table (0 = never
+    * compacted; the two tables promote together under one
+    * `_compacting` marker, so they normally agree). */
+  def storeVersion(spark: SparkSession, dir: String, table: String = "fp"): Option[Int] =
+    CompactSwap.currentVersion(spark, dir, table)
+
+  /** A store table exactly as compact `v` left it — byte-stable under
+    * later appends/compacts until the version GC retires it: pin
+    * "the dedup store as of compact N" for a reproducible run. */
+  def readTableVersion(spark: SparkSession, dir: String, table: String,
+                       v: Int): DataFrame =
+    CompactSwap.readVersion(spark, dir, table, v)
 
   /** The exploded band layout shared by [[build]] (store side) and
     * [[deltaKeep]] (probe side): one row per (doc, band) carrying the
@@ -132,11 +161,11 @@ object DedupIndex {
       val bands2 = bandRows(k, textCol, idCol, shingleK, seeds, bands)
       tag match {
         case Some(t) =>
-          CompactSwap.appendExactlyOnce(fp, s"$dir/fp", t)
-          CompactSwap.appendExactlyOnce(bands2, s"$dir/bands", t)
+          CompactSwap.appendExactlyOnce(fp, tablePath(k.sparkSession, dir, "fp"), t)
+          CompactSwap.appendExactlyOnce(bands2, tablePath(k.sparkSession, dir, "bands"), t)
         case None =>
-          fp.write.mode("append").parquet(s"$dir/fp")
-          bands2.write.mode("append").parquet(s"$dir/bands")
+          fp.write.mode("append").parquet(tablePath(k.sparkSession, dir, "fp"))
+          bands2.write.mode("append").parquet(tablePath(k.sparkSession, dir, "bands"))
       }
     } finally k.unpersist()
   }
@@ -293,15 +322,19 @@ object DedupIndex {
     * compact): every appended batch adds at least one file to each
     * table, and a month of crawl batches turns the store scan into
     * thousands of small-file opens. Both tables rewrite through
-    * [[CompactSwap.rewriteTable]] (manifest snapshot, two-rename
-    * swap, late-append reconcile, crash recovery — the round-17
-    * discipline shared with the sketch store), hash-repartitioned on
-    * the probe key (fp; (band_idx, band_key)) — one shuffle each,
-    * parallel at any store size (never a coalesce(1)), with
-    * `maxRecordsPerFile` capping file sizes. A `_compacting` marker
-    * is held across BOTH table swaps; [[append]] refuses under it
+    * [[CompactSwap.compactVersioned]] (snapshot, next-version write,
+    * sentinel promotion, copy-based late-append reconcile, crash
+    * purge — the zero-window protocol shared with the ANN index),
+    * hash-repartitioned on the probe key (fp; (band_idx, band_key))
+    * — one shuffle each, parallel at any store size (never a
+    * coalesce(1)), with `maxRecordsPerFile` capping file sizes. A
+    * probe planned just before the compact keeps reading its pinned
+    * old-version files; [[fpVersion]]/[[readTableVersion]] pin "the
+    * store as of compact N" for reproducible runs until the version
+    * GC (one compact later) retires it. A `_compacting` marker is
+    * held across BOTH table promotions; [[append]] refuses under it
     * (fast-fail), and an append that slipped past the check has its
-    * files reconciled, never retired — both tables are plain row
+    * files copied across, never retired — both tables are plain row
     * sets, so carried-over files are row-preserving. */
   /** Tombstones ([[takedown]]) fold here physically: each main table
     * rewrites MINUS a snapshot of its tombstone table, and exactly
@@ -334,7 +367,7 @@ object DedupIndex {
     val (docTombFiles, docTomb) = CompactSwap.snapshotFlat(spark, s"$dir/tomb_doc")
     try {
       for (t <- Seq("fp", "bands"))
-        CompactSwap.rewriteTable(spark, new org.apache.hadoop.fs.Path(s"$dir/$t"),
+        CompactSwap.compactVersioned(spark, dir, t,
           df => {
             // no broadcast hint, no distinct (the probe-path rule,
             // and the fold is where the LARGEST backlog lands): the
@@ -455,12 +488,12 @@ object DedupIndex {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (t <- Seq("fp", "bands"))
-      require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$t")),
+      require(CompactSwap.currentVersion(spark, dir, t).isDefined,
         s"no dedup store table '$t' under $dir — run build/buildIfAbsent first " +
           "(a half-built dir means a crashed build: buildIfAbsent self-heals it)")
     def readTable(t: String) = excludeTag match {
-      case Some(tag) => CompactSwap.readExcludingTag(spark, s"$dir/$t", tag)
-      case None => spark.read.parquet(s"$dir/$t")
+      case Some(tag) => CompactSwap.readExcludingTag(spark, tablePath(spark, dir, t), tag)
+      case None => spark.read.parquet(tablePath(spark, dir, t))
     }
     // tombstones ([[takedown]]) anti-join the store scans before any
     // other probe work — in particular before the density cap's

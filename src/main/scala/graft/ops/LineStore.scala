@@ -38,9 +38,36 @@ object LineStore {
       .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
 
   def build(docs: DataFrame, dir: String, textCol: Column, idCol: Column,
-            sep: String = "\n"): Unit =
+            sep: String = "\n"): Unit = {
     lineCounts(docs, textCol, idCol, sep)
       .write.mode("overwrite").parquet(s"$dir/counts")
+    // fresh-store verb: purge versioned generations of a prior
+    // lifecycle (the AnnIndex.build convention)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.matches("counts_v\\d+"))
+          fs.delete(st.getPath, true)
+      }
+  }
+
+  /** CURRENT counts path — flat until the first compact, counts_v<N>
+    * after ([[CompactSwap]]'s zero-window versioned protocol);
+    * [[storeVersion]]/[[readCountsVersion]] expose the pinning
+    * handles. */
+  private def countsPath(spark: SparkSession, dir: String): String =
+    CompactSwap.currentTablePath(spark, dir, "counts")
+
+  /** Current compact version of the counts table (0 = never
+    * compacted), None = never built. */
+  def storeVersion(spark: SparkSession, dir: String): Option[Int] =
+    CompactSwap.currentVersion(spark, dir, "counts")
+
+  /** The counts table exactly as compact `v` left it — byte-stable
+    * until the version GC retires it. */
+  def readCountsVersion(spark: SparkSession, dir: String, v: Int): DataFrame =
+    CompactSwap.readVersion(spark, dir, "counts", v)
 
   /** [[build]] once per (dir, corpus fingerprint) — the shared marker
     * lifecycle ([[AnnIndex.oncePerFingerprint]]). */
@@ -72,8 +99,10 @@ object LineStore {
         s"line store $dir is compacting ($cm present); retry the append after it completes")
     val partial = lineCounts(batch, textCol, idCol, sep)
     tag match {
-      case Some(t) => CompactSwap.appendExactlyOnce(partial, s"$dir/counts", t)
-      case None => partial.write.mode("append").parquet(s"$dir/counts")
+      case Some(t) => CompactSwap.appendExactlyOnce(partial,
+        countsPath(batch.sparkSession, dir), t)
+      case None => partial.write.mode("append")
+        .parquet(countsPath(batch.sparkSession, dir))
     }
   }
 
@@ -104,8 +133,10 @@ object LineStore {
     val negative = lineCounts(docs, textCol, idCol, sep)
       .select(col("line"), (-col("n_docs")).as("n_docs"))
     tag match {
-      case Some(t) => CompactSwap.appendExactlyOnce(negative, s"$dir/counts", t)
-      case None => negative.write.mode("append").parquet(s"$dir/counts")
+      case Some(t) => CompactSwap.appendExactlyOnce(negative,
+        countsPath(docs.sparkSession, dir), t)
+      case None => negative.write.mode("append")
+        .parquet(countsPath(docs.sparkSession, dir))
     }
   }
 
@@ -143,8 +174,7 @@ object LineStore {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(marker, true).close()
-    try CompactSwap.rewriteTable(spark,
-      new org.apache.hadoop.fs.Path(s"$dir/counts"),
+    try CompactSwap.compactVersioned(spark, dir, "counts",
       df => df.groupBy(col("line")).agg(sum(col("n_docs")).as("n_docs"))
         // in-plan assertion, not a pre-scan: assert_true is NULL on
         // success, so the coalesce keeps the filter shape while any
@@ -178,7 +208,7 @@ object LineStore {
     require(minDocs >= 2, s"minDocs >= 2, got $minDocs")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/counts")),
+    require(CompactSwap.currentVersion(spark, dir, "counts").isDefined,
       s"no line store under $dir — run build/buildIfAbsent first " +
         "(a half-built dir means a crashed build: buildIfAbsent self-heals it)")
     // excludeTag: the store AS OF a tagged batch's start — a replayed
@@ -186,8 +216,9 @@ object LineStore {
     // toward the threshold (it would scrub lines its first attempt
     // kept, emitting different text than the committed attempt)
     val store = excludeTag match {
-      case Some(tag) => CompactSwap.readExcludingTag(spark, s"$dir/counts", tag)
-      case None => spark.read.parquet(s"$dir/counts")
+      case Some(tag) => CompactSwap.readExcludingTag(spark,
+        countsPath(spark, dir), tag)
+      case None => spark.read.parquet(countsPath(spark, dir))
     }
     val lines = batch.select(idCol.as("doc_id"),
       split(textCol, java.util.regex.Pattern.quote(sep)).as("ls"))

@@ -901,20 +901,25 @@ class ApproxSpec extends AnyFunSuite {
     }
     val before = dataFiles(s"$dirApp/codes")
     graft.ops.AnnIndex.compact(spark, dirApp)
-    val after = dataFiles(s"$dirApp/codes")
+    // promotion is VERSIONED (codes -> codes_v1): the flat v0 stays
+    // byte-complete for pinned readers, the CURRENT table shrinks
+    val after = dataFiles(
+      graft.ops.CompactSwap.currentTablePath(spark, dirApp, "codes"))
     assert(after < before, s"compact did not shrink the file count: $before -> $after")
     val compacted = graft.ops.AnnIndex.search(spark, dirApp, q, nprobe = 2)
       .collect().map(_.toSeq).toSeq
     assert(compacted == full,
       s"compaction changed search results:\n  got =$compacted\n  want=$full")
 
-    // crash-window recovery: simulate a compact that died between its
-    // two renames (codes gone, data stranded in codes_compact_old) —
-    // the next compact must restore it, not delete the only copy
-    val codesP = new org.apache.hadoop.fs.Path(s"$dirApp/codes")
-    val oldP = new org.apache.hadoop.fs.Path(s"$dirApp/codes_compact_old")
-    assert(fs.rename(codesP, oldP))
+    // crash recovery: a compact that died after writing (part of)
+    // codes_v2 but BEFORE its sentinel — the unsentineled dir is
+    // purged by the next compact, which then promotes its own v2;
+    // nothing is lost because the crashed write never touched v1
+    val orphan = new org.apache.hadoop.fs.Path(s"$dirApp/codes_v2")
+    fs.mkdirs(orphan)
     graft.ops.AnnIndex.compact(spark, dirApp)
+    assert(graft.ops.AnnIndex.codesVersion(spark, dirApp).contains(2),
+      "crashed v2 must be purged and re-promoted")
     val recovered = graft.ops.AnnIndex.search(spark, dirApp, q, nprobe = 2)
       .collect().map(_.toSeq).toSeq
     assert(recovered == full,
@@ -956,7 +961,7 @@ class ApproxSpec extends AnyFunSuite {
     assert(tagged > 0, "tagged per-cell files missing")
   }
 
-  test("AnnIndex.compact: partitioned late appends reconcile into their cells; append refused under the marker") {
+  test("AnnIndex.compact: a mid-compact append is copied into the promoted version; append refused under the marker") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
@@ -979,35 +984,37 @@ class ApproxSpec extends AnyFunSuite {
       out.result()
     }
     val snap = rels(s"$dir/codes")
-    graft.ops.AnnIndex.append(spark, corpus.where(isDelta), dir)
-    val truth = graft.ops.AnnIndex.search(spark, dir, q, nprobe = 2)
-      .collect().map(_.toSeq).toSeq
-    // craft the crashed-after-promote state: EVERY file retired into
-    // old (cell=N layout preserved), the compacted form of only the
-    // SNAPSHOT files live in codes, manifest + promoted marker present
-    // — the appended delta's files exist only in old and only the
-    // reconcile can save them
-    val codesP = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val oldP = new org.apache.hadoop.fs.Path(s"$dir/codes_compact_old")
-    for (r <- rels(s"$dir/codes")) {
-      val dest = new org.apache.hadoop.fs.Path(oldP, r)
-      fs.mkdirs(dest.getParent)
-      assert(fs.rename(new org.apache.hadoop.fs.Path(codesP, r), dest))
+    // an append whose commit lands MID-COMPACT — after the fold's
+    // snapshot listing, before promotion (the in-flight-writer case
+    // the _compacting gate cannot fully exclude): injected through
+    // the write callback, which runs exactly in that window. The
+    // versioned protocol must COPY these cell=N files into the
+    // promoted version (never retire them), while the un-promoted
+    // flat dir keeps its byte-complete copy for pinned readers.
+    graft.ops.CompactSwap.compactVersioned(spark, dir, "codes",
+      df => df.repartition(col("cell")),
+      (df, tmp) => {
+        df.write.partitionBy("cell").parquet(tmp)
+        graft.ops.AnnIndex.append(spark, corpus.where(isDelta), dir)
+      })
+    assert(graft.ops.AnnIndex.codesVersion(spark, dir).contains(1))
+    val truth = {
+      val dirFull = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-reconcile-full"
+      fs.delete(new org.apache.hadoop.fs.Path(dirFull), true)
+      graft.ops.AnnIndex.build(corpus, dirFull)
+      graft.ops.AnnIndex.search(spark, dirFull, q, nprobe = 2)
+        .collect().map(_.toSeq).toSeq
     }
-    fs.delete(codesP, true)
-    spark.read.option("basePath", oldP.toString)
-      .parquet(snap.map(r => s"$oldP/$r").toSeq: _*)
-      .repartition(col("cell"))
-      .write.partitionBy("cell").parquet(codesP.toString)
-    val mOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/codes_compact_snapshot"), true)
-    mOut.write(snap.mkString("\n").getBytes("UTF-8")); mOut.close()
-    fs.create(new org.apache.hadoop.fs.Path(s"$dir/codes_compact_promoted"), true).close()
-    graft.ops.AnnIndex.compact(spark, dir)
-    assert(!fs.exists(oldP) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_compact_snapshot")))
     val recovered = graft.ops.AnnIndex.search(spark, dir, q, nprobe = 2)
       .collect().map(_.toSeq).toSeq
-    assert(recovered == truth, "reconcile lost or doubled the late append")
+    assert(recovered == truth, "copy-reconcile lost or doubled the mid-compact append")
+    // the copied delta files kept their cell=N subpaths in v1, and
+    // the snapshot files were folded (fewer anonymous files than the
+    // flat dir), so both routes into the promoted version are real
+    val v1Rels = rels(s"$dir/codes_v1")
+    assert(v1Rels.exists(r => r.contains("cell=")), v1Rels.take(5).toString)
+    assert(rels(s"$dir/codes") == snap ++ rels(s"$dir/codes").diff(snap),
+      "flat v0 must keep every file it had (pinned readers)")
     // fast-fail side: append refuses while the marker is up
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
     fs.create(marker, true).close()

@@ -659,7 +659,9 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
     assert(d2(201L) == ((1L, "never seen line")), d2(201L).toString)
     LineStore.compact(spark, dir)
-    assert(spark.read.parquet(s"$dir/counts").groupBy($"line").count()
+    assert(spark.read.parquet(
+        graft.ops.CompactSwap.currentTablePath(spark, dir, "counts"))
+      .groupBy($"line").count()
       .where($"count" > 1).isEmpty, "compact must fold partials to one row per line")
     val d2b = LineStore.scrubDelta(spark, day2, dir, $"text", $"doc_id")
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
@@ -1162,7 +1164,7 @@ class DedupSpec extends AnyFunSuite {
     assert(lines("from plain x") == 1L, lines.toString)
   }
 
-  test("DedupIndex.compact: late-append files reconciled; append refused under the marker") {
+  test("DedupIndex.compact: crashed promotion purged, appends fold; append refused under the marker") {
     import graft.ops.DedupIndex
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx-reconcile").toString
@@ -1177,23 +1179,24 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     DedupIndex.append(late, dir, $"text", $"doc_id")
     val truth = spark.read.parquet(s"$dir/bands").collect().map(_.toSeq).toSet
-    // craft crashed-after-promote on bands: everything retired to old,
-    // cur = compacted SNAPSHOT files only, manifest + promoted present
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/bands")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/bands_compact_old")
-    fs.mkdirs(old)
-    files("bands").foreach(n => assert(fs.rename(
-      new org.apache.hadoop.fs.Path(cur, n), new org.apache.hadoop.fs.Path(old, n))))
-    spark.read.parquet(snap.map(n => s"$old/$n").toSeq: _*)
-      .repartition(col("band_idx"), col("band_key"))
-      .write.mode("overwrite").parquet(cur.toString)
-    val mOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/bands_compact_snapshot"), true)
-    mOut.write(snap.mkString("\n").getBytes("UTF-8")); mOut.close()
-    fs.create(new org.apache.hadoop.fs.Path(s"$dir/bands_compact_promoted"), true).close()
+    // craft the versioned protocol's crash state: a compact died
+    // AFTER writing (part of) bands_v1 but BEFORE the sentinel — the
+    // next compact must purge the unsentineled dir and fold the real
+    // current (flat) table, losing nothing (snap was listed above to
+    // prove the crashed dir is not mistaken for the snapshot)
+    assert(snap.nonEmpty)
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/bands_v1")
+    fs.mkdirs(orphan)
+    spark.read.parquet(s"$dir/bands").limit(1)
+      .write.mode("overwrite").parquet(orphan.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(orphan, "_SUCCESS"), false)
     DedupIndex.compact(spark, dir)
-    assert(!fs.exists(old))
-    val recovered = spark.read.parquet(s"$dir/bands").collect().map(_.toSeq).toSet
-    assert(recovered == truth, "reconcile lost or doubled the late append's band rows")
+    assert(graft.ops.CompactSwap.currentVersion(spark, dir, "bands").contains(1),
+      "compact must purge the crashed unsentineled v1 and promote its own")
+    val recovered = spark.read.parquet(
+        graft.ops.CompactSwap.currentTablePath(spark, dir, "bands"))
+      .collect().map(_.toSeq).toSet
+    assert(recovered == truth, "recovery lost or doubled the late append's band rows")
     // fast-fail: append refuses while a compact holds the store
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
     fs.create(marker, true).close()
@@ -1311,7 +1314,8 @@ class DedupSpec extends AnyFunSuite {
       DedupIndex.append(DedupIndex.deltaKeep(spark, b, dir, $"text", $"doc_id"),
         dir, $"text", $"doc_id")
     }
-    def files(t: String) = new java.io.File(s"$dir/$t").listFiles()
+    def files(t: String) = new java.io.File(
+        graft.ops.CompactSwap.currentTablePath(spark, dir, t)).listFiles()
       .count(_.getName.endsWith(".parquet"))
     val before = (files("fp"), files("bands"))
     val delta = Seq((900L, "append batch 3 carries its own unique words for banding purposes"), // dup of an appended doc

@@ -71,9 +71,14 @@ class TakedownSpec extends AnyFunSuite {
           !f.getPath.getName.startsWith("."))
       assert(files.isEmpty, s"$t not folded: ${files.map(_.getPath.getName).mkString(",")}")
     }
-    val liveDocs = spark.read.parquet(s"$dir/bands")
+    // post-compact the CURRENT bands table is the promoted version
+    // (the flat v0 is retained for pinned readers until the next GC)
+    val liveDocs = spark.read.parquet(
+        graft.ops.CompactSwap.currentTablePath(spark, dir, "bands"))
       .select($"doc_id").distinct().collect().map(_.getLong(0)).toSeq
     assert(liveDocs == Seq(3L), s"band rows not folded: $liveDocs")
+    assert(DedupIndex.storeVersion(spark, dir, "bands").contains(1),
+      "compact should have promoted bands to v1")
 
     // parity 2: == a store REBUILT without the erased docs
     val dir2 = tmp("graft-td-dedup-rebuild")
@@ -206,7 +211,8 @@ class TakedownSpec extends AnyFunSuite {
     // compact: folds partials, drops lines at 0 — same probe answer
     LineStore.compact(spark, dir)
     assert(cut() == 0L, "compacted store diverged from negative-partial probe")
-    val lines = spark.read.parquet(s"$dir/counts").collect()
+    val lines = spark.read.parquet(
+        graft.ops.CompactSwap.currentTablePath(spark, dir, "counts")).collect()
     assert(lines.forall(_.getAs[Long]("n_docs") > 0L),
       s"zero/negative lines survived compact: ${lines.mkString(",")}")
     // the erased docs' unique lines are gone; doc 3's remain
@@ -246,7 +252,8 @@ class TakedownSpec extends AnyFunSuite {
     // never over-scrubs) and a reconciling re-append heals it
     LineStore.append(corpus.where($"doc_id" === 1), dir, $"text", $"doc_id")
     LineStore.compact(spark, dir)
-    val lines = spark.read.parquet(s"$dir/counts").collect()
+    val lines = spark.read.parquet(
+        graft.ops.CompactSwap.currentTablePath(spark, dir, "counts")).collect()
       .map(r => (r.getAs[String]("line"), r.getAs[Long]("n_docs"))).toMap
     assert(lines == Map("SHARED LINE" -> 1L, "beta" -> 1L), lines.toString)
   }
@@ -291,7 +298,8 @@ class TakedownSpec extends AnyFunSuite {
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
         !f.getPath.getName.startsWith("."))
     assert(tombFiles.isEmpty, "tombstones not folded by compact")
-    val liveIds = spark.read.parquet(s"$dir/codes")
+    val liveIds = spark.read.parquet(
+        graft.ops.CompactSwap.currentTablePath(spark, dir, "codes"))
       .select($"vec_id").collect().map(_.getLong(0)).toSet
     assert(liveIds.size == 37 && !liveIds.exists(Set(5L, 7L, 9L)),
       s"codes not physically folded: ${liveIds.size} live")

@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{AnnIndex, CompactSwap, DedupIndex, LineStore}
+
+/** The versioned-table protocol (CompactSwap.compactVersioned) under
+  * its two serving claims:
+  *
+  *  1. ZERO-WINDOW COMPACTION: a compact promotes `<table>_v<N+1>`
+  *     with one sentinel create and leaves v<N>'s files untouched, so
+  *     a live reader — in particular a searchStream whose
+  *     stream-static join pinned its file listing at stream start —
+  *     keeps serving ACROSS the compact with zero missed/duplicate
+  *     emissions and no FileNotFound window.
+  *  2. VERSIONED READS: `readVersion(dir, table, v)` pins "the store
+  *     as of compact v" byte-stably while appends and later compacts
+  *     proceed, until the version GC (one compact later, keep = 1)
+  *     retires it — the reproducible-training handle.
+  */
+class VersionedStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  test("searchStream serves ACROSS a concurrent compact — zero missed/duplicate emissions") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val dir = tmp("graft-vstore-stream")
+    AnnIndex.build(emb.where(col("vec_id") =!= 0 && col("vec_id") <= 400), dir)
+    AnnIndex.append(spark, emb.where(col("vec_id") > 400), dir) // small files to fold
+
+    // batch answers BEFORE anything moves — the stream must emit
+    // exactly these for both windows (stream-static = as-of-start)
+    def batch(qid: Long) = AnnIndex.search(spark, dir,
+        emb.where(col("vec_id") === qid).select(col("ve").as("qv")), nprobe = 2)
+      .collect().map(r => (qid, r.getLong(0), r.getAs[Double]("ad2"))).toSeq
+    val want0 = batch(0L)
+    val want37 = batch(37L)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val queries = mem.toDF().toDF("query_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .join(emb.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .withColumnRenamed("ve", "qv")
+    val out = AnnIndex.searchStream(spark, queries, dir, nprobe = 2)
+    val q = out.writeStream.format("memory").queryName("vstore_stream_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L, 5L))
+      q.processAllAvailable()
+      // COMPACT MID-STREAM: promotes codes -> codes_v1; the flat v0
+      // the stream pinned at start stays byte-complete on disk
+      AnnIndex.compact(spark, dir)
+      assert(AnnIndex.codesVersion(spark, dir).contains(1))
+      mem.addData((37L, 106L)) // second window; also closes the first
+      q.processAllAvailable()
+      mem.addData((1L, 300L))  // closes the second window
+      q.processAllAvailable()
+      val got = spark.table("vstore_stream_out")
+        .orderBy("wstart", "query_id", "rk")
+        .select("query_id", "vec_id", "ad2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == want0 ++ want37,
+        s"stream across compact diverged:\n got=$got\nwant=${want0 ++ want37}")
+      assert(got.length == 20, s"missed/duplicate emissions: ${got.length}")
+    } finally q.stop()
+    // a NEW batch search resolves the promoted version and agrees
+    // (no tombstones here, so content is identical)
+    assert(batch(0L) == want0, "post-compact batch search diverged")
+  }
+
+  test("versioned reads: pin 'the store as of compact N' byte-stably; GC one compact later") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val dir = tmp("graft-vstore-pin")
+    AnnIndex.build(emb.where(col("vec_id").between(1, 300)), dir)
+    AnnIndex.append(spark, emb.where(col("vec_id").between(301, 350)), dir)
+    assert(AnnIndex.codesVersion(spark, dir).contains(0), "flat build = version 0")
+
+    AnnIndex.compact(spark, dir) // -> codes_v1
+    assert(AnnIndex.codesVersion(spark, dir).contains(1))
+    val asOf1 = AnnIndex.readCodesVersion(spark, dir, 1)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(asOf1 == (1L to 350L).toSet)
+
+    // later lifecycle: another append, another compact
+    AnnIndex.append(spark, emb.where(col("vec_id").between(351, 400)), dir)
+    AnnIndex.compact(spark, dir) // -> codes_v2; GC retires v0 (keep = 1)
+    assert(AnnIndex.codesVersion(spark, dir).contains(2))
+
+    // the pinned version is BYTE-STABLE under everything that happened
+    val asOf1Again = AnnIndex.readCodesVersion(spark, dir, 1)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(asOf1Again == asOf1, "pinned version drifted under later appends/compacts")
+    // current reflects the full lifecycle
+    assert(AnnIndex.readCodesVersion(spark, dir, 2)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet == (1L to 400L).toSet)
+    // v0 was GC'd — pinning it is a LOUD error naming the keep policy
+    val e = intercept[IllegalArgumentException](AnnIndex.readCodesVersion(spark, dir, 0))
+    assert(e.getMessage.contains("garbage-collected"), e.getMessage)
+  }
+
+  test("serveStream: post-start takedowns, appends and compacts reflect in the NEXT batch") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val dir = tmp("graft-vstore-serve")
+    AnnIndex.build(emb.where(col("vec_id") =!= 0), dir)
+    val qv = emb.where(col("vec_id") === 0)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val queries = mem.toDF().toDF("query_id")
+      .join(emb.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .withColumnRenamed("ve", "qv")
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long)]]()
+    val q = AnnIndex.serveStream(spark, queries, dir, nprobe = 2) { (res, id) =>
+      got(id) = res.orderBy("query_id", "rk")
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSeq
+    }
+    try {
+      mem.addData(0L)
+      q.processAllAvailable()
+      val top0 = got.toSeq.maxBy(_._1)._2
+      assert(top0.length == 10 && top0.map(_._1).forall(_ == 0L))
+      assert(top0 == AnnIndex.searchBatch(spark, qv.select(lit(0L).as("query_id"),
+          col("ve").as("qv")), dir, nprobe = 2)
+        .orderBy("rk").collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSeq,
+        "serveStream batch must equal searchBatch")
+
+      // TAKEDOWN between batches: the erased top hit must vanish
+      // from the very next batch — no restart
+      val victim = top0.head._2
+      AnnIndex.takedown(spark, Seq(victim).toDF("vec_id"), dir)
+      mem.addData(0L)
+      q.processAllAvailable()
+      val afterTd = got.toSeq.maxBy(_._1)._2
+      assert(!afterTd.exists(_._2 == victim),
+        s"takedown invisible to the live serving loop: $victim still in $afterTd")
+      assert(afterTd.length == 10, "top-k must refill after the takedown")
+
+      // COMPACT between batches (folds the tombstone, promotes v1):
+      // the serving loop re-resolves and keeps answering identically
+      AnnIndex.compact(spark, dir)
+      assert(AnnIndex.codesVersion(spark, dir).contains(1))
+      mem.addData(0L)
+      q.processAllAvailable()
+      assert(got.toSeq.maxBy(_._1)._2 == afterTd,
+        "compact must not change the served answer")
+
+      // APPEND between batches: re-insert the erased vector's
+      // content under a new id — it must rank again immediately
+      val re = emb.where(col("vec_id") === victim)
+        .select(lit(9999L).as("vec_id"), col("ve"))
+      AnnIndex.append(spark, re, dir)
+      mem.addData(0L)
+      q.processAllAvailable()
+      val afterApp = got.toSeq.maxBy(_._1)._2
+      assert(afterApp.exists(_._2 == 9999L),
+        s"post-start append invisible to the live serving loop: $afterApp")
+    } finally q.stop()
+  }
+
+  test("dedup + line stores: same versioned lifecycle, probes track the current version") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val delta = Seq((3L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+
+    val ddir = tmp("graft-vstore-dedup")
+    DedupIndex.build(docs, ddir, $"text", $"doc_id")
+    DedupIndex.append(delta, ddir, $"text", $"doc_id")
+    DedupIndex.compact(spark, ddir)
+    assert(DedupIndex.storeVersion(spark, ddir, "fp").contains(1) &&
+      DedupIndex.storeVersion(spark, ddir, "bands").contains(1),
+      "both tables promote together")
+    val fpAsOf1 = DedupIndex.readTableVersion(spark, ddir, "fp", 1).count()
+    // probes read the CURRENT version transparently
+    val kept = DedupIndex.deltaKeep(spark,
+        Seq((4L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"),
+        ddir, $"text", $"doc_id").count()
+    assert(kept == 0, "exact dup must still drop against the promoted store")
+    DedupIndex.append(
+      Seq((5L, "fresh words nobody used before anywhere at all")).toDF("doc_id", "text"),
+      ddir, $"text", $"doc_id")
+    assert(DedupIndex.readTableVersion(spark, ddir, "fp", 1).count() == fpAsOf1,
+      "pinned fp version must not see the later append")
+
+    val ldir = tmp("graft-vstore-line")
+    LineStore.build(docs, ldir, $"text", $"doc_id", sep = " ")
+    LineStore.append(delta, ldir, $"text", $"doc_id", sep = " ")
+    LineStore.compact(spark, ldir)
+    assert(LineStore.storeVersion(spark, ldir).contains(1))
+    val n1 = LineStore.readCountsVersion(spark, ldir, 1).count()
+    LineStore.append(Seq((9L, "brand new words here")).toDF("doc_id", "text"),
+      ldir, $"text", $"doc_id", sep = " ")
+    assert(LineStore.readCountsVersion(spark, ldir, 1).count() == n1,
+      "pinned counts version must not see the later append")
+    // the scrub probe reads CURRENT state — v1's folded lines (alpha
+    // from the build, nine from the pre-compact append) AND the
+    // post-compact partial (brand) all cross minDocs=2 with the batch
+    val cut = LineStore.scrubDelta(spark,
+        Seq((10L, "alpha nine brand")).toDF("doc_id", "text"),
+        ldir, $"text", $"doc_id", sep = " ")
+      .select($"n_cut").collect()(0).getLong(0)
+    assert(cut == 3L, s"probe must see folded + fresh lines, got $cut")
+  }
+}
