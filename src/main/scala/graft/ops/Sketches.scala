@@ -64,7 +64,8 @@ object Sketches {
     requireNotCompacting(batch.sparkSession, dir)
     batch.groupBy(keys.map(col): _*)
       .agg(hll_sketch_agg(itemCol, lit(lgK)).as("sk"))
-      .write.mode("append").parquet(s"$dir/sketches")
+      .write.mode("append")
+      .parquet(CompactSwap.currentTablePath(batch.sparkSession, dir, "sketches"))
   }
 
   /** Writer-exclusion gate: refuse to append while [[compact]] holds
@@ -151,12 +152,12 @@ object Sketches {
     * The exclusion gate is check-then-act, so an append that passed
     * the check BEFORE the marker went up can still land files while
     * the rewrite runs. Those rows are never lost: the rewrite goes
-    * through [[CompactSwap.rewriteTable]] — explicit manifest
-    * snapshot, two-rename swap, post-promote reconcile of any file
-    * the snapshot missed, manifest+promoted-marker crash recovery —
-    * so every concurrent-append ordering ends with the rows present
-    * exactly once or a loud retry (an append whose commit straddles
-    * the retire rename fails loudly, leaving its batch un-marked). */
+    * through [[CompactSwap.compactVersioned]] — snapshot, next-
+    * version write, COPY-based late-append reconcile, sentinel
+    * promotion, crash purge — so every concurrent-append ordering
+    * ends with the rows present exactly once, and a reader resolving
+    * mid-compact sees the old or the new version, never neither
+    * (the zero-window property shared with the row stores). */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               keys: Seq[String]): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
@@ -167,9 +168,30 @@ object Sketches {
     // guarded. The correctness side (manifest snapshot + late-append
     // reconcile + crash recovery) lives in [[CompactSwap]].
     fs.create(marker, true).close()
-    try CompactSwap.rewriteTable(spark,
-      new org.apache.hadoop.fs.Path(s"$dir/sketches"),
+    try CompactSwap.compactVersioned(spark, dir, "sketches",
       df => df.groupBy(keys.map(col): _*).agg(hll_union_agg(col("sk")).as("sk")),
+      (df, tmp) => df.write.parquet(tmp))
+    finally fs.delete(marker, false)
+  }
+
+  /** GROUP-level takedown — the one erasure the sketch store CAN do
+    * exactly, and the graded half of its erasure story
+    * (g_hll_rebuilt): the store is keyed by group and groups are
+    * DISJOINT, so physically deleting a group's sketch rows leaves a
+    * store bit-identical to one rebuilt over the post-erasure corpus
+    * — no register ever mixed the erased group with a survivor.
+    * Routed through the zero-window versioned compact (readers keep
+    * their pinned listings; the previous version is GC'd one compact
+    * later). Row-level (sub-group) erasure remains [[takedown]]'s
+    * recorded impossibility: inside one group's sketch the erased
+    * rows' hashes may BE the register maxima. */
+  def takedownGroup(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    removed: Column): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+    try CompactSwap.compactVersioned(spark, dir, "sketches",
+      df => df.where(!removed),
       (df, tmp) => df.write.parquet(tmp))
     finally fs.delete(marker, false)
   }
@@ -182,7 +204,7 @@ object Sketches {
     * rows (the g_hll_cube contract). */
   def estimateStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                     keys: Seq[String]): DataFrame =
-    spark.read.parquet(s"$dir/sketches")
+    spark.read.parquet(CompactSwap.currentTablePath(spark, dir, "sketches"))
       .rollup(keys.map(col): _*)
       .agg(grouping_id().as("gid"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
@@ -202,6 +224,8 @@ object Sketches {
   def takedown(dir: String): Nothing =
     throw new UnsupportedOperationException(
       s"sketch store $dir cannot take down rows: HLL union is irreversible " +
-        "(register max-merge) — rebuild the store over the post-erasure corpus " +
-        "instead (delete the store dir, re-ingest; batch markers make the replay safe)")
+        "(register max-merge) — for a whole GROUP use takedownGroup (group-keyed " +
+        "sketches are disjoint, so dropping a group's rows IS the rebuilt-without " +
+        "store); for sub-group erasure rebuild over the post-erasure corpus " +
+        "(delete the store dir, re-ingest; batch markers make the replay safe)")
 }

@@ -603,6 +603,65 @@ object MiscQueries {
       Some("""SELECT lang, source, count(DISTINCT md5(text)) AS n_exact, TRUE AS within_bound
              |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin)),
 
+    // the sketch store's ERASURE story, graded — the measured verb
+    // behind the recorded impossibility: HLL registers cannot
+    // subtract (Sketches.takedown throws, TakedownSpec pins it), but
+    // the store is GROUP-keyed and groups are disjoint, so erasing a
+    // whole group = physically dropping its sketch rows
+    // (Sketches.takedownGroup, routed through the zero-window
+    // versioned compact) — and the result must be indistinguishable
+    // from a store REBUILT over the post-erasure corpus. Graded in
+    // the TakedownSpec parity style: store A builds over all events
+    // then takes down the 'click' group; store B builds fresh
+    // without 'click'; every rollup level's estimates must be EQUAL
+    // (identical surviving sketch bytes -> bit-identical estimate
+    // doubles — parity TRUE), inside the lgK=12 bound vs the exact
+    // post-erasure distinct (within_bound), with zero rollup rows
+    // present in one store but not the other (sym_diff 0 — a
+    // leftover erased group or a lost survivor both surface here).
+    // The estimate itself stays out of the hash (the sketch-family
+    // grading contract).
+    Q("g_hll_rebuilt",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val fp = graft.ops.AnnIndex.tableFingerprint(s, s"$d/events.parquet")
+        val dirA = s"${sys.props("java.io.tmpdir")}/graft-hllreb-${storeKey(d)}"
+        graft.ops.AnnIndex.oncePerSketchStore(s, dirA, fp) {
+          ev.groupBy(col("event_type"))
+            .agg(hll_sketch_agg(col("user_id").cast("string"), lit(12)).as("sk"))
+            .write.mode("overwrite").parquet(s"$dirA/sketches")
+          graft.ops.Sketches.takedownGroup(s, dirA, col("event_type") === "click")
+        }
+        val dirB = s"${sys.props("java.io.tmpdir")}/graft-hllreb2-${storeKey(d)}"
+        graft.ops.AnnIndex.oncePerSketchStore(s, dirB, fp) {
+          ev.where(col("event_type") =!= "click").groupBy(col("event_type"))
+            .agg(hll_sketch_agg(col("user_id").cast("string"), lit(12)).as("sk"))
+            .write.mode("overwrite").parquet(s"$dirB/sketches")
+        }
+        val a = graft.ops.Sketches.estimateStore(s, dirA, Seq("event_type"))
+          .select(col("event_type").as("_ta"), col("gid").as("_ga"), col("est").as("_ea"))
+        val b = graft.ops.Sketches.estimateStore(s, dirB, Seq("event_type"))
+          .select(col("event_type").as("_tb"), col("gid").as("_gb"), col("est").as("_eb"))
+        val par = a.join(b,
+          col("_ta") <=> col("_tb") && col("_ga") <=> col("_gb"), "full_outer")
+        val symDiff = par.where(col("_ea").isNull || col("_eb").isNull)
+          .agg(count(lit(1)).as("sym_diff"))
+        ev.where(col("event_type") =!= "click")
+          .rollup(col("event_type"))
+          .agg(grouping_id().as("_g2"), countDistinct(col("user_id")).as("n_exact"))
+          .join(par, col("event_type") <=> col("_ta") && col("_g2") === col("_ga"))
+          .crossJoin(broadcast(symDiff))
+          .select(col("event_type"), col("n_exact"),
+            (abs(col("_ea") - col("n_exact").cast("double")) <=
+              col("n_exact").cast("double") * lit(0.05)).as("within_bound"),
+            (col("_ea") === col("_eb")).as("parity"),
+            col("sym_diff"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_exact,
+             |  TRUE AS within_bound, TRUE AS parity, CAST(0 AS BIGINT) AS sym_diff
+             |FROM events WHERE event_type <> 'click'
+             |GROUP BY ROLLUP (event_type)""".stripMargin)),
+
     // the INGESTED store: the corpus arrives as three batches
     // (doc_id mod 3 — a deterministic stand-in for arrival order)
     // appended by Sketches.ingestBatch, the batch core of

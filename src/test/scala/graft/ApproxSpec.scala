@@ -469,7 +469,8 @@ class ApproxSpec extends AnyFunSuite {
     val groups = spark.read.parquet(s"$streamDir/sketches")
       .select($"lang", $"source").distinct().count()
     graft.ops.Sketches.compact(spark, streamDir, Seq("lang", "source"))
-    val rowsAfter = spark.read.parquet(s"$streamDir/sketches").count()
+    val rowsAfter = spark.read.parquet(
+      graft.ops.CompactSwap.currentTablePath(spark, streamDir, "sketches")).count()
     assert(rowsAfter == groups,
       s"compacted store must hold one row per group ($rowsAfter vs $groups)")
     val compacted = estimates(streamDir)
@@ -548,47 +549,28 @@ class ApproxSpec extends AnyFunSuite {
     assert(est == Map("en" -> 1L, "de" -> 1L, "fr" -> 1L), est.toString)
   }
 
-  test("sketch store: a file appended after the compact snapshot is reconciled, not retired") {
+  test("sketch store: a file appended mid-compact is copied into the promoted version, not retired") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // the round-16 advice race, closed on the compact side: simulate
-    // the crashed-after-promote state where the rewrite's snapshot
-    // covered batch 0's files but batch 1's append landed after the
-    // listing — recovery must delete the merged files from the
-    // retired dir and MOVE the orphan append into the live table
+    // the round-16 advice race under the VERSIONED protocol: batch
+    // 1's append commits after the fold's snapshot listing (injected
+    // through the write callback, which runs exactly in that window)
+    // — the copy-reconcile must carry it into the promoted version,
+    // exactly once
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dir = s"${sys.props("java.io.tmpdir")}/graft-hll-reconcile"
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/sketches")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_old")
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     def batch(rows: (String, String)*) = rows.toSeq.toDF("lang", "h")
-    def files(p: org.apache.hadoop.fs.Path) = fs.listStatus(p).toSeq
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
     assert(graft.ops.Sketches.ingestBatchOnce(spark,
       batch(("en", "h1"), ("de", "h2")), dir, Seq("lang"), $"h", "ckR", 0))
-    val snap = files(cur).map(_.getPath.getName)
-    assert(graft.ops.Sketches.ingestBatchOnce(spark,
-      batch(("fr", "h3"), ("en", "h4")), dir, Seq("lang"), $"h", "ckR", 1))
-    val lateNames = files(cur).map(_.getPath.getName).filterNot(snap.contains).toSet
-    assert(lateNames.nonEmpty)
-    // craft the state: cur = compacted(batch0 files only); old = ALL
-    // pre-existing files (merged + orphan); manifest = batch0 names;
-    // promoted marker present
-    val allFiles = files(cur)
-    fs.mkdirs(old)
-    allFiles.foreach(f => require(fs.rename(f.getPath,
-      new org.apache.hadoop.fs.Path(old, f.getPath.getName))))
-    spark.read.parquet(snap.map(n => s"$old/$n"): _*)
-      .groupBy(col("lang")).agg(expr("hll_union_agg(sk)").as("sk"))
-      .write.mode("overwrite").parquet(cur.toString)
-    val mOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_snapshot"), true)
-    mOut.write(snap.mkString("\n").getBytes("UTF-8")); mOut.close()
-    fs.create(new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_promoted"), true).close()
-    // recovery + fresh compact: nothing lost, nothing doubled
-    graft.ops.Sketches.compact(spark, dir, Seq("lang"))
-    assert(!fs.exists(old) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_snapshot")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_promoted")))
+    graft.ops.CompactSwap.compactVersioned(spark, dir, "sketches",
+      df => df.groupBy(col("lang")).agg(expr("hll_union_agg(sk)").as("sk")),
+      (df, tmp) => {
+        df.write.parquet(tmp)
+        assert(graft.ops.Sketches.ingestBatchOnce(spark,
+          batch(("fr", "h3"), ("en", "h4")), dir, Seq("lang"), $"h", "ckR", 1))
+      })
+    assert(graft.ops.CompactSwap.currentVersion(spark, dir, "sketches").contains(1))
     val est = graft.ops.Sketches.estimateStore(spark, dir, Seq("lang"))
       .where(col("gid") === 0).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
@@ -596,34 +578,33 @@ class ApproxSpec extends AnyFunSuite {
       s"late append must survive compaction exactly once: $est")
   }
 
-  test("sketch store: a compact that died before promote restores every retired file") {
+  test("sketch store: a compact that died before promotion is purged; nothing is lost") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dir = s"${sys.props("java.io.tmpdir")}/graft-hll-restore"
-    val cur = new org.apache.hadoop.fs.Path(s"$dir/sketches")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_old")
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     def batch(rows: (String, String)*) = rows.toSeq.toDF("lang", "h")
     assert(graft.ops.Sketches.ingestBatchOnce(spark,
       batch(("en", "h1"), ("fr", "h2")), dir, Seq("lang"), $"h", "ckS", 0))
-    // craft: retire happened (files moved to old, manifest written),
-    // promote did NOT; an unrelated append landed in the recreated cur
-    val names = fs.listStatus(cur).toSeq.filter(_.isFile)
-      .map(_.getPath.getName).filterNot(_.startsWith("_"))
-    fs.mkdirs(old)
-    names.foreach(n => require(fs.rename(
-      new org.apache.hadoop.fs.Path(cur, n), new org.apache.hadoop.fs.Path(old, n))))
-    val mOut = fs.create(new org.apache.hadoop.fs.Path(s"$dir/sketches_compact_snapshot"), true)
-    mOut.write(names.mkString("\n").getBytes("UTF-8")); mOut.close()
+    // craft the versioned crash: a compact wrote (part of)
+    // sketches_v1 but died before its sentinel; a later append
+    // landed in the still-current flat table
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/sketches_v1")
+    fs.mkdirs(orphan)
+    spark.read.parquet(s"$dir/sketches").limit(1)
+      .write.mode("overwrite").parquet(orphan.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(orphan, "_SUCCESS"), false)
     assert(graft.ops.Sketches.ingestBatchOnce(spark,
       batch(("de", "h3")), dir, Seq("lang"), $"h", "ckS", 1))
     graft.ops.Sketches.compact(spark, dir, Seq("lang"))
+    assert(graft.ops.CompactSwap.currentVersion(spark, dir, "sketches").contains(1),
+      "crashed v1 must be purged and re-promoted")
     val est = graft.ops.Sketches.estimateStore(spark, dir, Seq("lang"))
       .where(col("gid") === 0).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(est == Map("en" -> 1L, "fr" -> 1L, "de" -> 1L),
-      s"un-promoted rewrite must restore the retired store: $est")
+      s"purge-and-refold must keep every ingested row: $est")
   }
 
   test("g_hll_cube join keys: a NULL data key never matches a rollup subtotal") {
