@@ -93,7 +93,10 @@ object PlanDump {
     "d_delta_index_takedown", // erasure probe: tombstone anti-joins confined to delta-bounded slices
     "e_ann_takedown",     // erased vectors leave the cell-pruned candidate scan via one anti-join
     "m_warc_records",     // WARC codec: per-row scan-stage pack->parse->httpBody, zero shuffles
-    "t_warc_html_extract" // container chain: WARC leg (scan-stage) + the codegen'd extract kernel
+    "t_warc_html_extract", // container chain: WARC leg (scan-stage) + the codegen'd extract kernel
+    "e_semdedup_kscaled", // hierarchical K ∝ N: two argmin levels scan-stage, pair join cell-confined
+    "pipe_rag_e2e",       // curation chain + BM25 term-confined scan + pruned index probe + 40-row fusion
+    "g_hll_rebuilt"       // group takedown == rebuilt-without: two kilobyte store scans, corpus only on the exact side
   )
 
   def main(args: Array[String]): Unit = {
