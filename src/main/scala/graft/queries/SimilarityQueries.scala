@@ -970,6 +970,35 @@ object SimilarityQueries {
       },
       Some(ivfpqSql(nprobe = 1))),
 
+    // the FRESH-SERVING primitive graded: AnnIndex.searchBatch is
+    // what serveStream runs per micro-batch — multi-query capable,
+    // store resolved AT CALL TIME (current codes version, current
+    // tombstones), probe cells collected as a literal for partition
+    // pruning. Hash-pinned here against the same IVFADC oracle as
+    // e_ivfpq_indexed (single query row, the shared store), with the
+    // serving frame's (query_id, rk) shape — so the batch-serving
+    // path and the one-shot search path cannot fork arithmetically.
+    // Multi-query parity (a batch == its per-query searches) and
+    // freshness under takedown/append/compact are spec-pinned in
+    // VersionedStoreSpec.
+    Q("e_ann_serve_batch",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${storeKey(d)}"
+        graft.ops.AnnIndex.buildIfAbsent(s, emb.where(col("vec_id") =!= 0), dir, IvfK, P,
+          fingerprint = Some(graft.ops.AnnIndex.tableFingerprint(s, s"$d/embeddings.parquet")))
+        graft.ops.AnnIndex.searchBatch(s, dir = dir,
+          queries = emb.where(col("vec_id") === 0)
+            .select(lit(0L).as("query_id"), col("ve").as("qv")),
+          nprobe = 1, limit = 10, p = P)
+      },
+      Some(s"""WITH body AS (${ivfpqSql(nprobe = 1)})
+              |SELECT CAST(0 AS BIGINT) AS query_id,
+              |  CAST(row_number() OVER (ORDER BY ad2 ASC, vec_id ASC) AS BIGINT) AS rk,
+              |  vec_id, ad2
+              |FROM body""".stripMargin)),
+
     // INCREMENTAL index maintenance — the other half of the serving
     // story: build the persisted index over MOST of the corpus, then
     // AnnIndex.append the held-out delta (every 10th vec_id past the

@@ -164,6 +164,27 @@ class VersionedStoreSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("searchBatch: a multi-query batch equals its per-query searches") {
+    val emb = sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val dir = tmp("graft-vstore-batchq")
+    AnnIndex.build(emb.where(col("vec_id") =!= 0), dir)
+    val qids = Seq(0L, 37L, 123L)
+    val queries = emb.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("ve").as("qv"))
+    val got = AnnIndex.searchBatch(spark, queries, dir, nprobe = 2)
+      .orderBy("query_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("ad2"))).toSeq
+    val want = qids.sorted.flatMap { qid =>
+      AnnIndex.search(spark, dir,
+          emb.where(col("vec_id") === qid).select(col("ve").as("qv")), nprobe = 2)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (qid, (i + 1).toLong, r.getLong(0), r.getAs[Double]("ad2")) }
+    }
+    assert(got == want, s"\n got=$got\nwant=$want")
+  }
+
   test("dedup + line stores: same versioned lifecycle, probes track the current version") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
