@@ -206,7 +206,12 @@ object ScaleBench {
     // parquet footer counts, oracle self-scaling) — pins that scaling
     // K with the corpus collapses the pair term back to linear; the
     // K-linear assignment cost rides the early-exit argmin kernel
-    "e_semdedup_kscaled")
+    "e_semdedup_kscaled",
+    // the >x1000 shape: learned coarse + residual-LSH refinement,
+    // b = ⌈log2(K/K1)⌉ as a scalar modulus — assignment O(N·d),
+    // expect ~linear at EVERY decade where the exact hierarchy goes
+    // N^1.5 by the third
+    "e_semdedup_bucketed")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -559,6 +559,10 @@ object SimilarityQueries {
     // 500k-vector x100 sweep), which is what collapses the
     // per-cluster (N/K)² pair term to N·c̄ — linear — where the
     // fixed-K fixture above goes quadratic by construction.
+    // (Decade map, measured: this exact-hierarchy form is
+    // linear-class through x100 — slope 4.95, 18.9 s at 500k — and
+    // N^1.5 by the third decade (51× at 500k → 5M, SCALE.md); past
+    // x100 the graded linear route is e_semdedup_bucketed below.)
     //
     // K ∝ N moves the quadratic into TRAINING if assigned naively
     // (a flat argmin is Θ(N·K·d) = Θ(N²d/c̄) — measured: 47 s at
@@ -635,6 +639,74 @@ object SimilarityQueries {
            |sdropped AS (SELECT DISTINCT b.vec_id
            |             FROM as1 a JOIN as1 b
            |               ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+           |             WHERE (floor((${cosSql("a.ve", "b.ve")}) * 1000000 + 0.5e0)
+           |                    / 1000000.0e0) >= 0.40)
+           |SELECT vec_id FROM embeddings
+           |WHERE vec_id NOT IN (SELECT vec_id FROM sdropped)""".stripMargin
+      }),
+
+    // SemDeDup BEYOND the exact-hierarchy decade — the shape that
+    // stays LINEAR at every measured scale. The two-level exact
+    // hierarchy above is O(N·√(N/c̄)·d): fine through x100 (slope
+    // 4.95) but N^1.5 by the third decade (measured 51× at
+    // 500k → 5M — an exact argmin over √K sub-centroids per row
+    // cannot do better, and a deeper exact tree needs data-dependent
+    // CTE depth no static oracle can express). The production answer
+    // past that point is APPROXIMATE fine assignment: keep the
+    // learned coarse quantizer (the K1 = 8 two-Lloyd chain
+    // e_kmeans_train grades — the semantic half), then refine WITHIN
+    // each cell by hyperplane-bucketing the residual to
+    // b = ⌈log2(K/K1)⌉ bits, K = max(8, N/c̄) from the footer count.
+    // b rides as a SCALAR (a modulus over a fixed 16-bit code), so
+    // the one static oracle string self-scales to ANY depth — the
+    // trick the exact tree cannot pull. Assignment is
+    // O(N·(K1 + 16)·d) — linear in N, zero corpus shuffle — and the
+    // per-cluster pair term stays N·c̄. Fine clusters are learned-
+    // coarse × locality-refined (residual LSH): coarser semantics
+    // than pure k-means inside a cell, the standard trade when exact
+    // sub-clustering is off the table; both graded forms keep the
+    // min-id/0.40-cosine semantics, so the knob is WHERE candidates
+    // are confined, never what counts as a duplicate.
+    Q("e_semdedup_bucketed",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val n = graft.ops.Bpe.parquetRowCount(s, s"$d/embeddings.parquet")
+        val k = math.max(8L, n / SemDedupCbar)
+        val b = math.ceil(math.log(k.toDouble / IvfK) / math.log(2)).toInt.max(0)
+        val c2 = graft.ops.Pq.ivfLloydStep(emb,
+          graft.ops.Pq.ivfLloydStep(emb, graft.ops.Pq.cellsRow(emb, IvfK)))
+        val fine = graft.Caches.owned(
+          graft.ops.Pq.ivfAssignedWith(emb, c2)
+            .select(col("cell"), col("vec_id"), col("ve"),
+              (vectors.hyperplaneBucket(
+                zip_with(col("ve"), col("cv"), (x, c) => x - c), 16, Dim)
+                % lit((1L << b))).as("fb")))
+        val a = fine.select(col("cell"), col("fb"),
+          col("vec_id").as("vec_a"), col("ve").as("va"))
+        val bb = fine.select(col("cell"), col("fb"),
+          col("vec_id").as("vec_b"), col("ve").as("vb"))
+        val drop = a.join(bb, Seq("cell", "fb"))
+          .where(col("vec_a") < col("vec_b") &&
+            qround(vectors.cosine(col("va"), col("vb")), 6) >= 0.40)
+          .select(col("vec_b").as("vec_id")).distinct()
+        fine.select(col("vec_id")).join(drop, Seq("vec_id"), "left_anti")
+      },
+      Some {
+        val kS = s"CAST(GREATEST(8, count(*) // $SemDedupCbar) AS DOUBLE)"
+        val bS = s"GREATEST(0, CAST(ceil(log2($kS / $IvfK)) AS INT))"
+        s"""${kmeansCtes(2)},
+           |af AS (${kmeansAssignSql(2)}),
+           |kb AS (SELECT CAST(pow(2, $bS) AS BIGINT) AS m FROM embeddings),
+           |afr AS (SELECT af.vec_id, af.ve, af.cell,
+           |          list_transform(range(1, ${Dim + 1}), i -> af.ve[i] - c.cv[i]) AS rv
+           |        FROM af JOIN c2 c ON c.cell = af.cell),
+           |fa AS (SELECT vec_id, ve, cell,
+           |         ${bucketSql("rv", 16)} % (SELECT m FROM kb) AS fb
+           |       FROM afr),
+           |sdropped AS (SELECT DISTINCT b.vec_id
+           |             FROM fa a JOIN fa b
+           |               ON a.cell = b.cell AND a.fb = b.fb AND a.vec_id < b.vec_id
            |             WHERE (floor((${cosSql("a.ve", "b.ve")}) * 1000000 + 0.5e0)
            |                    / 1000000.0e0) >= 0.40)
            |SELECT vec_id FROM embeddings
