@@ -613,16 +613,23 @@ object AnnIndex {
         element_at(col("cells"), col("cell").cast("int")).getField("cv"),
         (x, cv) => x - cv), p))
       .select(col("query_id"), col("cell"), col("tab"))
-      .localCheckpoint() // request-sized; evaluated once for the
-                         // probe-cell collect AND the join below
-    val probes = probed.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (probes.isEmpty)
+    // the probe frame is REQUEST-sized by definition (queries x
+    // nprobe rows of one ADC table each), so materialize it on the
+    // driver once: the probe-cell literal falls out for free, the
+    // join side below re-parallelizes without a cache (a per-call
+    // localCheckpoint would accumulate cached RDDs across a
+    // long-running serveStream loop), and the query-side plan is
+    // never evaluated twice
+    val probedRows = probed.collect().toSeq
+    if (probedRows.isEmpty)
       return probed.select(col("query_id"), lit(0L).as("rk"),
         lit(0L).as("vec_id"), lit(0.0).as("ad2")).where(lit(false))
+    val probes = probedRows.map(_.getInt(1)).distinct
+    val probedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probedRows, 1), probed.schema)
     val candidates = minusTombstones(spark, dir,
       spark.read.parquet(codesPath(spark, dir)).where(col("cell").isin(probes: _*)))
-    probed.join(candidates, "cell")
+    probedDf.join(candidates, "cell")
       .withColumn("ad2", adcOver(col("tab"), col("codes"), p))
       .groupBy(col("query_id"))
       .agg(call_function("graft_bottom_k",

@@ -400,17 +400,29 @@ object CompactSwap {
     // cur must stay byte-complete for pinned readers until GC
     val snapNames = snapFiles.map(_._2).toSet
     val conf = spark.sparkContext.hadoopConfiguration
-    dataFiles(fs, cur).filterNot(p => snapNames(p._2)).foreach { case (f, rel) =>
-      val dest = new Path(next, rel)
-      fs.mkdirs(dest.getParent)
-      org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dest, false, conf)
-    }
+    def copyLate(): Unit =
+      dataFiles(fs, cur).filterNot(p => snapNames(p._2)).foreach { case (f, rel) =>
+        val dest = new Path(next, rel)
+        if (!fs.exists(dest)) { // idempotent across the two passes
+          fs.mkdirs(dest.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dest, false, conf)
+        }
+      }
+    copyLate()
     // promotion: the sentinel create is the commit point; its CONTENT
     // is the version's file manifest — the immutable set readVersion
     // pins (later appends land in this dir but not in the manifest)
     val sentinel = fs.create(new Path(next, VersionSentinel), true)
     try sentinel.write(dataFiles(fs, next).map(_._2).mkString("\n").getBytes("UTF-8"))
     finally sentinel.close()
+    // SECOND reconcile pass, post-promotion: an in-flight append that
+    // resolved the table path before the sentinel but committed after
+    // the first copy listing landed its files in CUR — which the next
+    // GC would retire. Re-list and copy the stragglers (idempotent:
+    // existence-checked; they are absent from the manifest, exactly
+    // like any post-promotion append). New appends now resolve the
+    // promoted dir, so this pass terminates the handoff.
+    copyLate()
     // GC: retain the `keep` versions behind the new current
     completeVersions(fs, dir, table)
       .filter(v => v <= curV + 1 - keep - 1)
