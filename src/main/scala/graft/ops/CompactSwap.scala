@@ -411,10 +411,17 @@ object CompactSwap {
     copyLate()
     // promotion: the sentinel create is the commit point; its CONTENT
     // is the version's file manifest — the immutable set readVersion
-    // pins (later appends land in this dir but not in the manifest)
-    val sentinel = fs.create(new Path(next, VersionSentinel), true)
+    // pins (later appends land in this dir but not in the manifest).
+    // Written to a tmp name and RENAMED into place: a crash mid-write
+    // must leave NO sentinel (the dir purges as incomplete), never a
+    // truncated manifest that completeVersions would trust and
+    // readVersion would silently pin a subset through.
+    val sentTmp = new Path(next, VersionSentinel + "_tmp")
+    val sentinel = fs.create(sentTmp, true)
     try sentinel.write(dataFiles(fs, next).map(_._2).mkString("\n").getBytes("UTF-8"))
     finally sentinel.close()
+    require(fs.rename(sentTmp, new Path(next, VersionSentinel)),
+      s"compact: could not promote $next (sentinel rename failed)")
     // SECOND reconcile pass, post-promotion: an in-flight append that
     // resolved the table path before the sentinel but committed after
     // the first copy listing landed its files in CUR — which the next
