@@ -211,7 +211,12 @@ object ScaleBench {
     // b = ⌈log2(K/K1)⌉ as a scalar modulus — assignment O(N·d),
     // expect ~linear at EVERY decade where the exact hierarchy goes
     // N^1.5 by the third
-    "e_semdedup_bucketed")
+    "e_semdedup_bucketed",
+    // fresh-serving batch search: store built once (marker), then a
+    // request-sized probe against the pruned codes scan — expect the
+    // e_ivfpq_indexed flat slope; the pinned read is a manifest-file
+    // scan of the compacted fp table — expect ~linear in store size
+    "e_ann_serve_batch", "d_store_pinned_read")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
