@@ -48,24 +48,27 @@ object PqKernel {
     acc
   }
 
-  /** [[d2]] with an early exit: stops accumulating once the partial
-    * sum exceeds `bound` (the returned value is then SOME prefix sum
-    * > bound, not the full distance). Exact-safe for argmin-by-
-    * (q6(d2), id) when bound = bestD + 1.5e-6: the partial is a lower
-    * bound on the final raw d2, and raw > bestD + 1.5e-6 forces
-    * q6(raw) >= bestD + 1e-6 > bestD even across the floor's FP
-    * wobble (|err| ~ 1e-10 at these magnitudes vs the 0.5e-6 slack),
-    * so a skipped candidate can neither win nor tie — and a candidate
-    * that COULD win never triggers the exit, so winners always carry
-    * their full fold-order sum. Turns the K-centroid scan from
-    * O(K·dim) to ~O(K + dim·survivors) per row — the term that
-    * dominates K ∝ N coarse assignment (e_semdedup_kscaled). */
-  @inline final def d2Bounded(a: ArrayData, ao: Int, b: ArrayData, bo: Int,
+  /** [[d2]] over flat decoded arrays with an early exit: stops
+    * accumulating once the partial sum exceeds `bound` (the returned
+    * value is then SOME prefix sum > bound, not the full distance).
+    * Exact-safe for argmin-by-(q6(d2), id) when bound = bestD +
+    * 1.5e-6: the partial is a lower bound on the final raw d2, and
+    * raw > bestD + 1.5e-6 forces q6(raw) >= bestD + 1e-6 > bestD even
+    * across the floor's FP wobble (|err| ~ 1e-10 at these magnitudes
+    * vs the 0.5e-6 slack), so a skipped candidate can neither win nor
+    * tie — and a candidate that COULD win never triggers the exit, so
+    * winners always carry their full left-to-right fold-order sum
+    * (bit-identical to [[d2]] on the same prefix). Turns the
+    * K-centroid scan from O(K·dim) to ~O(K + dim·survivors) per row —
+    * the term that dominates K ∝ N coarse assignment
+    * (e_semdedup_kscaled). The ONE home of the bound/margin contract;
+    * [[IvfCellExpr.eval]] is its caller. */
+  @inline final def d2Bounded(a: Array[Double], b: Array[Double], bo: Int,
                               len: Int, bound: Double): Double = {
     var acc = 0.0
     var i = 0
     while (i < len) {
-      val d = a.getDouble(ao + i) - b.getDouble(bo + i)
+      val d = a(i) - b(bo + i)
       acc = acc + d * d
       if (acc > bound) return acc
       i += 1
@@ -292,20 +295,11 @@ case class IvfCellExpr(ve: Expression, cells: Expression,
     val n = ids.length
     var i = 0
     while (i < n) {
-      // left-to-right fold with the safe early-exit bound: a
-      // candidate whose raw PARTIAL sum exceeds bestD + 1.5e-6
-      // cannot quantize to <= bestD (see d2Bounded's margin note),
-      // so it can neither win nor tie — and any candidate that
-      // could win reaches t == dim with its full fold-order sum
+      // exactness of the early exit lives on PqKernel.d2Bounded (the
+      // bestD + 1.5e-6 margin): an exited candidate can neither win
+      // nor tie, a winner carries its full fold-order sum
       val bound = if (bestIdx < 0) Double.PositiveInfinity else bestD + 1.5e-6
-      val base = i * dim
-      var acc = 0.0
-      var t = 0
-      while (t < dim && acc <= bound) {
-        val d0 = veBuf(t) - flat(base + t)
-        acc = acc + d0 * d0
-        t += 1
-      }
+      val acc = PqKernel.d2Bounded(veBuf, flat, i * dim, dim, bound)
       if (acc <= bound) {
         val d = PqKernel.q6(acc)
         if (bestIdx < 0 || d < bestD || (d == bestD && ids(i) < bestCell)) {

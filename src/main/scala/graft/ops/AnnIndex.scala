@@ -51,6 +51,18 @@ object AnnIndex {
   def build(emb: DataFrame, dir: String, k: Int = 8,
             p: Pq.Params = Pq.Params(),
             cells: Option[DataFrame] = None): Unit = {
+    // build is the FRESH-STORE verb: overwrite semantics extend to
+    // any versioned codes generations a prior lifecycle left behind
+    // (compact promotes codes -> codes_v1 -> codes_v2 ...; see
+    // CompactSwap's versioned-table protocol) — without this purge a
+    // stale sentineled codes_v9 would outrank the fresh flat build.
+    // Purged FIRST (idempotent): purging last left a crash window
+    // between the meta overwrite and the purge where currentTablePath
+    // resolved the OLD codes_v<N> against the NEW meta — an
+    // inconsistent store serving silently wrong results. Purge-first
+    // means a crash can only leave a missing/half-built store, which
+    // the loud missing-table checks catch.
+    CompactSwap.purgeVersions(emb.sparkSession, dir, "codes")
     val cellsRow = cells.getOrElse(Pq.cellsRow(emb, k))
     val assigned = Pq.ivfAssignedWith(emb, cellsRow)
       .select(col("vec_id"), col("cell"),
@@ -60,18 +72,6 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
     cellsRow.crossJoin(cb)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    // build is the FRESH-STORE verb: overwrite semantics extend to
-    // any versioned codes generations a prior lifecycle left behind
-    // (compact promotes codes -> codes_v1 -> codes_v2 ...; see
-    // CompactSwap's versioned-table protocol) — without this purge a
-    // stale sentineled codes_v9 would outrank the fresh flat build
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
-      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
-        if (st.isDirectory && st.getPath.getName.matches("codes_v\\d+"))
-          fs.delete(st.getPath, true)
-      }
   }
 
   /** The CURRENT codes path — flat `codes` until the first compact,

@@ -233,6 +233,55 @@ object CompactSwap {
     }
     fs.create(published, true).close()
     fs.delete(tmp, true)
+    // COMMIT-TIME RE-RESOLVE (versioned tables): this publish
+    // resolved `cur` at call time; if a compact promoted past it
+    // while the write job ran — after compactVersioned's second
+    // reconcile pass — the batch's rows sit only in a retired
+    // version, invisible to currentTablePath readers until the
+    // GC-time reconcile carries them forward. The tag makes the
+    // files identifiable, so close the visibility gap here: if the
+    // current dir moved, copy any tagged file not already accounted
+    // for (present by name, or folded per a successor's _v_folded
+    // record) into the new current. Copy, not move — `cur` must stay
+    // byte-complete for pinned readers. Idempotent vs the compact's
+    // own copyLate (existence-checked, same relative names).
+    reconcilePublished(df.sparkSession, curP, tag)
+  }
+
+  /** The re-resolve half of [[appendExactlyOnce]]'s commit: carry
+    * `tag`'s files from the (possibly retired) `publishedIn` table
+    * dir into the table's CURRENT dir, unless a version above
+    * `publishedIn` already holds them by name or records them as
+    * folded. No-op when `publishedIn` is still current. */
+  private def reconcilePublished(spark: SparkSession, publishedIn: Path,
+                                 tag: String): Unit = {
+    val fs = publishedIn.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = publishedIn.getParent.toString
+    val table = baseTableName(publishedIn.getName)
+    val curNow = new Path(currentTablePath(spark, dir, table))
+    if (curNow == publishedIn) return
+    val v0 = versionOf(publishedIn.getName)
+    val above = completeVersions(fs, dir, table).filter(_ > v0)
+    if (above.isEmpty) return
+    // rel names of this tag's files as published
+    val mine = dataFiles(fs, publishedIn).filter { case (_, rel) =>
+      val m = TaggedName.matcher(rel.split('/').last)
+      m.matches() && m.group(1) == tag
+    }
+    val handled: Set[String] = above.flatMap { v =>
+      val vd = versionPath(dir, table, v)
+      val rec = new Path(vd, FoldedRecord)
+      val folded = if (fs.exists(rec)) readManifest(fs, rec) else Set.empty[String]
+      folded ++ dataFiles(fs, vd).map(_._2)
+    }.toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    mine.filterNot(p => handled(p._2)).foreach { case (f, rel) =>
+      val dest = new Path(curNow, rel)
+      if (!fs.exists(dest)) {
+        fs.mkdirs(dest.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dest, false, conf)
+      }
+    }
   }
 
   // ---- versioned tables: zero-window serving compaction ----------
@@ -273,11 +322,51 @@ object CompactSwap {
     * Spark's parquet reader skips it. */
   val VersionSentinel = "_v_complete"
 
+  /** Record written beside the sentinel: the relative names of the
+    * PREDECESSOR version's data files whose rows were FOLDED into
+    * this version's rewrite output. GC reads it to tell a folded
+    * predecessor file (rows live on under anonymous rewrite names)
+    * from a STRAGGLER — an append that resolved the table path before
+    * a promotion but committed its files after both reconcile passes,
+    * landing rows only in the retired version. Stragglers are carried
+    * forward at GC time instead of deleted (see [[compactVersioned]]'s
+    * final-reconcile note). */
+  val FoldedRecord = "_v_folded"
+
   /** `<table>_v<N>` → `<table>` (sidecars and tag bookkeeping must
     * not fork per version). Store table names must not themselves
     * end in `_v<digits>`. */
   private def baseTableName(name: String): String =
     name.replaceAll("_v\\d+$", "")
+
+  /** Version number encoded in a table dir name (0 for the flat
+    * layout). */
+  private def versionOf(name: String): Int = {
+    val m = java.util.regex.Pattern.compile(".*_v(\\d+)$").matcher(name)
+    if (m.matches()) m.group(1).toInt else 0
+  }
+
+  /** Delete every versioned generation `<table>_v<N>` of `table`
+    * under `dir` — sentineled or not. The FRESH-STORE builds call
+    * this FIRST (before writing the flat tables): without the purge a
+    * stale sentineled `<table>_v9` from a prior lifecycle outranks
+    * the fresh flat build in [[currentTablePath]], and purging LAST
+    * left a crash window where old versions resolved against
+    * freshly-overwritten sibling tables — an inconsistent store
+    * serving silently wrong rows. Purge-first is idempotent and can
+    * only leave a missing/half-built store, which the loud
+    * missing-table checks catch. */
+  def purgeVersions(spark: SparkSession, dir: String, table: String): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(table) + "_v\\d+")
+    if (fs.exists(d))
+      fs.listStatus(d).foreach { st =>
+        if (st.isDirectory && pat.matcher(st.getPath.getName).matches())
+          fs.delete(st.getPath, true)
+      }
+  }
 
   private def versionDirName(table: String, v: Int): String =
     if (v == 0) table else s"${table}_v$v"
@@ -357,7 +446,19 @@ object CompactSwap {
     * GC versions older than `keep` behind the new current. The
     * caller owns the `_compacting` writer gate and any side-table
     * (tombstone) handshake. Same torn-tag refusal as
-    * [[rewriteTable]]. Returns the promoted version number. */
+    * [[rewriteTable]]. Returns the promoted version number.
+    *
+    * Concurrent-append contract: every ordering ends with the rows
+    * present EXACTLY ONCE, with bounded visibility. An append that
+    * commits before/during the two reconcile passes is copied into
+    * the new version (visible immediately). One that commits into an
+    * already-superseded version — the path was resolved before the
+    * promotion, the job finished after both passes — surfaces at
+    * commit time for TAGGED appends ([[appendExactlyOnce]]'s
+    * re-resolve) and at the version's GC at the latest for untagged
+    * ones (the final-reconcile below; until then those rows are in a
+    * retired-but-retained dir, invisible to currentTablePath
+    * readers). Rows are never silently deleted. */
   def compactVersioned(spark: SparkSession, dir: String, table: String,
                        rewrite: DataFrame => DataFrame,
                        write: (DataFrame, String) => Unit,
@@ -409,6 +510,15 @@ object CompactSwap {
         }
       }
     copyLate()
+    // the folded-record (same tmp+rename hygiene as the sentinel):
+    // which of cur's files this fold consumed — the GC-time
+    // reconcile's ground truth for folded-vs-straggler
+    val foldTmp = new Path(next, FoldedRecord + "_tmp")
+    val fout = fs.create(foldTmp, true)
+    try fout.write(snapNames.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally fout.close()
+    require(fs.rename(foldTmp, new Path(next, FoldedRecord)),
+      s"compact: could not write the folded-record in $next")
     // promotion: the sentinel create is the commit point; its CONTENT
     // is the version's file manifest — the immutable set readVersion
     // pins (later appends land in this dir but not in the manifest).
@@ -430,10 +540,42 @@ object CompactSwap {
     // like any post-promotion append). New appends now resolve the
     // promoted dir, so this pass terminates the handoff.
     copyLate()
-    // GC: retain the `keep` versions behind the new current
-    completeVersions(fs, dir, table)
-      .filter(v => v <= curV + 1 - keep - 1)
-      .foreach(v => fs.delete(versionPath(dir, table, v), true))
+    // GC with a FINAL RECONCILE: an append that resolved the table
+    // path before a promotion but committed its files after both
+    // copyLate passes lands rows only in the retired version — which
+    // this GC would otherwise silently delete. Before deleting a
+    // version, re-list it and carry forward any data file that was
+    // neither FOLDED into its successor (the successor's _v_folded
+    // record) nor copied across by name: the straggler copies into
+    // the NEW current dir like a late append (visible to
+    // currentTablePath readers from here on, folded by the next
+    // compact), so every concurrent-append ordering ends with the
+    // rows present exactly once — tagged appends surface immediately
+    // via appendExactlyOnce's own commit-time re-resolve, untagged
+    // ones at this GC at the latest. A successor promoted by code
+    // predating the record skips the reconcile (folded and straggler
+    // files are indistinguishable there; copying would duplicate
+    // rows — the legacy delete is the lesser harm).
+    val vs = completeVersions(fs, dir, table)
+    vs.filter(v => v <= curV + 1 - keep - 1).foreach { v =>
+      vs.find(_ > v).foreach { sv =>
+        val succDir = versionPath(dir, table, sv)
+        val rec = new Path(succDir, FoldedRecord)
+        if (fs.exists(rec)) {
+          val handled = readManifest(fs, rec) ++ dataFiles(fs, succDir).map(_._2)
+          dataFiles(fs, versionPath(dir, table, v))
+            .filterNot(p => handled(p._2))
+            .foreach { case (f, rel) =>
+              val dest = new Path(next, rel)
+              if (!fs.exists(dest)) {
+                fs.mkdirs(dest.getParent)
+                org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dest, false, conf)
+              }
+            }
+        }
+      }
+      fs.delete(versionPath(dir, table, v), true)
+    }
     curV + 1
   }
 

@@ -51,20 +51,19 @@ object DedupIndex {
     * explode) written without any shuffle at all. */
   def build(docs: DataFrame, dir: String, textCol: Column, idCol: Column,
             shingleK: Int = 3, seeds: Int = 4, bands: Int = 4): Unit = {
+    // fresh-store verb: purge versioned generations of a prior
+    // lifecycle (compact promotes fp -> fp_v1 -> ...; AnnIndex.build
+    // convention) so a stale sentineled version can't outrank this.
+    // Purged FIRST — a purge-last crash window left old _v<N> dirs
+    // outranking the fresh flat tables (serving stale rows silently);
+    // purge-first can only leave a missing/half-built store, which
+    // the loud missing-table checks catch.
+    CompactSwap.purgeVersions(docs.sparkSession, dir, "fp")
+    CompactSwap.purgeVersions(docs.sparkSession, dir, "bands")
     docs.select(text.fingerprint(textCol).as("fp")).distinct()
       .write.mode("overwrite").parquet(s"$dir/fp")
     bandRows(docs, textCol, idCol, shingleK, seeds, bands)
       .write.mode("overwrite").parquet(s"$dir/bands")
-    // fresh-store verb: purge versioned generations of a prior
-    // lifecycle (compact promotes fp -> fp_v1 -> ...; AnnIndex.build
-    // convention) so a stale sentineled version can't outrank this
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
-      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
-        if (st.isDirectory && st.getPath.getName.matches("(fp|bands)_v\\d+"))
-          fs.delete(st.getPath, true)
-      }
   }
 
   /** CURRENT path of store table `t` (fp | bands) — flat until the

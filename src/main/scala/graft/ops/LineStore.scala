@@ -39,17 +39,13 @@ object LineStore {
 
   def build(docs: DataFrame, dir: String, textCol: Column, idCol: Column,
             sep: String = "\n"): Unit = {
+    // fresh-store verb: purge versioned generations of a prior
+    // lifecycle FIRST (the AnnIndex.build convention — purge-last
+    // left a crash window where a stale _v<N> outranked the fresh
+    // flat build)
+    CompactSwap.purgeVersions(docs.sparkSession, dir, "counts")
     lineCounts(docs, textCol, idCol, sep)
       .write.mode("overwrite").parquet(s"$dir/counts")
-    // fresh-store verb: purge versioned generations of a prior
-    // lifecycle (the AnnIndex.build convention)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
-      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
-        if (st.isDirectory && st.getPath.getName.matches("counts_v\\d+"))
-          fs.delete(st.getPath, true)
-      }
   }
 
   /** CURRENT counts path — flat until the first compact, counts_v<N>

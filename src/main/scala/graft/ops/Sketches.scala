@@ -190,8 +190,15 @@ object Sketches {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_compacting")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(marker, true).close()
+    // not(coalesce(removed, false)), NOT where(!removed): under SQL
+    // three-valued logic a NULL-keyed group row (legal in groupBy —
+    // rollup subtotals and NULL data keys both produce them) makes
+    // the predicate NULL, and NOT(NULL) = NULL silently DROPS the
+    // survivor row — a takedown of one group would erase every
+    // NULL-keyed group too. NULL-on-the-predicate means "not the
+    // removed group", so those rows are retained.
     try CompactSwap.compactVersioned(spark, dir, "sketches",
-      df => df.where(!removed),
+      df => df.where(not(coalesce(removed, lit(false)))),
       (df, tmp) => df.write.parquet(tmp))
     finally fs.delete(marker, false)
   }

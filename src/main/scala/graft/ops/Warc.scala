@@ -100,12 +100,38 @@ object Warc {
     * positions, which for a plain .warc equal buffer offsets). */
   def recordIterator(in: java.io.InputStream): Iterator[Record] = new Iterator[Record] {
     private var offset = 0L
-    // -2 = no buffered probe; >= 0 = buffered byte; -1 = buffered EOF
-    private var lookahead: Int = -2
+    // Internal read buffer: through MemberGunzip every read() is an
+    // Inflater call (single-byte read() also allocates a 1-element
+    // array per byte), so byte-at-a-time header/payload walks cost
+    // ~one JNI inflate PER BYTE — billions on a ~GB .warc.gz. All
+    // consumption goes through this buffer: header lines take the
+    // cheap in-buffer path, payloads bulk-copy from it and bulk-read
+    // the remainder directly ([[readN]]). `offset` counts CONSUMED
+    // bytes only, so buffering ahead never perturbs record positions.
+    private val buf = new Array[Byte](8192)
+    private var bufPos = 0
+    private var bufLen = 0
+    private var eof = false
+
+    /** Ensure at least one buffered byte; false at EOF. */
+    private def fill(): Boolean = {
+      if (bufPos < bufLen) return true
+      if (eof) return false
+      bufPos = 0
+      bufLen = 0
+      while (bufLen == 0) {
+        val n = in.read(buf)
+        if (n < 0) { eof = true; return false }
+        bufLen = n
+      }
+      true
+    }
 
     private def read1(): Int = {
-      val b = if (lookahead != -2) { val v = lookahead; lookahead = -2; v } else in.read()
-      if (b >= 0) offset += 1
+      if (!fill()) return -1
+      val b = buf(bufPos) & 0xff
+      bufPos += 1
+      offset += 1
       b
     }
 
@@ -135,21 +161,28 @@ object Warc {
             "(2 GiB) — record smuggling or corrupt Content-Length")
       val out = new Array[Byte](n.toInt)
       var got = 0
+      // drain the read buffer first, then BULK-read the remainder
+      // straight off the stream (one inflate call per chunk, not per
+      // byte — the r18-advice hot path for ~GB .warc.gz payloads)
+      val buffered = math.min(bufLen - bufPos, n.toInt - got)
+      if (buffered > 0) {
+        System.arraycopy(buf, bufPos, out, got, buffered)
+        bufPos += buffered
+        got += buffered
+        offset += buffered
+      }
       while (got < n) {
-        val b = read1()
-        if (b < 0)
+        val r = in.read(out, got, n.toInt - got)
+        if (r < 0)
           throw new IllegalArgumentException(
             s"WARC: $what of $n bytes at offset ${offset - got} runs off the stream")
-        out(got) = b.toByte
-        got += 1
+        got += r
+        offset += r
       }
       out
     }
 
-    override def hasNext: Boolean = {
-      if (lookahead == -2) lookahead = in.read()
-      lookahead >= 0
-    }
+    override def hasNext: Boolean = fill()
 
     override def next(): Record = {
       if (!hasNext) throw new NoSuchElementException("WARC: no more records")

@@ -332,4 +332,39 @@ class TakedownSpec extends AnyFunSuite {
     val e = intercept[UnsupportedOperationException] { Sketches.takedown("/tmp/nope") }
     assert(e.getMessage.contains("rebuild"), e.getMessage)
   }
+
+  test("Sketches.takedownGroup retains NULL-keyed survivor groups (three-valued logic)") {
+    // a NULL group key is legal in groupBy (NULL data keys group
+    // together); the takedown predicate evaluates NULL on that row
+    // and a bare where(!removed) would silently erase it alongside
+    // the target group — the bit-identical-to-rebuilt claim breaks
+    val dir = tmp("sk-null-group")
+    val rows = Seq(
+      (Option("click"), 1L), (Option("click"), 2L),
+      (Option("view"), 3L), (Option("view"), 4L),
+      (Option.empty[String], 5L), (Option.empty[String], 6L))
+      .toDF("grp", "uid")
+    rows.groupBy($"grp")
+      .agg(hll_sketch_agg($"uid".cast("string"), lit(12)).as("sk"))
+      .write.mode("overwrite").parquet(s"$dir/sketches")
+    Sketches.takedownGroup(spark, dir, $"grp" === "click")
+    val est = Sketches.estimateStore(spark, dir, Seq("grp"))
+      .where($"gid" === 0)
+      .select($"grp", $"est").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(!est.contains(Option("click")), s"click group must be erased: $est")
+    assert(est.contains(Option.empty[String]),
+      s"NULL-keyed survivor group was dropped by the takedown: $est")
+    assert(est.contains(Option("view")), s"view group must survive: $est")
+    // parity with a store rebuilt over the post-erasure corpus
+    val dirB = tmp("sk-null-group-reb")
+    rows.where(!($"grp" <=> "click")).groupBy($"grp")
+      .agg(hll_sketch_agg($"uid".cast("string"), lit(12)).as("sk"))
+      .write.mode("overwrite").parquet(s"$dirB/sketches")
+    val estB = Sketches.estimateStore(spark, dirB, Seq("grp"))
+      .where($"gid" === 0)
+      .select($"grp", $"est").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(est == estB, s"takedownGroup $est != rebuilt-without $estB")
+  }
 }

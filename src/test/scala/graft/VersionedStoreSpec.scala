@@ -231,4 +231,49 @@ class VersionedStoreSpec extends AnyFunSuite {
       .select($"n_cut").collect()(0).getLong(0)
     assert(cut == 3L, s"probe must see folded + fresh lines, got $cut")
   }
+
+  test("append race: a publish into a superseded version surfaces exactly once (re-resolve + GC reconcile)") {
+    val dir = tmp("graft-vstore-race")
+    val flat = new org.apache.hadoop.fs.Path(dir, "rows")
+    val fs = flat.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(1L, 2L, 3L).toDF("v").write.parquet(flat.toString)
+    def readCur() = spark.read
+      .parquet(CompactSwap.currentTablePath(spark, dir, "rows"))
+      .select($"v").collect().map(_.getLong(0)).sorted.toSeq
+    def compact() = CompactSwap.compactVersioned(spark, dir, "rows",
+      df => df, (df, p) => df.coalesce(1).write.parquet(p))
+
+    compact() // -> rows_v1
+    // TAGGED append published against the RETIRED flat v0 path — the
+    // r18-advice race shape (the append resolved the path, then a
+    // compact finished both reconcile passes before the job
+    // committed). The commit-time re-resolve must carry the rows into
+    // the current version immediately.
+    CompactSwap.appendExactlyOnce(Seq(4L).toDF("v"), flat.toString, "race1")
+    assert(readCur() == Seq(1L, 2L, 3L, 4L),
+      s"tagged stale-publish rows must be visible immediately: ${readCur()}")
+    compact() // -> rows_v2; GC retires v0 — the carried rows must not double
+    assert(readCur() == Seq(1L, 2L, 3L, 4L),
+      s"re-resolved rows doubled across the next compact: ${readCur()}")
+
+    // UNTAGGED straggler: an anonymous part file lands in the retired
+    // v1 (append committed after the handoff, crashed before any
+    // re-resolve). Invisible until GC — then the final reconcile must
+    // carry it forward instead of deleting it.
+    val stage = tmp("graft-vstore-straggler")
+    Seq(5L).toDF("v").coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))(0).getPath
+    require(fs.rename(part,
+      new org.apache.hadoop.fs.Path(CompactSwap.versionPath(dir, "rows", 1),
+        "part-straggler-0001.parquet")))
+    assert(readCur() == Seq(1L, 2L, 3L, 4L),
+      "straggler in a retired version is invisible pre-GC (the recorded window)")
+    compact() // -> rows_v3; GC of v1 reconciles the straggler into v3
+    assert(readCur() == Seq(1L, 2L, 3L, 4L, 5L),
+      s"GC must carry the straggler forward, not delete it: ${readCur()}")
+    compact() // -> rows_v4; the reconciled copy must not double
+    assert(readCur() == Seq(1L, 2L, 3L, 4L, 5L),
+      s"straggler doubled across the next compact: ${readCur()}")
+  }
 }
