@@ -212,6 +212,11 @@ object ScaleBench {
     // expect ~linear at EVERY decade where the exact hierarchy goes
     // N^1.5 by the third
     "e_semdedup_bucketed",
+    // r19: the recall knob ON — radius-1 multi-probe rides a (b+1)
+    // probe-row factor on the pair join (b grows with log N), so
+    // expect the bucketed slope times a slowly-growing log factor,
+    // still linear-class at every decade
+    "e_semdedup_probed",
     // fresh-serving batch search: store built once (marker), then a
     // request-sized probe against the pruned codes scan — expect the
     // e_ivfpq_indexed flat slope; the pinned read is a manifest-file

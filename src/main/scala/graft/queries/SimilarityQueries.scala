@@ -106,6 +106,172 @@ object SimilarityQueries {
   private val BqBits = 16
   private val BqRadius = 5
 
+  // ---- SemDeDup shared machinery (Abbas et al. 2023) ---------------
+  // Three graded confinement forms share these pieces; the multi-probe
+  // family (r19) adds the recall knob: probe Hamming-adjacent residual
+  // buckets so finer confinement stops costing cross-bucket near-dups.
+
+  /** K ∝ N and the residual-bucket bit width b = ⌈log2(K/K1)⌉, from
+    * the corpus's parquet FOOTER count (driver-side metadata read,
+    * zero jobs — the tokenizer-broadcast footer-gate convention). */
+  private def semdedupKb(s: org.apache.spark.sql.SparkSession, d: String): (Long, Int) = {
+    val n = graft.ops.Bpe.parquetRowCount(s, s"$d/embeddings.parquet")
+    val k = math.max(8L, n / SemDedupCbar)
+    (k, math.ceil(math.log(k.toDouble / IvfK) / math.log(2)).toInt.max(0))
+  }
+
+  /** The learned-coarse + residual-LSH fine frame (cell, vec_id, ve,
+    * fb) of the bucketed SemDeDup family, eager-owned (it feeds both
+    * pair-join arms and the keep side), plus the bit width b. */
+  private def semdedupFine(s: org.apache.spark.sql.SparkSession,
+                           d: String): (org.apache.spark.sql.DataFrame, Int) = {
+    val emb = T(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val (_, b) = semdedupKb(s, d)
+    val c2 = graft.ops.Pq.ivfLloydStep(emb,
+      graft.ops.Pq.ivfLloydStep(emb, graft.ops.Pq.cellsRow(emb, IvfK)))
+    val fine = graft.Caches.owned(
+      graft.ops.Pq.ivfAssignedWith(emb, c2)
+        .select(col("cell"), col("vec_id"), col("ve"),
+          (vectors.hyperplaneBucket(
+            zip_with(col("ve"), col("cv"), (x, c) => x - c), 16, Dim)
+            % lit(1L << b)).as("fb")))
+    (fine, b)
+  }
+
+  /** XOR masks of Hamming weight <= r over b bits — the multi-probe
+    * set, generated COMBINATORIALLY (never a 2^b enumeration: b grows
+    * with log(corpus), and 2^27 masks at the 1e11-row scale would be
+    * a driver stall where (27 choose 2) is 352). */
+  private[queries] def hammingMasks(b: Int, r: Int): Seq[Long] = {
+    def combos(start: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (start until b).flatMap(i => combos(i + 1, left - 1).map(_ | (1L << i)))
+    (0 to math.min(r, b)).flatMap(combos(0, _)).distinct.sorted
+  }
+
+  /** Multi-probe drop set over the fine frame: side A explodes to its
+    * probe buckets (fb XOR each mask — |masks| rows per vector, the
+    * b+1 factor at radius 1), the equi-join stays (cell, bucket)-
+    * confined, and each unordered pair within Hamming radius r meets
+    * EXACTLY once (the xor of their buckets is the unique matching
+    * mask; the vec_a < vec_b filter kills the mirrored ordering). */
+  private def semdedupProbedDrop(fine: org.apache.spark.sql.DataFrame,
+                                 masks: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    val a = fine.select(col("cell"),
+      explode(array(masks.map(m => col("fb").bitwiseXOR(lit(m))): _*)).as("pb"),
+      col("vec_id").as("vec_a"), col("ve").as("va"))
+    val bb = fine.select(col("cell"), col("fb").as("pb"),
+      col("vec_id").as("vec_b"), col("ve").as("vb"))
+    a.join(bb, Seq("cell", "pb"))
+      .where(col("vec_a") < col("vec_b") &&
+        qround(vectors.cosine(col("va"), col("vb")), 6) >= 0.40)
+      .select(col("vec_b").as("vec_id")).distinct()
+  }
+
+  /** The K ∝ N EXACT two-level hierarchy: (fine (cell, sub, vec_id,
+    * ve), drop set) — e_semdedup_kscaled's body, shared with the
+    * recall-curve query (whose ground truth it is). Both frames are
+    * eager-owned (concurrent subtrees of one plan). */
+  private def semdedupExact(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val emb = T(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val (k, _) = semdedupKb(s, d)
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val k2 = math.ceil(k.toDouble / k1).toInt
+    val c2 = graft.ops.Pq.ivfLloydStep(emb,
+      graft.ops.Pq.ivfLloydStep(emb, graft.ops.Pq.cellsRow(emb, k1)))
+    val coarse = graft.Caches.owned(graft.ops.Pq.ivfAssignedWith(emb, c2)
+      .select(col("cell"), col("vec_id"), col("ve")))
+    val seeds = graft.ops.Pq.subSeeds(coarse, k2)
+    val m1 = graft.ops.Pq.subLloydStep(coarse, seeds,
+      graft.ops.Pq.subCellsMap(seeds))
+    val fine = graft.Caches.owned(graft.ops.Pq.fineAssigned(coarse, m1)
+      .select(col("cell"), col("sub"), col("vec_id"), col("ve")))
+    val a = fine.select(col("cell"), col("sub"),
+      col("vec_id").as("vec_a"), col("ve").as("va"))
+    val b = fine.select(col("cell"), col("sub"),
+      col("vec_id").as("vec_b"), col("ve").as("vb"))
+    val drop = a.join(b, Seq("cell", "sub"))
+      .where(col("vec_a") < col("vec_b") &&
+        qround(vectors.cosine(col("va"), col("vb")), 6) >= 0.40)
+      .select(col("vec_b").as("vec_id")).distinct()
+    (fine, drop)
+  }
+
+  /** Oracle twin of [[semdedupExact]]'s drop set: the full two-level
+    * CTE chain, every name `p`-prefixed, ending in `${p}xdrop`. */
+  private def semdedupExactCtes(p: String): String = {
+    val kS = s"GREATEST(8, count(*) // $SemDedupCbar)"
+    val k1S = s"CAST(ceil(sqrt(CAST($kS AS DOUBLE))) AS BIGINT)"
+    val k2S = s"CAST(ceil(CAST($kS AS DOUBLE) / $k1S) AS BIGINT)"
+    s"""${kmeansCtesK(2, s"SELECT $k1S FROM embeddings", p)},
+       |${p}af AS (${kmeansAssignSql(2, p)}),
+       |${p}s0 AS (SELECT cell, CAST(row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS INT) AS sub,
+       |         ve AS scv
+       |       FROM ${p}af QUALIFY sub <= (SELECT $k2S FROM embeddings)),
+       |${p}as0 AS (SELECT vec_id, ve, cell, sub FROM (
+       |    SELECT af.vec_id, af.ve, af.cell, s.sub,
+       |      row_number() OVER (PARTITION BY af.vec_id ORDER BY
+       |        ${qroundSql(d2S("af.ve", "s.scv", Dim), 6)} ASC, s.sub ASC) AS rn
+       |    FROM ${p}af af JOIN ${p}s0 s ON s.cell = af.cell) WHERE rn = 1),
+       |${p}msub AS (SELECT cell, sub, i - 1 AS pos,
+       |      CAST(sum(CAST(floor(ve[i] * 1000000 + 0.5e0) AS BIGINT)) AS BIGINT)
+       |        / (1e6 * count(*)) AS c_mean
+       |    FROM ${p}as0, range(1, ${Dim + 1}) t(i) GROUP BY cell, sub, i - 1),
+       |${p}s1 AS (SELECT s.cell, s.sub,
+       |      CASE WHEN count(m.pos) = 0 THEN any_value(s.scv)
+       |           ELSE list(m.c_mean ORDER BY m.pos) END AS scv
+       |    FROM ${p}s0 s LEFT JOIN ${p}msub m ON m.cell = s.cell AND m.sub = s.sub
+       |    GROUP BY s.cell, s.sub),
+       |${p}as1 AS (SELECT vec_id, ve, cell, sub FROM (
+       |    SELECT af.vec_id, af.ve, af.cell, s.sub,
+       |      row_number() OVER (PARTITION BY af.vec_id ORDER BY
+       |        ${qroundSql(d2S("af.ve", "s.scv", Dim), 6)} ASC, s.sub ASC) AS rn
+       |    FROM ${p}af af JOIN ${p}s1 s ON s.cell = af.cell) WHERE rn = 1),
+       |${p}xdrop AS (SELECT DISTINCT b.vec_id
+       |             FROM ${p}as1 a JOIN ${p}as1 b
+       |               ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+       |             WHERE (floor((${cosSql("a.ve", "b.ve")}) * 1000000 + 0.5e0)
+       |                    / 1000000.0e0) >= 0.40)""".stripMargin
+  }
+
+  /** Oracle twin of [[semdedupFine]]: the 8-cell trained chain + the
+    * residual bucket assignment, ending in `${p}fa` (vec_id, ve,
+    * cell, fb) and `${p}kb` (b, mm = 2^b). */
+  private def semdedupBucketedCtes(p: String): String = {
+    val kS = s"CAST(GREATEST(8, count(*) // $SemDedupCbar) AS DOUBLE)"
+    val bS = s"GREATEST(0, CAST(ceil(log2($kS / $IvfK)) AS INT))"
+    s"""${kmeansCtes(2, p)},
+       |${p}kb AS (SELECT $bS AS b, CAST(pow(2, $bS) AS BIGINT) AS mm FROM embeddings),
+       |${p}af AS (${kmeansAssignSql(2, p)}),
+       |${p}afr AS (SELECT af.vec_id, af.ve, af.cell,
+       |          list_transform(range(1, ${Dim + 1}), i -> af.ve[i] - c.cv[i]) AS rv
+       |        FROM ${p}af af JOIN ${p}c2 c ON c.cell = af.cell),
+       |${p}fa AS (SELECT vec_id, ve, cell,
+       |         ${bucketSql("rv", 16)} % (SELECT mm FROM ${p}kb) AS fb
+       |       FROM ${p}afr)""".stripMargin
+  }
+
+  /** Multi-probe drop-set CTE over `${p}fa`: probe masks enumerate
+    * SQL-side (range over 2^b is fine at oracle scale; the Spark side
+    * is combinatorial) and the join mirrors [[semdedupProbedDrop]]
+    * exactly. Emits `${p}pm` once per oracle via `withMasks`. */
+  private def semdedupProbedDropSql(p: String, radius: Int, name: String,
+                                    withMasks: Boolean): String = {
+    val pm = if (!withMasks) "" else
+      s"""${p}pm AS (SELECT m, bit_count(m) AS pc
+         |       FROM (SELECT unnest(range(0, (SELECT mm FROM ${p}kb))) AS m)),
+         |""".stripMargin
+    s"""$pm$name AS (SELECT DISTINCT b.vec_id
+       |          FROM ${p}fa a JOIN ${p}pm p ON p.pc <= $radius
+       |          JOIN ${p}fa b ON b.cell = a.cell AND b.fb = xor(a.fb, p.m)
+       |            AND a.vec_id < b.vec_id
+       |          WHERE (floor((${cosSql("a.ve", "b.ve")}) * 1000000 + 0.5e0)
+       |                 / 1000000.0e0) >= 0.40)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // IVF-style ANN: assign every vector to its nearest centroid cell
@@ -580,70 +746,12 @@ object SimilarityQueries {
     // at the deployment cluster count.
     Q("e_semdedup_kscaled",
       (s, d) => {
-        val emb = T(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
-        val n = graft.ops.Bpe.parquetRowCount(s, s"$d/embeddings.parquet")
-        val k = math.max(8L, n / SemDedupCbar)
-        val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
-        val k2 = math.ceil(k.toDouble / k1).toInt
-        val c2 = graft.ops.Pq.ivfLloydStep(emb,
-          graft.ops.Pq.ivfLloydStep(emb, graft.ops.Pq.cellsRow(emb, k1)))
-        // coarse frame feeds seeds + sub-Lloyd + final assignment —
-        // concurrent subtrees of one plan, so eager-owned (Caches doc)
-        val coarse = graft.Caches.owned(graft.ops.Pq.ivfAssignedWith(emb, c2)
-          .select(col("cell"), col("vec_id"), col("ve")))
-        val seeds = graft.ops.Pq.subSeeds(coarse, k2)
-        val m1 = graft.ops.Pq.subLloydStep(coarse, seeds,
-          graft.ops.Pq.subCellsMap(seeds))
-        // fine frame feeds both pair-join arms + the keep side
-        val fine = graft.Caches.owned(graft.ops.Pq.fineAssigned(coarse, m1)
-          .select(col("cell"), col("sub"), col("vec_id"), col("ve")))
-        val a = fine.select(col("cell"), col("sub"),
-          col("vec_id").as("vec_a"), col("ve").as("va"))
-        val b = fine.select(col("cell"), col("sub"),
-          col("vec_id").as("vec_b"), col("ve").as("vb"))
-        val drop = a.join(b, Seq("cell", "sub"))
-          .where(col("vec_a") < col("vec_b") &&
-            qround(vectors.cosine(col("va"), col("vb")), 6) >= 0.40)
-          .select(col("vec_b").as("vec_id")).distinct()
+        val (fine, drop) = semdedupExact(s, d)
         fine.select(col("vec_id")).join(drop, Seq("vec_id"), "left_anti")
       },
-      Some {
-        val kS = s"GREATEST(8, count(*) // $SemDedupCbar)"
-        val k1S = s"CAST(ceil(sqrt(CAST($kS AS DOUBLE))) AS BIGINT)"
-        val k2S = s"CAST(ceil(CAST($kS AS DOUBLE) / $k1S) AS BIGINT)"
-        s"""${kmeansCtesK(2, s"SELECT $k1S FROM embeddings")},
-           |af AS (${kmeansAssignSql(2)}),
-           |s0 AS (SELECT cell, CAST(row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS INT) AS sub,
-           |         ve AS scv
-           |       FROM af QUALIFY sub <= (SELECT $k2S FROM embeddings)),
-           |as0 AS (SELECT vec_id, ve, cell, sub FROM (
-           |    SELECT af.vec_id, af.ve, af.cell, s.sub,
-           |      row_number() OVER (PARTITION BY af.vec_id ORDER BY
-           |        ${qroundSql(d2S("af.ve", "s.scv", Dim), 6)} ASC, s.sub ASC) AS rn
-           |    FROM af JOIN s0 s ON s.cell = af.cell) WHERE rn = 1),
-           |msub AS (SELECT cell, sub, i - 1 AS pos,
-           |      CAST(sum(CAST(floor(ve[i] * 1000000 + 0.5e0) AS BIGINT)) AS BIGINT)
-           |        / (1e6 * count(*)) AS c_mean
-           |    FROM as0, range(1, ${Dim + 1}) t(i) GROUP BY cell, sub, i - 1),
-           |s1 AS (SELECT s.cell, s.sub,
-           |      CASE WHEN count(m.pos) = 0 THEN any_value(s.scv)
-           |           ELSE list(m.c_mean ORDER BY m.pos) END AS scv
-           |    FROM s0 s LEFT JOIN msub m ON m.cell = s.cell AND m.sub = s.sub
-           |    GROUP BY s.cell, s.sub),
-           |as1 AS (SELECT vec_id, ve, cell, sub FROM (
-           |    SELECT af.vec_id, af.ve, af.cell, s.sub,
-           |      row_number() OVER (PARTITION BY af.vec_id ORDER BY
-           |        ${qroundSql(d2S("af.ve", "s.scv", Dim), 6)} ASC, s.sub ASC) AS rn
-           |    FROM af JOIN s1 s ON s.cell = af.cell) WHERE rn = 1),
-           |sdropped AS (SELECT DISTINCT b.vec_id
-           |             FROM as1 a JOIN as1 b
-           |               ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
-           |             WHERE (floor((${cosSql("a.ve", "b.ve")}) * 1000000 + 0.5e0)
-           |                    / 1000000.0e0) >= 0.40)
-           |SELECT vec_id FROM embeddings
-           |WHERE vec_id NOT IN (SELECT vec_id FROM sdropped)""".stripMargin
-      }),
+      Some(s"""${semdedupExactCtes("")}
+              |SELECT vec_id FROM embeddings
+              |WHERE vec_id NOT IN (SELECT vec_id FROM xdrop)""".stripMargin)),
 
     // SemDeDup BEYOND the exact-hierarchy decade — the shape that
     // stays LINEAR at every measured scale. The two-level exact
@@ -676,48 +784,94 @@ object SimilarityQueries {
     // the cell.
     Q("e_semdedup_bucketed",
       (s, d) => {
-        val emb = T(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
-        val n = graft.ops.Bpe.parquetRowCount(s, s"$d/embeddings.parquet")
-        val k = math.max(8L, n / SemDedupCbar)
-        val b = math.ceil(math.log(k.toDouble / IvfK) / math.log(2)).toInt.max(0)
-        val c2 = graft.ops.Pq.ivfLloydStep(emb,
-          graft.ops.Pq.ivfLloydStep(emb, graft.ops.Pq.cellsRow(emb, IvfK)))
-        val fine = graft.Caches.owned(
-          graft.ops.Pq.ivfAssignedWith(emb, c2)
-            .select(col("cell"), col("vec_id"), col("ve"),
-              (vectors.hyperplaneBucket(
-                zip_with(col("ve"), col("cv"), (x, c) => x - c), 16, Dim)
-                % lit((1L << b))).as("fb")))
-        val a = fine.select(col("cell"), col("fb"),
-          col("vec_id").as("vec_a"), col("ve").as("va"))
-        val bb = fine.select(col("cell"), col("fb"),
-          col("vec_id").as("vec_b"), col("ve").as("vb"))
-        val drop = a.join(bb, Seq("cell", "fb"))
-          .where(col("vec_a") < col("vec_b") &&
-            qround(vectors.cosine(col("va"), col("vb")), 6) >= 0.40)
-          .select(col("vec_b").as("vec_id")).distinct()
+        val (fine, _) = semdedupFine(s, d)
+        val drop = semdedupProbedDrop(fine, Seq(0L))
         fine.select(col("vec_id")).join(drop, Seq("vec_id"), "left_anti")
       },
+      Some(s"""${semdedupBucketedCtes("")},
+              |${semdedupProbedDropSql("", 0, "sdropped", withMasks = true)}
+              |SELECT vec_id FROM embeddings
+              |WHERE vec_id NOT IN (SELECT vec_id FROM sdropped)""".stripMargin)),
+
+    // SemDeDup with the RECALL KNOB ON — the production 100 TB form:
+    // the linear bucketed confinement above trades recall for cost
+    // (finer buckets miss cross-bucket near-dups; measured 61% of the
+    // exact hierarchy's pair mass at sf0.1 with radius 0), and
+    // MULTI-PROBE buys it back the way IVF serving does (the
+    // e_ann_recall/e_ivfpq_probe2 construction applied to the dedup
+    // pair join): side A probes every residual bucket within Hamming
+    // radius 1 of its own — b+1 probe rows per vector, a log-factor
+    // cost rider, the pair join still (cell, bucket)-equi-confined,
+    // NEVER within-cell all-pairs. Radius is the graded knob: the
+    // oracle enumerates the same mask set from the same self-scaling
+    // b, so both engines confine identically; recall-vs-cost across
+    // radii is graded as e_semdedup_recall_curve below and pinned in
+    // ApproxSpec (sf0.1: radius 0 recovers 109/178 of the exact
+    // hierarchy's drops, radius 1 recovers measurably more at ~b+1x
+    // the pair-probe rows). Same min-id / 0.40-quantized-cosine
+    // semantics as every other form — the knob moves WHERE candidates
+    // are confined, never what counts as a duplicate.
+    Q("e_semdedup_probed",
+      (s, d) => {
+        val (fine, b) = semdedupFine(s, d)
+        val drop = semdedupProbedDrop(fine, hammingMasks(b, 1))
+        fine.select(col("vec_id")).join(drop, Seq("vec_id"), "left_anti")
+      },
+      Some(s"""${semdedupBucketedCtes("")},
+              |${semdedupProbedDropSql("", 1, "sdropped", withMasks = true)}
+              |SELECT vec_id FROM embeddings
+              |WHERE vec_id NOT IN (SELECT vec_id FROM sdropped)""".stripMargin)),
+
+    // the recall-vs-cost CURVE, graded: one row per probe radius
+    // r ∈ {0,1,2} — how many docs that confinement drops (n_dropped)
+    // and how many of those the EXACT K ∝ N hierarchy also drops
+    // (overlap_exact — recall of the linear form against the
+    // N^1.5-at-x1000 ground truth it replaces), plus the exact
+    // hierarchy's own row as the denominator. Every count is
+    // deterministic (quantized cosines, equi-confined candidates), so
+    // the whole curve is hash-graded — the b/probes trade a 100 TB
+    // deployment sets its knobs by is a measured artifact, not prose.
+    // The oracle splices BOTH quantizer chains (the x-prefixed exact
+    // hierarchy + the bucketed assignment) into one statement; the
+    // probe masks enumerate from the same self-scaling b on both
+    // sides. Scale note: this query embeds the exact hierarchy as
+    // ground truth, so it inherits that fixture's wall — the
+    // production query is e_semdedup_probed; this one GRADES its
+    // recall (the fixture-scale registry annotation marks it).
+    Q("e_semdedup_recall_curve",
+      (s, d) => {
+        val (fine, b) = semdedupFine(s, d)
+        val exact = graft.Caches.owned(semdedupExact(s, d)._2)
+        val exRow = exact.agg(count(lit(1)).as("n_dropped"))
+          .select(lit("exact_hier").as("method"), lit(-1L).as("radius"),
+            col("n_dropped"), col("n_dropped").as("overlap_exact"))
+        val arms = Seq(0, 1, 2).map { r =>
+          val dropped = graft.Caches.owned(
+            semdedupProbedDrop(fine, hammingMasks(b, r)))
+          dropped.agg(count(lit(1)).as("n_dropped"))
+            .crossJoin(broadcast(
+              dropped.join(exact, Seq("vec_id"), "left_semi")
+                .agg(count(lit(1)).as("overlap_exact"))))
+            .select(lit(s"probe$r").as("method"), lit(r.toLong).as("radius"),
+              col("n_dropped"), col("overlap_exact"))
+        }
+        (exRow +: arms).reduce(_ unionAll _)
+      },
       Some {
-        val kS = s"CAST(GREATEST(8, count(*) // $SemDedupCbar) AS DOUBLE)"
-        val bS = s"GREATEST(0, CAST(ceil(log2($kS / $IvfK)) AS INT))"
-        s"""${kmeansCtes(2)},
-           |af AS (${kmeansAssignSql(2)}),
-           |kb AS (SELECT CAST(pow(2, $bS) AS BIGINT) AS m FROM embeddings),
-           |afr AS (SELECT af.vec_id, af.ve, af.cell,
-           |          list_transform(range(1, ${Dim + 1}), i -> af.ve[i] - c.cv[i]) AS rv
-           |        FROM af JOIN c2 c ON c.cell = af.cell),
-           |fa AS (SELECT vec_id, ve, cell,
-           |         ${bucketSql("rv", 16)} % (SELECT m FROM kb) AS fb
-           |       FROM afr),
-           |sdropped AS (SELECT DISTINCT b.vec_id
-           |             FROM fa a JOIN fa b
-           |               ON a.cell = b.cell AND a.fb = b.fb AND a.vec_id < b.vec_id
-           |             WHERE (floor((${cosSql("a.ve", "b.ve")}) * 1000000 + 0.5e0)
-           |                    / 1000000.0e0) >= 0.40)
-           |SELECT vec_id FROM embeddings
-           |WHERE vec_id NOT IN (SELECT vec_id FROM sdropped)""".stripMargin
+        val drops = Seq(0, 1, 2).map(r =>
+          semdedupProbedDropSql("", r, s"dr$r", withMasks = r == 0))
+          .mkString(",\n")
+        s"""${semdedupExactCtes("x")},
+           |${semdedupBucketedCtes("").stripPrefix("WITH ")},
+           |$drops
+           |SELECT 'exact_hier' AS method, CAST(-1 AS BIGINT) AS radius,
+           |  (SELECT count(*) FROM xxdrop) AS n_dropped,
+           |  (SELECT count(*) FROM xxdrop) AS overlap_exact
+           |${Seq(0, 1, 2).map(r =>
+              s"""UNION ALL SELECT 'probe$r', $r,
+                 |  (SELECT count(*) FROM dr$r),
+                 |  (SELECT count(*) FROM dr$r WHERE vec_id IN (SELECT vec_id FROM xxdrop))"""
+                .stripMargin).mkString("\n")}""".stripMargin
       }),
 
     // PRODUCT QUANTIZATION + asymmetric distance (Jégou et al. 2011):
@@ -1896,29 +2050,32 @@ object SimilarityQueries {
     * (qround(d2), cell) order as the scan-stage argmin), `m{t}`
     * re-means in exact integer space, `c{t}` folds back per-cell
     * lists with the empty-cell keep-previous policy. */
-  private[queries] def kmeansCtes(iters: Int): String =
-    kmeansCtesK(iters, IvfK.toString)
+  private[queries] def kmeansCtes(iters: Int, p: String = ""): String =
+    kmeansCtesK(iters, IvfK.toString, p)
 
   /** [[kmeansCtes]] with the cluster count as a SQL expression — the
     * K ∝ N oracle seam: `kSql` may be a scalar subquery over the
     * corpus itself (e.g. `GREATEST(8, count(*) // c̄)`), so the SAME
     * static oracle string self-scales with the table it grades, the
-    * way the Spark side derives K from the parquet footer count. */
-  private[queries] def kmeansCtesK(iters: Int, kSql: String): String = {
+    * way the Spark side derives K from the parquet footer count.
+    * `p` prefixes every CTE name, so TWO independent k-means chains
+    * (different K) can splice into ONE oracle (the recall-curve
+    * query compares the exact hierarchy against the bucketed form). */
+  private[queries] def kmeansCtesK(iters: Int, kSql: String, p: String = ""): String = {
     val sb = new StringBuilder(
-      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         |c0 AS (SELECT vec_id AS cell, ve AS cv FROM e0 WHERE vec_id BETWEEN 1 AND ($kSql))""".stripMargin)
+      s"""WITH ${p}e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |${p}c0 AS (SELECT vec_id AS cell, ve AS cv FROM ${p}e0 WHERE vec_id BETWEEN 1 AND ($kSql))""".stripMargin)
     for (t <- 1 to iters) sb ++=
       s""",
-         |a${t - 1} AS (${kmeansAssignSql(t - 1)}),
-         |m$t AS (SELECT cell, i - 1 AS pos,
+         |${p}a${t - 1} AS (${kmeansAssignSql(t - 1, p)}),
+         |${p}m$t AS (SELECT cell, i - 1 AS pos,
          |      CAST(sum(CAST(floor(ve[i] * 1000000 + 0.5e0) AS BIGINT)) AS BIGINT)
          |        / (1e6 * count(*)) AS c_mean
-         |    FROM a${t - 1}, range(1, ${Dim + 1}) t(i) GROUP BY cell, i - 1),
-         |c$t AS (SELECT c.cell,
+         |    FROM ${p}a${t - 1}, range(1, ${Dim + 1}) t(i) GROUP BY cell, i - 1),
+         |${p}c$t AS (SELECT c.cell,
          |      CASE WHEN count(m.pos) = 0 THEN any_value(c.cv)
          |           ELSE list(m.c_mean ORDER BY m.pos) END AS cv
-         |    FROM c${t - 1} c LEFT JOIN m$t m ON m.cell = c.cell
+         |    FROM ${p}c${t - 1} c LEFT JOIN ${p}m$t m ON m.cell = c.cell
          |    GROUP BY c.cell)""".stripMargin
     sb.toString
   }
@@ -1926,12 +2083,12 @@ object SimilarityQueries {
   /** Nearest-`c$t`-centroid assignment of the whole corpus —
     * row_number over the same (qround(d2), cell) total order the
     * Spark argmin sorts by. */
-  private[queries] def kmeansAssignSql(t: Int): String =
+  private[queries] def kmeansAssignSql(t: Int, p: String = ""): String =
     s"""SELECT vec_id, ve, cell FROM (
        |    SELECT e0.vec_id, e0.ve, c.cell,
        |      row_number() OVER (PARTITION BY e0.vec_id ORDER BY
        |        ${qroundSql(d2S("e0.ve", "c.cv", Dim), 6)} ASC, c.cell ASC) AS rn
-       |    FROM e0, c$t c) WHERE rn = 1""".stripMargin
+       |    FROM ${p}e0 e0, ${p}c$t c) WHERE rn = 1""".stripMargin
 
   /** The default `e` CTE: raw embeddings as (vec_id, ve). A def, not
     * a val: the oracle strings interpolate during `all`'s eager

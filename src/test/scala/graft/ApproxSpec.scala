@@ -1067,4 +1067,27 @@ class ApproxSpec extends AnyFunSuite {
     }
     assert(eBad.getMessage.contains("nprobe"), eBad.getMessage)
   }
+
+  test("e_semdedup recall curve: multi-probe buys back cross-bucket recall (sf0.1 pinned)") {
+    // sf0.1 is the smallest SF where b > 0 (b = 3: 8 residual buckets
+    // per cell), so the knob is only measurable here. Pins the
+    // numbers the graded hash already guards and asserts the
+    // MONOTONE LIFT the multi-probe construction exists for: each
+    // radius recovers strictly more of the exact hierarchy's dropped
+    // pair mass, at ~(b+1)x / ~(1+b+C(b,2))x the radius-0 probe rows.
+    // probe0 = the shipped e_semdedup_bucketed confinement;
+    // probe1 = the production e_semdedup_probed knob setting.
+    val rows = SparkEntry.allQueries.find(_.name == "e_semdedup_recall_curve").get
+      .fn(spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_dropped"), r.getAs[Long]("overlap_exact"))).toMap
+    graft.Caches.releaseAll()
+    assert(rows("exact_hier") == ((178L, 178L)), s"exact arm: ${rows("exact_hier")}")
+    assert(rows("probe0") == ((109L, 49L)), s"probe0 arm: ${rows("probe0")}")
+    assert(rows("probe1") == ((242L, 112L)), s"probe1 arm: ${rows("probe1")}")
+    assert(rows("probe2") == ((278L, 126L)), s"probe2 arm: ${rows("probe2")}")
+    assert(rows("probe0")._2 < rows("probe1")._2 &&
+      rows("probe1")._2 < rows("probe2")._2,
+      s"multi-probe recall lift must be monotone in radius: $rows")
+  }
 }
