@@ -1090,4 +1090,27 @@ class ApproxSpec extends AnyFunSuite {
       rows("probe1")._2 < rows("probe2")._2,
       s"multi-probe recall lift must be monotone in radius: $rows")
   }
+
+  test("e_semdedup_opq: the learned residual basis lifts recall at the same b (sf0.1 pinned)") {
+    // the graded row keeps the SVD-derived counts out of the hash
+    // (sketch contract); this pins them: at sf0.1 (b = 3) the
+    // OPQ-rotated bucketing drops 124 docs with 57 overlapping the
+    // exact hierarchy, vs the data-independent planes' 109/49 — a
+    // +16% recall lift at the identical bucket count and cost class.
+    // Reads the diag frame the graded query projects from, so the
+    // SVD-derived counts are pinned here while staying out of the
+    // oracle hash.
+    val row = graft.queries.SimilarityQueries
+      .semdedupOpqDiag(spark, "/root/testdata/sf0.1").collect().head
+    graft.Caches.releaseAll()
+    assert(row.getAs[Long]("n_dropped_unrot") == 109L &&
+      row.getAs[Long]("overlap_unrot") == 49L,
+      s"unrotated counts moved: $row")
+    assert(row.getAs[Long]("nd_r") == 124L && row.getAs[Long]("ov_r") == 57L,
+      s"rotated-basis counts moved: $row")
+    assert(row.getAs[Boolean]("qerr_improved") && row.getAs[Boolean]("orthogonal"),
+      s"OPQ residual-basis booleans regressed: $row")
+    assert(row.getAs[Long]("ov_r") > row.getAs[Long]("overlap_unrot"),
+      s"the learned basis must lift recall at b=3: $row")
+  }
 }
