@@ -231,7 +231,23 @@ object ScaleBench {
     // e.g. the x100 second-decade run curates out the shingle-join
     // pair whose spill exceeds this box's disk at 50M shingle rows
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val family = only.fold(Family)(o => Family.filter(o.contains))
+    val preFixture = only.fold(Family)(o => Family.filter(o.contains))
+    // SCALE-CLASS ENFORCEMENT (SparkEntry.scaleOverrides): fixture
+    // forms are excluded from decade sweeps past their documented
+    // wall — LOUDLY (never a silent cap), with an explicit dev
+    // override for re-measuring a wall on purpose. factor is parsed
+    // before the session spins up so the exclusion is visible first.
+    val wallOf = SparkEntry.scaleClasses.collect {
+      case (n, s) if s.startsWith("fixture@x") =>
+        n -> s.stripPrefix("fixture@x").toDouble
+    }
+    val includeFixtures = sys.env.contains("SPARK_GRAFT_INCLUDE_FIXTURES")
+    val (excluded, family) = preFixture.partition(n =>
+      !includeFixtures && wallOf.get(n).exists(_ < factor))
+    if (excluded.nonEmpty)
+      println(s"[scalebench] EXCLUDED past their documented fixture wall at x$factor: " +
+        excluded.map(n => s"$n (${SparkEntry.scaleClasses(n)})").mkString(", ") +
+        " — set SPARK_GRAFT_INCLUDE_FIXTURES=1 to re-measure a wall deliberately")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -58,6 +58,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the scale-class map (SparkEntry.scaleClasses — default `linear`,
+    // fixture walls marked) rides beside the oracle dump so the
+    // grading artifacts say which forms ship at scale; always the
+    // FULL registry (metadata, not a per-query result)
+    Files.writeString(Paths.get(s"$outDir/scale_class.json"),
+      SparkEntry.scaleClasses.toSeq.sorted
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -22,6 +22,32 @@ mapped = set(re.findall(r'q:`([a-z0-9_]+)`', open(COV).read()))
 unmapped = sorted(names - mapped)
 stale = sorted(mapped - names)
 print(f"{len(names)} registered queries, {len(mapped)} q:` rows in {COV}")
+
+# Scale-class cross-check (r19): SparkEntry.scaleOverrides is the
+# machine-readable fixture registry (every other query defaults to
+# `linear`, so the field structurally exists for all). Validate that
+# (a) every override names a registered query, (b) COVERAGE.md's
+# "Scale classes" table lists exactly the override set, (c) the
+# vocabulary is closed.
+entry_src = open("src/main/scala/graft/SparkEntry.scala").read()
+m = re.search(r"val scaleOverrides[^=]*=\s*Map\((.*?)def scaleClasses",
+              entry_src, re.S)
+overrides = dict(re.findall(r'"([a-z0-9_]+)"\s*->\s*"([a-z0-9@x]+)"',
+                            m.group(1) if m else ""))
+bad_vocab = {k: v for k, v in overrides.items()
+             if not re.fullmatch(r"linear|flat|fixture@x\d+", v)}
+ghost = sorted(set(overrides) - names)
+cov_scale = dict(re.findall(r"scale:`([a-z0-9_]+)`\s*=\s*`([a-z0-9@x]+)`",
+                            open(COV).read()))
+scale_mismatch = overrides != cov_scale
+print(f"scale classes: {len(names) - len(overrides)} linear (default), "
+      f"{len(overrides)} overrides ({', '.join(sorted(overrides))})")
+if bad_vocab:
+    print(f"SCALE VOCAB INVALID: {bad_vocab}")
+if ghost:
+    print(f"SCALE OVERRIDE FOR UNREGISTERED QUERY: {ghost}")
+if scale_mismatch:
+    print(f"SCALE TABLE OUT OF SYNC: source={overrides} COVERAGE.md={cov_scale}")
 if unmapped:
     print("UNMAPPED (registered but no COVERAGE row):")
     for n in unmapped:
@@ -34,4 +60,4 @@ m = re.search(r"(\d+) registered queries", open(COV).read())
 if m and int(m.group(1)) != len(names):
     print(f"HEADER COUNT STALE: says {m.group(1)}, registry has {len(names)}")
     sys.exit(1)
-sys.exit(1 if (unmapped or stale) else 0)
+sys.exit(1 if (unmapped or stale or bad_vocab or ghost or scale_mismatch) else 0)
