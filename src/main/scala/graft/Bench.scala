@@ -246,8 +246,52 @@ object Bench {
     val fullAll = results.map { case (k, (_, _, ts)) =>
       s"${q(k)}:${ts.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val buildJson = buildCosts.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    // DRIFT-CONTROL MERGE (r19): tools/drift.py persists its DuckDB
+    // control measurement to drift_control.json; folding it in HERE
+    // makes the adjudication fields clobber-proof — every bench run
+    // re-emits control_total/control_queries verbatim and recomputes
+    // ratio_queries/family_ratio against its own fresh warm times
+    // (a stale ratio vs a new run would adjudicate nothing).
+    val controlJson: String = {
+      val f = new java.io.File("drift_control.json")
+      if (!f.isFile) "" else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = om.readTree(f)
+        val cq = node.get("control_queries")
+        val control = scala.collection.mutable.LinkedHashMap[String, Double]()
+        if (cq != null) cq.fields().forEachRemaining { e =>
+          control(e.getKey) = e.getValue.asDouble()
+        }
+        val warmByName = results.collect {
+          case (n, (_, w, _)) if w >= 0 => n -> w
+        }.toMap
+        val ratios = control.toSeq.collect {
+          case (n, c) if c > 0 && warmByName.contains(n) =>
+            n -> math.round(warmByName(n) / c * 1000) / 1000.0
+        }
+        val fams = ratios.groupBy { case (n, _) =>
+          n.split("_", 2)(0).filter(_.isLetter) match {
+            case "" => n.split("_", 2)(0); case s => s }
+        }
+        def median(xs: Seq[Double]): Double = {
+          val s = xs.sorted
+          val m = if (s.size % 2 == 1) s(s.size / 2)
+            else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+          math.round(m * 1000) / 1000.0
+        }
+        val famJson = fams.toSeq.sortBy(_._1).map { case (fm, rs) =>
+          s"${q(fm)}:${median(rs.map(_._2))}" }.mkString("{", ",", "}")
+        val ratioJson = ratios.map { case (n, r) => s"${q(n)}:$r" }.mkString("{", ",", "}")
+        val cqJson = control.map { case (n, c) => s"${q(n)}:$c" }.mkString("{", ",", "}")
+        def str(k: String) = Option(node.get(k)).map(_.asText()).getOrElse("")
+        s""","control_total":${Option(node.get("control_total")).map(_.asDouble()).getOrElse(0.0)},"control_queries":$cqJson,"ratio_queries":$ratioJson,"family_ratio":$famJson,"control_engine":${q(str("control_engine"))},"control_version":${q(str("control_version"))},"control_threads":${Option(node.get("control_threads")).map(_.asInt()).getOrElse(0)},"control_sf":${q(str("control_sf"))}"""
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] drift_control.json merge failed: ${e.getMessage}")
+        ""
+      }
+    }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","methodology":"$methodology","repeat":$repeat,"queries":$fullQs,"warm_total":$warmTotal,"warm_queries":$fullWarm,"all_times":$fullAll,"build_costs":$buildJson,"failed":${errors.size},"errors":$fullErrJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","methodology":"$methodology","repeat":$repeat,"queries":$fullQs,"warm_total":$warmTotal,"warm_queries":$fullWarm,"all_times":$fullAll,"build_costs":$buildJson,"failed":${errors.size},"errors":$fullErrJson,"sf":"$sfDir"$controlJson}"""
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()

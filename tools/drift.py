@@ -22,6 +22,7 @@ Usage:
   python3 tools/drift.py <sfDir> <bench_full.json> <oracle_sql.json> [threads]
 """
 import json
+import os
 import statistics
 import sys
 import time
@@ -64,19 +65,28 @@ def main():
         fams.setdefault(fam, []).append(r)
     family_ratio = {f: round(statistics.median(rs), 3)
                     for f, rs in sorted(fams.items())}
-    bench.update({
+    control = {
         "control_total": round(sum(times.values()), 1),
         "control_queries": times,
         "control_failed": failed,
-        "ratio_queries": ratios,
-        "family_ratio": family_ratio,
         "control_engine": "duckdb",
         "control_version": duckdb.__version__,
         "control_threads": threads,
         "control_sf": sf,
-    })
+    }
+    bench.update(control)
+    bench.update({"ratio_queries": ratios, "family_ratio": family_ratio})
     with open(bench_path, "w") as f:
         json.dump(bench, f)
+    # SIDECAR (r19): the control measurement survives bench re-runs —
+    # graft.Bench reads drift_control.json at write time, merges the
+    # control_* fields into bench_full.json and recomputes the ratio
+    # fields against ITS OWN warm times, so a post-drift bench run
+    # refreshes (never clobbers) the adjudication artifact.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(bench_path)),
+                           "drift_control.json")
+    with open(sidecar, "w") as f:
+        json.dump(control, f)
     print(json.dumps({
         "metric": "drift",
         "spark_warm_total": round(sum(v for v in warm.values() if v >= 0), 1),
