@@ -635,6 +635,93 @@ object CompactSwap {
     else (files, Some(spark.read.parquet(files.map(_.toString): _*)))
   }
 
+  // ---- as-of pins: version-aware replay handles ------------------
+
+  private def pinPath(dir: String, pin: String) = new Path(dir, s"_asof_$pin")
+
+  /** Record the CURRENT state of `tables` under store `dir` as pin
+    * `pin` — the VERSION-AWARE replay handle (r19, closing the
+    * SURVEY §16.22 divergence rule): a stream batch pins its
+    * as-of-start file listings BEFORE its first probe, and a replay
+    * reads exactly the pinned files, so the recompute — and hence the
+    * sink re-emission — is bit-equal to attempt 1 EVEN IF a compact
+    * folded the stores in between (the versioned compact leaves
+    * retired versions on disk until GC, so the pinned files survive
+    * `keep` compacts; the old excludeTag reconstruction could not
+    * survive even one, because a fold anonymizes the tag's files).
+    *
+    * Idempotent: an existing pin (the first attempt's) is left
+    * untouched. Files published by `excludeTag` are omitted — the
+    * batch's own first-attempt files must never count as pre-batch
+    * state. Written tmp+rename so a crash mid-write leaves no
+    * half-pin. Flat (unpartitioned) store tables only, like
+    * [[readExcludingTag]]. Callers drop the pin after their batch
+    * marker commits ([[dropPin]]). */
+  def pinAsOf(spark: SparkSession, dir: String, tables: Seq[String],
+              pin: String, excludeTag: String): Unit = {
+    require(pin.matches(TagCharset), s"pin must match $TagCharset, got '$pin'")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = pinPath(dir, pin)
+    if (fs.exists(p)) return
+    val lines = tables.flatMap { t =>
+      val cur = new Path(currentTablePath(spark, dir, t))
+      val drop = taggedFiles(fs, cur, excludeTag).map(_.toString).toSet
+      val files =
+        if (!fs.exists(cur)) Seq.empty
+        else fs.listStatus(cur).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".") && !drop(f.getPath.toString))
+          .map(_.getPath.toString)
+      require(files.nonEmpty,
+        s"pinAsOf($pin): table '$t' under $dir has no data files — " +
+          "the store was never built; run build/buildIfAbsent before streaming")
+      files.map(f => s"$t|$f")
+    }
+    val tmp = new Path(dir, s"_asof_${pin}_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, p), s"pinAsOf: could not commit pin $p")
+  }
+
+  /** Read `table` exactly as pin `pin` recorded it. Loud when a
+    * pinned file is gone: more than `keep` compacts retired it —
+    * the operational rule is now "restart a crashed stream within
+    * `keep` compacts of its stores", mechanically checkable here
+    * instead of silently divergent. */
+  def readPinned(spark: SparkSession, dir: String, pin: String,
+                 table: String): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = pinPath(dir, pin)
+    require(fs.exists(p), s"as-of pin '$pin' missing under $dir — " +
+      "pinAsOf runs before the first probe, so a missing pin means this is " +
+      "not a replay (or the pin was dropped after the batch committed)")
+    val files = readManifest(fs, p).toSeq
+      .filter(_.startsWith(s"$table|")).map(_.substring(table.length + 1))
+    require(files.nonEmpty,
+      s"as-of pin '$pin' holds no files for table '$table' under $dir")
+    val missing = files.filterNot(f => fs.exists(new Path(f)))
+    require(missing.isEmpty,
+      s"as-of pin '$pin' references retired files of '$table' under $dir " +
+        s"(${missing.take(3).mkString(", ")}${if (missing.size > 3) ", …" else ""}) — " +
+        "more than `keep` compacts ran since the pin; the replay cannot " +
+        "reconstruct its as-of-start store (raise `keep`, or drain replays " +
+        "before compacting this often)")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Whether pin `pin` exists under `dir`. */
+  def hasPin(spark: SparkSession, dir: String, pin: String): Boolean = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(pinPath(dir, pin))
+  }
+
+  /** Drop pin `pin` — called after the batch's idempotency marker
+    * commits (an orphaned pin is harmless: bytes of file names). */
+  def dropPin(spark: SparkSession, dir: String, pin: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(pinPath(dir, pin), false)
+  }
+
   /** Read parquet table `cur` EXCLUDING the files `tag` published —
     * the store AS OF the tagged batch's start. The replay-recompute
     * half of [[appendExactlyOnce]]: a replayed batch that probes the

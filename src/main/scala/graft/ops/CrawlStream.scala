@@ -29,13 +29,14 @@ import org.apache.spark.sql.functions._
   * batch's replay a no-op (the [[DedupIndex.ingestStream]]
   * convention), and the TORN window the marker alone leaves open — a
   * crash after a store append but before the marker — is closed on
-  * BOTH sides: the replayed batch recomputes against each store AS
-  * OF batch start (`excludeTag` skips its own first-attempt files,
-  * so the kept set equals the first attempt's instead of
-  * self-matching to empty), and the tagged appends
-  * ([[CompactSwap.appendExactlyOnce]]) re-publish the identical
-  * partial under the same deterministic file names instead of
-  * doubling it (the line store's additive counts would otherwise
+  * BOTH sides: the batch PINS each store's as-of-start file listing
+  * before its first probe ([[CompactSwap.pinAsOf]], r19 — the
+  * version-aware replay handle), so the replayed batch recomputes
+  * against exactly the files attempt 1 read (the kept set equals the
+  * first attempt's instead of self-matching to empty), and the
+  * tagged appends ([[CompactSwap.appendExactlyOnce]]) re-publish the
+  * identical partial under the same deterministic file names instead
+  * of doubling it (the line store's additive counts would otherwise
   * drift toward the scrub threshold; a compaction that already
   * folded the torn batch is detected via the published sidecar and
   * the republish skipped). A kept-frame localCheckpoint severs the
@@ -45,15 +46,15 @@ import org.apache.spark.sql.functions._
   * store's recorded contract. Emissions == the sequential batch
   * composition of the same ops (spec-pinned in DedupSpec). Replay
   * delivery to `sink` is AT-LEAST-ONCE with re-emissions
-  * bit-identical to the first attempt's rows (the as-of-start
-  * recompute), under the recorded operational rule on
-  * [[CompactSwap.appendExactlyOnce]]: do not compact a crashed
-  * stream's stores before restarting it — a compaction can fold a
-  * complete-but-unmarked batch, after which the replay's recompute
-  * (and hence its re-emission) can diverge even though the STORE
-  * stays correct (the sidecar skip prevents any re-append).
-  * Downstream sinks key on (checkpoint, batchId) if they need
-  * exactly-once.
+  * bit-identical to the first attempt's rows: the pinned files
+  * survive compaction (the versioned compact retains retired
+  * versions for `keep` generations before GC), so a compact between
+  * a crash and its restart no longer diverges the re-emission — the
+  * old "do not compact a crashed stream's stores before restarting"
+  * rule relaxes to "restart within `keep` compacts", and exceeding
+  * it fails LOUDLY at the pinned read instead of silently emitting
+  * different rows. Downstream sinks key on (checkpoint, batchId) if
+  * they need exactly-once.
   */
 object CrawlStream {
 
@@ -80,17 +81,27 @@ object CrawlStream {
           val extracted = extract(batch).localCheckpoint()
           val tag = s"${ckptTag}_b$batchId"
           try {
-            // excludeTag on BOTH probes: a torn-batch replay
-            // recomputes against each store as of batch start, so the
-            // replayed kept set equals the first attempt's instead of
-            // self-matching to empty (which the tagged re-append
-            // would then publish, erasing the batch)
+            // VERSION-AWARE as-of pins, taken BEFORE the first probe
+            // (r19, closing the SURVEY §16.22 divergence rule): the
+            // batch records each store's exact file listing, and a
+            // torn-batch replay recomputes against the PINNED
+            // listing — bit-equal to attempt 1 even if a compact
+            // folded the stores between crash and restart (the
+            // versioned compact retains retired files for `keep`
+            // generations; the old excludeTag reconstruction
+            // diverged there because a fold anonymizes the tag's
+            // files). Idempotent: a replay finds attempt 1's pin and
+            // reads exactly what attempt 1 read. Tombstone reads
+            // stay FRESH by contract (takedowns are not stream
+            // batches and must suppress immediately).
+            CompactSwap.pinAsOf(spark, lineDir, Seq("counts"), tag, tag)
+            CompactSwap.pinAsOf(spark, dedupDir, Seq("fp", "bands"), tag, tag)
             val scrubbed = gate(LineStore.scrubDelta(spark, extracted, lineDir,
-                col("text"), col(idCol), sep, excludeTag = Some(tag))
+                col("text"), col(idCol), sep, asOfPin = Some(tag))
               .select(col(idCol), col("clean_text").as("text")))
             val kept = DedupIndex.deltaKeep(spark, scrubbed, dedupDir,
               col("text"), col(idCol), shingleK, seeds, bands, matchMin, maxBucket,
-              excludeTag = Some(tag))
+              asOfPin = Some(tag))
               .localCheckpoint()
             try {
               sink(kept, batchId)
@@ -106,6 +117,11 @@ object CrawlStream {
             } finally kept.unpersist()
           } finally extracted.unpersist()
           fs.create(marker, true).close()
+          // the marker commits the batch — its as-of pins are dead
+          // weight now (a crash between marker and here leaves
+          // harmless orphans: bytes of file names)
+          CompactSwap.dropPin(spark, lineDir, tag)
+          CompactSwap.dropPin(spark, dedupDir, tag)
         }
       }
       .start()

@@ -461,10 +461,11 @@ object DedupIndex {
                 matchMin: Int = 3, maxBucket: Int = Int.MaxValue,
                 excludeTag: Option[String] = None,
                 maxBroadcastRows: Long = Bpe.DefaultMaxBroadcastRows,
-                knownDeltaRows: Option[Long] = None): DataFrame =
+                knownDeltaRows: Option[Long] = None,
+                asOfPin: Option[String] = None): DataFrame =
     deltaKeepFull(spark, delta, dir, textCol, idCol,
       shingleK, seeds, bands, matchMin, maxBucket, excludeTag,
-      maxBroadcastRows, knownDeltaRows).kept
+      maxBroadcastRows, knownDeltaRows, asOfPin).kept
 
   /** As [[deltaKeep]], additionally returning the dropped-bucket
     * side-channel — see [[DeltaKeep]]. `excludeTag`: probe the store
@@ -480,7 +481,8 @@ object DedupIndex {
                     matchMin: Int = 3, maxBucket: Int = Int.MaxValue,
                     excludeTag: Option[String] = None,
                     maxBroadcastRows: Long = Bpe.DefaultMaxBroadcastRows,
-                    knownDeltaRows: Option[Long] = None): DeltaKeep = {
+                    knownDeltaRows: Option[Long] = None,
+                    asOfPin: Option[String] = None): DeltaKeep = {
     require(matchMin >= 1 && matchMin <= seeds,
       s"matchMin must be in [1, seeds=$seeds], got $matchMin")
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
@@ -506,9 +508,14 @@ object DedupIndex {
       require(CompactSwap.currentVersion(spark, dir, t).isDefined,
         s"no dedup store table '$t' under $dir — run build/buildIfAbsent first " +
           "(a half-built dir means a crashed build: buildIfAbsent self-heals it)")
-    def readTable(t: String) = excludeTag match {
-      case Some(tag) => CompactSwap.readExcludingTag(spark, tablePath(spark, dir, t), tag)
-      case None => spark.read.parquet(tablePath(spark, dir, t))
+    // asOfPin (version-aware, survives a compact between crash and
+    // restart) takes precedence over the legacy excludeTag
+    // reconstruction — see CompactSwap.pinAsOf
+    def readTable(t: String) = (asOfPin, excludeTag) match {
+      case (Some(pin), _) => CompactSwap.readPinned(spark, dir, pin, t)
+      case (None, Some(tag)) =>
+        CompactSwap.readExcludingTag(spark, tablePath(spark, dir, t), tag)
+      case (None, None) => spark.read.parquet(tablePath(spark, dir, t))
     }
     // tombstones ([[takedown]]) anti-join the store scans before any
     // other probe work — in particular before the density cap's

@@ -200,21 +200,27 @@ object LineStore {
     * re-agg is doc-sized. */
   def scrubDelta(spark: SparkSession, batch: DataFrame, dir: String,
                  textCol: Column, idCol: Column, sep: String = "\n",
-                 minDocs: Int = 2, excludeTag: Option[String] = None): DataFrame = {
+                 minDocs: Int = 2, excludeTag: Option[String] = None,
+                 asOfPin: Option[String] = None): DataFrame = {
     require(minDocs >= 2, s"minDocs >= 2, got $minDocs")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(CompactSwap.currentVersion(spark, dir, "counts").isDefined,
       s"no line store under $dir — run build/buildIfAbsent first " +
         "(a half-built dir means a crashed build: buildIfAbsent self-heals it)")
-    // excludeTag: the store AS OF a tagged batch's start — a replayed
-    // stream batch must not count its OWN first-attempt partial
+    // asOfPin (preferred, version-aware): read EXACTLY the files the
+    // batch pinned at its first attempt's start — survives a compact
+    // between crash and restart (CompactSwap.pinAsOf). excludeTag:
+    // the legacy reconstruction (skip the batch's own first-attempt
+    // partial) — replay-stable only while no compact folded the tag.
+    // Either way a replayed batch must not count its OWN partial
     // toward the threshold (it would scrub lines its first attempt
-    // kept, emitting different text than the committed attempt)
-    val store = excludeTag match {
-      case Some(tag) => CompactSwap.readExcludingTag(spark,
+    // kept, emitting different text than the committed attempt).
+    val store = (asOfPin, excludeTag) match {
+      case (Some(pin), _) => CompactSwap.readPinned(spark, dir, pin, "counts")
+      case (None, Some(tag)) => CompactSwap.readExcludingTag(spark,
         countsPath(spark, dir), tag)
-      case None => spark.read.parquet(countsPath(spark, dir))
+      case (None, None) => spark.read.parquet(countsPath(spark, dir))
     }
     val lines = batch.select(idCol.as("doc_id"),
       split(textCol, java.util.regex.Pattern.quote(sep)).as("ls"))

@@ -232,6 +232,77 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(cut == 3L, s"probe must see folded + fresh lines, got $cut")
   }
 
+  test("as-of pins: torn-batch replay emissions are bit-equal ACROSS a concurrent compact") {
+    // the SURVEY §16.22 divergence rule, closed: attempt 1 completes
+    // its appends but crashes before the marker; a compact then FOLDS
+    // the stores (anonymizing the tag's files — the case excludeTag
+    // cannot reconstruct); the replay must still recompute the exact
+    // first-attempt frames, because it reads the PINNED as-of-start
+    // listings, whose files the versioned compact left on disk.
+    import graft.ops.{CompactSwap, DedupIndex, LineStore}
+    val lineDir = tmp("graft-pin-line")
+    val dedupDir = tmp("graft-pin-dedup")
+    val corpus = Seq(
+      (1L, "seed doc line\nshared boiler line"),
+      (2L, "another seed\nshared boiler line")).toDF("doc_id", "text")
+    LineStore.build(corpus, lineDir, $"text", $"doc_id")
+    DedupIndex.build(corpus, dedupDir, $"text", $"doc_id")
+    val batch = Seq(
+      (101L, "fresh crawl words here\nshared boiler line"),
+      (102L, "seed doc line\nshared boiler line")) // near the stored content
+      .toDF("doc_id", "text")
+    val tag = "ckpt_b7"
+    // the CrawlStream batch body (extract = identity here), pins first
+    def batchBody(): (Seq[(Long, String)], Seq[(Long, String)]) = {
+      CompactSwap.pinAsOf(spark, lineDir, Seq("counts"), tag, tag)
+      CompactSwap.pinAsOf(spark, dedupDir, Seq("fp", "bands"), tag, tag)
+      val scrubbed = LineStore.scrubDelta(spark, batch, lineDir, $"text", $"doc_id",
+          asOfPin = Some(tag))
+        .select($"doc_id", $"clean_text".as("text"))
+      val kept = DedupIndex.deltaKeep(spark, scrubbed, dedupDir, $"text", $"doc_id",
+        asOfPin = Some(tag)).localCheckpoint()
+      val out = (scrubbed.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted,
+        kept.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted)
+      LineStore.append(batch, lineDir, $"text", $"doc_id", tag = Some(tag))
+      DedupIndex.append(kept, dedupDir, $"text", $"doc_id", tag = Some(tag))
+      kept.unpersist()
+      out
+    }
+    val (scrub1, kept1) = batchBody()
+    assert(kept1.nonEmpty, "fixture: some batch doc must survive attempt 1")
+    // ---- crash before the marker; a COMPACT folds both stores ----
+    LineStore.compact(spark, lineDir)
+    DedupIndex.compact(spark, dedupDir)
+    // the folded current tables carry no tag files any more — the
+    // legacy excludeTag reconstruction is now blind to attempt 1
+    val curCounts = spark.read.parquet(
+      CompactSwap.currentTablePath(spark, lineDir, "counts"))
+    assert(curCounts.columns.nonEmpty) // folded store readable
+    // ---- the replay: pinned recompute must equal attempt 1 ----
+    val (scrub2, kept2) = batchBody()
+    assert(scrub2 == scrub1,
+      "replayed scrub diverged from attempt 1 across the compact")
+    assert(kept2 == kept1,
+      "replayed kept set diverged from attempt 1 across the compact " +
+        "(empty = the replay saw its own folded fingerprints)")
+    // marker commit drops the pins
+    CompactSwap.dropPin(spark, lineDir, tag)
+    CompactSwap.dropPin(spark, dedupDir, tag)
+    assert(!CompactSwap.hasPin(spark, lineDir, tag))
+    // a SECOND compact GCs the pinned generation; a late replay now
+    // fails LOUDLY instead of silently diverging ("restart within
+    // `keep` compacts" is mechanically checked)
+    CompactSwap.pinAsOf(spark, lineDir, Seq("counts"), "stale_pin", "stale_pin")
+    LineStore.append(Seq((301L, "more lines")).toDF("doc_id", "text"),
+      lineDir, $"text", $"doc_id")
+    LineStore.compact(spark, lineDir)
+    LineStore.compact(spark, lineDir)
+    val e = intercept[IllegalArgumentException] {
+      CompactSwap.readPinned(spark, lineDir, "stale_pin", "counts").count()
+    }
+    assert(e.getMessage.contains("retired files"), e.getMessage)
+  }
+
   test("append race: a publish into a superseded version surfaces exactly once (re-resolve + GC reconcile)") {
     val dir = tmp("graft-vstore-race")
     val flat = new org.apache.hadoop.fs.Path(dir, "rows")
