@@ -284,6 +284,32 @@ object DedupIndex {
     * batch-internal duplicates are NOT collapsed (same contract as
     * [[deltaKeep]]); order across batches is the arrival order, so
     * the keep-set is deterministic per batch sequence. */
+  /** READ-SIDE serving loop (r19) — the [[AnnIndex.serveStream]]
+    * symmetric for the dedup store: probe a stream of doc batches
+    * against the persisted store WITHOUT mutating it (no append, no
+    * markers — the probe is read-only, so replay idempotency needs
+    * nothing beyond the sink's own keying). Each micro-batch
+    * re-resolves the store via [[deltaKeep]] (current table paths,
+    * fresh tombstones), so a takedown, append, ingest-stream batch,
+    * or versioned compact landing after stream start reflects in the
+    * NEXT batch's answers. Use [[ingestStream]]/[[CrawlStream]] when
+    * the batch should also be ABSORBED; use this when a serving
+    * front end asks "which of these docs are new?" without admitting
+    * them to the lake. */
+  def serveStream(spark: SparkSession, docs: DataFrame, dir: String,
+                  textCol: Column, idCol: Column,
+                  shingleK: Int = 3, seeds: Int = 4, bands: Int = 4,
+                  matchMin: Int = 3, maxBucket: Int = Int.MaxValue,
+                  checkpoint: Option[String] = None)
+                 (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = docs.writeStream.outputMode("append")
+    val w = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(deltaKeep(spark, batch, dir, textCol, idCol,
+        shingleK, seeds, bands, matchMin, maxBucket), batchId)
+    }.start()
+  }
+
   def ingestStream(spark: SparkSession, docs: DataFrame, dir: String,
                    textCol: Column, idCol: Column,
                    checkpoint: String,

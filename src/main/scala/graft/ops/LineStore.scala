@@ -252,6 +252,25 @@ object LineStore {
     * appends so later batches see it — checkpoint-namespaced batch
     * markers make replays idempotent (the [[DedupIndex.ingestStream]]
     * convention; same disjoint-batch contract). */
+  /** READ-SIDE serving loop (r19) — the [[AnnIndex.serveStream]]
+    * symmetric for the line store: scrub a stream of doc batches
+    * against the persisted counts WITHOUT absorbing their line
+    * profiles (read-only probe, no markers needed). Each micro-batch
+    * re-resolves the store via [[scrubDelta]], so appends, takedowns
+    * and versioned compacts landing after stream start reflect in
+    * the NEXT batch. Use [[scrubStream]] when batches should also
+    * append their own line counts. */
+  def serveStream(spark: SparkSession, docs: DataFrame, dir: String,
+                  textCol: Column, idCol: Column, sep: String = "\n",
+                  minDocs: Int = 2, checkpoint: Option[String] = None)
+                 (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = docs.writeStream.outputMode("append")
+    val w = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(scrubDelta(spark, batch, dir, textCol, idCol, sep, minDocs), batchId)
+    }.start()
+  }
+
   def scrubStream(spark: SparkSession, docs: DataFrame, dir: String,
                   textCol: Column, idCol: Column, checkpoint: String,
                   sep: String = "\n", minDocs: Int = 2)

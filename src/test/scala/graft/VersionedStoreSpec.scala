@@ -232,6 +232,72 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(cut == 3L, s"probe must see folded + fresh lines, got $cut")
   }
 
+  test("dedup/line serveStream: read-only probe loops reflect appends and compacts per batch") {
+    // the r19 read-side symmetry: AnnIndex had serveStream, the dedup
+    // and line stores only had ingest loops (probe + absorb). The
+    // serving loops must (a) answer like the batch probe, (b) NOT
+    // mutate the store, (c) see post-start appends/compacts in the
+    // NEXT batch — per-batch store re-resolution, no restart.
+    import graft.ops.{DedupIndex, LineStore}
+    val dedupDir = tmp("graft-serve-dedup")
+    val lineDir = tmp("graft-serve-line")
+    val base = "the quick brown fox jumps over the lazy dog again and again until dawn"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    DedupIndex.build(corpus, dedupDir, $"text", $"doc_id")
+    LineStore.build(Seq((1L, "boiler line\nunique a"), (2L, "boiler line\nunique b"))
+      .toDF("doc_id", "text"), lineDir, $"text", $"doc_id")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val kept = scala.collection.mutable.Map[Long, Seq[Long]]()
+    val q = DedupIndex.serveStream(spark, docs, dedupDir, $"text", $"doc_id") {
+      (res, id) => kept(id) = res.select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val memL = MemoryStream[(Long, String)]
+    val ldocs = memL.toDF().toDF("doc_id", "text")
+    val cuts = scala.collection.mutable.Map[Long, Long]()
+    val ql = LineStore.serveStream(spark, ldocs, lineDir, $"text", $"doc_id") {
+      (res, id) => cuts(id) = res.agg(org.apache.spark.sql.functions.sum($"n_cut"))
+        .collect()(0).getLong(0)
+    }
+    try {
+      // batch 1: a near-dup of stored content drops; fresh doc kept
+      mem.addData((101L, base.replace("dawn", "noon")),
+        (102L, "completely different words about catalyst and tungsten"))
+      q.processAllAvailable()
+      assert(kept.toSeq.maxBy(_._1)._2 == Seq(102L), kept.toString)
+      // read-only: the store's fp table must NOT have absorbed 102
+      val fpN = spark.read.parquet(
+        graft.ops.CompactSwap.currentTablePath(spark, dedupDir, "fp")).count()
+      assert(fpN == 1L, s"serveStream must not mutate the store (fp rows: $fpN)")
+      // APPEND between batches: absorb 102, the next probe of the
+      // same content must now drop it
+      DedupIndex.append(Seq((102L, "completely different words about catalyst and tungsten"))
+        .toDF("doc_id", "text"), dedupDir, $"text", $"doc_id")
+      mem.addData((103L, "completely different words about catalyst and tungsten"))
+      q.processAllAvailable()
+      assert(kept.toSeq.maxBy(_._1)._2 == Seq.empty, kept.toString)
+      // COMPACT between batches: answers unchanged
+      DedupIndex.compact(spark, dedupDir)
+      mem.addData((104L, "completely different words about catalyst and tungsten"),
+        (105L, "genuinely novel sentence with no store overlap"))
+      q.processAllAvailable()
+      assert(kept.toSeq.maxBy(_._1)._2 == Seq(105L), kept.toString)
+
+      // line loop: stored boiler line crosses minDocs with the batch
+      memL.addData((201L, "boiler line\nfresh line"))
+      ql.processAllAvailable()
+      assert(cuts.toSeq.maxBy(_._1)._2 == 1L, cuts.toString)
+      // APPEND a doc carrying "fresh line" → next batch cuts both
+      LineStore.append(Seq((202L, "fresh line")).toDF("doc_id", "text"),
+        lineDir, $"text", $"doc_id")
+      memL.addData((203L, "boiler line\nfresh line"))
+      ql.processAllAvailable()
+      assert(cuts.toSeq.maxBy(_._1)._2 == 2L, cuts.toString)
+    } finally { q.stop(); ql.stop() }
+  }
+
   test("as-of pins: torn-batch replay emissions are bit-equal ACROSS a concurrent compact") {
     // the SURVEY §16.22 divergence rule, closed: attempt 1 completes
     // its appends but crashes before the marker; a compact then FOLDS
