@@ -221,7 +221,14 @@ object ScaleBench {
     // request-sized probe against the pruned codes scan — expect the
     // e_ivfpq_indexed flat slope; the pinned read is a manifest-file
     // scan of the compacted fp table — expect ~linear in store size
-    "e_ann_serve_batch", "d_store_pinned_read")
+    "e_ann_serve_batch", "d_store_pinned_read",
+    // the persisted semdedup store's serving probe (radius-1
+    // deltaKeep; store built on the first run, marker-skipped after)
+    // — the graded delta is 10% of the lake (lake-proportional by
+    // construction, the worst case), so expect ~linear in delta
+    // volume times the (b+1) probe rider, the e_semdedup_probed
+    // class without the lake-side pair join
+    "e_semdedup_served")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

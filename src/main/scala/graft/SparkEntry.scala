@@ -76,7 +76,8 @@ object SparkEntry {
     // inherit its wall; the production query they calibrate
     // (e_semdedup_probed) is linear at every decade
     "e_semdedup_recall_curve" -> "fixture@x100",
-    "e_semdedup_opq" -> "fixture@x100")
+    "e_semdedup_opq" -> "fixture@x100",
+    "e_semdedup_opq_probed" -> "fixture@x100")
 
   /** The full per-query scale-class map (default `linear`). */
   def scaleClasses: Map[String, String] = {

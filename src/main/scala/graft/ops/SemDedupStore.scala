@@ -1,0 +1,245 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.vectors
+import graft.queries.qround
+
+/** Persisted SEMANTIC-dedup store — the serving shape of SemDeDup
+  * (Abbas et al. 2023) at lake scale, with the multi-probe radius as
+  * a FIRST-CLASS serving knob.
+  *
+  * A 100 TB corpus is semantically deduplicated once; after that the
+  * question the pipeline asks per crawl batch is "which of TODAY'S
+  * embeddings are near-duplicates of something already in the lake?"
+  * — and answering it by re-clustering the lake would dwarf the
+  * delta. This store persists the three artifacts the bucketed
+  * SemDeDup confinement derives from (the e_semdedup_bucketed /
+  * _probed query family, reference analog: the precomputed-catalog
+  * idea of datasets.py:51-53 applied to semantic-dedup state):
+  *
+  *  - `centroids`: the trained coarse quantizer — ONE folded row
+  *    (the [[Pq.cellsRow]] scheme: sorted array of (cell, cv)
+  *    structs) out of the two-Lloyd chain, so serving assignment is
+  *    the same zero-shuffle broadcast argmin the query family uses
+  *  - `codes`: (cell, fb, vec_id, ve) — every lake vector's coarse
+  *    cell + residual-LSH fine bucket (b = ⌈log2(K/K1)⌉ bits over
+  *    the 16-bit hyperplane code of ve − centroid, K = max(K1,
+  *    N/c̄) from the BUILD-time corpus count)
+  *  - `meta`: (b, n) — the bit width serving must bucket with (a
+  *    re-derive from a GROWN store would silently shift every
+  *    bucket) and the build count, for observability
+  *
+  * [[deltaKeep]] answers the serving question with the
+  * broadcast-the-DELTA pattern: the store is scanned once and never
+  * shuffled, the delta side explodes to its Hamming-radius-`radius`
+  * probe buckets (masks generated combinatorially — never 2^b), the
+  * join is (cell, bucket)-equi-confined, and the cosine refine runs
+  * on the STORED vectors. `radius` is the per-run recall knob the
+  * graded recall curve (e_semdedup_recall_curve, SCALE.md r19)
+  * prices: radius 0 = cheapest/lowest recall, radius 1 buys back
+  * ~2.3x the exact-hierarchy pair mass for a (b+1)x probe-row rider.
+  * Because b grows only with log N, every radius stays in the
+  * linear cost class at every decade (measured: e_semdedup_probed
+  * slope 12.6 at x100→x1000 vs the 12.7 linear×(b+1)-rider
+  * prediction).
+  *
+  * Lifecycle: build → deltaKeep → append (fold kept delta vectors in
+  * so the next batch dedups against them too) → takedown (tombstone
+  * vec_ids out, read-side anti-join) → compact (fold tombstones into
+  * the codes table via [[CompactSwap.compactVersioned]] — zero
+  * read-availability window, versioned generations). Reads resolve
+  * [[CompactSwap.currentTablePath]], so a serving loop survives a
+  * concurrent compact.
+  */
+object SemDedupStore {
+
+  /** Marker namespace version — bump on any layout/semantics change
+    * so a persisted store built by older code is rebuilt, not
+    * misread. */
+  val BuildVersion = 1
+
+  /** Default coarse cluster count K1 and SemDeDup target mean fine
+    * cluster size c̄ — the e_semdedup_bucketed constants. */
+  val DefaultK1 = 8
+  val DefaultCbar = 100L
+
+  /** XOR masks of Hamming weight <= r over b bits — the multi-probe
+    * set, generated COMBINATORIALLY (never a 2^b enumeration: b
+    * grows with log(corpus), and 2^27 masks at the 1e11-row scale
+    * would be a driver stall where (27 choose 2) is 352). Canonical
+    * home of the mask generator; the query family delegates here. */
+  def hammingMasks(b: Int, r: Int): Seq[Long] = {
+    def combos(start: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (start until b).flatMap(i => combos(i + 1, left - 1).map(_ | (1L << i)))
+    (0 to math.min(r, b)).flatMap(combos(0, _)).distinct.sorted
+  }
+
+  /** Residual fine-bucket column: the low-`b` bits of the 16-bit
+    * hyperplane code of (ve − cv). `cv` must be the matched coarse
+    * centroid ([[Pq.ivfAssignedWith]]'s output column). */
+  private def fineBucket(b: Int, dim: Int) =
+    (vectors.hyperplaneBucket(
+      zip_with(col("ve"), col("cv"), (x, c) => x - c), 16, dim)
+      % lit(1L << b)).as("fb")
+
+  /** Build & persist the store for `emb` (vec_id, ve) under `dir`.
+    * One corpus count (build-time only), the two-Lloyd training
+    * chain (centroid-sized shuffles), one scan-stage assignment
+    * pass, zero corpus shuffles. Purges stale versioned generations
+    * FIRST (the purge-last crash window left old `_v<N>` dirs
+    * outranking fresh flat tables). */
+  def build(emb: DataFrame, dir: String, k1: Int = DefaultK1,
+            cbar: Long = DefaultCbar, dim: Int = 64): Unit = {
+    val spark = emb.sparkSession
+    CompactSwap.purgeVersions(spark, dir, "codes")
+    val n = emb.count()
+    val k = math.max(k1.toLong, n / cbar)
+    val b = math.ceil(math.log(k.toDouble / k1) / math.log(2)).toInt.max(0)
+    val c2 = Pq.ivfLloydStep(emb, Pq.ivfLloydStep(emb, Pq.cellsRow(emb, k1)))
+    c2.write.mode("overwrite").parquet(s"$dir/centroids")
+    Pq.ivfAssignedWith(emb, c2)
+      .select(col("cell"), fineBucket(b, dim), col("vec_id"), col("ve"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    spark.range(1)
+      .select(lit(b).as("b"), lit(n).as("n"), lit(dim).as("dim"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** [[build]] exactly once per corpus fingerprint (the
+    * [[AnnIndex.tableFingerprint]] O(#files) check) — the
+    * marker-skip convention every persisted store shares. */
+  def buildIfAbsent(spark: SparkSession, emb: DataFrame, dir: String,
+                    fingerprint: String, k1: Int = DefaultK1,
+                    cbar: Long = DefaultCbar, dim: Int = 64): Unit =
+    AnnIndex.oncePerFingerprint(spark, dir, "semdedup", fingerprint,
+      BuildVersion) {
+      build(emb, dir, k1, cbar, dim)
+    }
+
+  private def requireStore(spark: SparkSession, dir: String): Unit =
+    for (t <- Seq("codes"))
+      require(CompactSwap.currentVersion(spark, dir, t).isDefined &&
+        new org.apache.hadoop.fs.Path(s"$dir/meta")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(s"$dir/meta")),
+        s"no semdedup store table '$t'/meta under $dir — run " +
+          "build/buildIfAbsent first (a half-built dir means a crashed " +
+          "build: buildIfAbsent self-heals it)")
+
+  /** (b, dim) from the persisted meta — serving MUST bucket with the
+    * build-time bit width: re-deriving b from a grown store's count
+    * would silently shift every bucket. */
+  private def readMeta(spark: SparkSession, dir: String): (Int, Int) = {
+    val m = spark.read.parquet(s"$dir/meta").select(col("b"), col("dim"))
+      .collect().head
+    (m.getInt(0), m.getInt(1))
+  }
+
+  /** Stored vectors currently serving: the codes table at its
+    * current version, minus tombstoned vec_ids. The tombstone side
+    * carries NO broadcast hint — takedown sets are request-sized and
+    * the planner broadcasts them on statistics; a lake-sized
+    * tombstone table degrades to a shuffle whose left side is the
+    * store scan this probe was already paying. */
+  private def liveCodes(spark: SparkSession, dir: String): DataFrame = {
+    val codes = spark.read.parquet(
+      CompactSwap.currentTablePath(spark, dir, "codes"))
+    CompactSwap.snapshotFlat(spark, s"$dir/tombstones") match {
+      case (_, Some(tombs)) =>
+        codes.join(tombs.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      case (_, None) => codes
+    }
+  }
+
+  /** Which of `delta` (vec_id, ve) to KEEP — the rows with no stored
+    * near-duplicate (quantized cosine >= `thr` within the probed
+    * buckets). `radius` is the serving-time recall knob: the delta
+    * side explodes to its Hamming-radius probe buckets and the join
+    * stays (cell, bucket)-equi-confined — the store is scanned once,
+    * never shuffled, when the delta fits the broadcast budget
+    * (callers who know the delta's size pass `knownDeltaRows` —
+    * stream batches, footer-counted tables — else ONE delta-sized
+    * count() pays for the gate; over budget the hint drops away and
+    * the planner picks a shuffle join whose probe side is still
+    * delta×masks-bounded by construction). */
+  def deltaKeep(spark: SparkSession, delta: DataFrame, dir: String,
+                radius: Int = 1, thr: Double = 0.40,
+                maxBroadcastRows: Long = Bpe.DefaultMaxBroadcastRows,
+                knownDeltaRows: Option[Long] = None): DataFrame = {
+    require(radius >= 0, s"radius must be >= 0, got $radius")
+    requireStore(spark, dir)
+    val (b, dim) = readMeta(spark, dir)
+    val masks = hammingMasks(b, radius)
+    val assigned = Pq.ivfAssignedWith(delta, storedCentroids(spark, dir))
+      .select(col("vec_id"), col("ve"), col("cell"), fineBucket(b, dim))
+    val deltaRows = knownDeltaRows.getOrElse(delta.count())
+    val bc: DataFrame => DataFrame =
+      if (deltaRows * masks.size <= maxBroadcastRows) broadcast else identity
+    val probes = bc(assigned.select(col("cell"),
+      explode(array(masks.map(m => col("fb").bitwiseXOR(lit(m))): _*)).as("fb"),
+      col("vec_id").as("vec_d"), col("ve").as("vd")))
+    val stored = liveCodes(spark, dir)
+      .select(col("cell"), col("fb"), col("ve").as("vs"))
+    val dropped = probes.join(stored, Seq("cell", "fb"))
+      .where(qround(vectors.cosine(col("vd"), col("vs")), 6) >= thr)
+      .select(col("vec_d").as("vec_id")).distinct()
+    delta.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  /** The stored coarse quantizer as the one folded centroid row. */
+  private def storedCentroids(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/centroids")
+
+  /** Fold KEPT delta vectors into the store so the next batch dedups
+    * against them too. Appends ONLY: assignment runs against the
+    * STORED quantizer at the STORED bit width, so appended codes are
+    * row-identical to what a one-shot build over lake ∪ kept would
+    * assign THROUGH THIS quantizer (the centroids themselves are
+    * never retrained by append — the standard IVF serving contract;
+    * a drifted corpus warrants a rebuild). `tag` routes the write
+    * through [[CompactSwap.appendExactlyOnce]] so a stream replay
+    * lands once. */
+  def append(spark: SparkSession, kept: DataFrame, dir: String,
+             tag: Option[String] = None): Unit = {
+    requireStore(spark, dir)
+    val (b, dim) = readMeta(spark, dir)
+    val rows = Pq.ivfAssignedWith(kept, storedCentroids(spark, dir))
+      .select(col("cell"), fineBucket(b, dim), col("vec_id"), col("ve"))
+    val cur = CompactSwap.currentTablePath(spark, dir, "codes")
+    tag match {
+      case Some(t) => CompactSwap.appendExactlyOnce(rows, cur, t)
+      case None => rows.write.mode("append").parquet(cur)
+    }
+  }
+
+  /** Tombstone `removed` (vec_id) out of the store: read-side
+    * anti-joined by every [[deltaKeep]] until a [[compact]] folds
+    * them into the codes table physically. */
+  def takedown(spark: SparkSession, removed: DataFrame, dir: String): Unit = {
+    requireStore(spark, dir)
+    removed.select(col("vec_id"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  /** Physically drop tombstoned rows: one [[CompactSwap]] versioned
+    * rewrite of the codes table (zero read-availability window — a
+    * live serving loop resolves the promoted version on its next
+    * batch), then the tombstone files are deleted. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    requireStore(spark, dir)
+    CompactSwap.compactVersioned(spark, dir, "codes",
+      df => CompactSwap.snapshotFlat(spark, s"$dir/tombstones") match {
+        case (_, Some(tombs)) =>
+          df.join(tombs.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        case (_, None) => df
+      },
+      (df, p) => df.write.mode("overwrite").parquet(p))
+    val tp = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tp))
+      for (f <- fs.listStatus(tp) if !f.getPath.getName.startsWith("_"))
+        fs.delete(f.getPath, false)
+  }
+}

@@ -140,15 +140,12 @@ object SimilarityQueries {
   }
 
   /** XOR masks of Hamming weight <= r over b bits — the multi-probe
-    * set, generated COMBINATORIALLY (never a 2^b enumeration: b grows
-    * with log(corpus), and 2^27 masks at the 1e11-row scale would be
-    * a driver stall where (27 choose 2) is 352). */
-  private[queries] def hammingMasks(b: Int, r: Int): Seq[Long] = {
-    def combos(start: Int, left: Int): Seq[Long] =
-      if (left == 0) Seq(0L)
-      else (start until b).flatMap(i => combos(i + 1, left - 1).map(_ | (1L << i)))
-    (0 to math.min(r, b)).flatMap(combos(0, _)).distinct.sorted
-  }
+    * set. Canonical generator lives with the serving store
+    * ([[graft.ops.SemDedupStore.hammingMasks]], combinatorial —
+    * never a 2^b enumeration); the query family delegates so the
+    * graded confinement and the served confinement cannot drift. */
+  private[queries] def hammingMasks(b: Int, r: Int): Seq[Long] =
+    graft.ops.SemDedupStore.hammingMasks(b, r)
 
   /** Multi-probe drop set over the fine frame: side A explodes to its
     * probe buckets (fb XOR each mask — |masks| rows per vector, the
@@ -254,14 +251,20 @@ object SimilarityQueries {
        |       FROM ${p}afr)""".stripMargin
   }
 
-  /** One-row diagnostic frame behind e_semdedup_opq (shared with the
-    * ApproxSpec pin, which reads the SVD-derived nd_r/ov_r the graded
-    * projection keeps out of the hash): trains the OPQ rotation on
-    * the within-cell residuals (identity start, one round), buckets
-    * the residuals through BOTH bases at the same b, and scores each
-    * drop set against the exact hierarchy. */
+  /** One-row diagnostic frame behind e_semdedup_opq and
+    * e_semdedup_opq_probed (shared with the ApproxSpec pins, which
+    * read the SVD-derived nd_r/ov_r the graded projections keep out
+    * of the hash): trains the OPQ rotation on the within-cell
+    * residuals (identity start, one round), buckets the residuals
+    * through BOTH bases at the same b, probes each side at Hamming
+    * `radius` (radius 0 = the plain bucketed confinement), and scores
+    * each drop set against the exact hierarchy. Rotation and
+    * multi-probe compose orthogonally — the probe masks XOR the
+    * bucket CODE, which is basis-agnostic, so the same mask set
+    * serves both frames. */
   private[graft] def semdedupOpqDiag(s: org.apache.spark.sql.SparkSession,
-                                     d: String): org.apache.spark.sql.DataFrame = {
+                                     d: String, radius: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
     val emb = T(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
     val (_, b) = semdedupKb(s, d)
@@ -285,8 +288,9 @@ object SimilarityQueries {
     val fineR = graft.Caches.owned(fineOf(vectors.hyperplaneBucket(
       call_function("graft_matvec", rflat, col("rv")), 16, Dim)))
     val exact = graft.Caches.owned(semdedupExact(s, d)._2)
+    val masks = hammingMasks(b, radius)
     def stats(fine: org.apache.spark.sql.DataFrame, nd: String, ov: String) = {
-      val dropped = graft.Caches.owned(semdedupProbedDrop(fine, Seq(0L)))
+      val dropped = graft.Caches.owned(semdedupProbedDrop(fine, masks))
       dropped.agg(count(lit(1)).as(nd))
         .crossJoin(broadcast(dropped.join(exact, Seq("vec_id"), "left_semi")
           .agg(count(lit(1)).as(ov))))
@@ -294,7 +298,8 @@ object SimilarityQueries {
     val nRows = graft.ops.Bpe.parquetRowCount(s, s"$d/embeddings.parquet") - 1
     stats(fineU, "n_dropped_unrot", "overlap_unrot")
       .crossJoin(broadcast(stats(fineR, "nd_r", "ov_r")))
-      .select(lit("bucketed_opq").as("method"),
+      .select(lit(if (radius == 0) "bucketed_opq" else s"opq_probed_r$radius")
+          .as("method"),
         col("n_dropped_unrot"), col("overlap_unrot"),
         lit(traj.last <= traj.head + nRows).as("qerr_improved"),
         lit(orth).as("orthogonal"), col("nd_r"), col("ov_r"))
@@ -958,6 +963,111 @@ object SimilarityQueries {
            |  (SELECT count(*) FROM dr0 WHERE vec_id IN (SELECT vec_id FROM xxdrop))
            |    AS overlap_unrot,
            |  TRUE AS qerr_improved, TRUE AS orthogonal, TRUE AS recall_lift""".stripMargin
+      }),
+
+    // the TWO recall knobs COMPOSED — learned basis x multi-probe:
+    // the r19 surface graded each independently (e_semdedup_probed
+    // buys cross-bucket recall with Hamming-radius probes;
+    // e_semdedup_opq aligns the b bits to learned residual axes);
+    // a deployment chasing a recall target uses BOTH, and they
+    // compose orthogonally — the probe masks XOR the bucket CODE,
+    // which is basis-agnostic, so radius-1 probing of the rotated
+    // buckets is the same (cell, bucket)-equi-confined join at the
+    // same (b+1) probe-row rider. Grading follows the e_semdedup_opq
+    // sketch contract: the UNROTATED radius-1 counts are
+    // SQL-mirrored exactly (the e_semdedup_probed oracle fragments),
+    // rotation-dependent values stay out of the hash as asserted
+    // booleans (recall_lift = rotated radius-1 overlap >= unrotated
+    // radius-1 overlap — equality where b = 0, where a rotation
+    // cannot move the single bucket), and the exact rotated counts
+    // are pinned in ApproxSpec. sf0.1 ground truth (exact drops
+    // 178): unrotated r1 112, and the rotated basis lifts it — the
+    // composed knob recovers more than either alone (probe-only 112,
+    // rotate-only 57).
+    Q("e_semdedup_opq_probed",
+      (s, d) => semdedupOpqDiag(s, d, radius = 1)
+        .select(col("method"),
+          col("n_dropped_unrot"), col("overlap_unrot"),
+          col("qerr_improved"), col("orthogonal"),
+          (col("ov_r") >= col("overlap_unrot")).as("recall_lift")),
+      Some {
+        s"""${semdedupExactCtes("x")},
+           |${semdedupBucketedCtes("").stripPrefix("WITH ")},
+           |${semdedupProbedDropSql("", 1, "dr1", withMasks = true)}
+           |SELECT 'opq_probed_r1' AS method,
+           |  (SELECT count(*) FROM dr1) AS n_dropped_unrot,
+           |  (SELECT count(*) FROM dr1 WHERE vec_id IN (SELECT vec_id FROM xxdrop))
+           |    AS overlap_unrot,
+           |  TRUE AS qerr_improved, TRUE AS orthogonal, TRUE AS recall_lift""".stripMargin
+      }),
+
+    // SemDeDup SERVED from the persisted store — the incremental
+    // 100 TB shape (what d_delta_index_keep is to exact/MinHash
+    // dedup, this is to semantic dedup): the lake's embeddings are
+    // clustered + residual-bucketed ONCE (ops/SemDedupStore: trained
+    // coarse quantizer persisted as the one folded centroid row,
+    // per-vector (cell, fb, ve) codes, b frozen in meta), and each
+    // crawl batch asks "which of MY vectors are near-dups of
+    // something stored?" via the broadcast-the-DELTA probe — the
+    // store scanned once, never shuffled, the delta side exploded to
+    // its Hamming-radius-1 probe buckets (the multi-probe radius is
+    // deltaKeep's first-class serving knob, priced by the graded
+    // recall curve). Store built once per corpus fingerprint
+    // (marker-skipped after — min-time benches measure the serving
+    // probe). The oracle replays BOTH sides: the two-Lloyd chain
+    // trained on the same lake slice (kmeansCtesK's src seam), the
+    // same frozen b from the slice's count, the same mask set, the
+    // same 0.40-quantized-cosine refine — kept = delta minus the
+    // probed drop set, hash-graded end to end.
+    Q("e_semdedup_served",
+      (s, d) => {
+        val emb = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+        val base = emb.where(col("vec_id") % 10 =!= 9)
+        val delta = emb.where(col("vec_id") % 10 === 9)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-semdd-${storeKey(d)}"
+        graft.ops.SemDedupStore.buildIfAbsent(s, base, dir,
+          fingerprint = graft.ops.AnnIndex.tableFingerprint(
+            s, s"$d/embeddings.parquet"))
+        graft.ops.SemDedupStore.deltaKeep(s, delta, dir, radius = 1)
+          .select(col("vec_id"))
+      },
+      Some {
+        val baseSrc = "(SELECT * FROM embeddings WHERE vec_id % 10 <> 9)"
+        val kS = s"CAST(GREATEST(8, count(*) // $SemDedupCbar) AS DOUBLE)"
+        val bS = s"GREATEST(0, CAST(ceil(log2($kS / $IvfK)) AS INT))"
+        s"""${kmeansCtesK(2, IvfK.toString, "v", src = baseSrc)},
+           |vkb AS (SELECT $bS AS b, CAST(pow(2, $bS) AS BIGINT) AS mm FROM ve0),
+           |vaf AS (${kmeansAssignSql(2, "v")}),
+           |vafr AS (SELECT af.vec_id, af.ve, af.cell,
+           |          list_transform(range(1, ${Dim + 1}), i -> af.ve[i] - c.cv[i]) AS rv
+           |        FROM vaf af JOIN vc2 c ON c.cell = af.cell),
+           |vfa AS (SELECT vec_id, ve, cell,
+           |         ${bucketSql("rv", 16)} % (SELECT mm FROM vkb) AS fb
+           |       FROM vafr),
+           |vde AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+           |        FROM embeddings WHERE vec_id % 10 = 9),
+           |vda AS (SELECT vec_id, ve, cell FROM (
+           |    SELECT de.vec_id, de.ve, c.cell,
+           |      row_number() OVER (PARTITION BY de.vec_id ORDER BY
+           |        ${qroundSql(d2S("de.ve", "c.cv", Dim), 6)} ASC, c.cell ASC) AS rn
+           |    FROM vde de, vc2 c) WHERE rn = 1),
+           |vdfr AS (SELECT da.vec_id, da.ve, da.cell,
+           |          list_transform(range(1, ${Dim + 1}), i -> da.ve[i] - c.cv[i]) AS rv
+           |        FROM vda da JOIN vc2 c ON c.cell = da.cell),
+           |vdfa AS (SELECT vec_id, ve, cell,
+           |          ${bucketSql("rv", 16)} % (SELECT mm FROM vkb) AS fb
+           |        FROM vdfr),
+           |vpm AS (SELECT m, bit_count(m) AS pc
+           |        FROM (SELECT unnest(range(0, (SELECT mm FROM vkb))) AS m)),
+           |vdrop AS (SELECT DISTINCT d.vec_id
+           |          FROM vdfa d JOIN vpm p ON p.pc <= 1
+           |          JOIN vfa s ON s.cell = d.cell AND s.fb = xor(d.fb, p.m)
+           |          WHERE (floor((${cosSql("d.ve", "s.ve")}) * 1000000 + 0.5e0)
+           |                 / 1000000.0e0) >= 0.40)
+           |SELECT vec_id FROM embeddings
+           |WHERE vec_id % 10 = 9
+           |  AND vec_id NOT IN (SELECT vec_id FROM vdrop)""".stripMargin
       }),
 
     // PRODUCT QUANTIZATION + asymmetric distance (Jégou et al. 2011):
@@ -2146,10 +2256,15 @@ object SimilarityQueries {
     * way the Spark side derives K from the parquet footer count.
     * `p` prefixes every CTE name, so TWO independent k-means chains
     * (different K) can splice into ONE oracle (the recall-curve
-    * query compares the exact hierarchy against the bucketed form). */
-  private[queries] def kmeansCtesK(iters: Int, kSql: String, p: String = ""): String = {
+    * query compares the exact hierarchy against the bucketed form).
+    * `src` swaps the training relation (default the raw table; the
+    * served-store oracle trains on the lake SLICE the store was
+    * built from — any table expression exposing (vec_id, embedding),
+    * e.g. an inline `(SELECT ... FROM embeddings WHERE ...)`). */
+  private[queries] def kmeansCtesK(iters: Int, kSql: String, p: String = "",
+                                   src: String = "embeddings"): String = {
     val sb = new StringBuilder(
-      s"""WITH ${p}e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      s"""WITH ${p}e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM $src),
          |${p}c0 AS (SELECT vec_id AS cell, ve AS cv FROM ${p}e0 WHERE vec_id BETWEEN 1 AND ($kSql))""".stripMargin)
     for (t <- 1 to iters) sb ++=
       s""",

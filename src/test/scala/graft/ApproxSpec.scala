@@ -1113,4 +1113,29 @@ class ApproxSpec extends AnyFunSuite {
     assert(row.getAs[Long]("ov_r") > row.getAs[Long]("overlap_unrot"),
       s"the learned basis must lift recall at b=3: $row")
   }
+
+  test("e_semdedup_opq_probed: rotation x multi-probe compose (sf0.1 pinned)") {
+    // the composed knob (OPQ-rotated residual basis + radius-1
+    // Hamming probes) must recover MORE of the exact hierarchy's 178
+    // drops than either knob alone: probe-only 112 (recall-curve
+    // probe1 arm), rotate-only 57 (the radius-0 opq pin above).
+    // Pins the SVD-derived composed counts the graded query keeps
+    // out of the hash, and the unrotated radius-1 counts, which must
+    // EQUAL the recall curve's probe1 arm (the diag and the curve
+    // share semdedupProbedDrop over the same fine frame — any split
+    // is a confinement bug).
+    val row = graft.queries.SimilarityQueries
+      .semdedupOpqDiag(spark, "/root/testdata/sf0.1", radius = 1)
+      .collect().head
+    graft.Caches.releaseAll()
+    assert(row.getAs[Long]("n_dropped_unrot") == 242L &&
+      row.getAs[Long]("overlap_unrot") == 112L,
+      s"unrotated radius-1 counts diverged from the recall curve's probe1 arm: $row")
+    assert(row.getAs[Long]("nd_r") == 251L && row.getAs[Long]("ov_r") == 115L,
+      s"composed rotated+probed counts moved: $row")
+    assert(row.getAs[Long]("ov_r") > 112L && row.getAs[Long]("ov_r") > 57L,
+      s"the composed knob must beat both single knobs: $row")
+    assert(row.getAs[Boolean]("qerr_improved") && row.getAs[Boolean]("orthogonal"),
+      s"OPQ residual-basis booleans regressed under composition: $row")
+  }
 }

@@ -30,7 +30,8 @@ class RegistrySpec extends AnyFunSuite {
     assert(classes("e_semdedup_kscaled").startsWith("fixture@"),
       "e_semdedup_kscaled is N^1.5 past x100 and must be marked")
     // the production forms must NOT be marked as fixtures
-    for (n <- Seq("e_semdedup_bucketed", "e_semdedup_probed"))
+    for (n <- Seq("e_semdedup_bucketed", "e_semdedup_probed",
+        "e_semdedup_served"))
       assert(!classes(n).startsWith("fixture@"),
         s"$n is the production linear form; marking it a fixture is wrong")
   }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SemDedupStore
+
+/** The persisted semantic-dedup store (ops/SemDedupStore) under its
+  * serving claims:
+  *
+  *  1. RADIUS KNOB: deltaKeep(radius) is monotone — a larger probe
+  *     radius can only drop MORE delta vectors (the recall curve's
+  *     direction), and radius 0 equals the plain bucketed
+  *     confinement.
+  *  2. IDENTITY SEMANTICS: deltaKeep is a cross-set probe (no
+  *     vec_a < vec_b guard) — a delta vector whose copy is already
+  *     stored matches it at cosine 1.0 and drops, which is exactly
+  *     the serving contract ("is this batch row already in the
+  *     lake?"); the re-probe assertion below pins it.
+  *  3. LIFECYCLE: append folds kept vectors in (the next batch
+  *     dedups against them); takedown tombstones read-side;
+  *     compact folds tombstones physically (versioned promote) and
+  *     serving continues against the promoted version.
+  */
+class SemDedupStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  private lazy val emb = sources.Tables
+    .load(spark, "/root/testdata/sf0.01", "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+
+  test("hammingMasks is combinatorial and complete to the radius") {
+    assert(SemDedupStore.hammingMasks(0, 1) == Seq(0L))
+    assert(SemDedupStore.hammingMasks(3, 0) == Seq(0L))
+    assert(SemDedupStore.hammingMasks(3, 1).toSet ==
+      Set(0L, 1L, 2L, 4L), SemDedupStore.hammingMasks(3, 1).toString)
+    // radius 2 over 4 bits: 1 + 4 + C(4,2) = 11 masks, all weight <= 2
+    val m42 = SemDedupStore.hammingMasks(4, 2)
+    assert(m42.size == 11 && m42.forall(java.lang.Long.bitCount(_) <= 2))
+    // never 2^b: 20 bits radius 1 is 21 masks, not a million
+    assert(SemDedupStore.hammingMasks(20, 1).size == 21)
+  }
+
+  test("build -> deltaKeep: radius knob is monotone; matches the query-family confinement") {
+    val base = emb.where(col("vec_id") % 10 =!= 9)
+    val delta = emb.where(col("vec_id") % 10 === 9)
+    val dir = tmp("graft-semdd-spec")
+    SemDedupStore.build(base, dir)
+    val deltaN = delta.count()
+    val kept = (0 to 2).map { r =>
+      SemDedupStore.deltaKeep(spark, delta, dir, radius = r).count()
+    }
+    // monotone: more probes can only drop more
+    assert(kept(0) >= kept(1) && kept(1) >= kept(2),
+      s"radius knob must be monotone (kept counts: $kept)")
+    assert(kept(0) <= deltaN)
+    // the graded query's confinement (radius 1) reproduces through
+    // the store API — the registry entry and the verb can't drift
+    val graded = SparkEntry.queries("e_semdedup_served")(
+      spark, "/root/testdata/sf0.01").count()
+    assert(graded == kept(1),
+      s"graded query ($graded) != store deltaKeep radius-1 (${kept(1)})")
+  }
+
+  test("append folds kept vectors in; takedown + compact serve on") {
+    val base = emb.where(col("vec_id").between(1, 300))
+    val batch1 = emb.where(col("vec_id").between(301, 350))
+    val dir = tmp("graft-semdd-life")
+    SemDedupStore.build(base, dir)
+
+    val kept1 = SemDedupStore.deltaKeep(spark, batch1, dir, radius = 1)
+    val kept1Ids = kept1.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    SemDedupStore.append(spark, kept1, dir)
+
+    // the SAME batch probed again now hits its own appended vectors
+    // at cosine 1.0 — everything drops
+    val again = SemDedupStore.deltaKeep(spark, batch1, dir, radius = 0)
+    assert(again.count() == 0,
+      "a re-probed batch must drop against its own appended vectors")
+
+    // takedown one appended vector: read-side anti-join revives it
+    val victim = kept1Ids.head
+    SemDedupStore.takedown(spark,
+      spark.range(victim, victim + 1).select(col("id").as("vec_id")), dir)
+    val revived = SemDedupStore.deltaKeep(spark,
+        batch1.where(col("vec_id") === victim), dir, radius = 0)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(revived == Set(victim),
+      s"tombstoned vector must no longer drop its own probe: $revived")
+
+    // compact folds the tombstone physically (versioned promote);
+    // serving continues and still excludes the victim
+    SemDedupStore.compact(spark, dir)
+    assert(graft.ops.CompactSwap.currentVersion(spark, dir, "codes").contains(1))
+    val afterCompact = SemDedupStore.deltaKeep(spark,
+        batch1.where(col("vec_id") === victim), dir, radius = 0)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(afterCompact == Set(victim),
+      "post-compact serving must match the tombstoned read")
+  }
+
+  test("loud store contract: probing a missing store names the fix") {
+    val e = intercept[IllegalArgumentException] {
+      SemDedupStore.deltaKeep(spark, emb.limit(1), tmp("graft-semdd-miss"))
+    }
+    assert(e.getMessage.contains("build/buildIfAbsent"), e.getMessage)
+  }
+}
