@@ -192,6 +192,30 @@ object SemDedupStore {
   private def storedCentroids(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/centroids")
 
+  /** Read-side serving loop — the [[DedupIndex.serveStream]] /
+    * [[LineStore.serveStream]] symmetry for the semantic store: each
+    * micro-batch of (vec_id, ve) rows probes the store via
+    * [[deltaKeep]] at the given radius and hands the KEPT rows to
+    * `sink`. Probes are read-only (no batch markers needed — replay
+    * idempotency is the sink's own keying), and every batch
+    * re-resolves the store (current codes version, fresh
+    * tombstones), so an append, takedown, or versioned compact
+    * landing after stream start reflects in the NEXT batch's
+    * answers. The radius knob is per-LOOP here: a serving deployment
+    * re-tunes recall by restarting the loop, never by rebuilding the
+    * store. */
+  def serveStream(spark: SparkSession, vecs: DataFrame, dir: String,
+                  radius: Int = 1, thr: Double = 0.40,
+                  checkpoint: Option[String] = None)
+                 (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = vecs.writeStream.outputMode("append")
+    val w = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(deltaKeep(spark, batch, dir, radius, thr), batchId)
+    }.start()
+  }
+
   /** Fold KEPT delta vectors into the store so the next batch dedups
     * against them too. Appends ONLY: assignment runs against the
     * STORED quantizer at the STORED bit width, so appended codes are

@@ -100,6 +100,42 @@ class SemDedupStoreSpec extends AnyFunSuite {
       "post-compact serving must match the tombstoned read")
   }
 
+  test("serveStream: read-only probe loop reflects appends in the NEXT batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = emb.where(col("vec_id").between(1, 300))
+    val dir = tmp("graft-semdd-serve")
+    SemDedupStore.build(base, dir)
+
+    val mem = MemoryStream[Long]
+    val vecs = mem.toDF().toDF("vec_id")
+      .join(emb, Seq("vec_id"))
+    val got = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = SemDedupStore.serveStream(spark, vecs, dir, radius = 1) {
+      (kept, batchId) =>
+        got(batchId) = kept.select(col("vec_id")).collect()
+          .map(_.getLong(0)).toSet
+    }
+    try {
+      // batch 0: held-out vectors, no stored near-dups expected to
+      // drop them all — at minimum the probe runs and emits
+      mem.addData(301L, 302L, 303L)
+      q.processAllAvailable()
+      val b0 = got.values.flatten.toSet
+      assert(b0.nonEmpty && b0.subsetOf(Set(301L, 302L, 303L)), got.toString)
+      // absorb one of them, then re-probe it: the SAME loop must now
+      // drop it (per-batch store re-resolution — no restart)
+      SemDedupStore.append(spark,
+        emb.where(col("vec_id") === 301L), dir)
+      got.clear()
+      mem.addData(301L)
+      q.processAllAvailable()
+      assert(got.values.flatten.toSet.isEmpty,
+        s"an appended vector must drop its own re-probe in the next batch: $got")
+    } finally q.stop()
+  }
+
   test("loud store contract: probing a missing store names the fix") {
     val e = intercept[IllegalArgumentException] {
       SemDedupStore.deltaKeep(spark, emb.limit(1), tmp("graft-semdd-miss"))
