@@ -64,6 +64,11 @@ object SemDedupStore {
   val DefaultK1 = 8
   val DefaultCbar = 100L
 
+  /** Rotation-training sample size (opq = true builds): bounded and
+    * corpus-size-independent — a dim×dim rotation needs on the order
+    * of dim² constraints, and 64× that is plenty. */
+  val OpqSampleN = 4096
+
   /** XOR masks of Hamming weight <= r over b bits — the multi-probe
     * set, generated COMBINATORIALLY (never a 2^b enumeration: b
     * grows with log(corpus), and 2^27 masks at the 1e11-row scale
@@ -77,12 +82,18 @@ object SemDedupStore {
   }
 
   /** Residual fine-bucket column: the low-`b` bits of the 16-bit
-    * hyperplane code of (ve − cv). `cv` must be the matched coarse
-    * centroid ([[Pq.ivfAssignedWith]]'s output column). */
-  private def fineBucket(b: Int, dim: Int) =
-    (vectors.hyperplaneBucket(
-      zip_with(col("ve"), col("cv"), (x, c) => x - c), 16, dim)
-      % lit(1L << b)).as("fb")
+    * hyperplane code of (ve − cv), optionally through the persisted
+    * OPQ rotation (the e_semdedup_opq recall lift applied to the
+    * serving path — the b bits discriminate along learned axes).
+    * `cv` must be the matched coarse centroid
+    * ([[Pq.ivfAssignedWith]]'s output column). */
+  private def fineBucket(b: Int, dim: Int,
+                         rot: Option[Seq[Double]]): org.apache.spark.sql.Column = {
+    val rv = zip_with(col("ve"), col("cv"), (x, c) => x - c)
+    val rvR = rot.fold(rv)(r =>
+      call_function("graft_matvec", array(r.map(lit(_)): _*), rv))
+    (vectors.hyperplaneBucket(rvR, 16, dim) % lit(1L << b)).as("fb")
+  }
 
   /** Build & persist the store for `emb` (vec_id, ve) under `dir`.
     * One corpus count (build-time only), the two-Lloyd training
@@ -90,21 +101,72 @@ object SemDedupStore {
     * pass, zero corpus shuffles. Purges stale versioned generations
     * FIRST (the purge-last crash window left old `_v<N>` dirs
     * outranking fresh flat tables). */
+  /** `opq = true` additionally trains the OPQ residual rotation
+    * ([[Pq.opqRefine]], identity start, one Lloyd+Procrustes round —
+    * the e_semdedup_opq construction) and persists R beside the
+    * centroids, so every served probe buckets through the learned
+    * basis (sf0.1 calibration: +16% of the exact hierarchy's pair
+    * mass at the same b and cost; the rotation itself is one
+    * scan-stage `graft_matvec` per row). */
   def build(emb: DataFrame, dir: String, k1: Int = DefaultK1,
-            cbar: Long = DefaultCbar, dim: Int = 64): Unit = {
+            cbar: Long = DefaultCbar, dim: Int = 64,
+            opq: Boolean = false): Unit = {
     val spark = emb.sparkSession
     CompactSwap.purgeVersions(spark, dir, "codes")
+    // a rebuild without opq must not leave a stale rotation behind —
+    // serving applies R whenever the table exists
+    val rotP = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+    val fs = rotP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rotP)) fs.delete(rotP, true)
     val n = emb.count()
     val k = math.max(k1.toLong, n / cbar)
     val b = math.ceil(math.log(k.toDouble / k1) / math.log(2)).toInt.max(0)
     val c2 = Pq.ivfLloydStep(emb, Pq.ivfLloydStep(emb, Pq.cellsRow(emb, k1)))
     c2.write.mode("overwrite").parquet(s"$dir/centroids")
+    if (opq) {
+      // SAMPLE-TRAINED rotation (the e_pq_train_sampled convention —
+      // training cost flat in corpus size; at 100 TB a full-lake
+      // Lloyd pass inside opqRefine would dwarf the build): one
+      // TakeOrdered pass draws a bounded md5-keyed sample of the
+      // residuals, re-keyed to dense vec_ids so opqRefine's seed
+      // convention (codewords = vec_ids 1..ks) holds for ANY lake
+      // slice — the raw ids may have holes (this is also what broke
+      // a naive full-frame train: a missing seed id leaves the
+      // codebook short and the native PQ kernel refuses it).
+      val resid = Pq.ivfAssignedWith(emb, c2)
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          zip_with(col("ve"), col("cv"), (x, c) => x - c).as("ve"))
+      val sample = resid
+        .orderBy(md5(concat(lit("semddR"), col("vec_id").cast("string"))))
+        .limit(OpqSampleN)
+        .select(row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("vec_id"))).cast("long").as("vec_id"),
+          col("ve"))
+      val id0 = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+      val (r, _, _) = Pq.opqRefine(sample, id0, Pq.Params(dim), rounds = 1)
+      spark.range(1)
+        .select(lit(dim).as("dim"),
+          array(r.flatten.toIndexedSeq.map(lit(_)): _*).as("rflat"))
+        .write.mode("overwrite").parquet(s"$dir/rotation")
+    }
+    val rot = readRotation(spark, dir)
     Pq.ivfAssignedWith(emb, c2)
-      .select(col("cell"), fineBucket(b, dim), col("vec_id"), col("ve"))
+      .select(col("cell"), fineBucket(b, dim, rot), col("vec_id"), col("ve"))
       .write.mode("overwrite").parquet(s"$dir/codes")
     spark.range(1)
       .select(lit(b).as("b"), lit(n).as("n"), lit(dim).as("dim"))
       .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The persisted OPQ rotation, flat row-major, if this store was
+    * built with `opq = true` (bounded driver algebra: dim² doubles). */
+  private def readRotation(spark: SparkSession, dir: String): Option[Seq[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$dir/rotation")
+      .select(col("rflat")).collect().head.getSeq[Double](0))
   }
 
   /** [[build]] exactly once per corpus fingerprint (the
@@ -112,10 +174,12 @@ object SemDedupStore {
     * marker-skip convention every persisted store shares. */
   def buildIfAbsent(spark: SparkSession, emb: DataFrame, dir: String,
                     fingerprint: String, k1: Int = DefaultK1,
-                    cbar: Long = DefaultCbar, dim: Int = 64): Unit =
-    AnnIndex.oncePerFingerprint(spark, dir, "semdedup", fingerprint,
+                    cbar: Long = DefaultCbar, dim: Int = 64,
+                    opq: Boolean = false): Unit =
+    AnnIndex.oncePerFingerprint(spark, dir,
+      if (opq) "semdedup_opq" else "semdedup", fingerprint,
       BuildVersion) {
-      build(emb, dir, k1, cbar, dim)
+      build(emb, dir, k1, cbar, dim, opq)
     }
 
   private def requireStore(spark: SparkSession, dir: String): Unit =
@@ -142,10 +206,17 @@ object SemDedupStore {
     * carries NO broadcast hint — takedown sets are request-sized and
     * the planner broadcasts them on statistics; a lake-sized
     * tombstone table degrades to a shuffle whose left side is the
-    * store scan this probe was already paying. */
-  private def liveCodes(spark: SparkSession, dir: String): DataFrame = {
-    val codes = spark.read.parquet(
-      CompactSwap.currentTablePath(spark, dir, "codes"))
+    * store scan this probe was already paying. `excludeTag` skips a
+    * tagged batch's own published files — the torn-batch replay
+    * closure: a replayed ingest batch must probe the store AS OF its
+    * start, not find its own first-attempt codes. */
+  private def liveCodes(spark: SparkSession, dir: String,
+                        excludeTag: Option[String] = None): DataFrame = {
+    val cur = CompactSwap.currentTablePath(spark, dir, "codes")
+    val codes = excludeTag match {
+      case Some(tag) => CompactSwap.readExcludingTag(spark, cur, tag)
+      case None => spark.read.parquet(cur)
+    }
     CompactSwap.snapshotFlat(spark, s"$dir/tombstones") match {
       case (_, Some(tombs)) =>
         codes.join(tombs.select(col("vec_id")), Seq("vec_id"), "left_anti")
@@ -167,20 +238,22 @@ object SemDedupStore {
   def deltaKeep(spark: SparkSession, delta: DataFrame, dir: String,
                 radius: Int = 1, thr: Double = 0.40,
                 maxBroadcastRows: Long = Bpe.DefaultMaxBroadcastRows,
-                knownDeltaRows: Option[Long] = None): DataFrame = {
+                knownDeltaRows: Option[Long] = None,
+                excludeTag: Option[String] = None): DataFrame = {
     require(radius >= 0, s"radius must be >= 0, got $radius")
     requireStore(spark, dir)
     val (b, dim) = readMeta(spark, dir)
     val masks = hammingMasks(b, radius)
+    val rot = readRotation(spark, dir)
     val assigned = Pq.ivfAssignedWith(delta, storedCentroids(spark, dir))
-      .select(col("vec_id"), col("ve"), col("cell"), fineBucket(b, dim))
+      .select(col("vec_id"), col("ve"), col("cell"), fineBucket(b, dim, rot))
     val deltaRows = knownDeltaRows.getOrElse(delta.count())
     val bc: DataFrame => DataFrame =
       if (deltaRows * masks.size <= maxBroadcastRows) broadcast else identity
     val probes = bc(assigned.select(col("cell"),
       explode(array(masks.map(m => col("fb").bitwiseXOR(lit(m))): _*)).as("fb"),
       col("vec_id").as("vec_d"), col("ve").as("vd")))
-    val stored = liveCodes(spark, dir)
+    val stored = liveCodes(spark, dir, excludeTag)
       .select(col("cell"), col("fb"), col("ve").as("vs"))
     val dropped = probes.join(stored, Seq("cell", "fb"))
       .where(qround(vectors.cosine(col("vd"), col("vs")), 6) >= thr)
@@ -229,13 +302,52 @@ object SemDedupStore {
              tag: Option[String] = None): Unit = {
     requireStore(spark, dir)
     val (b, dim) = readMeta(spark, dir)
+    val rot = readRotation(spark, dir)
     val rows = Pq.ivfAssignedWith(kept, storedCentroids(spark, dir))
-      .select(col("cell"), fineBucket(b, dim), col("vec_id"), col("ve"))
+      .select(col("cell"), fineBucket(b, dim, rot), col("vec_id"), col("ve"))
     val cur = CompactSwap.currentTablePath(spark, dir, "codes")
     tag match {
       case Some(t) => CompactSwap.appendExactlyOnce(rows, cur, t)
       case None => rows.write.mode("append").parquet(cur)
     }
+  }
+
+  /** Absorb loop — the [[DedupIndex.ingestStream]] symmetry: each
+    * micro-batch of (vec_id, ve) rows is probed ([[deltaKeep]] at
+    * `radius`), the KEPT rows go to `sink` AND are [[append]]ed so
+    * the next batch dedups against them too. Exactly-once across
+    * replays: a per-batch marker skips a completed batch wholesale;
+    * a TORN batch (crash between append and marker) replays with
+    * `excludeTag` — the probe sees the store AS OF batch start, not
+    * its own first-attempt codes (which would anti-join the kept set
+    * to empty), and the tagged re-append lands once
+    * ([[CompactSwap.appendExactlyOnce]]). Restart within keep
+    * compacts — the excludeTag reconstruction reads the current
+    * version's files (the DedupIndex §16.22 operational rule). */
+  def ingestStream(spark: SparkSession, vecs: DataFrame, dir: String,
+                   checkpoint: String, radius: Int = 1,
+                   thr: Double = 0.40)
+                  (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ckptTag = java.lang.Integer.toHexString(checkpoint.hashCode)
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$dir/_ingested_${ckptTag}_batch_$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          val tag = s"${ckptTag}_b$batchId"
+          val kept = deltaKeep(spark, batch, dir, radius, thr,
+            excludeTag = Some(tag)).persist()
+          try {
+            sink(kept, batchId)
+            append(spark, kept, dir, tag = Some(tag))
+          } finally kept.unpersist()
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
   }
 
   /** Tombstone `removed` (vec_id) out of the store: read-side
