@@ -96,7 +96,9 @@ object PlanDump {
     "t_warc_html_extract", // container chain: WARC leg (scan-stage) + the codegen'd extract kernel
     "e_semdedup_kscaled", // hierarchical K ∝ N: two argmin levels scan-stage, pair join cell-confined
     "pipe_rag_e2e",       // curation chain + BM25 term-confined scan + pruned index probe + 40-row fusion
-    "g_hll_rebuilt"       // group takedown == rebuilt-without: two kilobyte store scans, corpus only on the exact side
+    "g_hll_rebuilt",      // group takedown == rebuilt-without: two kilobyte store scans, corpus only on the exact side
+    "e_semdedup_probed",  // multi-probe dedup: mask-exploded side A, (cell,bucket) equi-join, never within-cell all-pairs
+    "e_semdedup_served"   // persisted store probe: broadcast-the-delta x masks, store scanned once, never shuffled
   )
 
   def main(args: Array[String]): Unit = {

@@ -204,6 +204,27 @@ class SemDedupStoreSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("versioned pinned read: codes as-of-compact survive a post-pin append byte-stably") {
+    val base = emb.where(col("vec_id").between(1, 300))
+    val dir = tmp("graft-semdd-pin")
+    SemDedupStore.build(base, dir)
+    SemDedupStore.compact(spark, dir) // promote codes -> codes_v1
+    assert(SemDedupStore.codesVersion(spark, dir).contains(1))
+    val pinned = SemDedupStore.readVersion(spark, dir, 1)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // append lands in the SAME current version dir — the pin's
+    // sentinel manifest must exclude it
+    SemDedupStore.append(spark, emb.where(col("vec_id").between(301, 320)), dir)
+    val pinnedAfter = SemDedupStore.readVersion(spark, dir, 1)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(pinnedAfter == pinned,
+      s"pinned read must be byte-stable across an append: +${pinnedAfter -- pinned}")
+    // the live read DOES see the append
+    val live = SemDedupStore.deltaKeep(spark,
+      emb.where(col("vec_id") === 310L), dir, radius = 0).count()
+    assert(live == 0, "live serving must see the appended vectors")
+  }
+
   test("loud store contract: probing a missing store names the fix") {
     val e = intercept[IllegalArgumentException] {
       SemDedupStore.deltaKeep(spark, emb.limit(1), tmp("graft-semdd-miss"))
