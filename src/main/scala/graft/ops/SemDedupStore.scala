@@ -100,8 +100,9 @@ object SemDedupStore {
     * chain (centroid-sized shuffles), one scan-stage assignment
     * pass, zero corpus shuffles. Purges stale versioned generations
     * FIRST (the purge-last crash window left old `_v<N>` dirs
-    * outranking fresh flat tables). */
-  /** `opq = true` additionally trains the OPQ residual rotation
+    * outranking fresh flat tables).
+    *
+    * `opq = true` additionally trains the OPQ residual rotation
     * ([[Pq.opqRefine]], identity start, one Lloyd+Procrustes round —
     * the e_semdedup_opq construction) and persists R beside the
     * centroids, so every served probe buckets through the learned
@@ -377,20 +378,20 @@ object SemDedupStore {
   /** Physically drop tombstoned rows: one [[CompactSwap]] versioned
     * rewrite of the codes table (zero read-availability window — a
     * live serving loop resolves the promoted version on its next
-    * batch), then the tombstone files are deleted. */
+    * batch), then EXACTLY the snapshotted tombstone files are
+    * deleted — a takedown that lands DURING the compact survives for
+    * the next one (the DedupIndex.compact contract; deleting the
+    * whole dir here would silently lose it). */
   def compact(spark: SparkSession, dir: String): Unit = {
     requireStore(spark, dir)
+    val (tombFiles, tombs) =
+      CompactSwap.snapshotFlat(spark, s"$dir/tombstones")
     CompactSwap.compactVersioned(spark, dir, "codes",
-      df => CompactSwap.snapshotFlat(spark, s"$dir/tombstones") match {
-        case (_, Some(tombs)) =>
-          df.join(tombs.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        case (_, None) => df
-      },
+      df => tombs.fold(df)(t =>
+        df.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti")),
       (df, p) => df.write.mode("overwrite").parquet(p))
-    val tp = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tp))
-      for (f <- fs.listStatus(tp) if !f.getPath.getName.startsWith("_"))
-        fs.delete(f.getPath, false)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (f <- tombFiles) fs.delete(f, false)
   }
 }
