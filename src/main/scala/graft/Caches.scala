@@ -19,6 +19,32 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caches {
   private val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val rdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** [[owned]] with LINEAGE TRUNCATION: `localCheckpoint` materializes
+    * the frame (same eager build the owned count pays) and roots every
+    * downstream plan at the checkpointed RDD — a LogicalRDD leaf —
+    * instead of the frame's full logical history. A plain persist does
+    * NOT do this: cache substitution happens after analysis, so every
+    * action over a persisted frame still re-analyzes the whole
+    * producing lineage (measured r19: the semdedup diagnostics spent
+    * ~80% of their time in exactly that re-analysis — inter-job planning
+    * gaps, guide §7.3). Use for frames with DEEP producing plans and
+    * several downstream actions; plain [[owned]] is enough when the
+    * lineage is shallow. The checkpoint blocks live on executors
+    * (MEMORY_AND_DISK, corpus stays distributed — never a driver
+    * collect); [[releaseAll]] unpersists them like every other owned
+    * frame. Trade recorded: a lost executor forces a full recompute
+    * of the query (no lineage to replay) — the standard localCheckpoint
+    * contract (guide §5 "cheaper way to cut lineage"). */
+  def checkpointed(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint(true)
+    for ((id, rdd) <- sc.getPersistentRDDs if !before.contains(id)) rdds.add(rdd)
+    cp
+  }
 
   /** Persist `df` (MEMORY_AND_DISK), register it for harness-owned
     * release, and MATERIALIZE it before returning. Eager by design:
@@ -71,5 +97,7 @@ object Caches {
   def releaseAll(blocking: Boolean = false): Unit = {
     var f = frames.poll()
     while (f != null) { f.unpersist(blocking); f = frames.poll() }
+    var r = rdds.poll()
+    while (r != null) { r.unpersist(blocking); r = rdds.poll() }
   }
 }

@@ -86,7 +86,11 @@ object vectors {
   def hyperplaneBucket(v: Column, nBits: Int, dim: Int): Column = {
     val signs = hyperplaneSigns(nBits, dim)
     val bits = (0 until nBits).map { k =>
-      val plane = array(signs(k).map(lit): _*)
+      // one ArrayType literal per plane (not array(lit × dim)): same
+      // folded constant, but the analyzer/optimizer walk ONE node
+      // instead of dim children per plane per pass — planning cost,
+      // re-paid on every action over a lineage containing this bucket
+      val plane = typedlit(signs(k))
       val proj = dot(v, plane)
       when(proj > 0, lit(1L << k)).otherwise(lit(0L))
     }

@@ -35,6 +35,26 @@ object Pq {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Materialize a MODEL-SIZED frame (folded centroid rows, sub-cell
+    * maps — one row or K rows of centroids, never corpus data) and
+    * rebuild it as a LOCAL relation. Values pass through untouched
+    * (the [[localCbRow]] convention), so downstream results are
+    * bit-identical — what changes is the PLAN: every later consumer
+    * analyzes a one-row LocalRelation instead of re-walking the
+    * multi-step Lloyd/fold lineage that produced it, and broadcasts
+    * build from local bytes instead of re-planned subqueries. At
+    * sf0.1 the lineage walk (not the data) dominated the semdedup
+    * family — 12.5 s warm with ~90 jobs whose inter-job planning
+    * gaps summed to 11.6 s (guide §7.3: driver-side planning time);
+    * model-frame localization is the structural fix, valid at every
+    * scale because the collected frame is K·dim doubles, corpus-
+    * independent (the sanctioned ridge-solve collect shape). */
+  def localized(model: DataFrame): DataFrame = {
+    val rows = model.collect()
+    model.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), model.schema)
+  }
+
   /** The m-th subvector of `v` (m is 0-based). */
   def subvec(v: Column, m: Column, p: Params): Column =
     slice(v, m * p.sub + 1, lit(p.sub))
@@ -111,19 +131,46 @@ object Pq {
     * convergence = chaining calls, one broadcast + one tiny shuffle
     * each — the [[lloydStep]] / dupClusters loop pattern. */
   def ivfLloydStep(emb: DataFrame, cells: DataFrame): DataFrame = {
-    val means = ivfAssignedWith(emb, cells)
+    // One corpus pass, ONE map-side-combined exchange (<= K*dim
+    // tiny (cell, pos, sum, n) rows), then the centroid ASSEMBLY —
+    // array ordering, empty-cell carry-over, the final cell-sorted
+    // fold — runs on the DRIVER over those model-sized rows (the
+    // MLlib k-means shape; the ridge-solve collect convention). The
+    // previous form did the assembly as two more aggregations plus a
+    // join — three exchanges and a corpus-independent but
+    // plan-heavy tail whose per-action re-planning dominated the
+    // semdedup bench family (guide §1.2: fix the pass structure
+    // first). c_mean arithmetic is the exact same IEEE op sequence
+    // (long→double cast, 1e6*n product, one divide), so centroids
+    // are bit-identical to the aggregate form and the DuckDB oracle.
+    // The returned frame is LOCAL (one row), so downstream plans
+    // broadcast literal bytes instead of re-running the step.
+    import org.apache.spark.sql.Row
+    val spark = emb.sparkSession
+    val prevRow = cells.collect()(0)
+    val prev = prevRow.getSeq[Row](0)
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val localCells = spark.createDataFrame(
+      java.util.Collections.singletonList(prevRow), cells.schema)
+    val meanRows = ivfAssignedWith(emb, localCells)
       .select(col("cell"), posexplode(col("ve")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
-      .agg((sum(qlong(col("v"), 1e6)) / (lit(1e6) * count(lit(1)))).as("c_mean"))
-      .groupBy(col("cell"))
-      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c_mean")))),
-        e => e.getField("c_mean")).as("cv"))
-    val prev = cells.select(explode(col("cells")).as("e"))
-      .select(col("e.cell").as("cell"), col("e.cv").as("pcv"))
-    prev.join(means, Seq("cell"), "left")
-      .select(struct(col("cell"),
-        coalesce(col("cv"), col("pcv")).as("cv")).as("e"))
-      .agg(sort_array(collect_list(col("e"))).as("cells"))
+      .agg(sum(qlong(col("v"), 1e6)).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val byCell = meanRows.groupBy(_.getInt(0))
+    val merged = prev.map { case (cellId, pcv) =>
+      val cv = byCell.get(cellId) match {
+        case Some(rows) => rows.sortBy(_.getInt(1)).toSeq
+          .map(r => r.getLong(2).toDouble / (1e6 * r.getLong(3).toDouble))
+        case None => pcv
+      }
+      (cellId, cv)
+    }
+    // the old fold re-sorted by cell id (sort_array); keep that
+    // contract explicitly rather than relying on the input's order
+    val arr = merged.sortBy(_._1).map { case (c, cv) => Row(c, cv) }
+    spark.createDataFrame(
+      java.util.Collections.singletonList(Row(arr)), cells.schema)
   }
 
   // ---- hierarchical (two-level) k-means --------------------------
@@ -186,20 +233,53 @@ object Pq {
   /** One Lloyd iteration of the sub-quantizer: fine-assign, re-mean
     * each (cell, sub) in exact integer space (1e-6-quantized BIGINT
     * sums — both engines derive bit-identical centroids), empty
-    * sub-cells keep their seed. Returns the refined one-row map. */
-  def subLloydStep(assigned: DataFrame, seeds: DataFrame,
-                   subMap: DataFrame): DataFrame = {
-    val means = fineAssigned(assigned, subMap)
+    * sub-cells keep their seed. Returns the refined one-row map.
+    *
+    * Same driver-assembly shape as [[ivfLloydStep]]: one corpus pass,
+    * one map-side-combined exchange of <= K*dim (cell, sub, pos,
+    * sum, n) rows, centroid assembly + the one-row map fold on the
+    * driver (model-sized, the sanctioned collect). c_mean is the
+    * identical IEEE op sequence, so the map is bit-identical to the
+    * old aggregate/join/fold chain — minus its two extra exchanges
+    * and the seed-map subplan (built locally from the same collected
+    * seed rows both the assignment and the empty-cell policy use). */
+  def subLloydStep(assigned: DataFrame, seeds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = assigned.sparkSession
+    val seedRows = seeds.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val meanRows = fineAssigned(assigned, localSubMap(spark, seedRows))
       .select(col("cell"), col("sub"), posexplode(col("ve")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("sub"), col("pos"))
-      .agg((sum(qlong(col("v"), 1e6)) / (lit(1e6) * count(lit(1)))).as("c_mean"))
-      .groupBy(col("cell"), col("sub"))
-      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c_mean")))),
-        e => e.getField("c_mean")).as("cv"))
-    subCellsMap(
-      seeds.join(means, Seq("cell", "sub"), "left")
-        .select(col("cell"), col("sub"),
-          coalesce(col("cv"), col("scv")).as("scv")))
+      .agg(sum(qlong(col("v"), 1e6)).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val byKey = meanRows.groupBy(r => (r.getInt(0), r.getInt(1)))
+    val merged = seedRows.map { case (c, sb, scv) =>
+      val cv = byKey.get((c, sb)) match {
+        case Some(rows) => rows.sortBy(_.getInt(2)).toSeq
+          .map(m => m.getLong(3).toDouble / (1e6 * m.getLong(4).toDouble))
+        case None => scv
+      }
+      (c, sb, cv)
+    }
+    localSubMap(spark, merged)
+  }
+
+  /** Build the ONE-ROW sub-centroid map ([[subCellsMap]]'s shape —
+    * cell -> sub-sorted array<struct<cell:=sub, cv>>) locally from
+    * collected (cell, sub, scv) rows. */
+  private def localSubMap(spark: org.apache.spark.sql.SparkSession,
+                          entries: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val m = entries.groupBy(_._1).map { case (c, rs) =>
+      c -> rs.sortBy(_._2).map { case (_, sb, cv) => Row(sb, cv) }
+    }
+    val schema = StructType(Seq(StructField("subcells", MapType(IntegerType,
+      ArrayType(StructType(Seq(StructField("cell", IntegerType),
+        StructField("cv", ArrayType(DoubleType)))))))))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(Row(m)), schema)
   }
 
   /** The folded PQ codebook: (m, cid) -> sub-dim codeword, ONE row
@@ -389,15 +469,24 @@ object Pq {
     require(rounds >= 1, s"rounds >= 1, got $rounds")
     require(r0.length == p.dim && r0.forall(_.length == p.dim),
       s"r0 must be ${p.dim}x${p.dim}")
-    val spark = emb.sparkSession
     val corpus = emb.where(col("vec_id") =!= 0)
     var r = r0
-    var rot = rotatedBy(corpus, r, p).persist()
-    rot.count() // serialize the cache build: the Lloyd collect's join
-    // children (prev x means) would otherwise race on unbuilt blocks
-    var cb = codebookRow(rot, p)
+    // The rotated corpus is NOT persisted: the rotation is one
+    // scan-stage matvec, so recomputing it per pass is a fraction of
+    // a corpus scan — where persisting a full rotated COPY of the
+    // corpus is real memory pressure at scale and (measured, r19)
+    // each persist+count action pays a full lineage re-plan that
+    // dwarfed the matvec at bench scale. The seed codebook collects
+    // FIRST (one tiny action), so every later pass broadcasts a
+    // local literal and no two plan subtrees ever race to build a
+    // shared cache (the race the old persist existed to serialize).
+    def mark(m: String): Unit =
+      emb.sparkSession.sparkContext.setJobDescription(s"opqRefine: $m")
+    mark("cb0")
+    var cb = localized(codebookRow(rotatedBy(corpus, r, p), p))
     val traj = Seq.newBuilder[Long]
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
+      mark(s"lloyd r$round")
       // step 1: codes + codewords in the CURRENT rotated space. The
       // Lloyd pass CARRIES the incoming pair's qerr (lloydStepQerr) —
       // entry t-1 of the trajectory rides the scan round t already
@@ -406,11 +495,12 @@ object Pq {
       // consumer (the correlation pass, the next round, the caller)
       // broadcasts a local literal instead of re-running the Lloyd
       // scan per reference (it ran 3x per round before).
-      val stepped = lloydStepQerr(rot, cb, p).collect()(0)
+      val stepped = lloydStepQerr(rotatedBy(corpus, r, p), cb, p).collect()(0)
       traj += stepped.getAs[Long]("qerr_q6")
-      cb = localCbRow(spark, stepped)
+      cb = localCbRow(emb.sparkSession, stepped)
       // step 2: M = Σ x̂ xᵀ (x = the ORIGINAL vector), integer-snapped
       // sums so parallel reassociation cannot perturb the SVD input
+      mark(s"corr r$round")
       val mRows = encoded(rotatedBy(corpus, r, p, keepOrig = true), cb, p,
           extra = Seq("xo"))
         .crossJoin(broadcast(cb))
@@ -426,16 +516,13 @@ object Pq {
       for (row <- mRows; i = row.getInt(0); j <- 0 until p.dim)
         m(i)(j) = row.getSeq[Long](1)(j) / 1e6
       r = procrustes(m)
-      rot.unpersist()
-      rot = rotatedBy(corpus, r, p).persist()
-      rot.count()
     }
     // the terminal (refined R, final codebook) error — the one entry
     // with no later pass to ride; native scoredQ with the vector as
     // its own query (ad2 == the reconstruction error, same snaps)
-    traj += scoredQ(rot.withColumn("qv", col("ve")), cb, p)
+    mark("terminal qerr")
+    traj += scoredQ(rotatedBy(corpus, r, p).withColumn("qv", col("ve")), cb, p)
       .agg(sum(qlong(col("ad2"), 1e6))).head.getLong(0)
-    rot.unpersist()
     (r, cb, traj.result())
   }
 
@@ -465,7 +552,11 @@ object Pq {
     * PqExprSpec. */
   private[graft] def rotatedBy(emb: DataFrame, r: Array[Array[Double]], p: Params,
                              keepOrig: Boolean = false): DataFrame = {
-    val rflat = array(r.flatten.toIndexedSeq.map(lit(_)): _*)
+    // ONE ArrayType literal, not array(lit × dim²): a 4096-child
+    // CreateArray is constant-folded eventually, but every analyzer/
+    // optimizer rule walks those children first — measured as pure
+    // planning cost on a plan re-analyzed per action (guide §7.3)
+    val rflat = typedlit(r.flatten.toIndexedSeq)
     val rotExpr = call_function("graft_matvec", rflat, col("ve"))
     if (keepOrig)
       emb.select(col("vec_id"), col("ve").as("xo"), rotExpr.as("ve"))

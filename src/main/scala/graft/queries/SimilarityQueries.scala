@@ -128,9 +128,12 @@ object SimilarityQueries {
     val emb = T(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
     val (_, b) = semdedupKb(s, d)
+    // ivfLloydStep returns a LOCAL one-row frame: downstream
+    // consumers plan against it instead of re-analyzing the two-Lloyd
+    // lineage per action (model-sized, values bit-identical)
     val c2 = graft.ops.Pq.ivfLloydStep(emb,
       graft.ops.Pq.ivfLloydStep(emb, graft.ops.Pq.cellsRow(emb, IvfK)))
-    val fine = graft.Caches.owned(
+    val fine = graft.Caches.checkpointed(
       graft.ops.Pq.ivfAssignedWith(emb, c2)
         .select(col("cell"), col("vec_id"), col("ve"),
           (vectors.hyperplaneBucket(
@@ -177,14 +180,17 @@ object SimilarityQueries {
     val (k, _) = semdedupKb(s, d)
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
     val k2 = math.ceil(k.toDouble / k1).toInt
+    // both quantizer levels are local one-row frames (model-sized,
+    // bit-identical): the fine frame's lineage is then scan →
+    // local-broadcast argmin instead of the full two-level training
+    // chain re-analyzed by every downstream action
     val c2 = graft.ops.Pq.ivfLloydStep(emb,
       graft.ops.Pq.ivfLloydStep(emb, graft.ops.Pq.cellsRow(emb, k1)))
-    val coarse = graft.Caches.owned(graft.ops.Pq.ivfAssignedWith(emb, c2)
+    val coarse = graft.Caches.checkpointed(graft.ops.Pq.ivfAssignedWith(emb, c2)
       .select(col("cell"), col("vec_id"), col("ve")))
     val seeds = graft.ops.Pq.subSeeds(coarse, k2)
-    val m1 = graft.ops.Pq.subLloydStep(coarse, seeds,
-      graft.ops.Pq.subCellsMap(seeds))
-    val fine = graft.Caches.owned(graft.ops.Pq.fineAssigned(coarse, m1)
+    val m1 = graft.ops.Pq.subLloydStep(coarse, seeds)
+    val fine = graft.Caches.checkpointed(graft.ops.Pq.fineAssigned(coarse, m1)
       .select(col("cell"), col("sub"), col("vec_id"), col("ve")))
     val a = fine.select(col("cell"), col("sub"),
       col("vec_id").as("vec_a"), col("ve").as("va"))
@@ -265,37 +271,50 @@ object SimilarityQueries {
   private[graft] def semdedupOpqDiag(s: org.apache.spark.sql.SparkSession,
                                      d: String, radius: Int = 0)
       : org.apache.spark.sql.DataFrame = {
+    def mark(m: String): Unit = s.sparkContext.setJobDescription(s"opqdiag: $m")
+    mark("c2+resid")
     val emb = T(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
     val (_, b) = semdedupKb(s, d)
     val c2 = graft.ops.Pq.ivfLloydStep(emb,
       graft.ops.Pq.ivfLloydStep(emb, graft.ops.Pq.cellsRow(emb, IvfK)))
-    val resid = graft.Caches.owned(graft.ops.Pq.ivfAssignedWith(emb, c2)
+    val resid = graft.Caches.checkpointed(graft.ops.Pq.ivfAssignedWith(emb, c2)
       .select(col("cell"), col("vec_id"), col("ve"),
         zip_with(col("ve"), col("cv"), (x, c) => x - c).as("rv")))
     val id0 = Array.tabulate(Dim, Dim)((i, j) => if (i == j) 1.0 else 0.0)
+    mark("opqRefine")
     val (r, _, traj) = graft.ops.Pq.opqRefine(
       resid.select(col("vec_id"), col("rv").as("ve")), id0, P, rounds = 1)
     val orth = (0 until Dim).forall(i => (0 until Dim).forall { j =>
       val dot = (0 until Dim).map(t => r(i)(t) * r(j)(t)).sum
       math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9
     })
-    val rflat = array(r.flatten.toIndexedSeq.map(lit(_)): _*)
+    val rflat = typedlit(r.flatten.toIndexedSeq)
     def fineOf(bucket: Column) = resid.select(col("cell"), col("vec_id"),
       col("ve"), (bucket % lit(1L << b)).as("fb"))
-    val fineU = graft.Caches.owned(
+    mark("fineU")
+    val fineU = graft.Caches.checkpointed(
       fineOf(vectors.hyperplaneBucket(col("rv"), 16, Dim)))
-    val fineR = graft.Caches.owned(fineOf(vectors.hyperplaneBucket(
+    mark("fineR")
+    val fineR = graft.Caches.checkpointed(fineOf(vectors.hyperplaneBucket(
       call_function("graft_matvec", rflat, col("rv")), 16, Dim)))
-    val exact = graft.Caches.owned(semdedupExact(s, d)._2)
+    mark("exact")
+    val exact = graft.Caches.checkpointed(semdedupExact(s, d)._2)
     val masks = hammingMasks(b, radius)
+    // ONE pass per drop set: left-join the (distinct-keyed) exact
+    // drop list and count rows/hits together — the old shape persisted
+    // `dropped` and ran two separate aggregates over it (count +
+    // semi-join count), i.e. an extra cache-build action and an extra
+    // aggregation per arm for the same two numbers (guide §2.4:
+    // shared exchange; values identical because `exact` is DISTINCT
+    // vec_ids, so the left join is row-preserving)
     def stats(fine: org.apache.spark.sql.DataFrame, nd: String, ov: String) = {
-      val dropped = graft.Caches.owned(semdedupProbedDrop(fine, masks))
-      dropped.agg(count(lit(1)).as(nd))
-        .crossJoin(broadcast(dropped.join(exact, Seq("vec_id"), "left_semi")
-          .agg(count(lit(1)).as(ov))))
+      semdedupProbedDrop(fine, masks)
+        .join(exact.withColumn("_hit", lit(1)), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as(nd), count(col("_hit")).as(ov))
     }
     val nRows = graft.ops.Bpe.parquetRowCount(s, s"$d/embeddings.parquet") - 1
+    mark("final")
     stats(fineU, "n_dropped_unrot", "overlap_unrot")
       .crossJoin(broadcast(stats(fineR, "nd_r", "ov_r")))
       .select(lit(if (radius == 0) "bucketed_opq" else s"opq_probed_r$radius")
@@ -892,17 +911,19 @@ object SimilarityQueries {
     Q("e_semdedup_recall_curve",
       (s, d) => {
         val (fine, b) = semdedupFine(s, d)
-        val exact = graft.Caches.owned(semdedupExact(s, d)._2)
+        val exact = graft.Caches.checkpointed(semdedupExact(s, d)._2)
         val exRow = exact.agg(count(lit(1)).as("n_dropped"))
           .select(lit("exact_hier").as("method"), lit(-1L).as("radius"),
             col("n_dropped"), col("n_dropped").as("overlap_exact"))
+        // one pass per radius: left-join the distinct exact drop list
+        // and count rows/hits in the same aggregate (no per-arm
+        // persist, no second aggregation — the semdedupOpqDiag stats
+        // shape; values identical, `exact` is DISTINCT vec_ids)
         val arms = Seq(0, 1, 2).map { r =>
-          val dropped = graft.Caches.owned(
-            semdedupProbedDrop(fine, hammingMasks(b, r)))
-          dropped.agg(count(lit(1)).as("n_dropped"))
-            .crossJoin(broadcast(
-              dropped.join(exact, Seq("vec_id"), "left_semi")
-                .agg(count(lit(1)).as("overlap_exact"))))
+          semdedupProbedDrop(fine, hammingMasks(b, r))
+            .join(exact.withColumn("_hit", lit(1)), Seq("vec_id"), "left")
+            .agg(count(lit(1)).as("n_dropped"),
+              count(col("_hit")).as("overlap_exact"))
             .select(lit(s"probe$r").as("method"), lit(r.toLong).as("radius"),
               col("n_dropped"), col("overlap_exact"))
         }
