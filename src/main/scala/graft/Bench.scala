@@ -41,6 +41,14 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // releaseAll unpersisting a locally-checkpointed RDD (the
+    // Caches.checkpointed lifecycle — intentional, per-query frames
+    // are never reused after release) logs one WARN per RDD from the
+    // RDD class logger; hundreds of them would drown the captured
+    // stdout/stderr tail exactly when diagnostics matter
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // Untimed harness warmup: loads the scheduler, codegen compiler,
     // shuffle machinery, and noop-sink codepaths once, so the first
     // TIMED query measures itself rather than JVM/session init

@@ -35,14 +35,24 @@ object Caches {
     * lineage is shallow. The checkpoint blocks live on executors
     * (MEMORY_AND_DISK, corpus stays distributed — never a driver
     * collect); [[releaseAll]] unpersists them like every other owned
-    * frame. Trade recorded: a lost executor forces a full recompute
-    * of the query (no lineage to replay) — the standard localCheckpoint
-    * contract (guide §5 "cheaper way to cut lineage"). */
+    * frame. Trades recorded: (1) a lost executor forces a full
+    * recompute of the query (no lineage to replay) — the standard
+    * localCheckpoint contract (guide §5 "cheaper way to cut lineage");
+    * (2) UNLIKE [[owned]] frames, a checkpointed frame is permanently
+    * unusable after [[releaseAll]] — the truncated lineage cannot
+    * recompute dropped blocks, so a handle must NEVER be reused
+    * across a release boundary (the d_dup_clusters cross-query
+    * shared-handle pattern must stay on plain persists). */
   def checkpointed(df: DataFrame): DataFrame = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val cp = df.localCheckpoint(true)
-    for ((id, rdd) <- sc.getPersistentRDDs if !before.contains(id)) rdds.add(rdd)
+    // register the checkpoint's OWN RDD (the LogicalRDD leaf), not a
+    // before/after diff of the global persistent-RDD map — the diff
+    // form raced with concurrent persists and missed re-used RDD ids
+    val leafRdds = cp.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    require(leafRdds.nonEmpty, "localCheckpoint produced no LogicalRDD leaf")
+    leafRdds.foreach(rdds.add)
     cp
   }
 

@@ -31,25 +31,24 @@ object ProfileQ {
                        var end: Long = 0L, var stages: Int = 0, var tasks: Int = 0)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
     val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    // exact stage -> job mapping via SparkListenerJobStart.stageIds
+    // (the old form attributed a completed stage to an arbitrary
+    // unfinished job — iteration-order-dependent under overlap)
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties.getProperty("spark.job.description"))
           .orElse(Option(e.properties.getProperty("callSite.short"))).getOrElse("?")
         jobs.put(e.jobId, J(e.time, d)); order.add(e.jobId)
+        e.stageIds.foreach(sid => stageJob.put(sid, e.jobId))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val j = jobs.get(e.jobId); if (j != null) j.end = e.time
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
-        // attribute to the most recent unfinished job (approximate)
-        val it = jobs.entrySet().iterator()
-        var best: J = null
-        while (it.hasNext) {
-          val j = it.next().getValue
-          if (j.end == 0L || e.stageInfo.completionTime.exists(_ <= j.end + 5)) ()
-          if (j.end == 0L) best = j
-        }
-        if (best != null) { best.stages += 1; best.tasks += e.stageInfo.numTasks }
+        val jid = stageJob.getOrDefault(e.stageInfo.stageId, -1)
+        val j = jobs.get(jid)
+        if (j != null) { j.stages += 1; j.tasks += e.stageInfo.numTasks }
       }
     })
 

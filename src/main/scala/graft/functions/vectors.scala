@@ -76,7 +76,7 @@ object vectors {
     * partition the corpus so the pairwise-cosine join is confined to
     * same-bucket candidates instead of a full cross join.
     *
-    * The planes are materialized as `array()` literals and each
+    * Each plane is ONE ArrayType literal (`typedlit`) and each
     * projection is ONE `aggregate(zip_with(...))` pass — constant
     * expression size per bit regardless of `dim`, so whole-stage
     * codegen survives real embedding widths (a per-component

@@ -131,19 +131,24 @@ object Bpe {
   /** `iters` chained merge iterations from the raw corpus: one row
     * per iteration (it, pair, cnt) — the learned merge table.
     *
-    * Every dictionary generation is persisted: the corpus pass runs
-    * ONCE no matter how many iterations consume d0, and iteration
-    * t's plan starts from the materialized d{t-1} instead of
-    * replaying the whole chain (unpersisted, the recompute tree
-    * grows ~4^iters — vocab-sized work, but a silly plan). Caches
-    * are caller-owned via the [[Dedup.CachedFrame]] convention:
-    * `unpersistAll()` after the action, or `spark.catalog
-    * .clearCache()` (as Bench/Verify do between queries).
+    * Every dictionary generation is CHECKPOINTED ([[graft.Caches
+    * .checkpointed]] — materialize + lineage truncation): the corpus
+    * pass runs ONCE no matter how many iterations consume d0, AND
+    * iteration t's plan is rooted at the d{t-1} LogicalRDD leaf
+    * instead of the whole producing chain. A plain persist only got
+    * the first half: cache substitution happens after analysis, so
+    * every action over the chain still re-analyzed a ~4^iters
+    * subtree (mergeStep references its input dict ~4 times) — at
+    * iters=3 the downstream pack queries carried 4-38k-LINE plans
+    * whose per-action re-analysis dominated the t-family bench
+    * (r20 gap profile: 58-85% inter-job planning gaps, guide §7.3).
+    * Checkpoint blocks are harness-released (graft.Caches), same
+    * rows, bit-identical results.
     *
     * Honest scale note: each merge is one Spark job over the
-    * persisted dict — right for the graded few iterations, wrong for
-    * a production 30k-merge vocab (30k job-scheduling round-trips of
-    * sub-second work). There the repo's ridge-solve convention
+    * materialized dict — right for the graded few iterations, wrong
+    * for a production 30k-merge vocab (30k job-scheduling round-trips
+    * of sub-second work). There the repo's ridge-solve convention
     * applies: the corpus pass has already collapsed to a
     * vocabulary-sized dict, so collect a [[pruneDict]]-bounded dict
     * to the driver, run the merge loop in memory (pure per-word
@@ -151,15 +156,13 @@ object Bpe {
     * spec, one job, driver state bounded by the pruned vocab. */
   def trainFull(docs: DataFrame, textCol: Column, iters: Int): Dedup.CachedFrame = {
     require(iters >= 1, s"iters >= 1, got $iters")
-    var dict = wordDict(docs, textCol).persist()
-    val caches = Seq.newBuilder[DataFrame]
-    caches += dict
+    var dict = graft.Caches.checkpointed(wordDict(docs, textCol))
     val bests = (1 to iters).map { t =>
       val (best, next) = mergeStep(dict)
-      if (t < iters) { dict = next.persist(); caches += dict }
+      if (t < iters) dict = graft.Caches.checkpointed(next)
       best.select(lit(t.toLong).as("it"), col("pair"), col("cnt"))
     }
-    Dedup.CachedFrame(bests.reduce(_.unionAll(_)), caches.result())
+    Dedup.CachedFrame(bests.reduce(_.unionAll(_)), Seq.empty)
   }
 
   /** One-shot convenience over [[trainFull]] (cache cleanup falls to
@@ -252,9 +255,8 @@ object Bpe {
     require(iters >= 1, s"iters >= 1, got $iters")
     require(batch >= 1, s"batch >= 1, got $batch")
     val spark = docs.sparkSession
-    var dict = wordDict(docs, textCol).persist()
-    val caches = Seq.newBuilder[DataFrame]
-    caches += dict
+    // checkpoint, not persist, per generation — see [[trainFull]]
+    var dict = graft.Caches.checkpointed(wordDict(docs, textCol))
     val merges = Seq.newBuilder[(Long, String, Long)]
     var t = 0L
     while (t < iters) {
@@ -265,33 +267,28 @@ object Bpe {
       merges ++= learned
       if (learned.nonEmpty) {
         val lp = array(learned.map(m => lit(m._2)): _*)
-        dict = dict.select(col("w"), col("c"),
+        dict = graft.Caches.checkpointed(dict.select(col("w"), col("c"),
           concat_ws(" ", aggregate(lp, split(col("seq"), " "),
-            (acc, bp) => foldMerge(acc, bp))).as("seq")).persist()
-        caches += dict
+            (acc, bp) => foldMerge(acc, bp))).as("seq")))
       }
       t += n
     }
     import spark.implicits._
-    Dedup.CachedFrame(merges.result().toDF("it", "pair", "cnt"), caches.result())
+    Dedup.CachedFrame(merges.result().toDF("it", "pair", "cnt"), Seq.empty)
   }
 
   /** The fully-trained dictionary after `iters` merges, with every
-    * generation persisted (same rationale as [[trainFull]]: the
-    * mergeStep plan references its input ~4 times, so an unpersisted
-    * chain re-derives ~4^iters subtrees — measured as 3.6 s of pure
-    * plan overhead on a 31-word dict at sf0.1 vs 0.9 s cached).
-    * Caches are caller-owned ([[Dedup.CachedFrame]] convention). */
+    * generation CHECKPOINTED (see [[trainFull]]: persist alone left a
+    * ~4^iters analyzed subtree — the downstream encode/pack queries
+    * re-analyzed a 4-38k-line plan per action; the checkpoint roots
+    * every consumer at one LogicalRDD leaf, same rows). Blocks are
+    * harness-released (graft.Caches.releaseAll). */
   def trainedDictFull(docs: DataFrame, textCol: Column, iters: Int): Dedup.CachedFrame = {
     require(iters >= 0, s"iters >= 0, got $iters")
-    var dict = wordDict(docs, textCol).persist()
-    val caches = Seq.newBuilder[DataFrame]
-    caches += dict
-    for (_ <- 1 to iters) {
-      dict = mergeStep(dict)._2.persist()
-      caches += dict
-    }
-    Dedup.CachedFrame(dict, caches.result())
+    var dict = graft.Caches.checkpointed(wordDict(docs, textCol))
+    for (_ <- 1 to iters)
+      dict = graft.Caches.checkpointed(mergeStep(dict)._2)
+    Dedup.CachedFrame(dict, Seq.empty)
   }
 
   /** Persist the trained dictionary exactly ONCE per corpus
@@ -322,16 +319,14 @@ object Bpe {
   def trainedWithMergesFull(docs: DataFrame, textCol: Column,
                             iters: Int): (DataFrame, Dedup.CachedFrame) = {
     require(iters >= 1, s"iters >= 1, got $iters")
-    var dict = wordDict(docs, textCol).persist()
-    val caches = Seq.newBuilder[DataFrame]
-    caches += dict
+    // checkpoint, not persist, per generation — see [[trainFull]]
+    var dict = graft.Caches.checkpointed(wordDict(docs, textCol))
     val bests = (1 to iters).map { t =>
       val (best, next) = mergeStep(dict)
-      dict = next.persist()
-      caches += dict
+      dict = graft.Caches.checkpointed(next)
       best.select(lit(t.toLong).as("it"), col("pair"), col("cnt"))
     }
-    (bests.reduce(_.unionAll(_)), Dedup.CachedFrame(dict, caches.result()))
+    (bests.reduce(_.unionAll(_)), Dedup.CachedFrame(dict, Seq.empty))
   }
 
   /** EXPORT the trained tokenizer in the interchange format every

@@ -480,8 +480,13 @@ object Pq {
     // FIRST (one tiny action), so every later pass broadcasts a
     // local literal and no two plan subtrees ever race to build a
     // shared cache (the race the old persist existed to serialize).
-    def mark(m: String): Unit =
-      emb.sparkSession.sparkContext.setJobDescription(s"opqRefine: $m")
+    // save/restore the thread's job description: without the restore
+    // the LAST mark leaked onto every subsequent job on this thread,
+    // mislabeling later queries in the UI and in ProfileQ output
+    val sc = emb.sparkSession.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    def mark(m: String): Unit = sc.setJobDescription(s"opqRefine: $m")
+    try {
     mark("cb0")
     var cb = localized(codebookRow(rotatedBy(corpus, r, p), p))
     val traj = Seq.newBuilder[Long]
@@ -524,6 +529,7 @@ object Pq {
     traj += scoredQ(rotatedBy(corpus, r, p).withColumn("qv", col("ve")), cb, p)
       .agg(sum(qlong(col("ad2"), 1e6))).head.getLong(0)
     (r, cb, traj.result())
+    } finally sc.setJobDescription(prevDesc)
   }
 
   /** Rebuild a collected one-row codebook as a LOCAL one-row frame —

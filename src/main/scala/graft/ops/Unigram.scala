@@ -155,21 +155,18 @@ object Unigram {
                 maxPieceLen: Int = 4, maxWordLen: Int = 8): Dedup.CachedFrame = {
     require(rounds >= 1, s"rounds >= 1, got $rounds")
     val dict = boundedDict(docs, textCol, maxWordLen)
-    val caches = Seq.newBuilder[DataFrame]
-    caches += dict
     var cnts = seedPieces(dict, maxPieceLen)
-    for (_ <- 1 to rounds) {
-      val r = emCounts(dict, costs(cnts), maxPieceLen, maxWordLen)
-      cnts = r.result.persist()
-      caches ++= r.caches
-      caches += cnts
-    }
+    for (_ <- 1 to rounds)
+      // checkpoint per round (the Bpe.trainFull rationale): round
+      // r+1's DP otherwise re-analyzes round r's whole Viterbi chain
+      cnts = graft.Caches.checkpointed(
+        emCounts(dict, costs(cnts), maxPieceLen, maxWordLen).result)
     val tot = cnts.agg(sum(col("cnt")).cast("double").as("_tot"))
     val model = cnts.crossJoin(broadcast(tot))
       .select(col("piece"), col("cnt"),
         (floor(col("cnt").cast("double") / col("_tot") * lit(1e6) + lit(0.5))
           .cast("double") / lit(1e6)).as("prob6"))
-    Dedup.CachedFrame(model, caches.result())
+    Dedup.CachedFrame(model, Seq.empty)
   }
 
   /** The per-word Viterbi segmentation under the model after
@@ -178,13 +175,15 @@ object Unigram {
     * produced round r's counts). */
   def segmentFull(docs: DataFrame, textCol: Column, rounds: Int,
                   maxPieceLen: Int = 4, maxWordLen: Int = 8): Dedup.CachedFrame = {
-    val (dict, cnts, cs) = refinedCounts(docs, textCol, rounds, maxPieceLen, maxWordLen)
-    val caches = Seq.newBuilder[DataFrame]
-    caches ++= cs
+    val (dict, cnts, _) = refinedCounts(docs, textCol, rounds, maxPieceLen, maxWordLen)
     val vit = viterbiFull(dict, costs(cnts), maxPieceLen, maxWordLen)
-    caches ++= vit.caches
-    Dedup.CachedFrame(
-      vit.result.select(col("w"), col("c"), col("seg")), caches.result())
+    // checkpointed: the segmentation cache feeds several consumers
+    // (encode's size-gated join, the piece vocab, decode's vocab
+    // fold) — each re-analyzed the whole DP chain per action before;
+    // now they plan against one LogicalRDD leaf (and encode's gate
+    // sees a scan-cheap plan, skipping its own persist+count)
+    Dedup.CachedFrame(graft.Caches.checkpointed(
+      vit.result.select(col("w"), col("c"), col("seg"))), Seq.empty)
   }
 
   /** The piece-count table whose costs produce round-`rounds`'s
@@ -198,16 +197,11 @@ object Unigram {
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
     require(rounds >= 1, s"rounds >= 1, got $rounds")
     val dict = boundedDict(docs, textCol, maxWordLen)
-    val caches = Seq.newBuilder[DataFrame]
-    caches += dict
     var cnts = seedPieces(dict, maxPieceLen)
-    for (_ <- 1 until rounds) {
-      val r = emCounts(dict, costs(cnts), maxPieceLen, maxWordLen)
-      cnts = r.result.persist()
-      caches ++= r.caches
-      caches += cnts
-    }
-    (dict, cnts, caches.result())
+    for (_ <- 1 until rounds)
+      cnts = graft.Caches.checkpointed(
+        emCounts(dict, costs(cnts), maxPieceLen, maxWordLen).result)
+    (dict, cnts, Seq.empty)
   }
 
   /** EXPORT the unigram model as piece/count rows — the
@@ -269,8 +263,10 @@ object Unigram {
     val pieces = importPieces(spark, s"$dir/unigram_pieces.tsv")
     val dict = boundedDict(docs, textCol, maxWordLen)
     val vit = viterbiFull(dict, costs(pieces), maxPieceLen, maxWordLen)
+    // checkpointed for the same reasons as [[segmentFull]]'s result
     encodeIds(docs, textCol, idCol,
-      vit.result.select(col("w"), col("c"), col("seg")), maxBroadcastRows)
+      graft.Caches.checkpointed(
+        vit.result.select(col("w"), col("c"), col("seg"))), maxBroadcastRows)
   }
 
   /** ENCODE to token-id SEQUENCES under a trained unigram model —
@@ -354,9 +350,15 @@ object Unigram {
     // empty words (consecutive delimiters) drop here too: every DP
     // stage unrolls sequence(1, len(w)) which steps DOWN for len=0
     // (the seedPieces guard's rationale); encode's char-segmentation
-    // fallback covers them, identically to an unseen word
-    val dict = Bpe.wordDict(docs, textCol).select(col("w"), col("c"))
-      .where(length(col("w")) >= 1).persist()
+    // fallback covers them, identically to an unseen word.
+    // Checkpointed, not persisted: every EM round's seed/DP layer
+    // references the dict several times, and a persist leaves the
+    // full corpus-pass lineage in every downstream analyzed plan
+    // (the Bpe.trainFull rationale); this also closes the old
+    // unregistered-persist leak (the persist had no release owner).
+    val dict = graft.Caches.checkpointed(
+      Bpe.wordDict(docs, textCol).select(col("w"), col("c"))
+        .where(length(col("w")) >= 1))
     val mx = dict.agg(coalesce(max(length(col("w"))), lit(0)).as("m"))
       .head.getInt(0)
     require(mx <= maxWordLen,

@@ -271,7 +271,11 @@ object SimilarityQueries {
   private[graft] def semdedupOpqDiag(s: org.apache.spark.sql.SparkSession,
                                      d: String, radius: Int = 0)
       : org.apache.spark.sql.DataFrame = {
+    // save/restore (the opqRefine convention): the last mark must not
+    // leak onto later queries' jobs on this thread
+    val prevDesc = s.sparkContext.getLocalProperty("spark.job.description")
     def mark(m: String): Unit = s.sparkContext.setJobDescription(s"opqdiag: $m")
+    try {
     mark("c2+resid")
     val emb = T(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
@@ -322,6 +326,7 @@ object SimilarityQueries {
         col("n_dropped_unrot"), col("overlap_unrot"),
         lit(traj.last <= traj.head + nRows).as("qerr_improved"),
         lit(orth).as("orthogonal"), col("nd_r"), col("ov_r"))
+    } finally s.sparkContext.setJobDescription(prevDesc)
   }
 
   /** Multi-probe drop-set CTE over `${p}fa`: probe masks enumerate
@@ -1758,8 +1763,10 @@ object SimilarityQueries {
         val e0 = T(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("ve0"))
         val arms = (0 until 4).map { t =>
-          val permLit = array(opqPerm(t).map(lit): _*)
-          val sgnLit = array(opqSigns(t).map(lit): _*)
+          // ONE ArrayType literal each (typedlit), not array(lit x 64):
+          // planning cost — the analyzer walks 1 node per literal
+          val permLit = typedlit(opqPerm(t).toIndexedSeq)
+          val sgnLit = typedlit(opqSigns(t).toIndexedSeq)
           val rot = e0.select(col("vec_id"),
             transform(sequence(lit(1), lit(Dim)), i =>
               element_at(col("ve0"), element_at(permLit, i)) *
@@ -2051,8 +2058,8 @@ object SimilarityQueries {
     * driver folds — the a4 ridge collect class. */
   private def opqWinnerR0(e0: org.apache.spark.sql.DataFrame): Array[Array[Double]] = {
     def armQerr(t: Int): Long = {
-      val permLit = array(opqPerm(t).map(lit): _*)
-      val sgnLit = array(opqSigns(t).map(lit): _*)
+      val permLit = typedlit(opqPerm(t).toIndexedSeq)
+      val sgnLit = typedlit(opqSigns(t).toIndexedSeq)
       val rot = e0.select(col("vec_id"),
         transform(sequence(lit(1), lit(Dim)), i =>
           element_at(col("ve"), element_at(permLit, i)) *

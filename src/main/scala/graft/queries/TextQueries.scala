@@ -1694,7 +1694,11 @@ object TextQueries {
         val meta = docs.select(col("doc_id"), col("lang"), col("source"))
         val w = Window.partitionBy(col("lang"), col("source"))
           .orderBy(col("n_tokens").desc, col("doc_id"))
-        val sliced = graft.Caches.owned(ids.join(meta, Seq("doc_id"))
+        // checkpointed (not owned): three packer arms + their grading
+        // joins re-analyzed the slice's full producing lineage (dict
+        // chain + encode + rank window — a 38k-line plan) per action;
+        // the checkpoint roots all of them at one LogicalRDD leaf
+        val sliced = graft.Caches.checkpointed(ids.join(meta, Seq("doc_id"))
           .withColumn("n_tokens", size(col("token_ids")).cast("long"))
           .withColumn("slrk", row_number().over(w))
           .where(col("slrk") <= BfdSliceRank)
