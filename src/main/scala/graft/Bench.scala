@@ -165,6 +165,42 @@ object Bench {
     // stamped into both JSON artifacts so a reader of BENCH_r{N} knows
     // which timing contract produced "value" (see note below)
     val methodology = if (precompiled) "precompiled" else "fully_cold"
+    // UNIFORM STORE-BUILD ACCOUNTING (r20, the r19 verdict's item 6):
+    // persisted stores under java.io.tmpdir survive across JVM runs
+    // (buildIfAbsent markers), so a "cold" timed repeat could silently
+    // measure a store warmed by a PREVIOUS bench/verify invocation.
+    // Purge every store dir keyed to THIS dataset first; the recorded
+    // pre-step below then pays each store-backed query's first
+    // invocation (store build + one serve pass) into build_costs, so
+    // every timed repeat is provably serving-only — the pipe_rag_e2e
+    // convention extended to the whole serving family. Set
+    // SPARK_GRAFT_KEEPSTORES=1 to skip the purge (dev loop).
+    if (!sys.env.contains("SPARK_GRAFT_KEEPSTORES")) {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      val key = graft.queries.storeKey(sfDir)
+      for (f <- Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+           if f.isDirectory && f.getName.startsWith("graft-") && f.getName.endsWith(key))
+        try org.apache.commons.io.FileUtils.deleteDirectory(f)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] store purge failed for ${f.getName}: ${e.getMessage}")
+        }
+    }
+    // every registry query whose plan construction calls a
+    // buildIfAbsent-style store builder (grep 'IfAbsent|graft-.*-' in
+    // queries/*.scala when adding one — an unlisted store-backed query
+    // is not wrong, its first timed repeat just pays the build and
+    // shows up in `noisy`)
+    val storeBacked = Seq(
+      "g_hll_indexed", "g_hll_cube", "g_hll_rebuilt", "g_hll_ingested",
+      "e_semdedup_served", "e_ivfpq_indexed", "e_ann_serve_batch",
+      "e_ivfpq_appended", "e_ann_takedown", "e_ann_filtered",
+      "e_ivfpq_indexed_trained", "e_opq_indexed",
+      "t_lang_classify_indexed", "t_line_dedup_indexed", "t_line_dedup_takedown",
+      "t_bpe_encode_indexed", "t_bpe_export_roundtrip",
+      "t_unigram_encode_indexed", "t_unigram_export_roundtrip",
+      "t_quality_filter_indexed",
+      "d_delta_index_keep", "d_delta_index_small", "d_delta_index_takedown",
+      "d_store_pinned_read", "d_delta_index_r2", "d_delta_index_appended")
     // RAG pre-step: pay curation + index build once, OUTSIDE the
     // timers but RECORDED (build_costs) — the headline pipe_rag_e2e
     // number then measures warm serving, with the one-time cost a
@@ -180,6 +216,23 @@ object Bench {
         // fall back to the self-contained form; the timed run will
         // surface the real failure if there is one
         System.err.println(s"[bench] rag build pre-step failed: ${e.getMessage}")
+      }
+      Caches.releaseAll()
+      spark.catalog.clearCache()
+    }
+    // the recorded store-build pass (see the purge note above): one
+    // full first invocation per store-backed query — build + one
+    // serve — into build_costs; the timed repeats below then measure
+    // steady-state serving against an existing store, which is the
+    // production shape these queries exist to demonstrate
+    for ((name, fn) <- selected if storeBacked.contains(name)) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        buildCosts(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(e) =>
+        // the timed run will surface the real failure if there is one
+        System.err.println(s"[bench] store pre-step failed for $name: ${e.getMessage}")
       }
       Caches.releaseAll()
       spark.catalog.clearCache()

@@ -72,6 +72,50 @@ object Logistic {
     qround(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
 
+  /** [[sigma]] with the weights read from a flat array COLUMN (class
+    * c's head at positions c*p+1 .. c*p+p) instead of folded literals
+    * — the exact sigmaCols op sequence (x_j * w_j summed left to
+    * right, 1e-6 snap, sigmoid, snap) over the same doubles, so
+    * outputs are bit-identical. */
+  private def sigmaW(x: Column, wf: Column, c: Int, p: Int): Column = {
+    val z = qround((0 until p).map(j =>
+      element_at(x, j + 1) * element_at(wf, c * p + j + 1)).reduce(_ + _), 6)
+    qround(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** The TRAINING-LOOP frame for one GD step: `feat` cross-joined
+    * with a one-row local frame carrying the current weights (flat,
+    * class-major) as an array column `_w`, plus each head's snapped
+    * sigmoid projected ONCE as `_s<c>` BELOW the step aggregate.
+    *
+    * Why not literals (the old form): every step's weights differ, so
+    * a step aggregate with folded weight literals is a NEW plan whose
+    * generated code embeds the constants — Janino recompiled the big
+    * 30-sum aggregate once per step per distinct weight vector
+    * (measured: t_lang_classifier cold 8.6 s vs 2.5 s warm — ~6 s of
+    * pure per-step codegen), and the analyzer walked classes*p copies
+    * of the sigmoid tree per step. With the weights in a column the
+    * generated code is byte-identical across steps (ONE compile for
+    * the whole loop), and the aggregate's analyzed tree holds
+    * `classes` sigmoid trees instead of classes*p. The projection is
+    * not collapsed into the aggregate (each `_s<c>` alias is consumed
+    * p+1 times and is non-cheap — CollapseProject keeps it), so the
+    * per-row sigmoid also computes once per class instead of per
+    * gradient term. Values bit-identical (sigmaW == sigmaCols shape;
+    * oracle hash-checks every trajectory). */
+  private def withSigmas(feat: DataFrame, w: Array[Array[Double]],
+                         p: Int): DataFrame = {
+    val spark = feat.sparkSession
+    val schema = StructType(Seq(StructField("_w",
+      org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+    val wrow = spark.createDataFrame(
+      java.util.Collections.singletonList(Row(w.flatten.toIndexedSeq)), schema)
+    feat.crossJoin(broadcast(wrow))
+      .select(col("y") +: col("x") +:
+        w.indices.map(c => sigmaW(col("x"), col("_w"), c, p).as(s"_s$c")): _*)
+  }
+
   /** Train by `steps` full-batch GD steps from w=0 at learning rate
     * `lr`, over `feat` = (doc_id, y double in {0,1}, x array<double>
     * of length `p`, element 1 the 1.0 bias). Returns the TRAJECTORY
@@ -97,8 +141,8 @@ object Logistic {
       traj += Row.fromSeq((t - 1).toLong +: w.toSeq :+ accPrev)
       w = wNext
     }
-    val accLast = feat.agg(qround(avg(
-        when((sigma(col("x"), w.toSeq) >= 0.5) === (col("y") === 1.0), 1.0)
+    val accLast = withSigmas(feat, Array(w), p).agg(qround(avg(
+        when((col("_s0") >= 0.5) === (col("y") === 1.0), 1.0)
           .otherwise(0.0)), 6).as("acc"))
       .collect().head.getDouble(0)
     traj += Row.fromSeq(steps.toLong +: w.toSeq :+ accLast)
@@ -115,8 +159,8 @@ object Logistic {
     * `w` itself). */
   private def gradAccStep(feat: DataFrame, w: Array[Double], p: Int,
                           lr: Double): (Array[Double], Double) = {
-    val s = sigma(col("x"), w.toSeq)
-    val row = feat.agg(
+    val s = col("_s0")
+    val row = withSigmas(feat, Array(w), p).agg(
       sum(qlong((col("y") - s) * element_at(col("x"), 1), 1e6)).as("g0"),
       ((1 until p).map(j =>
         sum(qlong((col("y") - s) * element_at(col("x"), j + 1), 1e6)).as(s"g$j")) ++
@@ -135,8 +179,8 @@ object Logistic {
     * adds the per-step accuracy pass) and [[trainWeights]]. */
   private def gradStep(feat: DataFrame, w: Array[Double], p: Int,
                        lr: Double): Array[Double] = {
-    val s = sigma(col("x"), w.toSeq)
-    val gRow = feat.agg(
+    val s = col("_s0")
+    val gRow = withSigmas(feat, Array(w), p).agg(
       sum(qlong((col("y") - s) * element_at(col("x"), 1), 1e6)).as("g0"),
       ((1 until p).map(j =>
         sum(qlong((col("y") - s) * element_at(col("x"), j + 1), 1e6)).as(s"g$j")) :+
@@ -224,15 +268,28 @@ object Logistic {
   private def ovrGradStep(feat: DataFrame, w: Array[Array[Double]],
                           p: Int, classes: Int, lr: Double): Array[Array[Double]] = {
     val aggs = for (c <- 0 until classes; j <- 0 until p) yield {
-      val s = sigma(col("x"), w(c).toSeq)
       val yc = when(col("y") === c.toDouble, 1.0).otherwise(0.0)
-      sum(qlong((yc - s) * element_at(col("x"), j + 1), 1e6)).as(s"g_${c}_$j")
+      sum(qlong((yc - col(s"_s$c")) * element_at(col("x"), j + 1), 1e6)).as(s"g_${c}_$j")
     }
-    val row = feat.agg(aggs.head, (aggs.tail :+ count(lit(1)).as("n")): _*)
+    val row = withSigmas(feat, w, p)
+      .agg(aggs.head, (aggs.tail :+ count(lit(1)).as("n")): _*)
       .collect().head
     val n = row.getLong(classes * p)
     Array.tabulate(classes, p)((c, j) =>
       q6(w(c)(j) + lr * row.getLong(c * p + j).toDouble / (1e6 * n.toDouble)))
+  }
+
+  /** Argmax training accuracy over the PROJECTED per-head sigmoids
+    * `_s<c>` — the [[predictOvr]] argmax (greatest chain, first head
+    * wins ties) re-expressed over [[withSigmas]] columns; identical
+    * comparisons over identical doubles. */
+  private def ovrAccCol(classes: Int): Column = {
+    val scores = (0 until classes).map(c => col(s"_s$c"))
+    val best = scores.reduce((a, b) => greatest(a, b))
+    val pred = scores.zipWithIndex.foldRight(lit(-1)) { case ((s, c), acc) =>
+      when(s === best, lit(c)).otherwise(acc)
+    }
+    qround(avg(when(pred === col("y").cast("int"), 1.0).otherwise(0.0)), 6)
   }
 
   /** Predicted class index under OvR weights: argmax of the K snapped
@@ -260,26 +317,23 @@ object Logistic {
     val spark = feat.sparkSession
     var w = Array.fill(classes, p)(0.0)
     val traj = Seq.newBuilder[Row]
-    def accOf(wc: Array[Array[Double]]): Column =
-      qround(avg(when(predictOvr(col("x"), wc.map(_.toSeq).toSeq) === col("y").cast("int"),
-        1.0).otherwise(0.0)), 6)
     // FUSED passes (see [[train]]): step t's K*p gradient sums and
     // step t-1's argmax accuracy both run under w_{t-1} — one corpus
     // pass each, steps+1 total instead of 2*steps, bit-identical.
     w = ovrGradStep(feat, w, p, classes, lr)
     for (t <- 2 to steps) {
       val aggs = (for (c <- 0 until classes; j <- 0 until p) yield {
-        val s = sigma(col("x"), w(c).toSeq)
         val yc = when(col("y") === c.toDouble, 1.0).otherwise(0.0)
-        sum(qlong((yc - s) * element_at(col("x"), j + 1), 1e6)).as(s"g_${c}_$j")
-      }) ++ Seq(count(lit(1)).as("n"), accOf(w).as("acc"))
-      val row = feat.agg(aggs.head, aggs.tail: _*).collect().head
+        sum(qlong((yc - col(s"_s$c")) * element_at(col("x"), j + 1), 1e6)).as(s"g_${c}_$j")
+      }) ++ Seq(count(lit(1)).as("n"), ovrAccCol(classes).as("acc"))
+      val row = withSigmas(feat, w, p).agg(aggs.head, aggs.tail: _*).collect().head
       val n = row.getLong(classes * p)
       traj += Row.fromSeq((t - 1).toLong +: w.flatten.toSeq :+ row.getDouble(classes * p + 1))
       w = Array.tabulate(classes, p)((c, j) =>
         q6(w(c)(j) + lr * row.getLong(c * p + j).toDouble / (1e6 * n.toDouble)))
     }
-    val accLast = feat.agg(accOf(w).as("acc")).collect().head.getDouble(0)
+    val accLast = withSigmas(feat, w, p).agg(ovrAccCol(classes).as("acc"))
+      .collect().head.getDouble(0)
     traj += Row.fromSeq(steps.toLong +: w.flatten.toSeq :+ accLast)
     val schema = StructType(
       StructField("step", LongType, nullable = false) +:

@@ -1052,9 +1052,12 @@ object TextQueries {
         val crawl = T(s, d, "documents").select(col("doc_id"),
           text.htmlExtract(htmlWrap(col("source"), col("text"), col("lang")))
             .as("text"))
-        // ownedLazy: training's first gradient pass builds each cache
-        // serially (no concurrent consumers until the final plan)
-        val cleaned = graft.Caches.ownedLazy(
+        // checkpointed (r20): the 6-step training loop plus the scrub
+        // chain's double-consumed subtrees re-analyzed the extract +
+        // line-dedup lineage per action; the checkpoint roots them all
+        // at one LogicalRDD leaf (same rows — oracle-checked, and the
+        // same-session A/B read 3.18 vs 3.3 s warm in its favor)
+        val cleaned = graft.Caches.checkpointed(
           Dedup.lineDedup(crawl, col("text"), col("doc_id"), sep = " the ", maxOcc = 4)
             .select(col("doc_id"), col("clean_text").as("text")))
         val feat = graft.Caches.ownedLazy(qualityFeat(cleaned))
