@@ -46,7 +46,7 @@ object Fold {
     * pixels, same recurrence). `zip_with` pairs each h_k with its
     * bias; the input x is shared across components. */
   def stepColVec(h: Column, x: Column, biases: Seq[Double]): Column =
-    zip_with(h, array(biases.map(lit): _*), (hk, bk) => {
+    zip_with(h, typedlit(biases), (hk, bk) => {
       val o = x / lit(InScale) + lit(HWeight) * hk + bk
       val e = exp(lit(2.0) * o)
       lit(Z) * hk + lit(1 - Z) * ((e - lit(1.0)) / (e + lit(1.0)))

@@ -373,31 +373,56 @@ object Pq {
     * row's rq6 is counted once — attached at its (m=0, pos=0)
     * exploded twin. */
   private[graft] def lloydStepQerr(emb: DataFrame, cbRow: DataFrame, p: Params): DataFrame = {
+    // ONE corpus pass, ONE map-side-combined exchange of <= m*ks*sub
+    // (m, cid, pos, s, n, qe) rows; the codeword assembly (pos-ordered
+    // means, empty-cell carry-over, the (m, cid)-sorted fold) runs on
+    // the DRIVER over those model-sized rows — the ivfLloydStep
+    // convention (r19). The old form did the assembly as a second
+    // aggregation + join + one-row fold: 3 exchanges and ~6 AQE jobs
+    // per Lloyd call, all corpus-independent planning weight (r20
+    // profile: e_opq_refined spent more time in inter-job gaps than in
+    // jobs). c_mean keeps the exact IEEE op sequence of the aggregate
+    // form (long->double casts, 1e6*n product, one divide), and qe
+    // sums are exact longs — codebook and qerr bit-identical.
+    import org.apache.spark.sql.Row
+    val spark = emb.sparkSession
     val scored = emb.crossJoin(broadcast(cbRow))
       .withColumn("_ps", call_function("graft_pq_score",
         col("ve"), col("ve"), col("cbs"), lit(p.m), lit(p.ks)))
       .select(col("ve"),
         transform(split(col("_ps.code"), ","), c => c.cast("int")).as("codes"),
         qlong(col("_ps.ad2"), 1e6).as("rq6"))
-    val means = scored
+    val meanRows = scored
       .select(col("ve"), col("rq6"), posexplode(col("codes")).as(Seq("m", "cid")))
       .select(col("m"), col("cid"),
         when(col("m") === 0, col("rq6")).otherwise(lit(0L)).as("rq6"),
         posexplode(subvec(col("ve"), col("m"), p)).as(Seq("pos", "v")))
       .groupBy(col("m"), col("cid"), col("pos"))
-      .agg((sum(qlong(col("v"), 1e6)) / (lit(1e6) * count(lit(1)))).as("c_mean"),
+      .agg(sum(qlong(col("v"), 1e6)).as("s"), count(lit(1)).as("n"),
         sum(when(col("pos") === 0, col("rq6")).otherwise(lit(0L))).as("qe"))
-      .groupBy(col("m"), col("cid"))
-      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c_mean")))),
-        e => e.getField("c_mean")).as("cv"),
-        sum(col("qe")).as("qe"))
-    val prev = cbRow.select(explode(col("cbs")).as("e"))
-      .select(col("e.m").as("m"), col("e.cid").as("cid"), col("e.cv").as("pcv"))
-    prev.join(means, Seq("m", "cid"), "left")
-      .select(struct(col("m"), col("cid"),
-        coalesce(col("cv"), col("pcv")).as("cv")).as("e"), col("qe"))
-      .agg(sort_array(collect_list(col("e"))).as("cbs"),
-        sum(coalesce(col("qe"), lit(0L))).as("qerr_q6"))
+      .collect()
+    val byMC = meanRows.groupBy(r => (r.getInt(0), r.getInt(1)))
+    val prevRow = cbRow.collect()(0)
+    val prev = prevRow.getSeq[Row](0)
+      .map(e => ((e.getInt(0), e.getInt(1)), e.getSeq[Double](2)))
+    val entries = prev.map { case ((m, cid), pcv) =>
+      val cv = byMC.get((m, cid)) match {
+        case Some(rows) => rows.sortBy(_.getInt(2)).toSeq
+          .map(r => r.getLong(3).toDouble / (1e6 * r.getLong(4).toDouble))
+        case None => pcv
+      }
+      ((m, cid), cv)
+    }
+    val qerr = meanRows.map(_.getLong(5)).sum
+    // the old fold sorted by (m, cid) (sort_array over the struct);
+    // keep that contract explicitly
+    val arr = entries.sortBy(_._1).map { case ((m, cid), cv) => Row(m, cid, cv) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      cbRow.schema("cbs"),
+      org.apache.spark.sql.types.StructField("qerr_q6",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(Row(arr, qerr)), schema)
   }
 
   /** One Lloyd iteration over the PQ codebook: assign every corpus
@@ -574,7 +599,7 @@ object Pq {
     * reference for the native matvec kernel. */
   private[graft] def rotatedByHof(emb: DataFrame, r: Array[Array[Double]], p: Params,
                                   keepOrig: Boolean = false): DataFrame = {
-    val rflat = array(r.flatten.toIndexedSeq.map(lit(_)): _*)
+    val rflat = typedlit(r.flatten.toIndexedSeq)
     val rotExpr = transform(sequence(lit(0), lit(p.dim - 1)), i =>
       aggregate(sequence(lit(0), lit(p.dim - 1)), lit(0.0), (acc, j) =>
         acc + element_at(rflat, (i * p.dim + j + 1).cast("int")) *

@@ -1973,7 +1973,8 @@ object SimilarityQueries {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
         val signs = vectors.hyperplaneSigns(RpDim, Dim)
         def proj(v: Column): Column = array((0 until RpDim).map { j =>
-          (vectors.dot(v, array(signs(j).map(lit): _*)) * lit(0.25)).cast("double")
+          // one ArrayType literal per plane (typedlit), not array(lit x 64)
+          (vectors.dot(v, typedlit(signs(j))) * lit(0.25)).cast("double")
         }: _*)
         val p = emb.withColumn("pv", proj(col("ve")))
         val q = p.where(col("vec_id") === 0)
@@ -2015,7 +2016,8 @@ object SimilarityQueries {
             zip_with(col("cve"), col("ve"), (c, e) => c + lit(0.15) * e).as("ve"))
         val signs = vectors.hyperplaneSigns(RpDim, Dim)
         def proj(v: Column): Column = array((0 until RpDim).map { j =>
-          (vectors.dot(v, array(signs(j).map(lit): _*)) * lit(0.25)).cast("double")
+          // one ArrayType literal per plane (typedlit), not array(lit x 64)
+          (vectors.dot(v, typedlit(signs(j))) * lit(0.25)).cast("double")
         }: _*)
         val p = planted.withColumn("pv", proj(col("ve")))
         val q = p.where(col("vec_id") === 0).select(col("pv").as("qp"))
@@ -2077,7 +2079,20 @@ object SimilarityQueries {
           1e6).as("rq6"))
         .agg(sum(col("rq6"))).head.getLong(0)
     }
-    val tWin = (0 until 4).map(t => (armQerr(t), t)).min._2
+    // the four arms are INDEPENDENT bounded folds — overlap them
+    // (guide §2.6: actions are only sequential because the driver
+    // calls them sequentially); the winner is the deterministic
+    // (qerr, t) min over all four collected results, so completion
+    // order cannot change it
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val tWin = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          (0 until 4).map(t => scala.concurrent.Future((armQerr(t), t)))),
+        scala.concurrent.duration.Duration.Inf).min._2
+    } finally pool.shutdown()
     Array.tabulate(Dim, Dim)((i, j) =>
       if (opqPerm(tWin)(i) - 1 == j) opqSigns(tWin)(i) else 0.0)
   }

@@ -753,11 +753,11 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "raw")
     // sequential twin over the *B stores
     def seqBatch(b: org.apache.spark.sql.DataFrame): Set[(Long, String)] = {
-      val ex = extract(b).localCheckpoint()
+      val ex = Caches.checkpointed(extract(b))
       val scrubbed = LineStore.scrubDelta(spark, ex, dirs("lineB"), $"text", $"doc_id")
         .select($"doc_id", $"clean_text".as("text"))
-      val kept = DedupIndex.deltaKeep(spark, scrubbed, dirs("dedupB"), $"text", $"doc_id")
-        .localCheckpoint()
+      val kept = Caches.checkpointed(
+        DedupIndex.deltaKeep(spark, scrubbed, dirs("dedupB"), $"text", $"doc_id"))
       val out = kept.collect().map(r => (r.getLong(0), r.getString(1))).toSet
       LineStore.append(ex, dirs("lineB"), $"text", $"doc_id")
       DedupIndex.append(kept, dirs("dedupB"), $"text", $"doc_id")
@@ -1001,9 +1001,9 @@ class DedupSpec extends AnyFunSuite {
     def seqBatch(b: org.apache.spark.sql.DataFrame): Set[(Long, String)] = {
       val scrubbed = LineStore.scrubDelta(spark, b, dirs("lineB"), $"text", $"doc_id")
         .select($"doc_id", $"clean_text".as("text"))
-      val kept = DedupIndex.deltaKeep(spark, scrubbed, dirs("dedupB"),
-          $"text", $"doc_id", shingleK = 3, seeds = 8, bands = 4, matchMin = 5)
-        .localCheckpoint()
+      val kept = Caches.checkpointed(
+        DedupIndex.deltaKeep(spark, scrubbed, dirs("dedupB"),
+          $"text", $"doc_id", shingleK = 3, seeds = 8, bands = 4, matchMin = 5))
       val out = kept.collect().map(r => (r.getLong(0), r.getString(1))).toSet
       LineStore.append(b, dirs("lineB"), $"text", $"doc_id")
       DedupIndex.append(kept, dirs("dedupB"), $"text", $"doc_id",
@@ -1058,8 +1058,9 @@ class DedupSpec extends AnyFunSuite {
       val scrubbed = LineStore.scrubDelta(spark, batch, lineDir, $"text", $"doc_id",
           excludeTag = Some(tag))
         .select($"doc_id", $"clean_text".as("text"))
-      val kept = DedupIndex.deltaKeep(spark, scrubbed, dedupDir, $"text", $"doc_id",
-        excludeTag = Some(tag)).localCheckpoint()
+      val kept = Caches.checkpointed(
+        DedupIndex.deltaKeep(spark, scrubbed, dedupDir, $"text", $"doc_id",
+          excludeTag = Some(tag)))
       val out = (scrubbed.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted,
         kept.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted)
       LineStore.append(batch, lineDir, $"text", $"doc_id", tag = Some(tag))

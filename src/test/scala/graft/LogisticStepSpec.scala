@@ -63,8 +63,6 @@ class LogisticStepSpec extends AnyFunSuite {
       s"distributed trajectory diverged from the replay:\n${got.toSeq}\nvs\n${traj.result()}")
     assert(graft.ops.Logistic.trainWeights(feat(rows), p, steps, lr) == w,
       "trainWeights must emit the trajectory's final weights bit-for-bit")
-    Caches.releaseAll()
-    spark.catalog.clearCache()
   }
 
   test("OvR trajectory == pure-Scala replay (argmax acc, first head wins ties)") {
@@ -96,7 +94,5 @@ class LogisticStepSpec extends AnyFunSuite {
     assert(graft.ops.Logistic.trainOvrWeights(feat(mrows), p, classes, steps, lr)
       == w.map(_.toSeq).toSeq,
       "trainOvrWeights must emit the trajectory's final heads bit-for-bit")
-    Caches.releaseAll()
-    spark.catalog.clearCache()
   }
 }

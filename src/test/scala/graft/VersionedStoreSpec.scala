@@ -325,8 +325,9 @@ class VersionedStoreSpec extends AnyFunSuite {
       val scrubbed = LineStore.scrubDelta(spark, batch, lineDir, $"text", $"doc_id",
           asOfPin = Some(tag))
         .select($"doc_id", $"clean_text".as("text"))
-      val kept = DedupIndex.deltaKeep(spark, scrubbed, dedupDir, $"text", $"doc_id",
-        asOfPin = Some(tag)).localCheckpoint()
+      val kept = Caches.checkpointed(
+        DedupIndex.deltaKeep(spark, scrubbed, dedupDir, $"text", $"doc_id",
+          asOfPin = Some(tag)))
       val out = (scrubbed.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted,
         kept.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted)
       LineStore.append(batch, lineDir, $"text", $"doc_id", tag = Some(tag))

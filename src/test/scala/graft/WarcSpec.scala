@@ -177,11 +177,11 @@ class WarcSpec extends AnyFunSuite {
         .map(r => (r.targetUri, new String(Warc.httpBody(r.payload)._2, "UTF-8")))
         .toDF("doc_id", "markup")
         .select(col("doc_id"), toText(col("markup")).as("text"))
-        .localCheckpoint()
+        .transform(graft.Caches.checkpointed)
       val scrubbed = gate(LineStore.scrubDelta(spark, docs, dirs("lineB"), $"text", $"doc_id")
         .select($"doc_id", $"clean_text".as("text")))
-      val kept = DedupIndex.deltaKeep(spark, scrubbed, dirs("dedupB"), $"text", $"doc_id")
-        .localCheckpoint()
+      val kept = Caches.checkpointed(
+        DedupIndex.deltaKeep(spark, scrubbed, dirs("dedupB"), $"text", $"doc_id"))
       val out = kept.collect().map(r => (r.getString(0), r.getString(1))).toSet
       LineStore.append(docs, dirs("lineB"), $"text", $"doc_id")
       DedupIndex.append(kept, dirs("dedupB"), $"text", $"doc_id")
