@@ -192,12 +192,11 @@ object PipelineQueries {
             graft.functions.text.fingerprint(col("text")).as("fp"))
           .where(col("q") >= 0.5)
         val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
-        // feeds the dict chain, the encode, and the pack; harness-owned
-        // release (graft.Caches) — the query returns a lazy plan, so
-        // the persist's lifecycle belongs to whoever runs the action
-        // ownedLazy: trainedDictFull's first cache count() consumes
-        // kept serially before any concurrent subtree can race
-        val kept = graft.Caches.ownedLazy(scored.join(keep, Seq("fp"))
+        // feeds the dict chain, the encode, and the pack —
+        // checkpointed (r20): each consumer re-analyzed the
+        // scrub+dedup lineage per action under a plain persist;
+        // harness-owned release (graft.Caches)
+        val kept = graft.Caches.checkpointed(scored.join(keep, Seq("fp"))
           .where(col("doc_id") === col("keeper"))
           .select(col("doc_id"), col("text"), col("lang"), col("source")))
         val dict = graft.ops.Bpe.trainedDictFull(kept, col("text"), iters = 2)
@@ -267,10 +266,9 @@ object PipelineQueries {
           .where(graft.ops.Logistic.scoreCols(TextQueries.qualityXs, w) >= 0.5)
         val keep = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
         // feeds the dict chain, the id encode, and the pack —
+        // checkpointed (r20, same rationale as pipe_tokenize_e2e);
         // harness-owned release (graft.Caches)
-        // ownedLazy: the dict chain's first count() is the serial
-        // first consumer (same as pipe_tokenize_e2e)
-        val kept = graft.Caches.ownedLazy(scored.join(keep, Seq("fp"))
+        val kept = graft.Caches.checkpointed(scored.join(keep, Seq("fp"))
           .where(col("doc_id") === col("keeper"))
           .select(col("doc_id"), col("text"), col("lang"), col("source")))
         val dict = graft.ops.Bpe.trainedDictFull(kept, col("text"), iters = 2)
