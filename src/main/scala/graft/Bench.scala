@@ -159,7 +159,7 @@ object Bench {
         // per-query failures)
         try fn(spark, preDir.getAbsolutePath).write.format("noop").mode("overwrite").save()
         catch { case scala.util.control.NonFatal(_) => () }
-        Caches.releaseAll()
+        Caches.releaseAll(blocking = true)
         spark.catalog.clearCache()
       }
     // stamped into both JSON artifacts so a reader of BENCH_r{N} knows
@@ -217,7 +217,7 @@ object Bench {
         // surface the real failure if there is one
         System.err.println(s"[bench] rag build pre-step failed: ${e.getMessage}")
       }
-      Caches.releaseAll()
+      Caches.releaseAll(blocking = true)
       spark.catalog.clearCache()
     }
     // the recorded store-build pass (see the purge note above): one
@@ -234,7 +234,7 @@ object Bench {
         // the timed run will surface the real failure if there is one
         System.err.println(s"[bench] store pre-step failed for $name: ${e.getMessage}")
       }
-      Caches.releaseAll()
+      Caches.releaseAll(blocking = true)
       spark.catalog.clearCache()
     }
     // SPARK_GRAFT_ONLY=comma-list restricts to named queries (dev knob).
@@ -284,7 +284,7 @@ object Bench {
         // clearCache as the backstop so caches never accumulate across
         // the 70+ query run (each repeat re-materializes its own
         // persists — no cross-run reuse)
-        Caches.releaseAll()
+        Caches.releaseAll(blocking = true)
         spark.catalog.clearCache()
         dt
       }

@@ -59,7 +59,7 @@ object ProfileQ {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      Caches.releaseAll()
+      Caches.releaseAll(blocking = true)
       spark.catalog.clearCache()
       println(f"== repeat $r: $name total ${dt}%.3f s, ${jobs.size} jobs ==")
       if (r == repeats) {
